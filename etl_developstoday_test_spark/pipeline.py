@@ -1,0 +1,110 @@
+"""End-to-end trip ETL orchestrator.
+
+Declarative re-expression of the reference's per-row pull pipeline
+(``TripEtlPipelineService.cs:58-194``; dataflow diagram in SURVEY.md
+§3.2): scan → parse/validate → split → normalize → first-wins dedup →
+duplicates side-output + clean sink → six-counter stats.
+
+The observable contract is identical (same stats, same winners, same
+duplicates file); the execution model is set-oriented so Catalyst/AQE
+own partitioning, spilling, and parallelism — this is what removes the
+reference's self-declared ~10 GB in-memory-dedup ceiling
+(``README.md:76-93``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_developstoday_test_spark import schemas as S
+from etl_developstoday_test_spark.config import EtlSettings
+from etl_developstoday_test_spark.operators.dedup import first_wins_dedup
+from etl_developstoday_test_spark.operators.normalize import normalize_trips
+from etl_developstoday_test_spark.operators.parse import ERROR_COL, parse_trips, split_valid
+from etl_developstoday_test_spark.sinks import (
+    write_duplicates_csv,
+    write_trips_jdbc,
+    write_trips_parquet,
+)
+from etl_developstoday_test_spark.sources.csv_source import read_trips_csv
+
+DEDUP_KEYS = [S.PICKUP, S.DROPOFF, S.PASSENGER_COUNT]
+
+
+def build_stages(
+    spark: SparkSession, settings: EtlSettings
+) -> dict[str, DataFrame]:
+    """Construct (lazily) every stage DataFrame; nothing executes yet."""
+    raw = read_trips_csv(
+        spark,
+        settings.input_path,
+        delimiter=settings.delimiter,
+        line_numbers=settings.line_numbers,
+    )
+    parsed = parse_trips(raw, settings.input_datetime_format)
+    valid, invalid = split_valid(parsed)
+    normed = normalize_trips(valid, settings.convert_to_utc, settings.timezone)
+    unique, dups = first_wins_dedup(normed, DEDUP_KEYS, S.LINE_NUMBER)
+    return {
+        "raw": raw,
+        "parsed": parsed,
+        "valid": valid,
+        "invalid": invalid,
+        "normalized": normed,
+        "unique": unique,
+        "duplicates": dups,
+    }
+
+
+def run(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
+    """Execute the pipeline; returns the reference's six counters
+    (TripImportStatisticsDto.cs:10-46):
+    TotalRowsRead / ParsedRows / InvalidRows / DuplicateRows /
+    InsertedRows / DuplicatesFileRows.
+    """
+    stages = build_stages(spark, settings)
+
+    # One cache point: the normalized stage feeds dedup twice (winners +
+    # losers) and the stats; raw/parsed counts are derived in a single
+    # aggregate over `parsed` rather than one job per counter.
+    parsed = stages["parsed"].persist()
+    counters = parsed.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col(ERROR_COL).isNull(), 1)).alias("parsed"),
+        F.count(F.when(F.col(ERROR_COL).isNotNull(), 1)).alias("invalid"),
+    ).collect()[0]
+
+    normed = normalize_trips(
+        parsed.filter(F.col(ERROR_COL).isNull()),
+        settings.convert_to_utc,
+        settings.timezone,
+    ).persist()
+    unique, dups = first_wins_dedup(normed, DEDUP_KEYS, S.LINE_NUMBER)
+
+    write_duplicates_csv(
+        dups, settings.duplicates_path, coalesce=settings.coalesce_duplicates_output
+    )
+    if settings.output_path:
+        write_trips_parquet(unique, settings.output_path)
+    if settings.jdbc_url:
+        write_trips_jdbc(
+            unique,
+            settings.jdbc_url,
+            settings.jdbc_table,
+            settings.jdbc_properties,
+            settings.batch_size,
+        )
+
+    n_unique = unique.count()
+    n_dups = normed.count() - n_unique
+    parsed.unpersist()
+    normed.unpersist()
+
+    return {
+        "TotalRowsRead": counters["total"],
+        "ParsedRows": counters["parsed"],
+        "InvalidRows": counters["invalid"],
+        "DuplicateRows": n_dups,
+        "InsertedRows": n_unique,
+        "DuplicatesFileRows": n_dups,
+    }
