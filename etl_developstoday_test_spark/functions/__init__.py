@@ -1,0 +1,86 @@
+"""Engine-wide expression helpers.
+
+Two concerns live here:
+
+1. **Cross-engine numeric determinism.** Floating-point SUM/AVG results
+   depend on accumulation order, which differs between Spark partitions
+   and any single-node oracle. Every aggregate the engine exposes
+   therefore sums through an exact DECIMAL(30,10) accumulator and casts
+   the final value to double: per-row double arithmetic is IEEE-754
+   deterministic, the decimal sum is order-independent, and the final
+   cast is deterministic — so Spark output is bit-identical to a DuckDB
+   oracle running the same shape. This costs one widening cast per row
+   and keeps everything inside WholeStageCodegen (no UDFs).
+
+2. **Portable hashing.** Dedup/LSH operators need hash functions that
+   exist verbatim in other engines for verification. ``md5_long`` maps a
+   string to a non-negative 60-bit integer via md5 — reproducible in
+   DuckDB as ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+ACC_DECIMAL = "decimal(30,10)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(ACC_DECIMAL)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(F.lit(1))
+
+
+def md5_long(col: Column | str) -> Column:
+    """Deterministic 60-bit non-negative hash of a string (md5-based)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (after trim)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(tok_col: Column, n: int = 3) -> Column:
+    """Contiguous n-word shingles of a token array (order preserved,
+    duplicates kept; wrap with array_distinct for set semantics)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tok_col) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.get(tok_col, i + off) for off in range(n)]
+        ),
+    )
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product of two double arrays.
+
+    The fold order (((0+x1)+x2)+...) is fixed, so the result is
+    bit-reproducible by any engine folding the same way (DuckDB:
+    ``list_reduce(list_transform(list_zip(a,b), p -> p[1]*p[2]),
+    (x,y) -> x+y)``).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays, deterministic fold form:
+    dot / sqrt(norm_a * norm_b)."""
+    return dot_fold(a, b) / F.sqrt(dot_fold(a, a) * dot_fold(b, b))

@@ -1,0 +1,144 @@
+"""Reference ETL operator classes expressed over the generic ``events``
+table (event_id, ts, user_id, event_type, value, props).
+
+The taxi pipeline in ``pipeline.py`` is the faithful reproduction; these
+functions re-express the *same operator classes* — P9 validity routing,
+D1 first-wins dedup, T2/T3 normalization, B2 counter aggregation, the
+derived-time-measure T4 — over a schema the correctness oracle can see,
+plus the streaming-adjacent shapes (sessionization, tumbling windows)
+the reference's pipeline would need under Structured Streaming.
+
+Reference parity anchors: validity routing ← TripEtlPipelineService.cs:
+83-126; first-wins dedup ← TripDuplicateDetectorService.cs:36-49;
+UTC conversion ← TripRowNormalizerService.cs:174-191; counters ←
+TripImportStatisticsDto.cs:10-46.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from etl_developstoday_test_spark.functions import dsum
+
+KNOWN_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+MAX_VALID_VALUE = 300.0
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000  # 30 minutes
+
+# First-wins dedup key for events (D1 analogue): one winner per
+# (user_id, event_type); file order ≈ (ts, event_id).
+DEDUP_KEYS = ["user_id", "event_type"]
+DEDUP_ORDER = ["ts", "event_id"]
+
+
+def with_error(events: DataFrame) -> DataFrame:
+    """P9 analogue: first-failure-wins error attribution, null = valid."""
+    error = (
+        F.when(F.col("ts").isNull(), "invalid ts")
+        .when(F.col("value").isNull() | (F.col("value") < 0), "invalid value")
+        .when(F.col("value") > MAX_VALID_VALUE, "value out of range")
+        .when(
+            F.col("event_type").isNull() | (F.trim("event_type") == ""),
+            "empty event_type",
+        )
+        .when(~F.col("event_type").isin(KNOWN_EVENT_TYPES), "unknown event_type")
+    )
+    return events.withColumn("error", error)
+
+
+def split_valid(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    flagged = with_error(events)
+    return (
+        flagged.filter(F.col("error").isNull()).drop("error"),
+        flagged.filter(F.col("error").isNotNull()),
+    )
+
+
+def _ranked(valid: DataFrame) -> DataFrame:
+    w = Window.partitionBy(*DEDUP_KEYS).orderBy(*DEDUP_ORDER)
+    return valid.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def dedup_winners(valid: DataFrame) -> DataFrame:
+    return _ranked(valid).filter(F.col("rn") == 1).drop("rn")
+
+
+def dedup_losers(valid: DataFrame) -> DataFrame:
+    return _ranked(valid).filter(F.col("rn") > 1)
+
+
+def normalize(events: DataFrame, timezone: str = "America/New_York") -> DataFrame:
+    """T2/T3/T4 analogue: local→UTC stamp, code normalization, exact
+    epoch-micros derived column."""
+    return events.select(
+        "event_id",
+        F.to_utc_timestamp("ts", timezone).alias("ts_utc"),
+        "user_id",
+        F.upper(F.trim("event_type")).alias("event_type_norm"),
+        "value",
+        F.unix_micros("ts").alias("ts_micros"),
+    )
+
+
+def import_stats(events: DataFrame) -> DataFrame:
+    """B2 analogue: the reference's six counters as a 1-row DataFrame
+    computed in two aggregation passes (no driver-side loops)."""
+    flagged = with_error(events)
+    valid = flagged.filter(F.col("error").isNull())
+    base = flagged.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(F.when(F.col("error").isNull(), 1)).alias("parsed_rows"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("invalid_rows"),
+    )
+    uniq = valid.agg(
+        F.count(F.lit(1)).alias("_valid"),
+        F.count_distinct(*[F.col(k) for k in DEDUP_KEYS]).alias("_uniq"),
+    ).select(
+        (F.col("_valid") - F.col("_uniq")).alias("duplicate_rows"),
+        F.col("_uniq").alias("inserted_rows"),
+        (F.col("_valid") - F.col("_uniq")).alias("duplicates_file_rows"),
+    )
+    return base.crossJoin(uniq)
+
+
+def time_since_previous(events: DataFrame) -> DataFrame:
+    """T4 analogue as a window op: exact microseconds since the user's
+    previous event (null for the first)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("micros_since_prev"),
+    )
+
+
+def sessionize(events: DataFrame, gap_micros: int = SESSION_GAP_MICROS) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user was
+    idle longer than ``gap_micros``. Batch twin of Structured Streaming's
+    ``session_window`` (streaming/pipeline.py uses the native one)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_micros), 1).otherwise(0)
+    sess = events.select(
+        "user_id", "event_id", "ts", "value", is_new.alias("is_new")
+    ).withColumn("session_id", F.sum("is_new").over(w).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value").alias("total_value"),
+    )
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1h event-time window aggregation (batch twin of the
+    streaming windowed agg)."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines, over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+All pure Spark built-ins (array lambdas run inside codegen) — no Python
+UDFs — so they scale linearly with input and survive a 100 TB corpus:
+every operator is a narrow map over the scan (zero shuffles) except
+where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from etl_developstoday_test_spark.functions import md5_long, tokens
+
+# Tiny per-language function-word lists for the n-gram/stopword language
+# heuristic. Deliberately small and embedded: the operator shape (token
+# match counting + argmax) is what matters; swap in real wordlists for
+# production use.
+LANG_WORDLISTS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "es": ["el", "los", "las", "y", "es", "que", "un"],
+    "fr": ["le", "les", "et", "est", "que", "une", "dans"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_WORDLISTS.values() for w in ws})
+
+
+def _count_in(tok: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tok, lambda t: t.isin(words))).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, unique tokens, non-space chars."""
+    tok = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_unique_tokens"),
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast("long").alias("n_token_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality scoring from length / alphabetic-ratio
+    / stopword-ratio / type-token-ratio signals. All ratios are
+    int/int double divisions (deterministic); the score combines them
+    with fixed-order double arithmetic."""
+    tok = tokens(F.col("text"))
+    n_chars = F.length("text").cast("long")
+    alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
+    n_tokens = F.size(tok).cast("long")
+    n_unique = F.size(F.array_distinct(tok)).cast("long")
+    stop_hits = _count_in(tok, STOPWORDS)
+
+    base = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_unique.cast("double") / n_tokens).alias("type_token_ratio"),
+    )
+    score = (
+        F.col("alpha_ratio") * 0.4
+        + F.col("stopword_ratio") * 0.3
+        + F.col("type_token_ratio") * 0.3
+    )
+    return base.withColumn("quality_score", score)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Wordlist-vote language identification: count function-word hits
+    per language, argmax with alphabetical tie-break ('und' = unknown
+    when nothing matches)."""
+    tok = tokens(F.lower(F.col("text")))
+    hits = {lang: _count_in(tok, ws) for lang, ws in LANG_WORDLISTS.items()}
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in sorted(LANG_WORDLISTS)],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_WORDLISTS)])
+    pred = F.lit("und")
+    # reverse alphabetical chain so the earliest language wins ties
+    for lang in sorted(LANG_WORDLISTS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), lang
+        ).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase
+    text + a 60-bit integer bucket of it (shard key for distributed
+    near-dup grouping)."""
+    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        (md5_long(normalized) % 1024).alias("fingerprint_bucket"),
+    )

@@ -1,0 +1,231 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+These generalize the reference's single dedup operator (first-wins
+hash-set, ``TripDuplicateDetectorService.cs:36-49``) to the fuzzy
+regimes a training-data pipeline needs. Scale posture:
+
+- **exact**: hash-groupBy — one shuffle on a 128-bit digest; key
+  cardinality ≈ row count, no skew.
+- **n-gram Jaccard**: candidate generation via an equi-join on shared
+  shingles (never the O(n²) cross join); at 100 TB add a document-
+  frequency cap on shingles (drop shingles appearing in > df_max docs)
+  to bound join fan-out — exposed as ``df_max``.
+- **MinHash+LSH**: the scale path — signature is fixed-width (16×8 B),
+  candidates come from equality on band keys (hash-partitionable),
+  verification joins only candidate pairs.
+- **SimHash**: fixed 32-bit sketch per doc; Hamming-ball lookup via
+  4-chunk pigeonhole index.
+
+All hashing is md5-based (``functions.md5_long``) so every stage is
+reproducible in any engine with md5 — which is how the DuckDB oracles
+verify these end-to-end.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from etl_developstoday_test_spark.functions import md5_long, tokens, word_shingles
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with
+    the canonical (minimum) doc_id and the copy count."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), n))).alias("shingle"),
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_max: int | None = None,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) whose n-word-shingle Jaccard similarity
+    ≥ threshold. Candidates come from the shared-shingle equi-join;
+    ``df_max`` drops ubiquitous shingles to bound fan-out at scale."""
+    sh = _doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if df_max is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_max)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
+    jac = F.col("intersection_size").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("intersection_size")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection_size", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, m0..m{15}): MinHash signature over n-word shingles.
+
+    Permutation i is simulated by hashing ``shingle || '#i'`` — the
+    standard salted-hash construction; min over the doc's shingle set.
+    One shuffle (groupBy doc_id) with 16 parallel min aggregates —
+    partial aggregation makes the map side do almost all the work.
+    """
+    sh = _doc_shingles(docs, n)
+    mins = [
+        F.min(md5_long(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band the 16-value signature into
+    4 bands of 4, bucket-join docs sharing any band key, then verify
+    candidates with the *exact* shingle Jaccard ≥ threshold.
+
+    With 4 bands × 4 rows the candidate-recall curve is
+    P(candidate) = 1 − (1 − j⁴)⁴ (≈97% at j=0.8, ≈26% at j=0.4), and
+    verification removes false positives, so output ⊆ ngram_jaccard_pairs.
+    """
+    sig = minhash_signatures(docs, n)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    verified = ngram_jaccard_pairs(docs, n, threshold)
+    return candidates.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens (with
+    multiplicity): each bit of each token hash votes ±1; the sketch sets
+    bit b iff the vote sum is positive. Single shuffle; the 32 vote sums
+    are parallel partial aggregates."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(F.col("text"))).alias("token"),
+    ).withColumn("h", md5_long(F.col("token")))
+
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sketch = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sketch.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
+    the pigeonhole trick: split the sketch into 4 byte-chunks — any pair
+    within distance 3 shares at least one exact chunk, so candidates
+    come from an equi-join on (chunk_index, chunk_value), never a cross
+    join."""
+    sk = simhash(docs, bits)
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    chunks = sk.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

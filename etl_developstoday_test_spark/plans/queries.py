@@ -1,0 +1,924 @@
+"""The engine's query surface: named queries + ANSI-SQL oracle twins.
+
+Every entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``
+built from the operator modules; ``ORACLE_SQL`` holds a semantically
+identical DuckDB SQL statement for each (used by the driver's
+correctness gate and by tests/test_oracle_parity.py).
+
+Cross-engine determinism contract (see functions/__init__.py): float
+aggregates go through exact DECIMAL accumulators then cast to double;
+per-row double arithmetic is written in the same operation order on
+both sides; hashing is md5-based; every LIMIT query carries a total
+tiebreak order; integer-typed computed columns are cast to BIGINT on
+both sides.
+
+Query groups:
+- q1..q4            — the reference's declared analytical queries
+                      (README.md:21-25, script.sql:55-98) over lineitem.
+- etl_*             — the reference's pipeline operator classes (P9
+                      validity routing, D1 first-wins dedup, T2/T3
+                      normalization, B2 counters, T4 derived time) over
+                      the events table.
+- tpch_*, join_*,
+  window_*, agg_*,
+  setop_*           — the general analytic operator classes at bench
+                      scale (joins incl. broadcast, partial aggs,
+                      rollup, distinct agg, semi/anti join, set ops,
+                      ranking windows).
+- events_*          — sessionization + tumbling event-time windows
+                      (batch twins of the streaming module).
+- text_*, dedup_*   — training-data text pipeline: token stats, quality,
+                      language-ID, fingerprinting; exact / n-gram-
+                      Jaccard / MinHash-LSH / SimHash deduplication.
+- embed_*           — similarity search over embeddings (brute-force
+                      cosine top-k; per-label centroids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_developstoday_test_spark.functions import davg, dsum
+from etl_developstoday_test_spark.operators import events_etl, similarity, text_analysis, text_dedup
+from etl_developstoday_test_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# SQL fragment helpers (DuckDB dialect)
+
+def _dsum(expr: str) -> str:
+    # The final decimal→double conversion goes through VARCHAR: DuckDB's
+    # direct decimal→double cast double-rounds (int128→double, then
+    # ÷10^scale) and can be 1 ulp off, while its string→double parse and
+    # Spark's BigDecimal.toDouble are both correctly rounded — so the
+    # VARCHAR hop is what makes the two engines bit-identical.
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE)"
+
+
+def _davg(expr: str) -> str:
+    return f"{_dsum(expr)} / COUNT(*)"
+
+
+_MD5LONG = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _md5long(x: str) -> str:
+    return _MD5LONG.format(x=x)
+
+
+# tokens / 3-word shingles (DuckDB list idioms mirroring functions.tokens
+# / functions.word_shingles)
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(arr) - 2),"
+    " i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))"
+)
+_SHINGLE_CTE = f"""
+shingle_sets AS (
+  SELECT doc_id, {_SHINGLES} AS shingles
+  FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)
+),
+doc_shingles AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shingle_sets
+),
+shingle_counts AS (
+  SELECT doc_id, count(*) AS n_shingles FROM doc_shingles GROUP BY doc_id
+),
+jaccard_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection_size
+  FROM doc_shingles a
+  JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jaccard AS (
+  SELECT doc_a, doc_b, intersection_size,
+         CAST(intersection_size AS DOUBLE)
+           / (ca.n_shingles + cb.n_shingles - intersection_size) AS jaccard
+  FROM jaccard_pairs
+  JOIN shingle_counts ca ON ca.doc_id = doc_a
+  JOIN shingle_counts cb ON cb.doc_id = doc_b
+)"""
+
+# deterministic sequential-fold cosine (mirrors functions.cosine exactly:
+# dot/sqrt(norm_a*norm_b), left fold starting at 0.0)
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _cosine(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / sqrt({_dot(a, a)} * {_dot(b, b)}))"
+
+
+# ---------------------------------------------------------------------------
+# Spark query functions
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# --- the reference's declared queries (SURVEY.md §2.6) ---------------------
+
+@_register(
+    "q1_argmax_group_avg",
+    f"""
+    SELECT l_suppkey, {_davg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY avg_price DESC, l_suppkey LIMIT 1
+    """,
+)
+def q1_argmax_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 'PULocationID with highest AVG(tip_amount)' analogue
+    (reference README.md:22; covering index script.sql:55-68): group-avg
+    argmax — hash aggregate + 1-row TakeOrderedAndProject, no full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(davg("l_extendedprice").alias("avg_price"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("avg_price"), F.asc("l_suppkey"))
+        .limit(1)
+    )
+
+
+@_register(
+    "q2_topk_by_measure",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def q2_topk_by_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 'top 100 fares by trip_distance' analogue (README.md:23;
+    index script.sql:71-83): orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@_register(
+    "q3_topk_by_derived",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def q3_topk_by_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 'top 100 by travel time' analogue (README.md:24; persisted
+    computed column script.sql:44): top-K on a derived measure, computed
+    on the fly — Spark needs no persisted column or index for this plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.select("l_orderkey", "l_linenumber", revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@_register(
+    "q4_selective_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_suppkey = 7 AND l_quantity >= 30
+    """,
+)
+def q4_selective_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 'search where part of the conditions is PULocationId' analogue
+    (README.md:25): selective conjunctive filter; both predicates push
+    into the parquet scan (PushedFilters), and at scale the table is
+    partitioned/clustered on the hot key so pruning serves this query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice"
+    ).filter((F.col("l_suppkey") == 7) & (F.col("l_quantity") >= 30))
+
+
+# --- reference ETL operator classes over events (SURVEY.md §2.2-2.5) -------
+
+_EVENTS_ERROR_SQL = f"""
+  CASE WHEN ts IS NULL THEN 'invalid ts'
+       WHEN value IS NULL OR value < 0 THEN 'invalid value'
+       WHEN value > {events_etl.MAX_VALID_VALUE} THEN 'value out of range'
+       WHEN event_type IS NULL OR trim(event_type) = '' THEN 'empty event_type'
+       WHEN event_type NOT IN ('click','view','purchase','signup','error')
+            THEN 'unknown event_type'
+  END"""
+
+
+@_register(
+    "etl_valid_rows",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (SELECT *, {_EVENTS_ERROR_SQL} AS error FROM events)
+    WHERE error IS NULL
+    """,
+)
+def etl_valid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 valid-branch routing (reference TripEtlPipelineService.cs:83-126)."""
+    ev = load_table(spark, sf_dir, "events")
+    valid, _ = events_etl.split_valid(ev)
+    return valid.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@_register(
+    "etl_invalid_rows",
+    f"""
+    SELECT event_id, error
+    FROM (SELECT *, {_EVENTS_ERROR_SQL} AS error FROM events)
+    WHERE error IS NOT NULL
+    """,
+)
+def etl_invalid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 invalid-branch routing with first-failure-wins error attribution
+    (reference field-order semantics, TripRowParserService.cs:34-139)."""
+    ev = load_table(spark, sf_dir, "events")
+    _, invalid = events_etl.split_valid(ev)
+    return invalid.select("event_id", "error")
+
+
+@_register(
+    "etl_dedup_first_wins",
+    f"""
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM (SELECT *, {_EVENTS_ERROR_SQL} AS error FROM events)
+      WHERE error IS NULL
+    ) WHERE rn = 1
+    """,
+)
+def etl_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 first-wins dedup (reference TripDuplicateDetectorService.cs:36-49):
+    earliest valid event per (user_id, event_type) wins; losers go to the
+    side output (etl_dedup_losers)."""
+    ev = load_table(spark, sf_dir, "events")
+    valid, _ = events_etl.split_valid(ev)
+    return events_etl.dedup_winners(valid).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@_register(
+    "etl_dedup_losers",
+    f"""
+    SELECT event_id, user_id, event_type, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM (SELECT *, {_EVENTS_ERROR_SQL} AS error FROM events)
+      WHERE error IS NULL
+    ) WHERE rn > 1
+    """,
+)
+def etl_dedup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 duplicates side-output (reference CsvDuplicateTripWriter.cs:56-109):
+    every non-first occurrence, with its occurrence number."""
+    ev = load_table(spark, sf_dir, "events")
+    valid, _ = events_etl.split_valid(ev)
+    return events_etl.dedup_losers(valid).select(
+        "event_id", "user_id", "event_type", "rn"
+    )
+
+
+@_register(
+    "etl_normalize",
+    """
+    SELECT event_id,
+           timezone('UTC', timezone('America/New_York', ts)) AS ts_utc,
+           user_id,
+           upper(trim(event_type)) AS event_type_norm,
+           value,
+           epoch_us(ts) AS ts_micros
+    FROM events
+    """,
+)
+def etl_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 normalization (reference TripRowNormalizerService.cs:138-191):
+    wall-clock America/New_York → UTC (DST-correct), code recode, exact
+    epoch-micros derived column."""
+    return events_etl.normalize(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "etl_stats_counters",
+    f"""
+    WITH flagged AS (SELECT *, {_EVENTS_ERROR_SQL} AS error FROM events),
+    valid AS (SELECT * FROM flagged WHERE error IS NULL),
+    base AS (
+      SELECT count(*) AS total_rows,
+             count(*) FILTER (WHERE error IS NULL) AS parsed_rows,
+             count(*) FILTER (WHERE error IS NOT NULL) AS invalid_rows
+      FROM flagged
+    ),
+    uniq AS (
+      SELECT count(*) - count(DISTINCT (user_id, event_type)) AS duplicate_rows,
+             count(DISTINCT (user_id, event_type)) AS inserted_rows,
+             count(*) - count(DISTINCT (user_id, event_type)) AS duplicates_file_rows
+      FROM valid
+    )
+    SELECT * FROM base, uniq
+    """,
+)
+def etl_stats_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 counter aggregation: the reference's six run counters
+    (TripImportStatisticsDto.cs:10-46) as a single-row result."""
+    return events_etl.import_stats(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "etl_time_since_prev",
+    """
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS micros_since_prev
+    FROM events
+    """,
+)
+def etl_time_since_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 derived-time analogue (reference TravelTimeSeconds,
+    script.sql:44) as a window op: exact microseconds since the user's
+    previous event."""
+    return events_etl.time_since_previous(load_table(spark, sf_dir, "events"))
+
+
+# --- general analytics at bench scale --------------------------------------
+
+@_register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_davg('l_quantity')} AS avg_qty,
+           {_davg('l_extendedprice')} AS avg_price,
+           {_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial-agg
+    benchmark — map-side combine does ~all the work; the shuffle moves
+    only (#flags × #statuses × #partitions) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → join → agg → top-K.
+    customer is small → broadcast to the orders side; only the
+    lineitem⋈orders join shuffles."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q5_region_revenue",
+    f"""
+    SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: revenue by supplier nation within a
+    region/year. All dimension tables broadcast; the single shuffle
+    joins lineitem to the filtered orders."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    dims = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"].filter(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@_register(
+    "join_broadcast_enrich",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrich join: explicit broadcast of the small side so the
+    fact table never shuffles for the join (the groupBy shuffles ~5 rows
+    per partition after partial agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@_register(
+    "window_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer (deterministic
+    tiebreak). Single shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "agg_rollup_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: subtotal hierarchy in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+@_register(
+    "agg_distinct_counts",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-aggregate: Catalyst expands to partial-distinct
+    (Expand + two-phase agg) automatically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register(
+    "join_semi_customers_with_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "leftsemi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "join_anti_customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_anti_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "leftanti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_register(
+    "setop_union_nation_roles",
+    """
+    SELECT side, nationkey, COUNT(*) AS n FROM (
+      SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
+    ) GROUP BY side, nationkey
+    """,
+)
+def setop_union_nation_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + aggregate (set-operation surface)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionAll(s).groupBy("side", "nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- streaming-adjacent event-time operators --------------------------------
+
+@_register(
+    "events_sessionize",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR us - prev_us > {events_etl.SESSION_GAP_MICROS}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           {_dsum('value')} AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle gap): the batch twin of
+    Structured Streaming's session_window."""
+    return events_etl.sessionize(load_table(spark, sf_dir, "events"))
+
+
+@_register(
+    "events_tumbling_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation (batch twin of the
+    streaming windowed agg in streaming/pipeline.py)."""
+    return events_etl.tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+# --- text analysis -----------------------------------------------------------
+
+@_register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(arr) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(arr)) AS BIGINT) AS n_unique_tokens,
+           CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_token_chars,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, text, {_TOKS} AS arr FROM documents)
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_quality_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(len(list_filter(arr, t -> list_contains([{", ".join(f"'{w}'" for w in text_analysis.STOPWORDS)}], t))) AS DOUBLE)
+               / len(arr) AS stopword_ratio,
+             CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) AS type_token_ratio
+      FROM (SELECT doc_id, text, {_TOKS} AS arr FROM documents)
+    )
+    SELECT *, alpha_ratio * 0.4 + stopword_ratio * 0.3 + type_token_ratio * 0.3
+              AS quality_score
+    FROM base
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    hit_cols = ",\n           ".join(
+        "CAST(len(list_filter(arr, t -> list_contains([{ws}], t))) AS BIGINT) AS hits_{lang}".format(
+            ws=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in sorted(text_analysis.LANG_WORDLISTS.items())
+    )
+    langs = sorted(text_analysis.LANG_WORDLISTS)
+    best = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    pred = "'und'"
+    for lang in sorted(langs, reverse=True):
+        pred = f"CASE WHEN {best} > 0 AND hits_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    SELECT doc_id, lang, {', '.join('hits_' + la for la in langs)},
+           {pred} AS predicted_lang
+    FROM (
+      SELECT doc_id, lang, {hit_cols}
+      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+            FROM documents)
+    )
+    """
+
+
+@_register("text_lang_id", _langid_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5(norm) AS fingerprint,
+           {_md5long('norm')} % 1024 AS fingerprint_bucket
+    FROM (SELECT doc_id,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+          FROM documents)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --- deduplication -----------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_a, doc_b, intersection_size, jaccard
+    FROM jaccard WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    n, bands, rpb = text_dedup.N_MINHASH, text_dedup.N_BANDS, text_dedup.N_MINHASH // text_dedup.N_BANDS
+    mins = ",\n         ".join(
+        "MIN({h}) AS m{i}".format(h=_md5long("shingle || '#%d'" % i), i=i)
+        for i in range(n)
+    )
+    band_keys = ", ".join(
+        "md5("
+        + " || ',' || ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    signatures AS (
+      SELECT doc_id, {mins}
+      FROM doc_shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band,
+             unnest([{band_keys}]) AS band_key
+      FROM signatures
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM candidates c JOIN jaccard j
+      ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.5
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_lsh_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ",\n             ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
+    )
+    sketch = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_md5long('token')} AS h FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {sketch} AS simhash FROM votes
+    """
+
+
+@_register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# --- similarity search -------------------------------------------------------
+
+@_register(
+    "embed_cosine_topk",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_cosine('p.qvec', 'e.embedding')} AS cos_sim
+      FROM embeddings e, probes p
+      WHERE e.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank,
+             cos_sim
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: top-10 cosine neighbors for the
+    probe set vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@_register(
+    "embed_label_centroids",
+    f"""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(SUM(CAST(round(e * 100000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 100000000.0 AS centroid_val
+    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregate: per-label centroids via posexplode + exact mean."""
+    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- non-SQL-expressible entries (rows-only driver check) -------------------
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+
+
+@_register("embed_ann_ivf_topk")  # approximate by construction: no SQL oracle
+def embed_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (recall measured against the exact
+    baseline in tests/test_similarity.py, not a SQL oracle). Centroids
+    are a deterministic data subsample (every 50th vector)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), _ivf_centroids(emb), k=10, nprobe=2
+    )
+
+
+@_register("dedup_simhash_near_pairs")  # pigeonhole candidate gen: no SQL oracle
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs via 4-chunk pigeonhole index
+    (verified in tests/test_text_dedup.py against a direct pairwise
+    computation)."""
+    return text_dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))

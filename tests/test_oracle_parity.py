@@ -1,0 +1,77 @@
+"""DuckDB-oracle parity for every SQL-expressible query.
+
+Mimics the driver's correctness gate: for each ``queries()`` entry with
+an ``oracle_sql()`` twin, run both at sf0.01 and compare row count,
+column names, and the full multiset of values (columns sorted by name,
+rows sorted by all columns) — *exact* equality, no epsilon: the engine's
+determinism contract (functions/__init__.py) promises bit-identical
+floats across engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from etl_developstoday_test_spark.plans.queries import ORACLE_SQL, QUERIES
+from tests.conftest import SF_DIR_ORACLE
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR_ORACLE}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _canonical(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(spark, oracle, name):
+    sdf = QUERIES[name](spark, SF_DIR_ORACLE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = oracle.execute(ORACLE_SQL[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"
+    a = _canonical(spark_rows, spark_cols)
+    b = _canonical(duck_rows, duck_cols)
+    mismatches = [
+        (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_every_query_runs(spark):
+    """Entries without an oracle still must run and return a schema."""
+    for name, fn in QUERIES.items():
+        if name in ORACLE_SQL:
+            continue
+        df = fn(spark, SF_DIR_ORACLE)
+        assert df.columns, name
+        assert df.count() >= 0, name
