@@ -25,8 +25,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM/session so query 1 doesn't pay session startup
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm up the JVM/session so query 1 doesn't pay session startup,
+    # codegen compilation, or first-touch timezone-rule loading
+    spark.range(1000).selectExpr(
+        "sum(id)",
+        "max(to_utc_timestamp(timestamp_micros(id), 'America/New_York'))",
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

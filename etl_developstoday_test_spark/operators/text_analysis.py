@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from etl_developstoday_test_spark.functions import md5_long, tokens
+from etl_developstoday_test_spark.functions import let, md5_long, tokens
 
 # Tiny per-language function-word lists for the n-gram/stopword language
 # heuristic. Deliberately small and embedded: the operator shape (token
@@ -32,12 +32,15 @@ def _count_in(tok: Column, words: list[str]) -> Column:
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Token counting: whitespace tokens, unique tokens, non-space chars."""
-    tok = tokens(F.col("text"))
+    """Token counting: whitespace tokens, unique tokens, non-space chars.
+    The token array is let-bound so the split runs once per row."""
     return docs.select(
         "doc_id",
-        F.size(tok).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(tok)).cast("long").alias("n_unique_tokens"),
+        let(tokens(F.col("text")), lambda t: F.size(t).cast("long")).alias("n_tokens"),
+        let(
+            tokens(F.col("text")),
+            lambda t: F.size(F.array_distinct(t)).cast("long"),
+        ).alias("n_unique_tokens"),
         F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast("long").alias("n_token_chars"),
         F.length("text").cast("long").alias("n_chars"),
     )
@@ -48,20 +51,22 @@ def quality_score(docs: DataFrame) -> DataFrame:
     / stopword-ratio / type-token-ratio signals. All ratios are
     int/int double divisions (deterministic); the score combines them
     with fixed-order double arithmetic."""
-    tok = tokens(F.col("text"))
     n_chars = F.length("text").cast("long")
     alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
-    n_tokens = F.size(tok).cast("long")
-    n_unique = F.size(F.array_distinct(tok)).cast("long")
-    stop_hits = _count_in(tok, STOPWORDS)
 
     base = docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        let(tokens(F.col("text")), lambda t: F.size(t).cast("long")).alias("n_tokens"),
         (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
-        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
-        (n_unique.cast("double") / n_tokens).alias("type_token_ratio"),
+        let(
+            tokens(F.col("text")),
+            lambda t: _count_in(t, STOPWORDS).cast("double") / F.size(t),
+        ).alias("stopword_ratio"),
+        let(
+            tokens(F.col("text")),
+            lambda t: F.size(F.array_distinct(t)).cast("double") / F.size(t),
+        ).alias("type_token_ratio"),
     )
     score = (
         F.col("alpha_ratio") * 0.4
@@ -75,12 +80,18 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """Wordlist-vote language identification: count function-word hits
     per language, argmax with alphabetical tie-break ('und' = unknown
     when nothing matches)."""
-    tok = tokens(F.lower(F.col("text")))
-    hits = {lang: _count_in(tok, ws) for lang, ws in LANG_WORDLISTS.items()}
+    def _hits(words: list[str]):
+        # single-arg lambda required: PySpark uses lambda arity to pick
+        # the (element) vs (element, index) HOF signature
+        return lambda t: _count_in(t, words)
+
     scored = docs.select(
         "doc_id",
         "lang",
-        *[hits[lang].alias(f"hits_{lang}") for lang in sorted(LANG_WORDLISTS)],
+        *[
+            let(tokens(F.lower(F.col("text"))), _hits(ws)).alias(f"hits_{lang}")
+            for lang, ws in sorted(LANG_WORDLISTS.items())
+        ],
     )
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_WORDLISTS)])
     pred = F.lit("und")

@@ -28,7 +28,16 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from etl_developstoday_test_spark.functions import md5_long, tokens, word_shingles
+from etl_developstoday_test_spark.functions import let, md5_long, tokens, word_shingles
+
+
+def _shingle_set(n: int):
+    """Distinct n-word shingles of the ``text`` column, with the token
+    array let-bound so the regex split runs once per row."""
+    return let(
+        tokens(F.col("text")),
+        lambda toks: F.array_distinct(word_shingles(toks, n)),
+    )
 
 N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
@@ -51,8 +60,8 @@ def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
     return docs.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens(F.col("text")), n))).alias("shingle"),
-    ).distinct()
+        F.explode(_shingle_set(n)).alias("shingle"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -154,9 +163,30 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    verified = ngram_jaccard_pairs(docs, n, threshold)
-    return candidates.join(verified, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    # Verify ONLY the candidate pairs (this is the whole point of LSH):
+    # join the per-doc shingle sets back and intersect arrays in-place —
+    # O(|candidates| × shingles-per-doc), never the all-pairs join.
+    sets = docs.select(
+        "doc_id", _shingle_set(n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("n_shingles").alias("_na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("n_shingles").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
