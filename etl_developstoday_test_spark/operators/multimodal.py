@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side contract is real and tested — schema, Arrow batch shape,
+partition sizing, UDF signatures; the actual media decoding is stubbed
+behind ``DECODERS`` (the image/audio libraries are not available in this
+environment) with a deterministic fake so the plumbing is verifiable
+end-to-end. Swap a real decoder in by registering into ``DECODERS``.
+
+Design rules for 100 TB of media:
+- media bytes ride in a ``binary`` column next to typed metadata; never
+  as millions of small files driven from the driver;
+- all decode/feature work goes through ``mapInPandas`` (Arrow batches,
+  pandas-vectorizable, no per-row Python dispatch) and is sized by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of decoded
+  frames fits executor memory;
+- derived features (embeddings, thumbnails, frame samples) come back as
+  ordinary columns so everything downstream is plain DataFrame code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _fake_decode_features(content: bytes) -> list[float]:
+    """Deterministic stand-in for a real decode→feature-extract step.
+
+    Derives FEATURE_DIM floats in [0, 1) from the sha256 of the bytes —
+    stable across processes/engines so tests can assert exact values.
+    Replace with a real decoder (PIL/torchaudio/ffmpeg) via DECODERS.
+    """
+    digest = hashlib.sha256(content).digest()
+    return [digest[i] / 256.0 for i in range(FEATURE_DIM)]
+
+
+def _unavailable(kind: str) -> Callable[[bytes], list[float]]:
+    def decode(content: bytes) -> list[float]:
+        raise NotImplementedError(
+            f"real {kind} decoding requires media libraries not present in "
+            "this environment; register a decoder in multimodal.DECODERS"
+        )
+
+    return decode
+
+
+# Media-type → decoder. The deterministic fake is the default so the
+# distributed plumbing is exercised; real deployments override these.
+DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "image": _fake_decode_features,
+    "audio": _fake_decode_features,
+    "video": _fake_decode_features,
+    "image/real": _unavailable("image"),
+    "audio/real": _unavailable("audio"),
+    "video/real": _unavailable("video"),
+}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + featurize every media row via Arrow-batched mapInPandas.
+
+    Each pandas batch is processed column-at-a-time; the per-row Python
+    work is only the decoder call itself (unavoidable for codecs).
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "content_sha256": content.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": [
+                        DECODERS[mt](b or b"")
+                        for mt, b in zip(pdf["media_type"], content)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plan frame-sampling for video rows: one output row per sampled
+    timestamp (the decode of the actual frame is the stubbed step).
+    Pure DataFrame code — the expensive explode happens before decode so
+    Spark parallelizes at frame granularity, not file granularity."""
+    video = media.filter(F.col("media_type") == "video")
+    n_frames = F.greatest(
+        F.lit(1), (F.col("meta.duration_ms") / every_ms).cast("int")
+    )
+    return video.select(
+        "media_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, deterministic
+stub decoding, frame-sampling plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etl_developstoday_test_spark.operators import multimodal
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", (640, 480, None, "image/png")),
+        (2, "audio", b"RIFF fake wave", (None, None, 2500, "audio/wav")),
+        (3, "video", b"\x00\x00ftyp fake mp4", (1920, 1080, 3500, "video/mp4")),
+        (4, "image", b"", (0, 0, None, "image/png")),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_determinism(media):
+    out = multimodal.extract_features(media)
+    assert out.schema == multimodal.FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    img = rows[1]
+    assert img["n_bytes"] == len(b"\x89PNG fake bytes")
+    assert img["content_sha256"] == hashlib.sha256(b"\x89PNG fake bytes").hexdigest()
+    digest = hashlib.sha256(b"\x89PNG fake bytes").digest()
+    expected = [digest[i] / 256.0 for i in range(multimodal.FEATURE_DIM)]
+    assert [pytest.approx(v, abs=1e-6) for v in img["feature"]] == expected
+    assert len(img["feature"]) == multimodal.FEATURE_DIM
+
+
+def test_real_decoder_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.DECODERS["image/real"](b"bytes")
+
+
+def test_frame_sample_plan(media):
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = sorted(
+        (r["media_id"], r["frame_idx"], r["frame_ts_ms"]) for r in plan.collect()
+    )
+    # 3500ms video sampled at 1000ms → frames 0..2 (3 frames)
+    assert rows == [(3, 0, 0), (3, 1, 1000), (3, 2, 2000)]

@@ -1,0 +1,113 @@
+"""Streaming pipeline tests: file-source micro-batch ETL with
+dedup-within-watermark, plus windowed/session aggregations via the
+rate-free availableNow trigger."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_developstoday_test_spark.config import EtlSettings
+from etl_developstoday_test_spark.streaming.pipeline import (
+    run_stream,
+    stream_sessionized,
+    stream_tumbling_hourly,
+)
+
+CSV_HEADER = (
+    "tpep_pickup_datetime,tpep_dropoff_datetime,passenger_count,trip_distance,"
+    "store_and_fwd_flag,PULocationID,DOLocationID,fare_amount,tip_amount\n"
+)
+
+
+def test_stream_etl_dedups_and_writes(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "batch1.csv").write_text(
+        CSV_HEADER
+        + "01/01/2020 10:00:00 AM,01/01/2020 10:10:00 AM,1,1.0,N,1,2,10,1\n"
+        + "01/01/2020 10:00:00 AM,01/01/2020 10:10:00 AM,1,9.9,Y,9,9,99,9\n"  # dup key
+        + "01/01/2020 11:00:00 AM,01/01/2020 11:05:00 AM,2,2.0,N,3,4,20,2\n"
+        + "bad-ts,01/01/2020 11:05:00 AM,2,2.0,N,3,4,20,2\n"  # invalid
+    )
+    settings = EtlSettings(
+        input_path=str(landing),
+        duplicates_path=str(tmp_path / "dups"),
+        output_path=str(tmp_path / "out"),
+    )
+    q = run_stream(spark, settings, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {tuple(r) for r in out.select("PULocationID", "trip_distance").collect()}
+    assert len(rows) == 2  # dup dropped, invalid dropped
+    assert (1, __import__("decimal").Decimal("1.000")) in rows
+
+    # second micro-batch: same keys arrive again within the watermark →
+    # still deduped against state
+    (landing / "batch2.csv").write_text(
+        CSV_HEADER
+        + "01/01/2020 10:00:00 AM,01/01/2020 10:10:00 AM,1,5.5,N,7,7,7,7\n"
+        + "01/01/2020 11:30:00 AM,01/01/2020 11:35:00 AM,3,3.0,N,5,6,30,3\n"
+    )
+    q2 = run_stream(spark, settings, checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    assert out2.count() == 3  # only the new key landed
+
+
+def _events_stream(spark, tmp_path):
+    src = tmp_path / "events_src"
+    os.makedirs(src, exist_ok=True)
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 00:10:00", 1, "click", 2.0),
+            (3, "2024-01-01 01:05:00", 1, "view", 4.0),
+            (4, "2024-01-01 00:20:00", 2, "view", 8.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(src))
+    return spark.readStream.schema(df.schema).parquet(str(src))
+
+
+def test_stream_tumbling_hourly(spark, tmp_path):
+    agg = stream_tumbling_hourly(_events_stream(spark, tmp_path))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 4.0)
+    assert got[("2024-01-01 00:00:00", "view")] == (1, 8.0)
+
+
+def test_stream_sessionized(spark, tmp_path):
+    agg = stream_sessionized(_events_stream(spark, tmp_path))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM session_test").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events at 00:00 and 00:10 merge (gap 10m < 30m); 01:05 is a
+    # separate session
+    assert len(by_user[1]) == 2
+    assert {r["n_events"] for r in by_user[1]} == {2, 1}
+    assert len(by_user[2]) == 1
