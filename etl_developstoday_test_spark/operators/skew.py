@@ -1,0 +1,51 @@
+"""Skew-resilient aggregation: salted two-phase groupBy.
+
+When one group key carries a disproportionate share of rows (hot
+PULocationID, celebrity user_id, empty-string key), a plain groupBy
+sends that entire key to one reducer. Salting splits each key into
+``n_salts`` sub-keys for the first (heavy) aggregation, then combines
+the partials in a second (tiny) aggregation — the hot key's work is
+spread across ``n_salts`` reducers at the cost of one extra small
+shuffle.
+
+Spark's AQE skew handling (``spark.sql.adaptive.skewJoin``) covers skewed
+*joins* automatically; aggregation skew still benefits from explicit
+salting when partial aggregation can't compress (e.g. high-cardinality
+sub-expressions or collect-style aggregates). For plain SUM/COUNT the
+map-side combine usually suffices — this helper exists for the cases it
+doesn't, and as the documented pattern for 100 TB runs.
+
+Decimal accumulators keep the result bit-identical to the unsalted
+aggregation: sums of exact partials equal the exact total regardless of
+grouping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from etl_developstoday_test_spark.functions import ACC_DECIMAL
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value: Column | str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact per-key SUM(value) (as double) and COUNT(*) computed via a
+    salted two-phase aggregation. Output: keys + sum_value + n_rows."""
+    v = F.col(value) if isinstance(value, str) else value
+    # the salt must vary WITHIN a key: the input partition id does, costs
+    # nothing to compute, and keeps the phase-1 combine map-local
+    salted = df.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum(v.cast(ACC_DECIMAL)).alias("_psum"),
+        F.count(F.lit(1)).alias("_pcnt"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_psum").cast("double").alias("sum_value"),
+        F.sum("_pcnt").alias("n_rows"),
+    )

@@ -896,7 +896,62 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "events_json_kpi",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract a field from the JSON ``props``
+    column and aggregate it. get_json_object runs JVM-side (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_register(
+    "agg_salted_skew_sum",
+    f"""
+    SELECT l_returnflag, {_dsum('l_extendedprice')} AS sum_value,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted two-phase aggregation (operators/skew.py):
+    the oracle is the plain single-phase GROUP BY — exact decimal
+    accumulation makes the two plans value-identical, which is the
+    point: salting changes the physical distribution only."""
+    from etl_developstoday_test_spark.operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum_count(li, ["l_returnflag"], "l_extendedprice")
+
+
 # --- non-SQL-expressible entries (rows-only driver check) -------------------
+
+
+@_register("agg_approx_distinct")  # sketch-based: no exact SQL oracle
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per order status (bounded
+    memory at any cardinality; tested against the exact count within
+    rsd tolerance in tests/test_operators.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
 
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") % 50 == 0).select(

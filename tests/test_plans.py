@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the scale posture, asserted.
+
+Correct results with a wrong plan don't survive a 100× scale-up. These
+tests pin the plan properties each query's performance depends on:
+filter pushdown into the parquet scan, column pruning, broadcast joins
+for dimension tables, TakeOrderedAndProject for top-K (no global sort),
+partial aggregation, and whole-stage codegen on the hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_developstoday_test_spark.plans.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q4_filters_pushed_to_scan(spark):
+    plan = plan_of(spark, "q4_selective_filter")
+    assert "PushedFilters:" in plan
+    assert "EqualTo(l_suppkey,7)" in plan
+    # PushedFilters is truncated in toString(); the DataFilters line
+    # shows the same pushed predicate in full
+    assert ">= 30.0)" in plan
+
+
+def test_q2_uses_topk_not_global_sort(spark):
+    plan = plan_of(spark, "q2_topk_by_measure")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    # column pruning: scan reads only the three projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_q3_derived_topk_no_global_sort(spark):
+    plan = plan_of(spark, "q3_topk_by_derived")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q3_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # selective dim predicate is pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "tpch_q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    # two-phase hash aggregate: partial_* on the map side
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+    # shipdate predicate pushed to the scan
+    assert "LessThanOrEqual(l_shipdate," in plan
+
+
+def test_dedup_single_shuffle(spark):
+    plan = plan_of(spark, "etl_dedup_first_wins")
+    # one hash exchange on the dedup key; no extra repartitions
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scans_stay_in_wholestage_codegen(spark):
+    # compact plan strings mark codegen stages with "*(n)"; AQE plans
+    # only finalize after execution, so run the query first
+    for name in ["tpch_q1_pricing_summary", "etl_normalize", "q4_selective_filter"]:
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()  # count() would build a different query execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, name
+
+
+@pytest.mark.parametrize("name", ["etl_valid_rows", "text_quality_score"])
+def test_narrow_ops_have_no_shuffle(spark, name):
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, f"{name} shuffles but is a narrow map"
