@@ -63,6 +63,46 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking groups.
+
+    The all-pairs formulation is O(n²) and unusable at corpus scale, so
+    the operator takes a blocking column (here a cluster/label id; in a
+    real pipeline the output of IVF assignment or LSH bucketing) and
+    enumerates pairs only *inside* each block — the standard blocked
+    near-dup design: candidate count drops from n²/2 to Σ|block|²/2.
+    The pair join hash-partitions by the block key (one shuffle); the
+    cosine runs in codegen (array lambdas, no Python).
+
+    Returns (vec_a, vec_b, block, cos_sim) for pairs with
+    ``cos_sim >= threshold`` (vec_a < vec_b).
+    """
+    e = _with_unit_info(embeddings, vec_col).select(
+        F.col(id_col), F.col(block_col).alias("block"), "_vec"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.block") == F.col(f"b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("a.block").alias("block"),
+            cosine(F.col("a._vec"), F.col("b._vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 CENTROID_QUANTUM = 1e8  # component quantization for exact accumulation
 
 

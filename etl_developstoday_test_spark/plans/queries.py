@@ -40,8 +40,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_developstoday_test_spark.functions import davg, dsum
-from etl_developstoday_test_spark.operators import events_etl, similarity, text_analysis, text_dedup
+from etl_developstoday_test_spark.functions import ACC_DECIMAL, davg, dsum
+from etl_developstoday_test_spark.operators import (
+    asof,
+    events_etl,
+    multimodal,
+    similarity,
+    text_analysis,
+    text_dedup,
+)
 from etl_developstoday_test_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -977,3 +984,488 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified in tests/test_text_dedup.py against a direct pairwise
     computation)."""
     return text_dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --- TPC-H breadth: Q6/Q10/Q14/Q18 shapes -----------------------------------
+
+@_register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure filter + global aggregate. All four
+    predicates push down to the parquet scan; the agg is a single
+    partial/final pair moving one row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: lost-revenue-by-customer over returned items.
+    customer⋈nation broadcast onto the filtered orders; only the
+    lineitem⋈orders join shuffles; top-20 via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q14_promo_share",
+    f"""
+    SELECT
+      {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+        AS promo_revenue,
+      {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+      100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+        / {_dsum('l_extendedprice * (1 - l_discount)')} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share for one month. part is the
+    broadcast side; conditional aggregation computes both numerator and
+    denominator in one pass over the filtered fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        dsum(promo).alias("promo_revenue"),
+        dsum(revenue).alias("total_revenue"),
+        (F.lit(100.0) * dsum(promo) / dsum(revenue)).alias("promo_pct"),
+    )
+
+
+@_register(
+    "tpch_q18_large_volume",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_dsum('l_quantity')} > 300
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: large-volume orders (per-order quantity > 300).
+    The HAVING aggregate shrinks lineitem to a handful of keys before
+    any join — the surviving set broadcasts onto orders/customer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- as-of + range joins -----------------------------------------------------
+
+@_register(
+    "join_asof_attribution",
+    """
+    WITH v AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, p.value AS purchase_value,
+           v.ts AS asof_ts, v.value AS asof_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each purchase to the
+    latest prior 'view' by the same user — union + single-shuffle
+    running-last instead of a range-join blowup. Oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof.asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_values=["value"],
+        right_id="event_id",
+    )
+
+
+@_register(
+    "join_range_price_bands",
+    f"""
+    SELECT band, COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    JOIN (VALUES ('band_0', 0.0, 100000.0),
+                 ('band_1', 100000.0, 200000.0),
+                 ('band_2', 200000.0, 300000.0),
+                 ('band_3', 300000.0, 400000.0),
+                 ('band_4', 400000.0, 500000.0)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: non-equi join of the fact table against a tiny
+    banding dimension. The dim broadcasts → BroadcastNestedLoopJoin with
+    the range predicate evaluated in codegen; the fact side never
+    shuffles for the join."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(f"band_{i}", i * 100000.0, (i + 1) * 100000.0) for i in range(5)],
+        "band string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+# --- embedding near-dup (blocked cosine) ------------------------------------
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
+           {_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cosine('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    cluster/bucket id standing in for an IVF/LSH assignment at scale).
+    See operators/similarity.cosine_near_pairs."""
+    return similarity.cosine_near_pairs(
+        load_table(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+# --- aggregation / window breadth -------------------------------------------
+
+@_register(
+    "agg_cube_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS grp_id,
+           COUNT(*) AS n_rows, {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with grouping ids: all four subtotal
+    combinations in one pass (Expand + single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("grp_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@_register(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority × status. Pivot values are given
+    explicitly so the plan is a single pass (no value-discovery job)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+
+
+@_register(
+    "agg_percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``, both lo + (hi-lo)·frac interpolation).
+    At 100 TB swap in approx_percentile — the sketch-based path is
+    agg_approx_distinct's HLL analogue for quantiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "window_running_customer_spend",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w
+                AS VARCHAR) AS DOUBLE) AS cum_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w3
+                AS VARCHAR) AS DOUBLE) / COUNT(*) OVER w3 AS avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame windows: per-customer running total + 3-order moving
+    average. Both frames share one shuffle/sort on (o_custkey,
+    o_orderdate); sums accumulate in exact decimal for cross-engine
+    bit-parity."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    order = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w3 = Window.partitionBy("o_custkey").orderBy(*order).rowsBetween(-2, 0)
+    dec = F.col("o_totalprice").cast(ACC_DECIMAL)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        F.sum(dec).over(w).cast("double").alias("cum_spend"),
+        (F.sum(dec).over(w3).cast("double") / F.count(F.lit(1)).over(w3)).alias("avg3"),
+    )
+
+
+# --- multimodal columns (binary media + typed metadata) ---------------------
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from documents: content = utf-8 bytes of the
+    text (a deterministic stand-in for real image/audio/video payloads),
+    media_type cycling by doc_id, duration derived from n_chars."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+@_register(
+    "mm_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CAST(CAST(concat('0x', substr(sha256(text), 1, 2)) AS INT)
+                AS DOUBLE) / 256.0 AS f0
+    FROM documents
+    """,
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize plumbing (operators/multimodal.py):
+    binary content → Arrow-batched mapInPandas → per-item features. The
+    decoder is the deterministic sha256 fake (real codecs are stubbed —
+    environment has no media libs), which makes the whole distributed
+    path SQL-checkable: byte length, content hash, and the first feature
+    component all have exact DuckDB twins."""
+    feats = multimodal.extract_features(_media_from_documents(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "content_sha256",
+        F.get("feature", 0).cast("double").alias("f0"),
+    )
+
+
+@_register(
+    "mm_frame_sample_plan",
+    """
+    SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * 1000 AS BIGINT) AS frame_ts_ms
+    FROM (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0,
+               greatest(1, (n_chars * 10) // 1000) - 1)) AS f
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    """,
+)
+def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode each video into per-frame rows
+    *before* decode so Spark parallelizes at frame granularity."""
+    plan = multimodal.frame_sample_plan(_media_from_documents(spark, sf_dir), every_ms=1000)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
+# --- Structured Streaming through the same gate -----------------------------
+
+@_register(
+    "stream_events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed as a real Structured
+    Streaming query (file source → watermark → windowed agg → memory
+    sink, availableNow trigger) — hash-identical to the batch twin
+    events_tumbling_hourly and to the same DuckDB oracle, because exact
+    decimal accumulation makes the result independent of micro-batch
+    boundaries."""
+    import uuid
+
+    # events.parquet stores TIMESTAMP(NANOS) — stream it as long nanos
+    # and rebuild micros exactly, mirroring sources/tables.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(ACC_DECIMAL)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    name = f"stream_events_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
