@@ -37,6 +37,28 @@ def davg(col: Column | str) -> Column:
     return dsum(c) / F.count(F.lit(1))
 
 
+def fan_out(df, multiplier: int = 1, cap: int | None = None):
+    """Ensure at least default-parallelism partitions before per-row-heavy
+    compute (hashing, shingling, vector math, Python batches).
+
+    Small single-file scans arrive as ONE partition, serializing all
+    downstream expression work onto one core; a round-robin repartition
+    of a small input costs ~nothing and buys full parallelism. At real
+    scale the scan already has ≥ parallelism partitions and this is a
+    no-op — so it never *adds* a shuffle where data is already wide.
+
+    ``cap`` bounds the target width: Python-batch stages (mapInPandas)
+    pay a per-worker interpreter/pandas startup, so tiny inputs should
+    not spawn one worker per core.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if cap is not None:
+        target = min(target, cap)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def md5_long(col: Column | str) -> Column:
     """Deterministic 60-bit non-negative hash of a string (md5-based)."""
     c = F.col(col) if isinstance(col, str) else col

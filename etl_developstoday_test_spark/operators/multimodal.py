@@ -26,6 +26,8 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from etl_developstoday_test_spark.functions import fan_out
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -117,7 +119,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+    # cap=8: each partition spawns a Python worker (interpreter + pandas
+    # import); for small batches worker startup dominates, and at real
+    # scale the input is already wide so the cap never binds.
+    return fan_out(media, cap=8).mapInPandas(process, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

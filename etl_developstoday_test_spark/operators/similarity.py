@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from etl_developstoday_test_spark.functions import as_double_array, cosine, dsum
+from etl_developstoday_test_spark.functions import as_double_array, cosine, dot_fold, dsum, fan_out
 
 
 def _with_unit_info(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -41,7 +41,7 @@ def cosine_topk(
     p = _with_unit_info(probes, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_vec").alias("_qvec")
     )
-    c = _with_unit_info(corpus, vec_col).select(
+    c = _with_unit_info(fan_out(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_vec").alias("_cvec")
     )
     scored = (
@@ -83,13 +83,19 @@ def cosine_near_pairs(
     Returns (vec_a, vec_b, block, cos_sim) for pairs with
     ``cos_sim >= threshold`` (vec_a < vec_b).
     """
-    e = _with_unit_info(embeddings, vec_col).select(
-        F.col(id_col), F.col(block_col).alias("block"), "_vec"
+    # Pre-fold each vector's self-dot once (O(n·d)) so the pair stage
+    # does ONE fold per pair instead of three — the exact same FP ops
+    # the oracle's dot/sqrt(dot_aa*dot_bb) performs, just not repeated.
+    e = _with_unit_info(fan_out(embeddings), vec_col).select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        "_vec",
+        dot_fold(F.col("_vec"), F.col("_vec")).alias("_norm2"),
     )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col(f"a.block") == F.col(f"b.block"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
@@ -97,7 +103,10 @@ def cosine_near_pairs(
             F.col(f"a.{id_col}").alias("vec_a"),
             F.col(f"b.{id_col}").alias("vec_b"),
             F.col("a.block").alias("block"),
-            cosine(F.col("a._vec"), F.col("b._vec")).alias("cos_sim"),
+            (
+                dot_fold(F.col("a._vec"), F.col("b._vec"))
+                / F.sqrt(F.col("a._norm2") * F.col("b._norm2"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -165,7 +174,7 @@ def ivf_topk(
             .select(id_alias, "centroid_id")
         )
 
-    c = _with_unit_info(corpus, vec_col).select(
+    c = _with_unit_info(fan_out(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_vec")
     )
     p = _with_unit_info(probes, vec_col).select(

@@ -28,7 +28,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from etl_developstoday_test_spark.functions import let, md5_long, tokens, word_shingles
+from etl_developstoday_test_spark.functions import fan_out, let, md5_long, tokens, word_shingles
 
 
 def _shingle_set(n: int):
@@ -58,6 +58,7 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
+    docs = fan_out(docs)  # shingling is per-row-heavy: parallelize first
     return docs.select(
         "doc_id",
         F.explode(_shingle_set(n)).alias("shingle"),
@@ -166,7 +167,7 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs (this is the whole point of LSH):
     # join the per-doc shingle sets back and intersect arrays in-place —
     # O(|candidates| × shingles-per-doc), never the all-pairs join.
-    sets = docs.select(
+    sets = fan_out(docs).select(
         "doc_id", _shingle_set(n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     sa = sets.select(
@@ -195,7 +196,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     multiplicity): each bit of each token hash votes ±1; the sketch sets
     bit b iff the vote sum is positive. Single shuffle; the 32 vote sums
     are parallel partial aggregates."""
-    tok = docs.select(
+    tok = fan_out(docs).select(
         "doc_id",
         F.explode(tokens(F.col("text"))).alias("token"),
     ).withColumn("h", md5_long(F.col("token")))

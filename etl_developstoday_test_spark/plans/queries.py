@@ -917,8 +917,11 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface: extract a field from the JSON ``props``
-    column and aggregate it. get_json_object runs JVM-side (no UDF)."""
-    ev = load_table(spark, sf_dir, "events")
+    column and aggregate it. get_json_object runs JVM-side (no UDF);
+    fan_out parallelizes the parse when the scan is a single file."""
+    from etl_developstoday_test_spark.functions import fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1198,7 +1201,9 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding dimension. The dim broadcasts → BroadcastNestedLoopJoin with
     the range predicate evaluated in codegen; the fact side never
     shuffles for the join."""
-    o = load_table(spark, sf_dir, "orders")
+    from etl_developstoday_test_spark.functions import fan_out
+
+    o = fan_out(load_table(spark, sf_dir, "orders"))
     bands = spark.createDataFrame(
         [(f"band_{i}", i * 100000.0, (i + 1) * 100000.0) for i in range(5)],
         "band string, lo double, hi double",
