@@ -103,3 +103,110 @@ def test_cosine_topk_self_excluded_and_sane(spark):
     assert len(rows) == 5
     assert all(r["neighbor_id"] != 0 for r in rows)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from etl_developstoday_test_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, 10.0),   # events at 50, 90 → latest is 90
+            (2, 90, 20.0),    # event exactly at 90 → inclusive match
+            (3, 40, 30.0),    # before any event → null
+            (9, 100, 40.0),   # key with no right rows at all → null
+        ],
+        "k long, lt long, lval double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 50, 1.0, 100),
+            (1, 90, 2.0, 101),
+            (2, 90, 3.0, 102),
+            (2, 90, 4.0, 103),  # tie on (k, ts): greatest rid (103) wins
+            (3, 60, 5.0, 104),
+        ],
+        "k long, rt long, rval double, rid long",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="lt", right_ts="rt",
+        right_values=["rval"], right_id="rid",
+    )
+    rows = {r["k"]: (r["asof_rt"], r["asof_rval"]) for r in out.collect()}
+    assert rows[1] == (90, 2.0)
+    assert rows[2] == (90, 4.0)   # inclusive + dedup by rid desc
+    assert rows[3] == (None, None)
+    assert rows[9] == (None, None)
+    assert out.count() == left.count()  # left-join cardinality preserved
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The whole point of the union+window design: no join operator, so
+    no O(|L| × matches) intermediate blowup at scale."""
+    from etl_developstoday_test_spark.operators.asof import asof_join
+
+    left = spark.range(10).selectExpr("id AS k", "id * 10 AS lt", "1.0 AS lv")
+    right = spark.range(10).selectExpr(
+        "id AS k", "id * 7 AS rt", "2.0 AS rv", "id AS rid"
+    )
+    out = asof_join(left, right, "k", "lt", "rt", ["rv"], right_id="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+# --- blocked embedding cosine near-dup --------------------------------------
+
+
+def test_cosine_near_pairs_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    vecs = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [0.9, 0.1, 0.0]),    # near 0
+        (2, 0, [0.0, 1.0, 0.0]),    # orthogonal to 0/1
+        (3, 1, [1.0, 0.0, 0.0]),    # same dir as 0 but different block
+        (4, 1, [0.5, 0.5, 0.0]),
+        (5, 1, [0.51, 0.49, 0.0]),  # near 4
+    ]
+    df = spark.createDataFrame(
+        [(i, b, [float(x) for x in v]) for i, b, v in vecs],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_pairs(df, threshold=0.95).collect()
+    }
+
+    def cos(u, v):
+        dot = sum(x * y for x, y in zip(u, v))
+        return dot / math.sqrt(
+            sum(x * x for x in u) * sum(y * y for y in v)
+        )
+
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(vecs, 2)
+        if a[1] == b[1] and cos(a[2], b[2]) >= 0.95
+    }
+    assert got == want and (0, 1) in got and (4, 5) in got
+    # cross-block pair (0,3) is identical but must NOT appear (blocking)
+    assert (0, 3) not in got
+
+
+# --- fan_out ----------------------------------------------------------------
+
+
+def test_fan_out_widens_narrow_and_keeps_wide(spark):
+    from etl_developstoday_test_spark.functions import fan_out
+
+    narrow = spark.range(100).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    assert fan_out(narrow, cap=2).rdd.getNumPartitions() == 2
+    wide = spark.range(100).repartition(64)
+    assert fan_out(wide) is wide  # no-op: never narrows or re-shuffles

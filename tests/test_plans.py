@@ -86,3 +86,22 @@ def test_scans_stay_in_wholestage_codegen(spark):
 def test_narrow_ops_have_no_shuffle(spark, name):
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, f"{name} shuffles but is a narrow map"
+
+
+def test_tpch_q10_q18_broadcast_small_sides(spark):
+    for name in ["tpch_q10_returned_items", "tpch_q18_large_volume"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_band_join_broadcasts_dim(spark):
+    plan = plan_of(spark, "join_range_price_bands")
+    # non-equi join against the tiny band dim must broadcast, never
+    # shuffle the fact side for the join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_attribution_no_join(spark):
+    plan = plan_of(spark, "join_asof_attribution")
+    assert "Join" not in plan  # union + running-last, not a range join
