@@ -1474,3 +1474,125 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return spark.table(name)
+
+
+# --- set-op / SQL-API / window-function breadth -----------------------------
+
+@_register(
+    "setop_intersect_except_nations",
+    """
+    SELECT 'both' AS side, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS side, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def setop_intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (both compile to aggregated
+    semi/anti joins — distinct semantics, one shuffle each)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).select(F.lit("both").alias("side"), "nationkey")
+    only = c.subtract(s).select(F.lit("customer_only").alias("side"), "nationkey")
+    return both.unionByName(only)
+
+
+@_register(
+    "sql_grouping_sets_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def sql_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the spark.sql entry point — the SQL
+    front-end over the same tables (registered as temp views), proving
+    the engine's second API surface. dsum's decimal accumulator is
+    spelled inline in SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                 AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_register(
+    "window_ntile_order_quartiles",
+    """
+    SELECT quartile, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM (
+      SELECT o_totalprice,
+             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+               AS quartile
+      FROM orders
+    ) GROUP BY quartile
+    """,
+)
+def window_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: global quartiles of order value (deterministic
+    tiebreak on the key), then per-bucket stats. The global window is
+    the scale-limited step — at 100 TB replace with approx_percentile
+    cutoffs + a join, which needs no global sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).cast("bigint").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@_register(
+    "agg_argmax_order_per_status",
+    """
+    SELECT o_orderstatus,
+           first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)
+             AS top_orderkey,
+           MAX(o_totalprice) AS top_price,
+           first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+             AS bottom_orderkey,
+           MIN(o_totalprice) AS bottom_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) aggregates: the single-pass
+    alternative to a ranking window for per-group extremes. Ties on the
+    measure are broken by orderkey inside the ordering struct so both
+    engines pick the same row."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by(
+            "o_orderkey", F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+        ).alias("bottom_orderkey"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
