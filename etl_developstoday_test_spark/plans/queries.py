@@ -1596,3 +1596,129 @@ def agg_argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bottom_orderkey"),
         F.min("o_totalprice").alias("bottom_price"),
     )
+
+
+@_register(
+    "stream_events_sessionized",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR us - prev_us >= {events_etl.SESSION_GAP_MICROS}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, us) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful session_window executed as a Structured Streaming
+    query, verified against a SQL sessionization oracle. session_window
+    semantics: a session extends to last-event + gap, and an event at
+    exactly prev + gap starts a NEW session — hence the oracle's ``>=``
+    (the batch twin events_sessionize uses ``>``, the reference-style
+    idle-gap rule; both are exposed)."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(ACC_DECIMAL)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+    name = f"stream_events_sessionized_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+@_register(
+    "stream_user_running_totals",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState, see
+    streaming/pipeline.py) run over the events file stream; after the
+    final micro-batch the per-user running totals equal the plain
+    GROUP BY — which is the oracle."""
+    import uuid
+
+    from etl_developstoday_test_spark.streaming.pipeline import (
+        stream_user_running_totals as op,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # update-mode memory sink appends one row per key per batch; keep
+    # each user's final (largest n_events) emission
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -127,3 +127,54 @@ def stream_sessionized(events: DataFrame, gap: str = "30 minutes", watermark: st
             "total_value",
         )
     )
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value) maintained across micro-batches.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    streaming aggregates can't express (the built-ins cover this toy
+    case; the point is the contract). State per key is O(1) — a count
+    and an exact decimal total as a string — so state size grows with
+    #users, not #events.
+
+    Determinism: each value is quantized to DECIMAL(…,10) with
+    round-half-up (the same conversion Spark's and DuckDB's
+    double→DECIMAL(30,10) cast performs) and accumulated with exact
+    decimal arithmetic, so the emitted total is independent of both
+    partitioning and arrival order — which is what lets a plain SQL
+    oracle verify a stateful Python operator bit-for-bit.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    quantum = Decimal("1e-10")
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, total_str = state.get
+            total = Decimal(total_str)
+        else:
+            n, total = 0, Decimal(0)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                total += Decimal(float(v)).quantize(quantum, ROUND_HALF_UP)
+        state.update((n, str(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total_str string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -111,3 +111,53 @@ def test_stream_sessionized(spark, tmp_path):
     assert len(by_user[1]) == 2
     assert {r["n_events"] for r in by_user[1]} == {2, 1}
     assert len(by_user[2]) == 1
+
+
+def test_stream_user_running_totals_carries_state(spark, tmp_path):
+    """State must persist across micro-batches: totals after batch 2
+    include batch 1's events for the same user."""
+    from etl_developstoday_test_spark.streaming.pipeline import (
+        stream_user_running_totals,
+    )
+
+    src = tmp_path / "ev_src"
+    ckpt = str(tmp_path / "ckpt_state")
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once(qname):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(str(src))
+        got = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[r["user_id"]] = (r["n_events"], r["total_value"])
+
+        q = (
+            stream_user_running_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return got
+
+    write_batch([(1, "2024-01-01 00:00:00", 1, "click", 1.5),
+                 (2, "2024-01-01 00:01:00", 1, "view", 2.0),
+                 (3, "2024-01-01 00:02:00", 2, "click", 4.0)], "b1")
+    got1 = run_once("user_totals_b1")
+    assert got1[1] == (2, 3.5) and got1[2] == (1, 4.0)
+
+    write_batch([(4, "2024-01-01 01:00:00", 1, "click", 10.0)], "b2")
+    got2 = run_once("user_totals_b2")
+    assert got2[1] == (3, 13.5)  # state carried: 3.5 + 10.0, count 2+1
