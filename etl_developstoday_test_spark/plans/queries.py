@@ -1722,3 +1722,31 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@_register(
+    "events_json_schema_parse",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+             AS n_with_k
+    FROM events GROUP BY user_id
+    """,
+)
+def events_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse: from_json into a typed struct (vs
+    events_json_kpi's path-extraction) — the pattern for semi-structured
+    columns at scale, since a declared schema lets Catalyst prune unused
+    JSON fields and keeps parsing JVM-side."""
+    from etl_developstoday_test_spark.functions import fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    parsed = ev.select(
+        "user_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.groupBy("user_id").agg(
+        F.sum("p.k").alias("sum_k"),
+        F.count("p.k").alias("n_with_k"),
+    )

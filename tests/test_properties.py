@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis): operator invariants that must hold
+on ANY input, not just fixtures — the randomized layer the reference's
+test suite lacks (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from etl_developstoday_test_spark.operators.asof import asof_join
+from etl_developstoday_test_spark.operators.dedup import first_wins_dedup
+
+KEYS = st.integers(min_value=0, max_value=3)
+ORDS = st.integers(min_value=0, max_value=50)
+
+rows_strategy = st.lists(
+    st.tuples(KEYS, KEYS, ORDS), min_size=1, max_size=40, unique=True
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_first_wins_dedup_invariants(spark, rows):
+    df = spark.createDataFrame(rows, "k1 long, k2 long, ord long")
+    winners, losers = first_wins_dedup(df, ["k1", "k2"], "ord")
+    w = [tuple(r) for r in winners.select("k1", "k2", "ord").collect()]
+    l = [tuple(r) for r in losers.select("k1", "k2", "ord").collect()]
+    # partition: winners ∪ losers == input, disjoint
+    assert sorted(w + l) == sorted(set(rows))
+    # one winner per key, and it carries the minimal order value
+    by_key = {}
+    for k1, k2, o in rows:
+        by_key.setdefault((k1, k2), []).append(o)
+    assert sorted((k1, k2) for k1, k2, _ in w) == sorted(by_key)
+    for k1, k2, o in w:
+        assert o == min(by_key[(k1, k2)])
+
+
+asof_left = st.lists(
+    st.tuples(KEYS, st.integers(0, 100)), min_size=1, max_size=25, unique=True
+)
+asof_right = st.lists(
+    st.tuples(KEYS, st.integers(0, 100), st.integers(0, 1000)),
+    min_size=1, max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_left, right=asof_right)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(left, "k long, lt long")
+    rdf = spark.createDataFrame(right, "k long, rt long, rv long")
+    out = asof_join(ldf, rdf, "k", "lt", "rt", ["rv"]).toPandas()
+
+    lp = pd.DataFrame(left, columns=["k", "lt"]).sort_values("lt")
+    rp = pd.DataFrame(right, columns=["k", "rt", "rv"]).sort_values("rt")
+    want = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k", direction="backward"
+    )
+    def norm(v):
+        return None if pd.isna(v) else int(v)
+
+    got = {
+        (r.k, r.lt): (norm(r.asof_rt), norm(r.asof_rv)) for r in out.itertuples()
+    }
+    for r in want.itertuples():
+        assert got[(r.k, r.lt)] == (norm(r.rt), norm(r.rv)), (r.k, r.lt)
