@@ -1750,3 +1750,91 @@ def events_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.k").alias("sum_k"),
         F.count("p.k").alias("n_with_k"),
     )
+
+
+@_register(
+    "join_left_outer_customer_orders",
+    f"""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           {_dsum('COALESCE(o_totalprice, 0.0)')} AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, with zero-filled aggregates for
+    those who never ordered. Dimension side drives the outer edge, so
+    the broadcast build is the fact side's matches per key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+        )
+    )
+
+
+@_register(
+    "join_full_outer_nation_roles",
+    """
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY 1) s
+      ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer_nation_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (nations seen as customer
+    and/or supplier homes), null-filled on either side. Aggregating
+    BEFORE the join shrinks both inputs to key cardinality — the
+    outer join then costs one tiny shuffle."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@_register(
+    "agg_revenue_by_year_month",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def agg_revenue_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension rollup: revenue by (year, month) — the shape that
+    motivates date-partitioned storage at scale (partition pruning turns
+    a month query into a handful of files)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.month("o_orderdate").cast("bigint").alias("mo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
