@@ -1,0 +1,88 @@
+"""CSV source tests mirroring the reference reader's test matrix
+(SURVEY.md §5, CsvTripReaderServiceTests.cs): header binding in
+arbitrary column order, missing-column fail-fast, empty file, custom
+delimiter, blank-line skipping, naive tokenization null-padding."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_developstoday_test_spark.schemas import REQUIRED_COLUMNS
+from etl_developstoday_test_spark.sources.csv_source import (
+    MissingRequiredColumns,
+    read_trips_csv,
+)
+
+ROW9 = "2020-01-01,2020-01-02,1,1.5,N,10,20,9.5,1.0"
+
+
+def _write(tmp_path, text, name="in.csv"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_header_binds_by_name_in_any_order(spark, tmp_path):
+    # reference: CsvTripReaderServiceTests.cs:103-160
+    cols = list(REQUIRED_COLUMNS)
+    shuffled = [cols[-1], *cols[1:-1], cols[0]]  # swap first/last
+    path = _write(
+        tmp_path,
+        ",".join(shuffled) + "\n" + "9.9," + ",".join(ROW9.split(",")[1:-1]) + ",2020-01-01\n",
+    )
+    df = read_trips_csv(spark, path)
+    row = df.collect()[0]
+    assert row[cols[0]] == "2020-01-01"  # bound by NAME, not position
+    assert row[cols[-1]] == "9.9"
+
+
+def test_extra_columns_dropped_and_case_insensitive(spark, tmp_path):
+    header = "EXTRA," + ",".join(c.upper() for c in REQUIRED_COLUMNS) + ",Trailing"
+    path = _write(tmp_path, header + "\nx," + ROW9 + ",y\n")
+    df = read_trips_csv(spark, path)
+    assert sorted(df.columns) == sorted([*REQUIRED_COLUMNS, "line_number"])
+    assert df.collect()[0]["passenger_count"] == "1"
+
+
+def test_missing_required_column_fails_fast(spark, tmp_path):
+    # reference: InvalidDataException (CsvTripReaderService.cs:210-221)
+    header = ",".join(REQUIRED_COLUMNS[1:])  # drop the first required col
+    path = _write(tmp_path, header + "\n" + ROW9 + "\n")
+    with pytest.raises(MissingRequiredColumns, match=REQUIRED_COLUMNS[0]):
+        read_trips_csv(spark, path)
+
+
+def test_empty_file_raises(spark, tmp_path):
+    path = _write(tmp_path, "")
+    with pytest.raises(ValueError, match="empty CSV"):
+        read_trips_csv(spark, path)
+
+
+def test_semicolon_delimiter(spark, tmp_path):
+    # reference: CsvTripReaderServiceTests.cs:243-282
+    path = _write(
+        tmp_path,
+        ";".join(REQUIRED_COLUMNS) + "\n" + ROW9.replace(",", ";") + "\n",
+    )
+    df = read_trips_csv(spark, path, delimiter=";")
+    assert df.collect()[0]["trip_distance"] == "1.5"
+
+
+def test_blank_lines_skipped_and_not_numbered(spark, tmp_path):
+    # reference: CsvTripReaderServiceTests.cs:289-327
+    path = _write(
+        tmp_path,
+        ",".join(REQUIRED_COLUMNS) + "\n" + ROW9 + "\n\n   \n" + ROW9 + "\n",
+    )
+    df = read_trips_csv(spark, path)
+    assert [r["line_number"] for r in df.orderBy("line_number").collect()] == [1, 2]
+
+
+def test_missing_trailing_fields_null_padded(spark, tmp_path):
+    # naive tokenization: short rows null-pad (CsvTripReaderService.cs:121-124)
+    path = _write(
+        tmp_path, ",".join(REQUIRED_COLUMNS) + "\n2020-01-01,2020-01-02,1\n"
+    )
+    row = read_trips_csv(spark, path).collect()[0]
+    assert row["passenger_count"] == "1"
+    assert row["tip_amount"] is None
