@@ -1932,3 +1932,35 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@_register(
+    "dedup_incremental_new_docs",
+    """
+    SELECT n.doc_id, md5(n.text) AS content_hash
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 250) n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT md5(text) AS h FROM documents WHERE doc_id < 250) o
+      WHERE o.h = md5(n.text)
+    )
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup: the standing pattern for a
+    training-data pipeline ingesting new crawls — anti-join the new
+    batch's content hashes against the existing corpus's hash set, so
+    only genuinely new content flows downstream. Cost is one shuffle on
+    the 128-bit hash; at scale the corpus side is a bucketed hash table
+    (see sinks.write_bucketed_table) so the anti-join reuses its layout
+    instead of reshuffling the corpus every increment. The doc_id split
+    here stands in for old-corpus vs new-batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    old_hashes = docs.filter(F.col("doc_id") < 250).select(
+        F.md5("text").alias("content_hash")
+    )
+    new = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return new.join(old_hashes, "content_hash", "leftanti").select(
+        "doc_id", "content_hash"
+    )

@@ -36,3 +36,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_items}")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned layout: a year-filtered query must read only the
+    matching partition directories (PartitionFilters), the physical
+    design behind agg_revenue_by_year_month at 100 TB."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_by_year")
+    (
+        load_table(spark, SF_DIR, "orders")
+        .withColumn("yr", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("yr")
+        .parquet(out)
+    )
+    q = spark.read.parquet(out).filter(F.col("yr") == 1996)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, "scan must carry PartitionFilters"
+    assert "= 1996)" in pf_lines[0], pf_lines[0]
+    got_years = {r["yr"] for r in q.select("yr").distinct().collect()}
+    assert got_years == {1996}
