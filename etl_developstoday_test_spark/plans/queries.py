@@ -1964,3 +1964,39 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(old_hashes, "content_hash", "leftanti").select(
         "doc_id", "content_hash"
     )
+
+
+@_register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jaccard WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM jaccard WHERE jaccard >= 0.5
+    ),
+    verts AS (SELECT DISTINCT doc_id AS node FROM documents),
+    reach AS (
+      SELECT node, node AS root FROM verts
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the n-gram-Jaccard
+    near-dup pair graph (operators/graph.py — driver-iterated min-label
+    propagation with per-round lineage checkpoints). Every doc gets a
+    canonical component id = min doc_id of its similarity cluster; keep
+    ``doc_id == component`` rows to dedup. The iterative Spark fixpoint
+    is verified against a recursive-CTE oracle."""
+    from etl_developstoday_test_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("node")),
+    ).select(F.col("node").alias("doc_id"), "component")

@@ -210,3 +210,24 @@ def test_fan_out_widens_narrow_and_keeps_wide(spark):
     assert fan_out(narrow, cap=2).rdd.getNumPartitions() == 2
     wide = spark.range(100).repartition(64)
     assert fan_out(wide) is wide  # no-op: never narrows or re-shuffles
+
+
+# --- connected components ---------------------------------------------------
+
+
+def test_connected_components_chain_clique_isolate(spark):
+    from etl_developstoday_test_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 round), clique 10-11-12, isolate 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 4, 10, 11, 12, 99]], "node long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
