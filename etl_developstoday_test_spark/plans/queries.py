@@ -1701,16 +1701,24 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        op(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    # the stateful shuffle spawns one Python worker + state store per
+    # shuffle partition; with O(100) keys, 8 partitions beats 32 (the
+    # stream's partitioning is fixed at first start, so set it up front)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode memory sink appends one row per key per batch; keep
     # each user's final (largest n_events) emission
     from pyspark.sql import Window
