@@ -2008,3 +2008,54 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         docs.select(F.col("doc_id").alias("node")),
     ).select(F.col("node").alias("doc_id"), "component")
+
+
+@_register(
+    "etl_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 42.0
+      FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+           COALESCE(u.new_price, t.o_totalprice) AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet: full-outer-join the
+    target against an updates batch — matched rows take the new value,
+    unmatched updates insert, unmatched target rows pass through. This
+    is the rewrite a lakehouse MERGE performs under the hood; at scale,
+    partition-scope the rewrite (dynamic partition overwrite) so only
+    touched partitions rewrite. The updates batch here is derived
+    deterministically from the target for oracle-checkability."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 1000.0).alias("new_price"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(42.0).alias("new_price"),
+            )
+        )
+    )
+    t, u = o.alias("t"), updates.alias("u")
+    return (
+        t.join(u, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full")
+        .select(
+            F.coalesce(F.col("t.o_orderkey"), F.col("u.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("u.new_price"), F.col("t.o_totalprice")).alias("o_totalprice"),
+            F.when(F.col("t.o_orderkey").isNull(), "insert")
+            .when(F.col("u.o_orderkey").isNull(), "keep")
+            .otherwise("update")
+            .alias("action"),
+        )
+    )
