@@ -62,6 +62,10 @@ def connected_components(
             .filter(F.col("a.component") != F.col("b.component"))
             .count()
         )
+        # free the superseded round's checkpoint blocks NOW — leaving
+        # them to GC-driven cleanup accumulates cached partitions across
+        # rounds (and across later queries in the same session)
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
