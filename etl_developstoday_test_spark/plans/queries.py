@@ -2059,3 +2059,132 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+@_register(
+    "window_scd2_intervals",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+             AS effective_to,
+           CASE WHEN lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey)
+                     IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    """,
+)
+def window_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction: each fact row becomes a validity
+    range [its date, next row's date) via lead(); the open-ended latest
+    row is flagged current. One shuffle on the business key — the
+    standard dimension-history build."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.col("o_orderdate").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@_register(
+    "window_percent_rank_acctbal",
+    """
+    SELECT c_mktsegment, c_custkey,
+           percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+             AS pr,
+           cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+             AS cd
+    FROM customer
+    """,
+)
+def window_percent_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank + cume_dist of account balance
+    within market segment. Both are rank-based, so equal values get
+    equal outputs — deterministic without a tiebreak."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@_register(
+    "agg_stats_moments",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {_dsum('l_quantity')} AS sx,
+             {_dsum('l_quantity * l_quantity')} AS sxx,
+             {_dsum('l_extendedprice')} AS sy,
+             {_dsum('l_extendedprice * l_extendedprice')} AS syy,
+             {_dsum('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance/stddev/correlation) computed
+    from exact decimal moment sums instead of Spark's streaming
+    co-moment update — same one-pass cost, but the result is
+    accumulation-order-independent, so it bit-matches any engine
+    deriving the same closed form. (Spark's built-in stddev/corr are
+    partition-order-sensitive in the last ulps; this is the
+    deterministic formulation.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sx"), dsum(q * q).alias("sxx"),
+        dsum(p).alias("sy"), dsum(p * p).alias("syy"),
+        dsum(q * p).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = [F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"]]
+    var_q = (sxx - sx * sx / n) / (n - 1)
+    return m.select(
+        "l_returnflag", "n",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+        .alias("corr_qty_price"),
+    )
+
+
+@_register(
+    "agg_sorted_order_array",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 450000)
+    GROUP BY o_custkey
+    """,
+)
+def agg_sorted_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect each customer's qualifying order keys
+    into a SORTED array — collect_list alone is partition-order-
+    nondeterministic; sort_array restores a canonical value so the
+    nested result is comparable across engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
