@@ -49,3 +49,34 @@ def salted_sum_count(
         F.sum("_psum").cast("double").alias("sum_value"),
         F.sum("_pcnt").alias("n_rows"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the big side into ``n_salts``
+    sub-keys and replicate the small side once per salt, so a hot join
+    key's rows spread over ``n_salts`` reducers instead of one.
+
+    This is the manual form of AQE's skew-join split — needed when AQE
+    can't help: the skew only materializes after upstream operators, the
+    join is part of a cached/reused subplan, or the engine runs with AQE
+    off. Cost: small side × n_salts (keep it broadcast-small), one
+    shuffle of each side on (key, salt). Result set is value-identical
+    to the plain join — the salt never leaves the join.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).alias("_salt")
+    replicated_small = small.select("*", salts)
+    return salted_big.join(
+        replicated_small,
+        (F.col(big_key) == F.col(small_key)) & (salted_big["_salt"] == replicated_small["_salt"]),
+    ).drop("_salt")

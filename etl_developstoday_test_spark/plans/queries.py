@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_developstoday_test_spark.functions import ACC_DECIMAL, davg, dsum
@@ -2187,4 +2188,60 @@ def agg_sorted_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").agg(
         F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register(
+    "join_salted_skew_enrich",
+    f"""
+    SELECT s_name, COUNT(*) AS n_items,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def join_salted_skew_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.salted_join): the big side's hot
+    keys spread over n_salts reducers; the small side replicates per
+    salt. The oracle is the PLAIN join — salting changes physical
+    distribution only, and decimal accumulation makes the aggregates
+    bit-identical."""
+    from etl_developstoday_test_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = salted_join(li, s, "l_suppkey", "s_suppkey", n_salts=8)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum(revenue).alias("revenue")
+    )
+
+
+@_register(
+    "text_vectorized_udf_len",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_udf,
+           CAST(length(text) AS BIGINT) AS n_chars_builtin
+    FROM documents
+    """,
+)
+def text_vectorized_udf_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF, demonstrated against its
+    built-in twin in the same row: when Python IS required, @pandas_udf
+    processes whole Arrow batches (pandas str ops) instead of per-row
+    dispatch. The oracle asserts the UDF path computes exactly what the
+    JVM built-in does — the contract any Python escape hatch must meet."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def plen(s: pd.Series) -> pd.Series:
+        return s.str.len().astype("int64")
+
+    from etl_developstoday_test_spark.functions import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), cap=8)
+    return docs.select(
+        "doc_id",
+        plen("text").alias("n_chars_udf"),
+        F.length("text").cast("long").alias("n_chars_builtin"),
     )
