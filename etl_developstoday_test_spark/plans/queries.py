@@ -2245,3 +2245,123 @@ def text_vectorized_udf_len(spark: SparkSession, sf_dir: str) -> DataFrame:
         plen("text").alias("n_chars_udf"),
         F.length("text").cast("long").alias("n_chars_builtin"),
     )
+
+
+@_register(
+    "events_props_map_explode",
+    """
+    SELECT key AS prop_key, COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+                AS BIGINT) AS total_value
+    FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+    GROUP BY key
+    """,
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props into
+    map<string,bigint>, explode to (key, value) pairs, aggregate per
+    key — the generic pattern for open-schema properties where the key
+    set isn't known at plan time (vs from_json-to-struct, which needs
+    declared fields)."""
+    from etl_developstoday_test_spark.functions import fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("prop_key", "v")
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("total_value"),
+    )
+
+
+@_register(
+    "agg_percentile_banding",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.5) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT band, COUNT(*) AS n_orders
+    FROM (
+      SELECT CASE WHEN o_totalprice <= q1 THEN 'p0_25'
+                  WHEN o_totalprice <= q2 THEN 'p25_50'
+                  WHEN o_totalprice <= q3 THEN 'p50_75'
+                  ELSE 'p75_100' END AS band
+      FROM orders, cuts
+    )
+    GROUP BY band
+    """,
+)
+def agg_percentile_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for global bucketing (window_ntile's documented
+    replacement): compute the three quartile cutoffs with one aggregate,
+    broadcast them, and band each row with a CASE — no global sort, no
+    single-partition window. At 100 TB swap the exact percentile for
+    approx_percentile; the plan shape is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    banded = o.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("o_totalprice") <= F.col("q1"), "p0_25")
+        .when(F.col("o_totalprice") <= F.col("q2"), "p25_50")
+        .when(F.col("o_totalprice") <= F.col("q3"), "p50_75")
+        .otherwise("p75_100")
+        .alias("band")
+    )
+    return banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@_register(
+    "events_hourly_gap_fill",
+    f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             {_dsum('value')} AS v
+      FROM events GROUP BY 1
+    )
+    SELECT h.hour, COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.v, 0.0) AS total_value
+    FROM hours h LEFT JOIN actual a ON a.hour = h.hour
+    """,
+)
+def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: generate the full hour spine between
+    the stream's bounds (sequence + explode) and left-join the actual
+    hourly aggregates, zero-filling silent hours — dashboards and
+    downstream models need explicit zeros, not missing rows. The spine
+    is bounded metadata (one row per hour), never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    actual = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("v"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    return (
+        spine.join(actual, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("total_value"),
+        )
+    )
