@@ -2365,3 +2365,66 @@ def events_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v"), F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+@_register(
+    "text_fuzzy_match_nations",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_distance
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    """,
+)
+def text_fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance (levenshtein — JVM-side
+    built-in). Pairwise on a dimension table; at corpus scale the same
+    predicate runs AFTER a blocking join (first-chars bucket, length
+    band, or LSH), never on the raw cross product."""
+    n = load_table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.cast("bigint").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+    )
+
+
+@_register(
+    "etl_ship_latency_stats",
+    """
+    SELECT l_returnflag,
+           CAST(MIN(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS min_days,
+           CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS max_days,
+           CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS total_days,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def etl_ship_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: order→ship latency in days (datediff)
+    aggregated per flag — the T4 derived-duration pattern generalized to
+    cross-table timestamps. Integer day sums are exact, so no decimal
+    accumulator is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(days).cast("bigint").alias("min_days"),
+            F.max(days).cast("bigint").alias("max_days"),
+            F.sum(days).cast("bigint").alias("total_days"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
