@@ -2428,3 +2428,87 @@ def etl_ship_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@_register(
+    "events_funnel_stages",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+             AS n_view_then_click,
+           COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click)
+             AS n_full_funnel
+    FROM firsts
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose first view precedes their first
+    click precedes their first purchase. One conditional-aggregation
+    pass computes all stage timestamps (no per-stage scan), then a
+    single-row conformance count — the standard ordered-funnel shape."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_then_click"),
+        F.count(F.when(purchased, 1)).alias("n_full_funnel"),
+    )
+
+
+@_register(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each subsequent day they return. Two shuffles (cohort agg + the
+    distinct), both on user_id — the broadcast of the cohort table keeps
+    the big events scan shuffle-free for the join."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_day", F.col("day_offset").cast("bigint").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
