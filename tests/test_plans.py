@@ -105,3 +105,9 @@ def test_band_join_broadcasts_dim(spark):
 def test_asof_attribution_no_join(spark):
     plan = plan_of(spark, "join_asof_attribution")
     assert "Join" not in plan  # union + running-last, not a range join
+
+
+def test_shuffle_hash_hint_takes_effect(spark):
+    plan = plan_of(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
