@@ -2694,3 +2694,39 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@_register(
+    "tpch_q22_dormant_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT {_davg('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           {_dsum('c_acctbal')} AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with no orders
+    — a scalar aggregate subquery (computed once, broadcast onto every
+    row; never a driver-side collect) feeding a filter, then an anti
+    join. The exact-decimal average makes the scalar threshold
+    bit-identical across engines, so the > comparison partitions rows
+    identically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )

@@ -111,3 +111,12 @@ def test_shuffle_hash_hint_takes_effect(spark):
     plan = plan_of(spark, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q19_pushes_derived_conjuncts(spark):
+    plan = plan_of(spark, "tpch_q19_disjunctive")
+    # the OR-of-ANDs must not block pushdown entirely: quantity bounds
+    # reach the lineitem scan, size/type bounds reach the part scan
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in scans), scans
+    assert any("p_size" in l or "p_type" in l for l in scans), scans
