@@ -2706,13 +2706,14 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_dsum('c_acctbal')} AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     GROUP BY c_mktsegment
     """,
 )
 def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22-shaped: above-average-balance customers with no orders
-    — a scalar aggregate subquery (computed once, broadcast onto every
+    """TPC-H Q22-shaped: above-average-balance customers with no LARGE
+    orders — a scalar aggregate subquery (computed once, broadcast onto every
     row; never a driver-side collect) feeding a filter, then an anti
     join. The exact-decimal average makes the scalar threshold
     bit-identical across engines, so the > comparison partitions rows
@@ -2723,7 +2724,11 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(o, F.col("o_custkey") == F.col("c_custkey"), "leftanti")
+        .join(
+            o.filter(F.col("o_totalprice") > 400000),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "leftanti",
+        )
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
