@@ -81,11 +81,30 @@ def run(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
     ).persist()
     unique, dups = first_wins_dedup(normed, DEDUP_KEYS, S.LINE_NUMBER)
 
+    # Dedup counters ride the sink jobs via observe() (CollectMetrics):
+    # the counts are accumulated WHILE the writes execute — the
+    # distributed analogue of the reference's in-loop counters
+    # (TripEtlPipelineService.cs:66-71) — instead of re-running the
+    # dedup window once per counter.
+    from pyspark.sql import Observation
+
+    obs_dups = Observation("dup_stats")
     write_duplicates_csv(
-        dups, settings.duplicates_path, coalesce=settings.coalesce_duplicates_output
+        dups.observe(obs_dups, F.count(F.lit(1)).alias("n")),
+        settings.duplicates_path,
+        coalesce=settings.coalesce_duplicates_output,
     )
+    n_dups = obs_dups.get["n"]
+
     if settings.output_path:
-        write_trips_parquet(unique, settings.output_path)
+        obs_unique = Observation("unique_stats")
+        write_trips_parquet(
+            unique.observe(obs_unique, F.count(F.lit(1)).alias("n")),
+            settings.output_path,
+        )
+        n_unique = obs_unique.get["n"]
+    else:
+        n_unique = unique.count()
     if settings.jdbc_url:
         write_trips_jdbc(
             unique,
@@ -95,8 +114,6 @@ def run(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
             settings.batch_size,
         )
 
-    n_unique = unique.count()
-    n_dups = normed.count() - n_unique
     parsed.unpersist()
     normed.unpersist()
 
