@@ -120,3 +120,24 @@ def test_q19_pushes_derived_conjuncts(spark):
     scans = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("l_quantity" in l for l in scans), scans
     assert any("p_size" in l or "p_type" in l for l in scans), scans
+
+
+def test_percentile_banding_avoids_global_window(spark):
+    """The documented ntile replacement must not contain a window at
+    all — cutoffs broadcast onto a stateless CASE."""
+    plan = plan_of(spark, "agg_percentile_banding")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cohort_retention_broadcasts_cohorts(spark):
+    plan = plan_of(spark, "events_cohort_retention")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_replicates_small_side(spark):
+    plan = plan_of(spark, "join_salted_skew_enrich")
+    # the small side explodes one copy per salt (Generate) and the join
+    # key includes the salt
+    assert "Generate explode" in plan
+    assert "_salt" in plan
