@@ -25,6 +25,11 @@ class EtlSettings:
         Parquet output location for the clean trips table (the reference
         writes to SQL Server ``dbo.Trips``; parquet is our primary sink,
         JDBC is optional — see ``sinks.write_trips_jdbc``).
+    quarantine_path:
+        Optional parquet sink for INVALID rows (raw strings + error
+        reason + line_number). The reference only logs-and-drops bad
+        rows (``TripEtlPipelineService.cs:83-126``); a durable
+        quarantine makes the error routing auditable and replayable.
     delimiter:
         Single-character CSV delimiter (reference:
         ``EtlSettingsDto.cs:48``, default ``,``).
@@ -62,6 +67,7 @@ class EtlSettings:
     input_path: str
     duplicates_path: str
     output_path: str | None = None
+    quarantine_path: str | None = None
     delimiter: str = ","
     input_datetime_format: str | None = "M/d/yyyy h:mm:ss a"
     convert_to_utc: bool = True

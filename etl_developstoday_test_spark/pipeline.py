@@ -74,6 +74,19 @@ def run(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
         F.count(F.when(F.col(ERROR_COL).isNotNull(), 1)).alias("invalid"),
     ).collect()[0]
 
+    if settings.quarantine_path:
+        # durable error routing: raw strings + reason, replayable later
+        (
+            parsed.filter(F.col(ERROR_COL).isNotNull())
+            .select(
+                S.LINE_NUMBER,
+                ERROR_COL,
+                *[f"raw_{c}" for c in S.REQUIRED_COLUMNS],
+            )
+            .write.mode("overwrite")
+            .parquet(settings.quarantine_path)
+        )
+
     normed = normalize_trips(
         parsed.filter(F.col(ERROR_COL).isNull()),
         settings.convert_to_utc,

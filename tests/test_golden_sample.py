@@ -87,3 +87,25 @@ def test_utc_conversion_and_travel_time(spark):
     assert str(row["tpep_pickup_datetime"]) == "2020-01-01 05:28:15"
     assert row["TravelTimeSeconds"] == (33 * 60 + 3) - (28 * 60 + 15)
     assert row["store_and_fwd_flag"] == "No"
+
+
+def test_quarantine_sink_holds_invalid_rows(spark, tmp_path):
+    settings = EtlSettings(
+        input_path=SAMPLE_CSV,
+        duplicates_path=str(tmp_path / "dups"),
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    run(spark, settings)
+    q = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert q.count() == 145
+    by_error = {
+        r[ERROR_COL]: r["cnt"]
+        for r in q.groupBy(ERROR_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert by_error == {
+        "invalid fare_amount": 96,
+        "invalid passenger_count": 49,
+    }
+    # raw strings preserved for replay
+    assert any(c.startswith("raw_") for c in q.columns)
+    assert "line_number" in q.columns
