@@ -113,9 +113,15 @@ def read_trips_csv(
     # Drop the header + blank lines first, then number what's left:
     # zipWithIndex on the filtered RDD yields contiguous 0-based indices in
     # file order with blanks never counted (reference :97-103 semantics).
+    # Multi-file inputs (directory/glob): every file carries the same
+    # header line — drop EVERY occurrence, not just index 0, or the
+    # second file's header would be numbered as a data row. (Files must
+    # share the same header; the column binding comes from the first.)
     data = (
         lines.zipWithIndex()
-        .filter(lambda li: li[1] > 0 and li[0].strip() != "")
+        .filter(
+            lambda li: li[1] > 0 and li[0].strip() != "" and li[0] != header
+        )
         .map(lambda li: li[0])
         .zipWithIndex()
         .map(lambda li: (li[0], li[1] + 1))

@@ -86,3 +86,17 @@ def test_missing_trailing_fields_null_padded(spark, tmp_path):
     row = read_trips_csv(spark, path).collect()[0]
     assert row["passenger_count"] == "1"
     assert row["tip_amount"] is None
+
+
+def test_directory_of_csvs_drops_repeated_headers(spark, tmp_path):
+    """Multi-file input: each file's header must be dropped, and line
+    numbers must stay contiguous over data rows only."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    header = ",".join(REQUIRED_COLUMNS) + "\n"
+    (d / "a.csv").write_text(header + ROW9 + "\n")
+    (d / "b.csv").write_text(header + ROW9.replace("1.5", "9.9") + "\n")
+    df = read_trips_csv(spark, str(d))
+    rows = df.orderBy("line_number").collect()
+    assert [r["line_number"] for r in rows] == [1, 2]
+    assert {r["trip_distance"] for r in rows} == {"1.5", "9.9"}
