@@ -27,6 +27,20 @@ from pyspark.sql import Column, DataFrame, functions as F
 from etl_developstoday_test_spark.functions import ACC_DECIMAL
 
 
+def _row_salt(n_salts: int):
+    """Per-ROW salt in [0, n_salts): deterministic for a given plan, and
+    varying within every partition.
+
+    ``monotonically_increasing_id`` is (partition_id << 33) + row offset,
+    so consecutive rows of the same hot key get different salts even when
+    the key's rows all sit in ONE input partition — the exact case
+    salting exists for (post-shuffle concentration, single-file scans).
+    A partition-id-based salt degenerates there: every row of the
+    partition lands on the same reducer.
+    """
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+
+
 def salted_sum_count(
     df: DataFrame,
     keys: list[str],
@@ -36,11 +50,8 @@ def salted_sum_count(
     """Exact per-key SUM(value) (as double) and COUNT(*) computed via a
     salted two-phase aggregation. Output: keys + sum_value + n_rows."""
     v = F.col(value) if isinstance(value, str) else value
-    # the salt must vary WITHIN a key: the input partition id does, costs
-    # nothing to compute, and keeps the phase-1 combine map-local
-    salted = df.withColumn(
-        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
-    )
+    # the salt must vary WITHIN a key — per row, not per input partition
+    salted = df.withColumn("_salt", _row_salt(n_salts))
     partial = salted.groupBy(*keys, "_salt").agg(
         F.sum(v.cast(ACC_DECIMAL)).alias("_psum"),
         F.count(F.lit(1)).alias("_pcnt"),
@@ -69,9 +80,7 @@ def salted_join(
     shuffle of each side on (key, salt). Result set is value-identical
     to the plain join — the salt never leaves the join.
     """
-    salted_big = big.withColumn(
-        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
-    )
+    salted_big = big.withColumn("_salt", _row_salt(n_salts))
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
     ).alias("_salt")

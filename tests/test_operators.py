@@ -231,3 +231,39 @@ def test_connected_components_chain_clique_isolate(spark):
         for r in connected_components(edges, verts).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_salt_spreads_hot_key_from_single_partition(spark):
+    """A hot key concentrated in ONE input partition must still spread
+    across all n_salts sub-keys — the regression for the per-partition
+    salt flaw (a partition-id salt gives every row the same salt here)."""
+    from etl_developstoday_test_spark.operators.skew import (
+        _row_salt,
+        salted_join,
+        salted_sum_count,
+    )
+
+    n_salts = 8
+    hot = (
+        spark.range(4000)
+        .coalesce(1)  # the adversarial case: a single input partition
+        .select(F.lit("hot").alias("k"), (F.col("id") % 7).cast("double").alias("v"))
+    )
+    salt_counts = (
+        hot.withColumn("_salt", _row_salt(n_salts))
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(salt_counts) == n_salts, salt_counts
+    # roughly balanced: no salt holds more than 2x its fair share
+    assert max(r["count"] for r in salt_counts) < 2 * 4000 / n_salts
+
+    # values unchanged vs the plain aggregation
+    got = salted_sum_count(hot, ["k"], "v", n_salts=n_salts).collect()[0]
+    assert got["n_rows"] == 4000
+    assert got["sum_value"] == sum(i % 7 for i in range(4000))
+
+    dim = spark.createDataFrame([("hot", "enriched")], "dk string, attr string")
+    joined = salted_join(hot, dim, "k", "dk", n_salts=n_salts)
+    assert joined.count() == 4000
