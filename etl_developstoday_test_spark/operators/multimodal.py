@@ -10,10 +10,10 @@ end-to-end. Swap a real decoder in by registering into ``DECODERS``.
 Design rules for 100 TB of media:
 - media bytes ride in a ``binary`` column next to typed metadata; never
   as millions of small files driven from the driver;
-- all decode/feature work goes through ``mapInPandas`` (Arrow batches,
-  pandas-vectorizable, no per-row Python dispatch) and is sized by
-  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of decoded
-  frames fits executor memory;
+- ONLY the decode crosses into Python, as an Arrow-batched pandas UDF
+  sized by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch
+  of decoded frames fits executor memory; everything the JVM can compute
+  (byte length, content hash) stays in WholeStageCodegen;
 - derived features (embeddings, thumbnails, frame samples) come back as
   ordinary columns so everything downstream is plain DataFrame code.
 """
@@ -21,7 +21,7 @@ Design rules for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Callable, Iterator
+from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -95,34 +95,32 @@ DECODERS: dict[str, Callable[[bytes], list[float]]] = {
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + featurize every media row via Arrow-batched mapInPandas.
-
-    Each pandas batch is processed column-at-a-time; the per-row Python
-    work is only the decoder call itself (unavoidable for codecs).
+    """Decode + featurize every media row. Columns the JVM can compute
+    stay in codegen (``F.length``, ``F.sha2`` — no Python); ONLY the
+    decode itself crosses into Python, as an Arrow-batched pandas UDF
+    whose per-row work is the decoder call (unavoidable for codecs).
     """
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            content = pdf["content"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": content.map(lambda b: len(b) if b is not None else 0).astype("int64"),
-                    "content_sha256": content.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "feature": [
-                        DECODERS[mt](b or b"")
-                        for mt, b in zip(pdf["media_type"], content)
-                    ],
-                }
-            )
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def decode(media_type: pd.Series, content: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                DECODERS[mt](b if b is not None else b"")
+                for mt, b in zip(media_type, content)
+            ]
+        )
 
-    # cap=8: each partition spawns a Python worker (interpreter + pandas
+    content = F.coalesce(F.col("content"), F.lit(b""))
+    # cap=16: each partition spawns a Python worker (interpreter + pandas
     # import); for small batches worker startup dominates, and at real
     # scale the input is already wide so the cap never binds.
-    return fan_out(media, cap=8).mapInPandas(process, schema=FEATURE_SCHEMA)
+    return fan_out(media, cap=16).select(
+        "media_id",
+        "media_type",
+        F.length(content).cast("long").alias("n_bytes"),
+        F.sha2(content, 256).alias("content_sha256"),
+        decode("media_type", "content").alias("feature"),
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

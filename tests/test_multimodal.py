@@ -23,7 +23,9 @@ def media(spark):
 
 def test_extract_features_schema_and_determinism(media):
     out = multimodal.extract_features(media)
-    assert out.schema == multimodal.FEATURE_SCHEMA
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in multimodal.FEATURE_SCHEMA.fields
+    ]
     rows = {r["media_id"]: r for r in out.collect()}
     assert len(rows) == 4
     img = rows[1]
