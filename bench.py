@@ -39,17 +39,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall seconds, all registered queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the TAIL of stdout, so the canonical line
+    # must be short AND last: emit the compact summary first (for
+    # head-readers), then the full per-query map (may be truncated), then
+    # the compact summary again as the final line. The compact form keeps
+    # only the slowest queries so the line stays well under 2000 chars.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    compact = json.dumps(
+        {
+            "metric": "total wall seconds, all registered queries",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": slowest,
+        }
     )
+    print(compact)
+    print(json.dumps({"queries_full": timings, "sf": sf_val}))
+    print(compact)
     spark.stop()
 
 
