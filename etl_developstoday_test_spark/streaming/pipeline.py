@@ -69,11 +69,15 @@ def run_stream(
 ):
     """Start the streaming ETL; returns the StreamingQuery.
 
-    Clean rows land in ``settings.output_path`` (parquet, appended
-    exactly-once per checkpoint); rows dropped as duplicates are counted
-    per batch into ``<duplicates_path>/counts`` (a stream cannot
-    replay the raw losers the way the batch side-output does — the batch
-    pipeline remains the fidelity mode for that file).
+    Clean rows land in ``settings.output_path`` as parquet partitioned by
+    ``_batch_id`` with dynamic partition overwrite — a replayed
+    micro-batch overwrites its own partition instead of appending twice,
+    which is what makes the foreachBatch sink idempotent (effective
+    exactly-once per batch). Per-batch clean-row counts go to
+    ``<duplicates_path>/counts`` the same way; duplicates dropped by the
+    stateful dedup = source input rows − clean rows (the raw loser ROWS
+    are not replayable from a stream — the batch pipeline remains the
+    fidelity mode for the duplicates file).
     """
     normed = _transform(read_trips_stream(spark, settings.input_path, settings.delimiter), settings)
     deduped = normed.withWatermark(S.PICKUP, watermark).dropDuplicatesWithinWatermark(
@@ -83,7 +87,26 @@ def run_stream(
     clean_cols = [f.name for f in S.CLEAN_SCHEMA.fields]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.select(*clean_cols).write.mode("append").parquet(settings.output_path)
+        out = batch_df.select(*clean_cols).withColumn("_batch_id", F.lit(batch_id))
+        out.persist()  # one computation feeds both the write and the count
+        try:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(settings.output_path)
+            )
+            counts = batch_df.sparkSession.createDataFrame(
+                [(out.count(), batch_id)], "n_clean long, _batch_id long"
+            )
+            (
+                counts.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(f"{settings.duplicates_path}/counts")
+            )
+        finally:
+            out.unpersist()
 
     writer = deduped.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -139,42 +162,67 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     and an exact decimal total as a string — so state size grows with
     #users, not #events.
 
-    Determinism: each value is quantized to DECIMAL(…,10) with
-    round-half-up (the same conversion Spark's and DuckDB's
-    double→DECIMAL(30,10) cast performs) and accumulated with exact
-    decimal arithmetic, so the emitted total is independent of both
-    partitioning and arrival order — which is what lets a plain SQL
-    oracle verify a stateful Python operator bit-for-bit.
+    Determinism: each value is quantized to an integer count of 1e-10
+    quanta with round-half-up on the EXACT double value (the same
+    conversion Spark's and DuckDB's double→DECIMAL(30,10) cast performs)
+    and accumulated with exact integer arithmetic, so the emitted total
+    is independent of both partitioning and arrival order — which is
+    what lets a plain SQL oracle verify a stateful Python operator
+    bit-for-bit. The quantization is numpy-vectorized: float rounding of
+    ``v·1e10`` can only disagree with exact half-up rounding within
+    ~1e-3 of a tie boundary, so only the (rare) near-tie elements take
+    the exact per-element Decimal path.
     """
     from decimal import ROUND_HALF_UP, Decimal
 
+    import numpy as np
     import pandas as pd
 
     quantum = Decimal("1e-10")
 
+    def quanta_sum(values: pd.Series) -> int:
+        arr = np.asarray(values, dtype="float64")
+        if arr.size == 0:
+            return 0
+        scaled = np.abs(arr) * 1e10
+        # exact path for near-ties AND for |v| ≥ 1e3, where one ulp of
+        # v·1e10 exceeds the tie-detection margin
+        exact = (np.abs((scaled - np.floor(scaled)) - 0.5) < 1e-2) | (
+            np.abs(arr) >= 1e3
+        )
+        q = (np.sign(arr) * np.floor(scaled + 0.5))[~exact].astype("int64")
+        total = 0
+        step = 1 << 16  # chunked so each int64 partial sum cannot overflow
+        for i in range(0, q.size, step):
+            total += int(q[i : i + step].sum())
+        for v in arr[exact]:
+            total += int(
+                (Decimal(float(v)) * 10**10).to_integral_value(ROUND_HALF_UP)
+            )
+        return total
+
     def update(key, pdfs, state):
         if state.exists:
-            n, total_str = state.get
-            total = Decimal(total_str)
+            n, total_q_str = state.get
+            total_q = int(total_q_str)
         else:
-            n, total = 0, Decimal(0)
+            n, total_q = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            for v in pdf["value"]:
-                total += Decimal(float(v)).quantize(quantum, ROUND_HALF_UP)
-        state.update((n, str(total)))
+            total_q += quanta_sum(pdf["value"])
+        state.update((n, str(total_q)))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [float(total)],
+                "total_value": [float(Decimal(total_q) * quantum)],
             }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total_str string",
+        stateStructType="n long, total_q string",
         outputMode="update",
         timeoutConf="NoTimeout",
     )

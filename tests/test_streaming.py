@@ -56,6 +56,14 @@ def test_stream_etl_dedups_and_writes(spark, tmp_path):
     out2 = spark.read.parquet(str(tmp_path / "out"))
     assert out2.count() == 3  # only the new key landed
 
+    # per-batch clean-row counts side-output, keyed by batch id
+    counts = {
+        r["_batch_id"]: r["n_clean"]
+        for r in spark.read.parquet(str(tmp_path / "dups" / "counts")).collect()
+    }
+    assert sum(counts.values()) == 3
+    assert all(n >= 0 for n in counts.values()) and len(counts) >= 2
+
 
 def _events_stream(spark, tmp_path):
     src = tmp_path / "events_src"
