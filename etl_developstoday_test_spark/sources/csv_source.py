@@ -12,27 +12,34 @@ Reference semantics (SURVEY.md §2.1 S1–S4):
 
 Two scan modes:
 
-- ``line_numbers=True`` (fidelity mode): read the file(s) as text in file
-  order and assign indices with ``zipWithIndex``. ``zipWithIndex`` numbers
-  rows by (partition index, position), and Hadoop text splits of a file
-  enumerate in offset order, so the index *is* the file order. This is
-  the only mode that reproduces the reference's duplicates side-output
-  byte-for-byte; it costs one extra pass to size the partitions.
+- ``line_numbers=True`` (fidelity mode): JVM-only file-order numbering.
+  ``spark.read.text`` rows are tagged with (file, block offset,
+  monotonically_increasing_id); within a Hadoop text split rows enumerate
+  in file order and splits enumerate by block offset, so
+  ``row_number() OVER (PARTITION BY file, block ORDER BY mid)`` plus a
+  per-block cumulative offset (computed from a tiny block-count
+  aggregate, never from data rows) reconstructs the global 1-based line
+  number with NO per-line Python and NO global sort. This reproduces the
+  reference's duplicates side-output byte-for-byte; it costs one extra
+  counting pass — the same price ``zipWithIndex`` paid, minus the
+  Python round-trips.
 - ``line_numbers=False`` (throughput mode): plain ``spark.read.csv`` —
-  fully splittable, zero extra passes, JVM-only. Row order is not
-  defined, so first-wins dedup degrades to an arbitrary-but-deterministic
-  winner (documented in operators/dedup.py). Use this when the input is
-  already deduplicated or the winner identity doesn't matter.
+  fully splittable, zero extra passes. Row order is not defined, so
+  first-wins dedup degrades to an arbitrary-but-deterministic winner
+  (documented in operators/dedup.py). Columns are bound by POSITION
+  (first-duplicate-wins on repeated header names, same as fidelity mode).
 
 At 100 TB you would not ingest CSV with global line numbers at all — the
 scalable contract is "any total order works"; parquet/Delta inputs carry
 their own ordering column. Fidelity mode exists to match the reference's
-observable behavior exactly.
+observable behavior exactly, and its per-block offset map is block
+METADATA (≈ input bytes / 128 MB entries), which stays driver-sized even
+at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_developstoday_test_spark.schemas import LINE_NUMBER, RAW_SCHEMA, REQUIRED_COLUMNS
 
@@ -42,11 +49,11 @@ class MissingRequiredColumns(ValueError):
     (reference: InvalidDataException, CsvTripReaderService.cs:210-221)."""
 
 
-def _header_index_map(header_line: str, delimiter: str) -> dict[str, int]:
+def _header_index_map(names: list[str]) -> dict[str, int]:
     """Case-insensitive trimmed header→index map; first duplicate wins
     (reference: CsvTripReaderService.cs:163-184)."""
     mapping: dict[str, int] = {}
-    for idx, name in enumerate(header_line.split(delimiter)):
+    for idx, name in enumerate(names):
         key = name.strip().lower()
         if key and key not in mapping:
             mapping[key] = idx
@@ -60,6 +67,23 @@ def _resolve_required(mapping: dict[str, int]) -> dict[str, int]:
             f"CSV header is missing required column(s): {missing}"
         )
     return {c: mapping[c.lower()] for c in REQUIRED_COLUMNS}
+
+
+def _split_col(delimiter: str):
+    esc = "\\" + delimiter if delimiter in ".|\\^$*+?()[]{}" else delimiter
+    return F.split(F.col("value"), esc)
+
+
+def _probe_header(spark: SparkSession, path: str) -> str:
+    """First line of the (lexicographically first) input file, read via
+    the Hadoop input format — one line, no Python lambda over data."""
+    try:
+        header = spark.sparkContext.textFile(path).first()
+    except ValueError as exc:  # empty RDD
+        raise ValueError(f"empty CSV input: {path}") from exc
+    if not header.strip():
+        raise ValueError(f"empty CSV header: {path}")
+    return header
 
 
 def read_trips_csv(
@@ -82,57 +106,76 @@ def read_trips_csv(
         raise ValueError("delimiter must be a single character")
 
     if not line_numbers:
+        # Bind from the RAW header line (one-line probe), by POSITION:
+        # Spark's csv reader de-duplicates repeated header names by
+        # renaming, so its df.columns can't express first-duplicate-wins
+        # binding, and selecting by name is ambiguous anyway.
+        header = _probe_header(spark, path)
+        resolved = _resolve_required(_header_index_map(header.split(delimiter)))
         df = (
-            spark.read.option("header", True)
+            spark.read.option("header", True)  # drops the per-file header row
             .option("sep", delimiter)
             .csv(path)
         )
-        mapping = _header_index_map(delimiter.join(df.columns), delimiter)
-        resolved = _resolve_required(mapping)
+        positional = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
+        width = len(df.columns)
         cols = [
-            F.col(df.columns[idx]).cast("string").alias(name)
+            (
+                F.col(f"_c{idx}").cast("string") if idx < width
+                else F.lit(None).cast("string")
+            ).alias(name)
             for name, idx in resolved.items()
         ]
         # No file-order guarantee in this mode; monotonically_increasing_id
         # is deterministic per plan but NOT file order — documented above.
-        return df.select(*cols).withColumn(
+        return positional.select(*cols).withColumn(
             LINE_NUMBER, F.monotonically_increasing_id() + 1
         )
 
-    sc = spark.sparkContext
-    lines = sc.textFile(path)
-    try:
-        header = lines.first()
-    except ValueError as exc:  # empty RDD
-        raise ValueError(f"empty CSV input: {path}") from exc
-    if not header.strip():
-        raise ValueError(f"empty CSV header: {path}")
+    # ---- fidelity mode: JVM-only file-order line numbers ----
+    header = _probe_header(spark, path)
+    resolved = _resolve_required(_header_index_map(header.split(delimiter)))
 
-    resolved = _resolve_required(_header_index_map(header, delimiter))
-
-    # Drop the header + blank lines first, then number what's left:
-    # zipWithIndex on the filtered RDD yields contiguous 0-based indices in
-    # file order with blanks never counted (reference :97-103 semantics).
-    # Multi-file inputs (directory/glob): every file carries the same
-    # header line — drop EVERY occurrence, not just index 0, or the
-    # second file's header would be numbered as a data row. (Files must
-    # share the same header; the column binding comes from the first.)
-    data = (
-        lines.zipWithIndex()
-        .filter(
-            lambda li: li[1] > 0 and li[0].strip() != "" and li[0] != header
-        )
-        .map(lambda li: li[0])
-        .zipWithIndex()
-        .map(lambda li: (li[0], li[1] + 1))
+    base = spark.read.text(path).select(
+        "value",
+        F.input_file_name().alias("_file"),
+        F.input_file_block_start().alias("_block"),
+        F.monotonically_increasing_id().alias("_mid"),
     )
-    raw = spark.createDataFrame(data, schema="value string, line_number long")
+    # Drop header occurrences and blank lines BEFORE numbering: every
+    # file of a multi-file input repeats the same header line, and
+    # blanks are never counted or numbered (reference :97-103).
+    data = base.filter((F.trim("value") != "") & (F.col("value") != header))
 
-    tokens = F.split(F.col("value"), "\\" + delimiter if delimiter in ".|\\^$*+?()[]{}" else delimiter)
+    # Within one (file, block) all rows live in one task and _mid is
+    # assigned in read order, so this window never crosses executors'
+    # row order; partitioning by block keeps the sort local and bounded.
+    w = Window.partitionBy("_file", "_block").orderBy("_mid")
+    numbered = data.withColumn("_rn", F.row_number().over(w))
+
+    # Per-block row counts → cumulative start offsets. Block metadata
+    # only: one row per ~128 MB split, safely driver-sized at any scale.
+    counts = numbered.groupBy("_file", "_block").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: (r["_file"], r["_block"])):
+        offsets.append((r["_file"], r["_block"], acc))
+        acc += r["_n"]
+    if offsets:
+        off_df = spark.createDataFrame(
+            offsets, "_file string, _block long, _offset long"
+        )
+        numbered = numbered.join(F.broadcast(off_df), ["_file", "_block"])
+    else:
+        numbered = numbered.withColumn("_offset", F.lit(0).cast("long"))
+
+    tokens = _split_col(delimiter)
     cols = [
         F.get(tokens, idx).alias(name)  # F.get → null when index out of range
         for name, idx in resolved.items()
     ]
-    return raw.select(*cols, F.col(LINE_NUMBER)).select(
-        *[F.col(f.name).cast(f.dataType) for f in RAW_SCHEMA.fields]
+    raw = numbered.select(
+        *cols, (F.col("_offset") + F.col("_rn")).cast("long").alias(LINE_NUMBER)
     )
+    return raw.select(*[F.col(f.name).cast(f.dataType) for f in RAW_SCHEMA.fields])

@@ -100,3 +100,44 @@ def test_directory_of_csvs_drops_repeated_headers(spark, tmp_path):
     rows = df.orderBy("line_number").collect()
     assert [r["line_number"] for r in rows] == [1, 2]
     assert {r["trip_distance"] for r in rows} == {"1.5", "9.9"}
+
+
+def test_multifile_line_numbers_are_global_file_order(spark, tmp_path):
+    """Fidelity mode must number rows 1..N across a multi-file input in
+    (file, offset) order with headers and blanks never counted."""
+    header = ",".join(REQUIRED_COLUMNS)
+    d = tmp_path / "many"
+    d.mkdir()
+    (d / "a.csv").write_text(header + "\n" + ROW9 + "\n\n" + ROW9 + "\n")
+    (d / "b.csv").write_text(header + "\n" + ROW9 + "\n")
+    (d / "c.csv").write_text(header + "\n" + ROW9 + "\n" + ROW9 + "\n")
+    df = read_trips_csv(spark, str(d))
+    nums = sorted(r["line_number"] for r in df.collect())
+    assert nums == [1, 2, 3, 4, 5]
+
+
+def test_fidelity_plan_has_no_python_rdd_on_data(spark, tmp_path):
+    """The data branch of fidelity mode must be JVM-only: a text
+    FileScan feeding the window, never a Python RDD pass over lines."""
+    path = _write(tmp_path, ",".join(REQUIRED_COLUMNS) + "\n" + ROW9 + "\n")
+    df = read_trips_csv(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PythonRDD" not in plan
+    assert "FileScan text" in plan
+    # the only ExistingRDD allowed is the tiny block-offset table on the
+    # broadcast build side
+    assert plan.count("ExistingRDD") <= 1
+
+
+def test_throughput_mode_binds_duplicate_headers_by_position(spark, tmp_path):
+    """First-duplicate-wins on repeated header names requires positional
+    binding — selecting by name is ambiguous."""
+    header = "tpep_pickup_datetime,tpep_pickup_datetime," + ",".join(
+        c for c in REQUIRED_COLUMNS if c != "tpep_pickup_datetime"
+    )
+    rest = [v for c, v in zip(REQUIRED_COLUMNS, ROW9.split(",")) if c != "tpep_pickup_datetime"]
+    path = _write(tmp_path, header + "\nFIRST,SECOND," + ",".join(rest) + "\n")
+    df = read_trips_csv(spark, path, line_numbers=False)
+    row = df.collect()[0]
+    assert row["tpep_pickup_datetime"] == "FIRST"  # first duplicate wins
+    assert row["trip_distance"] == "1.5"
