@@ -1,12 +1,16 @@
 """Normalization of valid parsed trips (SURVEY.md §2.3 T2–T4).
 
-- T3 EST→UTC: ``to_utc_timestamp(ts, "America/New_York")`` — identical
-  semantics to .NET's ``TimeZoneInfo.ConvertTimeToUtc`` with the Windows
-  id "Eastern Standard Time" including DST rules (reference
-  ``TripRowNormalizerService.cs:174-191``): DST-gap times map forward,
-  ambiguous fall-back times resolve to the standard (post-transition)
-  offset. Toggleable — when disabled the wall-clock value is stamped
-  as-is (reference ``:176-182``).
+- T3 EST→UTC, matching .NET's ``TimeZoneInfo.ConvertTimeToUtc``
+  (reference ``TripRowNormalizerService.cs:174-191``) on BOTH DST edges:
+  gap (spring-forward) times never reach this stage — .NET throws and
+  the reference routes the row to invalid, which parse_trips mirrors by
+  tagging them ``UTC_CONVERT_ERROR`` — and ambiguous (fall-back) times
+  resolve to the STANDARD offset (.NET's rule), where Spark's
+  ``to_utc_timestamp`` alone would pick the daylight offset; detected
+  via the +1h round trip (assumes the universal 1-hour DST shift; holds
+  for every IANA zone with DST since 1945 except Lord Howe Island).
+  Toggleable — when disabled the wall-clock value is stamped as-is
+  (reference ``:176-182``).
 - T2 flag recode N→No / Y→Yes (reference ``:138-167``; stored as string,
   ``TripConfiguration.cs:50-53``). Domain violations were already routed
   to the error column by parse_trips.
@@ -24,6 +28,18 @@ from pyspark.sql import DataFrame, functions as F
 from etl_developstoday_test_spark import schemas as S
 
 
+def _to_utc_standard(col: str, timezone: str):
+    """Wall-clock → UTC resolving ambiguous fall-back times to the
+    STANDARD offset, as .NET's ConvertTimeToUtc does. Spark/java.time
+    pick the EARLIER (daylight) offset; a wall time is ambiguous exactly
+    when the one-hour-later UTC instant maps back to the same wall time,
+    in which case that later instant is the standard-offset reading."""
+    early = F.to_utc_timestamp(F.col(col), timezone)
+    later = early + F.expr("INTERVAL 1 HOUR")
+    ambiguous = F.from_utc_timestamp(later, timezone) == F.col(col)
+    return F.when(ambiguous, later).otherwise(early)
+
+
 def normalize_trips(
     valid: DataFrame,
     convert_to_utc: bool = True,
@@ -32,8 +48,8 @@ def normalize_trips(
     """valid parsed rows → clean-stage columns (+ line_number, raw_* kept
     through dedup so the duplicates side-output can emit raw strings)."""
     if convert_to_utc:
-        pickup = F.to_utc_timestamp("pickup_local", timezone)
-        dropoff = F.to_utc_timestamp("dropoff_local", timezone)
+        pickup = _to_utc_standard("pickup_local", timezone)
+        dropoff = _to_utc_standard("dropoff_local", timezone)
     else:
         pickup = F.col("pickup_local")
         dropoff = F.col("dropoff_local")

@@ -8,7 +8,8 @@ order at reference ``TripRowParserService.cs:34-139``):
 
     pickup ts → dropoff ts → passenger_count → trip_distance →
     flag non-empty → PULocationID → DOLocationID → fare → tip →
-    flag ∈ {N,Y} (normalizer, ``TripRowNormalizerService.cs:99-105``) →
+    UTC-convertible (no DST gap; normalizer ``TripRowNormalizerService
+    .cs:84-97``) → flag ∈ {N,Y} (``:99-105``) →
     dropoff ≥ pickup (Trip ctor, ``Trip.cs:69-74``)
 
 ``error IS NULL`` ⇔ the row is valid. The pipeline never aborts on a bad
@@ -23,6 +24,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 from etl_developstoday_test_spark import schemas as S
 
 ERROR_COL = "error"
+
+# Normalize-stage error messages (reference runs these AFTER the parser
+# has already counted the row as parsed — TripEtlPipelineService.cs:103
+# increments parsedRows before Normalize() runs, so rows failing these
+# checks count in BOTH ParsedRows and InvalidRows).
+UTC_CONVERT_ERROR = "failed to convert timestamps to UTC"
+FLAG_DOMAIN_ERROR = "invalid store_and_fwd_flag domain"
+DROPOFF_BEFORE_PICKUP_ERROR = "dropoff before pickup"
+NORMALIZE_STAGE_ERRORS = (
+    UTC_CONVERT_ERROR,
+    FLAG_DOMAIN_ERROR,
+    DROPOFF_BEFORE_PICKUP_ERROR,
+)
 
 # Lenient fallback chain used when no input format is configured
 # (reference falls back to a culture-invariant general parse,
@@ -59,7 +73,12 @@ def _parse_decimal(col: Column, dtype) -> Column:
     )
 
 
-def parse_trips(raw: DataFrame, input_datetime_format: str | None = "M/d/yyyy h:mm:ss a") -> DataFrame:
+def parse_trips(
+    raw: DataFrame,
+    input_datetime_format: str | None = "M/d/yyyy h:mm:ss a",
+    convert_to_utc: bool = True,
+    timezone: str = "America/New_York",
+) -> DataFrame:
     """raw (all-string) → typed columns + first-failure ``error`` column.
 
     Output columns: pickup_local, dropoff_local (naive wall-clock
@@ -112,11 +131,41 @@ def parse_trips(raw: DataFrame, input_datetime_format: str | None = "M/d/yyyy h:
         .when(c(S.DO_LOCATION_ID).isNull() | (c(S.DO_LOCATION_ID) < 0), F.lit(f"invalid {S.DO_LOCATION_ID}"))
         .when(c(S.FARE_AMOUNT).isNull() | neg(S.FARE_AMOUNT), F.lit(f"invalid {S.FARE_AMOUNT}"))
         .when(c(S.TIP_AMOUNT).isNull() | neg(S.TIP_AMOUNT), F.lit(f"invalid {S.TIP_AMOUNT}"))
-        # normalize-stage failures (reference runs these after parse)
-        .when(~c(S.STORE_AND_FWD_FLAG).isin("N", "Y"), F.lit(f"invalid {S.STORE_AND_FWD_FLAG} domain"))
-        .when(c("dropoff_local") < c("pickup_local"), F.lit("dropoff before pickup"))
+        # normalize-stage failures (reference runs these after parse, in
+        # this order: UTC conversion → flag domain → Trip invariants;
+        # TripRowNormalizerService.cs:78-126)
+        .when(
+            _is_dst_gap("pickup_local", convert_to_utc, timezone)
+            | _is_dst_gap("dropoff_local", convert_to_utc, timezone),
+            F.lit(UTC_CONVERT_ERROR),
+        )
+        .when(~c(S.STORE_AND_FWD_FLAG).isin("N", "Y"), F.lit(FLAG_DOMAIN_ERROR))
+        .when(c("dropoff_local") < c("pickup_local"), F.lit(DROPOFF_BEFORE_PICKUP_ERROR))
     )
     return typed.withColumn(ERROR_COL, error)
+
+
+def _is_dst_gap(col: str, convert_to_utc: bool, timezone: str) -> Column:
+    """True for wall-clock times that do not exist in ``timezone``
+    (spring-forward gap). .NET's ``ConvertTimeToUtc`` THROWS on these
+    (reference routes the row to invalid, TripRowNormalizerService.cs:
+    84-97); Spark's ``to_utc_timestamp`` would silently shift them
+    forward, so the gap is detected by the round trip not restoring the
+    original wall time."""
+    if not convert_to_utc:
+        return F.lit(False)
+    return (
+        F.from_utc_timestamp(F.to_utc_timestamp(F.col(col), timezone), timezone)
+        != F.col(col)
+    )
+
+
+def parse_ok() -> Column:
+    """True for rows that survived the PARSE stage (the reference's
+    ParsedRows counter): no error, or a normalize-stage error."""
+    return F.col(ERROR_COL).isNull() | F.col(ERROR_COL).isin(
+        *NORMALIZE_STAGE_ERRORS
+    )
 
 
 def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:

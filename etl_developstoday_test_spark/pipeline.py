@@ -20,7 +20,12 @@ from etl_developstoday_test_spark import schemas as S
 from etl_developstoday_test_spark.config import EtlSettings
 from etl_developstoday_test_spark.operators.dedup import first_wins_dedup
 from etl_developstoday_test_spark.operators.normalize import normalize_trips
-from etl_developstoday_test_spark.operators.parse import ERROR_COL, parse_trips, split_valid
+from etl_developstoday_test_spark.operators.parse import (
+    ERROR_COL,
+    parse_ok,
+    parse_trips,
+    split_valid,
+)
 from etl_developstoday_test_spark.sinks import (
     write_duplicates_csv,
     write_trips_jdbc,
@@ -41,7 +46,12 @@ def build_stages(
         delimiter=settings.delimiter,
         line_numbers=settings.line_numbers,
     )
-    parsed = parse_trips(raw, settings.input_datetime_format)
+    parsed = parse_trips(
+        raw,
+        settings.input_datetime_format,
+        settings.convert_to_utc,
+        settings.timezone,
+    )
     valid, invalid = split_valid(parsed)
     normed = normalize_trips(valid, settings.convert_to_utc, settings.timezone)
     unique, dups = first_wins_dedup(normed, DEDUP_KEYS, S.LINE_NUMBER)
@@ -67,10 +77,14 @@ def run(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
     # One cache point: the normalized stage feeds dedup twice (winners +
     # losers) and the stats; raw/parsed counts are derived in a single
     # aggregate over `parsed` rather than one job per counter.
+    # ParsedRows counts rows that survive the PARSE stage only: the
+    # reference increments parsedRows BEFORE normalization, so rows that
+    # later fail normalize-stage checks count in both ParsedRows and
+    # InvalidRows (TripEtlPipelineService.cs:103-126).
     parsed = stages["parsed"].persist()
     counters = parsed.agg(
         F.count(F.lit(1)).alias("total"),
-        F.count(F.when(F.col(ERROR_COL).isNull(), 1)).alias("parsed"),
+        F.count(F.when(parse_ok(), 1)).alias("parsed"),
         F.count(F.when(F.col(ERROR_COL).isNotNull(), 1)).alias("invalid"),
     ).collect()[0]
 

@@ -55,7 +55,12 @@ def read_trips_stream(
 
 
 def _transform(raw: DataFrame, settings: EtlSettings) -> DataFrame:
-    parsed = parse_trips(raw, settings.input_datetime_format)
+    parsed = parse_trips(
+        raw,
+        settings.input_datetime_format,
+        settings.convert_to_utc,
+        settings.timezone,
+    )
     valid = parsed.filter(F.col(ERROR_COL).isNull())
     return normalize_trips(valid, settings.convert_to_utc, settings.timezone)
 
