@@ -73,9 +73,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (doc_a < doc_b) whose n-word-shingle Jaccard similarity
     ≥ threshold. Candidates come from the shared-shingle equi-join;
-    ``df_max`` drops ubiquitous shingles to bound fan-out at scale."""
+    ``df_max`` drops ubiquitous shingles to bound fan-out at scale.
+
+    With ``df_max`` set, the similarity is the exact Jaccard of the
+    FILTERED shingle space: sizes are computed after the rarity filter,
+    so intersections and set sizes live in the same space (mixing
+    filtered intersections with unfiltered sizes would systematically
+    underestimate similarity near the threshold)."""
     sh = _doc_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if df_max is not None:
         rare = (
             sh.groupBy("shingle")
@@ -84,6 +89,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

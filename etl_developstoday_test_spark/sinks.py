@@ -26,6 +26,35 @@ def write_trips_parquet(clean: DataFrame, path: str, partition_by: list[str] | N
     writer.parquet(path)
 
 
+# The 9 bulk-inserted columns, in the reference's exact mapping order
+# (SqlBulkTripInserterService.cs BulkSchema.Columns:143-155). Id is the
+# DB identity and TravelTimeSeconds a persisted computed column
+# (script.sql:44) — neither is bulk-mapped, so the JDBC frame must NOT
+# carry them.
+JDBC_BULK_COLUMNS = [
+    S.PICKUP,
+    S.DROPOFF,
+    S.PASSENGER_COUNT,
+    S.TRIP_DISTANCE,
+    S.STORE_AND_FWD_FLAG,
+    S.PU_LOCATION_ID,
+    S.DO_LOCATION_ID,
+    S.FARE_AMOUNT,
+    S.TIP_AMOUNT,
+]
+
+
+def jdbc_write_plan(
+    clean: DataFrame, batch_size: int = 5000
+) -> tuple[DataFrame, dict[str, str]]:
+    """The exact (projected frame, writer options) handed to the JDBC
+    writer — factored out so the column mapping and batchsize plumbing
+    are assertable without a live database, matching the reference's own
+    offline BuildDataTable tests (SqlBulkTripInserterServiceTests.cs:
+    127-212)."""
+    return clean.select(*JDBC_BULK_COLUMNS), {"batchsize": str(batch_size)}
+
+
 def write_trips_jdbc(
     clean: DataFrame,
     url: str,
@@ -37,13 +66,11 @@ def write_trips_jdbc(
     BatchSize=5000 — SqlBulkTripInserterService.cs:57-135). Spark's
     per-partition JDBC writer with ``batchsize`` is the same micro-batch
     contract; write parallelism = number of partitions."""
-    cols = [f.name for f in S.CLEAN_SCHEMA.fields]
-    (
-        clean.select(*cols)
-        .write.mode("append")
-        .option("batchsize", batch_size)
-        .jdbc(url, table, properties=properties)
-    )
+    projected, options = jdbc_write_plan(clean, batch_size)
+    writer = projected.write.mode("append")
+    for key, value in options.items():
+        writer = writer.option(key, value)
+    writer.jdbc(url, table, properties=properties)
 
 
 def write_duplicates_csv(losers: DataFrame, path: str, coalesce: bool = True) -> None:

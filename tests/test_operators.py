@@ -267,3 +267,29 @@ def test_salt_spreads_hot_key_from_single_partition(spark):
     dim = spark.createDataFrame([("hot", "enriched")], "dk string, attr string")
     joined = salted_join(hot, dim, "k", "dk", n_salts=n_salts)
     assert joined.count() == 4000
+
+
+def test_ngram_jaccard_df_max_sizes_match_filtered_space(spark):
+    """With df_max set, sizes and intersections must live in the same
+    (filtered) shingle space — the exact Jaccard of what survives the
+    rarity filter, not filtered intersections over unfiltered sizes."""
+    common = "the quick brown fox"  # shared by all docs → df=3 > df_max
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common} alpha beta gamma delta"),
+            (2, f"{common} alpha beta gamma epsilon"),
+            (3, f"{common} zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in text_dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, df_max=2
+        ).collect()
+    }
+    # df_max=2 drops "the quick brown" and "quick brown fox" (df=3).
+    # Post-filter doc1/doc2 each keep 4 shingles, sharing {brown fox
+    # alpha, fox alpha beta, alpha beta gamma} → J = 3/(4+4−3) = 0.6.
+    # The pre-fix code divided by unfiltered sizes (6) → 3/9 ≈ 0.33.
+    assert pairs[(1, 2)] == 0.6
