@@ -51,13 +51,13 @@ _DRIVER_PRIORITY = [
     "text_tfidf_top_terms", "join_shuffle_hash_hint",
     "tpch_q4_order_priority", "tpch_q12_priority_shipping",
     "tpch_q19_disjunctive", "tpch_q22_dormant_customers",
-    # oracles added/upgraded this round (were err: no_oracle in r1)
+    # oracles added/upgraded this round (were err: no_oracle in r1, or new)
     "dedup_simhash_near_pairs", "agg_approx_distinct",
-    "embed_ann_ivf_topk", "embed_ann_ivf_recall",
+    "agg_approx_percentiles", "embed_ann_ivf_topk", "embed_ann_ivf_recall",
     # flagship re-verification
     "q1_argmax_group_avg", "q2_topk_by_measure", "q3_topk_by_derived",
     "q4_selective_filter", "etl_stats_counters", "etl_dedup_first_wins",
-    "tpch_q1_pricing_summary", "dedup_minhash_lsh", "embed_cosine_topk",
+    "tpch_q1_pricing_summary", "dedup_minhash_lsh",
     "mm_media_features",
 ]
 

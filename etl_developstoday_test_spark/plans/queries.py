@@ -1000,6 +1000,43 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACCURACY = 1000  # GK summary: rank error ≤ n / accuracy
+
+
+@_register(
+    "agg_approx_percentiles",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS within_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based quantile path you'd run at
+    100 TB instead of the exact sort-based percentile (see
+    agg_percentiles_quantity). Like the HLL entry, the sketch value
+    itself is engine-specific, so the driver-visible contract is its
+    GUARANTEE: the returned median's rank must lie within n/accuracy of
+    n/2. The row carries ``within_bounds`` computed from exact rank
+    counts; the oracle asserts TRUE."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    ap = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_quantity", F.lit(0.5), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("_ap50"),
+    )
+    ranked = li.join(F.broadcast(ap), "l_returnflag").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") < F.col("_ap50"), 1)).alias("_rank_lt"),
+        F.count(F.when(F.col("l_quantity") <= F.col("_ap50"), 1)).alias("_rank_le"),
+    )
+    slack = F.col("n_rows") / APPROX_PCT_ACCURACY
+    target = F.col("n_rows") * 0.5
+    within = (F.col("_rank_lt") <= target + slack) & (
+        F.col("_rank_le") >= target - slack
+    )
+    return ranked.select("l_returnflag", "n_rows", within.alias("within_bounds"))
+
+
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"),
