@@ -141,3 +141,28 @@ def test_salted_join_replicates_small_side(spark):
     # key includes the salt
     assert "Generate explode" in plan
     assert "_salt" in plan
+
+
+def test_salted_join_salt_varies_per_row_not_per_partition(spark):
+    """Regression for the r1 salt flaw: the salt expression must derive
+    from a per-row id, never from spark_partition_id (which collapses a
+    single-partition hot key onto one reducer)."""
+    plan = plan_of(spark, "join_salted_skew_enrich")
+    assert "spark_partition_id" not in plan
+    assert "monotonically_increasing_id" in plan
+
+
+def test_approx_percentiles_broadcasts_sketch_back(spark):
+    """The per-group sketch (3 rows) must broadcast onto the fact scan
+    for the exact-rank verification pass — never a shuffle join."""
+    plan = plan_of(spark, "agg_approx_percentiles")
+    assert "BroadcastHashJoin" in plan
+    assert "approx_percentile" in plan
+
+
+def test_media_features_hashes_jvm_side(spark):
+    """n_bytes/content_sha256 must be codegen expressions; only the
+    decoder crosses into Python (single ArrowEvalPython stage)."""
+    plan = plan_of(spark, "mm_media_features")
+    assert "sha2" in plan and "length" in plan
+    assert plan.count("ArrowEvalPython") == 1
