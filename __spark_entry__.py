@@ -54,10 +54,10 @@ _DRIVER_PRIORITY = [
     # oracles added/upgraded this round (were err: no_oracle in r1, or new)
     "dedup_simhash_near_pairs", "agg_approx_distinct",
     "agg_approx_percentiles", "embed_ann_ivf_topk", "embed_ann_ivf_recall",
+    "text_pii_scrub", "sample_stratified_rebalance",
     # flagship re-verification
-    "q1_argmax_group_avg", "q2_topk_by_measure", "q3_topk_by_derived",
-    "q4_selective_filter", "etl_stats_counters", "etl_dedup_first_wins",
-    "tpch_q1_pricing_summary", "dedup_minhash_lsh",
+    "q1_argmax_group_avg", "q4_selective_filter", "etl_stats_counters",
+    "etl_dedup_first_wins", "tpch_q1_pricing_summary", "dedup_minhash_lsh",
     "mm_media_features",
 ]
 

@@ -113,3 +113,38 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         (md5_long(normalized) % 1024).alias("fingerprint_bucket"),
     )
+
+
+# PII scrubbing: pattern → redaction token, applied in list order. The
+# patterns use only RE2-safe syntax (\b, classes, bounded repeats) so
+# the DuckDB oracle's regexp engine matches Java's byte-for-byte on
+# them. Counts are defined over the ORIGINAL text per pattern;
+# replacement is sequential in list order on both engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, SSNs) from a
+    text column — the standard pre-training scrub pass. Pure codegen
+    ``regexp_replace`` chain (no Python), a narrow map over the scan:
+    scales with bytes read at any corpus size.
+
+    Returns the input columns with ``text`` replaced by the scrubbed
+    value plus one ``n_<kind>`` match count per pattern (counted on the
+    original text, so counts are independent of replacement order).
+    """
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pattern, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(*others, scrubbed.alias(text_col), *counts)

@@ -2155,6 +2155,92 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_sql() -> str:
+    from etl_developstoday_test_spark.operators.text_analysis import PII_PATTERNS
+
+    (_, p_email, _), (_, p_phone, _), (_, p_ssn, _) = PII_PATTERNS
+    inject = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com"
+        " or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' id 123-45-6789'"
+    )
+    return """
+    WITH injected AS (SELECT doc_id, {inject} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{e}', '<EMAIL>', 'g'),
+             '{p}', '<PHONE>', 'g'),
+             '{s}', '<SSN>', 'g') AS text,
+           CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{s}')) AS BIGINT) AS n_ssn
+    FROM injected
+    """.format(inject=inject, e=p_email, p=p_phone, s=p_ssn)
+
+
+@_register("text_pii_scrub", _pii_sql())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text_analysis.pii_scrub) — the standard
+    pre-training redaction pass as a pure codegen regexp chain. The
+    synthetic corpus carries no real PII, so the query deterministically
+    injects an email/phone/SSN per document and the oracle replays the
+    same injection + scrub; counts are per-pattern over the original
+    text."""
+    from etl_developstoday_test_spark.operators.text_analysis import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" id 123-45-6789"),
+        ).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
+@_register(
+    "sample_stratified_rebalance",
+    f"""
+    WITH b AS (
+      SELECT label,
+             {_md5long("'strat#' || CAST(vec_id AS VARCHAR)")} % 100 AS bucket
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             WHERE bucket < CASE WHEN label % 2 = 0 THEN 10 ELSE 30 END
+           ) AS n_sampled
+    FROM b GROUP BY label
+    """,
+)
+def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum hash sampling (operators/sampling.stratified_sample):
+    class rebalancing with per-label rates (10% even labels, 30% odd),
+    chosen by key hash so the sample is stable across runs, engines and
+    re-ingests. Narrow-map filter; the only shuffle is the final count
+    aggregation."""
+    from etl_developstoday_test_spark.operators.sampling import stratified_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rate = F.when(F.col("label") % 2 == 0, 10).otherwise(30)
+    sampled = (
+        stratified_sample(emb, "vec_id", "label", rate)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(sampled, "label", "left").select(
+        "label",
+        "n_total",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
 @_register(
     "dedup_incremental_new_docs",
     """
