@@ -3033,3 +3033,529 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# --- TPC-H shapes 2/8/9/11/13/15/16/17/20/21 (adapted: no partsupp
+# table, no comment/commit/receipt columns in the testdata — each query
+# keeps the original's STRUCTURAL pattern and swaps in available
+# columns; the lineitem fact stands in for partsupp where needed) ------
+
+
+@_register(
+    "tpch_q2_min_price_supplier",
+    f"""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, {_davg('l_extendedprice')} AS avg_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    europe_offers AS (
+      SELECT p_partkey, p_type, p_size, s_name, s_acctbal, avg_price,
+             MIN(avg_price) OVER (PARTITION BY p_partkey) AS min_price
+      FROM offers
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, p_partkey, p_type, avg_price AS price
+    FROM europe_offers WHERE avg_price = min_price
+    ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100
+    """,
+)
+def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped (minimum-cost supplier): the correlated
+    MIN-subquery is an argmin join-back; partsupp's (part, supplier,
+    cost) relation is derived from lineitem as per-pair average sale
+    price. Instead of re-aggregating and self-joining (Q2's textbook
+    plan), the min is a window over p_partkey — the rows are already
+    shuffled by the aggregation key, so the window adds one partition-
+    local sort, not a second shuffle. part/supplier/nation/region all
+    broadcast; one shuffle total on (l_partkey, l_suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        davg("l_extendedprice").alias("avg_price")
+    )
+    eu = (
+        offers.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .withColumn(
+            "min_price", F.min("avg_price").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        eu.filter(F.col("avg_price") == F.col("min_price"))
+        .select(
+            "s_acctbal", "s_name", "p_partkey", "p_type",
+            F.col("avg_price").alias("price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT yr,
+           {_dsum('nation_volume')} / {_dsum('volume')} AS mkt_share,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume,
+             CASE WHEN n2.n_name = 'NATION_3'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+               AS nation_volume
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+    )
+    GROUP BY yr
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped (national market share): NATION_3's share of
+    STANDARD-part revenue sold into EUROPE-region customers, by order
+    year — the conditional-aggregate-ratio pattern
+    sum(CASE)/sum(all). Every dimension (part slice, supplier→nation,
+    customer→nation→region) broadcasts; only lineitem⋈orders shuffles,
+    then one aggregation by year. Both sums run through the exact
+    decimal accumulator, so the final double division is bit-identical
+    cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+
+    cust_eu = (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("sn_key") == F.col("s_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_volume = F.when(
+        F.col("supp_nation") == "NATION_3", volume
+    ).otherwise(F.lit(0.0))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_eu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(p.select("p_partkey")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            (dsum(nation_volume) / dsum(volume)).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, yr, {_dsum('amount')} AS sum_profit, COUNT(*) AS n_items
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%gear%'
+    )
+    GROUP BY nation, yr
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (product-type profit): per supplier-nation,
+    per order-year profit on parts whose name matches a substring.
+    Original profit uses ps_supplycost; without partsupp the cost proxy
+    is p_retailprice * l_quantity (same expression shape: fact-measure
+    minus dim-price times quantity). The LIKE filter prunes part before
+    its broadcast; supplier→nation broadcasts; lineitem⋈orders is the
+    only shuffle, then one agg on (nation, yr)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    supp_nation = s.join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp_nation), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(dsum(amount).alias("sum_profit"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@_register(
+    "tpch_q11_important_parts",
+    f"""
+    WITH part_value AS (
+      SELECT l_partkey, {_dsum('l_extendedprice * (1 - l_discount)')} AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    ),
+    total AS (SELECT {_dsum('value')} AS total_value FROM part_value)
+    SELECT l_partkey, value
+    FROM part_value, total
+    WHERE value > total_value * 0.001
+    ORDER BY value DESC, l_partkey LIMIT 100
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped (important stock): parts whose traded value via
+    NATION_7 suppliers exceeds a fraction of the nation's total — the
+    HAVING-against-global-scalar pattern. The scalar total is a second
+    tiny aggregate broadcast onto every group row (no driver collect);
+    the per-part aggregation is the only wide shuffle. partsupp's
+    value is derived from lineitem revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+
+    supp = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")).select(
+        "s_suppkey"
+    )
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_value = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(value).alias("value"))
+    )
+    total = part_value.agg(dsum("value").alias("total_value"))
+    return (
+        part_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") * 0.001)
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    keeping order-less customers (COUNT(col) skips their NULLs), then a
+    histogram of the counts. The original's NOT LIKE comment filter
+    becomes an order-priority exclusion INSIDE the join condition —
+    filtering before the outer join would be wrong (it must not drop
+    customers). Two shuffles by nature (join + 1st agg); the second agg
+    is on the already-tiny histogram."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(total_revenue) AS max_revenue FROM revenue)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue, mx
+    WHERE s_suppkey = supplier_no AND total_revenue = max_revenue
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the max — the view-plus-scalar-max pattern. The shipdate range pushes
+    into the parquet scan; the revenue aggregate is the one shuffle; the
+    scalar max broadcasts back onto the same aggregate (reused, not
+    recomputed: Spark caches nothing here but the agg is 100 rows);
+    supplier broadcasts for the final name join. Exact-decimal revenue
+    makes the double equality against the max safe cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped (supplier count by part attributes): distinct
+    suppliers per (brand, type, size) slice, excluding flagged
+    suppliers — the distinct-pairs + NOT-IN-anti-join + count-distinct
+    pattern. partsupp's (part, supplier) relation is the distinct
+    projection of lineitem; the 'complaints' subquery becomes
+    negative-balance suppliers, broadcast as an anti join. One shuffle
+    for the pair-distinct, one for the count-distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"),
+                   "leftanti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS pa_partkey, 0.2 * {_davg('l_quantity')} AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_dsum('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pa_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'MEDIUM'
+      AND l_quantity < qty_threshold
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped (small-quantity-order revenue): lineitems below
+    20% of their part's average quantity — the correlated-average
+    pattern, decorrelated as a per-part aggregate joined back to the
+    fact. The per-part averages are few (≤ #parts) and broadcast; the
+    brand/type filter broadcasts too, so the fact table never
+    shuffles — at 100 TB this is a scan + two broadcast hash joins +
+    partial agg. The threshold multiplication (0.2 * avg) is written in
+    the same order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    )
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(part_avg), F.col("pa_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "tpch_q20_excess_stock_suppliers",
+    f"""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_4'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,10))) > 40
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped (suppliers with excess stock): NATION_4
+    suppliers who moved > 40 units of some red part in 1996 — the
+    nested-IN-subquery chain, decorrelated bottom-up: part-name filter
+    broadcasts into lineitem, per-(supplier, part) quantity aggregate,
+    HAVING, then a semi join into supplier. The date range pushes to
+    the scan; the only wide shuffle is the (suppkey, partkey) agg.
+    The quantity sum stays in exact decimal for the > 50 comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(ACC_DECIMAL)).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(movers), F.col("l_suppkey") == F.col("s_suppkey"),
+              "leftsemi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH order_suppliers AS (
+      SELECT l_orderkey AS os_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_failing
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN order_suppliers ON os_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F' AND l_returnflag = 'R' AND n_name = 'NATION_2'
+      AND n_suppliers > 1 AND n_failing = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (suppliers who kept orders waiting): NATION_2
+    suppliers who were the ONLY supplier with returned ('R') items in a
+    finished multi-supplier order. The textbook plan is EXISTS plus
+    NOT-EXISTS self-joins of lineitem — two extra shuffles of the
+    biggest table. Here both predicates collapse into ONE per-order
+    aggregate (distinct-supplier count, distinct-failing-supplier
+    count): EXISTS(other supplier) ≡ n_suppliers > 1 and NOT EXISTS
+    (other failing supplier) ≡ n_failing = 1 given this row is 'R'.
+    lineitem shuffles once for the aggregate and once for the join back
+    to itself on l_orderkey (same key — AQE/bucketing co-locates);
+    orders/supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+
+    order_suppliers = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_failing"),
+    )
+    supp_n2 = s.join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp_n2), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            order_suppliers.filter(
+                (F.col("n_suppliers") > 1) & (F.col("n_failing") == 1)
+            ),
+            F.col("os_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
