@@ -3068,10 +3068,13 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN-subquery is an argmin join-back; partsupp's (part, supplier,
     cost) relation is derived from lineitem as per-pair average sale
     price. Instead of re-aggregating and self-joining (Q2's textbook
-    plan), the min is a window over p_partkey — the rows are already
-    shuffled by the aggregation key, so the window adds one partition-
-    local sort, not a second shuffle. part/supplier/nation/region all
-    broadcast; one shuffle total on (l_partkey, l_suppkey)."""
+    plan), the min is a window — and the fact is pre-partitioned on
+    l_partkey alone, which satisfies BOTH downstream distribution
+    requirements (hash(partkey) clusters (partkey, suppkey) groups for
+    the aggregate, and is exactly the window's partitioning), so
+    lineitem shuffles ONCE; the naive groupBy-then-window plan shuffles
+    it twice (once on the pair, once on partkey). part/supplier/nation/
+    region all broadcast. Pinned in tests/test_plans.py."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
@@ -3081,8 +3084,10 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     from pyspark.sql import Window
 
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        davg("l_extendedprice").alias("avg_price")
+    offers = (
+        li.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(davg("l_extendedprice").alias("avg_price"))
     )
     eu = (
         offers.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -3090,7 +3095,7 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .withColumn(
-            "min_price", F.min("avg_price").over(Window.partitionBy("p_partkey"))
+            "min_price", F.min("avg_price").over(Window.partitionBy("l_partkey"))
         )
     )
     return (
@@ -3527,19 +3532,31 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (distinct-supplier count, distinct-failing-supplier
     count): EXISTS(other supplier) ≡ n_suppliers > 1 and NOT EXISTS
     (other failing supplier) ≡ n_failing = 1 given this row is 'R'.
-    lineitem shuffles once for the aggregate and once for the join back
-    to itself on l_orderkey (same key — AQE/bucketing co-locates);
-    orders/supplier/nation broadcast."""
+    The two COUNT(DISTINCT)s are computed as a two-level aggregate over
+    a fact pre-partitioned on l_orderkey — hash(orderkey) clusters both
+    grouping keys, so the pair-level and order-level aggregates are
+    partition-local and lineitem shuffles ONCE (the naive
+    multi-count_distinct plan Expands the fact and shuffles twice).
+    The join back to lineitem reuses the same key (AQE/bucketing
+    co-locates); orders/supplier/nation broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
 
-    order_suppliers = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_failing"),
+    order_suppliers = (
+        li.repartition(F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("os_orderkey"), F.col("l_suppkey"))
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).alias("failing")
+        )
+        .groupBy("os_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("failing").alias("n_failing"),
+        )
     )
     supp_n2 = s.join(
         F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")

@@ -166,3 +166,73 @@ def test_media_features_hashes_jvm_side(spark):
     plan = plan_of(spark, "mm_media_features")
     assert "sha2" in plan and "length" in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def _fact_exchanges(plan: str) -> int:
+    """Non-broadcast hash-partitioning exchanges in a plan string."""
+    return sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "Broadcast" not in l
+    )
+
+
+def test_tpch_q2_single_fact_shuffle(spark):
+    """Pre-partitioning on l_partkey alone serves the (partkey, suppkey)
+    aggregate AND the min-price window — one lineitem shuffle total."""
+    plan = plan_of(spark, "tpch_q2_min_price_supplier")
+    assert _fact_exchanges(plan) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") == 4  # part/supplier/nation/region
+
+
+def test_tpch_q21_no_expand_single_fact_shuffle(spark):
+    """The two COUNT(DISTINCT)s are a two-level agg over a fact
+    pre-partitioned on l_orderkey: no Expand, and the only other
+    exchange is the tiny per-supplier-name final aggregate."""
+    plan = plan_of(spark, "tpch_q21_waiting_suppliers")
+    assert "Expand" not in plan
+    assert _fact_exchanges(plan) == 2  # repartition(l_orderkey) + s_name agg
+
+
+def test_tpch_q17_fact_never_shuffles(spark):
+    """Brand/type filter and the per-part averages both broadcast onto
+    the probe-side fact — the only exchanges are the part_avg build and
+    the single-row final aggregate."""
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    lines = plan.splitlines()
+    probe_exchanges = [
+        l for l in lines if "Exchange hashpartitioning" in l and "Broadcast" not in l
+    ]
+    assert len(probe_exchanges) == 1  # the part_avg aggregate only
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_tpch_q8_only_fact_join_shuffles(spark):
+    """Every dimension broadcasts; lineitem⋈orders is the lone wide
+    join, then one aggregation by year."""
+    plan = plan_of(spark, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # pushed dim predicates reach their scans
+    assert "EqualTo(r_name,EUROPE)" in plan
+    assert "EqualTo(p_type,STANDARD)" in plan
+
+
+def test_tpch_q13_outer_join_keeps_orderless_customers(spark):
+    """The priority exclusion must sit inside the join, not filter
+    customer rows; plan keeps a LeftOuter join with the pushed
+    order-side predicate."""
+    plan = plan_of(spark, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_tpch_q16_anti_join_broadcasts(spark):
+    plan = plan_of(spark, "tpch_q16_supplier_count")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q20_semi_join_chain_pushes_dates(spark):
+    plan = plan_of(spark, "tpch_q20_excess_stock_suppliers")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_shipdate," in plan
