@@ -207,3 +207,102 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# --- random-hyperplane LSH (SimHash in embedding space) --------------------
+
+N_HYPERPLANES = 16
+LSH_BANDS = 4  # 4 bands x 4 bits
+
+
+def hyperplane_signs(n_planes: int = N_HYPERPLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components, derived from md5 of the
+    (plane, dim) coordinates — no RNG state, so any engine (or the
+    DuckDB oracle) regenerates the identical planes. Random-±1
+    hyperplanes satisfy the SimHash collision bound P(bit match) =
+    1 − θ/π the same way Gaussian ones do."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"hp#{p}#{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = N_HYPERPLANES,
+    bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by random-hyperplane LSH + exact verify.
+
+    Stage 1 (narrow, codegen): per row, n_planes sign bits — each the
+    sign of a dot product against a literal ±1 hyperplane (array fold,
+    no Python) — packed into ``bands`` band values.
+    Stage 2: posexplode to (band_id, band_value) and self-join on the
+    band bucket — candidates are pairs agreeing on ALL bits of some
+    band, an equi-join, never O(n²).
+    Stage 3: exact cosine ≥ threshold on the (few) candidates.
+
+    n_planes/bands set the recall/bucket-size trade-off: 16 bits / 4
+    bands is sized for this testbed; at 100 TB use 64–128 bits so band
+    values spread buckets (bucket join cost is Σ|bucket|²), and raise
+    bits-per-band to keep per-band collision probability ~p^bits.
+
+    Returns (vec_id_a, vec_id_b, cos_sim), exact-verified.
+    """
+    planes = hyperplane_signs(n_planes, dim)
+    v = as_double_array(vec_col)
+    bits = [
+        (dot_fold(v, F.array(*[F.lit(float(s)) for s in row])) >= 0).cast("int")
+        for row in planes
+    ]
+    bits_per_band = n_planes // bands
+    band_vals = [
+        sum(
+            (bits[b * bits_per_band + i] * F.lit(2**i))
+            for i in range(bits_per_band)
+        )
+        for b in range(bands)
+    ]
+    sigs = fan_out(embeddings).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+    )
+    left = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        "band_id",
+        "band_val",
+    )
+    right = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        "band_id",
+        "band_val",
+    )
+    candidates = (
+        left.join(right, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .distinct()
+    )
+    return (
+        candidates.select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            cosine(as_double_array("vec_a"), as_double_array("vec_b")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -148,3 +148,45 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
     others = [c for c in docs.columns if c != text_col]
     return docs.select(*others, scrubbed.alias(text_col), *counts)
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token chunks —
+    the context-window packing step of a training pipeline.
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens; the
+    last chunk may be short; an empty/short doc yields one chunk. Pure
+    codegen (split + sequence + slice under posexplode) — a narrow map,
+    zero shuffles, so it scales with the scan. Returns
+    (doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    """
+    tok = tokens(F.col("text"))
+    starts = let(
+        tok,
+        lambda t: F.sequence(
+            F.lit(0),
+            F.greatest(F.size(t) - 1, F.lit(0)),
+            F.lit(stride),
+        ),
+    )
+    out = docs.select(
+        "doc_id",
+        let(tok, lambda t: t).alias("_tok"),
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+    )
+    chunk = F.slice(F.col("_tok"), F.col("start_token") + 1, chunk_tokens)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

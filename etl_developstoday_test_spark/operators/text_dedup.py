@@ -266,3 +266,49 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) ->
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_modulus: int = 97,
+    n: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, its
+    n-gram overlap with any document of a (small) benchmark set —
+    here the deterministic slice doc_id % bench_modulus == 0.
+
+    overlap(c, b) = |shingles(c) ∩ shingles(b)| / |shingles(c)| — the
+    asymmetric containment ratio (a corpus doc that embeds a whole
+    benchmark question scores high even if it is much longer).
+
+    Plan shape: ONLY the benchmark side's inverted index (shingle →
+    bench_id) is built and broadcast — at 100 TB the corpus is streamed
+    once through a broadcast hash join on shingle, no corpus-side
+    shuffle of the index. Returns the top_k most-contaminated
+    (doc_id, bench_id) pairs with a total tiebreak order.
+    """
+    shingles = _doc_shingles(docs, n)
+    bench = shingles.filter(F.col("doc_id") % bench_modulus == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = shingles.filter(F.col("doc_id") % bench_modulus != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        overlap.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("n_common").cast("double") / F.col("n_shingles")).alias(
+                "overlap_ratio"
+            ),
+        )
+        .orderBy(F.desc("overlap_ratio"), "doc_id", "bench_id")
+        .limit(top_k)
+    )

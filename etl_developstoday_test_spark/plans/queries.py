@@ -3576,3 +3576,153 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# --- training-pipeline additions: chunking, embedding-LSH, contamination ---
+
+
+@_register(
+    "text_chunk_overlap",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS arr FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, arr, unnest(
+               generate_series(0, greatest(len(arr) - 1, 0), {text_analysis.CHUNK_STRIDE})
+             ) AS start_token
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start_token // {text_analysis.CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(len(list_slice(arr, start_token + 1,
+                               start_token + {text_analysis.CHUNK_TOKENS})) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(arr, start_token + 1,
+                                      start_token + {text_analysis.CHUNK_TOKENS}), ' ')
+             AS chunk_text
+    FROM chunks
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: overlapping fixed-size token chunks per
+    document (64-token chunks, 48-token stride). Narrow codegen map —
+    zero shuffles; output size ~ n_tokens/stride per doc."""
+    return text_analysis.chunk_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _hyperplane_lsh_sql() -> str:
+    planes = similarity.hyperplane_signs()
+    bands, bpb = similarity.LSH_BANDS, similarity.N_HYPERPLANES // similarity.LSH_BANDS
+
+    def fold_dot(row: list[int]) -> str:
+        lits = ", ".join(f"{float(s)}" for s in row)
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(list_zip(vec, ["
+            + lits
+            + "]), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+        )
+
+    bits = ",\n             ".join(
+        f"CASE WHEN {fold_dot(row)} >= 0 THEN 1 ELSE 0 END AS b{i}"
+        for i, row in enumerate(planes)
+    )
+    band_vals = ", ".join(
+        " + ".join(f"b{b * bpb + i} * {2 ** i}" for i in range(bpb))
+        + f" AS bv{b}"
+        for b in range(bands)
+    )
+    band_case = " ".join(f"WHEN {b} THEN bv{b}" for b in range(bands))
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_prepend(CAST(embedding[1] AS DOUBLE) + 0.01,
+                          list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    sig AS (
+      SELECT vec_id, vec,
+             {bits}
+      FROM aug
+    ),
+    banded AS (
+      SELECT vec_id, vec, {band_vals}, NULL AS _pad FROM sig
+    ),
+    sigs AS (
+      SELECT vec_id, vec, band_id,
+             CASE band_id {band_case} END AS band_val
+      FROM banded, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             a.vec AS vec_a, b.vec AS vec_b
+      FROM sigs a
+      JOIN sigs b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b,
+           round({_cosine('vec_a', 'vec_b')}, 6) AS cos_sim
+    FROM cand
+    WHERE {_cosine('vec_a', 'vec_b')} >= 0.99
+    """
+
+
+@_register("dedup_embedding_lsh", _hyperplane_lsh_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup via random-hyperplane LSH: the corpus is
+    augmented with deterministic near-duplicate probes (every 50th
+    vector, first component +0.01) that the banded signature join must
+    recover — an end-to-end self-test of the bucketing. All signature
+    bits are codegen array folds against literal ±1 planes; candidates
+    come from a band equi-join (never O(n²)); exact cosine verifies.
+    The testbed's 64 dims / 16 bits scale to 64-128 bits at corpus
+    scale (see operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", vec.alias("embedding"))
+    probes = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vec, 1) + 0.01),
+            F.slice(vec, 2, 63),
+        ).alias("embedding"),
+    )
+    return similarity.hyperplane_lsh_pairs(base.unionAll(probes), threshold=0.99)
+
+
+@_register(
+    "text_benchmark_contamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+    shingle_sets AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+    doc_shingles AS (
+      SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shingle_sets
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, shingle FROM doc_shingles WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM doc_shingles WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    overlap AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS n_common
+      FROM corpus c JOIN bench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id, b.bench_id
+    )
+    SELECT o.doc_id, o.bench_id, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / n_shingles AS overlap_ratio
+    FROM overlap o JOIN sizes s ON o.doc_id = s.doc_id
+    ORDER BY overlap_ratio DESC, o.doc_id, o.bench_id LIMIT 20
+    """,
+)
+def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: 3-gram containment ratio of every
+    corpus doc against the benchmark slice (doc_id % 97 == 0); only the
+    benchmark inverted index is built and broadcast, the corpus streams
+    once. Top-20 with total tiebreak order."""
+    return text_dedup.benchmark_contamination(
+        load_table(spark, sf_dir, "documents")
+    )

@@ -293,3 +293,66 @@ def test_ngram_jaccard_df_max_sizes_match_filtered_space(spark):
     # alpha, fox alpha beta, alpha beta gamma} → J = 3/(4+4−3) = 0.6.
     # The pre-fix code divided by unfiltered sizes (6) → 3/9 ≈ 0.33.
     assert pairs[(1, 2)] == 0.6
+
+
+def test_chunk_overlap_covers_and_overlaps(spark):
+    """Chunks tile every token with the configured stride/overlap; the
+    last chunk is short; a short doc yields exactly one chunk."""
+    from etl_developstoday_test_spark.operators.text_analysis import chunk_overlap
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_overlap(docs, chunk_tokens=64, stride=48).collect()
+    }
+    assert {(d, c) for d, c in rows} == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)}
+    assert rows[(1, 0)].start_token == 0 and rows[(1, 0)].n_chunk_tokens == 64
+    assert rows[(1, 1)].start_token == 48
+    # overlap: chunk 1 starts inside chunk 0's token range
+    assert rows[(1, 0)].chunk_text.split()[48] == rows[(1, 1)].chunk_text.split()[0]
+    assert rows[(1, 3)].start_token == 144 and rows[(1, 3)].n_chunk_tokens == 6
+    assert rows[(2, 0)].chunk_text == "a b c"
+
+
+def test_hyperplane_lsh_recovers_planted_near_dups(spark):
+    """A vector and its tiny perturbation must share every band; the
+    verified output contains exactly the planted pairs at τ=0.99."""
+    import random
+
+    rnd = random.Random(7)
+    base = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(1000 + i, [v[0] + 0.001] + v[1:]) for i, v in enumerate(base[:5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.hyperplane_lsh_pairs(emb, threshold=0.99)
+    got = {(r.vec_id_a, r.vec_id_b) for r in out.collect()}
+    assert {(i, 1000 + i) for i in range(5)} <= got
+    for r in out.collect():
+        assert r.cos_sim >= 0.99
+
+
+def test_benchmark_contamination_flags_verbatim_inclusion(spark):
+    """A corpus doc embedding a benchmark doc verbatim scores ratio
+    near |bench shingles| / |corpus shingles|; unrelated docs score 0
+    (absent from output)."""
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),  # benchmark slice: doc_id % 97 == 0
+            (5, "intro words " + bench_text + " trailing words"),
+            (6, "totally different content with no shared trigrams here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.bench_id): r
+        for r in text_dedup.benchmark_contamination(docs, bench_modulus=97).collect()
+    }
+    assert (5, 0) in out
+    r = out[(5, 0)]
+    assert r.n_common == 4  # all 4 bench trigrams appear in doc 5
+    assert abs(r.overlap_ratio - 4 / 8) < 1e-12  # doc 5 has 8 distinct trigrams
+    assert all(d != 6 for d, _ in out)
