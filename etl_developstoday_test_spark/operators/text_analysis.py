@@ -190,3 +190,88 @@ def chunk_overlap(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition signal (Gopher/RefinedWeb-style): the
+    fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the same document, plus the duplicate-token fraction.
+    High values flag boilerplate/spam for corpus filtering.
+
+    All-codegen narrow map: shingles WITH duplicates kept vs their
+    distinct set; zero shuffles. Ratios are int/int double divisions
+    (deterministic). Returns (doc_id, n_ngrams, n_unique_ngrams,
+    dup_ngram_ratio, dup_token_ratio).
+    """
+    from etl_developstoday_test_spark.functions import word_shingles
+
+    tok = tokens(F.col("text"))
+    all_sh = let(tok, lambda t: word_shingles(t, n))
+    base = docs.select(
+        "doc_id",
+        let(tok, lambda t: F.size(t).cast("long")).alias("n_tokens"),
+        let(tok, lambda t: F.size(F.array_distinct(t)).cast("long")).alias(
+            "n_unique_tokens"
+        ),
+        F.size(all_sh).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(all_sh)).cast("long").alias("n_unique_ngrams"),
+    )
+    return base.select(
+        "doc_id",
+        "n_ngrams",
+        "n_unique_ngrams",
+        F.when(
+            F.col("n_ngrams") > 0,
+            (F.col("n_ngrams") - F.col("n_unique_ngrams")).cast("double")
+            / F.col("n_ngrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_ratio"),
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_tokens") - F.col("n_unique_tokens")).cast("double")
+            / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_ratio"),
+    )
+
+
+def token_rarity(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity score per document: the mean document
+    frequency of its distinct tokens — a cheap, fully deterministic
+    stand-in for LM-perplexity corpus filtering (rare-vocabulary docs
+    score low, boilerplate scores high).
+
+    Two-pass shape: pass 1 aggregates the vocabulary (token → doc
+    frequency; vocabulary-sized, shuffles once), pass 2 streams the
+    corpus once against the BROADCAST vocabulary — at 100 TB the
+    vocabulary aggregate is the only wide operation, and mean-df stays
+    in exact integer arithmetic until one final double division.
+    Returns (doc_id, n_distinct_tokens, total_df, mean_token_df).
+    """
+    tok_rows = docs.select(
+        "doc_id",
+        F.explode(
+            let(tokens(F.col("text")), lambda t: F.array_distinct(t))
+        ).alias("token"),
+    )
+    vocab = tok_rows.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per_doc = (
+        tok_rows.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.sum("df").cast("long").alias("total_df"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_distinct_tokens",
+        "total_df",
+        (F.col("total_df").cast("double") / F.col("n_distinct_tokens")).alias(
+            "mean_token_df"
+        ),
+    )

@@ -3726,3 +3726,63 @@ def text_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.benchmark_contamination(
         load_table(spark, sf_dir, "documents")
     )
+
+
+_NGRAMS_DUP = (
+    "CASE WHEN len(arr) >= 3 THEN "
+    "list_transform(generate_series(1, len(arr) - 2),"
+    " i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) "
+    "ELSE [] END"
+)
+
+
+@_register(
+    "text_repetition_ratio",
+    f"""
+    SELECT doc_id, n_ngrams, n_unique_ngrams,
+           CASE WHEN n_ngrams > 0
+                THEN CAST(n_ngrams - n_unique_ngrams AS DOUBLE) / n_ngrams
+                ELSE 0.0 END AS dup_ngram_ratio,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_tokens - n_unique_tokens AS DOUBLE) / n_tokens
+                ELSE 0.0 END AS dup_token_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(arr)) AS BIGINT) AS n_unique_tokens,
+             CAST(len({_NGRAMS_DUP}) AS BIGINT) AS n_ngrams,
+             CAST(len(list_distinct({_NGRAMS_DUP})) AS BIGINT) AS n_unique_ngrams
+      FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)
+    )
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signal: duplicate 3-gram
+    and duplicate-token fractions; all-codegen narrow map, no
+    shuffles."""
+    return text_analysis.repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_token_rarity",
+    f"""
+    WITH tok_rows AS (
+      SELECT DISTINCT doc_id, unnest(arr) AS token
+      FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)
+    ),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tok_rows GROUP BY token)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(df) AS BIGINT) AS total_df,
+           CAST(sum(df) AS DOUBLE) / count(*) AS mean_token_df
+    FROM tok_rows JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+)
+def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity score (mean token document-frequency):
+    pass 1 builds the vocabulary (one shuffle), pass 2 streams the
+    corpus against the broadcast vocabulary — integer-exact until the
+    final division."""
+    return text_analysis.token_rarity(load_table(spark, sf_dir, "documents"))

@@ -356,3 +356,32 @@ def test_benchmark_contamination_flags_verbatim_inclusion(spark):
     assert r.n_common == 4  # all 4 bench trigrams appear in doc 5
     assert abs(r.overlap_ratio - 4 / 8) < 1e-12  # doc 5 has 8 distinct trigrams
     assert all(d != 6 for d, _ in out)
+
+
+def test_repetition_ratio_known_doc(spark):
+    from etl_developstoday_test_spark.operators.text_analysis import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "all unique words here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_ratio(docs).collect()}
+    # doc 1: 7 trigram occurrences, 3 distinct → 4/7 repeats
+    assert out[1].n_ngrams == 7 and out[1].n_unique_ngrams == 3
+    assert abs(out[1].dup_ngram_ratio - 4 / 7) < 1e-12
+    assert abs(out[1].dup_token_ratio - 6 / 9) < 1e-12
+    assert out[2].dup_ngram_ratio == 0.0 and out[2].dup_token_ratio == 0.0
+
+
+def test_token_rarity_df_semantics(spark):
+    from etl_developstoday_test_spark.operators.text_analysis import token_rarity
+
+    docs = spark.createDataFrame(
+        [(1, "shared shared alone1"), (2, "shared alone2")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_rarity(docs).collect()}
+    # 'shared' df=2 (per-doc distinct — repeated use counts once)
+    assert out[1].n_distinct_tokens == 2 and out[1].total_df == 3
+    assert abs(out[1].mean_token_df - 1.5) < 1e-12
+    assert out[2].total_df == 3
