@@ -3786,3 +3786,83 @@ def text_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus against the broadcast vocabulary — integer-exact until the
     final division."""
     return text_analysis.token_rarity(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "stream_watermark_close_out",
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+    GROUP BY window_start
+    """,
+)
+def stream_watermark_close_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermark semantics, end-to-end and oracle-exact: the
+    events table is split into two files (even event_ids, then odd)
+    streamed one file per micro-batch, so the watermark advances between
+    batches (observable as numRowsDroppedByWatermark/eventTime.watermark
+    in query progress). Spark 4's stateful aggregation merges
+    late-arriving batch-2 rows into still-open window state (verified
+    empirically: no pre-aggregation drop in this topology — eviction
+    runs at batch end, AFTER the merge); what the watermark gates is
+    EMISSION: append mode only ever outputs windows whose end <= the
+    final watermark (max event time - 2h, advanced by the trailing
+    no-data micro-batch), and windows still open at termination are
+    withheld. The oracle replays exactly that: full aggregation, then
+    the close-out cutoff.
+
+    At scale this is the streaming-consistency contract that matters:
+    emitted windows are FINAL (no retraction), state is bounded by the
+    watermark horizon, and the close-out rule is engine-checkable."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_wm_")
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{tmp}/a")
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{tmp}/b")
+        # one file per micro-batch, in mtime order: evens first, odds second
+        t = 1_000_000_000
+        for sub in ("a", "b"):
+            for f in os.listdir(f"{tmp}/{sub}"):
+                os.utime(f"{tmp}/{sub}/{f}", (t, t))
+            t += 1000
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/*")
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(ACC_DECIMAL)).cast("double").alias(
+                    "total_value"
+                ),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        )
+        name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        # memory sink rows are materialized; localCheckpoint pins them so
+        # the temp files can be removed before the caller consumes the DF
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
