@@ -142,3 +142,61 @@ def tumbling_hourly(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+def mad_outliers_per_type(events) -> "DataFrame":
+    """Per-group robust outlier stats via ``applyInPandas`` (group-map
+    Pandas UDF): median, MAD (median absolute deviation), and the count
+    of |value − median| > 3·MAD outliers, per event_type.
+
+    This is the batch escape hatch for per-group logic Spark
+    expressions can't comfortably express (the stats here CAN be done
+    with exact percentiles — the point is the contract: whole-group
+    pandas DataFrame in, DataFrame out, Arrow both ways). Determinism
+    holds because median/MAD are SELECTIONS (sort + midpoint average,
+    one IEEE addition and halving), not order-dependent accumulations —
+    so a SQL oracle using quantile_cont(0.5) matches bit-for-bit.
+
+    Scale posture: one shuffle on the grouping key; each group must fit
+    one executor's memory (the applyInPandas contract) — fine for
+    bounded group counts like event types; use the expression-based
+    percentile path for high-cardinality keys.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def median_cont(values: np.ndarray) -> float:
+        # quantile_cont(0.5) interpolation — lo + (hi-lo)*0.5, NOT
+        # numpy's (lo+hi)/2: the two differ in the last ulp for some
+        # doubles, and the oracle contract is bitwise
+        v = np.sort(values[~np.isnan(values)])
+        mid = (len(v) - 1) // 2
+        if len(v) % 2 == 1:
+            return float(v[mid])
+        lo, hi = float(v[mid]), float(v[mid + 1])
+        return lo + (hi - lo) * 0.5
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype="float64", na_value=np.nan)
+        med = median_cont(v)
+        dev = np.abs(v - med)
+        mad = median_cont(dev)
+        with np.errstate(invalid="ignore"):
+            n_out = int(np.nansum(dev > 3 * mad))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_value": [float(med)],
+                "mad_value": [float(mad)],
+                "n_outliers": [n_out],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandas(
+        stats,
+        schema=(
+            "event_type string, n_events long, median_value double,"
+            " mad_value double, n_outliers long"
+        ),
+    )

@@ -3866,3 +3866,37 @@ def stream_watermark_close_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "events_mad_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, s.med, abs(e.value - s.med) AS d
+      FROM events e JOIN stats s USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           any_value(d.med) AS median_value,
+           any_value(m.mad) AS mad_value,
+           CAST(COUNT(*) FILTER (WHERE d.d > 3 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier stats through the batch group-map Pandas
+    UDF surface (applyInPandas): median/MAD computed with
+    quantile_cont's exact interpolation so the pandas path hash-matches
+    the SQL oracle. One shuffle on event_type."""
+    return events_etl.mad_outliers_per_type(
+        load_table(spark, sf_dir, "events").select("event_type", "value")
+    )

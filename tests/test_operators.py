@@ -385,3 +385,23 @@ def test_token_rarity_df_semantics(spark):
     assert out[1].n_distinct_tokens == 2 and out[1].total_df == 3
     assert abs(out[1].mean_token_df - 1.5) < 1e-12
     assert out[2].total_df == 3
+
+
+def test_mad_outliers_group_map(spark):
+    from etl_developstoday_test_spark.operators.events_etl import (
+        mad_outliers_per_type,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0), ("b", 5.0)],
+        "event_type string, value double",
+    )
+    out = {r.event_type: r for r in mad_outliers_per_type(ev).collect()}
+    # a: sorted [1,2,3,100], median = 2 + (3-2)*0.5 = 2.5; dev [1.5,.5,.5,97.5]
+    # → MAD = .5 + (1.5-.5)*.5 = 1.0; outliers: dev > 3 → only 97.5
+    assert out["a"].n_events == 4
+    assert out["a"].median_value == 2.5
+    assert out["a"].mad_value == 1.0
+    assert out["a"].n_outliers == 1
+    # singleton group: MAD 0, no outliers (0 > 0 is false)
+    assert out["b"].median_value == 5.0 and out["b"].n_outliers == 0
