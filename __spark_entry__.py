@@ -55,9 +55,11 @@ _DRIVER_PRIORITY = [
     "dedup_simhash_near_pairs", "agg_approx_distinct",
     "agg_approx_percentiles", "embed_ann_ivf_topk", "embed_ann_ivf_recall",
     "text_pii_scrub", "sample_stratified_rebalance",
-    # flagship re-verification
-    "q1_argmax_group_avg", "q4_selective_filter", "etl_stats_counters",
-    "etl_dedup_first_wins", "tpch_q1_pricing_summary", "dedup_minhash_lsh",
+    # round-2 additions with restructured/novel plans
+    "tpch_q2_min_price_supplier", "tpch_q21_waiting_suppliers",
+    "dedup_embedding_lsh",
+    # flagship re-verification (changed in round 2)
+    "etl_stats_counters", "etl_dedup_first_wins", "dedup_minhash_lsh",
     "mm_media_features",
 ]
 
