@@ -236,3 +236,4 @@ def test_tpch_q20_semi_join_chain_pushes_dates(spark):
     plan = plan_of(spark, "tpch_q20_excess_stock_suppliers")
     assert "LeftSemi" in plan
     assert "GreaterThanOrEqual(l_shipdate," in plan
+
