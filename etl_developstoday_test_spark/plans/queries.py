@@ -3650,7 +3650,7 @@ def _hyperplane_lsh_sql() -> str:
       FROM aug
     ),
     banded AS (
-      SELECT vec_id, vec, {band_vals}, NULL AS _pad FROM sig
+      SELECT vec_id, vec, {band_vals} FROM sig
     ),
     sigs AS (
       SELECT vec_id, vec, band_id,
