@@ -237,3 +237,46 @@ def test_tpch_q20_semi_join_chain_pushes_dates(spark):
     assert "LeftSemi" in plan
     assert "GreaterThanOrEqual(l_shipdate," in plan
 
+
+
+# Queries whose construction EXECUTES work (streaming runs, iterative
+# algorithms, table materialization) — excluded from the cheap global
+# plan sweep; their Python usage is covered by their own tests.
+_EAGER_QUERIES = {
+    "stream_events_hourly",
+    "stream_events_sessionized",
+    "stream_user_running_totals",
+    "stream_watermark_close_out",
+    "dedup_connected_components",
+    "join_bucketed_colocated",
+}
+
+# The declared Python surface: the ONLY queries allowed to carry
+# Arrow-batched Python nodes (pandas_udf / mapInPandas /
+# applyInPandas). Everything else must be 100% JVM.
+_DECLARED_PYTHON_QUERIES = {
+    "text_vectorized_udf_len",
+    "mm_media_features",
+    "mm_frame_sample_plan",
+    "events_mad_outliers",
+}
+
+
+def test_no_undeclared_python_in_any_plan(spark):
+    """Global scale guard: no row-at-a-time Python anywhere, and
+    Arrow-batched Python only in the declared UDF-surface queries."""
+    offenders, undeclared = [], []
+    for name, fn in QUERIES.items():
+        if name in _EAGER_QUERIES:
+            continue
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        has_arrow_python = any(
+            marker in plan
+            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        )
+        if has_arrow_python and name not in _DECLARED_PYTHON_QUERIES:
+            undeclared.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+    assert not undeclared, f"undeclared Arrow-Python nodes in: {undeclared}"
