@@ -3971,3 +3971,75 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "scan_orc_roundtrip",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: events round-tripped through ORC (write
+    + read + aggregate), value-identical to the parquet original — the
+    engine's operators are format-agnostic behind the scan. ORC brings
+    the same predicate pushdown / column pruning / vectorized read as
+    parquet (both are pinned for parquet in tests/test_plans.py)."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        ev.write.mode("overwrite").orc(f"{tmp}/events_orc")
+        out = (
+            spark.read.orc(f"{tmp}/events_orc")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "scan_partition_pruned",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-design breadth: events written hive-partitioned by
+    event_type, then a two-partition filter — Catalyst prunes the scan
+    to exactly those directories (PartitionFilters; the non-matching
+    partitions are never opened). This is q4's '+at scale' answer made
+    driver-visible: the hot filter column becomes the partition key at
+    ingest. The pruning itself is asserted in tests/test_bucketing.py;
+    the result is value-identical to the unpartitioned original."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="part_pruned_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(
+            f"{tmp}/events_part"
+        )
+        out = (
+            spark.read.parquet(f"{tmp}/events_part")
+            .filter(F.col("event_type").isin("purchase", "signup"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -249,6 +249,8 @@ _EAGER_QUERIES = {
     "stream_watermark_close_out",
     "dedup_connected_components",
     "join_bucketed_colocated",
+    "scan_orc_roundtrip",
+    "scan_partition_pruned",
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
