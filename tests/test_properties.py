@@ -66,3 +66,50 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     }
     for r in want.itertuples():
         assert got[(r.k, r.lt)] == (norm(r.rt), norm(r.rv)), (r.k, r.lt)
+
+
+_words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=_words)
+def test_chunk_overlap_reconstruction_invariants(spark, words):
+    """Non-overlapping chunks (stride == size) partition the token
+    stream exactly; overlapping chunks tile every token and agree with
+    the doc on every chunk's content."""
+    from etl_developstoday_test_spark.operators.text_analysis import chunk_overlap
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = text.split() if text.strip() else [""]
+
+    flat = chunk_overlap(docs, chunk_tokens=8, stride=8).orderBy("chunk_id").collect()
+    rebuilt = [t for r in flat for t in r.chunk_text.split(" ") if r.chunk_text != ""]
+    if text.strip():
+        assert rebuilt == toks
+    assert [r.start_token for r in flat] == [i * 8 for i in range(len(flat))]
+
+    if not text.strip():
+        # blank doc: exactly one empty chunk
+        assert len(flat) == 1 and flat[0].chunk_text == ""
+        return
+
+    over = chunk_overlap(docs, chunk_tokens=8, stride=5).orderBy("chunk_id").collect()
+    for r in over:
+        expect = toks[r.start_token : r.start_token + 8]
+        assert r.chunk_text.split(" ") == expect
+        assert r.n_chunk_tokens == len(expect)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=_words)
+def test_repetition_ratio_bounds(spark, words):
+    from etl_developstoday_test_spark.operators.text_analysis import repetition_ratio
+
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    r = repetition_ratio(docs).collect()[0]
+    assert 0.0 <= r.dup_ngram_ratio < 1.0 or r.n_ngrams == 0
+    assert 0.0 <= r.dup_token_ratio < 1.0
+    assert r.n_unique_ngrams <= r.n_ngrams
