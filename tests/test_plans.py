@@ -265,9 +265,12 @@ _DECLARED_PYTHON_QUERIES = {
 
 
 def test_no_undeclared_python_in_any_plan(spark):
-    """Global scale guard: no row-at-a-time Python anywhere, and
-    Arrow-batched Python only in the declared UDF-surface queries."""
-    offenders, undeclared = [], []
+    """Global scale guard, one sweep over every lazily-planned query:
+    (a) no row-at-a-time Python anywhere, (b) Arrow-batched Python only
+    in the declared UDF-surface queries, (c) no CartesianProduct —
+    every pair enumeration must be an equi-join, a broadcast, or a
+    banded/blocked candidate join, never an unbounded cross product."""
+    offenders, undeclared, cartesian = [], [], []
     for name, fn in QUERIES.items():
         if name in _EAGER_QUERIES:
             continue
@@ -280,5 +283,8 @@ def test_no_undeclared_python_in_any_plan(spark):
         )
         if has_arrow_python and name not in _DECLARED_PYTHON_QUERIES:
             undeclared.append(name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
     assert not undeclared, f"undeclared Arrow-Python nodes in: {undeclared}"
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
