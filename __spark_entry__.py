@@ -58,9 +58,10 @@ _DRIVER_PRIORITY = [
     # round-2 additions with restructured/novel plans
     "tpch_q2_min_price_supplier", "tpch_q21_waiting_suppliers",
     "dedup_embedding_lsh",
-    # flagship re-verification (changed in round 2)
-    "etl_stats_counters", "etl_dedup_first_wins", "dedup_minhash_lsh",
-    "mm_media_features",
+    # flagship re-verification (changed in round 2) + the end-to-end
+    # golden-pipeline row (new: certifies the whole ETL core at once)
+    "etl_stats_counters", "etl_dedup_first_wins",
+    "etl_golden_pipeline_stats", "mm_media_features",
 ]
 
 

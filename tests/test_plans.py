@@ -251,6 +251,7 @@ _EAGER_QUERIES = {
     "join_bucketed_colocated",
     "scan_orc_roundtrip",
     "scan_partition_pruned",
+    "etl_golden_pipeline_stats",
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
