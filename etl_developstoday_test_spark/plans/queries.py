@@ -4098,3 +4098,42 @@ def etl_golden_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "text_word_positions_udtf",
+    f"""
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS word,
+           CAST(length(arr[i]) AS BIGINT) AS word_len
+    FROM (
+      SELECT doc_id, {_TOKS} AS arr FROM documents WHERE doc_id < 50
+    ), (SELECT unnest(generate_series(1, len(arr))) AS i)
+    """,
+)
+def text_word_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table functions): a lateral
+    table-generating function expanding each document into
+    (pos, word, word_len) rows — the one UDF contract
+    (scalar-pandas / mapInPandas / applyInPandas / WithState / UDTF)
+    not yet represented. Deliberately simple logic so the oracle is a
+    plain lateral unnest; row-at-a-time Python, so it is BOUNDED to a
+    50-doc slice and flagged as a declared-Python query — at scale this
+    shape belongs in an Arrow batch (see text_chunk_overlap for the
+    codegen equivalent)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos long, word string, word_len long")
+    class WordPositions:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield i, w, len(w)
+
+    spark.udtf.register("word_positions", WordPositions)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, w.pos, w.word, w.word_len "
+        "FROM _udtf_docs d, LATERAL word_positions(d.text) w"
+    )

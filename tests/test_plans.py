@@ -259,6 +259,7 @@ _EAGER_QUERIES = {
 # applyInPandas). Everything else must be 100% JVM.
 _DECLARED_PYTHON_QUERIES = {
     "text_vectorized_udf_len",
+    "text_word_positions_udtf",
     "mm_media_features",
     "mm_frame_sample_plan",
     "events_mad_outliers",
@@ -276,11 +277,12 @@ def test_no_undeclared_python_in_any_plan(spark):
         if name in _EAGER_QUERIES:
             continue
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        if "BatchEvalPython" in plan:
+        if "BatchEvalPython" in plan and name not in _DECLARED_PYTHON_QUERIES:
             offenders.append(name)
         has_arrow_python = any(
             marker in plan
-            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                           "BatchEvalPythonUDTF")
         )
         if has_arrow_python and name not in _DECLARED_PYTHON_QUERIES:
             undeclared.append(name)
