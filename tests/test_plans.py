@@ -291,3 +291,29 @@ def test_no_undeclared_python_in_any_plan(spark):
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
     assert not undeclared, f"undeclared Arrow-Python nodes in: {undeclared}"
     assert not cartesian, f"CartesianProduct in: {cartesian}"
+
+
+def test_token_rarity_broadcasts_vocabulary(spark):
+    """Pass 2 must stream the corpus against the broadcast vocabulary —
+    the per-doc aggregate is the only non-broadcast exchange chain."""
+    plan = plan_of(spark, "text_token_rarity")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark_index(spark):
+    """Only the benchmark slice's inverted index builds/broadcasts; the
+    corpus side joins by shingle without shuffling for the join."""
+    plan = plan_of(spark, "text_benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+
+def test_embedding_lsh_candidates_from_band_equijoin(spark):
+    """Candidate pairs must come from the (band_id, band_val) equi-join
+    — a hash join, never a nested-loop/cartesian enumeration."""
+    plan = plan_of(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
