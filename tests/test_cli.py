@@ -42,3 +42,20 @@ def test_cli_runs_and_prints_stats(tmp_path):
         "InsertedRows": 1,
         "DuplicatesFileRows": 1,
     }
+
+
+def test_driver_registry_consistency():
+    """Every _DRIVER_PRIORITY name must exist (a typo silently wastes a
+    driver correctness slot), with no duplicates; queries() must expose
+    exactly the registry, and every query must have an oracle."""
+    import __spark_entry__ as entry_mod
+    from etl_developstoday_test_spark.plans.queries import ORACLE_SQL, QUERIES
+
+    prio = entry_mod._DRIVER_PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate names in _DRIVER_PRIORITY"
+    missing = [n for n in prio if n not in QUERIES]
+    assert not missing, f"_DRIVER_PRIORITY names not in QUERIES: {missing}"
+    assert set(entry_mod.queries()) == set(QUERIES)
+    assert set(entry_mod.oracle_sql()) == set(ORACLE_SQL)
+    no_oracle = [n for n in QUERIES if n not in ORACLE_SQL]
+    assert not no_oracle, f"queries without oracle twins: {no_oracle}"
