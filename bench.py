@@ -20,6 +20,7 @@ from etl_developstoday_test_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    load_baseline = os.getloadavg()[0]  # before Spark starts: external load
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -62,6 +63,9 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
+            # shared-host context: 1-min load BEFORE Spark started —
+            # external contention; totals inflate 2-3x when this is high
+            "load_1m_baseline": round(load_baseline, 2),
             "queries": slowest,
         }
     )
