@@ -275,3 +275,54 @@ def token_rarity(docs: DataFrame) -> DataFrame:
             "mean_token_df"
         ),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookaheads, disjoint branches (contractions / space+letters /
+# space+digits / space+punct / whitespace runs)
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+)
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer regex applied as
+    a codegen `regexp_extract_all` — the standard training-cost
+    estimator (LLM token count ≈ BPE pieces, not whitespace words).
+    Whitespace-run matches are excluded from the token count but
+    returned separately. Narrow map, zero shuffles.
+    Returns (doc_id, n_bpe_tokens, n_ws_runs, bpe_per_word)."""
+    pieces = F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0)
+    base = docs.select(
+        "doc_id",
+        let(
+            F.col("text"),
+            lambda t: F.size(
+                F.filter(
+                    F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0),
+                    lambda p: ~p.rlike(r"^\s+$"),
+                )
+            ).cast("long"),
+        ).alias("n_bpe_tokens"),
+        let(
+            F.col("text"),
+            lambda t: F.size(
+                F.filter(
+                    F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0),
+                    lambda p: p.rlike(r"^\s+$"),
+                )
+            ).cast("long"),
+        ).alias("n_ws_runs"),
+        let(tokens(F.col("text")), lambda t: F.size(t).cast("long")).alias(
+            "n_words"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_ws_runs",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+            "bpe_per_word"
+        ),
+    )

@@ -4137,3 +4137,29 @@ def text_word_positions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, w.pos, w.word, w.word_len "
         "FROM _udtf_docs d, LATERAL word_positions(d.text) w"
     )
+
+
+@_register(
+    "text_bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(pieces, p -> NOT regexp_matches(p, '^\\s+$')))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(pieces, p -> regexp_matches(p, '^\\s+$')))
+                AS BIGINT) AS n_ws_runs,
+           CAST(len(list_filter(pieces, p -> NOT regexp_matches(p, '^\\s+$')))
+                AS DOUBLE) / len({_TOKS}) AS bpe_per_word
+    FROM (
+      SELECT doc_id, text,
+             regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+')
+               AS pieces
+      FROM documents
+    )
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2 pre-tokenizer regex, codegen) —
+    the LLM training-cost estimator alongside text_token_stats's
+    whitespace words. Narrow map, zero shuffles."""
+    return text_analysis.bpe_token_stats(load_table(spark, sf_dir, "documents"))

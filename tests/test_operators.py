@@ -405,3 +405,17 @@ def test_mad_outliers_group_map(spark):
     assert out["a"].n_outliers == 1
     # singleton group: MAD 0, no outliers (0 > 0 is false)
     assert out["b"].median_value == 5.0 and out["b"].n_outliers == 0
+
+
+def test_bpe_token_stats_contractions_and_mixed(spark):
+    from etl_developstoday_test_spark.operators.text_analysis import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "it's 42 degrees, really!"), (2, "plain words only")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_token_stats(docs).collect()}
+    # it | 's | " 42" | " degrees" | "," | " really" | "!" → 7 pieces
+    assert out[1].n_bpe_tokens == 7
+    assert out[2].n_bpe_tokens == 3
+    assert out[2].bpe_per_word == 1.0
