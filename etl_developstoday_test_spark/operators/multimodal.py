@@ -140,3 +140,39 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
     )
+
+
+def resize_plan(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame:
+    """Thumbnail/resize planning for image rows: aspect-preserving fit
+    of (meta.width, meta.height) into a max_w×max_h box.
+
+    Everything *plannable* is JVM codegen — the target geometry
+    (scale, thumb_w, thumb_h) and the deterministic thumb digest
+    (sha256 of content + target dims, standing in for real pixels the
+    same way extract_features' fake decoder does). The actual pixel
+    resample is the one step that needs an image library: it plugs in
+    through the same ``DECODERS``-style registry as decode, as an
+    Arrow-batched ``mapInPandas`` over (content, thumb_w, thumb_h) —
+    NOT implemented here because the environment has no codecs, and a
+    fake would add nothing the digest doesn't already verify.
+
+    Narrow map, zero shuffles; scales with the scan.
+    """
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    thumb_w = F.greatest(F.lit(1), F.floor(w * scale)).cast("int")
+    thumb_h = F.greatest(F.lit(1), F.floor(h * scale)).cast("int")
+    dims_tag = F.concat_ws(
+        "x", thumb_w.cast("string"), thumb_h.cast("string")
+    )
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        thumb_w.alias("thumb_w"),
+        thumb_h.alias("thumb_h"),
+        F.sha2(F.concat(F.col("content"), F.encode(dims_tag, "UTF-8")), 256).alias(
+            "thumb_sha256"
+        ),
+    )

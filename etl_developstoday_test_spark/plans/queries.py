@@ -4163,3 +4163,48 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LLM training-cost estimator alongside text_token_stats's
     whitespace words. Narrow map, zero shuffles."""
     return text_analysis.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "mm_resize_plan",
+    """
+    SELECT doc_id AS media_id,
+           CAST(100 + doc_id % 500 AS INT) AS width,
+           CAST(50 + (doc_id * 7) % 400 AS INT) AS height,
+           CAST(greatest(1, floor((100 + doc_id % 500)
+                * least(64.0 / (100 + doc_id % 500),
+                        64.0 / (50 + (doc_id * 7) % 400), 1.0))) AS INT)
+             AS thumb_w,
+           CAST(greatest(1, floor((50 + (doc_id * 7) % 400)
+                * least(64.0 / (100 + doc_id % 500),
+                        64.0 / (50 + (doc_id * 7) % 400), 1.0))) AS INT)
+             AS thumb_h,
+           sha256(text
+             || CAST(CAST(greatest(1, floor((100 + doc_id % 500)
+                  * least(64.0 / (100 + doc_id % 500),
+                          64.0 / (50 + (doc_id * 7) % 400), 1.0))) AS INT)
+                AS VARCHAR)
+             || 'x'
+             || CAST(CAST(greatest(1, floor((50 + (doc_id * 7) % 400)
+                  * least(64.0 / (100 + doc_id % 500),
+                          64.0 / (50 + (doc_id * 7) % 400), 1.0))) AS INT)
+                AS VARCHAR)) AS thumb_sha256
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize/thumbnail planning (operators/multimodal.py
+    resize_plan): aspect-fit geometry + content-and-dims digest, all
+    codegen; the pixel resample is the documented Python plug-point.
+    Media dims are synthesized deterministically from doc_id so the
+    geometry arithmetic has an exact SQL twin."""
+    media = _media_from_documents(spark, sf_dir).withColumn(
+        "meta",
+        F.struct(
+            (F.lit(100) + F.col("media_id") % 500).cast("int").alias("width"),
+            (F.lit(50) + (F.col("media_id") * 7) % 400).cast("int").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.mime").alias("mime"),
+        ),
+    )
+    return multimodal.resize_plan(media)

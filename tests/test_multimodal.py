@@ -49,3 +49,26 @@ def test_frame_sample_plan(media):
     )
     # 3500ms video sampled at 1000ms → frames 0..2 (3 frames)
     assert rows == [(3, 0, 0), (3, 1, 1000), (3, 2, 2000)]
+
+
+def test_resize_plan_geometry(spark):
+    """Aspect ratio preserved, never upscaled, floor semantics."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.multimodal import resize_plan
+
+    rows = [
+        (1, "image", b"x", (128, 256, None, "img")),   # tall: fit height
+        (2, "image", b"y", (32, 16, None, "img")),     # small: no upscale
+        (3, "audio", b"z", (999, 999, None, "aud")),   # filtered out
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, content binary, "
+        "meta struct<width:int, height:int, duration_ms:int, mime:string>",
+    )
+    out = {r.media_id: r for r in resize_plan(media).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].thumb_w, out[1].thumb_h) == (32, 64)   # 128/256 → x0.25
+    assert (out[2].thumb_w, out[2].thumb_h) == (32, 16)   # scale clamped to 1
+    assert len(out[1].thumb_sha256) == 64
