@@ -4208,3 +4208,66 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return multimodal.resize_plan(media)
+
+
+@_register(
+    "agg_hll_mergeable_rollup",
+    """
+    WITH per_status AS (
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, exact_customers, TRUE AS within_tol
+    FROM per_status
+    UNION ALL
+    SELECT 'ALL', (SELECT COUNT(DISTINCT o_custkey) FROM orders), TRUE
+    """,
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-status customer sketches are
+    built ONCE, then the global estimate comes from MERGING the
+    sketches — never rescanning the fact. This is the 100 TB pattern
+    for distinct counts at multiple granularities: sketches are
+    re-aggregatable state you can store in a rollup table and union at
+    query time. Driver-visible contract is the bound (estimate within
+    tolerance of exact at every level), mirroring agg_approx_distinct's
+    HLL++ entry; the exact counts exist only to make the bound
+    checkable."""
+    o = load_table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    status_rows = per_status.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double")
+                - F.col("exact_customers")
+            )
+            / F.col("exact_customers")
+            <= 0.05
+        ).alias("within_tol"),
+    )
+    global_row = (
+        per_status.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(F.count_distinct("o_custkey").alias("exact_customers"))
+            )
+        )
+        .select(
+            F.lit("ALL").alias("o_orderstatus"),
+            "exact_customers",
+            (
+                F.abs(F.col("merged_est").cast("double") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("within_tol"),
+        )
+    )
+    return status_rows.unionAll(global_row)
