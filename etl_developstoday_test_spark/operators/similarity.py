@@ -92,10 +92,13 @@ def cosine_near_pairs(
         "_vec",
         dot_fold(F.col("_vec"), F.col("_vec")).alias("_norm2"),
     )
+    # No broadcast hint: b is the FULL corpus — at 100 TB it cannot be
+    # broadcast. Both sides shuffle on the block key (SMJ/SHJ), which is
+    # exactly the hash-partitioned design the docstring describes.
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col(f"a.block") == F.col(f"b.block"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

@@ -2471,7 +2471,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sorted_order_array",
     """
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
            COUNT(*) AS n_orders
     FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 450000)
     GROUP BY o_custkey
@@ -2480,11 +2480,14 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_sorted_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect each customer's qualifying order keys
     into a SORTED array — collect_list alone is partition-order-
-    nondeterministic; sort_array restores a canonical value so the
-    nested result is comparable across engines."""
+    nondeterministic; sort_array restores a canonical value. The array
+    is emitted joined as a ','-string (same operator semantics) because
+    nested values are unhashable in the driver's pandas canonicalizer."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("order_keys"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -308,6 +308,24 @@ def test_contamination_broadcasts_benchmark_index(spark):
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
 
 
+def test_cosine_pair_join_carries_no_broadcast_hint(spark):
+    """Regression for the r2 scale flaw: cosine_near_pairs must NOT
+    broadcast the corpus side of the block-pair join. With the size-
+    based broadcast threshold disabled, an explicit F.broadcast hint
+    would STILL produce a BroadcastHashJoin — so a shuffle join here
+    proves the hint is gone and the join hash-partitions on the block
+    key as the operator's docstring claims."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "dedup_embedding_cosine")
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_embedding_lsh_candidates_from_band_equijoin(spark):
     """Candidate pairs must come from the (band_id, band_val) equi-join
     — a hash join, never a nested-loop/cartesian enumeration."""
