@@ -50,7 +50,7 @@ from etl_developstoday_test_spark.operators import (
     text_analysis,
     text_dedup,
 )
-from etl_developstoday_test_spark.sources.tables import load_table
+from etl_developstoday_test_spark.sources.tables import events_stream, load_table
 
 # ---------------------------------------------------------------------------
 # SQL fragment helpers (DuckDB dialect)
@@ -1653,18 +1653,8 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries."""
     import uuid
 
-    # events.parquet stores TIMESTAMP(NANOS) — stream it as long nanos
-    # and rebuild micros exactly, mirroring sources/tables.load_table.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
     stream = (
-        spark.readStream.schema(ev_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
@@ -1848,16 +1838,8 @@ def stream_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle-gap rule; both are exposed)."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
     stream = (
-        spark.readStream.schema(ev_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
@@ -1902,17 +1884,7 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_user_running_totals as op,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(ev_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
     # the stateful shuffle spawns one Python worker + state store per
     # shuffle partition; with O(100) keys, 8 partitions beats 32 (the
