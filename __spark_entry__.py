@@ -26,42 +26,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# per round (CORRECTNESS_r01 = exactly the first 50 of 86). Order the
-# registry so rounds jointly cover everything: queries with no driver
-# row yet come first, then the entries whose oracles changed this round,
-# then a flagship re-verification set; the remainder (green in r1) fill
-# the tail.
+# per round. Order the registry so rounds jointly cover everything:
+# queries with no driver row in ANY round come first, then queries whose
+# code changed this round, then a flagship re-certification set; the
+# remainder (driver-green in earlier rounds) fill the tail. The
+# per-round coverage map lives in README.md ("Driver verification
+# rotation").
 _DRIVER_PRIORITY = [
-    # unchecked in round 1 (no CORRECTNESS_r01 row)
-    "mm_frame_sample_plan", "stream_events_hourly",
-    "setop_intersect_except_nations", "sql_grouping_sets_orders",
-    "window_ntile_order_quartiles", "agg_argmax_order_per_status",
-    "stream_events_sessionized", "stream_user_running_totals",
-    "events_json_schema_parse", "join_left_outer_customer_orders",
-    "join_full_outer_nation_roles", "agg_revenue_by_year_month",
-    "tpch_q7_nation_trade", "sample_hash_split",
-    "dedup_incremental_new_docs", "dedup_connected_components",
-    "etl_merge_upsert", "window_scd2_intervals",
-    "window_percent_rank_acctbal", "agg_stats_moments",
-    "agg_sorted_order_array", "join_salted_skew_enrich",
-    "text_vectorized_udf_len", "events_props_map_explode",
-    "agg_percentile_banding", "events_hourly_gap_fill",
-    "text_fuzzy_match_nations", "etl_ship_latency_stats",
-    "events_funnel_stages", "events_cohort_retention",
-    "text_tfidf_top_terms", "join_shuffle_hash_hint",
-    "tpch_q4_order_priority", "tpch_q12_priority_shipping",
-    "tpch_q19_disjunctive", "tpch_q22_dormant_customers",
-    # oracles added/upgraded this round (were err: no_oracle in r1, or new)
-    "dedup_simhash_near_pairs", "agg_approx_distinct",
-    "agg_approx_percentiles", "embed_ann_ivf_topk", "embed_ann_ivf_recall",
-    "text_pii_scrub", "sample_stratified_rebalance",
-    # round-2 additions with restructured/novel plans
-    "tpch_q2_min_price_supplier", "tpch_q21_waiting_suppliers",
-    "dedup_embedding_lsh",
-    # flagship re-verification (changed in round 2) + the end-to-end
-    # golden-pipeline row (new: certifies the whole ETL core at once)
-    "etl_stats_counters", "etl_dedup_first_wins",
-    "etl_golden_pipeline_stats", "mm_media_features",
+    # --- never driver-checked in r1-r3 (21 queries) ---
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_parts", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_stock_suppliers",
+    "text_benchmark_contamination", "text_bpe_token_stats",
+    "text_chunk_overlap", "text_repetition_ratio", "text_token_rarity",
+    "text_word_positions_udtf", "events_mad_outliers",
+    "stream_watermark_close_out", "join_bucketed_colocated",
+    "scan_orc_roundtrip", "scan_partition_pruned",
+    "agg_hll_mergeable_rollup", "mm_resize_plan",
+    # --- repaired this round (events.ts TIMESTAMP_NTZ regression) ---
+    "etl_normalize", "etl_time_since_prev", "events_sessionize",
+    "stream_events_hourly", "stream_events_sessionized",
+    # --- plan changed in r3 (broadcast hint removed), re-verify ---
+    "dedup_embedding_cosine",
+    # --- flagship re-certification: reference ETL core + declared
+    #     queries Q1-Q4 + TPC-H anchors + one per operator family ---
+    "etl_golden_pipeline_stats", "etl_stats_counters",
+    "etl_dedup_first_wins", "etl_valid_rows", "etl_invalid_rows",
+    "etl_dedup_losers", "q1_argmax_group_avg", "q2_topk_by_measure",
+    "q3_topk_by_derived", "q4_selective_filter",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items", "tpch_q14_promo_share",
+    "tpch_q18_large_volume", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "embed_cosine_topk",
+    "join_asof_attribution",
 ]
 
 
