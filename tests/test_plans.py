@@ -218,6 +218,58 @@ def test_tpch_q8_only_fact_join_shuffles(spark):
     assert "EqualTo(p_type,STANDARD)" in plan
 
 
+def _plan_without_auto_broadcast(spark, name: str) -> str:
+    """Plan with size-based broadcasting off: at toy SF every table fits
+    under the threshold, so only EXPLICIT broadcast hints surviving here
+    prove the 100-TB join strategy."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_q9_broadcasts_dims_single_fact_join(spark):
+    """part (LIKE-pruned), nation, and supplier⋈nation broadcast onto
+    lineitem (3 explicit hints); lineitem⋈orders is the lone shuffle
+    join, then one (nation, yr) aggregate. The LIKE predicate must
+    prune part BEFORE its broadcast (pushed into the part scan), and
+    lineitem must be scanned exactly once."""
+    plan = _plan_without_auto_broadcast(spark, "tpch_q9_product_profit")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # li⋈orders
+    assert "StringContains(p_name,gear)" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_tpch_q11_single_fact_scan_and_shuffle(spark):
+    """The HAVING-vs-global-scalar pattern must NOT re-execute the fact
+    subtree for the scalar total (Spark does not reuse the exchange for
+    a crossJoin'd aggregate): the total comes from an unpartitioned
+    window over the per-part aggregate, so lineitem is scanned once and
+    the groupBy(l_partkey) is the only fact shuffle. Top-100 must avoid
+    a global sort."""
+    plan = _plan_without_auto_broadcast(spark, "tpch_q11_important_parts")
+    assert plan.count("lineitem.parquet") == 1
+    assert _fact_exchanges(plan) == 1  # groupBy(l_partkey) only
+    assert "EqualTo(n_name,NATION_7)" in plan  # dim predicate pushed
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q15_single_fact_scan_pushed_dates(spark):
+    """The quarterly shipdate range must reach the parquet scan; the
+    scalar max comes from an unpartitioned window over the revenue
+    aggregate (no fact re-execution), and supplier joins by explicit
+    broadcast — the revenue aggregate is the only fact shuffle."""
+    plan = _plan_without_auto_broadcast(spark, "tpch_q15_top_supplier")
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_shipdate," in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert _fact_exchanges(plan) == 1
+    assert "BroadcastHashJoin" in plan  # supplier name join
+
+
 def test_tpch_q13_outer_join_keeps_orderless_customers(spark):
     """The priority exclusion must sit inside the join, not filter
     customer rows; plan keeps a LeftOuter join with the pushed

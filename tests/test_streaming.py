@@ -169,3 +169,105 @@ def test_stream_user_running_totals_carries_state(spark, tmp_path):
     write_batch([(4, "2024-01-01 01:00:00", 1, "click", 10.0)], "b2")
     got2 = run_once("user_totals_b2")
     assert got2[1] == (3, 13.5)  # state carried: 3.5 + 10.0, count 2+1
+
+
+# --- physical-timestamp-type robustness (events.ts drifted NANOS→NTZ
+# between testdata generations; pin that every encoding keeps working) --
+
+
+def _write_events_parquet(path, unit):
+    """Write a small events.parquet with ts encoded as timestamp[unit]
+    WITHOUT a timezone (parquet isAdjustedToUTC=0 → Spark TIMESTAMP_NTZ
+    for 'us'; TIMESTAMP(NANOS) for 'ns')."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # two users, one event every 30 min for 6 hours
+    for i in range(12):
+        t = base + dt.timedelta(minutes=30 * i)
+        rows.append((i * 2, t, 1, "click", 1.0))
+        rows.append((i * 2 + 1, t, 2, "view", 2.0))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp(unit)),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, path, version="2.6")
+
+
+def _hourly_counts(df):
+    return {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in df.collect()
+    }
+
+
+def test_events_stream_adapts_to_ntz_and_nanos(spark, tmp_path):
+    """events_stream must normalize ts to TimestampType from both the
+    old (nanos) and new (NTZ micros) physical encodings and produce
+    identical windowed aggregates."""
+    from etl_developstoday_test_spark.sources.tables import (
+        events_stream,
+        load_table,
+    )
+
+    results = {}
+    for unit in ("us", "ns"):
+        d = tmp_path / f"sf_{unit}"
+        d.mkdir()
+        _write_events_parquet(str(d / "events.parquet"), unit)
+
+        batch = load_table(spark, str(d), "events")
+        assert str(batch.schema["ts"].dataType) == "TimestampType()"
+
+        stream = (
+            events_stream(spark, str(d))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("win.start").alias("window_start"), "event_type",
+                    "n_events", "total_value")
+        )
+        name = f"ntz_robust_{unit}"
+        q = (
+            stream.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        results[unit] = _hourly_counts(spark.table(name))
+
+    # 6 hourly windows x 2 event types, identical across encodings
+    assert len(results["us"]) == 12
+    assert results["us"] == results["ns"]
+    assert results["us"][("2024-01-01 00:00:00", "click")] == (2, 2.0)
+
+
+def test_stream_watermark_close_out_ntz_direct(spark, tmp_path):
+    """stream_watermark_close_out previously survived the NTZ testdata
+    change only because it round-trips events through its own parquet
+    write; pin that it stays correct when fed NTZ input directly."""
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+
+    _write_events_parquet(str(tmp_path / "events.parquet"), "us")
+    got = {
+        str(r["window_start"]): (r["n_events"], r["total_value"])
+        for r in QUERIES["stream_watermark_close_out"](spark, str(tmp_path)).collect()
+    }
+    # max ts = 05:30 → watermark 03:30 → append-mode emits only windows
+    # whose END <= 03:30: hours 00, 01, 02. Each hour holds 2x30min x
+    # 2 users = 4 events totaling 2*(1.0+2.0) = 6.0.
+    assert got == {
+        "2024-01-01 00:00:00": (4, 6.0),
+        "2024-01-01 01:00:00": (4, 6.0),
+        "2024-01-01 02:00:00": (4, 6.0),
+    }
