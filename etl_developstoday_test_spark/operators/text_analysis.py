@@ -46,16 +46,18 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic document-quality scoring from length / alphabetic-ratio
     / stopword-ratio / type-token-ratio signals. All ratios are
     int/int double divisions (deterministic); the score combines them
-    with fixed-order double arithmetic."""
+    with fixed-order double arithmetic. ``carry`` names extra input
+    columns to pass through unchanged (the map stays narrow)."""
     n_chars = F.length("text").cast("long")
     alpha_chars = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
 
     base = docs.select(
         "doc_id",
+        *carry,
         n_chars.alias("n_chars"),
         let(tokens(F.col("text")), lambda t: F.size(t).cast("long")).alias("n_tokens"),
         (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),

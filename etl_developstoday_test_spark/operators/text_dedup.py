@@ -56,6 +56,36 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def keep_best_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate resolution keeping the BEST copy, not the first:
+    among rows with identical content, keep the one with the highest
+    quality score, tie-broken deterministically on doc_id — the
+    training-pipeline shape for "merge recrawls, keep the cleanest
+    copy" (vs the reference's first-wins rule,
+    TripDuplicateDetectorService.cs:36-49, exposed as dedup_exact).
+
+    Scale posture: one narrow scoring map over the scan, then a single
+    hash-partitioned window on content_hash (row_number + count share
+    the one shuffle) — identical one-shuffle posture to exact dedup.
+    Returns (content_hash, doc_id, quality_score, n_copies) winners.
+    """
+    from pyspark.sql import Window
+
+    from etl_developstoday_test_spark.operators.text_analysis import quality_score
+
+    scored = quality_score(
+        docs.withColumn("content_hash", F.md5("text")), carry=("content_hash",)
+    ).select("doc_id", "content_hash", "quality_score")
+    by_hash = Window.partitionBy("content_hash")
+    w = by_hash.orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(by_hash).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", "doc_id", "quality_score", "n_copies")
+    )
+
+
 def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
     docs = fan_out(docs)  # shingling is per-row-heavy: parallelize first

@@ -4268,3 +4268,105 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return status_rows.unionAll(global_row)
+
+
+# --- round-4 additions: corpus heavy hitters, best-copy dedup,
+#     streaming dedup -------------------------------------------------------
+
+@_register(
+    "text_top_tokens",
+    f"""
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters (the vocabulary head): explode tokens,
+    two-phase count, TakeOrderedAndProject top-50 — no global sort. At
+    100 TB the only wide op is the vocabulary-sized count shuffle;
+    map-side partial aggregation collapses each partition to its local
+    vocabulary before the exchange."""
+    from etl_developstoday_test_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(50)
+    )
+
+
+@_register(
+    "dedup_keep_best_quality",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) * 0.4
+             + CAST(len(list_filter(arr, t -> list_contains(
+                 [{", ".join(f"'{w}'" for w in text_analysis.STOPWORDS)}], t)))
+                 AS DOUBLE) / len(arr) * 0.3
+             + CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) * 0.3
+               AS quality_score
+      FROM (SELECT doc_id, text, {_TOKS} AS arr FROM documents)
+    )
+    SELECT content_hash, doc_id, quality_score, n_copies FROM (
+      SELECT *,
+             COUNT(*) OVER (PARTITION BY content_hash) AS n_copies,
+             ROW_NUMBER() OVER (
+               PARTITION BY content_hash
+               ORDER BY quality_score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup resolution keeping the cleanest copy per content group
+    (highest quality score, doc_id tie-break) — the "merge recrawls"
+    training-pipeline step; contrast with dedup_exact's min-doc_id
+    first-wins rule. One narrow scoring map + one content_hash window
+    shuffle (operators/text_dedup.py:keep_best_duplicates)."""
+    return text_dedup.keep_best_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "stream_events_dedup_counts",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_events_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-occurrence dedup run end-to-end: dropDuplicates
+    keyed on (user_id, event_type) with watermark-bounded state
+    (O(live keys) — the streaming analogue of the reference's in-memory
+    dedup set, TripDuplicateDetectorService.cs:36-49, WITHOUT its
+    unbounded-memory ceiling), then a batch rollup of the sink proves
+    exactly one survivor per key against the DISTINCT oracle. Which
+    physical row survives per key is arrival-order-dependent; the
+    per-type survivor count is not — that is what the oracle checks."""
+    import uuid
+
+    stream = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -299,6 +299,7 @@ _EAGER_QUERIES = {
     "stream_events_sessionized",
     "stream_user_running_totals",
     "stream_watermark_close_out",
+    "stream_events_dedup_counts",
     "dedup_connected_components",
     "join_bucketed_colocated",
     "scan_orc_roundtrip",
@@ -343,6 +344,23 @@ def test_no_undeclared_python_in_any_plan(spark):
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
     assert not undeclared, f"undeclared Arrow-Python nodes in: {undeclared}"
     assert not cartesian, f"CartesianProduct in: {cartesian}"
+
+
+def test_top_tokens_partial_agg_topk(spark):
+    """Heavy hitters must collapse map-side (partial count before the
+    vocabulary shuffle) and take the top-50 without a global sort."""
+    plan = plan_of(spark, "text_top_tokens")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_keep_best_dedup_single_shuffle(spark):
+    """Best-copy dedup: one hash exchange on content_hash serves both
+    the row_number and the per-group count — same one-shuffle posture
+    as first-wins dedup."""
+    plan = plan_of(spark, "dedup_keep_best_quality")
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_token_rarity_broadcasts_vocabulary(spark):
