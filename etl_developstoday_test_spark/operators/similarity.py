@@ -18,7 +18,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from etl_developstoday_test_spark.functions import as_double_array, cosine, dot_fold, dsum, fan_out
+from etl_developstoday_test_spark.functions import (
+    as_double_array,
+    cosine,
+    dot_fold,
+    dsum,
+    fan_out,
+    let,
+)
 
 
 def _with_unit_info(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -214,8 +221,13 @@ def ivf_topk(
 
 # --- random-hyperplane LSH (SimHash in embedding space) --------------------
 
-N_HYPERPLANES = 16
-LSH_BANDS = 4  # 4 bands x 4 bits
+# 4 bands x 8 bits: 256 band values spread the bucket join (cost is
+# Σ|bucket|² per band — at 16 bits / 4-bit bands the testbed produced
+# ~250x-corpus-size candidate pairs; 8-bit bands cut that ~16x while a
+# 0.99-cosine pair still collides in some band with P ≈ 1-(1-p^8)^4 ≈
+# 0.99 for p = 1-θ/π ≈ 0.955). At corpus scale raise to 64-128 bits.
+N_HYPERPLANES = 32
+LSH_BANDS = 4
 
 
 def hyperplane_signs(n_planes: int = N_HYPERPLANES, dim: int = 64) -> list[list[int]]:
@@ -262,23 +274,43 @@ def hyperplane_lsh_pairs(
     Returns (vec_id_a, vec_id_b, cos_sim), exact-verified.
     """
     planes = hyperplane_signs(n_planes, dim)
-    v = as_double_array(vec_col)
-    bits = [
-        (dot_fold(v, F.array(*[F.lit(float(s)) for s in row])) >= 0).cast("int")
-        for row in planes
-    ]
-    bits_per_band = n_planes // bands
-    band_vals = [
-        sum(
-            (bits[b * bits_per_band + i] * F.lit(2**i))
-            for i in range(bits_per_band)
+    # ONE parsed SQL literal for the whole ±1 plane matrix: building
+    # n_planes×dim literals as individual Column objects costs thousands
+    # of py4j round-trips (measured ~6s of pure DataFrame-construction
+    # time at 32×64); a single F.expr costs one. The bits array and the
+    # vector cast are let-bound so each is evaluated once per row
+    # (CollapseProject would otherwise re-inline them per use).
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(s)}D" for s in row) + ")"
+            for row in planes
         )
-        for b in range(bands)
-    ]
+        + ")"
+    )
+    bits_per_band = n_planes // bands
+    bits = let(
+        as_double_array(vec_col),
+        lambda vv: F.transform(
+            planes_lit, lambda row: (dot_fold(vv, row) >= 0).cast("int")
+        ),
+    )
+    band_arr = let(
+        bits,
+        lambda bs: F.array(
+            *[
+                sum(
+                    (F.get(bs, b * bits_per_band + i) * F.lit(2**i))
+                    for i in range(bits_per_band)
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
     sigs = fan_out(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
-        F.posexplode(F.array(*band_vals)).alias("band_id", "band_val"),
+        F.posexplode(band_arr).alias("band_id", "band_val"),
     )
     left = sigs.select(
         F.col(id_col).alias("id_a"),
@@ -292,12 +324,15 @@ def hyperplane_lsh_pairs(
         "band_id",
         "band_val",
     )
-    candidates = (
-        left.join(right, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
-        .distinct()
+    candidates = left.join(right, ["band_id", "band_val"]).filter(
+        F.col("id_a") < F.col("id_b")
     )
+    # Cosine runs map-side BEFORE the pair dedup: a pair colliding in k
+    # bands computes the (cheap, deterministic — so bit-identical every
+    # time) fold up to k times, but the dedup shuffle then carries three
+    # scalars per row instead of two 64-double vectors, and the
+    # threshold filter discards non-near pairs pre-shuffle. At 100 TB
+    # the shuffle is the bottleneck, not the fold.
     return (
         candidates.select(
             F.col("id_a").alias("vec_id_a"),
@@ -308,4 +343,5 @@ def hyperplane_lsh_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .distinct()
     )
