@@ -4370,3 +4370,149 @@ def stream_events_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@_register(
+    "events_sliding_windows",
+    f"""
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '30 minutes', ts),
+               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows — 1-hour windows every 30
+    minutes, so each event lands in exactly two windows. Spark's
+    ``F.window(ts, "1 hour", "30 minutes")`` expands the assignment
+    inside codegen (a 2-row Explode per event — the same plan Structured
+    Streaming uses for hopping aggregations); the oracle replays the
+    window arithmetic as slide-aligned time_buckets. One fan-out map +
+    one aggregation shuffle; exact-decimal sums keep the overlap
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(ACC_DECIMAL)).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_register(
+    "etl_cdc_last_writer_wins",
+    """
+    WITH changelog AS (
+      SELECT o_orderkey AS key, 1 AS seq, 'I' AS op,
+             o_totalprice AS totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 1000.0
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT key, totalprice FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+      FROM changelog
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def etl_cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application with last-writer-wins semantics — the
+    compaction step of every incremental ingest: a synthetic I/U/D
+    changelog (deterministically derived from orders) collapses to the
+    final state by keeping each key's highest-sequence change and
+    dropping keys whose last change is a delete.
+
+    Scale posture: one union of narrow scans + ONE hash shuffle on the
+    key for the row_number window — the same shape as first-wins dedup
+    but ordered by sequence descending. At 100 TB the changelog join
+    alternative (base ⋈ updates ⋈ deletes) would shuffle three times;
+    the union+window shuffles once."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    ins = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 1000.0).alias("totalprice"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("totalprice"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    return (
+        ins.unionAll(upd)
+        .unionAll(dele)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "totalprice")
+    )
+
+
+@_register(
+    "scan_json_roundtrip",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic source contract, JSON edition (sibling of
+    scan_orc_roundtrip): events → JSON-lines files → read back with an
+    EXPLICIT schema (schema inference would re-scan the data — never at
+    100 TB) → identical aggregate. Numeric fidelity: doubles survive a
+    JSON round-trip because Spark serializes with shortest-round-trip
+    formatting; the aggregate re-verifies it against the parquet-side
+    oracle."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="json_rt_")
+    try:
+        ev.write.mode("overwrite").json(f"{tmp}/events_json")
+        back = spark.read.schema("event_type string, value double").json(
+            f"{tmp}/events_json"
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(ACC_DECIMAL)).cast("double").alias(
+                    "total_value"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

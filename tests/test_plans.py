@@ -303,6 +303,7 @@ _EAGER_QUERIES = {
     "dedup_connected_components",
     "join_bucketed_colocated",
     "scan_orc_roundtrip",
+    "scan_json_roundtrip",
     "scan_partition_pruned",
     "etl_golden_pipeline_stats",
 }
@@ -360,6 +361,22 @@ def test_keep_best_dedup_single_shuffle(spark):
     the row_number and the per-group count — same one-shuffle posture
     as first-wins dedup."""
     plan = plan_of(spark, "dedup_keep_best_quality")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cdc_last_writer_wins_single_shuffle(spark):
+    """Union + sequence-ordered window must shuffle ONCE on the key —
+    not once per changelog branch."""
+    plan = plan_of(spark, "etl_cdc_last_writer_wins")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" in plan
+
+
+def test_sliding_windows_explode_plus_one_shuffle(spark):
+    """Hopping-window assignment expands inside the plan (Explode/
+    Expand, no Python) with a single aggregation exchange."""
+    plan = plan_of(spark, "events_sliding_windows")
+    assert ("Explode" in plan) or ("Expand" in plan) or ("Generate" in plan)
     assert plan.count("Exchange hashpartitioning") == 1
 
 
