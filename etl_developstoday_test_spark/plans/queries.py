@@ -4516,3 +4516,55 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "events_rolling_active_users",
+    """
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    expanded AS (
+      SELECT user_id,
+             unnest([day, day + INTERVAL 1 DAY, day + INTERVAL 2 DAY,
+                     day + INTERVAL 3 DAY, day + INTERVAL 4 DAY,
+                     day + INTERVAL 5 DAY, day + INTERVAL 6 DAY])
+               AS window_day
+      FROM daily
+    )
+    SELECT window_day, COUNT(DISTINCT user_id) AS active_users_7d
+    FROM expanded
+    WHERE window_day IN (SELECT DISTINCT date_trunc('day', ts) FROM events)
+    GROUP BY window_day
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the DAU/WAU rolling-distinct
+    shape). COUNT(DISTINCT) cannot ride a sliding window frame, so the
+    scalable formulation is: distinct (day, user) pairs first (collapses
+    the fact table to its per-day user sets — ONE fact shuffle), then a
+    narrow 7-row explode maps each pair onto the days it keeps the user
+    "active", then a per-day distinct count over the already-thin pairs.
+    Observed-day restriction broadcasts the (tiny, #days-sized) day
+    dimension. At 100 TB the expansion is 7x a deduplicated pair set,
+    never 7x the raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    daily = ev.select(day.alias("day"), "user_id").distinct()
+    expanded = daily.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.timestamp_add("DAY", F.lit(i), F.col("day"))
+                    for i in range(7)
+                ]
+            )
+        ).alias("window_day"),
+    )
+    days = ev.select(day.alias("window_day")).distinct()
+    return (
+        expanded.join(F.broadcast(days), "window_day")
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )

@@ -380,6 +380,16 @@ def test_sliding_windows_explode_plus_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_rolling_active_users_shape(spark):
+    """Rolling-distinct must collapse the fact to (day, user) pairs
+    before the 7x explode (Generate in-plan, no Python) and broadcast
+    the observed-day dimension."""
+    plan = plan_of(spark, "events_rolling_active_users")
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert _fact_exchanges(plan) <= 4
+
+
 def test_token_rarity_broadcasts_vocabulary(spark):
     """Pass 2 must stream the corpus against the broadcast vocabulary —
     the per-doc aggregate is the only non-broadcast exchange chain."""
