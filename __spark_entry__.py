@@ -26,48 +26,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries
-# per round. Order the registry so rounds jointly cover everything:
-# queries with no driver row in ANY round come first, then queries whose
-# code changed this round, then a flagship re-certification set; the
-# remainder (driver-green in earlier rounds) fill the tail. The
-# per-round coverage map lives in README.md ("Driver verification
+# per round, so the registry is ordered so successive rounds jointly
+# cover everything. The order is DERIVED from the CORRECTNESS_r*.json
+# files the driver leaves in the repo root (rotation was a hand-
+# maintained list through round 3 and was forgotten once — this makes
+# it structural):
+#   1. queries with no driver row in any round (newest additions first
+#      priority-wise, in registration order),
+#   2. queries whose implementation changed since their last green row
+#      (manual list below, updated each round),
+#   3. queries whose LATEST driver row is not hash-green (regressions),
+#   4. everything else, oldest-green-round first — so flagship rows
+#      naturally rotate back through the window for re-certification.
+# The per-round coverage map lives in README.md ("Driver verification
 # rotation").
-_DRIVER_PRIORITY = [
-    # --- never driver-checked in r1-r3 (21 queries) ---
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q11_important_parts", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue", "tpch_q20_excess_stock_suppliers",
-    "text_benchmark_contamination", "text_bpe_token_stats",
-    "text_chunk_overlap", "text_repetition_ratio", "text_token_rarity",
-    "text_word_positions_udtf", "events_mad_outliers",
-    "stream_watermark_close_out", "join_bucketed_colocated",
-    "scan_orc_roundtrip", "scan_partition_pruned",
-    "agg_hll_mergeable_rollup", "mm_resize_plan",
-    # --- repaired this round (events.ts TIMESTAMP_NTZ regression) ---
+
+# Queries whose code (or plan shape) changed this round after their
+# last green driver row — update when touching an implementation.
+_CHANGED_THIS_ROUND = [
+    # events.ts TIMESTAMP_NTZ regression repairs
     "etl_normalize", "etl_time_since_prev", "events_sessionize",
     "stream_events_hourly", "stream_events_sessionized",
-    # --- plan changed in r3 (broadcast hint removed), re-verify ---
+    # r3 broadcast-hint removal (never re-verified since)
     "dedup_embedding_cosine",
-    # --- flagship re-certification: reference ETL core + declared
-    #     queries Q1-Q4 + TPC-H anchors + one per operator family ---
-    "etl_golden_pipeline_stats", "etl_stats_counters",
-    "etl_dedup_first_wins", "etl_valid_rows", "etl_invalid_rows",
-    "etl_dedup_losers", "q1_argmax_group_avg", "q2_topk_by_measure",
-    "q3_topk_by_derived", "q4_selective_filter",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items", "tpch_q14_promo_share",
-    "tpch_q18_large_volume", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_simhash", "embed_cosine_topk",
-    "join_asof_attribution",
+    # r4 rewrites: single-fact-scan scalar pattern, LSH rework,
+    # bench-lite golden path
+    "tpch_q11_important_parts", "tpch_q15_top_supplier",
+    "dedup_embedding_lsh", "etl_golden_pipeline_stats",
 ]
 
 
+def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
+    """(last_round_checked, last_round_green) per query, read from the
+    driver's own CORRECTNESS_r*.json artifacts; empty if none exist."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    checked: dict[str, int] = {}
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            checked[name] = max(checked.get(name, 0), rnd)
+            if isinstance(row, dict) and row.get("hash_match"):
+                green[name] = max(green.get(name, 0), rnd)
+    return checked, green
+
+
 def _driver_order(d: dict) -> dict:
-    out = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
-    out.update((k, v) for k, v in d.items() if k not in out)
-    return out
+    checked, green = _driver_history()
+    changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    names = list(d)
+    reg_idx = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        if n not in checked:
+            return (0, reg_idx[n])
+        if n in changed:
+            return (1, changed[n])
+        if checked[n] > green.get(n, 0):
+            return (2, reg_idx[n])  # latest row red and never re-greened
+        return (3, green[n], reg_idx[n])  # oldest-green rotates in first
+
+    return {n: d[n] for n in sorted(names, key=key)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

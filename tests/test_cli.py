@@ -45,16 +45,17 @@ def test_cli_runs_and_prints_stats(tmp_path):
 
 
 def test_driver_registry_consistency():
-    """Every _DRIVER_PRIORITY name must exist (a typo silently wastes a
-    driver correctness slot), with no duplicates; queries() must expose
-    exactly the registry, and every query must have an oracle."""
+    """Every _CHANGED_THIS_ROUND name must exist (a typo silently wastes
+    a driver correctness slot), with no duplicates; queries() must
+    expose exactly the registry, and every query must have an oracle.
+    (Rotation-order invariants live in tests/test_driver_rotation.py.)"""
     import __spark_entry__ as entry_mod
     from etl_developstoday_test_spark.plans.queries import ORACLE_SQL, QUERIES
 
-    prio = entry_mod._DRIVER_PRIORITY
-    assert len(prio) == len(set(prio)), "duplicate names in _DRIVER_PRIORITY"
-    missing = [n for n in prio if n not in QUERIES]
-    assert not missing, f"_DRIVER_PRIORITY names not in QUERIES: {missing}"
+    changed = entry_mod._CHANGED_THIS_ROUND
+    assert len(changed) == len(set(changed)), "duplicates in _CHANGED_THIS_ROUND"
+    missing = [n for n in changed if n not in QUERIES]
+    assert not missing, f"_CHANGED_THIS_ROUND names not in QUERIES: {missing}"
     assert set(entry_mod.queries()) == set(QUERIES)
     assert set(entry_mod.oracle_sql()) == set(ORACLE_SQL)
     no_oracle = [n for n in QUERIES if n not in ORACLE_SQL]

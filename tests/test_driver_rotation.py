@@ -1,0 +1,72 @@
+"""The driver checks only the first 50 entries of queries() per round;
+the rotation that decides those 50 is derived from the driver's own
+CORRECTNESS_r*.json artifacts (hand-maintaining the list was forgotten
+once, in round 3). These tests pin the derivation's invariants against
+the real artifacts in the repo root."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import __spark_entry__ as entry
+from etl_developstoday_test_spark.plans.queries import ORACLE_SQL, QUERIES
+
+HERE = os.path.dirname(os.path.abspath(entry.__file__))
+
+
+def _rows():
+    seen = {}
+    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                seen.setdefault(name, []).append(row)
+    return seen
+
+
+def test_rotation_covers_registry_exactly_once():
+    ordered = list(entry.queries())
+    assert len(ordered) == len(QUERIES)
+    assert set(ordered) == set(QUERIES)
+
+
+def test_never_checked_queries_lead_the_window():
+    seen = _rows()
+    ordered = list(entry.queries())
+    never = [n for n in ordered if n not in seen]
+    # every never-checked query sorts before every checked query
+    if never:
+        last_never = max(ordered.index(n) for n in never)
+        first_checked = min(
+            ordered.index(n) for n in ordered if n in seen
+        )
+        assert last_never < first_checked
+
+
+def test_changed_queries_precede_recertification_tail():
+    seen = _rows()
+    ordered = list(entry.queries())
+    changed_with_rows = [
+        n for n in entry._CHANGED_THIS_ROUND if n in seen and n in ordered
+    ]
+    stable_green = [
+        n
+        for n in ordered
+        if n in seen
+        and n not in entry._CHANGED_THIS_ROUND
+        and seen[n][-1].get("hash_match")
+    ]
+    if changed_with_rows and stable_green:
+        assert max(ordered.index(n) for n in changed_with_rows) < max(
+            ordered.index(n) for n in stable_green
+        )
+
+
+def test_oracle_order_mirrors_query_order():
+    q = [n for n in entry.queries() if n in ORACLE_SQL]
+    assert q == list(entry.oracle_sql())
+
+
+def test_rotation_is_deterministic():
+    assert list(entry.queries()) == list(entry.queries())
