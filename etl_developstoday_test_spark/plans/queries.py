@@ -4568,3 +4568,80 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_day")
         .agg(F.count_distinct("user_id").alias("active_users_7d"))
     )
+
+
+@_register(
+    "window_range_interval_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame — each order's trailing-30-day customer
+    spend. Unlike a ROWS frame (window_running_customer_spend), the
+    frame boundary is a VALUE offset over the ordering key, so ties and
+    gaps behave calendar-correctly. Spark requires a single numeric
+    ordering column for rangeBetween: epoch seconds (session pinned
+    UTC, so NTZ wall-times agree with DuckDB's epoch()). One
+    hash-partitioned sort per customer — the same single shuffle as any
+    partitioned window; exact-decimal accumulation keeps the running
+    sums engine-identical.
+
+    Both engines restrict RANGE frames to a single ORDER BY
+    expression; ties (same-timestamp orders) share a frame, which is
+    well-defined for SUM because frame membership depends on the sort
+    VALUE, not row order."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(ACC_DECIMAL))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )
+
+
+@_register(
+    "pivot_unpivot_roundtrip",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           {_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to a wide (priority x status) matrix with explicit pivot
+    values (no extra distinct-discovery job), then unpivot (melt) back
+    to long form — proving the two reshapes are lossless inverses; the
+    oracle is the plain GROUP BY the round-trip must reproduce. One
+    aggregation shuffle for the pivot; the unpivot is a narrow Expand.
+    Null cells (priority/status combos with no orders) are dropped to
+    mirror the GROUP BY's absent groups."""
+    o = load_table(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(dsum("o_totalprice"))
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"], statuses, "o_orderstatus", "total_price"
+        )
+        .filter(F.col("total_price").isNotNull())
+    )

@@ -390,6 +390,21 @@ def test_rolling_active_users_shape(spark):
     assert _fact_exchanges(plan) <= 4
 
 
+def test_range_frame_single_window_shuffle(spark):
+    plan = plan_of(spark, "window_range_interval_frame")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_is_narrow_expand(spark):
+    """Melt must be an in-plan Expand over the pivoted aggregate; the
+    only shuffles are the pivot's two-level aggregation ((priority,
+    status) partial, then priority) — the unpivot itself adds none."""
+    plan = plan_of(spark, "pivot_unpivot_roundtrip")
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_token_rarity_broadcasts_vocabulary(spark):
     """Pass 2 must stream the corpus against the broadcast vocabulary —
     the per-doc aggregate is the only non-broadcast exchange chain."""
