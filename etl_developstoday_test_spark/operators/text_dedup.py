@@ -86,6 +86,41 @@ def keep_best_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    scheme, Schleimer et al. 2003): hash every k-gram with a rolling
+    window of the token stream, then keep the MINIMUM hash of each
+    w-length window of consecutive k-gram hashes — guaranteeing any
+    sufficiently long match between two documents shares a fingerprint,
+    at ~2/(w+1) selection density.
+
+    Entirely codegen array lambdas over the scan (shingle → md5_long →
+    per-window array_min → distinct → explode): a narrow map, zero
+    shuffles — the fingerprint rows feed an equi-join for match
+    detection exactly like _doc_shingles feeds Jaccard. Documents with
+    fewer than k+w-1 tokens yield no fingerprints (below the winnowing
+    guarantee threshold), matching the SQL oracle's length guard.
+    Returns (doc_id, fingerprint) distinct rows.
+    """
+    hashes = let(
+        word_shingles(tokens(F.col("text")), k),
+        lambda sh: F.transform(sh, md5_long),
+    )
+    fps = let(
+        hashes,
+        lambda hs: F.when(
+            F.size(hs) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(hs) - w),
+                    lambda i: F.array_min(F.slice(hs, i + 1, w)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    return docs.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
 def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
     docs = fan_out(docs)  # shingling is per-row-heavy: parallelize first

@@ -4645,3 +4645,35 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_price").isNotNull())
     )
+
+
+@_register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+    kg AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, len(arr) - 2),
+                              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]),
+               s -> {_md5long('s')}) AS hs
+      FROM toks
+    )
+    SELECT doc_id,
+           unnest(list_distinct(
+             list_transform(generate_series(1, len(hs) - 3),
+                            i -> list_min(hs[i:i+3])))) AS fingerprint
+    FROM kg WHERE len(hs) >= 4
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS-style rolling-hash local
+    fingerprinting): min-hash of every 4-window of consecutive 3-gram
+    hashes, distinct per document — the guarantee-bearing local
+    alternative to whole-document fingerprinting (text_fingerprint) and
+    the candidate generator for partial-overlap detection. All codegen
+    array lambdas, zero shuffles (operators/text_dedup.py:
+    winnow_fingerprints)."""
+    return text_dedup.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    )

@@ -82,7 +82,10 @@ def test_scans_stay_in_wholestage_codegen(spark):
         assert "*(" in plan, name
 
 
-@pytest.mark.parametrize("name", ["etl_valid_rows", "text_quality_score"])
+@pytest.mark.parametrize(
+    "name",
+    ["etl_valid_rows", "text_quality_score", "text_winnow_fingerprints"],
+)
 def test_narrow_ops_have_no_shuffle(spark, name):
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, f"{name} shuffles but is a narrow map"
