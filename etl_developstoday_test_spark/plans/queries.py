@@ -4677,3 +4677,53 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.winnow_fingerprints(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@_register(
+    "text_winnow_match_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+    kg AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, len(arr) - 2),
+                              i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]),
+               s -> {_md5long('s')}) AS hs
+      FROM toks
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(generate_series(1, len(hs) - 3),
+                              i -> list_min(hs[i:i+3])))) AS fingerprint
+      FROM kg WHERE len(hs) >= 4
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           COUNT(*) AS n_shared_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def text_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection from winnowing fingerprints: the
+    fingerprint equi-join (never O(n²) — candidates only where a local
+    fingerprint collides) counts shared fingerprints per document pair;
+    >= 5 shared windows flags substantial copied passages. The
+    distributed shape is identical to the n-gram Jaccard candidate
+    join: (fingerprint) hash-partitioned self-join + one pair-keyed
+    aggregation. Hot fingerprints (boilerplate shared by many docs)
+    would dominate bucket cost at corpus scale — cap or drop
+    fingerprints with document frequency above a threshold there, the
+    same df_max guard ngram_jaccard_pairs applies."""
+    fp = text_dedup.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    a = fp.select(F.col("doc_id").alias("doc_id_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= 5)
+    )
