@@ -102,6 +102,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     guarantee threshold), matching the SQL oracle's length guard.
     Returns (doc_id, fingerprint) distinct rows.
     """
+    docs = fan_out(docs)  # per-row-heavy hashing: parallelize first
     hashes = let(
         word_shingles(tokens(F.col("text")), k),
         lambda sh: F.transform(sh, md5_long),

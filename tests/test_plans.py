@@ -82,10 +82,15 @@ def test_scans_stay_in_wholestage_codegen(spark):
         assert "*(" in plan, name
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["etl_valid_rows", "text_quality_score", "text_winnow_fingerprints"],
-)
+def test_winnow_fingerprints_no_key_shuffle(spark):
+    """Winnowing is a narrow map after the fan_out width repartition:
+    no hash-partitioned exchange anywhere (the round-robin fan_out is
+    a no-op at real scan width)."""
+    plan = plan_of(spark, "text_winnow_fingerprints")
+    assert "Exchange hashpartitioning" not in plan
+
+
+@pytest.mark.parametrize("name", ["etl_valid_rows", "text_quality_score"])
 def test_narrow_ops_have_no_shuffle(spark, name):
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, f"{name} shuffles but is a narrow map"
