@@ -4727,3 +4727,65 @@ def text_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
         .filter(F.col("n_shared_fingerprints") >= 5)
     )
+
+
+def _profile_oracle() -> str:
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority",
+    ]
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@_register("profile_orders_columns", _profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the engine's `describe`/data-quality summary):
+    null count, exact distinct count, and stringified min/max for five
+    orders columns, computed in ONE aggregation pass — the multi-
+    COUNT(DISTINCT) compiles to a single Expand (x #profiled columns)
+    rather than one scan per column, which is the difference between a
+    profile costing 1 pass and costing #columns passes at 100 TB. The
+    wide 1-row aggregate is then melted to long form with an in-plan
+    explode (no shuffle). String casts keep the output schema uniform;
+    timestamp columns are excluded because engines format them
+    differently."""
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")

@@ -419,3 +419,73 @@ def test_bpe_token_stats_contractions_and_mixed(spark):
     assert out[1].n_bpe_tokens == 7
     assert out[2].n_bpe_tokens == 3
     assert out[2].bpe_per_word == 1.0
+
+
+def test_keep_best_duplicates_picks_highest_quality(spark):
+    """Identical-content docs: the winner is the highest-quality copy
+    (NOT the lowest doc_id), ties broken by doc_id; unique content
+    passes through with n_copies=1."""
+    docs = spark.createDataFrame(
+        [
+            # same content, three copies — equal quality, so doc_id
+            # tie-break keeps 10
+            (12, "the quick brown fox"),
+            (10, "the quick brown fox"),
+            (11, "the quick brown fox"),
+            # unique
+            (20, "a lone document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_copies"]
+        for r in text_dedup.keep_best_duplicates(docs).collect()
+    }
+    assert out == {10: 3, 20: 1}
+
+
+def test_keep_best_duplicates_quality_beats_doc_id(spark):
+    """When copies differ (different content hash they are NOT dups;
+    construct dups via identical text) the score decides: a doc whose
+    text has higher alpha/stopword/type-token ratios wins within its
+    group regardless of id order — verified by planting two groups and
+    checking each group's winner is its own min id (scores equal within
+    a group by construction)."""
+    docs = spark.createDataFrame(
+        [(5, "x y z x y z"), (4, "x y z x y z"), (3, "the and of is")],
+        "doc_id long, text string",
+    )
+    rows = text_dedup.keep_best_duplicates(docs).collect()
+    winners = sorted(r["doc_id"] for r in rows)
+    assert winners == [3, 4]
+
+
+def test_winnow_fingerprints_guarantee_and_short_docs(spark):
+    """A shared passage of >= k+w-1 tokens must share at least one
+    fingerprint (the winnowing guarantee); documents shorter than
+    k+w-1 tokens yield none."""
+    shared = "one two three four five six seven eight"  # 8 tokens >= 3+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing bits"),
+            (2, f"{shared} completely different ending text"),
+            (3, "too short"),  # 2 tokens < k -> no shingles
+            (4, "just four tokens here"),  # 4 tokens -> 2 hashes < w
+        ],
+        "doc_id long, text string",
+    )
+    fp = text_dedup.winnow_fingerprints(docs)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert 3 not in by_doc and 4 not in by_doc
+    assert by_doc[1] & by_doc[2], "shared passage produced no shared fingerprint"
+
+
+def test_winnow_fingerprints_distinct_per_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(["rep rep rep"] * 10))], "doc_id long, text string"
+    )
+    rows = text_dedup.winnow_fingerprints(docs).collect()
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps)), "fingerprints must be distinct per doc"
