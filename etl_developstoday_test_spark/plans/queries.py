@@ -4789,3 +4789,43 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+@_register(
+    "sample_mixture_weighted",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE
+             ({_md5long("'mix#' || CAST(doc_id AS VARCHAR)")} % 10000) / 10000.0
+             < (1 + CAST(substr(source, 4) AS INT) % 4) / 4.0) AS n_kept,
+           (1 + CAST(substr(source, 4) AS INT) % 4) / 4.0 AS target_rate
+    FROM documents GROUP BY source
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting by source — the training-data step that
+    up/down-samples each corpus source to target proportions. Each doc
+    draws a deterministic uniform from a salted md5 of its id (stable
+    across runs, engines, partition layouts — same idiom as
+    sample_hash_split) and is kept iff u < rate(source); rates here
+    cycle 0.25/0.5/0.75/1.0 from the source index as a stand-in for a
+    configured mixture table (broadcast-join a real one at scale).
+    Narrow per-row hashing + one per-source aggregate; no data movement
+    beyond the 20-group shuffle."""
+    from etl_developstoday_test_spark.functions import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (1 + F.substring("source", 4, 10).cast("int") % 4) / F.lit(4.0)
+    u = (
+        md5_long(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))) % 10000
+    ) / F.lit(10000.0)
+    return (
+        docs.select("source", rate.alias("target_rate"), (u < rate).alias("_keep"))
+        .groupBy("source", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("_keep"), 1)).alias("n_kept"),
+        )
+        .select("source", "n_total", "n_kept", "target_rate")
+    )
