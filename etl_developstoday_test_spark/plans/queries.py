@@ -4829,3 +4829,69 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_total", "n_kept", "target_rate")
     )
+
+
+@_register(
+    "join_asof_nearest_attribution",
+    """
+    WITH v AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, v.ts AS bts, v.value AS bval
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.ts <= p.ts
+    ),
+    f AS (
+      SELECT p.event_id, v.ts AS fts, v.value AS fval
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.ts >= p.ts
+    )
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, p.value AS purchase_value,
+           CASE WHEN fts IS NULL
+                     OR (bts IS NOT NULL AND (p.ts - bts) <= (fts - p.ts))
+                THEN bts ELSE fts END AS asof_ts,
+           CASE WHEN fts IS NULL
+                     OR (bts IS NOT NULL AND (p.ts - bts) <= (fts - p.ts))
+                THEN bval ELSE fval END AS asof_value
+    FROM p
+    JOIN b ON b.event_id = p.event_id
+    JOIN f ON f.event_id = p.event_id
+    """,
+)
+def join_asof_nearest_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (operators/asof.py:asof_join_nearest):
+    attribute each purchase to the CLOSEST 'view' by the same user in
+    either time direction (sensor-alignment semantics; ties resolve
+    backward). One union + one shuffle + one sort with two running
+    frames — the oracle needs two native ASOF joins plus a gap
+    comparison to express the same thing."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof.asof_join_nearest(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_values=["value"],
+        right_id="event_id",
+    )

@@ -115,6 +115,17 @@ def test_asof_attribution_no_join(spark):
     assert "Join" not in plan  # union + running-last, not a range join
 
 
+def test_asof_nearest_no_join_single_main_window(spark):
+    """The nearest variant must stay join-free too: both directional
+    frames ride ONE sorted partition (the only extra exchange is the
+    right-side tie dedup)."""
+    plan = plan_of(spark, "join_asof_nearest_attribution")
+    assert "Join" not in plan
+    # right-side tie dedup + the one (user_id) window partitioning that
+    # serves BOTH directional frames
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_shuffle_hash_hint_takes_effect(spark):
     plan = plan_of(spark, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
