@@ -4895,3 +4895,63 @@ def join_asof_nearest_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         right_values=["value"],
         right_id="event_id",
     )
+
+
+@_register(
+    "events_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (the Markov-chain / user-journey
+    bigram count): lead() pairs each event with the user's next one,
+    then one (from, to) aggregate. One per-user window shuffle + one
+    small matrix aggregate — the sequence-mining shape that also powers
+    next-action models and funnel-leak analysis."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@_register(
+    "text_lang_confusion",
+    f"""
+    SELECT lang AS actual_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM ({_langid_sql()}) GROUP BY lang, predicted_lang
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the wordlist
+    language-ID: predicted vs labeled language counts — the
+    quality-eval rollup every heuristic classifier in a data pipeline
+    needs next to its predictions. Narrow scoring map + one tiny
+    (|langs|²-bounded) aggregate."""
+    return (
+        text_analysis.lang_id(load_table(spark, sf_dir, "documents"))
+        .groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
