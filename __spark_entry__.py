@@ -31,29 +31,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # files the driver leaves in the repo root (rotation was a hand-
 # maintained list through round 3 and was forgotten once — this makes
 # it structural):
-#   1. queries with no driver row in any round (newest additions first
-#      priority-wise, in registration order),
+#   1. queries with no driver row in any round (newest registrations
+#      first, so fresh additions always make the window),
 #   2. queries whose implementation changed since their last green row
-#      (manual list below, updated each round),
+#      (dict below; entries SELF-EXPIRE once a green driver row from
+#      the change round or later lands, so the list can never go stale
+#      the way round 4's did),
 #   3. queries whose LATEST driver row is not hash-green (regressions),
 #   4. everything else, oldest-green-round first — so flagship rows
 #      naturally rotate back through the window for re-certification.
 # The per-round coverage map lives in README.md ("Driver verification
 # rotation").
 
-# Queries whose code (or plan shape) changed this round after their
-# last green driver row — update when touching an implementation.
-_CHANGED_THIS_ROUND = [
-    # events.ts TIMESTAMP_NTZ regression repairs
-    "etl_normalize", "etl_time_since_prev", "events_sessionize",
-    "stream_events_hourly", "stream_events_sessionized",
-    # r3 broadcast-hint removal (never re-verified since)
-    "dedup_embedding_cosine",
-    # r4 rewrites: single-fact-scan scalar pattern, LSH rework,
-    # bench-lite golden path
-    "tpch_q11_important_parts", "tpch_q15_top_supplier",
-    "dedup_embedding_lsh", "etl_golden_pipeline_stats",
-]
+# name -> round in which the implementation (or plan shape) changed
+# after its last green driver row. An entry is IGNORED once the driver
+# has a hash-green row for it from that round or later — no manual
+# cleanup needed; just add (name, current_round) when touching code.
+_CHANGED_THIS_ROUND: dict[str, int] = {}
 
 
 def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
@@ -85,13 +79,19 @@ def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
 
 def _driver_order(d: dict) -> dict:
     checked, green = _driver_history()
-    changed = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    # A "changed" entry is live only until the driver re-certifies it:
+    # green at or after the change round expires it automatically.
+    changed = {
+        n: i
+        for i, (n, rnd) in enumerate(_CHANGED_THIS_ROUND.items())
+        if green.get(n, -1) < rnd
+    }
     names = list(d)
     reg_idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
         if n not in checked:
-            return (0, reg_idx[n])
+            return (0, -reg_idx[n])  # newest additions first
         if n in changed:
             return (1, changed[n])
         if checked[n] > green.get(n, 0):

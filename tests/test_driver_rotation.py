@@ -70,3 +70,52 @@ def test_oracle_order_mirrors_query_order():
 
 def test_rotation_is_deterministic():
     assert list(entry.queries()) == list(entry.queries())
+
+
+def _order_with(monkeypatch, registry, checked, green, changed):
+    """Run _driver_order against a synthetic driver history."""
+    monkeypatch.setattr(entry, "_driver_history", lambda: (checked, green))
+    monkeypatch.setattr(entry, "_CHANGED_THIS_ROUND", changed)
+    return list(entry._driver_order(dict.fromkeys(registry, None)))
+
+
+def test_changed_entry_expires_once_green_at_or_after_change_round(
+    monkeypatch,
+):
+    # "a" changed in round 4 and went green in round 4 -> expired, so it
+    # must sort by its (old) green round in the re-certification tail,
+    # behind "b" whose green row is older.
+    order = _order_with(
+        monkeypatch,
+        ["a", "b"],
+        checked={"a": 4, "b": 2},
+        green={"a": 4, "b": 2},
+        changed={"a": 4},
+    )
+    assert order == ["b", "a"]
+
+
+def test_changed_entry_stays_live_until_recertified(monkeypatch):
+    # "a" changed in round 5; its last green is round 4 -> still live,
+    # so it leads even though "b" has an older green round.
+    order = _order_with(
+        monkeypatch,
+        ["a", "b"],
+        checked={"a": 4, "b": 2},
+        green={"a": 4, "b": 2},
+        changed={"a": 5},
+    )
+    assert order == ["a", "b"]
+
+
+def test_never_checked_sorts_newest_registration_first(monkeypatch):
+    # Neither has a driver row; the later registration ("new2") must
+    # lead so fresh additions always make the 50-slot window.
+    order = _order_with(
+        monkeypatch,
+        ["new1", "new2"],
+        checked={},
+        green={},
+        changed={},
+    )
+    assert order == ["new2", "new1"]
