@@ -47,7 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # after its last green driver row. An entry is IGNORED once the driver
 # has a hash-green row for it from that round or later — no manual
 # cleanup needed; just add (name, current_round) when touching code.
-_CHANGED_THIS_ROUND: dict[str, int] = {}
+_CHANGED_THIS_ROUND: dict[str, int] = {
+    # r5: df_max hot-fingerprint cap added before the self-join
+    "text_winnow_match_pairs": 5,
+}
 
 
 def _driver_history() -> tuple[dict[str, int], dict[str, int]]:

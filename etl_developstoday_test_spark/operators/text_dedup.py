@@ -122,6 +122,54 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
     return docs.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
+def winnow_match_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 5,
+    df_max: int | None = None,
+) -> DataFrame:
+    """Partial-overlap pairs from winnowing fingerprints: the
+    fingerprint equi-join (never O(n²) — candidates only where a local
+    fingerprint collides) counts shared fingerprints per document pair;
+    ``min_shared`` shared windows flag substantial copied passages.
+
+    ``df_max`` is the hot-key guard: a fingerprint present in d
+    documents contributes d² candidate pairs to one join bucket, so
+    boilerplate shared corpus-wide (license headers, templates) turns
+    the join quadratic on a skewed key. Dropping fingerprints with
+    document frequency > df_max bounds every bucket at df_max² — the
+    same guard ngram_jaccard_pairs applies to shingles. MOSS itself
+    discards over-frequent fingerprints as non-discriminative.
+
+    The frequency is computed with a window over the fingerprint
+    partition rather than a groupBy+join so the fingerprint lineage
+    (the expensive hashing scan) is materialized by ONE exchange that
+    the self-join then reuses on both sides.
+    """
+    fp = winnow_fingerprints(docs, k, w)
+    if df_max is not None:
+        from pyspark.sql import Window
+
+        fp = (
+            fp.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(Window.partitionBy("fingerprint")),
+            )
+            .filter(F.col("_df") <= df_max)
+            .drop("_df")
+        )
+    a = fp.select(F.col("doc_id").alias("doc_id_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= min_shared)
+    )
+
+
 def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) distinct pairs."""
     docs = fan_out(docs)  # shingling is per-row-heavy: parallelize first

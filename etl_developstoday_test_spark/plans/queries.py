@@ -4704,10 +4704,17 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(generate_series(1, len(hs) - 3),
                               i -> list_min(hs[i:i+3])))) AS fingerprint
       FROM kg WHERE len(hs) >= 4
+    ),
+    fp_rare AS (
+      SELECT doc_id, fingerprint FROM (
+        SELECT doc_id, fingerprint,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS df
+        FROM fp
+      ) WHERE df <= 4
     )
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            COUNT(*) AS n_shared_fingerprints
-    FROM fp a JOIN fp b
+    FROM fp_rare a JOIN fp_rare b
       ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 5
@@ -4720,19 +4727,11 @@ def text_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 5 shared windows flags substantial copied passages. The
     distributed shape is identical to the n-gram Jaccard candidate
     join: (fingerprint) hash-partitioned self-join + one pair-keyed
-    aggregation. Hot fingerprints (boilerplate shared by many docs)
-    would dominate bucket cost at corpus scale — cap or drop
-    fingerprints with document frequency above a threshold there, the
-    same df_max guard ngram_jaccard_pairs applies."""
-    fp = text_dedup.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
-    a = fp.select(F.col("doc_id").alias("doc_id_a"), "fingerprint")
-    b = fp.select(F.col("doc_id").alias("doc_id_b"), "fingerprint")
-    return (
-        a.join(b, "fingerprint")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
-        .filter(F.col("n_shared_fingerprints") >= 5)
+    aggregation — with the ``df_max`` hot-key guard applied BEFORE the
+    join, because a boilerplate fingerprint in d documents makes one
+    bucket cost d² (operators/text_dedup.py:winnow_match_pairs)."""
+    return text_dedup.winnow_match_pairs(
+        load_table(spark, sf_dir, "documents"), min_shared=5, df_max=4
     )
 
 

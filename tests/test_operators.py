@@ -489,3 +489,34 @@ def test_winnow_fingerprints_distinct_per_doc(spark):
     rows = text_dedup.winnow_fingerprints(docs).collect()
     fps = [r["fingerprint"] for r in rows]
     assert len(fps) == len(set(fps)), "fingerprints must be distinct per doc"
+
+
+def test_winnow_match_pairs_df_max_drops_boilerplate(spark):
+    """The hot-key guard: fingerprints from a passage shared corpus-wide
+    (df > df_max) must not generate candidate pairs — one such
+    fingerprint in d documents costs d² in a single join bucket at
+    scale — while pairs sharing RARE fingerprints survive."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    shared = "orchid nebula quartz marble falcon ember cobalt prism velvet"
+    rows = [(1, f"{boiler} {shared}"), (2, f"{boiler} {shared}")]
+    rows += [
+        (i, f"{boiler} tail{i}a tail{i}b tail{i}c tail{i}d tail{i}e")
+        for i in range(3, 7)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in text_dedup.winnow_match_pairs(docs, min_shared=1).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in text_dedup.winnow_match_pairs(
+            docs, min_shared=1, df_max=3
+        ).collect()
+    }
+    # boilerplate fingerprints have df=6 > 3: every cross-doc pair they
+    # induced disappears; the true near-dup pair (rare fps, df=2) stays
+    assert (1, 2) in capped
+    assert capped == {(1, 2)}
+    assert uncapped - {(1, 2)}, "cap did no work: boilerplate made no pairs"

@@ -466,3 +466,26 @@ def test_embedding_lsh_candidates_from_band_equijoin(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_winnow_match_pairs_df_cap_before_join_and_scan_reused(spark):
+    """The df_max hot-fingerprint guard must sit BELOW the self-join
+    (filter candidates, then join), and the expensive hashing lineage
+    must be materialized by ONE shuffle stage that the join's second
+    side reuses at runtime — not recomputed per side."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["text_winnow_match_pairs"](spark, SF_DIR)
+        static = df._jdf.queryExecution().executedPlan().toString()
+        # the frequency window + df filter guard both join inputs
+        assert static.count("_df") >= 2
+        assert "<= 4" in static
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final, (
+            "fingerprint hashing lineage computed twice: the self-join "
+            "sides did not share the fingerprint shuffle stage"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
