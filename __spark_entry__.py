@@ -50,6 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_THIS_ROUND: dict[str, int] = {
     # r5: df_max hot-fingerprint cap added before the self-join
     "text_winnow_match_pairs": 5,
+    # r5: as-of joins now carry the matched right row as one struct
+    # payload (whole-row ASOF semantics; no cross-row null stitching)
+    "join_asof_attribution": 5,
+    "join_asof_nearest_attribution": 5,
 }
 
 

@@ -8,8 +8,13 @@ scalable plan instead:
 
 1. tag and union both sides on (key, ts) — no join at all;
 2. one shuffle partitions by key, one sort orders by (ts, side);
-3. ``last(value, ignorenulls=True)`` over an unbounded-preceding running
-   frame carries the latest right-side values forward onto left rows.
+3. ``last(payload, ignorenulls=True)`` over an unbounded-preceding
+   running frame carries the latest right-side row forward onto left
+   rows — as ONE ``struct(right_ts, *right_values)`` payload, so the
+   matched row's columns travel atomically: a NULL inside a right
+   value column stays NULL on the matched output instead of being
+   stitched from a different (older) right row, the whole-row
+   semantics of SQL ASOF JOIN.
 
 Cost is a single hash shuffle + sort of |L| + |R| rows — the same bound
 as a sort-merge join, with bounded memory per partition and no
@@ -27,9 +32,52 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _SIDE = "_asof_side"  # 0 = right (emitter), 1 = left (receiver)
+
+
+def _tag_sides(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    carried: Sequence[str],
+    right_id: str | None,
+) -> DataFrame:
+    """Union both sides on (key, _asof_ts, side, _asof_payload): right
+    rows carry ``struct(*carried)`` as the payload, left rows carry a
+    typed NULL payload (so ``last/first(..., ignorenulls=True)`` skips
+    them) plus their own columns."""
+    r = right
+    if right_id is not None:
+        w_dedup = Window.partitionBy(key, right_ts).orderBy(F.desc(right_id))
+        r = (
+            r.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in carried]
+    )
+    r_tagged = r.select(
+        F.col(key),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in carried]).alias("_asof_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != key],
+    )
+    l_tagged = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    return l_tagged.unionByName(r_tagged)
 
 
 def asof_join(
@@ -49,51 +97,21 @@ def asof_join(
     ``{prefix}{col}`` for each of ``right_values``.
     """
     carried = [right_ts, *right_values]
-
-    r = right
-    if right_id is not None:
-        w_dedup = Window.partitionBy(key, right_ts).orderBy(F.desc(right_id))
-        r = (
-            r.withColumn("_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-    r_tagged = r.select(
-        F.col(key).alias(key),
-        F.col(right_ts).alias("_asof_ts"),
-        F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"{prefix}{c}") for c in carried],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left.columns if c != key],
-    )
-    l_tagged = left.select(
-        F.col(key),
-        F.col(left_ts).alias("_asof_ts"),
-        F.lit(1).alias(_SIDE),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in carried
-        ],
-        *[F.col(c) for c in left.columns if c != key],
-    )
+    tagged = _tag_sides(left, right, key, left_ts, right_ts, carried, right_id)
 
     w = (
         Window.partitionBy(key)
         .orderBy("_asof_ts", _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    enriched = l_tagged.unionByName(r_tagged).select(
+    enriched = tagged.select(
         "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in carried
-        ],
+        F.last("_asof_payload", ignorenulls=True).over(w).alias("_c"),
     )
     return enriched.filter(F.col(_SIDE) == 1).select(
         F.col(key),
         *[F.col(c) for c in left.columns if c != key],
-        *[F.col(f"_c_{c}").alias(f"{prefix}{c}") for c in carried],
+        *[F.col("_c")[c].alias(f"{prefix}{c}") for c in carried],
     )
 
 
@@ -116,71 +134,44 @@ def asof_join_nearest(
     unbounded-preceding carries the latest earlier right row forward,
     ``first(..., ignorenulls)`` unbounded-following carries the earliest
     later right row backward, and a per-row comparison of the two time
-    gaps picks the winner. Still one hash shuffle + one sort of
-    |L| + |R| rows — the second frame reuses the same sorted partition,
-    so the nearest variant costs no extra data movement.
+    gaps picks the winner. Each direction carries ONE whole-row struct
+    payload (atomic — see module docstring), so the winning row's
+    timestamp and values can never mix with the other direction's or an
+    adjacent row's. Still one hash shuffle + one sort of |L| + |R| rows
+    — the second frame reuses the same sorted partition, so the nearest
+    variant costs no extra data movement.
     """
     carried = [right_ts, *right_values]
-
-    r = right
-    if right_id is not None:
-        w_dedup = Window.partitionBy(key, right_ts).orderBy(F.desc(right_id))
-        r = (
-            r.withColumn("_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-    r_tagged = r.select(
-        F.col(key).alias(key),
-        F.col(right_ts).alias("_asof_ts"),
-        F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"{prefix}{c}") for c in carried],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left.columns if c != key],
-    )
-    l_tagged = left.select(
-        F.col(key),
-        F.col(left_ts).alias("_asof_ts"),
-        F.lit(1).alias(_SIDE),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
-            for c in carried
-        ],
-        *[F.col(c) for c in left.columns if c != key],
-    )
+    tagged = _tag_sides(left, right, key, left_ts, right_ts, carried, right_id)
 
     base = Window.partitionBy(key).orderBy("_asof_ts", _SIDE)
     w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    enriched = l_tagged.unionByName(r_tagged).select(
+    enriched = tagged.select(
         "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w_back).alias(f"_b_{c}")
-            for c in carried
-        ],
-        *[
-            F.first(f"{prefix}{c}", ignorenulls=True).over(w_fwd).alias(f"_f_{c}")
-            for c in carried
-        ],
+        F.last("_asof_payload", ignorenulls=True).over(w_back).alias("_b"),
+        F.first("_asof_payload", ignorenulls=True).over(w_fwd).alias("_f"),
     )
+    # gaps in exact epoch micros for timestamp keys, raw difference for
+    # numeric ones; backward wins ties (<=)
+    if isinstance(
+        tagged.schema["_asof_ts"].dataType,
+        (T.TimestampType, T.TimestampNTZType),
+    ):
+        def _epoch(c):  # noqa: ANN001, ANN202
+            return F.unix_micros(c)
+    else:
+        def _epoch(c):  # noqa: ANN001, ANN202
+            return c
     lts = F.col("_asof_ts")
-    bts, fts = F.col(f"_b_{right_ts}"), F.col(f"_f_{right_ts}")
-    # gaps in exact epoch micros; backward wins ties (<=)
-    take_back = fts.isNull() | (
-        bts.isNotNull()
-        & (
-            (F.unix_micros(lts) - F.unix_micros(bts))
-            <= (F.unix_micros(fts) - F.unix_micros(lts))
-        )
+    bts, fts = F.col("_b")[right_ts], F.col("_f")[right_ts]
+    take_back = F.col("_f").isNull() | (
+        F.col("_b").isNotNull()
+        & ((_epoch(lts) - _epoch(bts)) <= (_epoch(fts) - _epoch(lts)))
     )
+    chosen = F.when(take_back, F.col("_b")).otherwise(F.col("_f"))
     return enriched.filter(F.col(_SIDE) == 1).select(
         F.col(key),
         *[F.col(c) for c in left.columns if c != key],
-        *[
-            F.when(take_back, F.col(f"_b_{c}"))
-            .otherwise(F.col(f"_f_{c}"))
-            .alias(f"{prefix}{c}")
-            for c in carried
-        ],
+        *[chosen[c].alias(f"{prefix}{c}") for c in carried],
     )

@@ -520,3 +520,33 @@ def test_winnow_match_pairs_df_max_drops_boilerplate(spark):
     assert (1, 2) in capped
     assert capped == {(1, 2)}
     assert uncapped - {(1, 2)}, "cap did no work: boilerplate made no pairs"
+
+
+def test_asof_join_carries_matched_row_atomically(spark):
+    """Whole-row ASOF semantics: a NULL inside a right value column
+    must stay NULL on the matched output — not be back-filled from an
+    older right row (the per-column-carry bug: last(ignorenulls) per
+    value column stitched columns from different rows)."""
+    from etl_developstoday_test_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame([(1, 100, 0.0)], "k long, lt long, lval double")
+    right = spark.createDataFrame(
+        [
+            (1, 50, 1.0, "old"),   # older row: fully populated
+            (1, 90, None, "new"),  # matched row: rval is NULL
+        ],
+        "k long, rt long, rval double, rtag string",
+    )
+    for fn in (asof_join, asof_join_nearest):
+        row = fn(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            right_values=["rval", "rtag"],
+        ).collect()[0]
+        assert row["asof_rt"] == 90, fn.__name__
+        assert row["asof_rval"] is None, (
+            f"{fn.__name__}: stitched rval from a different right row"
+        )
+        assert row["asof_rtag"] == "new", fn.__name__
