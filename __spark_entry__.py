@@ -54,6 +54,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # payload (whole-row ASOF semantics; no cross-row null stitching)
     "join_asof_attribution": 5,
     "join_asof_nearest_attribution": 5,
+    # r5: isolated-session stream start; truthful state-bound docs
+    "stream_events_dedup_counts": 5,
 }
 
 

@@ -4341,39 +4341,49 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_events_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-occurrence dedup run end-to-end: dropDuplicates
-    keyed on (user_id, event_type) with watermark-bounded state
-    (O(live keys) — the streaming analogue of the reference's in-memory
-    dedup set, TripDuplicateDetectorService.cs:36-49, WITHOUT its
-    unbounded-memory ceiling), then a batch rollup of the sink proves
-    exactly one survivor per key against the DISTINCT oracle. Which
-    physical row survives per key is arrival-order-dependent; the
-    per-type survivor count is not — that is what the oracle checks."""
+    keyed on (user_id, event_type) — the streaming analogue of the
+    reference's in-memory dedup set
+    (TripDuplicateDetectorService.cs:36-49) — then a batch rollup of
+    the sink proves exactly one survivor per key against the DISTINCT
+    oracle. Which physical row survives per key is
+    arrival-order-dependent; the per-type survivor count is not — that
+    is what the oracle checks.
+
+    State honesty: exact first-occurrence dedup keeps ONE state entry
+    per distinct key forever — a watermark does NOT evict it unless the
+    event-time column is in the dedup subset, and
+    ``dropDuplicatesWithinWatermark`` (state TTL) would re-emit a key
+    after its state expires, breaking the exactly-one-survivor
+    contract. So state is O(|distinct keys|) by design — bounded here
+    by the (user_id, event_type) domain, and the state-store partition
+    count is sized to that cardinality. When the key domain itself is
+    unbounded and re-emission after a horizon is acceptable,
+    ``dropDuplicatesWithinWatermark`` is the trade.
+
+    The stream runs in a cloned session (``spark.newSession()``: shared
+    catalog/JVM, isolated conf) so pinning its shuffle/state partition
+    count can never race a concurrently running query's conf."""
     import uuid
 
-    stream = (
-        events_stream(spark, sf_dir)
-        .withWatermark("ts", "2 hours")
-        .dropDuplicates(["user_id", "event_type"])
-    )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    s2 = spark.newSession()
     # one state store per shuffle partition: with O(100 users x 5 types)
     # live keys, 8 partitions beats 32 (fixed at first start)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = events_stream(s2, sf_dir).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
     return (
-        spark.table(name)
+        s2.table(name)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
