@@ -40,3 +40,60 @@ def stratified_sample(
     return df.withColumn("_bucket", hash_bucket(F.col(key_col), salt)).filter(
         F.col("_bucket") < rate_pct
     ).drop("_bucket")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the standard pretraining
+    batch-assembly step: documents are laid out in a deterministic
+    order and cut into fixed ``budget``-token training sequences, each
+    document assigned to the sequence containing its first token
+    (documents may straddle a boundary, exactly like GPT-style packing
+    of a concatenated token stream).
+
+    Distribution: a global concatenation order would serialize into one
+    partition, so the stream is sharded by a stable md5 hash of doc_id
+    into ``n_shards`` independent streams packed in parallel — the
+    layout stays a pure function of the data (stable across runs,
+    engines, partitionings), and ``n_shards`` scales the parallelism at
+    100 TB. ONE shuffle total: the running token sum partitions by
+    shard, and the per-sequence rollup reuses that partitioning
+    (hash(shard) co-locates every (shard, seq_id) group, so Catalyst
+    adds no second exchange).
+
+    Returns one row per packed sequence: (shard, seq_id, n_docs,
+    seq_tokens, first_doc_id, last_doc_id).
+    """
+    from pyspark.sql import Window
+
+    from etl_developstoday_test_spark.functions import let, tokens
+
+    t = docs.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % n_shards).alias("shard"),
+        let(tokens(F.col("text")), lambda x: F.size(x).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "seq_id",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(budget)),
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )

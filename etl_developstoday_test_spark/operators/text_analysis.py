@@ -328,3 +328,58 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
             "bpe_per_word"
         ),
     )
+
+
+# First-failure quality routing rules: (verdict, threshold description).
+# Order is the contract — a document gets the FIRST rule it violates,
+# exactly the reference parser's error-routing semantics
+# (TripRowParserService.cs:33-92: first invalid field wins) applied to
+# corpus filtering instead of row parsing.
+QUALITY_ROUTE_LANGS = ("en", "de", "fr", "es")
+
+
+def quality_route(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    min_alpha: float = 0.815,
+    max_dup: float = 0.65,
+    allowed_langs: tuple[str, ...] = QUALITY_ROUTE_LANGS,
+) -> DataFrame:
+    """Route every document to ``ok`` or its FIRST failing quality rule
+    (Gopher/RefinedWeb-style corpus filtering with quarantine
+    accounting): too_short → low_alpha → too_repetitive →
+    lang_not_allowed. Filtering without the routed reasons loses the
+    operational signal (what fraction died, and why) that corpus
+    curation needs; the reference routes parse failures the same way
+    (first-failure wins, TripRowParserService.cs:33-92).
+
+    All-codegen narrow map (ratios are int/int double divisions,
+    deterministic cross-engine); zero shuffles — at 100 TB this is
+    scan-bound. Returns (doc_id, lang, n_tokens, alpha_ratio,
+    dup_token_ratio, verdict).
+    """
+    n_chars = F.length("text").cast("long")
+    alpha_chars = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        let(tokens(F.col("text")), lambda t: F.size(t).cast("long")).alias(
+            "n_tokens"
+        ),
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        let(
+            tokens(F.col("text")),
+            lambda t: 1.0
+            - F.size(F.array_distinct(t)).cast("double") / F.size(t),
+        ).alias("dup_token_ratio"),
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("alpha_ratio") < min_alpha, F.lit("low_alpha"))
+        .when(F.col("dup_token_ratio") > max_dup, F.lit("too_repetitive"))
+        .when(~F.col("lang").isin(*allowed_langs), F.lit("lang_not_allowed"))
+        .otherwise(F.lit("ok"))
+    )
+    return base.withColumn("verdict", verdict)

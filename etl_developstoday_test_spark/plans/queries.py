@@ -4971,3 +4971,88 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@_register(
+    "text_quality_route_counts",
+    rf"""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             len({_TOKS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             1.0 - CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+               / len({_TOKS}) AS dup_token_ratio
+      FROM documents
+    )
+    SELECT CASE
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN alpha_ratio < 0.815 THEN 'low_alpha'
+             WHEN dup_token_ratio > 0.65 THEN 'too_repetitive'
+             WHEN lang NOT IN ('en', 'de', 'fr', 'es')
+               THEN 'lang_not_allowed'
+             ELSE 'ok'
+           END AS verdict,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sig GROUP BY 1
+    """,
+)
+def text_quality_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-failure quality routing over the corpus (too_short →
+    low_alpha → too_repetitive → lang_not_allowed → ok), rolled up to
+    per-verdict survivor/quarantine counts — the corpus-curation
+    analogue of the reference's parse-error routing + run counters
+    (TripRowParserService.cs:33-92 first-failure order;
+    RunStatistics six counters). Narrow all-codegen scoring map + one
+    5-row aggregate: scan-bound at 100 TB
+    (operators/text_analysis.py:quality_route)."""
+    return (
+        text_analysis.quality_route(load_table(spark, sf_dir, "documents"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@_register(
+    "sample_pack_sequences",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             {_md5long("CAST(doc_id AS VARCHAR)")} % 32 AS shard,
+             len({_TOKS}) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT shard,
+           CAST(FLOOR((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM c GROUP BY shard, seq_id
+    """,
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (GPT-style pretraining
+    batch assembly): documents concatenate in deterministic
+    (md5-shard, doc_id) order and cut into 256-token training
+    sequences; each doc belongs to the sequence holding its first
+    token. 32 independent hash shards pack in parallel with ONE
+    shuffle total — the per-sequence rollup reuses the running-sum
+    window's shard partitioning
+    (operators/sampling.py:pack_sequences)."""
+    from etl_developstoday_test_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=256, n_shards=32
+    )

@@ -550,3 +550,70 @@ def test_asof_join_carries_matched_row_atomically(spark):
             f"{fn.__name__}: stitched rval from a different right row"
         )
         assert row["asof_rtag"] == "new", fn.__name__
+
+
+def test_quality_route_first_failure_order(spark):
+    """A document violating several rules must get the FIRST one
+    (too_short → low_alpha → too_repetitive → lang_not_allowed), the
+    reference parser's error-routing semantics."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        quality_route,
+    )
+
+    good = "the quick brown fox jumps over one lazy dog near a calm river " \
+           "while two birds watch from tall green trees in warm light"
+    docs = spark.createDataFrame(
+        [
+            # short AND non-alpha AND wrong lang -> too_short wins
+            (1, "@@ ## $$", "zz", "s", 8),
+            # long enough, alpha fails AND repetitive -> low_alpha wins
+            (2, " ".join(["@1x"] * 30), "en", "s", 90),
+            # alpha fine, repetitive AND wrong lang -> too_repetitive
+            (3, " ".join(["word"] * 30), "zz", "s", 120),
+            # clean text, disallowed lang -> lang_not_allowed
+            (4, good, "zz", "s", len(good)),
+            (5, good, "en", "s", len(good)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # explicit thresholds: the defaults are tuned to the synthetic
+    # corpus (dense long words), where prose-like whitespace ratios
+    # would trip min_alpha
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in quality_route(docs, min_alpha=0.7, max_dup=0.5).collect()
+    }
+    assert got == {
+        1: "too_short",
+        2: "low_alpha",
+        3: "too_repetitive",
+        4: "lang_not_allowed",
+        5: "ok",
+    }
+
+
+def test_pack_sequences_chunking_semantics(spark):
+    """Concatenate-and-chunk: within a shard, a document belongs to the
+    sequence containing its FIRST token, documents may straddle the
+    budget boundary, and per-sequence token sums partition the shard's
+    total exactly."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    # n_shards=1 -> one concatenation stream ordered by doc_id;
+    # token counts: 6, 6, 6 with budget 10:
+    #   doc1 starts at 0  -> seq 0
+    #   doc2 starts at 6  -> seq 0 (straddles the 10-token boundary)
+    #   doc3 starts at 12 -> seq 1
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f", "en", "s", 11) for i in (1, 2, 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["seq_id"]: r
+        for r in pack_sequences(docs, budget=10, n_shards=1).collect()
+    }
+    assert rows[0]["n_docs"] == 2 and rows[0]["seq_tokens"] == 12
+    assert rows[0]["first_doc_id"] == 1 and rows[0]["last_doc_id"] == 2
+    assert rows[1]["n_docs"] == 1 and rows[1]["first_doc_id"] == 3

@@ -489,3 +489,22 @@ def test_winnow_match_pairs_df_cap_before_join_and_scan_reused(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing must shuffle ONCE: the per-sequence rollup reuses the
+    running-sum window's shard hash-partitioning (hash(shard)
+    co-locates every (shard, seq_id) group)."""
+    plan = plan_of(spark, "sample_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_route_is_narrow_scan_bound(spark):
+    """Routing is a narrow codegen map: the only exchange is the final
+    5-row verdict rollup, and the scan reads only the columns the
+    rules need (no text-adjacent payload like source/n_chars)."""
+    plan = plan_of(spark, "text_quality_route_counts")
+    assert plan.count("Exchange hashpartitioning") == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
