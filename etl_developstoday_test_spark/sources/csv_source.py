@@ -178,4 +178,14 @@ def read_trips_csv(
     raw = numbered.select(
         *cols, (F.col("_offset") + F.col("_rn")).cast("long").alias(LINE_NUMBER)
     )
-    return raw.select(*[F.col(f.name).cast(f.dataType) for f in RAW_SCHEMA.fields])
+    raw = raw.select(*[F.col(f.name).cast(f.dataType) for f in RAW_SCHEMA.fields])
+    # The numbering window hash-partitions on (_file, _block): an input
+    # with fewer blocks than cores lands all rows in that many shuffle
+    # partitions, serializing the (expression-heavy) downstream parse.
+    # Block count is already known driver-side — widen only then; a
+    # at-scale input (blocks >= cores) keeps its natural layout with no
+    # extra shuffle.
+    width = spark.sparkContext.defaultParallelism
+    if len(offsets) < width:
+        raw = raw.repartition(width)
+    return raw
