@@ -5056,3 +5056,141 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         load_table(spark, sf_dir, "documents"), budget=256, n_shards=32
     )
+
+
+@_register(
+    "stream_static_enrich_counts",
+    f"""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the standard streaming-enrichment shape:
+    each micro-batch of the event stream joins the static customer
+    dimension (stateless: no join state accumulates, unlike
+    stream-stream joins), then a complete-mode rollup per (segment,
+    type). The static side carries an explicit broadcast hint — at any
+    scale the dimension ships once per executor rather than
+    re-shuffling every micro-batch; exact decimal accumulation keeps
+    the result independent of micro-batch boundaries, so the batch SQL
+    oracle hash-matches."""
+    import uuid
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(ACC_DECIMAL)).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+@_register(
+    "dedup_cluster_canonicals",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jaccard WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM jaccard WHERE jaccard >= 0.5
+    ),
+    verts AS (SELECT DISTINCT doc_id AS node FROM documents),
+    reach AS (
+      SELECT node, node AS root FROM verts
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) * 0.4
+             + CAST(len(list_filter(arr, t -> list_contains([{", ".join(f"'{w}'" for w in text_analysis.STOPWORDS)}], t))) AS DOUBLE)
+               / len(arr) * 0.3
+             + CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) * 0.3
+               AS quality_score
+      FROM (SELECT doc_id, text, {_TOKS} AS arr FROM documents)
+    ),
+    ranked AS (
+      SELECT component, c.doc_id, quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY quality_score DESC, c.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS canonical_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_score AS canonical_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup pipeline end-to-end: n-gram-Jaccard near-dup
+    pairs → connected components (each similarity cluster gets a
+    canonical id) → per-cluster canonical DOCUMENT selection by
+    quality score (best copy survives, doc_id tie-break) with member
+    counts. This is the full corpus-dedup decision a training pipeline
+    executes — not just the pair list — and composes three
+    independently oracle-verified operators (ngram_jaccard_pairs,
+    connected_components, quality_score).
+
+    Scale shape: the pair join is df-capped elsewhere and components
+    iterate with checkpointed lineage; the canonical pick is ONE window
+    shuffle on component (row_number + member count share the
+    partition), after an equi-join of two narrow per-doc frames."""
+    from pyspark.sql import Window
+
+    from etl_developstoday_test_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("node")),
+    ).select(F.col("node").alias("doc_id"), "component")
+    quality = text_analysis.quality_score(docs).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("component")
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("quality_score").alias("canonical_quality"),
+        )
+    )
