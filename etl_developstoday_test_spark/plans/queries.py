@@ -5194,3 +5194,77 @@ def dedup_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality_score").alias("canonical_quality"),
         )
     )
+
+
+@_register(
+    "stream_stream_join_conversions",
+    f"""
+    SELECT v.user_id, COUNT(*) AS n_pairs,
+           {_dsum('p.value')} AS attributed_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_join_conversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds — the
+    conversion-attribution shape: every view joins the purchases of the
+    same user landing within the following hour. BOTH sides carry
+    watermarks and the join condition bounds event-time distance, which
+    is exactly what lets Spark evict join state (a side's row can be
+    dropped once the other side's watermark passes its ts + 1 hour) —
+    without the time bound, stream-stream join state grows forever.
+    Matches append to the sink as soon as both sides arrive; the
+    per-user rollup happens in batch over the sink, so the oracle is
+    the plain time-range self-join. State shuffle is hash(user_id) on
+    both sides — the same single-key co-partitioning a batch join
+    would use."""
+    import uuid
+
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("value").cast(ACC_DECIMAL)).cast("double").alias(
+                "attributed_value"
+            ),
+        )
+    )

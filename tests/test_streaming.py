@@ -271,3 +271,50 @@ def test_stream_watermark_close_out_ntz_direct(spark, tmp_path):
         "2024-01-01 01:00:00": (4, 6.0),
         "2024-01-01 02:00:00": (4, 6.0),
     }
+
+
+def test_stream_stream_join_uses_symmetric_hash_state(spark):
+    """The conversion query must execute as a genuine stateful
+    stream-stream join: the progress metrics expose a state operator
+    (symmetric hash join state on both sides), proving the time-bounded
+    join didn't silently fall back to any batch shape."""
+    import uuid
+
+    from etl_developstoday_test_spark.sources.tables import events_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"ssj_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    q.stop()
+    ops = progress["stateOperators"]
+    assert ops, "no state operator: join did not run stateful"
+    assert any(
+        o.get("operatorName") == "symmetricHashJoin" for o in ops
+    ), ops
+    assert spark.table(name).count() > 0
