@@ -241,20 +241,10 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs: band the 16-value signature into
-    4 bands of 4, bucket-join docs sharing any band key, then verify
-    candidates with the *exact* shingle Jaccard ≥ threshold.
-
-    With 4 bands × 4 rows the candidate-recall curve is
-    P(candidate) = 1 − (1 − j⁴)⁴ (≈97% at j=0.8, ≈26% at j=0.4), and
-    verification removes false positives, so output ⊆ ngram_jaccard_pairs.
-    """
-    sig = minhash_signatures(docs, n)
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band key
+    of the MinHash signature — the bucket equi-join that replaces the
+    all-pairs comparison."""
     rows_per_band = N_MINHASH // N_BANDS
     band_keys = F.array(
         *[
@@ -270,19 +260,110 @@ def minhash_lsh_pairs(
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
-
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "band_key")
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    candidates = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .distinct()
     )
+
+
+def minhash_estimate_vs_exact(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Sketch-accuracy evaluation for the MinHash signature: on every
+    LSH candidate pair, the signature-estimated Jaccard (fraction of
+    matching positions, the unbiased MinHash estimator) next to the
+    EXACT shingle Jaccard and their absolute error — the measurement
+    that justifies (or rejects) a sketch configuration before trusting
+    it corpus-wide, the same eval rigor embed_ann_ivf_recall applies
+    to ANN.
+
+    Cost shape is identical to minhash_lsh_pairs: signature groupBy +
+    band bucket join + per-candidate verify — never all-pairs; the
+    estimator adds only a signature re-join on the (small) candidate
+    list. Returns (doc_a, doc_b, est_jaccard, exact_jaccard,
+    abs_error).
+    """
+    sig = minhash_signatures(docs, n)
+    candidates = _band_candidates(sig)
+
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(N_MINHASH)],
+    )
+    n_match = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_match.cast("double") / N_MINHASH).alias("est_jaccard"),
+        )
+    )
+
+    sets = fan_out(docs).select(
+        "doc_id", _shingle_set(n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    xa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("n_shingles").alias("_na"),
+    )
+    xb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("n_shingles").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        est.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .withColumn("exact_jaccard", jac)
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias(
+                "abs_error"
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band the 16-value signature into
+    4 bands of 4, bucket-join docs sharing any band key, then verify
+    candidates with the *exact* shingle Jaccard ≥ threshold.
+
+    With 4 bands × 4 rows the candidate-recall curve is
+    P(candidate) = 1 − (1 − j⁴)⁴ (≈97% at j=0.8, ≈26% at j=0.4), and
+    verification removes false positives, so output ⊆ ngram_jaccard_pairs.
+    """
+    sig = minhash_signatures(docs, n)
+    candidates = _band_candidates(sig)
 
     # Verify ONLY the candidate pairs (this is the whole point of LSH):
     # join the per-doc shingle sets back and intersect arrays in-place —

@@ -5268,3 +5268,69 @@ def stream_stream_join_conversions(
             ),
         )
     )
+
+
+def _minhash_estimate_sql() -> str:
+    n, bands, rpb = (
+        text_dedup.N_MINHASH,
+        text_dedup.N_BANDS,
+        text_dedup.N_MINHASH // text_dedup.N_BANDS,
+    )
+    mins = ",\n         ".join(
+        "MIN({h}) AS m{i}".format(h=_md5long("shingle || '#%d'" % i), i=i)
+        for i in range(n)
+    )
+    band_keys = ", ".join(
+        "md5("
+        + " || ',' || ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    signatures AS (
+      SELECT doc_id, {mins}
+      FROM doc_shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band,
+             unnest([{band_keys}]) AS band_key
+      FROM signatures
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(({n_match}) AS DOUBLE) / {n} AS est_jaccard
+      FROM candidates c
+      JOIN signatures sa ON sa.doc_id = c.doc_a
+      JOIN signatures sb ON sb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           COALESCE(j.jaccard, 0.0) AS exact_jaccard,
+           ABS(e.est_jaccard - COALESCE(j.jaccard, 0.0)) AS abs_error
+    FROM est e
+    LEFT JOIN jaccard j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+    """
+
+
+@_register("dedup_minhash_estimate_error", _minhash_estimate_sql())
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-accuracy eval: on every MinHash-LSH candidate pair, the
+    signature-estimated Jaccard (matching positions / 16) vs the exact
+    shingle Jaccard with absolute error — the measurement that
+    justifies a sketch configuration before trusting it corpus-wide
+    (operators/text_dedup.py:minhash_estimate_vs_exact). Same
+    never-all-pairs cost shape as dedup_minhash_lsh."""
+    return text_dedup.minhash_estimate_vs_exact(
+        load_table(spark, sf_dir, "documents"), n=3
+    )
