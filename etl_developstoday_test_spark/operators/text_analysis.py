@@ -383,3 +383,51 @@ def quality_route(
         .otherwise(F.lit("ok"))
     )
     return base.withColumn("verdict", verdict)
+
+
+def count_min_heavy_hitters(
+    tok: DataFrame, d: int = 4, w: int = 1024, k: int = 20
+) -> DataFrame:
+    """Count-Min sketch heavy hitters over a ``token`` column (Cormode
+    & Muthukrishnan 2005): d salted-hash rows × w counters, estimate =
+    min over rows — bounded-memory, mergeable (cells sum across
+    partitions/streams). Estimates are one-sided: est ≥ exact always;
+    collisions only overestimate. Returns the exact top-k with their
+    sketch estimates and overestimate, all integer/md5 arithmetic so
+    any engine reproduces the values bit-for-bit."""
+    buckets = F.array(
+        *[
+            md5_long(F.concat(F.lit(f"cms{i}#"), F.col("token"))) % w
+            for i in range(d)
+        ]
+    )
+    hashed = tok.select(
+        "token", F.posexplode(buckets).alias("row_id", "bucket")
+    )
+    sketch = hashed.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(k)
+    )
+    top_hashed = exact.select(
+        "token",
+        "exact_count",
+        F.posexplode(buckets).alias("row_id", "bucket"),
+    )
+    return (
+        top_hashed.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cell").alias("est_count"))
+        .select(
+            "token",
+            "exact_count",
+            F.col("est_count").cast("long").alias("est_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("over_count"),
+        )
+    )

@@ -5334,3 +5334,67 @@ def dedup_minhash_estimate_error(
     return text_dedup.minhash_estimate_vs_exact(
         load_table(spark, sf_dir, "documents"), n=3
     )
+
+
+def _countmin_sql(d: int = 4, w: int = 1024, k: int = 20) -> str:
+    buckets = ", ".join(
+        _md5long(f"'cms{i}#' || token") + f" % {w}" for i in range(d)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT token, unnest(generate_series(0, {d - 1})) AS row_id,
+             unnest([{buckets}]) AS bucket
+      FROM toks
+    ),
+    sketch AS (
+      SELECT row_id, bucket, COUNT(*) AS cell
+      FROM hashed GROUP BY row_id, bucket
+    ),
+    exact AS (
+      SELECT token, COUNT(*) AS exact_count
+      FROM toks GROUP BY token
+      ORDER BY exact_count DESC, token ASC LIMIT {k}
+    ),
+    top_hashed AS (
+      SELECT token, exact_count,
+             unnest(generate_series(0, {d - 1})) AS row_id,
+             unnest([{buckets.replace("token", "token")}]) AS bucket
+      FROM exact
+    )
+    SELECT t.token, t.exact_count,
+           CAST(MIN(s.cell) AS BIGINT) AS est_count,
+           CAST(MIN(s.cell) - t.exact_count AS BIGINT) AS over_count
+    FROM top_hashed t
+    JOIN sketch s ON s.row_id = t.row_id AND s.bucket = t.bucket
+    GROUP BY t.token, t.exact_count
+    """
+
+
+@_register("agg_countmin_heavy_hitters", _countmin_sql())
+def agg_countmin_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min sketch over the corpus token stream (Cormode &
+    Muthukrishnan 2005): d=4 salted-hash rows × w=1024 counters,
+    estimate = min over rows — the bounded-memory, MERGEABLE
+    heavy-hitter counter (cells sum across partitions/days exactly like
+    the HLL rollup merges sketches). The query certifies the sketch
+    against the exact top-20: est ≥ exact always (one-sided error),
+    over_count is the collision overestimate. Identical salted-md5
+    buckets + integer counts in both engines make even the estimates
+    hash-exact — no tolerance needed.
+
+    Scale shape: ONE aggregation over the (row, bucket) domain (4096
+    cells, driver-sized at any corpus), one exact top-k (partial-agg +
+    TakeOrdered), and a broadcast-sized join of top-k × d rows against
+    the cell table. At 100 TB you keep the sketch and drop the exact
+    twin; it exists to make the bound driver-checkable
+    (operators/text_analysis.py:count_min_heavy_hitters)."""
+    from etl_developstoday_test_spark.functions import fan_out, tokens
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return text_analysis.count_min_heavy_hitters(tok, d=4, w=1024, k=20)

@@ -617,3 +617,22 @@ def test_pack_sequences_chunking_semantics(spark):
     assert rows[0]["n_docs"] == 2 and rows[0]["seq_tokens"] == 12
     assert rows[0]["first_doc_id"] == 1 and rows[0]["last_doc_id"] == 2
     assert rows[1]["n_docs"] == 1 and rows[1]["first_doc_id"] == 3
+
+
+def test_count_min_is_one_sided_under_forced_collisions(spark):
+    """CMS invariant: estimates NEVER undercount (min over rows of
+    counters that each include the true count), and a tiny width forces
+    collisions so the overestimate is actually exercised."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        count_min_heavy_hitters,
+    )
+
+    tok = spark.createDataFrame(
+        [(f"tok{i % 50}",) for i in range(2000)], "token string"
+    )
+    rows = count_min_heavy_hitters(tok, d=2, w=4, k=50).collect()
+    assert len(rows) == 50
+    assert all(r["est_count"] >= r["exact_count"] for r in rows)
+    assert all(r["over_count"] == r["est_count"] - r["exact_count"] for r in rows)
+    # 50 tokens into 4 buckets: collisions are certain somewhere
+    assert any(r["over_count"] > 0 for r in rows)
