@@ -345,3 +345,72 @@ def hyperplane_lsh_pairs(
         .select("vec_id_a", "vec_id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .distinct()
     )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    standard 4× vector-compression step before ANN serving at scale:
+    per-vector scale = 127 / max|x|, q_i = clamp(round(x_i·scale)).
+
+    All codegen array lambdas (zero shuffles, scan-bound at any corpus
+    size). Returns per-vector audit columns chosen for cross-engine
+    exactness: the quantized-value checksum and saturation count are
+    pure integer arithmetic (bit-identical in any engine), and the
+    squared reconstruction error is summed as femto-scaled INTEGERS
+    (floor(err·10¹⁵ + 0.5) per dimension) — an exact, order-independent
+    sum with no per-step decimal rounding to diverge between engines.
+    Rounding uses floor(x+0.5) throughout, identical in Spark and
+    DuckDB (double `round` half-away ties differ between engines;
+    floor does not).
+    """
+    x = let(
+        F.col(vec_col),
+        lambda raw: F.transform(raw, lambda v: v.cast("double")),
+    )
+
+    def _body(xs):
+        max_abs = F.array_max(F.transform(xs, F.abs))
+        scale = F.lit(127.0) / max_abs
+        q = F.transform(
+            xs,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(v * scale + F.lit(0.5)).cast("int")),
+            ),
+        )
+        err_femto = F.zip_with(
+            xs,
+            q,
+            lambda v, qi: F.floor(
+                (v - qi.cast("double") / scale)
+                * (v - qi.cast("double") / scale)
+                * F.lit(1e15)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        return F.struct(
+            max_abs.alias("max_abs"),
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda a, b: a + b
+            ).alias("q_checksum"),
+            F.size(F.filter(q, lambda v: F.abs(v) == 127)).alias(
+                "n_saturated"
+            ),
+            F.aggregate(
+                err_femto, F.lit(0).cast("long"), lambda a, e: a + e
+            ).alias("sq_err_femto"),
+        )
+
+    out = let(x, _body)
+    return emb.select(
+        F.col(id_col),
+        F.size(vec_col).cast("long").alias("n_dims"),
+        out["max_abs"].alias("max_abs"),
+        out["q_checksum"].cast("long").alias("q_checksum"),
+        out["n_saturated"].cast("long").alias("n_saturated"),
+        out["sq_err_femto"].cast("long").alias("sq_err_femto"),
+    )

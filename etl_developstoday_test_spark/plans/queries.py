@@ -5398,3 +5398,49 @@ def agg_countmin_heavy_hitters(
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     return text_analysis.count_min_heavy_hitters(tok, d=4, w=1024, k=20)
+
+
+@_register(
+    "embed_quantize_int8",
+    """
+    WITH x AS (
+      SELECT vec_id, len(embedding) AS n_dims,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, n_dims, xs,
+             list_max(list_transform(xs, e -> abs(e))) AS max_abs,
+             127.0 / list_max(list_transform(xs, e -> abs(e))) AS scale
+      FROM x
+    ),
+    q AS (
+      SELECT vec_id, n_dims, max_abs, scale, xs,
+             list_transform(xs, e ->
+               greatest(-127, least(127,
+                 CAST(floor(e * scale + 0.5) AS INT)))) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           max_abs,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT)
+             AS n_saturated,
+           CAST(list_sum(list_transform(generate_series(1, n_dims),
+             i -> CAST(floor((xs[i] - CAST(qv[i] AS DOUBLE) / scale)
+                     * (xs[i] - CAST(qv[i] AS DOUBLE) / scale)
+                     * 1e15 + 0.5) AS BIGINT))) AS BIGINT) AS sq_err_femto
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus with
+    a per-vector audit row: quantized checksum + saturation count
+    (pure integer arithmetic — bit-identical cross-engine) and squared
+    reconstruction error as an exact femto-scaled integer sum —
+    the 4x compression step before ANN serving, verified exactly
+    rather than within a tolerance
+    (operators/similarity.py:quantize_int8). Narrow codegen map, zero
+    shuffles: scan-bound at any corpus size."""
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))

@@ -636,3 +636,33 @@ def test_count_min_is_one_sided_under_forced_collisions(spark):
     assert all(r["over_count"] == r["est_count"] - r["exact_count"] for r in rows)
     # 50 tokens into 4 buckets: collisions are certain somewhere
     assert any(r["over_count"] > 0 for r in rows)
+
+
+def test_quantize_int8_invariants(spark):
+    """Symmetric int8 quantization invariants: the max-|x| dimension
+    always saturates to ±127 exactly, the checksum reflects signs, and
+    the reconstruction error respects the half-step bound
+    n_dims·(0.5/scale)² per vector."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.25]),
+            (2, [0.1, 0.1, 0.1, 0.1]),
+            (3, [-2.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    # vec 1: scale = 127; q = [127, -127, 64, 32]
+    assert rows[1]["q_checksum"] == 127 - 127 + 64 + 32
+    assert rows[1]["n_saturated"] == 2
+    # vec 2: all dims equal max -> all saturate, zero error
+    assert rows[2]["q_checksum"] == 4 * 127
+    assert rows[2]["n_saturated"] == 4
+    assert rows[2]["sq_err_femto"] == 0
+    # vec 3: negative max-abs saturates; zeros quantize to 0 exactly
+    assert rows[3]["q_checksum"] == -127
+    assert rows[3]["n_saturated"] == 1
+    for r in rows.values():
+        scale = 127.0 / r["max_abs"]
+        bound = r["n_dims"] * (0.5 / scale) ** 2 * 1e15 + r["n_dims"]
+        assert 0 <= r["sq_err_femto"] <= bound
