@@ -5223,9 +5223,13 @@ def stream_stream_join_conversions(
     per-user rollup happens in batch over the sink, so the oracle is
     the plain time-range self-join. State shuffle is hash(user_id) on
     both sides — the same single-key co-partitioning a batch join
-    would use."""
+    would use. Runs in a cloned session (isolated conf) with the
+    state-store partition count sized to the key cardinality —
+    O(users) live keys need 8 stores, not 32."""
     import uuid
 
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     views = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -5444,3 +5448,68 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:quantize_int8). Narrow codegen map, zero
     shuffles: scan-bound at any corpus size."""
     return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "scan_schema_evolution_merge",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_custkey % 2 = 0 THEN 'web' ELSE 'store' END
+               AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_channel, 'unknown') AS channel,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price
+    FROM unioned GROUP BY 1
+    """,
+)
+def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: batch 1 is written WITHOUT the
+    o_channel column (the old producer), batch 2 WITH it (the new
+    producer); ``mergeSchema`` unifies the footers at read time and
+    null-fills the missing column for old files — the append-only
+    widening every long-lived ingestion hits. The oracle replays the
+    evolution as a typed NULL union. At scale, schema merging is a
+    footer-metadata operation (per-file, driver-merged) — data files
+    are never rewritten."""
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("store"))
+        .alias("o_channel"),
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        v1.write.mode("overwrite").parquet(f"{tmp}/t/batch=1")
+        v2.write.mode("overwrite").parquet(f"{tmp}/t/batch=2")
+        out = (
+            spark.read.option("mergeSchema", True)
+            .parquet(f"{tmp}/t")
+            .groupBy(
+                F.coalesce(F.col("o_channel"), F.lit("unknown")).alias(
+                    "channel"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
