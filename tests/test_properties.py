@@ -113,3 +113,43 @@ def test_repetition_ratio_bounds(spark, words):
     assert 0.0 <= r.dup_ngram_ratio < 1.0 or r.n_ngrams == 0
     assert 0.0 <= r.dup_token_ratio < 1.0
     assert r.n_unique_ngrams <= r.n_ngrams
+
+
+pack_docs = st.lists(
+    st.integers(min_value=1, max_value=30),  # token counts per doc
+    min_size=1,
+    max_size=30,
+)
+pack_budget = st.integers(min_value=2, max_value=40)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(counts=pack_docs, budget=pack_budget)
+def test_pack_sequences_matches_python_reference(spark, counts, budget):
+    """Concatenate-and-chunk packing must equal the sequential fold: in
+    doc_id order, each doc's sequence = its start offset // budget.
+    One shard so the reference is a single stream."""
+    from etl_developstoday_test_spark.operators.sampling import pack_sequences
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(c)), "en", "s", c)
+        for i, c in enumerate(counts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["seq_id"]: (r["n_docs"], r["seq_tokens"])
+        for r in pack_sequences(df, budget=budget, n_shards=1).collect()
+    }
+
+    want: dict[int, list[int]] = {}
+    offset = 0
+    for c in counts:
+        want.setdefault(offset // budget, []).append(c)
+        offset += c
+    assert got == {
+        sid: (len(cs), sum(cs)) for sid, cs in want.items()
+    }
+    # token partition: every token lands in exactly one sequence
+    assert sum(t for _, t in got.values()) == sum(counts)
