@@ -508,3 +508,20 @@ def test_quality_route_is_narrow_scan_bound(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "lang" in read_schema
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_quantize_int8_is_narrow(spark):
+    """Quantization is a pure per-row array map: zero exchanges, and
+    the scan reads only (vec_id, embedding)."""
+    plan = plan_of(spark, "embed_quantize_int8")
+    assert "Exchange" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_countmin_sketch_joins_broadcast(spark):
+    """The 4096-cell sketch must broadcast onto the top-k rows — never
+    shuffle the (tiny) cell table against a shuffled top-k."""
+    plan = plan_of(spark, "agg_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # exact top-k, no global sort
