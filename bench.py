@@ -75,6 +75,25 @@ def main() -> None:
     print(compact)
     print(json.dumps({"queries_full": timings, "sf": sf_val}))
     print(compact)
+    # The driver's BENCH_r*.json keeps only a ~2000-char stdout tail,
+    # which truncates most of the 140-query map — persist the complete
+    # per-query data in-repo so cross-round regression analysis always
+    # has the full picture (VERDICT r4 #4).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "total_sec": total,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "load_1m_baseline": round(load_baseline, 2),
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
     spark.stop()
 
 

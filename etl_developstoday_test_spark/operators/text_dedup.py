@@ -241,10 +241,21 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def _band_candidates(sig: DataFrame) -> DataFrame:
+def _band_candidates(sig: DataFrame, bucket_max: int | None = None) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band key
     of the MinHash signature — the bucket equi-join that replaces the
-    all-pairs comparison."""
+    all-pairs comparison.
+
+    ``bucket_max`` is the hot-bucket guard of the family (the LSH
+    sibling of ``df_max`` on shingles/fingerprints): a band bucket
+    holding d documents emits d² candidate pairs from ONE join key, so
+    a corpus-wide boilerplate cluster turns the bucket join quadratic
+    on a skewed key. Buckets larger than ``bucket_max`` are skipped
+    entirely — at web scale a giant bucket is degenerate boilerplate,
+    and its members still pair through exact-hash dedup upstream.
+    Computed with a window over the bucket partition so the signature
+    lineage is materialized by one exchange the self-join reuses.
+    """
     rows_per_band = N_MINHASH // N_BANDS
     band_keys = F.array(
         *[
@@ -263,6 +274,17 @@ def _band_candidates(sig: DataFrame) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
+    if bucket_max is not None:
+        from pyspark.sql import Window
+
+        bands = (
+            bands.withColumn(
+                "_bucket_n",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
+            )
+            .filter(F.col("_bucket_n") <= bucket_max)
+            .drop("_bucket_n")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -353,6 +375,7 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
+    bucket_max: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: band the 16-value signature into
     4 bands of 4, bucket-join docs sharing any band key, then verify
@@ -361,9 +384,14 @@ def minhash_lsh_pairs(
     With 4 bands × 4 rows the candidate-recall curve is
     P(candidate) = 1 − (1 − j⁴)⁴ (≈97% at j=0.8, ≈26% at j=0.4), and
     verification removes false positives, so output ⊆ ngram_jaccard_pairs.
+
+    ``bucket_max`` (optional) skips band buckets holding more than that
+    many documents before the bucket join — the family-wide hot-key
+    guard (see ``_band_candidates``); default None preserves exact
+    recall on bounded corpora.
     """
     sig = minhash_signatures(docs, n)
-    candidates = _band_candidates(sig)
+    candidates = _band_candidates(sig, bucket_max=bucket_max)
 
     # Verify ONLY the candidate pairs (this is the whole point of LSH):
     # join the per-doc shingle sets back and intersect arrays in-place —

@@ -171,6 +171,55 @@ def test_salted_join_salt_varies_per_row_not_per_partition(spark):
     assert "monotonically_increasing_id" in plan
 
 
+def test_aqe_skew_join_split_fires(spark):
+    """At 100 TB the FIRST answer to join skew is the built-in:
+    session.py enables spark.sql.adaptive.skewJoin, and this pins that
+    it actually splits a hot partition at runtime (manual salting in
+    operators/skew.py is the documented fallback for skew AQE can't
+    reach: mid-pipeline skew behind cached subplans, streaming joins,
+    deterministic test plans).
+
+    An isolated newSession() carries test-sized skew thresholds so the
+    split triggers on MBs instead of the production 256MB default; the
+    hot key holds 50k of 60k rows with a high-entropy payload (so
+    shuffle compression can't hide the skew from the byte threshold).
+    AQE finalizes the plan only on execution of the SAME Dataset, so
+    collect() precedes the plan read."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        s.conf.set(k, v)
+
+    big = s.range(0, 60000).select(
+        F.when(F.col("id") < 50000, F.lit(0))
+        .otherwise(F.pmod("id", F.lit(50)))
+        .alias("k"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5(F.sha1(F.col("id").cast("string"))),
+        ).alias("payload"),
+    )
+    small = s.range(0, 50).select(
+        F.col("id").alias("k"), F.lit("dim").alias("name")
+    )
+    j = big.join(small, "k")
+    assert len(j.collect()) == 60000  # value-identical to the plain join
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "skewed" in plan  # AQEShuffleRead … skewed on the hot side
+
+
 def test_approx_percentiles_broadcasts_sketch_back(spark):
     """The per-group sketch (3 rows) must broadcast onto the fact scan
     for the exact-rank verification pass — never a shuffle join."""

@@ -5,6 +5,7 @@ test suite lacks (SURVEY.md §5)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from etl_developstoday_test_spark.operators.asof import asof_join
@@ -153,3 +154,75 @@ def test_pack_sequences_matches_python_reference(spark, counts, budget):
     }
     # token partition: every token lands in exactly one sequence
     assert sum(t for _, t in got.values()) == sum(counts)
+
+
+# ---------------------------------------------------------------------------
+# Hot-key guard: the family invariant for every pair-join dedup operator.
+# A pathological hot key (a boilerplate passage shared by d ≫ cap docs)
+# must NOT produce the d² clone pairs, while a genuinely-duplicated pair
+# with rare content must still be found. This lifts the per-operator
+# df_max/bucket_max guards (text_dedup.py) into one parametrized
+# invariant, the same way the no-Python/no-cartesian sweeps work.
+# ---------------------------------------------------------------------------
+
+_N_CLONES = 12
+_HOT_CAP = 4  # df_max / bucket_max — well under _N_CLONES
+
+
+def _hot_key_corpus(spark):
+    """12 clones of one boilerplate passage (the hot key), one genuine
+    duplicated pair (100, 101) with rare content, and two singletons.
+    Word alphabets are disjoint so clone shingles never touch the pair's."""
+    boiler = " ".join(f"boiler{i}" for i in range(12))
+    rare = " ".join(f"rareword{i}" for i in range(12))
+    rows = [(i, boiler) for i in range(_N_CLONES)]
+    rows += [(100, rare), (101, rare)]
+    rows += [(200, " ".join(f"solo_a{i}" for i in range(12)))]
+    rows += [(201, " ".join(f"solo_b{i}" for i in range(12)))]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("op", ["winnow", "jaccard", "lsh_bands"])
+def test_hot_key_guard_bounds_pair_join_family(spark, op):
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        winnow_match_pairs,
+    )
+
+    docs = _hot_key_corpus(spark)
+    if op == "winnow":
+        unguarded = winnow_match_pairs(docs, min_shared=1)
+        guarded = winnow_match_pairs(docs, min_shared=1, df_max=_HOT_CAP)
+        cols = ("doc_id_a", "doc_id_b")
+    elif op == "jaccard":
+        unguarded = ngram_jaccard_pairs(docs, threshold=0.5)
+        guarded = ngram_jaccard_pairs(docs, threshold=0.5, df_max=_HOT_CAP)
+        cols = ("doc_a", "doc_b")
+    else:
+        unguarded = minhash_lsh_pairs(docs, threshold=0.5)
+        guarded = minhash_lsh_pairs(docs, threshold=0.5, bucket_max=_HOT_CAP)
+        cols = ("doc_a", "doc_b")
+
+    clone_ids = set(range(_N_CLONES))
+    n_clone_pairs = _N_CLONES * (_N_CLONES - 1) // 2
+
+    # Without the guard the hot key really is quadratic: all 66 clone
+    # pairs come out of one bucket (this is the blowup being guarded).
+    un = _pairs(unguarded, *cols)
+    assert {(a, b) for a, b in un if a in clone_ids and b in clone_ids} == {
+        (a, b) for a in clone_ids for b in clone_ids if a < b
+    }
+    assert len(un) == n_clone_pairs + 1
+
+    # With the guard: zero pairs from the hot key — fan-out is bounded
+    # by the cap, not by the clone-cluster size…
+    g = _pairs(guarded, *cols)
+    assert not {(a, b) for a, b in g if a in clone_ids and b in clone_ids}
+    # …and the genuine rare-content duplicate pair still surfaces
+    # (document frequency 2 ≤ cap), so the guard cuts only the blowup.
+    assert g == {(100, 101)}
