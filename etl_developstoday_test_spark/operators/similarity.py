@@ -219,6 +219,124 @@ def ivf_topk(
     )
 
 
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    iters: int = 2,
+    init_every: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the offline centroid
+    trainer ivf_topk's docstring defers to, pure DataFrame ops.
+
+    Architecture (the MLlib shape): the model state is k centroids —
+    bounded, driver-sized — so each iteration COLLECTS the k×dim means
+    and embeds them as plan literals for the next assignment pass.
+    Assignment is then a narrow map (cosine argmax over literal arrays
+    inside codegen): no join, no corpus shuffle, one scan per
+    iteration. The only shuffle is the centroid recompute — posexplode
+    to (cluster, dim) rows + partial-aggregated groupBy. At 100 TB:
+    iteration cost = 1 scan + 1 (k×dim)-row shuffle; k and dim bound
+    the driver state, never the corpus. (Contrast connected components
+    in operators/graph.py, whose per-node state must stay distributed.)
+
+    Determinism, so a single-node oracle reproduces every value
+    bit-for-bit: init = every ``init_every``-th vec_id (swap for
+    k-means|| at corpus scale — the iteration body is unchanged);
+    similarities rounded to 9 dp before the argmax with ties to the
+    lowest centroid_id; centroid means and the final per-cluster
+    mean_cos_sim use the exact integer-quantized accumulator
+    (CENTROID_QUANTUM, as label_centroids). Clusters that lose all
+    members drop out (standard Lloyd simplification).
+
+    Returns (centroid_id, n_members, mean_cos_sim): the final
+    assignment evaluated against the final (post-``iters``) centroids.
+    """
+    corpus = _with_unit_info(fan_out(embeddings), vec_col).select(
+        F.col(id_col).alias("vec_id"), "_vec"
+    )
+
+    cents: list[tuple[int, list[float]]] = [
+        (r["vec_id"], list(r["_vec"]))
+        for r in corpus.filter(F.col("vec_id") % init_every == 0)
+        .select("vec_id", "_vec")
+        .collect()
+    ]
+    cents.sort()
+
+    def assigned() -> DataFrame:
+        """(vec_id, centroid_id, _cs, _vec) via literal-centroid argmax —
+        projection only, no join anywhere in the iteration."""
+        ids_lit = F.array(*[F.lit(cid) for cid, _ in cents])
+        vecs_lit = F.array(
+            *[F.array(*[F.lit(x) for x in vec]) for _, vec in cents]
+        )
+        scores = F.transform(
+            vecs_lit, lambda c: F.round(cosine(F.col("_vec"), c), 9)
+        )
+        return corpus.select(
+            "vec_id",
+            "_vec",
+            let(
+                scores,
+                # first position of the max score = lowest centroid index
+                lambda s: F.struct(
+                    F.get(ids_lit, F.array_position(s, F.array_max(s)) - 1)
+                    .cast("long")
+                    .alias("cid"),
+                    F.array_max(s).alias("cs"),
+                ),
+            ).alias("_best"),
+        ).select(
+            "vec_id",
+            "_vec",
+            F.col("_best.cid").alias("centroid_id"),
+            F.col("_best.cs").alias("_cs"),
+        )
+
+    q = CENTROID_QUANTUM
+    for _ in range(iters):
+        member_dims = assigned().select(
+            "centroid_id",
+            F.posexplode("_vec").alias("dim", "component"),
+        )
+        means = (
+            member_dims.groupBy("centroid_id", "dim")
+            .agg(
+                (
+                    F.sum(F.round(F.col("component") * q).cast("long")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    / q
+                ).alias("val")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cents = sorted((r["centroid_id"], list(r["cvec"])) for r in means)
+
+    return (
+        assigned()
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.round(F.col("_cs") * q).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / q,
+                6,
+            ).alias("mean_cos_sim"),
+        )
+    )
+
+
 # --- random-hyperplane LSH (SimHash in embedding space) --------------------
 
 # 4 bands x 8 bits: 256 band values spread the bucket join (cost is

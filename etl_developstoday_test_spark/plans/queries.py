@@ -5513,3 +5513,79 @@ def scan_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- k-means (Lloyd) centroid training -------------------------------------
+
+def _kmeans_cte(iters: int = 2, init_every: int = 50) -> str:
+    """CTE chain ending in ``kfinal(vec_id, centroid_id, cs)`` — an
+    exact replica of similarity.kmeans_lloyd's deterministic plan
+    (every-Nth init, 9-dp-rounded cosine argmax with ties to the lowest
+    centroid_id, integer-quantized exact means), iterations unrolled."""
+
+    def assign(cent: str, name: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, centroid_id, cs FROM (
+        SELECT e.vec_id, c.centroid_id,
+               round({_cosine('e.v', 'c.cvec')}, 9) AS cs,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY round({_cosine('e.v', 'c.cvec')}, 9) DESC,
+                          c.centroid_id) AS r
+        FROM kcorpus e CROSS JOIN {cent} c
+      ) WHERE r = 1
+    )"""
+
+    parts = [
+        f"""kcorpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    kc0 AS (
+      SELECT vec_id AS centroid_id, v AS cvec FROM kcorpus
+      WHERE vec_id % {init_every} = 0
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(assign(f"kc{it - 1}", f"ka{it}"))
+        parts.append(
+            f"""km{it} AS (
+      SELECT centroid_id, i AS dim,
+             CAST(SUM(CAST(round(comp * 100000000.0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100000000.0 AS val
+      FROM (SELECT a.centroid_id, unnest(e.v) AS comp,
+                   unnest(generate_series(1, len(e.v))) AS i
+            FROM ka{it} a JOIN kcorpus e USING (vec_id))
+      GROUP BY centroid_id, i
+    ),
+    kc{it} AS (
+      SELECT centroid_id, list(val ORDER BY dim) AS cvec
+      FROM km{it} GROUP BY centroid_id
+    )"""
+        )
+    parts.append(assign(f"kc{iters}", "kfinal"))
+    return ",\n    ".join(parts)
+
+
+@_register(
+    "embed_kmeans_clusters",
+    f"""
+    WITH {_kmeans_cte()}
+    SELECT centroid_id, COUNT(*) AS n_members,
+           round(CAST(SUM(CAST(round(cs * 100000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100000000.0, 6) AS mean_cos_sim
+    FROM kfinal GROUP BY centroid_id
+    """,
+)
+def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table (2 iterations,
+    deterministic every-50th init) — the offline centroid trainer the
+    IVF index consumes (similarity.kmeans_lloyd).
+
+    Scale posture: centroids are bounded model state collected to the
+    driver each round and re-embedded as plan literals (the MLlib
+    architecture), so assignment is a zero-join zero-shuffle codegen
+    projection over the corpus; the only shuffle per iteration is the
+    partial-aggregated (cluster, dim) mean. The oracle unrolls the same
+    two iterations; exact integer-quantized accumulation makes every
+    centroid component — and therefore every downstream assignment —
+    bit-identical across engines."""
+    return similarity.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))

@@ -666,3 +666,25 @@ def test_quantize_int8_invariants(spark):
         scale = 127.0 / r["max_abs"]
         bound = r["n_dims"] * (0.5 / scale) ** 2 * 1e15 + r["n_dims"]
         assert 0 <= r["sq_err_femto"] <= bound
+
+
+def test_kmeans_lloyd_separates_planted_clusters(spark):
+    """Two well-separated planted groups with one init centroid in each
+    (every-50th init picks ids 0 and 50) must come out as two pure
+    clusters with near-1 cohesion after the Lloyd iterations."""
+    from etl_developstoday_test_spark.operators.similarity import kmeans_lloyd
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.001 * i, 0.0]))  # group A around x-axis
+        rows.append((50 + i, [0.0, 0.001 * i, 1.0]))  # group B around z-axis
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["centroid_id"]: (r["n_members"], r["mean_cos_sim"])
+        for r in kmeans_lloyd(emb).collect()
+    }
+    assert set(out) == {0, 50}
+    assert out[0][0] == 10 and out[50][0] == 10
+    assert out[0][1] > 0.99 and out[50][1] > 0.99

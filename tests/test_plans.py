@@ -574,3 +574,15 @@ def test_countmin_sketch_joins_broadcast(spark):
     plan = plan_of(spark, "agg_countmin_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # exact top-k, no global sort
+
+
+def test_kmeans_assignment_is_joinless_projection(spark):
+    """kmeans_lloyd's returned plan must be scan → literal-centroid
+    argmax projection → one hash aggregate: the centroids travel as
+    plan literals (bounded driver state, the MLlib shape), so there is
+    NO join and no corpus-sized shuffle anywhere — at 100 TB the
+    per-iteration cost is one scan plus a (k×dim)-row aggregate."""
+    plan = plan_of(spark, "embed_kmeans_clusters")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    assert "array_position" in plan  # literal-centroid argmax, in codegen
