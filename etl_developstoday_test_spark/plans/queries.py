@@ -5589,3 +5589,57 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid component — and therefore every downstream assignment —
     bit-identical across engines."""
     return similarity.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "scan_file_provenance",
+    """
+    SELECT event_type, COUNT(*) AS n_rows,
+           COUNT(*) - 1 AS max_row_index
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance from the hidden ``_metadata`` scan columns:
+    write events as a hive-partitioned layout (repartition by the
+    partition column first — the standard one-file-per-partition
+    layout write), read it back, and audit each partition purely from
+    file metadata: the partition value parsed out of
+    ``_metadata.file_path`` and the per-file ``_metadata.row_index``.
+    ``max(row_index) = count - 1`` holds iff each partition really is
+    one physical file — the invariant the oracle checks from the
+    logical table.
+
+    At scale: ``_metadata`` is scan-local (no join, no extra I/O — the
+    reader already knows its file and position), which is what makes
+    per-row lineage viable at 100 TB; add ``maxRecordsPerFile`` to
+    bound file sizes when partitions outgrow single files."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="provenance_")
+    try:
+        (
+            ev.repartition("event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(f"{tmp}/events")
+        )
+        out = (
+            spark.read.parquet(f"{tmp}/events")
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), "event_type=([^/]+)/", 1
+                ).alias("event_type"),
+                F.col("_metadata.row_index").alias("_ri"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max("_ri").alias("max_row_index"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

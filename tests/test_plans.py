@@ -586,3 +586,39 @@ def test_kmeans_assignment_is_joinless_projection(spark):
     assert "Join" not in plan
     assert "HashAggregate" in plan
     assert "array_position" in plan  # literal-centroid argmax, in codegen
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime filtering, the third leg of scan reduction after static
+    pushdown and partition pruning: a selective predicate on the
+    dimension side should materialize a Bloom filter that pre-filters
+    the fact side BEFORE its shuffle (Spark's InjectRuntimeFilter).
+    At 100 TB this turns a full fact shuffle into a shuffle of only the
+    rows that can possibly join — the dynamic analogue of the pushed
+    p_size predicate itself.
+
+    An isolated newSession() lowers the application-side size threshold
+    (production default 10GB — sized so tiny local scans don't pay the
+    filter's cost) so the injection fires on testdata; SMJ is forced so
+    there is a shuffle worth protecting."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }.items():
+        s.conf.set(k, v)
+
+    li = s.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pa = s.read.parquet(f"{SF_DIR}/part.parquet").filter(F.col("p_size") == 1)
+    j = li.join(pa, li.l_partkey == pa.p_partkey).groupBy("p_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # fact side: bloom membership probe sits on the l_partkey scan…
+    assert "might_contain" in plan
+    # …built by a two-phase (partial + final) bloom_filter_agg over the
+    # filtered dimension keys
+    assert "bloom_filter_agg" in plan
+    assert "partial_bloom_filter_agg" in plan
