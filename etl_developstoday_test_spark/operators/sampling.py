@@ -97,3 +97,38 @@ def pack_sequences(
             F.max("doc_id").alias("last_doc_id"),
         )
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "up",
+) -> DataFrame:
+    """Replicate rows to a per-row target ``weight`` — the epoch-style
+    mixture step rate-only sampling can't express: weight 2.3 means
+    every row appears twice and 30% of rows (chosen by the stable hash
+    uniform, not an RNG) a third time; weight 0.4 downsamples as usual.
+    Emits a ``replica`` column (1..n) so downstream shuffles spread the
+    copies instead of co-locating them.
+
+    Copies = floor(w) + [u < frac(w)] with u the salted-md5 uniform of
+    the id — deterministic across runs, engines, and partitionings.
+    Rows with zero copies drop out in the explode. Narrow map: the
+    fan-out is an in-row sequence, no shuffle, no join; expected output
+    volume is exactly sum(w) rows.
+
+    Spark's ``sequence(a, b)`` counts DOWN when a > b, so the zero-copy
+    case must guard to an empty array explicitly (same pitfall as
+    word_shingles)."""
+    u = (
+        md5_long(F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string")))
+        % 10000
+    ) / F.lit(10000.0)
+    n_copies = (
+        F.floor(weight) + F.when(u < weight - F.floor(weight), 1).otherwise(0)
+    ).cast("int")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("replica", F.explode(copies))

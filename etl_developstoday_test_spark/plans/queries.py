@@ -5643,3 +5643,49 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "sample_mixture_upsample",
+    f"""
+    WITH c AS (
+      SELECT source, doc_id,
+             CAST(floor(w) AS BIGINT)
+               + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS copies,
+             w
+      FROM (SELECT source, doc_id,
+                   (1 + CAST(substr(source, 4) AS INT) % 5)
+                     * CAST(0.7 AS DOUBLE) AS w,
+                   ({_md5long("'up#' || CAST(doc_id AS VARCHAR)")} % 10000)
+                     / 10000.0 AS u
+            FROM documents)
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE copies >= 1) AS n_docs_kept,
+           CAST(SUM(copies) AS BIGINT) AS n_emitted,
+           ANY_VALUE(w) AS weight
+    FROM c GROUP BY source
+    """,
+)
+def sample_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style mixture upsampling (operators/sampling.py
+    mixture_upsample): weights cycle 0.7/1.4/2.1/2.8/3.5 from the
+    source index as a stand-in for a configured mixture table, so the
+    surface exercises both downsampling (w<1) and whole+fractional
+    replication (w>1). The oracle recomputes copies per doc from the
+    same hash uniform and checks kept-doc and emitted-row counts per
+    source. Narrow map + explode; the only shuffle is the 20-group
+    stat aggregate."""
+    from etl_developstoday_test_spark.operators.sampling import mixture_upsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (1 + F.substring("source", 4, 10).cast("int") % 5) * F.lit(0.7)
+    return (
+        mixture_upsample(docs.withColumn("_w", w), F.col("_w"))
+        .groupBy("source")
+        .agg(
+            F.count_distinct(F.col("doc_id")).alias("n_docs_kept"),
+            F.count(F.lit(1)).alias("n_emitted"),
+            F.any_value(F.col("_w")).alias("weight"),
+        )
+    )

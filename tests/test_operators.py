@@ -688,3 +688,32 @@ def test_kmeans_lloyd_separates_planted_clusters(spark):
     assert set(out) == {0, 50}
     assert out[0][0] == 10 and out[50][0] == 10
     assert out[0][1] > 0.99 and out[50][1] > 0.99
+
+
+def test_mixture_upsample_copies_match_hash_formula(spark):
+    """Per-doc replica count must equal floor(w) + [u < frac(w)] with u
+    recomputed independently in Python from the same salted md5 — and
+    zero-copy docs must vanish (the sequence-counts-down guard)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, w) for i, w in enumerate([0.0, 0.4, 1.0, 2.5, 3.9, 0.9999])]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = (
+        mixture_upsample(df, F.col("w"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("replica").alias("mx"))
+        .collect()
+    )
+    got = {r["doc_id"]: (r["n"], r["mx"]) for r in out}
+    for i, w in rows:
+        u = (int(hashlib.md5(f"up#{i}".encode()).hexdigest()[:15], 16) % 10000) / 10000.0
+        exp = math.floor(w) + (1 if u < w - math.floor(w) else 0)
+        if exp == 0:
+            assert i not in got
+        else:
+            assert got[i] == (exp, exp)
