@@ -5747,3 +5747,89 @@ def scan_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "agg_grouping_sets_custom",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS total_price,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the rollup/cube lattices): the
+    two single-dimension marginals plus the grand total in ONE pass —
+    Spark expands the sets with an Expand node over a single scan and
+    shuffle, where naive SQL would union three separate aggregates
+    (three scans). grouping_id disambiguates the NULL-as-subtotal rows
+    exactly as in agg_cube_lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@_register(
+    "join_null_safe_eq",
+    """
+    WITH keyed AS (
+      SELECT event_id, user_id,
+             CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE user_id % 100 END AS k,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN g % 10 = 0 THEN NULL ELSE g END AS k,
+             CASE WHEN g % 10 = 0 THEN 'missing' ELSE 'known' END AS bucket
+      FROM (SELECT unnest(generate_series(0, 99)) AS g)
+    )
+    SELECT bucket, COUNT(*) AS n_events
+    FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.k
+    GROUP BY bucket
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics
+    late-arriving-dimension pipelines need when 'unknown' is a real
+    bucket. Spark keeps EqualNullSafe inside the hash-join key (the
+    plan stays a broadcast/shuffled HASH join, never a nested-loop
+    fallback), so the null bucket costs the same as any other key —
+    though at scale a heavily-null key is a hot key: route it through
+    the skew guards if NULL dominates."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 100)
+        .alias("k"),
+    )
+    dim = (
+        spark.range(0, 100)
+        .select(
+            F.when(F.col("id") % 10 == 0, F.lit(None))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.when(F.col("id") % 10 == 0, F.lit("missing"))
+            .otherwise(F.lit("known"))
+            .alias("bucket"),
+        )
+        .distinct()
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"]))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -622,3 +622,20 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     # filtered dimension keys
     assert "bloom_filter_agg" in plan
     assert "partial_bloom_filter_agg" in plan
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """Arbitrary grouping sets must compile to ONE scan + Expand, not a
+    union of per-set aggregates (which would re-scan per set)."""
+    plan = plan_of(spark, "agg_grouping_sets_custom")
+    assert "Expand" in plan
+    assert plan.count("orders.parquet") == 1
+    assert "Union" not in plan
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """EqualNullSafe must ride inside the hash-join key — a nested-loop
+    fallback would turn the null bucket into an O(n·m) scan."""
+    plan = plan_of(spark, "join_null_safe_eq")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
