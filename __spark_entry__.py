@@ -56,6 +56,7 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "join_asof_nearest_attribution": 5,
     # r5: isolated-session stream start; truthful state-bound docs
     "stream_events_dedup_counts": 5,
+    "stream_user_running_totals": 5,
     # r5: CSV source widens few-block inputs before the parse
     "etl_golden_pipeline_stats": 5,
 }

@@ -1884,33 +1884,32 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_user_running_totals as op,
     )
 
-    stream = events_stream(spark, sf_dir)
-    name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
     # the stateful shuffle spawns one Python worker + state store per
     # shuffle partition; with O(100) keys, 8 partitions beats 32 (the
-    # stream's partitioning is fixed at first start, so set it up front)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            op(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # stream's partitioning is fixed at first start, so set it up
+    # front) — in a cloned session (shared catalog/JVM, isolated conf)
+    # so the pin can never race a concurrent query's conf
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = events_stream(s2, sf_dir)
+    name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        op(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
     # update-mode memory sink appends one row per key per batch; keep
     # each user's final (largest n_events) emission
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        spark.table(name)
+        s2.table(name)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
