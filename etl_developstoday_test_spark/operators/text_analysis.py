@@ -78,10 +78,11 @@ def quality_score(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     return base.withColumn("quality_score", score)
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Wordlist-vote language identification: count function-word hits
     per language, argmax with alphabetical tie-break ('und' = unknown
-    when nothing matches)."""
+    when nothing matches). ``carry`` names extra input columns passed
+    through unchanged (the map stays narrow)."""
     def _hits(words: list[str]):
         # single-arg lambda required: PySpark uses lambda arity to pick
         # the (element) vs (element, index) HOF signature
@@ -90,6 +91,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "lang",
+        *carry,
         *[
             let(tokens(F.lower(F.col("text"))), _hits(ws)).alias(f"hits_{lang}")
             for lang, ws in sorted(LANG_WORDLISTS.items())

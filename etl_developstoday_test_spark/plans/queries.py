@@ -5832,3 +5832,110 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@_register(
+    "curation_funnel_counts",
+    f"""
+    WITH ql AS (
+      SELECT doc_id, source, text,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) * 0.4
+             + CAST(len(list_filter(arr, t -> list_contains([{", ".join(f"'{w}'" for w in text_analysis.STOPWORDS)}], t))) AS DOUBLE)
+               / len(arr) * 0.3
+             + CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) * 0.3
+               AS quality_score
+      FROM (SELECT doc_id, source, text, {_TOKS} AS arr FROM documents)
+    ),
+    lng AS ({_langid_sql()}),
+    base AS (
+      SELECT ql.doc_id, ql.source, ql.text, ql.quality_score,
+             lng.predicted_lang
+      FROM ql JOIN lng USING (doc_id)
+    ),
+    s1 AS (
+      SELECT source,
+             COUNT(*) AS n_input,
+             COUNT(*) FILTER (WHERE quality_score >= 0.5) AS n_quality,
+             COUNT(*) FILTER (WHERE quality_score >= 0.5
+                                AND predicted_lang = 'en') AS n_lang
+      FROM base GROUP BY source
+    ),
+    d AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             ({_md5long("'fun#' || CAST(doc_id AS VARCHAR)")} % 10000)
+               / 10000.0 AS u
+      FROM base WHERE quality_score >= 0.5 AND predicted_lang = 'en'
+    ),
+    s2 AS (
+      SELECT source,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_unique,
+             COUNT(*) FILTER (WHERE rn = 1 AND u < 0.8) AS n_sampled
+      FROM d GROUP BY source
+    )
+    SELECT s1.source, n_input, n_quality, n_lang,
+           COALESCE(n_unique, 0) AS n_unique,
+           COALESCE(n_sampled, 0) AS n_sampled
+    FROM s1 LEFT JOIN s2 USING (source)
+    """,
+)
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end, as a per-source funnel:
+    input → quality filter (score ≥ 0.5) → language filter (predicted
+    'en') → exact dedup (first-wins on md5(text), applied AFTER the
+    filters, as a real pipeline would) → deterministic 80% hash sample.
+    One row per source with the count surviving each stage — the
+    yield/attrition report every training-data run starts from.
+
+    Composes the certified primitives (quality_score, lang_id with
+    carried columns, first-wins digest window, salted-hash sampling) in
+    ONE plan: a single documents scan feeds both stage aggregates; the
+    only corpus-sized shuffle is the dedup digest window; the two
+    20-row per-source aggregates broadcast-join at the end. Sources
+    where no doc survives the filters report 0 (left join), not a
+    missing row."""
+    from pyspark.sql import Window
+
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        lang_id,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = lang_id(
+        quality_score(docs, carry=("lang", "source", "text")),
+        carry=("source", "text", "quality_score"),
+    ).select("doc_id", "source", "text", "quality_score", "predicted_lang")
+
+    ok = F.col("quality_score") >= 0.5
+    en = F.col("predicted_lang") == "en"
+    s1 = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(ok, 1)).alias("n_quality"),
+        F.count(F.when(ok & en, 1)).alias("n_lang"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    u = (
+        md5_long(F.concat(F.lit("fun#"), F.col("doc_id").cast("string")))
+        % 10000
+    ) / F.lit(10000.0)
+    d = base.filter(ok & en).select(
+        "source", F.row_number().over(w).alias("rn"), u.alias("u")
+    )
+    s2 = d.groupBy("source").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_unique"),
+        F.count(F.when((F.col("rn") == 1) & (F.col("u") < 0.8), 1)).alias(
+            "n_sampled"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    return s1.join(s2, "source", "left").select(
+        "source",
+        "n_input",
+        "n_quality",
+        "n_lang",
+        F.coalesce("n_unique", zero).alias("n_unique"),
+        F.coalesce("n_sampled", zero).alias("n_sampled"),
+    )
