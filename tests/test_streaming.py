@@ -318,3 +318,99 @@ def test_stream_stream_join_uses_symmetric_hash_state(spark):
         o.get("operatorName") == "symmetricHashJoin" for o in ops
     ), ops
     assert spark.table(name).count() > 0
+
+
+def test_foreach_batch_idempotent_upsert_sink(spark, tmp_path):
+    """The production exactly-once-sink pattern: foreachBatch merges
+    each micro-batch into a keyed table with last-writer-wins, writing
+    a new immutable version per merge (no read-modify-overwrite of the
+    dir being read). Because the merge is a deterministic function of
+    (state ∪ batch), REPLAYING a batch — the restart-after-sink-
+    before-checkpoint-commit case at-least-once delivery produces —
+    must leave the table byte-identical: idempotence is what upgrades
+    at-least-once to effectively-exactly-once."""
+    src = tmp_path / "upsert_src"
+    state = {"v": 0}
+
+    def target(v):
+        return str(tmp_path / f"state_v{v}")
+
+    def merge(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        cur = (
+            spark.read.parquet(target(state["v"]))
+            if state["v"] > 0
+            else batch_df.limit(0)
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        merged = (
+            cur.unionByName(batch_df)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            target(state["v"] + 1)
+        )
+        state["v"] += 1
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def snapshot():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(target(state["v"])).select(
+                "user_id", "event_id", "value"
+            ).collect()
+        )
+
+    def run_stream_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", str(tmp_path / "ckpt_upsert"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(e, ts, u, v) for e, ts, u, v in rows],
+            "event_id long, ts string, user_id long, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    batch1 = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (2, "2024-01-01 00:05:00", 1, 11.0),  # later write wins for user 1
+        (3, "2024-01-01 00:00:00", 2, 20.0),
+    ]
+    write_batch(batch1)
+    run_stream_once()
+    want1 = [(1, 2, 11.0), (2, 3, 20.0)]
+    assert snapshot() == want1
+
+    # replay the SAME batch through the merge (simulated redelivery):
+    # a new version is written, but its contents must be unchanged
+    replay = spark.createDataFrame(
+        [(e, ts, u, v) for e, ts, u, v in batch1],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    merge(replay, batch_id=0)
+    assert snapshot() == want1
+
+    # a genuinely new batch: user 1 updated again, user 3 appears
+    write_batch(
+        [
+            (4, "2024-01-01 01:00:00", 1, 12.0),
+            (5, "2024-01-01 00:30:00", 3, 30.0),
+        ]
+    )
+    run_stream_once()
+    assert snapshot() == [(1, 4, 12.0), (2, 3, 20.0), (3, 5, 30.0)]
