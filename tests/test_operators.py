@@ -717,3 +717,58 @@ def test_mixture_upsample_copies_match_hash_formula(spark):
             assert i not in got
         else:
             assert got[i] == (exp, exp)
+
+
+def test_lsh_pairs_subset_of_exact_jaccard_pairs(spark):
+    """Family consistency on real corpus data: every MinHash-LSH pair
+    is exact-verified, so the LSH output must be a subset of the
+    exhaustive shingle-Jaccard pairs at the same threshold; and exact
+    duplicates (identical text → identical signatures → guaranteed
+    band collision) must all surface through LSH. Together these pin
+    the sketch's one-sided error: it may MISS near-dups, it must never
+    invent one."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # the corpus plants near-dups but no byte-identical clones; add two
+    # so the guaranteed-collision half of the invariant has teeth
+    seed_text = base.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    clones = spark.createDataFrame(
+        [(1_000_000, seed_text), (1_000_001, seed_text)],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(clones)
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh, "corpus has planted near-dups; LSH should find some"
+    assert lsh <= exact, f"LSH invented pairs: {sorted(lsh - exact)[:5]}"
+
+    # identical-text pairs from the digest groups must all be in lsh
+    groups = (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    dup_pairs = {
+        (min(a, b), max(a, b))
+        for g in groups
+        for a in g["ids"]
+        for b in g["ids"]
+        if a < b
+    }
+    assert dup_pairs, "corpus has planted exact duplicates"
+    assert dup_pairs <= lsh, sorted(dup_pairs - lsh)[:5]
