@@ -5890,11 +5890,14 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes the certified primitives (quality_score, lang_id with
     carried columns, first-wins digest window, salted-hash sampling) in
-    ONE plan: a single documents scan feeds both stage aggregates; the
-    only corpus-sized shuffle is the dedup digest window; the two
-    20-row per-source aggregates broadcast-join at the end. Sources
-    where no doc survives the filters report 0 (left join), not a
-    missing row."""
+    ONE single-scan plan: every stage is a per-row flag, and the dedup
+    winner is derived from one digest window that ranks passing rows
+    FIRST (passes DESC, doc_id) — so 'first-wins among the filtered
+    docs' is just ``passes AND rn = 1``, no separate filtered subtree,
+    no join. Shuffles: the digest window + the 20-row source aggregate.
+    Sources where nothing survives report 0 via conditional counts, not
+    a missing row. The oracle deduplicates an explicitly filtered set;
+    the passes-first ordering makes the two formulations identical."""
     from pyspark.sql import Window
 
     from etl_developstoday_test_spark.functions import md5_long
@@ -5911,31 +5914,25 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ok = F.col("quality_score") >= 0.5
     en = F.col("predicted_lang") == "en"
-    s1 = base.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_input"),
-        F.count(F.when(ok, 1)).alias("n_quality"),
-        F.count(F.when(ok & en, 1)).alias("n_lang"),
-    )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     u = (
         md5_long(F.concat(F.lit("fun#"), F.col("doc_id").cast("string")))
         % 10000
     ) / F.lit(10000.0)
-    d = base.filter(ok & en).select(
-        "source", F.row_number().over(w).alias("rn"), u.alias("u")
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.col("_p").desc(), F.col("doc_id")
     )
-    s2 = d.groupBy("source").agg(
-        F.count(F.when(F.col("rn") == 1, 1)).alias("n_unique"),
-        F.count(F.when((F.col("rn") == 1) & (F.col("u") < 0.8), 1)).alias(
+    flagged = (
+        base.withColumn("_p", ok & en)
+        .withColumn("_q", ok)
+        .withColumn("_u", u)
+        .withColumn("_win", (F.row_number().over(w) == 1) & F.col("_p"))
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count(F.when(F.col("_q"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("_p"), 1)).alias("n_lang"),
+        F.count(F.when(F.col("_win"), 1)).alias("n_unique"),
+        F.count(F.when(F.col("_win") & (F.col("_u") < 0.8), 1)).alias(
             "n_sampled"
         ),
-    )
-    zero = F.lit(0).cast("long")
-    return s1.join(s2, "source", "left").select(
-        "source",
-        "n_input",
-        "n_quality",
-        "n_lang",
-        F.coalesce("n_unique", zero).alias("n_unique"),
-        F.coalesce("n_sampled", zero).alias("n_sampled"),
     )

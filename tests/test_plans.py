@@ -639,3 +639,14 @@ def test_null_safe_join_stays_hash_join(spark):
     plan = plan_of(spark, "join_null_safe_eq")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_funnel_single_scan_no_join(spark):
+    """The five funnel stages must all ride ONE documents scan as
+    per-row flags (winner = passes AND rn=1 from the passes-first
+    digest window) — a second filtered subtree would re-scan and
+    re-join the corpus."""
+    plan = plan_of(spark, "curation_funnel_counts")
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
