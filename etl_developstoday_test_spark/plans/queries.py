@@ -5936,3 +5936,100 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled"
         ),
     )
+
+
+@_register(
+    "dq_constraint_violations",
+    """
+    SELECT 'l_quantity_in_1_50' AS rule,
+           COUNT(*) FILTER (WHERE l_quantity IS NULL
+                               OR l_quantity < 1 OR l_quantity > 50)
+             AS n_violations,
+           COUNT(*) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount_in_0_0.1',
+           COUNT(*) FILTER (WHERE l_discount IS NULL
+                               OR l_discount < 0 OR l_discount > 0.1),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate_not_null',
+           COUNT(*) FILTER (WHERE l_shipdate IS NULL), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'fk_lineitem_orders',
+           COUNT(*) FILTER (WHERE o.o_orderkey IS NULL), COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'fk_orders_customer',
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL), COUNT(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite — the expectations gate a
+    production pipeline runs before publishing a snapshot: null/range
+    rules as conditional counts (ALL rules on one table share ONE scan
+    via a multi-aggregate, not one scan per rule) and referential-
+    integrity rules as broadcast left joins counting orphans. Output is
+    (rule, n_violations, n_checked): the pass/fail decision plus the
+    denominator that makes a violation RATE auditable. At 100 TB this
+    shape matters: rule count grows, scan count must not — adding a
+    rule to a table adds one aggregate expression, not one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def viol(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("rule"),
+            F.count(F.when(bad, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    li_rules = li.select(
+        F.lit("l_quantity_in_1_50").alias("rule"),
+        F.count(F.when(q.isNull() | (q < 1) | (q > 50), 1)).alias(
+            "n_violations"
+        ),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(d.isNull() | (d < 0) | (d > 0.1), 1)).alias("_v2"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("_v3"),
+    )
+    li_long = li_rules.selectExpr(
+        "stack(3, 'l_quantity_in_1_50', n_violations, "
+        "'l_discount_in_0_0.1', _v2, 'l_shipdate_not_null', _v3) "
+        "as (rule, n_violations)",
+        "n_checked",
+    ).select("rule", "n_violations", "n_checked")
+
+    tp = F.col("o_totalprice")
+    o_rule = viol("o_totalprice_positive", o, tp.isNull() | (tp <= 0))
+
+    fk1 = viol(
+        "fk_lineitem_orders",
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li["l_orderkey"] == o["o_orderkey"],
+            "left",
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    fk2 = viol(
+        "fk_orders_customer",
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left",
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    return li_long.unionByName(o_rule).unionByName(fk1).unionByName(fk2)

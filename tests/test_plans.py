@@ -650,3 +650,13 @@ def test_curation_funnel_single_scan_no_join(spark):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_dq_rules_share_scans_and_broadcast_fks(spark):
+    """All same-table null/range rules must ride one multi-aggregate
+    scan (lineitem appears exactly twice: once for its three rules,
+    once for the FK orphan join), and referential checks broadcast the
+    key side instead of shuffling the fact table."""
+    plan = plan_of(spark, "dq_constraint_violations")
+    assert plan.count("lineitem.parquet") == 2
+    assert "BroadcastHashJoin" in plan
