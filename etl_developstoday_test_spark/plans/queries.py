@@ -6033,3 +6033,80 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").isNull(),
     )
     return li_long.unionByName(o_rule).unionByName(fk1).unionByName(fk2)
+
+
+@_register(
+    "etl_snapshot_diff_counts",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, CAST(100.0 AS DOUBLE), 'O'
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                  OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                  THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n_rows
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    GROUP BY change_type
+    """,
+)
+def etl_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the diff-two-table-versions job every
+    incremental pipeline runs to audit a refresh: one co-partitioned
+    FULL OUTER join on the key classifies every row as
+    added / removed / changed / unchanged (value compare is null-safe).
+    Version 2 is derived deterministically from version 1 (drop
+    key%97=0, double price on key%13=0, append synthetic key%101=0
+    rows) so the oracle replays the identical diff. At 100 TB: both
+    sides shuffle once on the key — bucketing both snapshots on the key
+    makes the join exchange-free (see join_bucketed_colocated); the
+    per-column compare is a narrow expression, never a second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                F.lit(100.0).alias("o_totalprice"),
+                F.lit("O").alias("o_orderstatus"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    differs = ~F.col("a.o_totalprice").eqNullSafe(
+        F.col("b.o_totalprice")
+    ) | ~F.col("a.o_orderstatus").eqNullSafe(F.col("b.o_orderstatus"))
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
