@@ -6110,3 +6110,109 @@ def etl_snapshot_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(change.alias("change_type")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@_register(
+    "events_hourly_interpolate",
+    f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             {_dsum('value')} / COUNT(*) AS mean_v
+      FROM events GROUP BY 1
+    ),
+    sp AS (
+      SELECT h.hour, COALESCE(a.n, 0) AS n_events, a.mean_v
+      FROM hours h LEFT JOIN actual a ON a.hour = h.hour
+    ),
+    nb AS (
+      SELECT hour, n_events, mean_v,
+             last_value(mean_v IGNORE NULLS) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN mean_v IS NOT NULL THEN hour END
+               IGNORE NULLS) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(mean_v IGNORE NULLS) OVER (ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN mean_v IS NOT NULL THEN hour END
+               IGNORE NULLS) OVER (ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM sp
+    )
+    SELECT hour, n_events,
+           CASE WHEN mean_v IS NOT NULL THEN mean_v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                       * (CAST(epoch(hour) - epoch(ph) AS DOUBLE)
+                          / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+           END AS interp_mean_value
+    FROM nb
+    """,
+)
+def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: silent hours get the mean value
+    interpolated between the nearest observed hours (edges carry the
+    nearest neighbor) — the imputation step between zero-fill
+    (events_hourly_gap_fill) and model-based filling. Forward and
+    backward neighbors come from ignore-nulls last/first frames over
+    the hour spine; the interpolation weight is the epoch-second
+    fraction, computed with the same cast order in both engines.
+
+    Scale note: the global-ordered window runs over the SPINE (one row
+    per hour between the corpus bounds — metadata-sized), never over
+    raw events; the event-sized work is the hourly pre-aggregate. A
+    multi-year spine is still only tens of thousands of rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    actual = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum("value") / F.count(F.lit(1))).alias("mean_v"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour"
+        )
+    )
+    sp = spine.join(actual, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        "mean_v",
+    )
+    wp = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("hour").rowsBetween(0, Window.unboundedFollowing)
+    obs_hour = F.when(F.col("mean_v").isNotNull(), F.col("hour"))
+    nb = sp.select(
+        "hour",
+        "n_events",
+        "mean_v",
+        F.last("mean_v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wp).alias("ph"),
+        F.first("mean_v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = (
+        F.unix_timestamp("hour") - F.unix_timestamp("ph")
+    ).cast("double") / (
+        F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    ).cast("double")
+    interp = (
+        F.when(F.col("mean_v").isNotNull(), F.col("mean_v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return nb.select("hour", "n_events", interp.alias("interp_mean_value"))
