@@ -772,3 +772,31 @@ def test_lsh_pairs_subset_of_exact_jaccard_pairs(spark):
     }
     assert dup_pairs, "corpus has planted exact duplicates"
     assert dup_pairs <= lsh, sorted(dup_pairs - lsh)[:5]
+
+
+def test_snapshot_diff_counts_partition_both_versions(spark):
+    """Accounting identity of the diff: |v1| = removed + changed +
+    unchanged and |v2| = added + changed + unchanged — every row of
+    both versions is classified exactly once."""
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    import duckdb
+
+    got = {
+        r["change_type"]: r["n_rows"]
+        for r in QUERIES["etl_snapshot_diff_counts"](spark, SF_DIR).collect()
+    }
+    n_v1 = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    n_dropped = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet' WHERE o_orderkey % 97 = 0"
+    ).fetchone()[0]
+    n_added = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet' WHERE o_orderkey % 101 = 0"
+    ).fetchone()[0]
+    assert got.get("removed", 0) + got.get("changed", 0) + got.get("unchanged", 0) == n_v1
+    assert got.get("added", 0) + got.get("changed", 0) + got.get("unchanged", 0) == n_v1 - n_dropped + n_added
+    assert got.get("removed", 0) == n_dropped
+    assert got.get("added", 0) == n_added

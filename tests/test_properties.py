@@ -226,3 +226,34 @@ def test_hot_key_guard_bounds_pair_join_family(spark, op):
     # …and the genuine rare-content duplicate pair still surfaces
     # (document frequency 2 ≤ cap), so the guard cuts only the blowup.
     assert g == {(100, 101)}
+
+
+up_weights = st.lists(
+    st.floats(min_value=0.0, max_value=4.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(weights=up_weights)
+def test_mixture_upsample_total_matches_per_doc_formula(spark, weights):
+    """For ANY weight vector: emitted rows = Σ(floor(w) + [u < frac(w)])
+    with u recomputed independently — the expected-volume contract
+    (output ≈ sum of weights) holds exactly, not just in expectation."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = mixture_upsample(df, F.col("w")).count()
+
+    want = 0
+    for i, w in rows:
+        u = (int(hashlib.md5(f"up#{i}".encode()).hexdigest()[:15], 16) % 10000) / 10000.0
+        want += math.floor(w) + (1 if u < w - math.floor(w) else 0)
+    assert got == want
