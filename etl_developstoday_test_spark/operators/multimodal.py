@@ -142,6 +142,48 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def audio_window_plan(
+    media: DataFrame, win_ms: int = 400, hop_ms: int = 200
+) -> DataFrame:
+    """Overlapping analysis-window plan for audio rows — the STFT
+    framing geometry (librosa/torchaudio convention): windows of
+    ``win_ms`` every ``hop_ms``; n = 1 + floor((dur − win)/hop) when
+    the clip covers a full window, else one truncated window. The
+    explode happens BEFORE decode so Spark parallelizes at window
+    granularity, not clip granularity (same reasoning as
+    frame_sample_plan — a 3-hour clip becomes ~54k parallel rows, not
+    one straggler task).
+
+    ``window_sha256`` (content + window bounds) is the deterministic
+    JVM stand-in for the decoded-PCM window energy, exactly as
+    resize_plan's thumb digest stands in for pixels; the real decoder
+    plugs in through DECODERS over (content, start_ms, end_ms). Narrow
+    map + in-row explode, zero shuffles."""
+    audio = media.filter(F.col("media_type") == "audio")
+    dur = F.col("meta.duration_ms")
+    n = F.when(
+        dur >= win_ms, ((dur - win_ms) / hop_ms).cast("int") + 1
+    ).otherwise(F.lit(1))
+    exploded = audio.select(
+        "media_id",
+        "content",
+        dur.cast("long").alias("_dur"),
+        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("window_idx", "_"),
+    )
+    start = (F.col("window_idx") * hop_ms).cast("long")
+    end = F.least(start + win_ms, F.col("_dur"))
+    tag = F.concat_ws(":", start.cast("string"), end.cast("string"))
+    return exploded.select(
+        "media_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        start.alias("start_ms"),
+        end.alias("end_ms"),
+        F.sha2(
+            F.concat(F.col("content"), F.encode(tag, "UTF-8")), 256
+        ).alias("window_sha256"),
+    )
+
+
 def resize_plan(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame:
     """Thumbnail/resize planning for image rows: aspect-preserving fit
     of (meta.width, meta.height) into a max_w×max_h box.

@@ -6216,3 +6216,34 @@ def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
     )
     return nb.select("hour", "n_events", interp.alias("interp_mean_value"))
+
+
+@_register(
+    "mm_audio_window_plan",
+    """
+    SELECT media_id, CAST(w AS BIGINT) AS window_idx,
+           CAST(w * 200 AS BIGINT) AS start_ms,
+           CAST(least(w * 200 + 400, dur) AS BIGINT) AS end_ms,
+           sha256(text || CAST(w * 200 AS VARCHAR) || ':'
+                       || CAST(least(w * 200 + 400, dur) AS VARCHAR))
+             AS window_sha256
+    FROM (
+      SELECT doc_id AS media_id, text, n_chars * 10 AS dur,
+             unnest(generate_series(0,
+               CASE WHEN n_chars * 10 >= 400
+                    THEN (n_chars * 10 - 400) // 200 + 1
+                    ELSE 1 END - 1)) AS w
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    """,
+)
+def mm_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window plan (operators/multimodal.py
+    audio_window_plan): STFT-style overlapping windows exploded before
+    decode so parallelism is per-window; the per-window digest is the
+    deterministic stand-in for decoded-PCM energy. Completes the
+    modality triple next to mm_frame_sample_plan (video) and
+    mm_resize_plan (image)."""
+    return multimodal.audio_window_plan(
+        _media_from_documents(spark, sf_dir), win_ms=400, hop_ms=200
+    )

@@ -72,3 +72,31 @@ def test_resize_plan_geometry(spark):
     assert (out[1].thumb_w, out[1].thumb_h) == (32, 64)   # 128/256 → x0.25
     assert (out[2].thumb_w, out[2].thumb_h) == (32, 16)   # scale clamped to 1
     assert len(out[1].thumb_sha256) == 64
+
+
+def test_audio_window_plan_geometry(spark):
+    """STFT framing: full clips get 1 + (dur-win)//hop windows with the
+    last one clamped to the clip end; clips shorter than one window get
+    exactly one truncated window."""
+    from pyspark.sql import functions as F, types as T
+
+    from etl_developstoday_test_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_window_plan,
+    )
+
+    rows = [
+        (1, "audio", b"x", (None, None, 1000, "m")),   # 4 windows
+        (2, "audio", b"y", (None, None, 300, "m")),    # shorter than win
+        (3, "video", b"z", (None, None, 9999, "m")),   # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_window_plan(media, win_ms=400, hop_ms=200).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(
+            (r["window_idx"], r["start_ms"], r["end_ms"])
+        )
+    assert sorted(by_id) == [1, 2]
+    assert sorted(by_id[1]) == [(0, 0, 400), (1, 200, 600), (2, 400, 800), (3, 600, 1000)]
+    assert by_id[2] == [(0, 0, 300)]  # truncated to clip end
