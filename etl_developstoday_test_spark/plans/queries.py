@@ -6247,3 +6247,105 @@ def mm_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_window_plan(
         _media_from_documents(spark, sf_dir), win_ms=400, hop_ms=200
     )
+
+
+@_register(
+    "events_max_concurrent_sessions",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR us - prev_us > {events_etl.SESSION_GAP_MICROS}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    ),
+    ivals AS (
+      SELECT MIN(ts) AS s, MAX(ts) AS e FROM sess
+      GROUP BY user_id, session_id
+    ),
+    d AS (
+      SELECT s AS ts, 1 AS delta FROM ivals
+      UNION ALL
+      SELECT e AS ts, -1 AS delta FROM ivals
+    ),
+    dh AS (SELECT ts, delta, date_trunc('hour', ts) AS hour FROM d),
+    ht AS (SELECT hour, SUM(delta) AS h_delta FROM dh GROUP BY hour),
+    c AS (
+      SELECT hour, COALESCE(SUM(h_delta) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+      FROM ht
+    ),
+    r AS (
+      SELECT hour, SUM(delta) OVER (PARTITION BY hour
+               ORDER BY ts, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+      FROM dh
+    ),
+    m AS (SELECT hour, MAX(rsum) AS max_intra FROM r GROUP BY hour)
+    SELECT m.hour, CAST(c.carry + greatest(m.max_intra, 0) AS BIGINT)
+             AS max_concurrent
+    FROM m JOIN c USING (hour)
+    """,
+)
+def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per hour — the sweep-line problem
+    (sessions overlapping in time), solved WITHOUT an interval
+    self-join: +1/−1 boundary deltas, an intra-hour running sum
+    partitioned by hour, and a metadata-sized cumulative carry over
+    the per-hour totals. Concurrency at an hour's start is the carry
+    itself, so the hour max is carry + max(0, intra running max).
+
+    Scale shape: an interval overlap join is quadratic in concurrency;
+    the sweep is one union + one hour-partitioned window + one
+    hour-spine window (rows = active hours, driver-metadata-sized) —
+    the standard two-level decomposition of a global running sum, the
+    same trick that makes prefix sums distributed. Ties order +1
+    before −1 (touching sessions count as concurrent); within a tie
+    block the running-max is permutation-invariant, so the result is
+    deterministic under any shuffle order."""
+    from pyspark.sql import Window
+
+    sess = events_etl.sessionize(load_table(spark, sf_dir, "events"))
+    d = (
+        sess.select(F.col("session_start").alias("ts"), F.lit(1).alias("delta"))
+        .unionByName(
+            sess.select(
+                F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
+            )
+        )
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+    )
+    ht = d.groupBy("hour").agg(F.sum("delta").alias("h_delta"))
+    w_carry = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = ht.select(
+        "hour",
+        F.coalesce(F.sum("h_delta").over(w_carry), F.lit(0)).alias("carry"),
+    )
+    w_run = (
+        Window.partitionBy("hour")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = (
+        d.withColumn("rsum", F.sum("delta").over(w_run))
+        .groupBy("hour")
+        .agg(F.max("rsum").alias("max_intra"))
+    )
+    return m.join(carry, "hour").select(
+        "hour",
+        (F.col("carry") + F.greatest(F.col("max_intra"), F.lit(0)))
+        .cast("long")
+        .alias("max_concurrent"),
+    )

@@ -800,3 +800,37 @@ def test_snapshot_diff_counts_partition_both_versions(spark):
     assert got.get("added", 0) + got.get("changed", 0) + got.get("unchanged", 0) == n_v1 - n_dropped + n_added
     assert got.get("removed", 0) == n_dropped
     assert got.get("added", 0) == n_added
+
+
+def test_max_concurrent_matches_global_python_sweep(spark):
+    """The distributed two-level sweep (hour-partitioned running sums +
+    metadata carry) must equal a single-threaded global sweep over the
+    same intervals — validating the decomposition itself, not just the
+    oracle's identical algorithm."""
+    from etl_developstoday_test_spark.operators.events_etl import sessionize
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+    from etl_developstoday_test_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["hour"]: r["max_concurrent"]
+        for r in QUERIES["events_max_concurrent_sessions"](spark, SF_DIR).collect()
+    }
+
+    ivals = [
+        (r["session_start"], r["session_end"])
+        for r in sessionize(load_table(spark, SF_DIR, "events")).collect()
+    ]
+    deltas = [(s, 1) for s, _ in ivals] + [(e, -1) for _, e in ivals]
+    # +1 before -1 at equal ts: touching sessions count as concurrent
+    deltas.sort(key=lambda t: (t[0], -t[1]))
+    level = 0
+    want: dict = {}
+    for ts, d in deltas:
+        hour = ts.replace(minute=0, second=0, microsecond=0)
+        # the level carried into the hour is a valid level within it
+        want.setdefault(hour, level)
+        level += d
+        want[hour] = max(want[hour], level)
+    assert got == want
+    assert max(got.values()) >= 2  # the corpus really has overlap
