@@ -6349,3 +6349,60 @@ def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("max_concurrent"),
     )
+
+
+@_register(
+    "scan_json_corrupt_records",
+    """
+    SELECT CASE WHEN o_orderkey % 11 = 0 THEN '_corrupt'
+                ELSE o_orderstatus END AS status,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY status
+    """,
+)
+def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input routing for semi-structured ingestion — the
+    JSON-lines analogue of the CSV pipeline's row-level error routing
+    (never job-abort): PERMISSIVE mode parses what it can and captures
+    each unparseable line verbatim in the corrupt-record column, so bad
+    rows are COUNTED AND KEPT for quarantine instead of killing the
+    job or silently vanishing (DROPMALFORMED). A deterministic 1-in-11
+    subset of lines is truncated mid-object before the read; the
+    oracle knows exactly which. At scale the corrupt column costs
+    nothing on clean data (null) and the quarantine write is the same
+    side-output pattern as the duplicates CSV sink."""
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            # truncated mid-object: unparseable, captured verbatim
+            F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey")),
+        )
+        .otherwise(
+            F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+        )
+        .alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="corrupt_json_")
+    try:
+        lines.write.mode("overwrite").text(f"{tmp}/j")
+        parsed = (
+            spark.read.schema(
+                "o_orderkey long, o_orderstatus string, o_totalprice double,"
+                " _bad string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .json(f"{tmp}/j")
+        )
+        out = parsed.groupBy(
+            F.when(F.col("_bad").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status")
+        ).agg(F.count(F.lit(1)).alias("n_rows"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
