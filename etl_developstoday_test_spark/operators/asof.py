@@ -80,6 +80,14 @@ def _tag_sides(
     return l_tagged.unionByName(r_tagged)
 
 
+def _epoch_fn(dtype):
+    """Exact integer comparison basis for a ts column: epoch micros for
+    timestamps, the raw value for numeric ordering columns."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros
+    return lambda c: c
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -89,9 +97,17 @@ def asof_join(
     right_values: Sequence[str],
     right_id: str | None = None,
     prefix: str = "asof_",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Enrich each ``left`` row with the latest ``right`` row at or
     before its timestamp (same ``key``); unmatched left rows keep nulls.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` semantics): a
+    match staler than this is discarded — the whole carried payload
+    nulls out atomically, exactly as if no right row existed. Units are
+    epoch MICROSECONDS for timestamp columns, raw units for numeric
+    ordering columns. Applied as a per-row null-out AFTER the carry, so
+    the plan cost is unchanged: still one shuffle + one sort.
 
     Output = all ``left`` columns + ``{prefix}{right_ts}`` +
     ``{prefix}{col}`` for each of ``right_values``.
@@ -108,10 +124,17 @@ def asof_join(
         "*",
         F.last("_asof_payload", ignorenulls=True).over(w).alias("_c"),
     )
+    matched = F.col("_c")
+    if tolerance is not None:
+        ep = _epoch_fn(tagged.schema["_asof_ts"].dataType)
+        fresh = (
+            ep(F.col("_asof_ts")) - ep(F.col("_c")[right_ts])
+        ) <= tolerance
+        matched = F.when(F.col("_c").isNotNull() & fresh, F.col("_c"))
     return enriched.filter(F.col(_SIDE) == 1).select(
         F.col(key),
         *[F.col(c) for c in left.columns if c != key],
-        *[F.col("_c")[c].alias(f"{prefix}{c}") for c in carried],
+        *[matched[c].alias(f"{prefix}{c}") for c in carried],
     )
 
 

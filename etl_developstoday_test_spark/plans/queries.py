@@ -6406,3 +6406,62 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "join_asof_tolerance_attribution",
+    """
+    WITH v AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             p.ts AS purchase_ts, p.value AS purchase_value,
+             v.ts AS vts, v.value AS vval
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND v.ts <= p.ts
+    )
+    SELECT purchase_id, user_id, purchase_ts, purchase_value,
+           CASE WHEN epoch_us(purchase_ts) - epoch_us(vts) <= 3600000000
+                THEN vts END AS asof_ts,
+           CASE WHEN epoch_us(purchase_ts) - epoch_us(vts) <= 3600000000
+                THEN vval END AS asof_value
+    FROM m
+    """,
+)
+def join_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof
+    ``tolerance`` semantics): a purchase is attributed to the latest
+    prior view ONLY if it happened within the 1-hour attribution
+    window — older matches null out atomically, as if absent. Same
+    one-shuffle union plan as join_asof_attribution; the bound is a
+    per-row null-out after the carry, zero extra data movement."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof.asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_values=["value"],
+        right_id="event_id",
+        tolerance=3_600_000_000,  # 1 hour in epoch micros
+    )

@@ -257,3 +257,31 @@ def test_mixture_upsample_total_matches_per_doc_formula(spark, weights):
         u = (int(hashlib.md5(f"up#{i}".encode()).hexdigest()[:15], 16) % 10000) / 10000.0
         want += math.floor(w) + (1 if u < w - math.floor(w) else 0)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=asof_left, right=asof_right, tol=st.integers(min_value=0, max_value=30))
+def test_asof_join_tolerance_matches_pandas_merge_asof(spark, left, right, tol):
+    """The staleness bound must agree with pandas merge_asof(tolerance=)
+    on ANY input: matches older than the bound null out entirely."""
+    ldf = spark.createDataFrame(left, "k long, lt long")
+    rdf = spark.createDataFrame(right, "k long, rt long, rv long")
+    out = asof_join(
+        ldf, rdf, "k", "lt", "rt", ["rv"], tolerance=tol
+    ).toPandas()
+
+    lp = pd.DataFrame(left, columns=["k", "lt"]).sort_values("lt")
+    rp = pd.DataFrame(right, columns=["k", "rt", "rv"]).sort_values("rt")
+    want = pd.merge_asof(
+        lp, rp, left_on="lt", right_on="rt", by="k",
+        direction="backward", tolerance=tol,
+    )
+
+    def norm(v):
+        return None if pd.isna(v) else int(v)
+
+    got = {
+        (r.k, r.lt): (norm(r.asof_rt), norm(r.asof_rv)) for r in out.itertuples()
+    }
+    for r in want.itertuples():
+        assert got[(r.k, r.lt)] == (norm(r.rt), norm(r.rv)), (r.k, r.lt, tol)
