@@ -177,15 +177,7 @@ def asof_join_nearest(
     )
     # gaps in exact epoch micros for timestamp keys, raw difference for
     # numeric ones; backward wins ties (<=)
-    if isinstance(
-        tagged.schema["_asof_ts"].dataType,
-        (T.TimestampType, T.TimestampNTZType),
-    ):
-        def _epoch(c):  # noqa: ANN001, ANN202
-            return F.unix_micros(c)
-    else:
-        def _epoch(c):  # noqa: ANN001, ANN202
-            return c
+    _epoch = _epoch_fn(tagged.schema["_asof_ts"].dataType)
     lts = F.col("_asof_ts")
     bts, fts = F.col("_b")[right_ts], F.col("_f")[right_ts]
     take_back = F.col("_f").isNull() | (

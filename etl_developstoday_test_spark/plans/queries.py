@@ -6465,3 +6465,94 @@ def join_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         right_id="event_id",
         tolerance=3_600_000_000,  # 1 hour in epoch micros
     )
+
+
+@_register(
+    "events_hourly_twap",
+    f"""
+    WITH seg AS (
+      SELECT ts, value,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nts
+      FROM events
+    ),
+    spanned AS (
+      SELECT ts, value, nts,
+             unnest(generate_series(date_trunc('hour', ts),
+                                    date_trunc('hour', nts),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM seg WHERE nts IS NOT NULL
+    ),
+    ovl AS (
+      SELECT hour, value,
+             least(epoch_us(nts), epoch_us(hour + INTERVAL 1 HOUR))
+               - greatest(epoch_us(ts), epoch_us(hour)) AS ov_us
+      FROM spanned
+    )
+    SELECT hour,
+           CAST(CAST(SUM(CAST(CAST(round(value * 1000000.0) AS BIGINT)
+                               * ov_us AS DECIMAL(38,0))) AS VARCHAR)
+                AS DOUBLE)
+             / 1000000.0
+             / CAST(CAST(SUM(ov_us) AS BIGINT) AS DOUBLE) AS twap_value,
+           CAST(SUM(ov_us) AS BIGINT) AS covered_us,
+           COUNT(*) AS n_segments
+    FROM ovl WHERE ov_us > 0
+    GROUP BY hour
+    """,
+)
+def events_hourly_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per hour (TWAP): each user's value is
+    a step function holding from one event to their next, segments are
+    SPLIT across the hour boundaries they span (explode over the
+    bounded per-segment hour range), and each hour averages value
+    weighted by exact microsecond overlap — the aggregation plain AVG
+    gets wrong whenever sampling is irregular, which telemetry always
+    is.
+
+    Scale shape: lead() is the one per-user shuffle (same cost class as
+    time-since-prev); the hour explode fans each segment out only to
+    the hours it actually touches (bounded by span, typically 1-2); the
+    overlap arithmetic is exact integer micros so the weighted sums are
+    engine-identical through the decimal accumulator."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "ts", "value", F.lead("ts").over(w).alias("nts")
+    ).filter(F.col("nts").isNotNull())
+    spanned = seg.select(
+        "ts",
+        "value",
+        "nts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "ts"),
+                F.date_trunc("hour", "nts"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    ov = F.least(
+        F.unix_micros("nts"),
+        F.unix_micros(F.col("hour") + F.expr("INTERVAL 1 HOUR")),
+    ) - F.greatest(F.unix_micros("ts"), F.unix_micros("hour"))
+    overlaps = spanned.select(
+        "hour", "value", ov.alias("ov_us")
+    ).filter(F.col("ov_us") > 0)
+    # exact integer contributions: value micro-quantized (1e-6, the
+    # CENTROID_QUANTUM convention) times integer-micros overlap, summed
+    # as DECIMAL(38,0) — double→decimal rounding of raw double products
+    # is engine-divergent at the 10th decimal; integer products are not.
+    q = F.round(F.col("value") * 1e6).cast("long")
+    contrib = (q * F.col("ov_us")).cast("decimal(38,0)")
+    return overlaps.groupBy("hour").agg(
+        (
+            F.sum(contrib).cast("double")
+            / F.lit(1e6)
+            / F.sum("ov_us").cast("double")
+        ).alias("twap_value"),
+        F.sum("ov_us").alias("covered_us"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
