@@ -6556,3 +6556,59 @@ def events_hourly_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ov_us").alias("covered_us"),
         F.count(F.lit(1)).alias("n_segments"),
     )
+
+
+@_register(
+    "agg_corr_price_quantity",
+    """
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(20,6)) AS x,
+             CAST(l_quantity AS DECIMAL(20,6)) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy
+    FROM s
+    """,
+)
+def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price vs quantity per return flag with
+    CROSS-ENGINE-EXACT moments: built-in corr() accumulates running
+    float co-moments whose value depends on partition order, so the
+    sums here go through exact DECIMAL arithmetic instead — inputs
+    quantized to DECIMAL(20,6) (micro-exact for these domains), all
+    five moment sums (Σx, Σy, Σx², Σy², Σxy) computed as exact decimal
+    products, and the textbook formula evaluated in the same double op
+    order in both engines. One partial-aggregated shuffle; the same
+    one-pass shape as agg_stats_moments, extended to cross-moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(20,6)")
+    y = F.col("l_quantity").cast("decimal(20,6)")
+    s = li.select("l_returnflag", x.alias("x"), y.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_xy"))
