@@ -6316,36 +6316,51 @@ def events_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import Window
 
     sess = events_etl.sessionize(load_table(spark, sf_dir, "events"))
-    d = (
-        sess.select(F.col("session_start").alias("ts"), F.lit(1).alias("delta"))
-        .unionByName(
-            sess.select(
-                F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
+    # ONE lineage end to end: deltas via in-row explode (a union of the
+    # two boundary selects would evaluate the sessionize subtree twice),
+    # and the carry folds into the SAME per-hour aggregate as the
+    # intra-hour max, so events is scanned exactly once and there is no
+    # join anywhere (pinned in tests/test_plans.py).
+    d = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("ts"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
             )
-        )
-        .withColumn("hour", F.date_trunc("hour", "ts"))
-    )
-    ht = d.groupBy("hour").agg(F.sum("delta").alias("h_delta"))
-    w_carry = Window.orderBy("hour").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    carry = ht.select(
-        "hour",
-        F.coalesce(F.sum("h_delta").over(w_carry), F.lit(0)).alias("carry"),
+        ).alias("b")
+    ).select(
+        F.col("b.ts").alias("ts"),
+        F.col("b.delta").alias("delta"),
+        F.date_trunc("hour", "b.ts").alias("hour"),
     )
     w_run = (
         Window.partitionBy("hour")
         .orderBy(F.col("ts"), F.col("delta").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    m = (
+    per_hour = (
         d.withColumn("rsum", F.sum("delta").over(w_run))
         .groupBy("hour")
-        .agg(F.max("rsum").alias("max_intra"))
+        .agg(
+            F.max("rsum").alias("max_intra"),
+            F.sum("delta").alias("h_delta"),
+        )
     )
-    return m.join(carry, "hour").select(
+    w_carry = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_hour.select(
         "hour",
-        (F.col("carry") + F.greatest(F.col("max_intra"), F.lit(0)))
+        (
+            F.coalesce(F.sum("h_delta").over(w_carry), F.lit(0))
+            + F.greatest(F.col("max_intra"), F.lit(0))
+        )
         .cast("long")
         .alias("max_concurrent"),
     )

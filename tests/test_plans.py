@@ -660,3 +660,12 @@ def test_dq_rules_share_scans_and_broadcast_fks(spark):
     plan = plan_of(spark, "dq_constraint_violations")
     assert plan.count("lineitem.parquet") == 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_max_concurrent_single_scan_no_join(spark):
+    """The sweep must be one lineage: explode-built deltas (not a
+    union that doubles the sessionize subtree), carry folded into the
+    same per-hour aggregate — one events scan, zero joins."""
+    plan = plan_of(spark, "events_max_concurrent_sessions")
+    assert plan.count(".parquet") == 1
+    assert "Join" not in plan
