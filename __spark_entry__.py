@@ -59,6 +59,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "stream_user_running_totals": 5,
     # r5: CSV source widens few-block inputs before the parse
     "etl_golden_pipeline_stats": 5,
+    # r5: rollup + localCheckpoint — fact scanned once, not three times
+    "agg_hll_mergeable_rollup": 5,
 }
 
 

@@ -4229,13 +4229,28 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query time. Driver-visible contract is the bound (estimate within
     tolerance of exact at every level), mirroring agg_approx_distinct's
     HLL++ entry; the exact counts exist only to make the bound
-    checkable."""
+    checkable.
+
+    The fact is scanned exactly ONCE: a ``rollup`` builds the
+    per-status sketches+exacts and the ALL-level exact in one
+    Expand-based aggregate, and the resulting ≤(#statuses+1)-row frame
+    is localCheckpoint-ed so both downstream uses (the per-status rows
+    and the hll_union_agg merge) read the materialized rows instead of
+    re-deriving the lineage — earlier revisions rebuilt the aggregate
+    per consumer and scanned orders three times, contradicting this
+    very docstring."""
     o = load_table(spark, sf_dir, "orders")
-    per_status = o.groupBy("o_orderstatus").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.count_distinct("o_custkey").alias("exact_customers"),
+    levels = (
+        o.rollup("o_orderstatus")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.grouping("o_orderstatus").alias("_all"),
+        )
+        .localCheckpoint(eager=True)
     )
-    status_rows = per_status.select(
+    statuses = levels.filter(F.col("_all") == 0)
+    status_rows = statuses.select(
         "o_orderstatus",
         "exact_customers",
         (
@@ -4248,12 +4263,12 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_tol"),
     )
     global_row = (
-        per_status.agg(
+        statuses.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
         )
         .crossJoin(
             F.broadcast(
-                o.agg(F.count_distinct("o_custkey").alias("exact_customers"))
+                levels.filter(F.col("_all") == 1).select("exact_customers")
             )
         )
         .select(

@@ -669,3 +669,15 @@ def test_max_concurrent_single_scan_no_join(spark):
     plan = plan_of(spark, "events_max_concurrent_sessions")
     assert plan.count(".parquet") == 1
     assert "Join" not in plan
+
+
+def test_hll_rollup_fact_scanned_once(spark):
+    """The mergeable-sketch rollup builds ALL levels in one rollup
+    aggregate over one orders scan, localCheckpoints the tiny result,
+    and serves both consumers (per-status rows + hll_union_agg merge)
+    from the checkpointed rows: the final plan must contain NO parquet
+    scan at all. Earlier revisions re-derived the aggregate per
+    consumer and scanned orders three times."""
+    plan = plan_of(spark, "agg_hll_mergeable_rollup")
+    assert ".parquet" not in plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
