@@ -6642,3 +6642,58 @@ def agg_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("l_returnflag", "n", corr.alias("corr_xy"))
+
+
+@_register(
+    "events_variant_navigate",
+    f"""
+    SELECT event_type AS kind,
+           COUNT(*) AS n_events,
+           MAX(user_id) AS max_user_id,
+           {_dsum('value * 2')} AS sum_vals2
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_navigate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Variant type (Spark 4 semi-structured path): a nested JSON
+    payload — object, sub-object, array — is parsed ONCE into a binary
+    VariantType value with ``parse_json``, then navigated with typed
+    ``variant_get`` paths (``$.who.kind``, ``$.who.id``, ``$.vals[1]``).
+    Unlike from_json (events_json_schema_parse) no schema is declared
+    up front, and unlike get_json_object (events_json_kpi) the text is
+    parsed once, not once per extracted path — the 100 TB answer for
+    ragged semi-structured columns where per-record shape varies.
+
+    The payload is built in-flight from real event columns, so the
+    oracle is the plain-column twin: variant navigation must hand back
+    EXACTLY the values that went in (to_json→parse_json→variant_get is
+    lossless for strings/longs and shortest-repr round-trip-exact for
+    doubles). Aggregation uses the engine-exact decimal sum like every
+    other double sum here. All variant work is JVM expressions inside
+    codegen — no Python."""
+    from etl_developstoday_test_spark.functions import dsum, fan_out
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.struct(
+                F.col("user_id").alias("id"), F.col("event_type").alias("kind")
+            ).alias("who"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+        )
+    )
+    v = F.parse_json(payload)
+    return (
+        ev.select(
+            F.variant_get(v, "$.who.kind", "string").alias("kind"),
+            F.variant_get(v, "$.who.id", "bigint").alias("uid"),
+            F.variant_get(v, "$.vals[1]", "double").alias("v2"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("uid").alias("max_user_id"),
+            dsum("v2").alias("sum_vals2"),
+        )
+    )
