@@ -6697,3 +6697,137 @@ def events_variant_navigate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("v2").alias("sum_vals2"),
         )
     )
+
+
+def _morton16(sx: str, sy: str) -> str:
+    """SQL text interleaving two 16-bit values into a 32-bit Morton
+    (Z-order) key — plain `>> & <<  |` bit operators, valid in both
+    Spark SQL and DuckDB, so the SAME text feeds F.expr and the oracle."""
+    terms = [
+        f"((({sx} >> {i}) & 1) << {2 * i}) | ((({sy} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+_ZORDER_SCALED = """
+    SELECT CAST(((o_custkey - xmin) * 65535) {div} GREATEST(xmax - xmin, 1)
+           AS BIGINT) AS sx,
+           CAST(((d - ymin) * 65535) {div} GREATEST(ymax - ymin, 1)
+           AS BIGINT) AS sy
+    FROM days CROSS JOIN bounds
+"""
+
+
+@_register(
+    "scan_zorder_clustering",
+    f"""
+    WITH days AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+             MIN(d) AS ymin, MAX(d) AS ymax
+      FROM days
+    ),
+    scaled AS ({_ZORDER_SCALED.format(div='//')}),
+    layouts AS (
+      SELECT 'zorder' AS layout, {_morton16('sx', 'sy')} >> 26 AS file_id,
+             sx, sy
+      FROM scaled
+      UNION ALL
+      SELECT 'linear', sx >> 10, sx, sy FROM scaled
+    ),
+    files AS (
+      SELECT layout, file_id,
+             MAX(sx) - MIN(sx) AS span_x, MAX(sy) - MIN(sy) AS span_y
+      FROM layouts GROUP BY layout, file_id
+    )
+    SELECT layout, COUNT(*) AS n_files,
+           CAST(SUM(span_x) AS DOUBLE) / (COUNT(*) * 65535)
+             AS avg_x_span_frac,
+           CAST(SUM(span_y) AS DOUBLE) / (COUNT(*) * 65535)
+             AS avg_y_span_frac
+    FROM files GROUP BY layout
+    """,
+)
+def scan_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering metric — the multi-dimensional data
+    LAYOUT technique behind Delta OPTIMIZE ZORDER BY / Hudi space-
+    filling curves: interleave the bits of two rank-scaled dimensions
+    so rows close in (custkey, orderdate) space land in the same file,
+    making parquet row-group min/max stats prune BOTH dimensions.
+
+    The query quantifies that claim head-to-head: rows are assigned to
+    64 simulated files either by Morton-key range (`zkey >> 26`) or by
+    single-column sort range (`sx >> 10`) — a pure narrow map, no
+    global sort, exactly how a range-partitioned write would shard —
+    then per-file min/max spans are aggregated per layout. Z-order
+    bounds BOTH span fractions near 1/8 (top 3 bits of each dimension
+    fix an 8×8 grid cell); linear sort bounds custkey at ~1/64 but
+    leaves the date span at ~1.0 (each custkey slice contains every
+    date). Two scans of orders: the min/max bounds pass (broadcast,
+    1 row) and the scaled/interleave pass — the same two-pass shape as
+    events_hourly_gap_fill. The Morton key is 16 spelled-out bit terms
+    of `>> & << |` inside ONE codegen projection (no UDF, no join);
+    the identical SQL text is the oracle's key, so both engines
+    interleave bit-for-bit alike. File-id assignment, span arithmetic,
+    and sums are all integer-exact; doubles appear only in the final
+    two divisions."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("d"),
+    )
+    bounds = o.agg(
+        F.min("o_custkey").alias("xmin"),
+        F.max("o_custkey").alias("xmax"),
+        F.min("d").alias("ymin"),
+        F.max("d").alias("ymax"),
+    )
+    scaled = o.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "CAST(((o_custkey - xmin) * 65535) div GREATEST(xmax - xmin, 1)"
+            " AS BIGINT)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(((d - ymin) * 65535) div GREATEST(ymax - ymin, 1) AS BIGINT)"
+        ).alias("sy"),
+    )
+    layouts = scaled.select(
+        F.expr(f"{_morton16('sx', 'sy')} >> 26").alias("z_file"),
+        F.expr("sx >> 10").alias("x_file"),
+        "sx",
+        "sy",
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("z_file").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("x_file").alias("file_id"),
+                ),
+            )
+        ).alias("l"),
+        "sx",
+        "sy",
+    )
+    files = layouts.groupBy(
+        F.col("l.layout").alias("layout"), F.col("l.file_id").alias("file_id")
+    ).agg(
+        (F.max("sx") - F.min("sx")).alias("span_x"),
+        (F.max("sy") - F.min("sy")).alias("span_y"),
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        (
+            F.sum("span_x").cast("double") / (F.count(F.lit(1)) * 65535)
+        ).alias("avg_x_span_frac"),
+        (
+            F.sum("span_y").cast("double") / (F.count(F.lit(1)) * 65535)
+        ).alias("avg_y_span_frac"),
+    )
