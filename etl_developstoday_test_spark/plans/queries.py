@@ -6831,3 +6831,62 @@ def scan_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_y").cast("double") / (F.count(F.lit(1)) * 65535)
         ).alias("avg_y_span_frac"),
     )
+
+
+@_register(
+    "scan_python_datasource_chunks",
+    f"""
+    WITH lines AS (
+      SELECT unnest(string_split(content, chr(10))) AS line,
+             strlen(content) AS nbytes
+      FROM read_text('{GOLDEN_CSV}')
+    )
+    SELECT CAST(CEIL(MAX(nbytes) / 262144.0) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_lines,
+           SUM(CAST({_md5long('line')} AS DECIMAL(38,0))) AS line_digest
+    FROM lines WHERE trim(line) <> ''
+    """,
+)
+def scan_python_datasource_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Python DataSource API
+    (sources/python_datasource.py): the reference's 30k-row sample CSV
+    read through the ``chunktext`` format in PARALLEL byte-range
+    partitions (256 KiB here → 12 concurrent tasks for one file; the
+    Hadoop LineRecordReader boundary protocol guarantees each line is
+    produced exactly once regardless of where chunk cuts land).
+
+    The driver-visible contract proves the split is lossless AND that
+    the planning math is metadata-only: ``n_chunks`` must equal
+    ceil(file_bytes / chunk_bytes) — recomputed by the oracle from the
+    file size — and the order-independent md5-long digest over all
+    non-blank lines (header included; this source is raw text) must
+    match DuckDB's digest of the same file read WHOLE via read_text.
+    A digest match means every byte-range task produced exactly the
+    lines whose first byte falls in its range — no dropped, duplicated,
+    or torn lines at any boundary. sf_dir is unused by design (the
+    sample is the workload, as in etl_golden_pipeline_stats)."""
+    import os
+
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.sources import python_datasource
+
+    if not os.path.exists(GOLDEN_CSV):
+        schema = (
+            "n_chunks bigint, n_lines bigint, line_digest decimal(38,0)"
+        )
+        return spark.createDataFrame([], schema)
+    python_datasource.register(spark)
+    lines = (
+        spark.read.format("chunktext")
+        .option("path", GOLDEN_CSV)
+        .option("chunk_bytes", 262144)
+        .load()
+    )
+    return (
+        lines.filter(F.trim("line") != "")
+        .agg(
+            (F.max("chunk_id") + 1).alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(md5_long("line").cast("decimal(38,0)")).alias("line_digest"),
+        )
+    )

@@ -385,6 +385,9 @@ _DECLARED_PYTHON_QUERIES = {
     "mm_media_features",
     "mm_frame_sample_plan",
     "events_mad_outliers",
+    # Python DataSource scan (BatchScan chunktext (Python)) — the
+    # declared connector plug-point, not an expression-level UDF
+    "scan_python_datasource_chunks",
 }
 
 
@@ -404,7 +407,7 @@ def test_no_undeclared_python_in_any_plan(spark):
         has_arrow_python = any(
             marker in plan
             for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
-                           "BatchEvalPythonUDTF")
+                           "BatchEvalPythonUDTF", "] (Python)")  # Python DataSource scans
         )
         if has_arrow_python and name not in _DECLARED_PYTHON_QUERIES:
             undeclared.append(name)

@@ -141,3 +141,87 @@ def test_throughput_mode_binds_duplicate_headers_by_position(spark, tmp_path):
     row = df.collect()[0]
     assert row["tpep_pickup_datetime"] == "FIRST"  # first duplicate wins
     assert row["trip_distance"] == "1.5"
+
+
+# --- Python DataSource (chunktext): split-protocol boundary cases ----------
+
+
+def _chunktext(spark, path, chunk_bytes):
+    from etl_developstoday_test_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    return (
+        spark.read.format("chunktext")
+        .option("path", str(path))
+        .option("chunk_bytes", chunk_bytes)
+        .load()
+    )
+
+
+def _lines(spark, path, chunk_bytes):
+    return sorted(
+        r.line for r in _chunktext(spark, path, chunk_bytes).collect()
+    )
+
+
+def test_chunktext_exact_multiset_across_chunk_sizes(spark, tmp_path):
+    """Every chunk size — including cuts landing mid-line, exactly on a
+    newline, and larger than the file — reproduces exactly the file's
+    lines: the Hadoop boundary protocol assigns each line to exactly
+    one chunk."""
+    p = tmp_path / "t.txt"
+    body = "\n".join(f"row-{i:04d}-{'x' * (i % 17)}" for i in range(60))
+    p.write_text(body + "\n")
+    want = sorted(body.split("\n"))
+    # 5/23 bytes cut mid-line (5 < every line length, so some chunks
+    # hold no line start); 10 cuts exactly on newlines for the
+    # fixed-width "row-NNNN-\n" rows; huge chunk = single split
+    for cb in (5, 10, 23, 4096, 10**9):
+        assert _lines(spark, p, cb) == want, f"chunk_bytes={cb}"
+
+
+def test_chunktext_chunk_inside_one_long_line(spark, tmp_path):
+    """A chunk whose whole byte range falls inside one long line yields
+    nothing — the line belongs to the chunk containing its first byte."""
+    p = tmp_path / "long.txt"
+    p.write_text("short\n" + "y" * 10_000 + "\nend\n")
+    df = _chunktext(spark, p, 100)
+    rows = df.collect()
+    assert sorted(r.line for r in rows) == sorted(["short", "y" * 10_000, "end"])
+    # the long line is produced by exactly one chunk
+    assert sum(1 for r in rows if r.line.startswith("y")) == 1
+
+
+def test_chunktext_no_trailing_newline_and_empty_file(spark, tmp_path):
+    p = tmp_path / "nonl.txt"
+    p.write_text("a\nb\nc-no-newline")
+    assert _lines(spark, p, 4) == ["a", "b", "c-no-newline"]
+    e = tmp_path / "empty.txt"
+    e.write_text("")
+    assert _chunktext(spark, e, 16).count() == 0
+
+
+def test_chunktext_directory_of_files(spark, tmp_path):
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "a.txt").write_text("a1\na2\n")
+    (d / "b.txt").write_text("b1\n")
+    assert _lines(spark, d, 4) == ["a1", "a2", "b1"]
+
+
+def test_chunktext_partition_planning_is_metadata_only(spark, tmp_path):
+    """partitions() must derive chunk count from os.stat arithmetic:
+    ceil(size / chunk_bytes), one InputPartition per range."""
+    from etl_developstoday_test_spark.sources.python_datasource import (
+        ChunkedTextReader,
+    )
+
+    p = tmp_path / "t.txt"
+    p.write_text("z" * 1000)
+    parts = ChunkedTextReader(
+        {"path": str(p), "chunk_bytes": "300"}
+    ).partitions()
+    assert len(parts) == 4  # ceil(1000/300)
+    assert [(q.start, q.end) for q in parts] == [
+        (0, 300), (300, 600), (600, 900), (900, 1000)
+    ]
