@@ -285,3 +285,50 @@ def test_asof_join_tolerance_matches_pandas_merge_asof(spark, left, right, tol):
     }
     for r in want.itertuples():
         assert got[(r.k, r.lt)] == (norm(r.rt), norm(r.rv)), (r.k, r.lt, tol)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters="\n", max_codepoint=0x2FF),
+            max_size=20,
+        ),
+        max_size=30,
+    ),
+    trailing_newline=st.booleans(),
+    chunk_bytes=st.integers(min_value=1, max_value=64),
+)
+def test_chunktext_split_protocol_lossless_on_any_input(
+    tmp_path_factory, lines, trailing_newline, chunk_bytes
+):
+    """The Hadoop boundary protocol, adversarially: for ANY file content
+    (including empty lines, multi-byte UTF-8, no trailing newline) and
+    ANY chunk size, the union of all chunk reads is exactly the file's
+    lines — each produced exactly once, by exactly one chunk. Drives
+    the reader class directly (no Spark session), which is the same
+    code path the executors run."""
+    from etl_developstoday_test_spark.sources.python_datasource import (
+        ChunkedTextReader,
+    )
+
+    content = "\n".join(lines) + ("\n" if trailing_newline and lines else "")
+    p = tmp_path_factory.mktemp("chunktext") / "f.txt"
+    p.write_bytes(content.encode("utf-8"))
+
+    reader = ChunkedTextReader(
+        {"path": str(p), "chunk_bytes": str(chunk_bytes)}
+    )
+    got = []
+    for part in reader.partitions():
+        rows = list(reader.read(part))
+        # line_in_chunk must be 1..n within each chunk, in order
+        assert [r[1] for r in rows] == list(range(1, len(rows) + 1))
+        got.extend(r[2] for r in rows)
+
+    want = content.split("\n")
+    if want and want[-1] == "" and content.endswith("\n"):
+        want = want[:-1]  # final newline terminates the last line
+    if content == "":
+        want = []
+    assert sorted(got) == sorted(want), (chunk_bytes, content)
