@@ -61,6 +61,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "etl_golden_pipeline_stats": 5,
     # r5: rollup + localCheckpoint — fact scanned once, not three times
     "agg_hll_mergeable_rollup": 5,
+    # r5: B2 counters fused to one aggregation pass / one scan
+    "etl_stats_counters": 5,
 }
 
 

@@ -80,24 +80,30 @@ def normalize(events: DataFrame, timezone: str = "America/New_York") -> DataFram
 
 
 def import_stats(events: DataFrame) -> DataFrame:
-    """B2 analogue: the reference's six counters as a 1-row DataFrame
-    computed in two aggregation passes (no driver-side loops)."""
+    """B2 analogue: the reference's six counters as a 1-row DataFrame —
+    ONE aggregation pass, one scan (no driver-side loops, no cache).
+    The conditional ``count_distinct(CASE WHEN valid AND keys non-null
+    THEN struct(keys) END)`` replicates COUNT(DISTINCT keys)-over-valid
+    exactly (both skip NULLs), fusing what used to be two aggregates —
+    the same single-pass shape as pipeline.run_stats_only."""
     flagged = with_error(events)
-    valid = flagged.filter(F.col("error").isNull())
-    base = flagged.agg(
+    valid = F.col("error").isNull()
+    keys_nonnull = F.lit(True)
+    for k in DEDUP_KEYS:
+        keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+    key_struct = F.when(valid & keys_nonnull, F.struct(*DEDUP_KEYS))
+    return flagged.agg(
         F.count(F.lit(1)).alias("total_rows"),
-        F.count(F.when(F.col("error").isNull(), 1)).alias("parsed_rows"),
+        F.count(F.when(valid, 1)).alias("parsed_rows"),
         F.count(F.when(F.col("error").isNotNull(), 1)).alias("invalid_rows"),
+        (F.count(F.when(valid, 1)) - F.count_distinct(key_struct)).alias(
+            "duplicate_rows"
+        ),
+        F.count_distinct(key_struct).alias("inserted_rows"),
+        (F.count(F.when(valid, 1)) - F.count_distinct(key_struct)).alias(
+            "duplicates_file_rows"
+        ),
     )
-    uniq = valid.agg(
-        F.count(F.lit(1)).alias("_valid"),
-        F.count_distinct(*[F.col(k) for k in DEDUP_KEYS]).alias("_uniq"),
-    ).select(
-        (F.col("_valid") - F.col("_uniq")).alias("duplicate_rows"),
-        F.col("_uniq").alias("inserted_rows"),
-        (F.col("_valid") - F.col("_uniq")).alias("duplicates_file_rows"),
-    )
-    return base.crossJoin(uniq)
 
 
 def time_since_previous(events: DataFrame) -> DataFrame:

@@ -40,6 +40,29 @@ def _to_utc_standard(col: str, timezone: str):
     return F.when(ambiguous, later).otherwise(early)
 
 
+def normalized_key_columns(
+    convert_to_utc: bool = True,
+    timezone: str = "America/New_York",
+) -> dict:
+    """The normalize-stage expressions for the dedup key columns
+    (pickup/dropoff UTC-truncated timestamps + passenger_count), as
+    plain column expressions over the PARSE-stage frame. Lets callers
+    compute dedup identity without materializing the normalize stage:
+    ``pipeline.run_stats_only`` folds these into its single aggregate
+    so the whole stats pass is one scan, no cache."""
+    if convert_to_utc:
+        pickup = _to_utc_standard("pickup_local", timezone)
+        dropoff = _to_utc_standard("dropoff_local", timezone)
+    else:
+        pickup = F.col("pickup_local")
+        dropoff = F.col("dropoff_local")
+    return {
+        S.PICKUP: F.date_trunc("second", pickup),
+        S.DROPOFF: F.date_trunc("second", dropoff),
+        S.PASSENGER_COUNT: F.col(S.PASSENGER_COUNT),
+    }
+
+
 def normalize_trips(
     valid: DataFrame,
     convert_to_utc: bool = True,
@@ -47,14 +70,9 @@ def normalize_trips(
 ) -> DataFrame:
     """valid parsed rows → clean-stage columns (+ line_number, raw_* kept
     through dedup so the duplicates side-output can emit raw strings)."""
-    if convert_to_utc:
-        pickup = _to_utc_standard("pickup_local", timezone)
-        dropoff = _to_utc_standard("dropoff_local", timezone)
-    else:
-        pickup = F.col("pickup_local")
-        dropoff = F.col("dropoff_local")
-    pickup = F.date_trunc("second", pickup)
-    dropoff = F.date_trunc("second", dropoff)
+    keys = normalized_key_columns(convert_to_utc, timezone)
+    pickup = keys[S.PICKUP]
+    dropoff = keys[S.DROPOFF]
 
     flag = F.when(F.col(S.STORE_AND_FWD_FLAG) == "N", "No").otherwise("Yes")
     travel = (F.unix_timestamp(dropoff) - F.unix_timestamp(pickup)).cast("int")

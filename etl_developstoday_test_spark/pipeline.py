@@ -156,38 +156,52 @@ def run(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
 
 def run_stats_only(spark: SparkSession, settings: EtlSettings) -> dict[str, int]:
     """The same six counters as ``run`` WITHOUT materializing any sink —
-    two aggregation jobs over one cached parse.
+    ONE aggregation job over ONE scan, no cache.
 
     Value-identical to ``run`` by construction: first-wins dedup keeps
     exactly one winner per key, so InsertedRows = COUNT(DISTINCT keys)
-    and DuplicateRows = valid − distinct, with no window. Used by the
-    benchmark (``SPARK_GRAFT_BENCH_LITE``) so the golden-certification
-    row measures pipeline compute rather than sink I/O; correctness runs
+    and DuplicateRows = valid − distinct, with no window — and because
+    the normalize stage is pure column expressions
+    (``normalized_key_columns``), the dedup identity is computable
+    inline over the parse-stage frame, fusing what used to be two
+    aggregation jobs over a cached parse into a single pass. The
+    conditional ``count_distinct(CASE WHEN valid AND keys non-null THEN
+    struct(keys) END)`` replicates COUNT(DISTINCT k1,k2,k3)-over-valid
+    exactly (both skip NULL inputs). At 100 TB this is the only viable
+    shape: caching the parse is off the table, and the single Expand-
+    based aggregate reads the CSV once. Used by the benchmark
+    (``SPARK_GRAFT_BENCH_LITE``) so the golden-certification row
+    measures pipeline compute rather than sink I/O; correctness runs
     still execute the full ``run`` with real sinks.
     """
+    from etl_developstoday_test_spark.operators.normalize import (
+        normalized_key_columns,
+    )
+
     stages = build_stages(spark, settings)
-    parsed = stages["parsed"].persist()
-    counters = parsed.agg(
+    parsed = stages["parsed"]
+    keys = normalized_key_columns(settings.convert_to_utc, settings.timezone)
+    valid = F.col(ERROR_COL).isNull()
+    keys_nonnull = F.lit(True)
+    for expr in keys.values():
+        keys_nonnull = keys_nonnull & expr.isNotNull()
+    key_struct = F.when(
+        valid & keys_nonnull,
+        F.struct(*[v.alias(k) for k, v in keys.items()]),
+    )
+    row = parsed.agg(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(parse_ok(), 1)).alias("parsed"),
         F.count(F.when(F.col(ERROR_COL).isNotNull(), 1)).alias("invalid"),
+        F.count(F.when(valid, 1)).alias("valid"),
+        F.count_distinct(key_struct).alias("distinct"),
     ).collect()[0]
-    normed = normalize_trips(
-        parsed.filter(F.col(ERROR_COL).isNull()),
-        settings.convert_to_utc,
-        settings.timezone,
-    )
-    uniq = normed.agg(
-        F.count(F.lit(1)).alias("valid"),
-        F.count_distinct(*[F.col(k) for k in DEDUP_KEYS]).alias("distinct"),
-    ).collect()[0]
-    parsed.unpersist()
-    n_dups = uniq["valid"] - uniq["distinct"]
+    n_dups = row["valid"] - row["distinct"]
     return {
-        "TotalRowsRead": counters["total"],
-        "ParsedRows": counters["parsed"],
-        "InvalidRows": counters["invalid"],
+        "TotalRowsRead": row["total"],
+        "ParsedRows": row["parsed"],
+        "InvalidRows": row["invalid"],
         "DuplicateRows": n_dups,
-        "InsertedRows": uniq["distinct"],
+        "InsertedRows": row["distinct"],
         "DuplicatesFileRows": n_dups,
     }
