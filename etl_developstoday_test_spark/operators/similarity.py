@@ -580,3 +580,103 @@ def quantize_int8(
         out["n_saturated"].cast("long").alias("n_saturated"),
         out["sq_err_femto"].cast("long").alias("sq_err_femto"),
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    m: int = 4,
+    sublen: int = 16,
+    n_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") — the memory-side scale
+    path that completes the family next to IVF (compute-side pruning)
+    and LSH (candidate pruning): each vector is compressed to ``m``
+    codebook indices (here 4 × 1 byte ≈ 64× smaller than 64 raw
+    floats), and queries rank neighbors by Asymmetric Distance
+    Computation — sum over subspaces of the precomputed
+    dot(query_subvector, codeword) table — never touching raw corpus
+    vectors at query time.
+
+    Deterministic contract (the ivf_topk convention): codebooks are the
+    first ``n_codes`` corpus vectors' subvectors (k-means training is
+    the separate offline concern kmeans_lloyd covers), assignment is
+    argmax inner product with ties to the smallest code, and the ADC
+    score is an exact-decimal sum of per-subspace fold dots — so a SQL
+    oracle reproduces the ranking bit-for-bit.
+
+    Plan shape: codebook and query tables are broadcast (m·n_codes and
+    |probes|·m·n_codes rows); encoding is a broadcast join + one slim
+    groupBy (m rows per vector: id, subspace, dot, code); scoring joins
+    codes to the broadcast ADC table and aggregates m·|probes| slim
+    rows per vector. No shuffle ever carries an embedding — after
+    encoding, only codes move."""
+    emb = _with_unit_info(fan_out(corpus), vec_col)
+
+    def subspaces(df: DataFrame, out_id: str) -> DataFrame:
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    F.slice("_vec", j * sublen + 1, sublen).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(parts).alias("s")
+        ).select(out_id, "s.subspace", "s.sub")
+
+    cb = subspaces(
+        emb.filter(F.col(id_col) < n_codes), "code"
+    ).select("subspace", "code", F.col("sub").alias("cvec"))
+
+    corp = subspaces(emb, "neighbor_id")
+    enc = (
+        corp.join(F.broadcast(cb), "subspace")
+        .select(
+            "neighbor_id",
+            "subspace",
+            "code",
+            dot_fold(F.col("sub"), F.col("cvec")).alias("d"),
+        )
+        .groupBy("neighbor_id", "subspace")
+        .agg(
+            F.max(
+                F.struct(F.col("d"), (-F.col("code")).alias("nc"))
+            ).alias("best")
+        )
+        .select("neighbor_id", "subspace", (-F.col("best.nc")).alias("code"))
+    )
+
+    qtab = (
+        subspaces(
+            _with_unit_info(probes, vec_col), "query_id"
+        )
+        .join(F.broadcast(cb), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            dot_fold(F.col("sub"), F.col("cvec")).alias("qdot"),
+        )
+    )
+
+    scores = (
+        enc.join(F.broadcast(qtab), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum("qdot").alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
+    )

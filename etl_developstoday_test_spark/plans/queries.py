@@ -6890,3 +6890,66 @@ def scan_python_datasource_chunks(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(md5_long("line").cast("decimal(38,0)")).alias("line_digest"),
         )
     )
+
+
+@_register(
+    "embed_ann_pq_topk",
+    f"""
+    WITH subs AS (SELECT unnest([0, 1, 2, 3]) AS subspace),
+    cb AS (
+      SELECT subspace, vec_id AS code,
+             list_slice(embedding, subspace*16 + 1, subspace*16 + 16) AS cvec
+      FROM embeddings CROSS JOIN subs WHERE vec_id < 16
+    ),
+    corp AS (
+      SELECT vec_id AS neighbor_id, subspace,
+             list_slice(embedding, subspace*16 + 1, subspace*16 + 16) AS xvec
+      FROM embeddings CROSS JOIN subs
+    ),
+    enc AS (
+      SELECT neighbor_id, subspace, code FROM (
+        SELECT c.neighbor_id, c.subspace, cb.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.neighbor_id, c.subspace
+                 ORDER BY {_dot('c.xvec', 'cb.cvec')} DESC, cb.code
+               ) AS r
+        FROM corp c JOIN cb ON cb.subspace = c.subspace
+      ) WHERE r = 1
+    ),
+    qtab AS (
+      SELECT p.vec_id AS query_id, cb.subspace, cb.code,
+             {_dot(
+                 "list_slice(p.embedding, cb.subspace*16 + 1,"
+                 " cb.subspace*16 + 16)",
+                 'cb.cvec',
+             )} AS qdot
+      FROM embeddings p CROSS JOIN cb WHERE p.vec_id < 5
+    ),
+    scores AS (
+      SELECT q.query_id, e.neighbor_id, {_dsum('q.qdot')} AS adc_score
+      FROM enc e
+      JOIN qtab q ON q.subspace = e.subspace AND q.code = e.code
+      WHERE e.neighbor_id != q.query_id
+      GROUP BY q.query_id, e.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_score FROM (
+      SELECT query_id, neighbor_id, adc_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id
+             ) AS rank
+      FROM scores
+    ) WHERE rank <= 10
+    """,
+)
+def embed_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): 64-dim
+    embeddings compressed to 4 codebook bytes, queries ranked by the
+    Asymmetric-Distance table sum. The oracle replays the identical
+    deterministic construction — first-16-vectors codebooks, argmax-dot
+    assignment with smallest-code ties, exact-decimal ADC sums, ranks
+    tied by neighbor_id — so this ANN structure is value-checked
+    end-to-end, like embed_ann_ivf_topk."""
+    from etl_developstoday_test_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 5))

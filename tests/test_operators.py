@@ -834,3 +834,23 @@ def test_max_concurrent_matches_global_python_sweep(spark):
         want[hour] = max(want[hour], level)
     assert got == want
     assert max(got.values()) >= 2  # the corpus really has overlap
+
+
+def test_pq_topk_clone_is_top_ranked(spark):
+    """A corpus vector that clones the probe encodes to the probe's own
+    codes, so ADC ranks it at the maximum possible score — rank 1."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.similarity import pq_topk
+
+    rows = []
+    for i in range(40):
+        vec = [math.sin(0.1 * i * (d + 1)) for d in range(64)]
+        rows.append((i, vec))
+    rows.append((100, rows[3][1]))  # clone of vec 3
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df, df.filter(F.col("vec_id") == 3)).collect()
+    top = [r for r in out if r.rank == 1]
+    assert len(top) == 1 and top[0].neighbor_id == 100

@@ -684,3 +684,14 @@ def test_hll_rollup_fact_scanned_once(spark):
     plan = plan_of(spark, "agg_hll_mergeable_rollup")
     assert ".parquet" not in plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_pq_topk_broadcast_only_no_embedding_shuffle(spark):
+    """PQ ANN: codebook and ADC tables join by broadcast only — no
+    sort-merge join, no cartesian; the only full corpus scan is the
+    encode pass (the other scans carry pushed vec_id filters selecting
+    the 16 codebook / 5 probe vectors)."""
+    plan = plan_of(spark, "embed_ann_pq_topk")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "LessThan(vec_id,16)" in plan and "LessThan(vec_id,5)" in plan
