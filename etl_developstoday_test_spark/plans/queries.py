@@ -6953,3 +6953,47 @@ def embed_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 5))
+
+
+@_register(
+    "agg_histogram_totalprice",
+    """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders
+    ),
+    bounds AS (SELECT MIN(p) AS mn, MAX(p) AS mx FROM cents)
+    SELECT ((p - mn) * 16) // (mx - mn + 1) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(p) AS lo_cents,
+           MAX(p) AS hi_cents
+    FROM cents CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH 16-bucket histogram of order totals — the profiling
+    complement to agg_percentile_banding's equi-height quartiles. Two
+    passes, the bounded-spine shape (events_hourly_gap_fill): a 1-row
+    min/max aggregate broadcast onto a narrow bucket projection, then a
+    16-group aggregate with map-side combine; no window, no sort.
+    Prices are quantized to integer cents up front so bucket assignment
+    is pure integer arithmetic — `(p-mn)*16 div (mx-mn+1)` lands in
+    0..15 by construction and is bit-identical in any engine, where a
+    float `width_bucket` could disagree at bucket edges."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("p")
+    )
+    bounds = cents.agg(F.min("p").alias("mn"), F.max("p").alias("mx"))
+    return (
+        cents.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("((p - mn) * 16) div (mx - mn + 1)").alias("bucket"), "p"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("p").alias("lo_cents"),
+            F.max("p").alias("hi_cents"),
+        )
+    )
