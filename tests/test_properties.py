@@ -332,3 +332,34 @@ def test_chunktext_split_protocol_lossless_on_any_input(
     if content == "":
         want = []
     assert sorted(got) == sorted(want), (chunk_bytes, content)
+
+
+def test_partition_count_invariance_on_float_heavy_queries(spark):
+    """Engine determinism contract, asserted end-to-end: the queries
+    whose results pass through floating-point accumulation must return
+    the EXACT same value multiset regardless of parallelism — that is
+    what the decimal-quantized sum/moment discipline buys. Runs each
+    query under 3-way and 17-way shuffle partitioning (different
+    partial-aggregation trees, different merge orders) in cloned
+    sessions and compares full sorted row sets bit-for-bit."""
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    names = [
+        "tpch_q1_pricing_summary",     # decimal sums/avgs over doubles
+        "agg_corr_price_quantity",     # five cross-moment decimal sums
+        "agg_stats_moments",           # exact moment statistics
+        "events_hourly_twap",          # integer-quantized time weights
+        "embed_ann_pq_topk",           # decimal ADC sums drive ranking
+        "agg_histogram_totalprice",    # integer-cent buckets
+        "events_variant_navigate",     # JSON round-trip + decimal sum
+        "stream_user_running_totals",  # stateful quanta accumulation
+    ]
+    for name in names:
+        results = []
+        for parts in (3, 17):
+            s = spark.newSession()
+            s.conf.set("spark.sql.shuffle.partitions", str(parts))
+            rows = QUERIES[name](s, SF_DIR).collect()
+            results.append(sorted(tuple(r) for r in rows))
+        assert results[0] == results[1], f"{name} varies with partitioning"
