@@ -695,3 +695,14 @@ def test_pq_topk_broadcast_only_no_embedding_shuffle(spark):
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert "LessThan(vec_id,16)" in plan and "LessThan(vec_id,5)" in plan
+
+
+def test_zorder_metric_no_global_sort(spark):
+    """The layout comparison assigns file ids by pure key-range
+    arithmetic — the plan must contain NO range partitioning (global
+    sort) and exactly the two documented orders scans (bounds pass +
+    interleave pass)."""
+    plan = plan_of(spark, "scan_zorder_clustering")
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("orders.parquet") == 2
+    assert "CartesianProduct" not in plan  # bounds ride a broadcast
