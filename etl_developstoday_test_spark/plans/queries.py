@@ -6997,3 +6997,38 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p").alias("hi_cents"),
         )
     )
+
+
+@_register(
+    "scan_agg_pushdown_stats",
+    """
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS min_orderkey,
+           MAX(l_orderkey) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def scan_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown: COUNT(*)/MIN/MAX answered from the
+    file footers' row counts and column statistics — the scan emits one
+    pre-aggregated row per file split and never materializes data
+    pages. At 100 TB this turns full-table audit counts (the row-count
+    reconciliation every ingest run does) into a metadata-only
+    operation: I/O ∝ #files, not #bytes.
+
+    Needs the DSv2 parquet reader (`useV1SourceList` cleared) plus
+    `spark.sql.parquet.aggregatePushdown`, set on a cloned session so
+    the session-wide default path (V1, which cannot push aggregates)
+    stays untouched for every other query. Timestamp min/max does NOT
+    push down (parquet timestamp stats are excluded by Spark), which is
+    why the contract column is the int64 orderkey; the plan pin in
+    tests/test_plans.py asserts `PushedAggregation` reaches the scan."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    li = s2.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )

@@ -706,3 +706,13 @@ def test_zorder_metric_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("orders.parquet") == 2
     assert "CartesianProduct" not in plan  # bounds ride a broadcast
+
+
+def test_agg_pushdown_reaches_parquet_scan(spark):
+    """COUNT/MIN/MAX must be answered by the scan itself (footer
+    statistics): the DSv2 ParquetScan carries PushedAggregation and its
+    output schema is already the aggregate columns — no data pages."""
+    plan = plan_of(spark, "scan_agg_pushdown_stats")
+    assert "PushedAggregation" in plan
+    scan_line = [l for l in plan.splitlines() if "BatchScan" in l][0]
+    assert "min(l_orderkey)" in scan_line and "count(*)" in scan_line
