@@ -7032,3 +7032,59 @@ def scan_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_orderkey"),
         F.max("l_orderkey").alias("max_orderkey"),
     )
+
+
+@_register(
+    "scan_dynamic_partition_pruning",
+    f"""
+    WITH dim AS (
+      SELECT event_type, {_davg('value')} AS avg_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_events, MAX(d.avg_value) AS avg_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    WHERE d.avg_value > 50.0
+    GROUP BY e.event_type
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven complement to
+    scan_partition_pruned's static directory pruning: the fact is
+    hive-partitioned by event_type, but the surviving partition set is
+    knowable only at RUNTIME (event types whose exact-decimal average
+    value exceeds 50 — an aggregate no static optimizer can fold), so
+    Catalyst injects a dynamicpruningexpression subquery into the fact
+    scan's PartitionFilters that reuses the dim side's broadcast to
+    enumerate the directories to open. At 100 TB this is the mechanism
+    that keeps star-schema joins from scanning every date partition
+    when the dimension filter only selects a few — no ingest-time
+    knowledge of the filter needed. The pin in tests/test_plans.py
+    asserts the subquery reaches PartitionFilters; results are
+    value-identical to the unpartitioned join, which is the oracle."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(
+            f"{tmp}/events_part"
+        )
+        fact = spark.read.parquet(f"{tmp}/events_part")
+        dim = (
+            ev.groupBy("event_type")
+            .agg(davg("value").alias("avg_value"))
+            .filter(F.col("avg_value") > 50.0)
+        )
+        out = (
+            fact.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("avg_value").alias("avg_value"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

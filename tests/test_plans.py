@@ -716,3 +716,38 @@ def test_agg_pushdown_reaches_parquet_scan(spark):
     assert "PushedAggregation" in plan
     scan_line = [l for l in plan.splitlines() if "BatchScan" in l][0]
     assert "min(l_orderkey)" in scan_line and "count(*)" in scan_line
+
+
+def test_dynamic_partition_pruning_subquery_reaches_scan(spark, tmp_path):
+    """The runtime-only dim filter (decimal-exact avg > 50) must inject
+    a dynamicpruningexpression into the partitioned fact scan's
+    PartitionFilters — join-driven directory pruning, not a static IN
+    list. Builds the query's exact join shape pre-checkpoint (the
+    registered query materializes before deleting its temp dir, hiding
+    the scan from its final plan)."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import davg
+    from etl_developstoday_test_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(
+        str(tmp_path / "ev")
+    )
+    fact = spark.read.parquet(str(tmp_path / "ev"))
+    dim = (
+        ev.groupBy("event_type")
+        .agg(davg("value").alias("avg_value"))
+        .filter(F.col("avg_value") > 50.0)
+    )
+    out = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "dynamicpruningexpression" in l
+    ]
+    assert pf, "fact scan lost its dynamic pruning subquery"
