@@ -83,7 +83,10 @@ class ChunkedTextReader(DataSourceReader):
                 start = end
         return parts
 
-    def read(self, partition: _ByteRange) -> Iterator[tuple]:
+    def lines(self, partition: _ByteRange) -> Iterator[tuple]:
+        """(chunk_id, line_in_chunk, line) tuples for one byte range —
+        the split protocol itself, kept tuple-level so tests can drive
+        it directly."""
         p = partition
         with open(p.path, "rb") as fh:
             fh.seek(p.start)
@@ -107,6 +110,33 @@ class ChunkedTextReader(DataSourceReader):
                     break
                 n += 1
                 yield (p.chunk_id, n, raw.rstrip(b"\n").decode("utf-8"))
+
+    BATCH_ROWS = 4096
+
+    def read(self, partition: _ByteRange):
+        """Yield Arrow RecordBatches of up to BATCH_ROWS lines: one
+        columnar hop to the JVM instead of per-row tuple pickling —
+        measurably cheaper on wide chunks, identical rows."""
+        import pyarrow as pa
+
+        ids: list[int] = []
+        nums: list[int] = []
+        texts: list[str] = []
+
+        def flush():
+            return pa.RecordBatch.from_pydict(
+                {"chunk_id": ids, "line_in_chunk": nums, "line": texts}
+            )
+
+        for cid, n, line in self.lines(partition):
+            ids.append(cid)
+            nums.append(n)
+            texts.append(line)
+            if len(ids) >= self.BATCH_ROWS:
+                yield flush()
+                ids, nums, texts = [], [], []
+        if ids:
+            yield flush()
 
 
 class ChunkedTextDataSource(DataSource):

@@ -321,7 +321,7 @@ def test_chunktext_split_protocol_lossless_on_any_input(
     )
     got = []
     for part in reader.partitions():
-        rows = list(reader.read(part))
+        rows = list(reader.lines(part))
         # line_in_chunk must be 1..n within each chunk, in order
         assert [r[1] for r in rows] == list(range(1, len(rows) + 1))
         got.extend(r[2] for r in rows)
