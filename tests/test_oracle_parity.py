@@ -75,3 +75,54 @@ def test_every_query_runs(spark):
         df = fn(spark, SF_DIR_ORACLE)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+# Queries whose semantics hinge on data-derived thresholds, bounds, or
+# structural knobs that COULD degenerate at a different corpus size
+# (empty partition sets, sub-n_codes codebooks, one-bucket histograms).
+_SF_SENSITIVE = [
+    "scan_dynamic_partition_pruning",  # avg>50 partition set
+    "scan_zorder_clustering",          # min/max-scaled grid
+    "agg_histogram_totalprice",        # min/max-derived buckets
+    "embed_ann_pq_topk",               # needs >= 16 codebook vectors
+    "agg_hll_mergeable_rollup",        # 5% bound at small n
+    "agg_approx_percentiles",          # rank-slack bound at small n
+    "sample_mixture_weighted",         # per-source hash thresholds
+    "text_winnow_match_pairs",         # min_shared/df_max at small corpus
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_small():
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _SF_SENSITIVE)
+def test_threshold_queries_hold_at_second_scale(spark, oracle_small, name):
+    """Same full value comparison as the main parity gate, at sf0.001:
+    data-derived thresholds must track the corpus, not bake in one
+    scale factor's shape. Non-degeneracy is asserted too — a query that
+    'passes' by returning nothing at a new scale is a broken contract."""
+    from tests.conftest import SF_DIR
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = oracle_small.execute(ORACLE_SQL[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert spark_rows, f"{name}: degenerate (empty) at sf0.001"
+    assert len(spark_rows) == len(duck_rows), name
+    assert _canonical(spark_rows, sdf.columns) == _canonical(
+        duck_rows, duck_cols
+    ), name
