@@ -7088,3 +7088,28 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@_register(
+    "dedup_prefix_filter_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+    {_SHINGLE_CTE.lstrip()}
+    SELECT doc_a, doc_b, intersection_size, jaccard
+    FROM jaccard WHERE jaccard >= 0.5
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join (text_dedup.
+    prefix_filter_jaccard_pairs; Chaudhuri et al. 2006 / PPJoin
+    candidate core): candidates generated ONLY from each document's
+    rarest p = |d|−⌈t·|d|⌉+1 shingles under the global
+    (df, shingle) order, then exact full-space Jaccard verification.
+    LOSSLESS by the pigeonhole guarantee — which is the oracle: the
+    result must equal the plain all-pairs shared-shingle Jaccard join,
+    bit for bit. The scale contrast with dedup_ngram_jaccard's df_max
+    cap: no similarity-space change, and hot boilerplate shingles are
+    structurally excluded from candidate generation instead of
+    truncated by a tuning knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)

@@ -854,3 +854,66 @@ def test_pq_topk_clone_is_top_ranked(spark):
     out = pq_topk(df, df.filter(F.col("vec_id") == 3)).collect()
     top = [r for r in out if r.rank == 1]
     assert len(top) == 1 and top[0].neighbor_id == 100
+
+
+def test_prefix_filter_equals_brute_force_with_fewer_candidates(spark):
+    """Prefix filtering must (a) return exactly the brute-force Jaccard
+    pairs — the losslessness theorem — including a planted near-clone,
+    and (b) generate far fewer candidate pairs than the shared-shingle
+    join on a corpus with hot boilerplate: common (high-df) shingles
+    never enter any document's rarest-first prefix."""
+    from pyspark.sql import Window, functions as F
+
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        _doc_shingles,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    boiler = "all rights reserved please do not redistribute this file"
+    rows = [
+        (
+            i,
+            boiler
+            + " "
+            + " ".join(f"w{i}x{j} token{i * 37 + j}" for j in range(12)),
+        )
+        for i in range(30)
+    ]
+    rows.append((100, rows[7][1] + " tail"))  # near-clone of doc 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b): (r.intersection_size, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): (r.intersection_size, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == want
+    assert set(got) == {(7, 100)}  # only the planted clone qualifies
+
+    sh = _doc_shingles(docs, 3)
+
+    def n_cands(pref):
+        a = pref.select(F.col("doc_id").alias("a"), "shingle")
+        b = pref.select(F.col("doc_id").alias("b"), "shingle")
+        return (
+            a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct().count()
+        )
+
+    brute_cands = n_cands(sh)
+    assert brute_cands >= 400  # boilerplate makes ~every pair a candidate
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id", "shingle", F.row_number().over(w).alias("_pos")
+    )
+    sizes = ranked.groupBy("doc_id").agg(F.max("_pos").alias("_n"))
+    prefix = ranked.join(sizes, "doc_id").filter(
+        F.col("_pos") <= F.col("_n") - F.ceil(0.5 * F.col("_n")) + 1
+    )
+    assert n_cands(prefix) <= 2  # rare-shingle prefixes: clone pair only
