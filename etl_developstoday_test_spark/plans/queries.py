@@ -7113,3 +7113,79 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated by a tuning knob."""
     docs = load_table(spark, sf_dir, "documents")
     return text_dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+@_register(
+    "graph_triangle_count",
+    f"""
+    WITH cell AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type AS et
+      FROM events
+    ),
+    alledges AS (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM cell a JOIN cell b ON a.h = b.h AND a.et = b.et
+        AND a.user_id < b.user_id
+    ),
+    edges AS (
+      SELECT ua, ub FROM alledges
+      WHERE {_md5long("concat(ua, '#', ub)")} % 100 < 5
+    ),
+    deg AS (
+      SELECT u, COUNT(*) AS d FROM (
+        SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges
+      ) GROUP BY u
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da.d, e.ua) < (db.d, e.ub) THEN e.ua ELSE e.ub END
+               AS src,
+             CASE WHEN (da.d, e.ua) < (db.d, e.ub) THEN e.ub ELSE e.ua END
+               AS dst,
+             CASE WHEN (da.d, e.ua) < (db.d, e.ub) THEN db.d ELSE da.d END
+               AS dd
+      FROM edges e
+      JOIN deg da ON da.u = e.ua
+      JOIN deg db ON db.u = e.ub
+    ),
+    wedges AS (
+      SELECT e1.dst AS a, e2.dst AS b
+      FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      WHERE (e1.dd, e1.dst) < (e2.dd, e2.dst)
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM wedges w
+              JOIN oriented o ON o.src = w.a AND o.dst = w.b) AS n_triangles,
+           (SELECT MAX(od) FROM (
+              SELECT src, COUNT(*) AS od FROM oriented GROUP BY src))
+             AS max_outdegree
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation
+    (operators/graph.triangle_count; Suri & Vassilvitskii 2011) over a
+    deterministic co-activity graph: users active in the same
+    (hour, event_type) cell are linked, then a 5% md5-hash edge sample
+    keeps the graph sparse at every scale factor (the raw co-activity
+    graph saturates toward a clique as the corpus grows — sampling is
+    itself the standard approximate-triangle trick, DOULION-style,
+    Tsourakakis et al. 2009). The oracle replays the identical edge
+    derivation, orientation, and wedge-close joins."""
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.graph import triangle_count
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a = cell.select(F.col("user_id").alias("ua"), "h", "et")
+    b = cell.select(F.col("user_id").alias("ub"), "h", "et")
+    edges = (
+        a.join(b, ["h", "et"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 5)
+    )
+    return triangle_count(edges)

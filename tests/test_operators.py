@@ -917,3 +917,32 @@ def test_prefix_filter_equals_brute_force_with_fewer_candidates(spark):
         F.col("_pos") <= F.col("_n") - F.ceil(0.5 * F.col("_n")) + 1
     )
     assert n_cands(prefix) <= 2  # rare-shingle prefixes: clone pair only
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has exactly 4 triangles; a path has 0; and on a hub-and-
+    spoke graph orientation keeps every out-degree at 1 even though
+    the hub's undirected degree is n — the 'last reducer' bound."""
+    from etl_developstoday_test_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "ua long, ub long",
+    )
+    r = triangle_count(k4).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (6, 4)
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "ua long, ub long"
+    )
+    r = triangle_count(path).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (6, 0)
+
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 20)], "ua long, ub long"
+    )
+    r = triangle_count(hub).collect()[0]
+    # spokes have degree 1 < hub's 19, so every edge orients spoke→hub:
+    # each spoke's out-degree is 1 and the hub's is 0 — no node ever
+    # fans out its full undirected degree
+    assert (r.n_edges, r.n_triangles, r.max_outdegree) == (19, 0, 1)
