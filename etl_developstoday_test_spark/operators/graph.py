@@ -89,8 +89,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ``edges`` must be distinct undirected pairs (ua < ub). Three
     equi-join shuffles (degree count, wedge join, closing join); the
     degree table is one row per vertex — broadcast here; at real scale
-    it co-shuffles with the edge list. Returns one row:
-    (n_edges, n_triangles, max_outdegree)."""
+    it co-shuffles with the edge list. The edge list and the oriented
+    edge list are localCheckpoint-ed: each feeds several consumers
+    (degrees + orientation; wedges ×2 + closing + stats), and without
+    materialization every consumer re-derives the whole upstream
+    lineage — the audit caught 42 scans of the source before this.
+    Materializing the edge list is what any real triangle job does (it
+    IS the working set; O(E), far smaller than the source). Returns one
+    row: (n_edges, n_triangles, max_outdegree)."""
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("ua").alias("u"))
         .unionAll(edges.select(F.col("ub").alias("u")))
@@ -112,7 +119,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .otherwise(F.struct(F.col("_da").alias("d"), F.col("ua").alias("v")))
         .alias("_dstkey"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.select("src", F.col("dst").alias("a"), F.col("_dstkey").alias("_ka"))
     e2 = oriented.select("src", F.col("dst").alias("b"), F.col("_dstkey").alias("_kb"))
     wedges = e1.join(e2, "src").filter(F.col("_ka") < F.col("_kb"))

@@ -563,9 +563,13 @@ def prefix_filter_jaccard_pairs(
     Shuffle budget: df count (shingle), per-doc rank window (doc_id),
     prefix equi-join (shingle — rare keys only), and the verify join of
     candidate pairs against per-doc shingle arrays; every exchange is
-    an equi-key hash, no cartesian anywhere.
+    an equi-key hash, no cartesian anywhere. The (doc_id, shingle)
+    index is localCheckpoint-ed once: it feeds four consumers (df
+    counts, ranking, the verify arrays) and is exactly the inverted
+    index a production set-similarity system materializes — without it
+    every consumer re-runs the shingling scan (the audit counted 10).
     """
-    sh = _doc_shingles(docs, n)
+    sh = _doc_shingles(docs, n).localCheckpoint(eager=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     ranked = sh.join(dfreq, "shingle").select(
@@ -588,8 +592,8 @@ def prefix_filter_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arrs = fan_out(docs).select(
-        "doc_id", _shingle_set(n).alias("_set")
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("_set")
     )
     sa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa"))
     sb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb"))
