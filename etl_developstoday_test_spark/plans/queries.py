@@ -7096,7 +7096,7 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     WITH toks AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
     {_SHINGLE_CTE.lstrip()}
     SELECT doc_a, doc_b, intersection_size, jaccard
-    FROM jaccard WHERE jaccard >= 0.5
+    FROM jaccard WHERE jaccard >= 0.8
     """,
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7107,12 +7107,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df, shingle) order, then exact full-space Jaccard verification.
     LOSSLESS by the pigeonhole guarantee — which is the oracle: the
     result must equal the plain all-pairs shared-shingle Jaccard join,
-    bit for bit. The scale contrast with dedup_ngram_jaccard's df_max
+    bit for bit. Threshold 0.8 is the regime prefix filtering is built
+    for (near-dup detection): the prefix is only the rarest ~20% of
+    each document's shingles, so candidate volume collapses — at t=0.5
+    half of every document is prefix and the filter barely prunes
+    (measured 409k candidates at sf0.1 vs a handful at 0.8). The scale
+    contrast with dedup_ngram_jaccard's df_max
     cap: no similarity-space change, and hot boilerplate shingles are
     structurally excluded from candidate generation instead of
     truncated by a tuning knob."""
     docs = load_table(spark, sf_dir, "documents")
-    return text_dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)
+    return text_dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
 @_register(
