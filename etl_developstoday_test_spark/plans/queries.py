@@ -7194,3 +7194,74 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 5)
     )
     return triangle_count(edges)
+
+
+@_register(
+    "events_cogroup_order_alignment",
+    """
+    WITH ea AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+    oa AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+             MIN(o_orderdate) AS first_order
+      FROM orders GROUP BY 1
+    ),
+    keys AS (SELECT user_id FROM ea UNION SELECT user_id FROM oa),
+    aft AS (
+      SELECT e.user_id, COUNT(*) AS n_after
+      FROM events e JOIN oa ON oa.user_id = e.user_id
+        AND e.ts >= oa.first_order
+      GROUP BY 1
+    )
+    SELECT k.user_id,
+           COALESCE(ea.n_events, 0) AS n_events,
+           COALESCE(oa.n_orders, 0) AS n_orders,
+           COALESCE(aft.n_after, 0) AS n_events_after_first_order
+    FROM keys k
+    LEFT JOIN ea USING (user_id)
+    LEFT JOIN oa USING (user_id)
+    LEFT JOIN aft USING (user_id)
+    """,
+)
+def events_cogroup_order_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED-map pandas UDF (``groupBy().cogroup().applyInPandas``)
+    — the last cell of the UDF surface matrix: both relations shuffle
+    ONCE, co-partitioned on the key, and the Python function receives
+    each key's two pandas frames side by side (either may be empty —
+    keys live in the union of both sides). Per user it aligns the
+    event timeline against the order history: how many events fall at
+    or after the customer's first order. This per-key two-sided merge
+    is the cogroup sweet spot — relationally it takes the three-join
+    oracle below; imperative per-key alignment (custom as-of variants,
+    per-entity reconciliation) is where the API earns its place. State
+    is bounded by the largest single key group; arithmetic is
+    integer-only, so the Python path is exactly oracle-checkable."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+
+    def align(key, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        n_events, n_orders = len(epdf), len(opdf)
+        n_after = 0
+        if n_orders and n_events:
+            n_after = int((epdf["ts"] >= opdf["o_orderdate"].min()).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_orders": [n_orders],
+                "n_events_after_first_order": [n_after],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id long, n_events long, n_orders long,"
+            " n_events_after_first_order long",
+        )
+    )

@@ -388,6 +388,8 @@ _DECLARED_PYTHON_QUERIES = {
     # Python DataSource scan (BatchScan chunktext (Python)) — the
     # declared connector plug-point, not an expression-level UDF
     "scan_python_datasource_chunks",
+    # cogrouped-map pandas UDF (FlatMapCoGroupsInPandas)
+    "events_cogroup_order_alignment",
 }
 
 
@@ -407,7 +409,8 @@ def test_no_undeclared_python_in_any_plan(spark):
         has_arrow_python = any(
             marker in plan
             for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
-                           "BatchEvalPythonUDTF", "] (Python)")  # Python DataSource scans
+                           "BatchEvalPythonUDTF", "FlatMapCoGroupsInPandas",
+                           "] (Python)")  # Python DataSource scans
         )
         if has_arrow_python and name not in _DECLARED_PYTHON_QUERIES:
             undeclared.append(name)
