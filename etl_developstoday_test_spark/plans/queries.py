@@ -7265,3 +7265,90 @@ def events_cogroup_order_alignment(spark: SparkSession, sf_dir: str) -> DataFram
             " n_events_after_first_order long",
         )
     )
+
+
+@_register(
+    "events_basket_type_lift",
+    """
+    WITH basket AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+      FROM events
+    ),
+    n AS (SELECT COUNT(DISTINCT (user_id, h)) AS n_baskets FROM basket),
+    singles AS (
+      SELECT event_type, COUNT(*) AS n_single FROM basket GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_pair
+      FROM basket a
+      JOIN basket b ON a.user_id = b.user_id AND a.h = b.h
+        AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_pair, sa.n_single AS n_a, sb.n_single AS n_b,
+           n.n_baskets,
+           (CAST(n_pair AS DOUBLE) * n.n_baskets)
+             / (sa.n_single * sb.n_single) AS lift
+    FROM pairs
+    JOIN singles sa ON sa.event_type = type_a
+    JOIN singles sb ON sb.event_type = type_b
+    CROSS JOIN n
+    """,
+)
+def events_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule co-occurrence mining (the support/lift core of
+    market-basket analysis, Agrawal & Srikant's Apriori setting at
+    itemset size 2): baskets are (user, hour) activity windows, items
+    the event types seen in them; lift(a,b) =
+    P(a,b)/(P(a)·P(b)) flags type pairs that co-occur more than
+    independence predicts. The item domain is the bounded event-type
+    vocabulary, so the pair join fans out at most |types|² per basket
+    and the aggregates are map-side-combined counts — at 100 TB the
+    only wide ops are groupBys on (user, hour) and on the tiny
+    type-pair domain; the singles/total tables broadcast onto the pair
+    counts. Counts are integers and lift one double expression in
+    identical op order, so the oracle hash-matches exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    basket = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+    ).distinct()
+    n = basket.select("user_id", "h").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    singles = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    a = basket.select("user_id", "h", F.col("event_type").alias("type_a"))
+    b = basket.select("user_id", "h", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "h"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            (
+                F.col("n_pair").cast("double") * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
