@@ -7352,3 +7352,71 @@ def events_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@_register(
+    "events_seasonal_anomalies",
+    f"""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS n,
+             {_dsum('value')} AS sx, {_dsum('value * value')} AS sxx
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hod, n, sx / n AS mean,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+      FROM base WHERE n >= 2
+    )
+    SELECT e.event_type, EXTRACT(hour FROM e.ts) AS hod,
+           s.n AS n_events,
+           COUNT(*) FILTER (
+             WHERE abs(e.value - s.mean) > 3 * s.sd
+           ) AS n_anomalies
+    FROM events e
+    JOIN stats s ON s.event_type = e.event_type
+      AND s.hod = EXTRACT(hour FROM e.ts)
+    GROUP BY 1, 2, s.n
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: the baseline is per
+    (event_type, hour-of-day) — a value normal at peak hours can be
+    anomalous at 3am — with mean/stddev from EXACT decimal moment sums
+    (the agg_stats_moments formulation), flagging events beyond 3σ of
+    their own seasonal cell. The complement to events_mad_outliers'
+    global median/MAD screen. Two passes by construction (you cannot
+    z-score a row against a mean you haven't computed): a 120-cell
+    baseline aggregate broadcast back onto the scan, then a counting
+    aggregate — both map-side combined; the baseline table is
+    O(|types|·24) forever, at any corpus size. Moments make mean/sd
+    bit-identical cross-engine, so the 3σ comparison and the oracle's
+    agree row for row."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    base = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(v).alias("sx"),
+        dsum(v * v).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    stats = base.filter(n >= 2).select(
+        "event_type",
+        "hod",
+        "n",
+        (sx / n).alias("mean"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("sd"),
+    )
+    return (
+        ev.select("event_type", F.hour("ts").alias("hod"), "value")
+        .join(F.broadcast(stats), ["event_type", "hod"])
+        .groupBy("event_type", "hod", F.col("n").alias("n_events"))
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd"), 1
+                )
+            ).alias("n_anomalies")
+        )
+    )
