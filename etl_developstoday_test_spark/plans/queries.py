@@ -7325,13 +7325,21 @@ def events_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     only wide ops are groupBys on (user, hour) and on the tiny
     type-pair domain; the singles/total tables broadcast onto the pair
     counts. Counts are integers and lift one double expression in
-    identical op order, so the oracle hash-matches exactly."""
+    identical op order, so the oracle hash-matches exactly. The basket
+    table (one row per (user, hour, type) — far smaller than events)
+    feeds four consumers, so it is localCheckpoint-ed once rather than
+    re-deriving the distinct per consumer (the scan-allowance sweep
+    caught the 5-scan version)."""
     ev = load_table(spark, sf_dir, "events")
-    basket = ev.select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("h"),
-        "event_type",
-    ).distinct()
+    basket = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = basket.select("user_id", "h").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )

@@ -393,13 +393,34 @@ _DECLARED_PYTHON_QUERIES = {
 }
 
 
+# Queries whose plans legitimately scan one table more than the default
+# allowance — every entry carries its reason. Anything NOT listed that
+# exceeds the allowance is a duplicated-subtree regression (the audit
+# that produced this list caught triangle counting re-deriving its edge
+# lineage 42× and prefix-filter re-shingling 10× before their working
+# sets were materialized).
+_SCAN_ALLOWANCE = 4
+_SCAN_EXCEPTIONS = {
+    "embed_ann_ivf_recall": 10,   # ANN pipeline + brute-force recall baseline
+    "embed_ann_ivf_topk": 6,      # centroid derivation + assign both sides + probe
+    "dedup_minhash_estimate_error": 6,  # signature estimate + exact-Jaccard twin
+}
+
+
 def test_no_undeclared_python_in_any_plan(spark):
     """Global scale guard, one sweep over every lazily-planned query:
     (a) no row-at-a-time Python anywhere, (b) Arrow-batched Python only
     in the declared UDF-surface queries, (c) no CartesianProduct —
     every pair enumeration must be an equi-join, a broadcast, or a
-    banded/blocked candidate join, never an unbounded cross product."""
-    offenders, undeclared, cartesian = [], [], []
+    banded/blocked candidate join, never an unbounded cross product —
+    and (d) no table scanned more times than its allowance: repeated
+    scans of one table mean a subtree is being re-derived per consumer,
+    the regression class the scan audit kept finding (fix = one
+    localCheckpoint of the working set, or a legitimate entry in
+    _SCAN_EXCEPTIONS with its reason)."""
+    import re
+
+    offenders, undeclared, cartesian, rescans = [], [], [], []
     for name, fn in QUERIES.items():
         if name in _EAGER_QUERIES:
             continue
@@ -416,9 +437,17 @@ def test_no_undeclared_python_in_any_plan(spark):
             undeclared.append(name)
         if "CartesianProduct" in plan:
             cartesian.append(name)
+        counts: dict = {}
+        for t in re.findall(r"(\w+)\.parquet", plan):
+            counts[t] = counts.get(t, 0) + 1
+        cap = _SCAN_EXCEPTIONS.get(name, _SCAN_ALLOWANCE)
+        over = {t: c for t, c in counts.items() if c > cap}
+        if over:
+            rescans.append((name, over))
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
     assert not undeclared, f"undeclared Arrow-Python nodes in: {undeclared}"
     assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not rescans, f"tables scanned beyond allowance: {rescans}"
 
 
 def test_top_tokens_partial_agg_topk(spark):
