@@ -7445,3 +7445,63 @@ def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_anomalies")
         )
     )
+
+
+@_register(
+    "scan_compaction_roundtrip",
+    f"""
+    SELECT 'fragmented' AS stage, 64 AS n_files, COUNT(*) AS n_rows,
+           {_dsum('value')} AS total_value
+    FROM events
+    UNION ALL
+    SELECT 'compacted', 4, COUNT(*), {_dsum('value')}
+    FROM events
+    """,
+)
+def scan_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the day-2 operation every streaming
+    ingest needs at scale (micro-batches leave thousands of KB-sized
+    files; scan cost then tracks #files, not #bytes): write events
+    deliberately fragmented (64 round-robin files), rewrite through a
+    4-way repartition, and audit BOTH layouts from the hidden
+    ``_metadata.file_path`` column — actual physical file counts, not
+    write-side intent. The oracle pins the full contract: exactly
+    64 → 4 files with row count and exact-decimal value sum preserved
+    bit-for-bit through the rewrite. At 100 TB the same job runs
+    per-partition with ``maxRecordsPerFile`` bounding the upper end;
+    repartition (a full shuffle) rather than coalesce is deliberate —
+    coalesce merges co-located files only and can leave skewed
+    outputs, while the shuffle rebalances bytes evenly, which is the
+    point of compacting."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    tmp = tempfile.mkdtemp(prefix="compaction_")
+
+    def audit(path: str, stage: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        return (
+            df.select(F.col("_metadata.file_path").alias("_f"), "value")
+            .agg(
+                F.count_distinct("_f").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("value").alias("total_value"),
+            )
+            .select(F.lit(stage).alias("stage"), "n_files", "n_rows",
+                    "total_value")
+        )
+
+    try:
+        ev.repartition(64).write.mode("overwrite").parquet(f"{tmp}/frag")
+        spark.read.parquet(f"{tmp}/frag").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/compact")
+        out = (
+            audit(f"{tmp}/frag", "fragmented")
+            .unionAll(audit(f"{tmp}/compact", "compacted"))
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
