@@ -363,3 +363,76 @@ def test_partition_count_invariance_on_float_heavy_queries(spark):
             rows = QUERIES[name](s, SF_DIR).collect()
             results.append(sorted(tuple(r) for r in rows))
         assert results[0] == results[1], f"{name} varies with partitioning"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """The degree-oriented wedge join must count EXACTLY the triangles
+    an O(n³) enumeration finds, on any graph — orientation must never
+    double-count (each triangle is a chain in the total order) nor drop
+    (the closing edge's direction is implied by the wedge's)."""
+    import itertools
+
+    from etl_developstoday_test_spark.operators.graph import triangle_count
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    got = triangle_count(df).collect()[0]
+
+    nodes = sorted({v for e in und for v in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    assert (got.n_edges, got.n_triangles) == (len(und), want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "gold", "iron", "wolf",
+                             "moon", "star", "rain", "leaf"]),
+            min_size=5,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.7, 0.8]),
+)
+def test_prefix_filter_lossless_on_any_corpus(spark, texts, threshold):
+    """The pigeonhole guarantee, adversarially: on ANY corpus and any
+    threshold, prefix-filtered pairs must equal the all-pairs
+    shared-shingle join exactly — same pairs, same intersection sizes,
+    same Jaccard values. Small word alphabet forces heavy shingle
+    sharing, the regime where a broken prefix rule would drop pairs."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in prefix_filter_jaccard_pairs(docs, n=3, threshold=threshold).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=threshold).collect()
+    )
+    assert got == want
