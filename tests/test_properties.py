@@ -436,3 +436,35 @@ def test_prefix_filter_lossless_on_any_corpus(spark, texts, threshold):
         for r in ngram_jaccard_pairs(docs, n=3, threshold=threshold).collect()
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_pq_clone_always_achieves_max_adc_score(spark, seed):
+    """PQ compression is lossy, but a vector IDENTICAL to the probe
+    must encode to the probe's own codes and therefore achieve the
+    maximum possible ADC score among all corpus vectors — on any
+    corpus. (Rank-1 is not asserted: another vector may tie by landing
+    on the same codes, which is legitimate PQ behavior.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.similarity import pq_topk
+
+    rows = [
+        (
+            i,
+            [
+                math.sin(0.01 * ((seed + i) * 131 + d * 17) % 3.1)
+                for d in range(64)
+            ],
+        )
+        for i in range(30)
+    ]
+    rows.append((200, rows[5][1]))  # exact clone of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(df, df.filter(F.col("vec_id") == 5)).collect()
+    best = max(r.adc_score for r in out)
+    clone = [r for r in out if r.neighbor_id == 200]
+    assert clone and clone[0].adc_score == best, (seed, out[:3])
