@@ -48,6 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a hash-green row for it from that round or later — no manual
 # cleanup needed; just add (name, current_round) when touching code.
 _CHANGED_THIS_ROUND: dict[str, int] = {
+    # r6: digest now travels as exact decimal TEXT on both sides and
+    # n_chunks comes from file metadata (clears the r5 hash-false row)
+    "scan_python_datasource_chunks": 6,
+    # r6: zero-yield sources now survive the mixture aggregation
+    "sample_mixture_upsample": 6,
+    # r6: autoBroadcastJoinThreshold override moved to a cloned session
+    "join_bucketed_colocated": 6,
+    # r6: convergence check fused into the label-recompute aggregation
+    "dedup_connected_components": 6,
+    "dedup_cluster_canonicals": 6,
     # r5: df_max hot-fingerprint cap added before the self-join
     "text_winnow_match_pairs": 5,
     # r5: as-of joins now carry the matched right row as one struct

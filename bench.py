@@ -57,9 +57,12 @@ def main() -> None:
     python_datasource.register(spark)
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
         f.write("warmup\n")
-    spark.read.format("chunktext").option("path", f.name).option(
-        "chunk_bytes", 4
-    ).load().count()
+    try:
+        spark.read.format("chunktext").option("path", f.name).option(
+            "chunk_bytes", 4
+        ).load().count()
+    finally:
+        os.unlink(f.name)
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

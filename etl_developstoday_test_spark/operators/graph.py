@@ -42,32 +42,44 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = vertices.select(
+    labels_cp = vertices.select(
         F.col(node).alias("n"), F.col(node).alias("component")
     ).localCheckpoint(eager=True)
+    labels = labels_cp
 
     for _ in range(max_rounds):
-        neighbor_labels = sym.join(
-            labels, sym["d"] == labels["n"]
-        ).select(F.col("s").alias("n"), "component")
-        new_labels = (
-            labels.union(neighbor_labels)
+        # The node's OWN label rides through the min-aggregation as a
+        # tagged second column, so convergence ("did any label move?")
+        # is read from the SAME checkpointed round result — no separate
+        # old⋈new join job per round (each round is exactly one shuffle
+        # + one cheap scan of the just-materialized blocks).
+        neighbor_labels = sym.join(labels, sym["d"] == labels["n"]).select(
+            F.col("s").alias("n"),
+            F.col("component"),
+            F.lit(False).alias("own"),
+        )
+        stepped = (
+            labels.select("n", "component", F.lit(True).alias("own"))
+            .union(neighbor_labels)
             .groupBy("n")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("own"), F.col("component"))).alias(
+                    "prev"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "n")
-            .filter(F.col("a.component") != F.col("b.component"))
-            .count()
-        )
+        converged = stepped.filter(
+            F.col("component") != F.col("prev")
+        ).isEmpty()
         # free the superseded round's checkpoint blocks NOW — leaving
         # them to GC-driven cleanup accumulates cached partitions across
         # rounds (and across later queries in the same session)
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels_cp.unpersist()
+        labels_cp = stepped
+        labels = stepped.select("n", "component")
+        if converged:
             break
     sym.unpersist()
     return labels.select(F.col("n").alias(node), "component")

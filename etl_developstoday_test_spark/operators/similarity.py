@@ -268,6 +268,23 @@ def kmeans_lloyd(
         .collect()
     ]
     cents.sort()
+    if not cents:
+        # the every-Nth deterministic init selected nothing (empty
+        # corpus, or no vec_id divisible by init_every) — fall back to
+        # the k lowest ids rather than building an unparseable empty
+        # array literal / crashing on cents[0][1] below
+        cents = [
+            (r["vec_id"], list(r["_vec"]))
+            for r in corpus.select("vec_id", "_vec")
+            .orderBy("vec_id")
+            .limit(max(2, init_every // 10))
+            .collect()
+        ]
+    if not cents:
+        raise ValueError(
+            "kmeans_lloyd: empty corpus — no vectors to initialize "
+            "centroids from"
+        )
 
     def _fold_norm(vec: list[float]) -> float:
         # the same sequential fold dot_fold compiles to, in Python —

@@ -3919,7 +3919,12 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = uuid.uuid4().hex[:8]
     t_orders, t_items = f"orders_bq_{suffix}", f"lineitem_bq_{suffix}"
     tmp = tempfile.mkdtemp(prefix="bucketed_q_")
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # broadcast is disabled in a CLONED session (shared JVM + catalog,
+    # isolated SQLConf) so the override can never bleed into a
+    # concurrently-running query — the same pattern every other
+    # conf-touching query in this file uses
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         write_bucketed_table(
             load_table(spark, sf_dir, "orders").select(
@@ -3933,11 +3938,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             t_items, "l_orderkey", n_buckets=16, path=f"{tmp}/l",
         )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         out = (
-            spark.table(t_items)
+            s2.table(t_items)
             .join(
-                spark.table(t_orders),
+                s2.table(t_orders),
                 F.col("o_orderkey") == F.col("l_orderkey"),
             )
             .groupBy("o_orderstatus")
@@ -3951,7 +3955,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_items}")
         # external-table files are not removed by DROP TABLE; the result
@@ -5668,8 +5671,8 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS copies,
              w
       FROM (SELECT source, doc_id,
-                   (1 + CAST(substr(source, 4) AS INT) % 5)
-                     * CAST(0.7 AS DOUBLE) AS w,
+                   (1 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT)
+                      % 5) * CAST(0.7 AS DOUBLE) AS w,
                    ({_md5long("'up#' || CAST(doc_id AS VARCHAR)")} % 10000)
                      / 10000.0 AS u
             FROM documents)
@@ -5688,20 +5691,36 @@ def sample_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface exercises both downsampling (w<1) and whole+fractional
     replication (w>1). The oracle recomputes copies per doc from the
     same hash uniform and checks kept-doc and emitted-row counts per
-    source. Narrow map + explode; the only shuffle is the 20-group
-    stat aggregate."""
+    source. The post-explode counts are LEFT-joined back onto the
+    source domain so a source whose docs all draw zero copies still
+    reports a (source, 0, 0, w) row — the exploded output can't speak
+    for sources it dropped entirely (r5 advice); the source index is
+    parsed with a trailing-digits regex, not a fixed-prefix substring.
+    Narrow map + explode; the shuffles are the two 20-group stat
+    aggregates + their broadcast stitch."""
     from etl_developstoday_test_spark.operators.sampling import mixture_upsample
 
     docs = load_table(spark, sf_dir, "documents")
-    w = (1 + F.substring("source", 4, 10).cast("int") % 5) * F.lit(0.7)
-    return (
-        mixture_upsample(docs.withColumn("_w", w), F.col("_w"))
+    w = (
+        1 + F.regexp_extract("source", r"([0-9]+)$", 1).cast("int") % 5
+    ) * F.lit(0.7)
+    weighted = docs.withColumn("_w", w)
+    per_src = (
+        mixture_upsample(weighted, F.col("_w"))
         .groupBy("source")
         .agg(
-            F.count_distinct(F.col("doc_id")).alias("n_docs_kept"),
-            F.count(F.lit(1)).alias("n_emitted"),
-            F.any_value(F.col("_w")).alias("weight"),
+            F.count_distinct(F.col("doc_id")).alias("_kept"),
+            F.count(F.lit(1)).alias("_emitted"),
         )
+    )
+    domain = weighted.groupBy("source").agg(
+        F.any_value(F.col("_w")).alias("weight")
+    )
+    return domain.join(F.broadcast(per_src), "source", "left").select(
+        "source",
+        F.coalesce(F.col("_kept"), F.lit(0)).alias("n_docs_kept"),
+        F.coalesce(F.col("_emitted"), F.lit(0)).alias("n_emitted"),
+        "weight",
     )
 
 
@@ -6843,7 +6862,8 @@ def scan_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(CEIL(MAX(nbytes) / 262144.0) AS BIGINT) AS n_chunks,
            COUNT(*) AS n_lines,
-           SUM(CAST({_md5long('line')} AS DECIMAL(38,0))) AS line_digest
+           CAST(SUM(CAST({_md5long('line')} AS DECIMAL(38,0))) AS VARCHAR)
+             AS line_digest
     FROM lines WHERE trim(line) <> ''
     """,
 )
@@ -6863,19 +6883,29 @@ def scan_python_datasource_chunks(spark: SparkSession, sf_dir: str) -> DataFrame
     match DuckDB's digest of the same file read WHOLE via read_text.
     A digest match means every byte-range task produced exactly the
     lines whose first byte falls in its range — no dropped, duplicated,
-    or torn lines at any boundary. sf_dir is unused by design (the
-    sample is the workload, as in etl_golden_pipeline_stats)."""
+    or torn lines at any boundary. The ~2^75 digest travels as exact
+    decimal TEXT on both sides (Spark decimal(38,0)→string, DuckDB
+    DECIMAL(38,0)→VARCHAR): no float hop anywhere, so the comparison
+    is canonicalization-proof (r5 verdict: the raw DECIMAL(38,0) value
+    was identical in both engines but hash-mismatched through the
+    driver's pandas fetch, which coerces int128 decimals to float64).
+    sf_dir is unused by design (the sample is the workload, as in
+    etl_golden_pipeline_stats)."""
+    import math
     import os
 
     from etl_developstoday_test_spark.functions import md5_long
     from etl_developstoday_test_spark.sources import python_datasource
 
     if not os.path.exists(GOLDEN_CSV):
-        schema = (
-            "n_chunks bigint, n_lines bigint, line_digest decimal(38,0)"
-        )
+        schema = "n_chunks bigint, n_lines bigint, line_digest string"
         return spark.createDataFrame([], schema)
     python_datasource.register(spark)
+    # Planning math is metadata-only: n_chunks comes from os.stat, the
+    # same ceil(file_bytes / chunk_bytes) the connector's partitions()
+    # uses — never from surviving data rows (a trailing chunk whose
+    # lines are all blank would otherwise undercount).
+    n_chunks = math.ceil(os.stat(GOLDEN_CSV).st_size / 262144)
     lines = (
         spark.read.format("chunktext")
         .option("path", GOLDEN_CSV)
@@ -6885,9 +6915,12 @@ def scan_python_datasource_chunks(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         lines.filter(F.trim("line") != "")
         .agg(
-            (F.max("chunk_id") + 1).alias("n_chunks"),
+            F.lit(n_chunks).cast("bigint").alias("n_chunks"),
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(md5_long("line").cast("decimal(38,0)")).alias("line_digest"),
+            F.sum(md5_long("line").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("line_digest"),
         )
     )
 
