@@ -7538,3 +7538,271 @@ def scan_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r6: distributed training, exact bitmap distinct, Spark-4 SQL surface
+# (recursive CTE, lateral join), runtime bloom-filter join, XML, Arrow
+# batches, observe() metrics, pandas UDAF, foreachBatch upsert
+
+
+def _logreg_oracle_sql(k: int = 4, iters: int = 3) -> str:
+    """Unrolled full-batch GD oracle mirroring operators/ml.py
+    bit-for-bit: same Elliott link (only correctly-rounded IEEE ops —
+    no libm exp), same left-associated dot product, same
+    DECIMAL(30,10) gradient sums (through the VARCHAR hop on the
+    DuckDB side, matching _dsum), same ``w - lr*(g/n)`` update text."""
+    xs = [f"x{j}" for j in range(1, k + 1)]
+    w_cols = [f"w{j}" for j in range(k + 1)]
+    feat = (
+        "SELECT "
+        + ", ".join(
+            f"CAST(embedding[{j}] AS DOUBLE) AS x{j}" for j in range(1, k + 1)
+        )
+        + ", CAST(label % 2 AS DOUBLE) AS y FROM embeddings "
+        + f"WHERE embedding IS NOT NULL AND len(embedding) >= {k} "
+        + "AND label IS NOT NULL"
+    )
+    ctes = [
+        f"feat AS ({feat})",
+        "nrows AS (SELECT COUNT(*) AS n FROM feat)",
+        "w_it0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS DOUBLE) AS {c}" for c in w_cols)
+        + ")",
+    ]
+    zx = " + ".join(["w0"] + [f"w{j} * x{j}" for j in range(1, k + 1)])
+    for t in range(iters):
+        ctes.append(
+            f"r_it{t} AS (SELECT (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS r,"
+            f" {', '.join(xs)} FROM (SELECT ({zx}) AS z, {', '.join(xs)}, y"
+            f" FROM feat, w_it{t}))"
+        )
+        gsel = [f"{_dsum('r')} AS g0"] + [
+            f"{_dsum(f'r * x{j}')} AS g{j}" for j in range(1, k + 1)
+        ]
+        ctes.append(f"g_it{t} AS (SELECT {', '.join(gsel)} FROM r_it{t})")
+        upd = ", ".join(
+            f"w{j} - CAST('0.05' AS DOUBLE) * (g{j} / n) AS w{j}"
+            for j in range(k + 1)
+        )
+        ctes.append(
+            f"w_it{t + 1} AS (SELECT {upd} FROM w_it{t}, g_it{t}, nrows)"
+        )
+    ctes.append(
+        f"acc AS (SELECT SUM(CASE WHEN (({zx}) > 0) = (y > 0.5)"
+        f" THEN 1 ELSE 0 END) AS n_correct FROM feat, w_it{iters})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT "
+        + ", ".join(w_cols)
+        + ", CAST(n_correct AS DOUBLE) / n AS accuracy, n AS n_rows"
+        + f" FROM w_it{iters}, acc, nrows"
+    )
+
+
+@_register("ml_logreg_gd_quality", _logreg_oracle_sql())
+def ml_logreg_gd_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch logistic-regression training
+    (operators/ml.py logreg_gd_train) — the quality-classifier trainer
+    a curation pipeline runs over its own corpus: 4 embedding features,
+    label parity as the target, 3 GD iterations. Every iteration is
+    ONE scan of the checkpointed feature projection + a 5-value
+    partial-aggregate shuffle; weights travel into the plan as
+    literals. The oracle unrolls the identical 3 iterations in SQL and
+    must reproduce the final weights AND training accuracy
+    bit-for-bit — possible because the link function is the Elliott
+    rational sigmoid (no libm exp) and gradients run through the
+    engine's exact-decimal accumulator. At 100 TB this is the MLlib
+    aggregation cost model: per-iteration cost = one corpus scan, the
+    exchange carries k+1 decimals per partition."""
+    from etl_developstoday_test_spark.operators.ml import logreg_gd_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    feats = emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") >= k)
+        & F.col("label").isNotNull()
+    ).select(
+        *[
+            F.col("embedding")[j - 1].cast("double").alias(f"x{j}")
+            for j in range(1, k + 1)
+        ],
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+    _, eval_df = logreg_gd_train(
+        feats, [f"x{j}" for j in range(1, k + 1)], "y", lr=0.05, iters=3
+    )
+    return eval_df
+
+
+@_register(
+    "agg_bitmap_exact_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via two-level 64-bit bitmap aggregation
+    (the roaring-bitmap idea expressed in pure codegen): map each
+    user_id to (bucket = id div 64, bit = 1 << (id mod 64)), OR the
+    bits per (event_type, bucket), then sum bit_count per type. Both
+    aggregations partial-combine map-side, so the shuffle carries one
+    long per populated 64-id bucket instead of one row per DISTINCT
+    (type, user) pair — on a 100-TB event log with dense integer ids
+    that is a ~64× shuffle-volume reduction over COUNT(DISTINCT)'s
+    expand-based plan while staying EXACT (approx_count_distinct is
+    the other trade, already covered by agg_approx_distinct). The
+    oracle is plain COUNT(DISTINCT): bitmap cardinality must agree
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    bits = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("user_id") / 64).alias("_bucket"),
+            F.expr(
+                "shiftleft(1L, CAST(pmod(user_id, 64) AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("event_type", "_bucket")
+        .agg(
+            F.bit_or("_bit").alias("_bitmap"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return bits.groupBy("event_type").agg(
+        F.sum(F.bit_count("_bitmap")).alias("n_users"),
+        F.sum("_n").alias("n_events"),
+    )
+
+
+@_register(
+    "sql_recursive_cte_hierarchy",
+    f"""
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey, 0 AS depth, s_acctbal FROM supplier
+      WHERE s_suppkey = 1
+      UNION ALL
+      SELECT c.s_suppkey, p.depth + 1, c.s_acctbal
+      FROM supplier c JOIN chain p
+        ON CAST(FLOOR(c.s_suppkey / 2) AS BIGINT) = p.s_suppkey
+    )
+    SELECT depth, COUNT(*) AS n_suppliers, {_dsum('s_acctbal')} AS total_bal
+    FROM chain GROUP BY depth
+    """,
+)
+def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — the UnionLoop
+    operator) walking an implicit binary hierarchy over suppliers
+    (parent(k) = k div 2, root = 1): per-depth supplier count and
+    exact-decimal balance sum. This is the transitive-closure /
+    org-chart / BOM query shape SQL engines historically forced into
+    driver-side loops; Spark 4 executes each recursion step as a
+    distributed join against the previous step's result, so depth-d
+    expansion of a 100-TB edge table is d equi-join stages, not a
+    collect. DuckDB runs the IDENTICAL statement — the whole query is
+    one shared SQL text, parsed by both engines."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey, 0 AS depth, s_acctbal FROM supplier
+          WHERE s_suppkey = 1
+          UNION ALL
+          SELECT c.s_suppkey, p.depth + 1, c.s_acctbal
+          FROM supplier c JOIN chain p
+            ON CAST(FLOOR(c.s_suppkey / 2) AS BIGINT) = p.s_suppkey
+        )
+        SELECT depth, COUNT(*) AS n_suppliers,
+               CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+                    AS DOUBLE) AS total_bal
+        FROM chain GROUP BY depth
+        """
+    )
+
+
+@_register(
+    "sql_lateral_topn_per_group",
+    """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def sql_lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 customers by balance per
+    nation, written as the SQL-standard lateral join both engines
+    parse verbatim (Spark plans it as LateralJoin with a per-group
+    TakeOrdered; the window-function spelling of the same semantics is
+    window_top3_orders_per_customer). Lateral is the right tool when
+    the per-group work is more than a rank — a correlated sub-pipeline
+    per driving row — and Spark 4 decorrelates it into a join rather
+    than re-executing the subquery per row, which is what keeps it
+    viable against a 100-TB inner table."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@_register(
+    "scan_observe_metrics",
+    f"""
+    SELECT (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 25)
+             AS n_filtered,
+           COUNT(*) AS n_rows,
+           {_dsum('l_extendedprice')} AS total_price,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability at zero extra cost: ``df.observe`` rides
+    accumulator-backed metrics (row count, exact-decimal revenue sum,
+    max quantity) on the SAME pass that computes the real answer (a
+    selective count) — no second scan, no separate metrics job. This
+    is how a 100-TB production pipeline gets its run counters (the
+    reference's StatisticsCollectorService counts, SURVEY §2 B2)
+    without paying for them: metrics are folded into whatever action
+    already runs. The observed decimal sum converts to double through
+    a string parse — the same correctly-rounded path the _dsum oracle
+    macro uses, so the metric is bit-identical to a dedicated
+    aggregation."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast(ACC_DECIMAL)).alias("_acc"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    n_filtered = observed.filter(F.col("l_quantity") > 25).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                n_filtered,
+                m["n_rows"],
+                float(str(m["_acc"])),
+                float(m["max_qty"]),
+            )
+        ],
+        "n_filtered bigint, n_rows bigint, total_price double, max_qty double",
+    )
