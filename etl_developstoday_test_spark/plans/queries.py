@@ -7685,11 +7685,11 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE chain AS (
       SELECT s_suppkey, 0 AS depth, s_acctbal FROM supplier
-      WHERE s_suppkey = 1
+      WHERE s_suppkey = 0
       UNION ALL
       SELECT c.s_suppkey, p.depth + 1, c.s_acctbal
       FROM supplier c JOIN chain p
-        ON CAST(FLOOR(c.s_suppkey / 2) AS BIGINT) = p.s_suppkey
+        ON CAST(FLOOR((c.s_suppkey - 1) / 2) AS BIGINT) = p.s_suppkey
     )
     SELECT depth, COUNT(*) AS n_suppliers, {_dsum('s_acctbal')} AS total_bal
     FROM chain GROUP BY depth
@@ -7698,7 +7698,7 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4's WITH RECURSIVE — the UnionLoop
     operator) walking an implicit binary hierarchy over suppliers
-    (parent(k) = k div 2, root = 1): per-depth supplier count and
+    (0-based heap: parent(k) = (k-1) div 2, root = 0, covering every supplier): per-depth supplier count and
     exact-decimal balance sum. This is the transitive-closure /
     org-chart / BOM query shape SQL engines historically forced into
     driver-side loops; Spark 4 executes each recursion step as a
@@ -7711,11 +7711,11 @@ def sql_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH RECURSIVE chain AS (
           SELECT s_suppkey, 0 AS depth, s_acctbal FROM supplier
-          WHERE s_suppkey = 1
+          WHERE s_suppkey = 0
           UNION ALL
           SELECT c.s_suppkey, p.depth + 1, c.s_acctbal
           FROM supplier c JOIN chain p
-            ON CAST(FLOOR(c.s_suppkey / 2) AS BIGINT) = p.s_suppkey
+            ON CAST(FLOOR((c.s_suppkey - 1) / 2) AS BIGINT) = p.s_suppkey
         )
         SELECT depth, COUNT(*) AS n_suppliers,
                CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,10))) AS DOUBLE)
@@ -7806,3 +7806,294 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_filtered bigint, n_rows bigint, total_price double, max_qty double",
     )
+
+
+@_register(
+    "scan_xml_roundtrip",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: events written as XML (Spark 4's built-in XML
+    source — rowTag records) and read back with an explicit schema,
+    then aggregated; the result must be bit-identical to the parquet
+    original (doubles survive because the writer emits shortest-repr
+    text and the reader's parse is correctly rounded). XML is the
+    interchange format half of enterprise feeds still arrive in; the
+    scan distributes like any text source (newline-delimited row
+    elements split by range) so a 100-TB feed fans out normally.
+    Schema-on-read is explicit — inference over XML costs a full extra
+    pass and is the first thing to pin in production."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="xml_rt_")
+    try:
+        ev.write.format("xml").option("rowTag", "event").mode(
+            "overwrite"
+        ).save(f"{tmp}/events_xml")
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "event")
+            .schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+            .load(f"{tmp}/events_xml")
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                dsum("value").alias("total_value"),
+            )
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@_register(
+    "join_bloom_runtime_filter",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+           {_dsum('l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: the selective dimension-side
+    predicate (urgent orders, ~20% of keys) is turned by Catalyst into
+    a bloom filter built on the orders side and PUSHED INTO the
+    lineitem scan as ``might_contain`` — probe rows that cannot join
+    are dropped before the shuffle, not after. On a 100-TB fact table
+    this is the difference between shuffling the full probe side and
+    shuffling only the ~matching fraction; it composes with DPP (which
+    prunes whole partitions — bloom prunes within them) and kicks in
+    exactly when the build side is too big to broadcast. Runs in a
+    cloned session pinning the thresholds so the demonstration is
+    deterministic (broadcast disabled to force the shuffle-join shape
+    the filter exists for); tests/test_plans assert the
+    bloom_filter_might_contain probe in the physical plan. Result is
+    value-identical to the plain join — bloom false positives only
+    cost work, never correctness."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    li = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(s2, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderstatus")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "text_arrow_batch_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           MAX(length(text)) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch processing via ``mapInArrow``: per-document
+    character counts computed by pyarrow.compute kernels (C++
+    vectorized, zero pandas materialization — no index, no object
+    boxing) on whole Arrow record batches, then aggregated JVM-side.
+    This is the fastest Python escape hatch Spark offers: columns move
+    JVM→Python as Arrow buffers and stay columnar end-to-end, the
+    right lane for custom tokenizers/scorers backed by Arrow-aware
+    native libs (tokenizers, HF datasets). The oracle recomputes the
+    same stats relationally — the Arrow pass must be value-identical.
+    Integer outputs, so no float canonicalization concerns."""
+    from etl_developstoday_test_spark.functions import fan_out
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    def batch_stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("lang"),
+                    pc.cast(
+                        pc.utf8_length(b.column("text")), pa.int64()
+                    ),
+                ],
+                ["lang", "n_chars"],
+            )
+
+    per_doc = fan_out(docs, cap=8).mapInArrow(
+        batch_stats, "lang string, n_chars long"
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_register(
+    "agg_pandas_udaf_median",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           median(l_extendedprice) AS median_price,
+           median(l_quantity) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pandas_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via a pandas GROUPED_AGG UDF — exact median,
+    which Spark exposes only as percentile_approx/median-by-sort:
+    each group's values arrive as ONE Arrow-backed pandas Series and
+    reduce to a scalar. The oracle is DuckDB's exact median; both
+    engines interpolate even-count groups as the mean of the two
+    middle values, the same correctly-rounded (a+b)/2, so the match is
+    exact. Scale honesty: a grouped-agg UDF holds each group in one
+    worker's memory — the right tool for many mid-cardinality groups
+    (here 3 groups is the degenerate floor; real use is thousands of
+    bounded groups). For giant single groups, percentile_approx's
+    mergeable sketch (agg_approx_percentiles) is the scale path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_median(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark refuses to mix GROUPED_AGG UDFs with JVM aggregates in one
+    # agg (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas
+    # reduction too — the group is already in the worker either way
+    @pandas_udf("long")
+    def group_size(v: pd.Series) -> int:
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        group_size("l_quantity").alias("n_items"),
+        exact_median("l_extendedprice").alias("median_price"),
+        exact_median("l_quantity").alias("median_qty"),
+    )
+
+
+@_register(
+    "stream_foreach_batch_upsert",
+    f"""
+    WITH latest AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id % 8 AS user_bucket, COUNT(*) AS n_users,
+           {_dsum('value')} AS total_last_value
+    FROM latest WHERE rn = 1 GROUP BY user_id % 8
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``foreachBatch`` MERGE/upsert pattern — how Structured
+    Streaming maintains a keyed mutable table on a sink that has no
+    native upsert: events split into 4 files and streamed one file per
+    micro-batch; each batch merges into a versioned parquet state
+    table keeping, per user, the row with the greatest (ts, event_id)
+    — write-new-version-then-repoint, never read-modify-overwrite in
+    place (the swap is what makes a failed batch retryable: batch N's
+    version is either fully present or not referenced, giving
+    effectively-exactly-once on top of the sink's atomic directory
+    commit). The winner rule is a total order on the data itself, so
+    the final table is INDEPENDENT of how the stream was batched —
+    which is exactly what the batch-mode oracle (a plain window over
+    all events) verifies. At scale the same code targets a real MERGE
+    sink (Delta/Iceberg) with the version bookkeeping handled by the
+    table format."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    tmp = tempfile.mkdtemp(prefix="fb_upsert_")
+    cols = ["user_id", "ts", "event_id", "value"]
+    ev = load_table(s2, sf_dir, "events").select(*cols)
+    versions: list[str] = []
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        merged = batch_df.select(*cols)
+        if versions:
+            merged = merged.unionByName(
+                batch_df.sparkSession.read.parquet(versions[-1])
+            )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        out = f"{tmp}/state_v{batch_id}"
+        (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        versions.append(out)
+
+    try:
+        # 4 source files -> 4 micro-batches (maxFilesPerTrigger=1)
+        ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = (
+            s2.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option(
+                "checkpointLocation", f"{tmp}/ckpt_{uuid.uuid4().hex[:8]}"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        final = s2.read.parquet(versions[-1]) if versions else ev.limit(0)
+        out = (
+            final.groupBy((F.col("user_id") % 8).alias("user_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                dsum("value").alias("total_last_value"),
+            )
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

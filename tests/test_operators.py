@@ -946,3 +946,72 @@ def test_triangle_count_known_graphs(spark):
     # each spoke's out-degree is 1 and the hub's is 0 — no node ever
     # fans out its full undirected degree
     assert (r.n_edges, r.n_triangles, r.max_outdegree) == (19, 0, 1)
+
+
+# --- logistic-regression GD trainer (operators/ml.py) ----------------------
+
+
+def test_logreg_learns_separable_direction(spark):
+    """On perfectly separable 1-feature data (y = [x > 0]) the trained
+    weight must point the right way and classify the training set
+    perfectly within a few iterations."""
+    from etl_developstoday_test_spark.operators.ml import logreg_gd_train
+
+    rows = [(float(v), 1.0 if v > 0 else 0.0) for v in range(-50, 50) if v != 0]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    w, eval_df = logreg_gd_train(df, ["x1"], "y", lr=0.5, iters=10)
+    assert w[1] > 0  # positive slope on the separating feature
+    r = eval_df.collect()[0]
+    assert r["accuracy"] == 1.0
+    assert r["n_rows"] == len(rows)
+
+
+def test_logreg_partitioning_invariant(spark):
+    """The decimal gradient accumulator makes training order-independent:
+    identical weights from 1-partition and 32-partition runs."""
+    from etl_developstoday_test_spark.operators.ml import logreg_gd_train
+
+    rows = [
+        (float(v % 7) - 3.0, float(v % 5) - 2.0, float(v % 2))
+        for v in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    w1, _ = logreg_gd_train(df.coalesce(1), ["x1", "x2"], "y", iters=3)
+    w32, _ = logreg_gd_train(df.repartition(32), ["x1", "x2"], "y", iters=3)
+    assert w1 == w32  # bit-identical, not approximately equal
+
+
+def test_logreg_empty_raises(spark):
+    from etl_developstoday_test_spark.operators.ml import logreg_gd_train
+
+    df = spark.createDataFrame([], "x1 double, y double")
+    with pytest.raises(ValueError, match="empty"):
+        logreg_gd_train(df, ["x1"], "y")
+
+
+def test_kmeans_init_fallback_when_every_nth_selects_nothing(spark):
+    """No vec_id divisible by init_every -> deterministic lowest-id
+    fallback instead of an IndexError / empty array literal (r5
+    advice)."""
+    rows = [(i, [float(i), 1.0]) for i in (1, 3, 7, 9, 11)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.kmeans_lloyd(df, iters=1, init_every=50)
+    assert out.count() >= 1  # trains instead of crashing
+
+
+def test_connected_components_converges_and_labels_min(spark):
+    """Post-refactor (fused convergence check): two chains + an isolate
+    still resolve to min-label components in bounded rounds."""
+    from etl_developstoday_test_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11)], "src long, dst long"
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in (1, 2, 3, 10, 11, 12, 99)], "node long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}

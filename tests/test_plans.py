@@ -390,6 +390,10 @@ _DECLARED_PYTHON_QUERIES = {
     "scan_python_datasource_chunks",
     # cogrouped-map pandas UDF (FlatMapCoGroupsInPandas)
     "events_cogroup_order_alignment",
+    # Arrow-native mapInArrow batch pass (MapInArrow)
+    "text_arrow_batch_stats",
+    # GROUPED_AGG pandas UDF (AggregateInPandas) — exact median
+    "agg_pandas_udaf_median",
 }
 
 
@@ -431,6 +435,7 @@ def test_no_undeclared_python_in_any_plan(spark):
             marker in plan
             for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
                            "BatchEvalPythonUDTF", "FlatMapCoGroupsInPandas",
+                           "MapInArrow", "AggregateInPandas",
                            "] (Python)")  # Python DataSource scans
         )
         if has_arrow_python and name not in _DECLARED_PYTHON_QUERIES:
@@ -783,3 +788,56 @@ def test_dynamic_partition_pruning_subquery_reaches_scan(spark, tmp_path):
         if "PartitionFilters" in l and "dynamicpruningexpression" in l
     ]
     assert pf, "fact scan lost its dynamic pruning subquery"
+
+
+def test_bloom_runtime_filter_pushed_to_probe_side(spark):
+    """The selective orders predicate must materialize as a bloom
+    filter probed on the lineitem side BEFORE the join shuffle — the
+    runtime row-level pruning the query exists to demonstrate."""
+    plan = plan_of(spark, "join_bloom_runtime_filter")
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # the filter must sit on the fact (lineitem) scan side
+    probe = plan[plan.index("might_contain"):]
+    assert "l_orderkey" in probe[:200]
+
+
+def test_bitmap_distinct_partial_aggregates_no_expand(spark):
+    """Both bitmap levels must partial-combine map-side, and the plan
+    must NOT fall back to count-distinct's Expand-based rewrite — the
+    whole point is shuffling one long per 64-id bucket."""
+    plan = plan_of(spark, "agg_bitmap_exact_distinct")
+    assert "partial_bit_or" in plan
+    assert "Expand" not in plan
+
+
+def test_arrow_batch_stats_is_arrow_native(spark):
+    """The Python pass must be MapInArrow (columnar Arrow batches, no
+    pandas materialization), and the per-lang rollup must still
+    partial-aggregate before its shuffle."""
+    plan = plan_of(spark, "text_arrow_batch_stats")
+    assert "MapInArrow" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_recursive_cte_hierarchy_depths(spark):
+    """The heap hierarchy over suppkeys 1..N has exactly
+    floor(log2(N))+1 depths with 2^d nodes per full level — pin the
+    structural invariant independent of the oracle."""
+    import math
+
+    from tests.conftest import SF_DIR as _SF
+
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    n = load_table(spark, _SF, "supplier").count()
+    rows = {
+        r["depth"]: r["n_suppliers"]
+        for r in QUERIES["sql_recursive_cte_hierarchy"](spark, _SF).collect()
+    }
+    # 0-based heap over keys 0..n-1: depth(k) = floor(log2(k+1))
+    max_depth = int(math.floor(math.log2(n)))
+    assert set(rows) == set(range(max_depth + 1))
+    for d in range(max_depth + 1):
+        assert rows[d] == min(2**d, n - (2**d - 1))
+    assert sum(rows.values()) == n
