@@ -430,32 +430,20 @@ def hyperplane_signs(n_planes: int = N_HYPERPLANES, dim: int = 64) -> list[list[
     ]
 
 
-def hyperplane_lsh_pairs(
+def lsh_band_signatures(
     embeddings: DataFrame,
-    threshold: float = 0.99,
     n_planes: int = N_HYPERPLANES,
     bands: int = LSH_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Near-duplicate pairs by random-hyperplane LSH + exact verify.
-
-    Stage 1 (narrow, codegen): per row, n_planes sign bits — each the
-    sign of a dot product against a literal ±1 hyperplane (array fold,
-    no Python) — packed into ``bands`` band values.
-    Stage 2: posexplode to (band_id, band_value) and self-join on the
-    band bucket — candidates are pairs agreeing on ALL bits of some
-    band, an equi-join, never O(n²).
-    Stage 3: exact cosine ≥ threshold on the (few) candidates.
-
-    n_planes/bands set the recall/bucket-size trade-off: 16 bits / 4
-    bands is sized for this testbed; at 100 TB use 64–128 bits so band
-    values spread buckets (bucket join cost is Σ|bucket|²), and raise
-    bits-per-band to keep per-band collision probability ~p^bits.
-
-    Returns (vec_id_a, vec_id_b, cos_sim), exact-verified.
-    """
+    """Per-vector banded LSH signatures: one (id, vec, band_id,
+    band_val) row per band — the shared stage-1 of both the near-dup
+    pair join (hyperplane_lsh_pairs) and LSH ANN search
+    (lsh_ann_topk). Narrow codegen: each of n_planes sign bits is the
+    sign of a dot fold against a literal ±1 hyperplane, packed into
+    ``bands`` integer band values and posexploded."""
     planes = hyperplane_signs(n_planes, dim)
     # ONE parsed SQL literal for the whole ±1 plane matrix: building
     # n_planes×dim literals as individual Column objects costs thousands
@@ -490,10 +478,41 @@ def hyperplane_lsh_pairs(
             ]
         ),
     )
-    sigs = fan_out(embeddings).select(
+    return fan_out(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(band_arr).alias("band_id", "band_val"),
+    )
+
+
+def hyperplane_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = N_HYPERPLANES,
+    bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs by random-hyperplane LSH + exact verify.
+
+    Stage 1 (narrow, codegen): per row, n_planes sign bits — each the
+    sign of a dot product against a literal ±1 hyperplane (array fold,
+    no Python) — packed into ``bands`` band values.
+    Stage 2: posexplode to (band_id, band_value) and self-join on the
+    band bucket — candidates are pairs agreeing on ALL bits of some
+    band, an equi-join, never O(n²).
+    Stage 3: exact cosine ≥ threshold on the (few) candidates.
+
+    n_planes/bands set the recall/bucket-size trade-off: 16 bits / 4
+    bands is sized for this testbed; at 100 TB use 64–128 bits so band
+    values spread buckets (bucket join cost is Σ|bucket|²), and raise
+    bits-per-band to keep per-band collision probability ~p^bits.
+
+    Returns (vec_id_a, vec_id_b, cos_sim), exact-verified.
+    """
+    sigs = lsh_band_signatures(
+        embeddings, n_planes, bands, id_col, vec_col, dim
     )
     left = sigs.select(
         F.col(id_col).alias("id_a"),
@@ -696,4 +715,109 @@ def pq_topk(
         scores.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_score")
+    )
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    probe_every: int = 97,
+    k: int = 5,
+    n_planes: int = N_HYPERPLANES,
+    bands: int = LSH_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors with built-in recall
+    evaluation — the third ANN strategy next to IVF (ivf_topk) and PQ
+    (pq_ann_topk): no training pass at all, just the hyperplane
+    signatures both it and the near-dup join share
+    (lsh_band_signatures).
+
+    Search: a probe's candidates are exactly the vectors agreeing with
+    it on ALL bits of at least one band — an equi-join on
+    (band_id, band_val), never a corpus scan per probe. Exact cosine
+    re-ranks the candidates; top-k by (rounded cosine desc, id). The
+    returned frame scores each probe: candidate-set size (the cost
+    knob — E[|candidates|] ≈ n·(1-(1-p^bits)^bands)) and recall@k
+    against the brute-force exact top-k, which a 100-TB deployment
+    computes on a sampled probe set exactly like this (the brute-force
+    side broadcasts the probes, never the corpus).
+
+    Returns (probe_id, n_candidates, recall_at_k)."""
+    sigs = lsh_band_signatures(
+        embeddings, n_planes, bands, id_col, vec_col, dim
+    ).localCheckpoint(eager=True)  # probes + corpus side read it once
+
+    probes = sigs.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("_vp"),
+        "band_id",
+        "band_val",
+    ).filter(F.col("probe_id") % probe_every == 0)
+    cand = (
+        probes.join(
+            sigs.select(
+                F.col(id_col).alias("cand_id"),
+                F.col(vec_col).alias("_vc"),
+                "band_id",
+                "band_val",
+            ),
+            ["band_id", "band_val"],
+        )
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        # cosine BEFORE the pair dedup: the distinct shuffle then
+        # carries 3 scalars, not two dim-double vectors (same reasoning
+        # as hyperplane_lsh_pairs)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(
+                cosine(as_double_array("_vp"), as_double_array("_vc")), 6
+            ).alias("cs"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cs").desc(), F.col("cand_id")
+    )
+    lsh_top = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    ncand = cand.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("_v")
+    )
+    probe_vecs = vecs.filter(F.col("vec_id") % probe_every == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("_v").alias("_vp")
+    )
+    exact_top = (
+        F.broadcast(probe_vecs)
+        .join(vecs, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("_vp"), F.col("_v")), 6).alias("cs"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    hits = (
+        lsh_top.select("probe_id", "cand_id")
+        .join(exact_top.select("probe_id", "cand_id"), ["probe_id", "cand_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    return (
+        ncand.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_candidates",
+            (
+                F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double") / k
+            ).alias(f"recall_at_{k}"),
+        )
     )

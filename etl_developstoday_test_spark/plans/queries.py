@@ -8097,3 +8097,98 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _lsh_ann_oracle_sql(probe_every: int = 97, k: int = 5) -> str:
+    """Full LSH ANN replay: same deterministic hyperplanes, band
+    packing, candidate equi-join, rounded-cosine re-rank, and
+    brute-force recall join as operators/similarity.lsh_ann_topk."""
+    planes = similarity.hyperplane_signs()
+    bands = similarity.LSH_BANDS
+    bpb = similarity.N_HYPERPLANES // bands
+
+    def fold_dot(row: list[int]) -> str:
+        lits = ", ".join(f"{float(s)}" for s in row)
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(list_zip(vec, ["
+            + lits
+            + "]), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+        )
+
+    bits = ",\n             ".join(
+        f"CASE WHEN {fold_dot(row)} >= 0 THEN 1 ELSE 0 END AS b{i}"
+        for i, row in enumerate(planes)
+    )
+    band_vals = ", ".join(
+        " + ".join(f"b{b * bpb + i} * {2 ** i}" for i in range(bpb))
+        + f" AS bv{b}"
+        for b in range(bands)
+    )
+    band_case = " ".join(f"WHEN {b} THEN bv{b}" for b in range(bands))
+    band_ids = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    sig AS (SELECT vec_id, vec, {bits} FROM vecs),
+    banded AS (SELECT vec_id, vec, {band_vals} FROM sig),
+    sigs AS (
+      SELECT vec_id, vec, band_id, CASE band_id {band_case} END AS band_val
+      FROM banded, (SELECT unnest([{band_ids}]) AS band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS cand_id,
+             round({_cosine('p.vec', 'c.vec')}, 6) AS cs
+      FROM sigs p
+      JOIN sigs c ON p.band_id = c.band_id AND p.band_val = c.band_val
+                 AND c.vec_id <> p.vec_id
+      WHERE p.vec_id % {probe_every} = 0
+    ),
+    lsh_top AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT probe_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY cs DESC, cand_id) AS rn
+        FROM cand
+      ) WHERE rn <= {k}
+    ),
+    ncand AS (
+      SELECT probe_id, COUNT(*) AS n_candidates FROM cand GROUP BY probe_id
+    ),
+    exact_top AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY round({_cosine('p.vec', 'c.vec')}, 6) DESC,
+                          c.vec_id) AS rn
+        FROM vecs p JOIN vecs c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id % {probe_every} = 0
+      ) WHERE rn <= {k}
+    ),
+    hits AS (
+      SELECT l.probe_id, COUNT(*) AS n_hit
+      FROM lsh_top l JOIN exact_top e
+        ON e.probe_id = l.probe_id AND e.cand_id = l.cand_id
+      GROUP BY l.probe_id
+    )
+    SELECT n.probe_id, n.n_candidates,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {k} AS recall_at_{k}
+    FROM ncand n LEFT JOIN hits h ON h.probe_id = n.probe_id
+    """
+
+
+@_register("embed_ann_lsh_topk", _lsh_ann_oracle_sql())
+def embed_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k with per-probe recall@5 against the exact
+    brute-force ranking (operators/similarity.lsh_ann_topk) — the
+    training-free third member of the ANN family (IVF =
+    embed_ann_ivf_topk, PQ = embed_ann_pq_topk). Candidates come from
+    a (band_id, band_val) equi-join against the shared hyperplane
+    signatures — never a per-probe corpus scan — and the recall
+    baseline broadcasts only the probe set. The oracle replays the
+    entire pipeline (deterministic ±1 hyperplanes, identical fold
+    order) so even the approximate method is value-verified, not just
+    smoke-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, probe_every=97, k=5)
