@@ -8192,3 +8192,243 @@ def embed_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoke-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(emb, probe_every=97, k=5)
+
+
+@_register(
+    "join_interval_overlap_bucketed",
+    f"""
+    WITH i AS (
+      SELECT event_id AS incident_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 3600000000 AS e
+      FROM events WHERE event_type = 'error'
+    ),
+    t AS (
+      SELECT event_id AS txn_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 900000000 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT i.incident_id, t.txn_id,
+             GREATEST(i.s, t.s) // 86400000000 AS day_index
+      FROM i JOIN t ON i.s < t.e AND t.s < i.e
+    )
+    SELECT day_index, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT incident_id) AS n_incidents,
+           COUNT(DISTINCT txn_id) AS n_txns
+    FROM pairs GROUP BY day_index
+    """,
+)
+def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed INTERVAL-OVERLAP join (the general range join):
+    which purchases (15-min transaction windows) overlap which error
+    incidents (1-hour windows)? The naive formulation is a theta join
+    — O(n·m), a CartesianProduct in Spark — so the operator BLOCKS
+    both sides into the hour buckets each interval spans (≤2 buckets
+    per interval here; bounded by span/bucket in general) and
+    equi-joins on the bucket, refining with the exact overlap
+    predicate. Each overlapping pair would match in every shared
+    bucket, so the join keeps a pair only in the bucket containing
+    ``max(start_a, start_b)`` — the overlap's first instant, which
+    both intervals provably cover — making the join DEDUP-FREE (no
+    distinct shuffle; the classic interval-join trick Flink/KDB use).
+    At 100 TB the bucket key both partitions AND prunes: cost is
+    Σ per-bucket |i|·|t|, data-local, and the bucket width is the knob
+    trading fan-out rows (span/width per interval) against bucket
+    density. The oracle runs the plain theta join — the bucketed plan
+    must reproduce it exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us, day_us = 3_600_000_000, 86_400_000_000
+
+    def intervals(etype: str, span_us: int, id_alias: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + span_us).alias("e"),
+        )
+
+    def with_buckets(df: DataFrame) -> DataFrame:
+        # buckets the interval intersects: floor(s/h) .. floor((e-1)/h)
+        # (end exclusive — an interval ending ON a boundary does not
+        # reach into the next bucket)
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {hour_us}"), F.expr(f"(e - 1) div {hour_us}")
+                )
+            ),
+        )
+
+    inc = with_buckets(intervals("error", hour_us, "incident_id"))
+    txn = with_buckets(intervals("purchase", hour_us // 4, "txn_id"))
+    pairs = (
+        inc.alias("i")
+        .join(txn.alias("t"), "bucket")
+        .filter(
+            (F.col("i.s") < F.col("t.e"))
+            & (F.col("t.s") < F.col("i.e"))
+            # dedup-free: report the pair only in the overlap's first
+            # bucket, which both intervals contain
+            & (
+                F.col("bucket")
+                == F.expr(f"greatest(i.s, t.s) div {hour_us}")
+            )
+        )
+        .select(
+            "incident_id",
+            "txn_id",
+            F.expr(f"greatest(i.s, t.s) div {day_us}").alias("day_index"),
+        )
+    )
+    return pairs.groupBy("day_index").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("incident_id").alias("n_incidents"),
+        F.count_distinct("txn_id").alias("n_txns"),
+    )
+
+
+@_register(
+    "events_sequence_regex_pattern",
+    """
+    WITH journeys AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(len(regexp_extract_all(journey, 'v[^p]*p')) AS INT)
+             AS n_conversions,
+           COUNT(*) AS n_users,
+           CAST(MIN(length(journey)) AS BIGINT) AS min_journey_len,
+           CAST(MAX(length(journey)) AS BIGINT) AS max_journey_len
+    FROM journeys GROUP BY 1
+    """,
+)
+def events_sequence_regex_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE shape) as a
+    journey-string regex: per user, events collapse — ordered by
+    (ts, event_id) — into a string of event-type initials, and
+    ``v[^p]*p`` counts view→…→purchase conversion runs (greedy
+    non-overlapping matches, identical semantics in every regex
+    engine). One shuffle builds the per-user journey
+    (collect_list + array_sort — deterministic regardless of arrival
+    order, the collect_list trap); the regex run is codegen over a
+    per-user string bounded by that user's event count. This is the
+    idiomatic distributed CEP fallback when the engine lacks a native
+    pattern operator: state per key is one string, the alphabet maps
+    arbitrarily complex predicates to letters, and the same journey
+    column feeds any number of patterns without re-shuffling."""
+    ev = load_table(spark, sf_dir, "events")
+    journeys = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("letter"),
+            ).alias("_evt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("_evt")),
+                    lambda s: s["letter"],
+                ),
+            ).alias("journey")
+        )
+    )
+    return (
+        journeys.select(
+            F.regexp_count("journey", F.lit(r"v[^p]*p"))
+            .cast("int")
+            .alias("n_conversions"),
+            F.length("journey").alias("_jlen"),
+        )
+        .groupBy("n_conversions")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("_jlen").cast("bigint").alias("min_journey_len"),
+            F.max("_jlen").cast("bigint").alias("max_journey_len"),
+        )
+    )
+
+
+@_register(
+    "text_exact_substring_coverage",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS arr FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(generate_series(1, len(arr) - 8 + 1)) AS i, arr
+      FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id, i - 1 AS s,
+             {_md5long("list_aggregate(arr[i:i+7], 'string_agg', ' ')")} AS h
+      FROM grams
+    ),
+    dup AS (
+      SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    spans AS (
+      SELECT doc_id, s, s + 8 AS e FROM hashed WHERE h IN (SELECT h FROM dup)
+    ),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM spans
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    covered AS (
+      SELECT doc_id, SUM(cov) AS covered_tokens FROM (
+        SELECT doc_id, island, MAX(e) - MIN(s) AS cov
+        FROM islands GROUP BY doc_id, island
+      ) GROUP BY doc_id
+    )
+    SELECT t.source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN COALESCE(c.covered_tokens, 0) > 0 THEN 1 ELSE 0 END)
+             AS n_docs_with_dup,
+           SUM(len(t.arr)) AS total_tokens,
+           CAST(SUM(COALESCE(c.covered_tokens, 0)) AS BIGINT)
+             AS covered_tokens,
+           CAST(SUM(COALESCE(c.covered_tokens, 0)) AS DOUBLE)
+             / SUM(len(t.arr)) AS coverage_frac
+    FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id
+    GROUP BY t.source
+    """,
+)
+def text_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup statistics per source
+    (operators/text_dedup.exact_substring_coverage — Lee et al. 2022's
+    duplicated-substring removal, reformulated from suffix arrays to
+    shingle equi-joins + an interval-union sweep): what fraction of
+    each source's tokens sits inside an 8-token span that also appears
+    verbatim in some OTHER document. The number a curation pipeline
+    acts on — remove the spans, not the documents. Integer arithmetic
+    end-to-end; the only corpus-wide shuffle is the fingerprint
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    cov = text_dedup.exact_substring_coverage(docs, n=8)
+    per_doc = docs.select("doc_id", "source").join(cov, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("covered_tokens") > 0, 1).otherwise(0)
+        ).alias("n_docs_with_dup"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("covered_tokens").cast("bigint").alias("covered_tokens"),
+        (
+            F.sum("covered_tokens").cast("double") / F.sum("n_tokens")
+        ).alias("coverage_frac"),
+    )
