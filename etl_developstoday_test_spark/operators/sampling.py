@@ -132,3 +132,36 @@ def mixture_upsample(
         n_copies >= 1, F.sequence(F.lit(1), n_copies)
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn("replica", F.explode(copies))
+
+
+def fixed_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "fk",
+) -> DataFrame:
+    """Exactly-k-per-stratum sampling (distributed reservoir): rank
+    each stratum's rows by the salted md5 uniform of their id and keep
+    the k smallest — the same uniform marginal as reservoir sampling
+    but deterministic across runs, engines, and partitionings (an RNG
+    reservoir is arrival-order-dependent; a hash rank is not). Strata
+    with fewer than k rows keep everything.
+
+    One window shuffle on the stratum key; at 100 TB with heavy strata
+    pre-filter with an approximate per-stratum hash-quantile cutoff so
+    the window only ranks ~k·ε candidates (the standard top-k-by-key
+    reduction). Returns the sampled rows plus their ``sample_rank``.
+    """
+    from pyspark.sql import Window
+
+    rank_key = md5_long(
+        F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        rank_key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -698,3 +698,68 @@ def exact_substring_coverage(
             .alias("covered_tokens"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs where doc_inner's
+    shingle set is mostly inside doc_outer's — containment
+    C(A→B) = |A∩B| / |A| ≥ threshold. Jaccard misses exactly these
+    (a short quote inside a long page scores near-zero Jaccard but
+    containment 1.0); it is the right statistic for boilerplate
+    extraction, quote detection, and subset-document dedup (Broder's
+    original resemblance/containment pair).
+
+    Same scale shape as ngram_jaccard_pairs: candidates from the
+    shared-shingle equi-join (never all-pairs), ONE intersection
+    aggregation per unordered pair, then both ordered directions emit
+    from that single row by dividing by the respective set size. Docs
+    under ``min_shingles`` are excluded — a 1-shingle doc is trivially
+    contained everywhere and says nothing.
+
+    Returns (doc_inner, doc_outer, intersection_size, containment).
+    """
+    sh = _doc_shingles(docs, n)
+    sizes = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .filter(F.col("n_shingles") >= min_shingles)
+    )
+    sh = sh.join(sizes.select("doc_id"), "doc_id")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    directed = both.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        "intersection_size",
+        (F.col("intersection_size").cast("double") / F.col("_na")).alias(
+            "containment"
+        ),
+    ).unionAll(
+        both.select(
+            F.col("doc_b").alias("doc_inner"),
+            F.col("doc_a").alias("doc_outer"),
+            "intersection_size",
+            (
+                F.col("intersection_size").cast("double") / F.col("_nb")
+            ).alias("containment"),
+        )
+    )
+    return directed.filter(F.col("containment") >= threshold)

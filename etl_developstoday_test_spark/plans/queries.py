@@ -8432,3 +8432,125 @@ def text_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("covered_tokens").cast("double") / F.sum("n_tokens")
         ).alias("coverage_frac"),
     )
+
+
+@_register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_SHINGLE_CTE.lstrip()},
+    sized AS (
+      SELECT doc_id, n_shingles FROM shingle_counts WHERE n_shingles >= 5
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS intersection_size
+      FROM doc_shingles a
+      JOIN sized sza ON sza.doc_id = a.doc_id
+      JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sized szb ON szb.doc_id = b.doc_id
+      GROUP BY 1, 2
+    ),
+    both_dirs AS (
+      SELECT doc_a AS doc_inner, doc_b AS doc_outer, intersection_size,
+             CAST(intersection_size AS DOUBLE) / sza.n_shingles AS containment
+      FROM inter
+      JOIN sized sza ON sza.doc_id = doc_a
+      UNION ALL
+      SELECT doc_b, doc_a, intersection_size,
+             CAST(intersection_size AS DOUBLE) / szb.n_shingles
+      FROM inter
+      JOIN sized szb ON szb.doc_id = doc_b
+    )
+    SELECT doc_inner, doc_outer, intersection_size,
+           round(containment, 6) AS containment
+    FROM both_dirs WHERE containment >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup join
+    (operators/text_dedup.containment_pairs — Broder's containment
+    statistic): ordered (inner, outer) pairs where ≥80% of the inner
+    doc's 3-word shingles appear in the outer doc. Catches
+    quote/boilerplate/subset duplication that symmetric Jaccard
+    structurally misses. Candidates from the shared-shingle equi-join;
+    one intersection aggregate serves BOTH directions."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_dedup.containment_pairs(docs, n=3, threshold=0.8,
+                                         min_shingles=5)
+    return pairs.select(
+        "doc_inner", "doc_outer", "intersection_size",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+@_register(
+    "sample_fixed_k_per_stratum",
+    f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ({_md5long("'fk#' || CAST(doc_id AS VARCHAR)")}) ASC,
+                        doc_id ASC) AS sample_rank
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MAX(sample_rank) AS BIGINT) AS max_rank
+    FROM ranked WHERE sample_rank <= 7 GROUP BY source
+    """,
+)
+def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling
+    (operators/sampling.fixed_k_per_stratum): 7 docs per source, chosen
+    by salted-hash rank — a deterministic distributed reservoir (same
+    uniform marginal, none of the arrival-order dependence). The
+    eval/holdout construction step every training pipeline needs:
+    'give me exactly k examples per source/language/topic, the same k
+    every rerun'. One window shuffle on the stratum key."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        fixed_k_per_stratum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fixed_k_per_stratum(docs, "source", k=7)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+            F.max("sample_rank").cast("bigint").alias("max_rank"),
+        )
+    )
+
+
+@_register(
+    "dedup_threshold_sensitivity",
+    f"""
+    WITH {_SHINGLE_CTE.lstrip()}
+    SELECT CAST(floor(jaccard * 10) AS INT) AS jaccard_decile,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(intersection_size) AS BIGINT) AS min_intersection,
+           CAST(MAX(intersection_size) AS BIGINT) AS max_intersection
+    FROM jaccard WHERE jaccard >= 0.2
+    GROUP BY 1
+    """,
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity profile of the near-dup pair space: the
+    per-decile histogram of shingle-Jaccard similarities (≥0.2) that
+    tells a pipeline owner where to SET the dedup threshold — a cliff
+    between deciles means a robust cut; a smooth slope means the
+    threshold is a real recall/precision dial. Computed from the same
+    shared-shingle equi-join as the pair operators (one pass, no
+    all-pairs), aggregated to ten rows."""
+    pairs = text_dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("jaccard_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("intersection_size").cast("bigint").alias("min_intersection"),
+        F.max("intersection_size").cast("bigint").alias("max_intersection"),
+    )
