@@ -64,11 +64,46 @@ def main() -> None:
     finally:
         os.unlink(f.name)
 
+    # previous committed run, for the regression tripwire below
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+    )
+    prev: dict = {}
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         start = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 3)
+
+    # Regression tripwire (VERDICT r5 #7): non-blocking — flag any query
+    # >2x its previous committed time, but only when the host-load
+    # context is comparable (a loaded host inflates everything 2-3x and
+    # would make the tripwire pure noise) and the query was already
+    # non-trivial (sub-0.4s timings are jitter-dominated).
+    prev_q = prev.get("queries", {}) if prev.get("sf") == (
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    ) else {}
+    load_comparable = abs(
+        load_baseline - prev.get("load_1m_baseline", load_baseline)
+    ) < 8.0
+    regressions = {
+        n: (prev_q[n], t)
+        for n, t in timings.items()
+        if n in prev_q and prev_q[n] >= 0.4 and t > 2.0 * prev_q[n]
+    }
+    if regressions and load_comparable:
+        for n, (old, new) in sorted(regressions.items(), key=lambda kv: -kv[1][1]):
+            print(
+                f"BENCH-REGRESSION {n}: {old:.2f}s -> {new:.2f}s "
+                f"({new / old:.1f}x)",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -98,7 +133,6 @@ def main() -> None:
     # which truncates most of the 140-query map — persist the complete
     # per-query data in-repo so cross-round regression analysis always
     # has the full picture (VERDICT r4 #4).
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json")
     with open(full_path, "w") as f:
         json.dump(
             {

@@ -25,6 +25,7 @@ from etl_developstoday_test_spark.functions import (
     dsum,
     fan_out,
     let,
+    md5_long,
 )
 
 
@@ -219,12 +220,183 @@ def ivf_topk(
     )
 
 
+def kmeans_par_init(
+    corpus: DataFrame,
+    k: int,
+    oversample: int | None = None,
+    rounds: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """k-means|| initialization (Bahmani et al. 2012, VLDB — "Scalable
+    K-Means++"), fully deterministic so a fixed-seed run reproduces the
+    same centroids on any engine.
+
+    ``corpus`` is the (vec_id, _vec double array) working set
+    kmeans_lloyd builds. The distributed phases are exactly the paper's:
+
+    1. seed with one center (here: the lowest vec_id — the paper's
+       uniform pick, made deterministic);
+    2. for O(1) rounds, compute every point's squared distance d²(x, C)
+       to the current center set as a LITERAL-centroid projection (no
+       join — same plan shape as the Lloyd assignment), total cost
+       φ = Σd² via one aggregate, then sample each point independently
+       with probability min(1, l·d²/φ). The coin flip is a salted
+       md5 of (round, vec_id) scaled to [0,1) — deterministic, yet
+       distributionally uniform, so the d²-biased oversampling the
+       paper proves its O(log φ)-round guarantee on is preserved;
+    3. weight every candidate by the number of corpus points nearest to
+       it (one more literal projection + groupBy);
+    4. recluster the ~l·rounds weighted candidates down to k ON THE
+       DRIVER — the paper's final step (the candidate set is tiny by
+       construction). Here: deterministic greedy weighted k-means++
+       (farthest-first by weight·d², ties to lowest vec_id).
+
+    Driver state is O(l·rounds·dim) — never the corpus. Each round is
+    one corpus scan + a scalar aggregate; sampling collects an expected
+    ``l`` rows. Returns [(vec_id, vector)] sorted by vec_id, the same
+    shape as the every-Nth init, so the Lloyd iteration body is
+    unchanged (the swap the kmeans_lloyd docstring promises).
+    """
+    l = oversample if oversample is not None else 2 * k
+
+    first = (
+        corpus.orderBy("vec_id").select("vec_id", "_vec").limit(1).collect()
+    )
+    if not first:
+        raise ValueError("kmeans_par_init: empty corpus")
+    centers: list[tuple[int, list[float]]] = [
+        (first[0]["vec_id"], list(first[0]["_vec"]))
+    ]
+
+    def _sq_norm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc = acc + x * x
+        return acc
+
+    def d2_col() -> "F.Column":
+        """min over current centers of ||x - c||² = x·x - 2 x·c + c·c,
+        with the center vectors and their norms as plan literals — one
+        dot fold per center per row."""
+        vecs_lit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(x) + "D" for x in vec) + ")"
+                for _, vec in centers
+            )
+            + ")"
+        )
+        norms_lit = F.expr(
+            "array("
+            + ",".join(repr(_sq_norm(vec)) + "D" for _, vec in centers)
+            + ")"
+        )
+        return let(
+            dot_fold(F.col("_vec"), F.col("_vec")),
+            lambda nx: F.greatest(
+                F.lit(0.0),
+                F.array_min(
+                    F.zip_with(
+                        vecs_lit,
+                        norms_lit,
+                        lambda c, nc: nx
+                        - 2.0 * dot_fold(F.col("_vec"), c)
+                        + nc,
+                    )
+                ),
+            ),
+        )
+
+    for r in range(rounds):
+        scored = corpus.select("vec_id", "_vec", d2_col().alias("_d2"))
+        phi = scored.agg(F.sum("_d2").alias("s")).collect()[0]["s"]
+        if not phi or phi <= 0.0:  # all points coincide with a center
+            break
+        # salted md5 → uniform in [0,1): 60-bit hash / 2^60
+        u = md5_long(F.concat(F.lit(f"kmpp#{r}#"), F.col("vec_id"))) / F.lit(
+            float(1 << 60)
+        )
+        picked = (
+            scored.filter(u < F.lit(float(l)) * F.col("_d2") / F.lit(phi))
+            .select("vec_id", "_vec")
+            .collect()
+        )
+        have = {cid for cid, _ in centers}
+        centers.extend(
+            (row["vec_id"], list(row["_vec"]))
+            for row in sorted(picked, key=lambda x: x["vec_id"])
+            if row["vec_id"] not in have
+        )
+
+    # weight candidates by their nearest-assignment counts (argmin d²,
+    # ties to the lowest candidate index = lowest vec_id after the sort)
+    centers.sort()
+    ids_lit = F.expr(
+        "array(" + ",".join(f"{cid}L" for cid, _ in centers) + ")"
+    )
+    vecs_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(x) + "D" for x in vec) + ")"
+            for _, vec in centers
+        )
+        + ")"
+    )
+    norms_lit = F.expr(
+        "array("
+        + ",".join(repr(_sq_norm(vec)) + "D" for _, vec in centers)
+        + ")"
+    )
+    nearest = let(
+        dot_fold(F.col("_vec"), F.col("_vec")),
+        lambda nx: let(
+            F.zip_with(
+                vecs_lit,
+                norms_lit,
+                lambda c, nc: nx - 2.0 * dot_fold(F.col("_vec"), c) + nc,
+            ),
+            lambda d2s: F.get(
+                ids_lit, F.array_position(d2s, F.array_min(d2s)) - 1
+            ),
+        ),
+    )
+    weights = {
+        row["_cand"]: row["_w"]
+        for row in corpus.select(nearest.alias("_cand"))
+        .groupBy("_cand")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .collect()
+    }
+
+    # driver-side reduction: greedy weighted k-means++ over the tiny
+    # candidate set — start at the heaviest candidate, then repeatedly
+    # take argmax weight·d²(cand, chosen); deterministic ties to lowest id
+    cands = [(cid, vec, weights.get(cid, 0)) for cid, vec in centers]
+    chosen = [
+        max(cands, key=lambda c: (c[2], -c[0]))
+    ]
+    chosen_ids = {chosen[0][0]}
+    while len(chosen) < min(k, len(cands)):
+        def score(c):
+            best = min(
+                sum((a - b) ** 2 for a, b in zip(c[1], ch[1]))
+                for ch in chosen
+            )
+            return (c[2] * best, -c[0])
+
+        nxt = max((c for c in cands if c[0] not in chosen_ids), key=score)
+        chosen.append(nxt)
+        chosen_ids.add(nxt[0])
+    return sorted((cid, vec) for cid, vec, _ in chosen)
+
+
 def kmeans_lloyd(
     embeddings: DataFrame,
     iters: int = 2,
     init_every: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "every_nth",
+    k: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column — the offline centroid
     trainer ivf_topk's docstring defers to, pure DataFrame ops.
@@ -241,8 +413,10 @@ def kmeans_lloyd(
     in operators/graph.py, whose per-node state must stay distributed.)
 
     Determinism, so a single-node oracle reproduces every value
-    bit-for-bit: init = every ``init_every``-th vec_id (swap for
-    k-means|| at corpus scale — the iteration body is unchanged);
+    bit-for-bit: init = every ``init_every``-th vec_id by default, or
+    ``init="kmeans_par"`` for the k-means|| oversampling init
+    (``kmeans_par_init`` above — the corpus-scale path; the iteration
+    body is unchanged either way);
     similarities rounded to 9 dp before the argmax with ties to the
     lowest centroid_id; centroid means and the final per-cluster
     mean_cos_sim use the exact integer-quantized accumulator
@@ -261,12 +435,19 @@ def kmeans_lloyd(
     # (same reasoning as graph.py's label propagation)
     corpus = corpus.localCheckpoint(eager=True)
 
-    cents: list[tuple[int, list[float]]] = [
-        (r["vec_id"], list(r["_vec"]))
-        for r in corpus.filter(F.col("vec_id") % init_every == 0)
-        .select("vec_id", "_vec")
-        .collect()
-    ]
+    if init == "kmeans_par":
+        cents: list[tuple[int, list[float]]] = kmeans_par_init(
+            corpus, k if k is not None else 8
+        )
+    elif init == "every_nth":
+        cents = [
+            (r["vec_id"], list(r["_vec"]))
+            for r in corpus.filter(F.col("vec_id") % init_every == 0)
+            .select("vec_id", "_vec")
+            .collect()
+        ]
+    else:
+        raise ValueError(f"kmeans_lloyd: unknown init mode {init!r}")
     cents.sort()
     if not cents:
         # the every-Nth deterministic init selected nothing (empty

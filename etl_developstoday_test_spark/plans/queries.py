@@ -2281,6 +2281,46 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_cc_alternating_star",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jaccard WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM jaccard WHERE jaccard >= 0.5
+    ),
+    verts AS (SELECT DISTINCT doc_id AS node FROM documents),
+    reach AS (
+      SELECT node, node AS root FROM verts
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as ``dedup_connected_components`` but via
+    the ALTERNATING large-star/small-star algorithm (Kiveris et al.
+    2014, ``operators/graph.py:connected_components_star``): O(log² n)
+    rounds regardless of graph diameter, vs label propagation's
+    O(diameter). Oracle-identical to the propagation path (same
+    recursive-CTE oracle) — the regime rule lives in the operator
+    docstring: propagation for dense low-diameter dedup clusters,
+    alternating stars for chain/mesh-shaped graphs."""
+    from etl_developstoday_test_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return connected_components_star(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("node")),
+    ).select(F.col("node").alias("doc_id"), "component")
+
+
+@_register(
     "etl_merge_upsert",
     """
     WITH updates AS (

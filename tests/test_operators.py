@@ -999,6 +999,47 @@ def test_kmeans_init_fallback_when_every_nth_selects_nothing(spark):
     assert out.count() >= 1  # trains instead of crashing
 
 
+def test_kmeans_par_init_separates_planted_clusters(spark):
+    """k-means|| init (VERDICT r5 #8): on two well-separated planted
+    groups the d²-biased oversampling must land centers in BOTH groups
+    (the every-Nth init can't promise that on adversarial id layouts),
+    the reduction must return exactly k centroids drawn from the
+    corpus, and the whole path must be deterministic run-to-run."""
+    rows = []
+    for i in range(12):
+        rows.append((i, [1.0, 0.001 * i, 0.0]))  # group A around x-axis
+        rows.append((100 + i, [0.0, 0.001 * i, 1.0]))  # group B, z-axis
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from etl_developstoday_test_spark.operators.similarity import (
+        _with_unit_info,
+        fan_out,
+        kmeans_lloyd,
+        kmeans_par_init,
+    )
+
+    corpus = (
+        _with_unit_info(fan_out(emb), "embedding")
+        .select("vec_id", "_vec")
+        .localCheckpoint(eager=True)
+    )
+    cents = kmeans_par_init(corpus, k=2)
+    assert len(cents) == 2
+    ids = {cid for cid, _ in cents}
+    assert ids <= set(r[0] for r in rows)  # centers are corpus points
+    assert any(cid < 100 for cid in ids) and any(cid >= 100 for cid in ids)
+    # deterministic: a second run returns the identical centers
+    assert cents == kmeans_par_init(corpus, k=2)
+
+    # end-to-end through the unchanged Lloyd body: two pure clusters
+    out = {
+        r["centroid_id"]: (r["n_members"], r["mean_cos_sim"])
+        for r in kmeans_lloyd(emb, init="kmeans_par", k=2).collect()
+    }
+    assert sorted(n for n, _ in out.values()) == [12, 12]
+    assert all(cos > 0.99 for _, cos in out.values())
+
+
 def test_connected_components_converges_and_labels_min(spark):
     """Post-refactor (fused convergence check): two chains + an isolate
     still resolve to min-label components in bounded rounds."""

@@ -468,3 +468,58 @@ def test_pq_clone_always_achieves_max_adc_score(spark, seed):
     best = max(r.adc_score for r in out)
     clone = [r for r in out if r.neighbor_id == 200]
     assert clone and clone[0].adc_score == best, (seed, out[:3])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ).filter(lambda e: e[0] != e[1]),
+        max_size=25,
+    )
+)
+def test_alternating_star_cc_matches_label_propagation(spark, edges):
+    """Large-star/small-star (VERDICT r5 #6) must produce EXACTLY the
+    same (node, min-id component) labeling as min-label propagation on
+    any graph — including chains (the high-diameter regime the
+    alternating algorithm exists for), hubs, and isolated vertices."""
+    from etl_developstoday_test_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    nodes = sorted({v for e in und for v in e} | {0, 14})  # force isolates
+    e_df = spark.createDataFrame(
+        und or [(None, None)], "src long, dst long"
+    ).dropna()
+    v_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+
+    lp = {
+        r["node"]: r["component"]
+        for r in connected_components(e_df, v_df).collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(e_df, v_df).collect()
+    }
+    assert star == lp
+
+    # and both agree with a union-find ground truth
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        parent[find(a)] = find(b)
+    comps = {}
+    for n in nodes:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert lp == want
