@@ -220,6 +220,93 @@ def ivf_topk(
     )
 
 
+def semdedup_prune(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    eps: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus
+    by nearest centroid, then WITHIN each cluster prune every vector
+    whose cosine to a lower-id cluster-mate is ≥ ``eps`` — semantic
+    (not lexical) near-duplicates collapse to one representative per
+    ε-ball, the paper's greedy keep-lowest rule.
+
+    The clustering is what makes this scale: pair enumeration happens
+    only inside a cluster (Σ|cluster|² work, never n²), and the
+    assignment is one broadcast-centroid pass — exactly the IVF
+    corpus-assign stage (``ivf_topk``), so a pipeline that already
+    built an ANN index gets SemDeDup's candidate structure for free.
+    One shuffle for the within-cluster pair join (hash-partitioned on
+    centroid_id), one for the per-cluster rollup.
+
+    Deterministic throughout (argmax assignment with id tiebreaks, fold
+    cosine) — the full pipeline, including the prune decisions, has an
+    exact SQL twin. Returns per-cluster (centroid_id, n_vectors,
+    n_pruned, prune_rate).
+    """
+    cent = centroids.select(
+        F.col("centroid_id"), as_double_array("centroid_vec").alias("_cent")
+    )
+    e = _with_unit_info(fan_out(embeddings), vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        "_vec",
+        dot_fold(F.col("_vec"), F.col("_vec")).alias("_norm2"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "_vec",
+        "_norm2",
+        "centroid_id",
+        cosine(F.col("_vec"), F.col("_cent")).alias("_cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    # assigned feeds three consumers (both pair-join sides + the rollup)
+    # — checkpoint so the broadcast-assign pass runs once
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "centroid_id", "_vec", "_norm2")
+        .localCheckpoint(eager=True)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            (
+                dot_fold(F.col("a._vec"), F.col("b._vec"))
+                / F.sqrt(F.col("a._norm2") * F.col("b._norm2"))
+            ).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= eps)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(pruned.withColumn("_p", F.lit(1)), "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("_p").alias("n_pruned"),
+        )
+        .select(
+            "centroid_id",
+            "n_vectors",
+            "n_pruned",
+            F.round(F.col("n_pruned") / F.col("n_vectors"), 6).alias(
+                "prune_rate"
+            ),
+        )
+    )
+
+
 def kmeans_par_init(
     corpus: DataFrame,
     k: int,

@@ -433,3 +433,129 @@ def count_min_heavy_hitters(
             .alias("over_count"),
         )
     )
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed term query —
+    the retrieval scorer a dedup/curation pipeline uses for
+    benchmark-decontamination lookups and nearest-text retrieval when
+    no embeddings exist.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the standard Robertson idf ln((N − df + ½)/(df + ½) + 1),
+    k1 = 1.2, b = 0.75.
+
+    Distributed shape: ONE corpus scan produces both per-doc length and
+    the query-term postings (the term filter prunes the explode before
+    any shuffle — postings volume is |terms| docs' worth, not the
+    corpus); df is a |terms|-row broadcast; global N/avgdl are two
+    driver scalars from one aggregate. Per-term contributions are
+    quantized to 1e-9 and summed as exact BIGINTs so the per-doc score
+    is independent of partition/summation order (the same
+    exact-accumulator idiom as similarity.CENTROID_QUANTUM), then
+    rounded to 6 dp before the rank tiebreak (doc_id asc).
+
+    Returns the top ``k`` rows (doc_id, n_terms_matched, bm25, rank).
+    """
+    K1, B = 1.2, 0.75
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=True)
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    ).collect()[0]
+    n_docs = stats["n_docs"]
+    avgdl = stats["n_tokens"] / n_docs
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    hits = tok.filter(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (K1 + 1))
+        / (
+            F.col("tf")
+            + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(
+                F.sum(F.round(contrib * 1e9).cast("long")).cast("double")
+                / 1e9,
+                6,
+            ).alias("bm25"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # top-k via sort+limit (TakeOrderedAndProject: per-partition heaps,
+    # driver merge of k rows) — NOT a corpus-wide single-partition rank
+    # window; only the k survivors pay the row_number
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "n_terms_matched", "bm25", "rank"
+    )
+
+
+def unigram_logprob_deciles(docs: DataFrame) -> DataFrame:
+    """Unigram language-model quality score, bucketed into deciles —
+    the CCNet-style corpus filter: score each document by the mean
+    log-probability of its tokens under the corpus's own unigram model
+    (boilerplate of common tokens scores high, noise/rare-vocab scores
+    low), then cut the corpus into ntile(10) quality buckets.
+
+    Two-pass shape like token_rarity: pass 1 builds the unigram model
+    (token → count; vocabulary-sized shuffle), pass 2 streams the
+    corpus against the broadcast model. Per-token ln(freq/total) is
+    quantized to 1e-9 and summed in exact BIGINTs (order-independent),
+    the per-doc mean rounds to 6 dp, and the decile assignment orders
+    by (score, doc_id) so it is reproducible on any engine. The final
+    ntile is a single-partition window over ONE ROW PER DOCUMENT —
+    fine up to ~10^9 docs; beyond that swap for a quantile-summary cut
+    (approx_percentile boundaries), same output contract.
+
+    Returns (decile, n_docs, min_logprob, max_logprob).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=True)
+    total = tok.count()
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    lp = F.log(F.col("f").cast("double") / F.lit(float(total)))
+    doc_lp = (
+        tok.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.round(lp * 1e9).cast("long")).cast("double")
+                / 1e9
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_logprob")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("mean_logprob", "doc_id")
+    return (
+        doc_lp.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("mean_logprob").alias("min_logprob"),
+            F.max("mean_logprob").alias("max_logprob"),
+        )
+    )

@@ -723,11 +723,17 @@ def containment_pairs(
 
     Returns (doc_inner, doc_outer, intersection_size, containment).
     """
-    sh = _doc_shingles(docs, n)
+    # materialize the shingle working set ONCE: it feeds five consumers
+    # (both pair-join sides, the size aggregate, and both per-direction
+    # size lookups) — without the checkpoint every consumer re-derives
+    # scan + explode + distinct, which the plan sweep measured as 12
+    # scans of the source table for this operator
+    sh = _doc_shingles(docs, n).localCheckpoint(eager=True)
     sizes = (
         sh.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
         .filter(F.col("n_shingles") >= min_shingles)
+        .localCheckpoint(eager=True)
     )
     sh = sh.join(sizes.select("doc_id"), "doc_id")
     a, b = sh.alias("a"), sh.alias("b")

@@ -41,7 +41,7 @@ from collections.abc import Callable
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_developstoday_test_spark.functions import ACC_DECIMAL, davg, dsum
+from etl_developstoday_test_spark.functions import ACC_DECIMAL, davg, dsum, fan_out
 from etl_developstoday_test_spark.operators import (
     asof,
     events_etl,
@@ -8593,4 +8593,244 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("intersection_size").cast("bigint").alias("min_intersection"),
         F.max("intersection_size").cast("bigint").alias("max_intersection"),
+    )
+
+
+@_register(
+    "dedup_semdedup_prune",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id
+               ) AS r
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    pruned AS (
+      SELECT DISTINCT bb.vec_id
+      FROM assign aa
+      JOIN assign bb ON aa.centroid_id = bb.centroid_id
+                    AND aa.vec_id < bb.vec_id
+      JOIN embeddings ea ON ea.vec_id = aa.vec_id
+      JOIN embeddings eb ON eb.vec_id = bb.vec_id
+      WHERE {_cosine('ea.embedding', 'eb.embedding')} >= 0.3
+    )
+    SELECT a.centroid_id, COUNT(*) AS n_vectors,
+           COUNT(p.vec_id) AS n_pruned,
+           round(CAST(COUNT(p.vec_id) AS DOUBLE) / COUNT(*), 6) AS prune_rate
+    FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+    GROUP BY a.centroid_id
+    """,
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    operators/similarity.semdedup_prune): IVF-style nearest-centroid
+    clustering (same deterministic every-50th centroids as the ANN
+    queries), then within-cluster cosine-ε pruning keeping the lowest
+    id per ε-ball. Per-cluster prune statistics; the whole pipeline —
+    assignment, pair decisions, rates — hash-matches an exact SQL
+    replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_prune(emb, _ivf_centroids(emb), eps=0.3)
+
+
+@_register(
+    "sample_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jaccard WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM jaccard WHERE jaccard >= 0.5
+    ),
+    verts AS (SELECT DISTINCT doc_id AS node FROM documents),
+    reach AS (
+      SELECT node, node AS root FROM verts
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    split AS (
+      SELECT doc_id, component,
+             CASE WHEN {_md5long("'split#' || CAST(component AS VARCHAR)")}
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM comp
+    ),
+    leaks AS (
+      SELECT COUNT(*) AS n_leaky_pairs
+      FROM jaccard j
+      JOIN split sa ON sa.doc_id = j.doc_a
+      JOIN split sb ON sb.doc_id = j.doc_b
+      WHERE j.jaccard >= 0.5 AND sa.split != sb.split
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT component) AS n_components, n_leaky_pairs
+    FROM split CROSS JOIN leaks
+    GROUP BY split, n_leaky_pairs
+    """,
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: hash-split by near-dup COMPONENT
+    id, not doc id, so near-duplicate documents can never straddle the
+    split boundary (the train/test contamination a doc-hash split
+    allows whenever a near-dup pair lands on opposite sides). Composes
+    the existing pieces — n-gram Jaccard pair graph → connected
+    components → salted-md5 assignment — and carries the leak counter
+    (#near-dup pairs with endpoints in different splits) in the output:
+    structurally ZERO by construction, and the oracle proves it."""
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("node")),
+    )
+    split = comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.when(
+            md5_long(
+                F.concat(F.lit("split#"), F.col("component").cast("string"))
+            )
+            % 100
+            < 80,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaks = (
+        pairs.join(
+            split.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).alias("n_leaky_pairs"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("component").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_docs", "n_components", "n_leaky_pairs")
+    )
+
+
+@_register(
+    "text_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM tok
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, term FROM tok
+      WHERE term IN ('table', 'hash', 'merge')
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             COUNT(*) AS n_terms_matched,
+             round(CAST(SUM(CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75
+                              + 0.75 * dl / (CAST(n_tokens AS DOUBLE) / n_docs)))
+               * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS bm25
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_terms_matched, bm25, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query
+    (operators/text_analysis.bm25_topk): Robertson idf, k1=1.2, b=0.75,
+    per-term contributions accumulated in exact quantized BIGINTs so
+    the score is summation-order-independent, ranked with a doc_id
+    tiebreak. The term filter prunes the postings BEFORE any shuffle —
+    at 100 TB the wide work is |query terms| postings, not the
+    corpus."""
+    return text_analysis.bm25_topk(
+        fan_out(load_table(spark, sf_dir, "documents")),
+        terms=["table", "hash", "merge"],
+        k=10,
+    )
+
+
+@_register(
+    "text_unigram_logprob_quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    freq AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term),
+    doc_lp AS (
+      SELECT tok.doc_id,
+             round(CAST(SUM(CAST(round(
+                 ln(CAST(f AS DOUBLE) / n) * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 / COUNT(*), 6) AS mean_logprob
+      FROM tok JOIN freq ON freq.term = tok.term CROSS JOIN tot
+      GROUP BY tok.doc_id
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+           MIN(mean_logprob) AS min_logprob,
+           MAX(mean_logprob) AS max_logprob
+    FROM (
+      SELECT doc_id, mean_logprob,
+             ntile(10) OVER (ORDER BY mean_logprob, doc_id) AS decile
+      FROM doc_lp
+    )
+    GROUP BY decile
+    """,
+)
+def text_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality filter
+    (operators/text_analysis.unigram_logprob_deciles): score every doc
+    by the mean ln-probability of its tokens under the corpus's own
+    unigram model, cut into 10 reproducible quality deciles (ordered by
+    rounded score with doc_id tiebreak). Exact quantized accumulation
+    makes the iterative-free two-pass plan hash-match the SQL twin."""
+    return text_analysis.unigram_logprob_deciles(
+        fan_out(load_table(spark, sf_dir, "documents"))
     )
