@@ -841,3 +841,33 @@ def test_recursive_cte_hierarchy_depths(spark):
     for d in range(max_depth + 1):
         assert rows[d] == min(2**d, n - (2**d - 1))
     assert sum(rows.values()) == n
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark):
+    """BM25's top-k must compile to TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge) — a corpus-wide single-partition rank
+    window here would funnel every scored doc through one task at
+    100 TB. The rank window is allowed only AFTER the limit, over the k
+    survivors."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_centroids_broadcast_pairs_equijoined(spark):
+    """SemDeDup's within-cluster pair stage must be an equi-join
+    hash-partitioned on centroid_id — never a cartesian pair
+    enumeration — fed from the ONE materialized assignment pass (the
+    broadcast-centroid assign runs inside the eager checkpoint, so the
+    visible plan starts at its Scan ExistingRDD)."""
+    plan = plan_of(spark, "dedup_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(centroid_id" in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed working set, built once
+
+
+def test_leakage_safe_split_has_zero_leaky_pairs(spark):
+    """The component-keyed split's defining invariant, checked from the
+    executed result: no near-dup pair straddles train/test."""
+    rows = QUERIES["sample_leakage_safe_split"](spark, SF_DIR).collect()
+    assert rows and all(r["n_leaky_pairs"] == 0 for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "test"}
