@@ -218,3 +218,70 @@ def resize_plan(media: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame
             "thumb_sha256"
         ),
     )
+
+
+def frame_phash_dedup(
+    media: DataFrame, every_ms: int = 1000, bucket_ms: int = 2000
+) -> DataFrame:
+    """Frame-level perceptual-hash dedup for video: sample frames
+    (``frame_sample_plan``), decode each and compute a 60-bit
+    perceptual hash in ONE Arrow-batched pandas UDF pass, then dedup
+    frames by exact pHash — the standard near-dup collapse for video
+    training data (consecutive/static frames and re-encoded copies
+    share a pHash; one representative frame survives per hash).
+
+    The decode+phash is the stubbed step (same contract as
+    ``DECODERS``): the deterministic stand-in hashes
+    sha256(content ‖ frame_ts_ms // bucket_ms), which makes adjacent
+    frames inside one ``bucket_ms`` window collide exactly — a
+    faithful stand-in for the temporal redundancy a real pHash
+    collapses, and exactly replayable by a SQL oracle. A real
+    deployment swaps in decode→DCT-pHash with the identical UDF
+    signature (bytes, ts) → int64.
+
+    Scale shape: the explode happens BEFORE Python so Spark
+    parallelizes at frame granularity; the JVM keeps everything but the
+    per-frame hash; dedup is one groupBy on (phash). Returns per-video
+    (media_id, n_frames, n_distinct_frames, n_dup_frames).
+    """
+    video = media.filter(F.col("media_type") == "video")
+    n_frames = F.greatest(
+        F.lit(1), (F.col("meta.duration_ms") / every_ms).cast("int")
+    )
+    frames = video.select(
+        "media_id",
+        F.coalesce(F.col("content"), F.lit(b"")).alias("content"),
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
+            "frame_idx", "_"
+        ),
+    ).select(
+        "media_id",
+        "content",
+        (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+    )
+
+    @F.pandas_udf(T.LongType())
+    def phash(content: pd.Series, ts_bucket: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(
+                    hashlib.sha256(
+                        (b if b is not None else b"") + str(tb).encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                for b, tb in zip(content, ts_bucket)
+            ]
+        )
+
+    hashed = frames.select(
+        "media_id",
+        phash(
+            "content", (F.col("frame_ts_ms") / bucket_ms).cast("long")
+        ).alias("phash"),
+    )
+    return hashed.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count_distinct("phash").alias("n_distinct_frames"),
+        (F.count(F.lit(1)) - F.count_distinct("phash")).alias("n_dup_frames"),
+    )

@@ -165,3 +165,45 @@ def fixed_k_per_stratum(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def weighted_reservoir_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "res",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum, via the
+    Efraimidis–Spirakis exponential-key reservoir (2006): each row
+    draws u ∈ (0,1] and ranks by u^(1/w) — equivalently ln(u)/w, the
+    monotone form used here — and the top-k keys per stratum are
+    EXACTLY a weighted sample without replacement (inclusion ∝ weight,
+    sequentially renormalized). The u here is the salted-md5 uniform of
+    the row id, so the "random" sample is deterministic across runs,
+    engines, and partitionings — same trade as fixed_k_per_stratum,
+    which is this operator's unweighted special case.
+
+    One window shuffle on the stratum key; same top-k-by-key reduction
+    applies at scale (pre-filter by an approximate per-stratum key
+    cutoff so the window ranks ~k·ε candidates). Keys are rounded to
+    9 dp BEFORE ranking (cross-engine ln stability) with an id
+    tiebreak. Returns the sampled rows plus (es_key, sample_rank).
+    """
+    from pyspark.sql import Window
+
+    u = (
+        md5_long(F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string")))
+        + 1
+    ) / F.lit(float(1 << 60))
+    w_col = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    es_key = F.round(F.log(u) / w_col, 9)
+    win = Window.partitionBy(strata_col).orderBy(
+        F.desc("es_key"), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("es_key", es_key)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

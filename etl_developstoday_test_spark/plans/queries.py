@@ -8834,3 +8834,84 @@ def text_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.unigram_logprob_deciles(
         fan_out(load_table(spark, sf_dir, "documents"))
     )
+
+
+@_register(
+    "sample_weighted_reservoir",
+    f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             round(ln(({_md5long("'res#' || CAST(doc_id AS VARCHAR)")} + 1)
+                      / 1152921504606846976.0)
+                   / greatest(CAST(n_chars AS DOUBLE), 1.0), 9) AS es_key
+      FROM documents
+    ),
+    topk AS (
+      SELECT source, doc_id, n_chars, es_key,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY es_key DESC, doc_id ASC) AS rn
+      FROM ranked
+    )
+    SELECT source, doc_id, n_chars, es_key, CAST(rn AS BIGINT) AS sample_rank
+    FROM topk WHERE rn <= 5
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 5 docs per source with
+    inclusion probability ∝ document length — the Efraimidis–Spirakis
+    exponential-key reservoir
+    (operators/sampling.weighted_reservoir_per_stratum), determinized
+    with the salted-md5 uniform so every rerun and every engine draws
+    the SAME 'random' sample. The length-weighted variant of
+    sample_fixed_k_per_stratum; one window shuffle on the stratum
+    key."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        weighted_reservoir_per_stratum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_per_stratum(
+        docs, "source", "n_chars", k=5
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "es_key",
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+    )
+
+
+@_register(
+    "mm_frame_phash_dedup",
+    """
+    WITH frames AS (
+      SELECT media_id,
+             CAST(concat('0x', substr(sha256(
+               text || CAST((f * 1000) // 2000 AS VARCHAR)), 1, 15))
+               AS BIGINT) AS phash
+      FROM (
+        SELECT doc_id AS media_id, text,
+               unnest(generate_series(0,
+                 greatest(1, (n_chars * 10) // 1000) - 1)) AS f
+        FROM documents WHERE doc_id % 3 = 2
+      )
+    )
+    SELECT media_id, COUNT(*) AS n_frames,
+           COUNT(DISTINCT phash) AS n_distinct_frames,
+           COUNT(*) - COUNT(DISTINCT phash) AS n_dup_frames
+    FROM frames GROUP BY media_id
+    """,
+)
+def mm_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level perceptual-hash dedup
+    (operators/multimodal.frame_phash_dedup): explode videos to frames
+    BEFORE Python, one Arrow-batched pandas UDF computes the per-frame
+    pHash (deterministic sha256-of-bytes‖time-bucket stand-in — real
+    DCT-pHash swaps in with the identical (bytes, ts)→int64 signature),
+    then exact-hash dedup collapses temporally-redundant frames. The
+    2000 ms bucket makes adjacent 1000 ms samples collide, so every
+    video shows real duplicate counts the SQL oracle reproduces
+    bit-for-bit."""
+    return multimodal.frame_phash_dedup(
+        _media_from_documents(spark, sf_dir), every_ms=1000, bucket_ms=2000
+    )

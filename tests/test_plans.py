@@ -394,6 +394,9 @@ _DECLARED_PYTHON_QUERIES = {
     "text_arrow_batch_stats",
     # GROUPED_AGG pandas UDF (AggregateInPandas) — exact median
     "agg_pandas_udaf_median",
+    # per-frame pHash pandas UDF (ArrowEvalPython) — the declared
+    # decode/hash crossing of the multimodal dedup path
+    "mm_frame_phash_dedup",
 }
 
 
