@@ -241,21 +241,11 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def _band_candidates(sig: DataFrame, bucket_max: int | None = None) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band key
-    of the MinHash signature — the bucket equi-join that replaces the
-    all-pairs comparison.
-
-    ``bucket_max`` is the hot-bucket guard of the family (the LSH
-    sibling of ``df_max`` on shingles/fingerprints): a band bucket
-    holding d documents emits d² candidate pairs from ONE join key, so
-    a corpus-wide boilerplate cluster turns the bucket join quadratic
-    on a skewed key. Buckets larger than ``bucket_max`` are skipped
-    entirely — at web scale a giant bucket is degenerate boilerplate,
-    and its members still pair through exact-hash dedup upstream.
-    Computed with a window over the bucket partition so the signature
-    lineage is materialized by one exchange the self-join reuses.
-    """
+def _bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — the LSH band explode of a MinHash
+    signature table: band key = md5 of the band's signature rows. This
+    IS the stored index of the incremental path (one row per doc per
+    band, keyed for the bucket equi-join)."""
     rows_per_band = N_MINHASH // N_BANDS
     band_keys = F.array(
         *[
@@ -271,9 +261,27 @@ def _band_candidates(sig: DataFrame, bucket_max: int | None = None) -> DataFrame
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "band_key")
     )
+
+
+def _band_candidates(sig: DataFrame, bucket_max: int | None = None) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band key
+    of the MinHash signature — the bucket equi-join that replaces the
+    all-pairs comparison.
+
+    ``bucket_max`` is the hot-bucket guard of the family (the LSH
+    sibling of ``df_max`` on shingles/fingerprints): a band bucket
+    holding d documents emits d² candidate pairs from ONE join key, so
+    a corpus-wide boilerplate cluster turns the bucket join quadratic
+    on a skewed key. Buckets larger than ``bucket_max`` are skipped
+    entirely — at web scale a giant bucket is degenerate boilerplate,
+    and its members still pair through exact-hash dedup upstream.
+    Computed with a window over the bucket partition so the signature
+    lineage is materialized by one exchange the self-join reuses.
+    """
+    bands = _bands(sig)
     if bucket_max is not None:
         from pyspark.sql import Window
 
@@ -769,3 +777,61 @@ def containment_pairs(
         )
     )
     return directed.filter(F.col("containment") >= threshold)
+
+
+def incremental_minhash_lsh(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW document batch
+    against the EXISTING corpus's MinHash-LSH index without re-pairing
+    the corpus — the production shape of dedup at 100 TB, where the
+    corpus index (the ``_bands`` table: doc_id × band × band_key) is a
+    stored artifact and each ingest batch only (a) signs its own docs,
+    (b) bucket-joins its bands against the index, (c) exact-verifies
+    the candidates. Cost per batch is O(|batch|) signing + a join whose
+    small side is the batch's bands (broadcast at real batch sizes) —
+    the corpus is touched only at its index and only for candidate
+    rows; contrast ``minhash_lsh_pairs``, which re-pairs everything.
+
+    Here both indexes are derived in-query from the split (no stored
+    tables in the harness); the lexical incremental sibling is
+    ``incremental_new_docs`` (exact content-hash anti-join). Returns
+    (new_doc, old_doc, jaccard ≥ threshold) with the exact verified
+    Jaccard — symmetric, so values match the batch operator's on the
+    same pair.
+    """
+    bn = _bands(minhash_signatures(new_docs, n))
+    bo = _bands(minhash_signatures(old_docs, n))
+    candidates = (
+        bn.alias("a")
+        .join(
+            bo.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("old_doc"),
+        )
+        .distinct()
+    )
+    sa = fan_out(new_docs).select(
+        F.col("doc_id").alias("new_doc"),
+        _shingle_set(n).alias("_sh_a"),
+    ).withColumn("_na", F.size("_sh_a"))
+    sb = fan_out(old_docs).select(
+        F.col("doc_id").alias("old_doc"),
+        _shingle_set(n).alias("_sh_b"),
+    ).withColumn("_nb", F.size("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    jac = inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)
+    return (
+        candidates.join(sa, "new_doc")
+        .join(sb, "old_doc")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "old_doc", "jaccard")
+    )

@@ -8915,3 +8915,60 @@ def mm_frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_phash_dedup(
         _media_from_documents(spark, sf_dir), every_ms=1000, bucket_ms=2000
     )
+
+
+def _incremental_minhash_sql() -> str:
+    n = text_dedup.N_MINHASH
+    bands, rpb = text_dedup.N_BANDS, text_dedup.N_MINHASH // text_dedup.N_BANDS
+    mins = ",\n         ".join(
+        "MIN({h}) AS m{i}".format(h=_md5long("shingle || '#%d'" % i), i=i)
+        for i in range(n)
+    )
+    band_keys = ", ".join(
+        "md5("
+        + " || ',' || ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    signatures AS (
+      SELECT doc_id, {mins}
+      FROM doc_shingles GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band,
+             unnest([{band_keys}]) AS band_key
+      FROM signatures
+    ),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    )
+    SELECT c.new_doc, c.old_doc, j.jaccard
+    FROM candidates c JOIN jaccard j
+      ON j.doc_a = least(c.new_doc, c.old_doc)
+     AND j.doc_b = greatest(c.new_doc, c.old_doc)
+    WHERE j.jaccard >= 0.5
+    """
+
+
+@_register("dedup_incremental_minhash_lsh", _incremental_minhash_sql())
+def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest
+    (operators/text_dedup.incremental_minhash_lsh): the new batch
+    (doc_id % 10 == 0 as the stand-in ingest) probes the existing
+    corpus's MinHash band index instead of re-pairing the corpus —
+    per-batch cost is O(|batch|) signing plus a bucket join against the
+    stored index, the only dedup shape that survives continuous
+    ingestion at 100 TB. Fuzzy sibling of the exact-hash
+    dedup_incremental_new_docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_dedup.incremental_minhash_lsh(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=3,
+        threshold=0.5,
+    )
