@@ -523,3 +523,45 @@ def test_alternating_star_cc_matches_label_propagation(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {n: min(members) for members in comps.values() for n in members}
     assert lp == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "gold", "iron", "wolf",
+                             "moon", "star", "rain", "leaf"]),
+            min_size=5,
+            max_size=12,
+        ).map(" ".join),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_incremental_lsh_equals_batch_cross_pairs(spark, texts):
+    """The incremental index probe must find EXACTLY the cross-split
+    subset of what the batch LSH finds on the union — same pairs, same
+    verified Jaccard values — on any corpus and any even/odd split.
+    (Within-batch and within-corpus pairs are out of contract: the
+    index probe's job is only new-vs-existing.)"""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        incremental_minhash_lsh,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    new = docs.filter("doc_id % 2 = 0")
+    old = docs.filter("doc_id % 2 = 1")
+    got = sorted(
+        (min(r["new_doc"], r["old_doc"]), max(r["new_doc"], r["old_doc"]),
+         r["jaccard"])
+        for r in incremental_minhash_lsh(old, new, n=3, threshold=0.5).collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+        if r["doc_a"] % 2 != r["doc_b"] % 2
+    )
+    assert got == want
