@@ -8972,3 +8972,71 @@ def dedup_incremental_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         n=3,
         threshold=0.5,
     )
+
+
+@_register(
+    "stream_checkpoint_restart_recovery",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a RESTART: run a file-source → parquet-sink
+    stream to completion on half the input, then 'bring the job back
+    up' on the SAME checkpointLocation after new files arrived — the
+    offset log replays only the unseen files, and the sink ends with
+    every event exactly once (the batch oracle proves no loss AND no
+    double-processing of the pre-restart files; a broken checkpoint
+    story fails the hash either way). This is the recovery contract a
+    100 TB ingest job leans on daily: checkpoint = source offsets +
+    sink commit log, restart = resume, not reprocess. Uses an isolated
+    session and an availableNow trigger per run (run-to-completion
+    batches of a growing directory, maxFilesPerTrigger=1)."""
+    import shutil
+    import tempfile
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    tmp = tempfile.mkdtemp(prefix="ckpt_restart_")
+    ev = load_table(s2, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+
+    def run_to_completion() -> None:
+        q = (
+            s2.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(src)
+        run_to_completion()
+        # the job is 'down'; more data lands in the source directory
+        ev.filter(F.col("event_id") % 2 == 1).repartition(2).write.mode(
+            "append"
+        ).parquet(src)
+        run_to_completion()  # restart: same checkpoint, only new files
+        out = (
+            s2.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
