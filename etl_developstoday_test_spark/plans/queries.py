@@ -9040,3 +9040,145 @@ def stream_checkpoint_restart_recovery(spark: SparkSession, sf_dir: str) -> Data
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@_register(
+    "text_hybrid_rrf_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM tok
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, term FROM tok
+      WHERE term IN ('table', 'hash', 'merge')
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+    ),
+    bm25_scored AS (
+      SELECT tf.doc_id,
+             round(CAST(SUM(CAST(round(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75
+                              + 0.75 * dl / (CAST(n_tokens AS DOUBLE) / n_docs)))
+               * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS bm25
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rn FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM bm25_scored
+      ) WHERE rn <= 20
+    ),
+    sem_scored AS (
+      SELECT e.vec_id AS doc_id,
+             {_cosine('p.embedding', 'e.embedding')} AS cos_sim
+      FROM embeddings e
+      JOIN embeddings p ON p.vec_id = 0
+      WHERE e.vec_id != 0
+    ),
+    sem AS (
+      SELECT doc_id, rn FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rn
+        FROM sem_scored
+      ) WHERE rn <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.rn AS lex_rank, s.rn AS sem_rank,
+             round(COALESCE(1.0 / (60 + l.rn), 0.0)
+                   + COALESCE(1.0 / (60 + s.rn), 0.0), 9) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf_score,
+           CAST(rn AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """,
+)
+def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the BM25 lexical top-20 with the exact-cosine semantic
+    top-20 (probe = vec_id 0's embedding) by
+    score(d) = Σ 1/(60 + rank_list(d)), full-outer on doc id so a doc
+    found by only one modality still scores. Rank fusion needs no score
+    calibration between modalities — exactly why it's the standard
+    first fusion in retrieval/curation stacks. Both input rankings are
+    this repo's existing deterministic operators; the fused top-10 is
+    again a TakeOrderedAndProject, never a corpus-wide window."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    lex = text_analysis.bm25_topk(
+        docs, terms=["table", "hash", "merge"], k=20
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.col("lex_rank") + 60), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.col("sem_rank") + 60), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    from pyspark.sql import Window
+
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return top.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).select("doc_id", "lex_rank", "sem_rank", "rrf_score", "fused_rank")
+
+
+@_register(
+    "window_cume_dist_profile",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(cume_dist() OVER w, 9) AS price_cume_dist,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_cume_dist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: cume_dist (the empirical CDF position of
+    each order's price within its priority class) and nth_value over an
+    unbounded frame (the class's second-cheapest order key, visible on
+    every row). One hash-partitioned window shuffle on the priority key;
+    the deterministic (price, key) sort order makes both functions
+    engine-reproducible, with cume_dist rounded to 9 dp."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    order_cols = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    w = Window.partitionBy("o_orderpriority").orderBy(*order_cols)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
+    )
