@@ -9182,3 +9182,62 @@ def window_cume_dist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("price_cume_dist"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
     )
+
+
+@_register(
+    "join_cbo_reordered_star",
+    f"""
+    SELECT n_name, COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY n_name
+    """,
+)
+def join_cbo_reordered_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering from catalog statistics — the
+    optimizer leg the other join queries don't exercise (broadcast,
+    bucketing, AQE skew, runtime bloom filters are all covered
+    elsewhere): the tables land in the catalog, ANALYZE TABLE computes
+    row counts + column stats, and with spark.sql.cbo.joinReorder the
+    DELIBERATELY bad written order (fact ⋈ big dim first, the selective
+    tiny dim last) is rewritten so the n_name='NATION_7' nation filter
+    joins FIRST, shrinking the intermediate by ~25× before the fact
+    join — at 100 TB the difference between shuffling the whole
+    customer×orders join and a nation's worth. The reorder itself is
+    pinned by tests/test_plans.py; managed tables are dropped after the
+    result materializes. Isolated session (CBO confs + catalog names
+    are session/catalog state)."""
+    import uuid
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    suff = uuid.uuid4().hex[:8]
+    names = {t: f"cbo_{t}_{suff}" for t in ("orders", "customer", "nation")}
+    try:
+        for t, name in names.items():
+            load_table(s2, sf_dir, t).write.mode("overwrite").saveAsTable(name)
+            s2.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+        out = (
+            s2.sql(
+                f"""
+                SELECT n_name, COUNT(*) AS n_orders,
+                       {{dsum}} AS total_price
+                FROM {names['orders']} o
+                JOIN {names['customer']} c ON o.o_custkey = c.c_custkey
+                JOIN {names['nation']} n ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_name = 'NATION_7'
+                GROUP BY n_name
+                """.format(dsum="CAST(SUM(CAST(o_totalprice AS "
+                           + ACC_DECIMAL
+                           + ")) AS DOUBLE)")
+            )
+            .localCheckpoint(eager=True)  # materialize before DROP
+        )
+    finally:
+        for name in names.values():
+            s2.sql(f"DROP TABLE IF EXISTS {name}")
+    return out

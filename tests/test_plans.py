@@ -874,3 +874,40 @@ def test_leakage_safe_split_has_zero_leaky_pairs(spark):
     rows = QUERIES["sample_leakage_safe_split"](spark, SF_DIR).collect()
     assert rows and all(r["n_leaky_pairs"] == 0 for r in rows)
     assert {r["split"] for r in rows} <= {"train", "test"}
+
+
+def test_cbo_stats_reorder_joins_selective_dim_first(spark):
+    """With ANALYZE'd catalog stats and spark.sql.cbo.joinReorder on,
+    the deliberately bad written order (orders ⋈ customer first, the
+    filtered 1-row nation last) must be REWRITTEN so the selective
+    nation join executes before the fact join — the optimized plan
+    lists the nation relation inside the inner join subtree, above the
+    orders relation. Without stats-driven reorder the written order
+    survives and this assertion fails."""
+    import uuid
+
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    suff = uuid.uuid4().hex[:8]
+    names = {t: f"cbo_{t}_{suff}" for t in ("orders", "customer", "nation")}
+    try:
+        for t, name in names.items():
+            load_table(s2, SF_DIR, t).write.mode("overwrite").saveAsTable(name)
+            s2.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+        q = s2.sql(f"""
+            SELECT n_name, COUNT(*) AS n_orders
+            FROM {names['orders']} o
+            JOIN {names['customer']} c ON o.o_custkey = c.c_custkey
+            JOIN {names['nation']} n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY n_name
+        """)
+        opt = q._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.index(names["nation"]) < opt.index(names["orders"]), opt
+    finally:
+        for name in names.values():
+            s2.sql(f"DROP TABLE IF EXISTS {name}")
