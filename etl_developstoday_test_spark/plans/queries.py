@@ -9241,3 +9241,46 @@ def join_cbo_reordered_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in names.values():
             s2.sql(f"DROP TABLE IF EXISTS {name}")
     return out
+
+
+@_register(
+    "events_arrow_grouped_stats",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow UDF (``GroupedData.applyInArrow``, SPARK-40307)
+    — the last cell of the Python-surface matrix (scalar pandas_udf,
+    GROUPED_AGG UDAF, grouped/cogrouped applyInPandas, mapInPandas,
+    mapInArrow, UDTF, Python DataSource are all covered elsewhere):
+    each event_type group arrives as ONE pyarrow.Table, processed by
+    C++ compute kernels with no pandas object boxing. The money sum is
+    quantized to integer cents inside the kernel so the result is
+    summation-order-independent (groups arrive in partition order);
+    count/max are order-free already. One shuffle on the group key, the
+    same as the relational twin the oracle runs."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        v = table.column("value")
+        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n_events": [table.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+                "max_value": [pc.max(v).as_py()],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n_events long, total_cents long, max_value double",
+    )

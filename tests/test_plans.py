@@ -397,6 +397,8 @@ _DECLARED_PYTHON_QUERIES = {
     # per-frame pHash pandas UDF (ArrowEvalPython) — the declared
     # decode/hash crossing of the multimodal dedup path
     "mm_frame_phash_dedup",
+    # grouped-map Arrow UDF (FlatMapGroupsInArrow)
+    "events_arrow_grouped_stats",
 }
 
 
@@ -438,7 +440,8 @@ def test_no_undeclared_python_in_any_plan(spark):
             marker in plan
             for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
                            "BatchEvalPythonUDTF", "FlatMapCoGroupsInPandas",
-                           "MapInArrow", "AggregateInPandas",
+                           "MapInArrow", "FlatMapGroupsInArrow",
+                           "AggregateInPandas",
                            "] (Python)")  # Python DataSource scans
         )
         if has_arrow_python and name not in _DECLARED_PYTHON_QUERIES:
@@ -911,3 +914,28 @@ def test_cbo_stats_reorder_joins_selective_dim_first(spark):
     finally:
         for name in names.values():
             s2.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_nested_schema_pruning_reads_only_subfield(spark, tmp_path):
+    """Nested-column pruning (spark.sql.optimizer.nestedSchemaPruning,
+    on by default): selecting one subfield of a struct column from
+    parquet must push a PRUNED ReadSchema — only the selected leaf, not
+    the whole struct — to the scan. At 100 TB of media/metadata structs
+    this is the difference between reading one int column and
+    deserializing every nested field of every row."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "nested")
+    spark.range(100).select(
+        "id",
+        F.struct(
+            F.col("id").alias("w"),
+            (F.col("id") * 2).alias("h"),
+            F.repeat(F.lit("x"), 100).alias("blob"),
+        ).alias("meta"),
+    ).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src).select("id", F.col("meta.w").alias("w"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "w" in read_schema
+    assert "blob" not in read_schema and "h:" not in read_schema, read_schema
