@@ -9284,3 +9284,144 @@ def events_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "event_type string, n_events long, total_cents long, max_value double",
     )
+
+
+@_register(
+    "curation_corpus_card",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE.lstrip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jaccard WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM jaccard WHERE jaccard >= 0.5
+    ),
+    verts AS (SELECT DISTINCT doc_id AS node FROM documents),
+    reach AS (
+      SELECT node, node AS root FROM verts
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    exact AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    survivors AS (
+      SELECT d.doc_id, c.component,
+             CASE WHEN {_md5long("'split#' || CAST(component AS VARCHAR)")}
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split,
+             len({_TOKS}) AS n_tokens
+      FROM documents d
+      JOIN exact e ON e.doc_id = d.doc_id AND e.rn = 1
+      JOIN comp c ON c.doc_id = d.doc_id AND c.component = d.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM exact WHERE rn > 1) AS n_exact_dups,
+           (SELECT COUNT(*) FROM comp WHERE component != doc_id)
+             AS n_neardup_losers,
+           COUNT(*) FILTER (WHERE split = 'train') AS n_train_docs,
+           COUNT(*) FILTER (WHERE split = 'test') AS n_test_docs,
+           SUM(n_tokens) FILTER (WHERE split = 'train') AS train_tokens,
+           SUM(n_tokens) FILTER (WHERE split = 'test') AS test_tokens
+    FROM survivors
+    """,
+)
+def curation_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus card — the whole curation pipeline composed into ONE
+    row: exact dedup (min-doc_id canonical per content hash) ∩ near-dup
+    clustering (n-gram-Jaccard pair graph → connected components, keep
+    the component canonical) → leakage-safe component-hash train/test
+    split → per-split document and whitespace-token budgets. This is
+    the summary a training run starts from, and it exercises the
+    operators TOGETHER the way a real pipeline chains them — hash
+    aggregate, shingle equi-join, iterative fixpoint, salted-hash
+    split, narrow token count — with one exact one-row oracle over the
+    composition. Composite cost is the pair graph + CC (the same work
+    dedup_cluster_canonicals prices); everything else rides the same
+    scans."""
+    from etl_developstoday_test_spark.functions import md5_long, tokens
+    from etl_developstoday_test_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("node")),
+    ).localCheckpoint(eager=True)  # feeds losers count + survivor join
+
+    from pyspark.sql import Window
+
+    exact = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rn"),
+    ).localCheckpoint(eager=True)  # feeds dup count + survivor join
+
+    survivors = (
+        docs.join(exact.filter(F.col("rn") == 1).select("doc_id"), "doc_id")
+        .join(
+            comp.filter(F.col("node") == F.col("component")).select(
+                F.col("node").alias("doc_id"), "component"
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "component",
+            F.when(
+                md5_long(
+                    F.concat(
+                        F.lit("split#"), F.col("component").cast("string")
+                    )
+                )
+                % 100
+                < 80,
+                "train",
+            )
+            .otherwise("test")
+            .alias("split"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    scalars = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                exact.filter(F.col("rn") > 1).agg(
+                    F.count(F.lit(1)).alias("n_exact_dups")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                comp.filter(F.col("node") != F.col("component")).agg(
+                    F.count(F.lit(1)).alias("n_neardup_losers")
+                )
+            )
+        )
+    )
+    split_stats = survivors.agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train_docs"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test_docs"),
+        F.sum(F.when(F.col("split") == "train", F.col("n_tokens"))).alias(
+            "train_tokens"
+        ),
+        F.sum(F.when(F.col("split") == "test", F.col("n_tokens"))).alias(
+            "test_tokens"
+        ),
+    )
+    return scalars.crossJoin(F.broadcast(split_stats)).select(
+        "n_docs",
+        "n_exact_dups",
+        "n_neardup_losers",
+        "n_train_docs",
+        "n_test_docs",
+        "train_tokens",
+        "test_tokens",
+    )
