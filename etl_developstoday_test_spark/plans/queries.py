@@ -9425,3 +9425,68 @@ def curation_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "train_tokens",
         "test_tokens",
     )
+
+
+@_register(
+    "scan_csv_permissive_corrupt",
+    """
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN '_corrupt'
+                ELSE o_orderstatus END AS status,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+             AS good_cents
+    FROM orders GROUP BY status
+    """,
+)
+def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row routing for Spark's BUILT-IN csv reader — the
+    engine-level complement to the custom header-bound source's
+    validation routing (sources/csv_source.py, which implements the
+    reference's never-abort contract field by field): PERMISSIVE mode
+    with columnNameOfCorruptRecord captures each unparseable line
+    verbatim (here a deterministic 1-in-13 subset gets a non-numeric
+    price, breaking the double column), so bad rows are counted and
+    quarantinable instead of killing the job (FAILFAST) or silently
+    vanishing (DROPMALFORMED). The oracle knows exactly which rows are
+    bad and sums the surviving prices in integer cents."""
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("not-a-price"))
+            .otherwise(F.col("o_totalprice").cast("string")),
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="corrupt_csv_")
+    try:
+        lines.write.mode("overwrite").text(f"{tmp}/c")
+        parsed = (
+            spark.read.schema(
+                "o_orderkey long, o_orderstatus string,"
+                " o_totalprice double, _bad string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(f"{tmp}/c")
+        )
+        out = parsed.groupBy(
+            F.when(F.col("_bad").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("_bad").isNotNull(), F.lit(0)).otherwise(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+            ).alias("good_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

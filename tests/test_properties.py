@@ -565,3 +565,54 @@ def test_incremental_lsh_equals_batch_cross_pairs(spark, texts):
         if r["doc_a"] % 2 != r["doc_b"] % 2
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # doc_id
+            st.integers(min_value=0, max_value=2),    # stratum
+            st.integers(min_value=0, max_value=900),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_weighted_reservoir_matches_python_replay(spark, rows, k):
+    """The Efraimidis–Spirakis selection must be exactly reproducible
+    from the definition: top-k per stratum by round(ln(u)/max(w,1), 9)
+    with u the salted-md5 uniform — a pure-Python replay using hashlib
+    must pick the identical ids with the identical keys and ranks, on
+    any weights (including 0, where the floor-at-1 guard applies)."""
+    import hashlib
+    import math
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        weighted_reservoir_per_stratum,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, stratum long, w long")
+    got = {
+        (r["stratum"], r["doc_id"]): (r["es_key"], r["sample_rank"])
+        for r in weighted_reservoir_per_stratum(
+            df, "stratum", "w", k=k
+        ).collect()
+    }
+
+    def u(doc_id: int) -> float:
+        h = int(hashlib.md5(f"res#{doc_id}".encode()).hexdigest()[:15], 16)
+        return (h + 1) / float(1 << 60)
+
+    want = {}
+    by_stratum: dict = {}
+    for doc_id, stratum, w in rows:
+        key = round(math.log(u(doc_id)) / max(float(w), 1.0), 9)
+        by_stratum.setdefault(stratum, []).append((key, doc_id))
+    for stratum, cands in by_stratum.items():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (key, doc_id) in enumerate(cands[:k], start=1):
+            want[(stratum, doc_id)] = (key, rank)
+    assert got == want
