@@ -48,6 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a hash-green row for it from that round or later — no manual
 # cleanup needed; just add (name, current_round) when touching code.
 _CHANGED_THIS_ROUND: dict[str, int] = {
+    # r6: q17 rewritten one-pass (window threshold over the broadcast-
+    # filtered fact instead of a second full scan + agg)
+    "tpch_q17_small_quantity_revenue": 6,
     # r6: digest now travels as exact decimal TEXT on both sides and
     # n_chunks comes from file metadata (clears the r5 hash-false row)
     "scan_python_datasource_chunks": 6,

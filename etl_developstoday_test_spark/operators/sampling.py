@@ -11,7 +11,7 @@ zero shuffles until the caller aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_developstoday_test_spark.functions import md5_long
 
@@ -206,4 +206,59 @@ def weighted_reservoir_per_stratum(
         df.withColumn("es_key", es_key)
         .withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha_sqrt: bool = True,
+    budget_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over corpus groups — the
+    multilingual rebalancing step (Conneau & Lample 2019, XLM eq. 1;
+    alpha-smoothed sampling in mT5/XLM-R): a group's sampling weight is
+    p_i^alpha / sum_j p_j^alpha, which flattens the head and boosts the
+    tail relative to raw token share. alpha = 0.5 here, so the power is
+    ``sqrt`` — IEEE-correctly-rounded in every engine, unlike ``pow``,
+    which keeps the whole computation bit-reproducible for the oracle.
+
+    Determinism shape: per-group token totals are exact BIGINTs; the
+    cross-group normalizer sums pico-quantized weights
+    (floor(sqrt(p) * 1e12)) as integers, so no float accumulation
+    order leaks in. Outputs are integers (expected tokens under the
+    budget, micro-scaled sampling rate) plus the raw token count.
+
+    Scale: one groupBy over the corpus (partial-agg, group cardinality
+    = #languages, driver-sized), then scalar math over that tiny frame
+    — the single-partition window over groups is bounded by the number
+    of languages, never the corpus.
+    """
+    from etl_developstoday_test_spark.functions import tokens
+
+    per = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all).cast(
+        "double"
+    )
+    per = per.withColumn(
+        "w_pico", F.floor(F.sqrt(p) * F.lit(1e12)).cast("bigint")
+    )
+    share = F.col("w_pico").cast("double") / F.sum("w_pico").over(w_all).cast(
+        "double"
+    )
+    expected = F.floor(share * F.lit(float(budget_tokens))).cast("bigint")
+    return per.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        "w_pico",
+        expected.alias("expected_tokens"),
+        F.floor(
+            expected.cast("double") / F.col("n_tokens").cast("double")
+            * F.lit(1e6)
+        ).cast("bigint").alias("sample_rate_micro"),
     )

@@ -835,3 +835,53 @@ def incremental_minhash_lsh(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc", "old_doc", "jaccard")
     )
+
+
+def fastss_edit1_pairs(strings: DataFrame, col: str = "name") -> DataFrame:
+    """Exact edit-distance-1 pair join via the FastSS deletion
+    neighborhood (Bocek et al. 2007): each distinct string emits itself
+    plus its |s| single-character-deletion variants; two strings within
+    edit distance 1 ALWAYS share a variant (substitution at i →
+    del_i(a) = del_i(b); insertion/deletion → one string IS a variant
+    of the other), so an equi-join on the variant key generates a
+    candidate superset and a final ``levenshtein() <= 1`` verify makes
+    it exact — the filter-verify shape, never the O(n²) cross join.
+
+    Scale posture: candidate generation is a narrow explode (|s|+1
+    variants per string, so fan-out is bounded by string length, not
+    corpus size); the join key is a short string — hash-partitionable,
+    and variant-key collisions beyond true matches are rare for natural
+    keys (worst case: very short strings over a tiny alphabet — cap
+    with a df-style filter as in ngram_jaccard_pairs if that regime
+    appears). Verification is per-candidate-pair integer Levenshtein in
+    codegen. Mirrors the reference's exact-dup detector
+    (TripDuplicateDetectorService.cs:36-49) upgraded to fuzzy keys.
+
+    Returns (name_a, name_b, dist) with name_a < name_b, dist == 1
+    (equal strings are not pairs).
+    """
+    variants = F.concat(
+        F.array(F.col("name")),
+        F.expr(
+            "transform(sequence(1, length(name)), i ->"
+            " concat(substring(name, 1, i - 1),"
+            " substring(name, i + 1, 1000000)))"
+        ),
+    )
+    exploded = (
+        strings.select(F.col(col).alias("name")).distinct()
+        .select("name", F.explode(variants).alias("variant"))
+        .distinct()  # a string can yield the same deletion twice ("aa")
+    )
+    right = exploded.select(
+        F.col("name").alias("name_b"), F.col("variant").alias("variant")
+    )
+    return (
+        exploded.withColumnRenamed("name", "name_a")
+        .join(right, "variant")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -3449,23 +3449,34 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped (small-quantity-order revenue): lineitems below
     20% of their part's average quantity — the correlated-average
-    pattern, decorrelated as a per-part aggregate joined back to the
-    fact. The per-part averages are few (≤ #parts) and broadcast; the
-    brand/type filter broadcasts too, so the fact table never
-    shuffles — at 100 TB this is a scan + two broadcast hash joins +
-    partial agg. The threshold multiplication (0.2 * avg) is written in
-    the same order on both engines."""
+    pattern. ONE fact scan: the brand/type part filter broadcast-joins
+    into lineitem first (that alone drops ~96% of the fact — the oracle
+    computes per-part averages over all parts, but only the filtered
+    parts' rows can survive the final join, so restricting the average
+    to them is semantics-preserving), then the per-part average becomes
+    a window over the filtered subset — the decorrelated aggregate and
+    the probe share one pass instead of scanning the fact twice. At
+    100 TB: scan + broadcast hash join + one shuffle of the ~4%
+    survivor set + partial agg. The threshold (0.2 * sum/count through
+    the exact decimal accumulator) is written in the same order as the
+    oracle's ``0.2 * _davg``."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
     )
-    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    w = Window.partitionBy("l_partkey")
+    fli = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thr = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast(ACC_DECIMAL)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        li.join(F.broadcast(p.select("p_partkey")),
-                F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(part_avg), F.col("pa_partkey") == F.col("l_partkey"))
+        fli.withColumn("qty_threshold", thr)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
@@ -9490,3 +9501,140 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "agg_kmv_distinct",
+    f"""
+    WITH dk AS (
+      SELECT DISTINCT l_returnflag AS grp, l_partkey AS key
+      FROM lineitem
+    ),
+    hashed AS (
+      SELECT grp, key, {_md5long("CAST(key AS VARCHAR)")} AS h FROM dk
+    ),
+    exact AS (
+      SELECT grp, COUNT(*) AS exact_distinct FROM hashed GROUP BY grp
+    ),
+    ranked AS (
+      SELECT grp, h,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rnk
+      FROM hashed WHERE h < 1152921504606846976 // 8
+    ),
+    kmv AS (
+      SELECT grp, MAX(h) AS kth_min_hash, COUNT(*) AS n_kept
+      FROM ranked WHERE rnk <= 64 GROUP BY grp
+    )
+    SELECT e.grp, e.exact_distinct, k.kth_min_hash, k.n_kept,
+           CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0
+                     / CAST(k.kth_min_hash AS DOUBLE)
+           END AS kmv_estimate
+    FROM exact e JOIN kmv k ON e.grp = k.grp
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002) for
+    distinct parts per return flag, certified against the exact count
+    in the same result row. KMV is the third mergeable sketch in the
+    family (HLL rollup, Count-Min heavy hitters): per-partition k
+    minima merge by re-truncation, so at 100 TB the partial-aggregate
+    state is k longs per group regardless of corpus size, and —
+    because the hash is the portable md5-long — the ESTIMATE itself is
+    bit-identical in the DuckDB oracle, not tolerance-checked.
+    Plan: one distinct shuffle shared with the exact count, then a
+    static hash pre-filter (h < H/8) bounds the ranking window's input
+    (operators/sketches.py:kmv_distinct)."""
+    from etl_developstoday_test_spark.operators import sketches
+
+    return sketches.kmv_distinct(
+        load_table(spark, sf_dir, "lineitem"),
+        key_col="l_partkey",
+        group_col="l_returnflag",
+        k=64,
+    )
+
+
+@_register(
+    "dedup_fastss_edit1",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    variants AS (
+      SELECT DISTINCT name, variant FROM (
+        SELECT name, unnest(list_prepend(name,
+          list_transform(generate_series(1, strlen(name)),
+            i -> substr(name, 1, i - 1) || substr(name, i + 1, 1000000))))
+          AS variant
+        FROM names
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM variants a JOIN variants b
+        ON a.variant = b.variant AND a.name < b.name
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def dedup_fastss_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance-1 fuzzy-duplicate pairs over part names via
+    the FastSS deletion neighborhood (Bocek et al. 2007) — the
+    filter-verify shape: every distance-≤1 pair provably shares a
+    single-deletion variant, so candidates come from an equi-join on
+    the variant key (fan-out |s|+1 per string, bounded by string
+    length) and integer Levenshtein verifies; the corpus is never
+    cross-joined. This is the typo/near-key regime the reference's
+    exact-hash dedup (TripDuplicateDetectorService.cs:36-49) cannot
+    see (operators/text_dedup.py:fastss_edit1_pairs)."""
+    return text_dedup.fastss_edit1_pairs(
+        load_table(spark, sf_dir, "part"), col="p_name"
+    )
+
+
+@_register(
+    "sample_temperature_mixture",
+    """
+    WITH per AS (
+      SELECT lang AS grp, COUNT(*) AS n_docs,
+             SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT grp, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                    / CAST(SUM(n_tokens) OVER () AS DOUBLE)) * 1e12)
+                  AS BIGINT) AS w_pico
+      FROM per
+    ),
+    sh AS (
+      SELECT grp, n_docs, n_tokens, w_pico,
+             CAST(floor(CAST(w_pico AS DOUBLE)
+                    / CAST(SUM(w_pico) OVER () AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS expected_tokens
+      FROM w
+    )
+    SELECT grp, n_docs, n_tokens, w_pico, expected_tokens,
+           CAST(floor(CAST(expected_tokens AS DOUBLE)
+                  / CAST(n_tokens AS DOUBLE) * 1e6) AS BIGINT)
+             AS sample_rate_micro
+    FROM sh
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) multilingual mixture weights
+    (XLM eq. 1; the mT5/XLM-R alpha-smoothing): per-language token
+    share p flattened to sqrt(p), renormalized, and turned into an
+    expected token allocation + per-language sampling rate under a 1M
+    token budget. sqrt, not pow: correctly rounded IEEE in every
+    engine, and the normalizer sums pico-quantized BIGINT weights so
+    no float accumulation order leaks. One corpus groupBy whose output
+    is #languages rows — the over-() window runs on a driver-sized
+    frame (operators/sampling.py:temperature_mixture)."""
+    from etl_developstoday_test_spark.operators import sampling
+
+    return sampling.temperature_mixture(
+        load_table(spark, sf_dir, "documents"), group_col="lang"
+    )
