@@ -271,3 +271,70 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         n_edges.crossJoin(F.broadcast(tris)).crossJoin(F.broadcast(stats))
         .select("n_edges", "n_triangles", "max_outdegree")
     )
+
+
+def pagerank_unrolled(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank (Page et al. 1999) over a directed edge list, unrolled
+    for a fixed iteration count — the authority score used to weight
+    web-crawl documents in pretraining-data curation (e.g. the
+    Common-Crawl host-rank filters).
+
+    Per iteration: rank_v = (1-d)/N + d * Σ_{u→v} rank_u / outdeg_u —
+    one edge join + one groupBy(dst) shuffle, the same shape per round
+    as label propagation above, with ``localCheckpoint`` truncating the
+    growing plan. Assumes every node has outdegree ≥ 1 (callers pass a
+    symmetrized or back-edged graph), so no dangling-mass term.
+
+    Cross-engine determinism: the per-edge contribution is quantized to
+    pico units (floor(rank/outdeg * 1e12) as BIGINT) before the
+    aggregation, so the only SUM is over exact integers — accumulation
+    order can't leak — and every double step (two divisions, one
+    multiply) is a single correctly-rounded IEEE op written in the same
+    order as the DuckDB oracle. N is collected once (a driver-bounded
+    scalar, like the k-means centroids).
+
+    Returns (node, rank) after ``iters`` rounds.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges ⋈ outdeg is loop-invariant: materialize it once and every
+    # round joins only the (node → rank) frame against it
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    n = float(deg.count())
+    base = (1.0 - damping) / n
+
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    prev = None
+    for _ in range(iters):
+        contrib = ed.join(ranks, "src").select(
+            F.col("dst"),
+            F.floor(F.col("rank") / F.col("outdeg") * F.lit(1e12))
+            .cast("bigint")
+            .alias("c_pico"),
+        )
+        stepped = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.sum("c_pico").cast("double") / F.lit(1e12))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("src"), "rank")
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = stepped
+        ranks = stepped
+    return ranks.select(F.col("src").alias("node"), "rank")

@@ -1089,3 +1089,121 @@ def lsh_ann_topk(
             ).alias(f"recall_at_{k}"),
         )
     )
+
+
+def jl_distortion_pairs(
+    embeddings: DataFrame,
+    m: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign (Rademacher) random projection
+    (Achlioptas 2003: entries ±1 preserve inner products in
+    expectation) from the native dimension down to ``m``, audited by
+    comparing original vs projected cosine on consecutive-id pairs —
+    the dimensionality-reduction step that shrinks ANN index footprint
+    4× before banding/bucketing.
+
+    Determinism contract: inputs are micro-quantized to BIGINTs
+    (floor(x · 2^20)) before ANY arithmetic, the sign matrix is the
+    portable md5 hash of (out_dim, in_dim), and every dot product /
+    squared norm is an exact integer SUM — so both cosines, and the
+    distortion, are bit-identical in a DuckDB oracle. Norm products
+    are cast to double BEFORE multiplying (na·nb overflows int64).
+
+    Scale shape: the projection is explode(dim) ⋈ broadcast(sign
+    matrix, m·dim rows) → partial-aggregated groupBy(id, out_dim) —
+    one shuffle of m rows per vector, no corpus pairing; the audit
+    pairs join on adjacent ids (equi-join, 1:1). Returns one audit row:
+    (n_pairs, sum_abs_err_nano, max_abs_err_nano).
+    """
+    x = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(vec_col).alias("i", "xf"),
+        )
+        .select(
+            "vec_id",
+            "i",
+            F.floor(F.col("xf").cast("double") * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("xq"),
+        )
+    )
+    dim = len(embeddings.select(vec_col).first()[0])
+    signs = (
+        embeddings.sparkSession.range(m * dim)
+        .select(
+            (F.col("id") / dim).cast("bigint").alias("j"),
+            (F.col("id") % dim).cast("bigint").alias("i"),
+        )
+        .select(
+            "j",
+            "i",
+            F.when(
+                md5_long(
+                    F.concat_ws(
+                        "_",
+                        F.lit("jl#"),
+                        F.col("j").cast("string"),
+                        F.col("i").cast("string"),
+                    )
+                )
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    proj = (
+        x.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sign") * F.col("xq")).alias("yq"))
+    )
+
+    def _pair_cos(df: DataFrame, dim_key: str, val: str) -> DataFrame:
+        a = df.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("pair_id"),
+            F.col(dim_key).alias("d"),
+            F.col(val).alias("va"),
+        )
+        b = df.filter(F.col("vec_id") % 2 == 1).select(
+            (F.col("vec_id") - 1).alias("pair_id"),
+            F.col(dim_key).alias("d"),
+            F.col(val).alias("vb"),
+        )
+        return (
+            a.join(b, ["pair_id", "d"])
+            .groupBy("pair_id")
+            .agg(
+                F.sum(F.col("va") * F.col("vb")).alias("dot"),
+                F.sum(F.col("va") * F.col("va")).alias("na"),
+                F.sum(F.col("vb") * F.col("vb")).alias("nb"),
+            )
+            .select(
+                "pair_id",
+                (
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("na").cast("double") * F.col("nb").cast("double")
+                    )
+                ).alias("cos"),
+            )
+        )
+
+    orig = _pair_cos(x, "i", "xq").withColumnRenamed("cos", "cos_orig")
+    pj = _pair_cos(proj, "j", "yq").withColumnRenamed("cos", "cos_proj")
+    err_nano = F.floor(
+        F.abs(F.col("cos_orig") - F.col("cos_proj")) * F.lit(1e9)
+    ).cast("bigint")
+    return (
+        orig.join(pj, "pair_id")
+        .select(err_nano.alias("e"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("e").alias("sum_abs_err_nano"),
+            F.max("e").alias("max_abs_err_nano"),
+        )
+    )

@@ -559,3 +559,74 @@ def unigram_logprob_deciles(docs: DataFrame) -> DataFrame:
             F.max("mean_logprob").alias("max_logprob"),
         )
     )
+
+
+def hashed_importance_scores(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style data-selection scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed unigram profile is,
+    using the ratio of add-one-smoothed bucket probabilities between a
+    TARGET slice (here: lang = ``target_lang``) and the RAW corpus.
+
+    Deviation from the paper, for cross-engine verifiability: the
+    per-token score is the QUANTIZED LIKELIHOOD RATIO (floor of
+    1e6 · p_target(b)/p_raw(b)) summed per document, not the log-ratio
+    sum — ln() is not correctly-rounded-guaranteed across engines,
+    while this form is two exact-integer-derived products, one
+    division, one multiply, one floor: bit-identical everywhere. Rank
+    order is preserved for single-bucket differences and the monotone
+    intent (target-like docs score high) is the same.
+
+    Scale shape: two partial-agg passes over the token stream build the
+    bucket tables (n_buckets rows — driver-sized, window-over-() safe),
+    the score table broadcasts back onto the stream, and per-doc
+    weights are one groupBy(doc_id). No joins scale with vocabulary:
+    the hash folds it to n_buckets.
+
+    Returns per-lang: n_docs, sum_score, max_score (all BIGINT).
+    """
+    from pyspark.sql import Window
+
+    from etl_developstoday_test_spark.functions import md5_long, tokens
+
+    tb = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("doc_id", "lang", (md5_long("token") % n_buckets).alias("b"))
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = tb.filter(F.col("lang") == target_lang).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    w_all = Window.partitionBy()
+    joined = raw.join(tgt, "b", "left").select(
+        "b",
+        "cr",
+        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        F.sum("cr").over(w_all).alias("tr"),
+        F.sum(F.coalesce(F.col("ct"), F.lit(0))).over(w_all).alias("tt"),
+    )
+    s = F.floor(
+        (
+            (F.col("ct") + F.lit(1.0))
+            * (F.col("tr") + F.lit(float(n_buckets)))
+        )
+        / (
+            (F.col("cr") + F.lit(1.0))
+            * (F.col("tt") + F.lit(float(n_buckets)))
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    sc = joined.select("b", s.alias("s"))
+    dw = (
+        tb.join(F.broadcast(sc), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("s").alias("w"))
+    )
+    return dw.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("sum_score"),
+        F.max("w").alias("max_score"),
+    )

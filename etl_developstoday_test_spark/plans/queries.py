@@ -9638,3 +9638,199 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_mixture(
         load_table(spark, sf_dir, "documents"), group_col="lang"
     )
+
+
+@_register(
+    "graph_pagerank_authority",
+    """
+    WITH base AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM base
+      UNION ALL
+      SELECT s AS src, c AS dst FROM base
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r1 AS (
+      SELECT e.dst AS node,
+             0.15 / ANY_VALUE(nn.n) + 0.85 *
+               (CAST(SUM(CAST(FLOOR((1.0 / nn.n) / d.outdeg * 1e12)
+                              AS BIGINT)) AS DOUBLE) / 1e12) AS rank
+      FROM edges e JOIN deg d ON d.src = e.src CROSS JOIN nn
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             0.15 / ANY_VALUE(nn.n) + 0.85 *
+               (CAST(SUM(CAST(FLOOR(r1.rank / d.outdeg * 1e12)
+                              AS BIGINT)) AS DOUBLE) / 1e12) AS rank
+      FROM edges e JOIN deg d ON d.src = e.src
+      JOIN r1 ON r1.node = e.src CROSS JOIN nn
+      GROUP BY e.dst
+    )
+    SELECT node, CAST(FLOOR(rank * 1e12) AS BIGINT) AS rank_pico
+    FROM r2 ORDER BY rank_pico DESC, node LIMIT 10
+    """,
+)
+def graph_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank authority scores (2 unrolled power iterations, d=0.85)
+    over the symmetrized customer↔supplier trade graph — the
+    crawl-authority weighting used to prioritize documents in
+    pretraining curation, on the same iterative chassis as connected
+    components (operators/graph.py:pagerank_unrolled): per round one
+    edge join + one groupBy(dst) shuffle, lineage truncated per round,
+    edge⋈outdeg materialized once as loop-invariant. Per-edge
+    contributions are pico-quantized BIGINTs, so the only float
+    accumulation is replaced by exact integer SUM and the ranks are
+    bit-identical to the unrolled DuckDB oracle. Top-10 with total
+    tiebreak."""
+    from etl_developstoday_test_spark.operators import graph
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = base.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(base.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    ranks = graph.pagerank_unrolled(edges, iters=2, damping=0.85)
+    return (
+        ranks.select(
+            "node",
+            F.floor(F.col("rank") * F.lit(1e12)).cast("bigint").alias(
+                "rank_pico"
+            ),
+        )
+        .orderBy(F.desc("rank_pico"), "node")
+        .limit(10)
+    )
+
+
+@_register(
+    "embed_jl_projection_distortion",
+    """
+    WITH x AS (
+      SELECT vec_id, u.i - 1 AS i,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS u(i)
+    ),
+    signs AS (
+      SELECT j.j, i.i,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                    'jl#_' || CAST(j.j AS VARCHAR) || '_'
+                    || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM (SELECT unnest(generate_series(0, 15)) AS j) j
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+    ),
+    proj AS (
+      SELECT x.vec_id, s.j, SUM(s.sign * x.xq) AS yq
+      FROM x JOIN signs s ON s.i = x.i
+      GROUP BY x.vec_id, s.j
+    ),
+    po AS (
+      SELECT a.vec_id AS pair_id,
+             CAST(SUM(a.xq * b.xq) AS DOUBLE)
+               / sqrt(CAST(SUM(a.xq * a.xq) AS DOUBLE)
+                      * CAST(SUM(b.xq * b.xq) AS DOUBLE)) AS cos_orig
+      FROM x a JOIN x b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+      WHERE a.vec_id % 2 = 0
+      GROUP BY a.vec_id
+    ),
+    pp AS (
+      SELECT a.vec_id AS pair_id,
+             CAST(SUM(a.yq * b.yq) AS DOUBLE)
+               / sqrt(CAST(SUM(a.yq * a.yq) AS DOUBLE)
+                      * CAST(SUM(b.yq * b.yq) AS DOUBLE)) AS cos_proj
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+      WHERE a.vec_id % 2 = 0
+      GROUP BY a.vec_id
+    )
+    SELECT COUNT(*) AS n_pairs,
+           SUM(e) AS sum_abs_err_nano,
+           MAX(e) AS max_abs_err_nano
+    FROM (
+      SELECT CAST(FLOOR(ABS(cos_orig - cos_proj) * 1e9) AS BIGINT) AS e
+      FROM po JOIN pp USING (pair_id)
+    )
+    """,
+)
+def embed_jl_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 sign projection 64→16 dims (Achlioptas
+    2003) with a cosine-distortion audit over consecutive-id vector
+    pairs — the index-shrinking step before LSH/IVF, verified
+    bit-exactly (micro-quantized integer inputs, md5 sign matrix,
+    integer dot products; see
+    operators/similarity.py:jl_distortion_pairs). Projection is
+    explode ⋈ broadcast(1024-row sign matrix) + partial agg; audit
+    pairs are an adjacent-id equi-join — nothing is all-pairs, and at
+    100 TB the projection cost is one scan + one m-rows-per-vector
+    shuffle."""
+    return similarity.jl_distortion_pairs(
+        load_table(spark, sf_dir, "embeddings"), m=16
+    )
+
+
+@_register(
+    "curation_dsir_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, lang, {_md5long('token')} % 1024 AS b FROM tok
+    ),
+    raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+    tgt AS (
+      SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b
+    ),
+    joined AS (
+      SELECT raw.b, raw.cr, COALESCE(tgt.ct, 0) AS ct,
+             SUM(raw.cr) OVER () AS tr,
+             SUM(COALESCE(tgt.ct, 0)) OVER () AS tt
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+    ),
+    sc AS (
+      SELECT b,
+             CAST(FLOOR(((ct + 1.0) * (tr + 1024.0))
+                        / ((cr + 1.0) * (tt + 1024.0)) * 1e6)
+                  AS BIGINT) AS s
+      FROM joined
+    ),
+    dw AS (
+      SELECT tb.doc_id, tb.lang, SUM(sc.s) AS w
+      FROM tb JOIN sc ON sc.b = tb.b
+      GROUP BY tb.doc_id, tb.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(w) AS sum_score,
+           MAX(w) AS max_score
+    FROM dw GROUP BY lang
+    """,
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring for data selection (Xie et al.
+    2023): every document scored by the quantized likelihood ratio of
+    its hashed-unigram profile under the English target slice vs the
+    raw corpus — the importance-resampling signal that upweights
+    target-like documents when composing a pretraining mixture. The
+    1024-bucket hash folds the vocabulary to a driver-sized table that
+    broadcasts back onto the token stream; per-doc weights are exact
+    BIGINT sums, so the whole scoreboard is bit-identical in the
+    oracle (operators/text_analysis.py:hashed_importance_scores —
+    docstring covers the deliberate ratio-not-log deviation)."""
+    return text_analysis.hashed_importance_scores(
+        load_table(spark, sf_dir, "documents"), target_lang="en"
+    )
