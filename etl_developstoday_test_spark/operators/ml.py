@@ -121,3 +121,49 @@ def logreg_gd_train(
         "n_rows",
     )
     return w, eval_df
+
+
+def linreg_closed_form(
+    df, x_col: str, y_col: str
+):
+    """Ordinary least squares y = a·x + b in CLOSED FORM from one
+    aggregation pass — the normal-equations shape (for one feature the
+    2×2 system collapses to the textbook slope/intercept formulas).
+    This is how regression runs at 100 TB: the distributed phase
+    computes five sufficient statistics (n, Σx, Σy, Σxy, Σx²) as one
+    partial-aggregated scan — the model solve is O(1) driver math, no
+    iterations, no gradient loop (contrast logreg_gd_train above, which
+    needs them because its loss has no closed form).
+
+    Sufficient statistics accumulate through the exact DECIMAL
+    accumulator (functions.dsum) after per-row double products, so the
+    stats — and the slope/intercept/R² derived from them with
+    fixed-order double arithmetic — are bit-identical cross-engine.
+
+    Returns one row: n, slope, intercept, r2.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import dsum
+
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - F.col("slope") * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = (r_num * r_num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        stats.withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .withColumn("r2", r2)
+        .select(n.cast("bigint").alias("n_rows"), "slope", "intercept", "r2")
+    )

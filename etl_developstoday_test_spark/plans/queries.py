@@ -39,7 +39,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_developstoday_test_spark.functions import ACC_DECIMAL, davg, dsum, fan_out
 from etl_developstoday_test_spark.operators import (
@@ -9834,3 +9834,303 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.hashed_importance_scores(
         load_table(spark, sf_dir, "documents"), target_lang="en"
     )
+
+
+@_register(
+    "ml_linreg_closed_form",
+    f"""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {_dsum('CAST(l_quantity AS DOUBLE)')} AS sx,
+             {_dsum('CAST(l_extendedprice AS DOUBLE)')} AS sy,
+             {_dsum('CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)')} AS sxy,
+             {_dsum('CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)')} AS sxx,
+             {_dsum('CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)')} AS syy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT n, sx, sy, sxy, sxx, syy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+      FROM stats
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, slope,
+           (sy - slope * sx) / n AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+    """,
+)
+def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS price-vs-quantity regression solved in closed form from ONE
+    partial-aggregated scan (five sufficient statistics through the
+    exact decimal accumulator, O(1) driver solve) — the
+    normal-equations counterpart to the iterative ml_logreg_gd_quality,
+    and the regression shape that actually scales: no gradient rounds,
+    no broadcast of weights, slope/intercept/R² bit-identical to the
+    oracle because every double step is fixed-order scalar math over
+    order-independent sums (operators/ml.py:linreg_closed_form)."""
+    from etl_developstoday_test_spark.operators import ml
+
+    return ml.linreg_closed_form(
+        load_table(spark, sf_dir, "lineitem"),
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+    )
+
+
+@_register(
+    "text_cdc_chunk_dedup",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, u.pos, arr[u.pos] AS token
+      FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)
+      CROSS JOIN unnest(generate_series(1, len(arr))) AS u(pos)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN {_md5long('token')} % 16 = 0 THEN 1 ELSE 0 END AS cut
+      FROM tok
+    ),
+    chunked AS (
+      SELECT doc_id, pos, token,
+             COALESCE(SUM(cut) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             COUNT(*) AS chunk_tokens,
+             {_md5long("string_agg(token, ' ' ORDER BY pos)")} AS chunk_hash
+      FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT COUNT(*) AS total_chunks,
+           COUNT(DISTINCT chunk_hash) AS distinct_chunks,
+           SUM(chunk_tokens) AS total_tokens,
+           MAX(chunk_tokens) AS max_chunk_tokens,
+           CAST(FLOOR(CAST(COUNT(DISTINCT chunk_hash) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT)
+             AS unique_ratio_micro
+    FROM chunks
+    """,
+)
+def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking at token granularity (the FastCDC /
+    rsync rolling-cut idea, Xia et al. 2016): a chunk boundary falls
+    after any token whose portable hash ≡ 0 mod 16 — so chunk
+    boundaries depend only on CONTENT, and an insertion early in a
+    document shifts chunk ids but not the chunks' hashes, which is what
+    makes chunk-level dedup robust where fixed-width blocks break. The
+    corpus-level audit row (total vs distinct chunk hashes) is the
+    storage-dedup ratio. Plan: explode + per-doc running-sum window
+    (partition = doc, bounded), chunk reassembly via sorted
+    collect_list within the chunk group, one distinct agg. Expected
+    chunk length is the cut modulus (16 tokens) — state per group is
+    bounded."""
+    from etl_developstoday_test_spark.functions import md5_long, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum(
+                F.when(md5_long("token") % 16 == 0, 1).otherwise(0)
+            ).over(w_cum),
+            F.lit(0),
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("chunk_tokens"),
+        md5_long(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.count_distinct(F.col("chunk_hash")).alias("distinct_chunks"),
+        F.sum("chunk_tokens").alias("total_tokens"),
+        F.max("chunk_tokens").alias("max_chunk_tokens"),
+        F.floor(
+            F.count_distinct(F.col("chunk_hash")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * F.lit(1e6)
+        ).cast("bigint").alias("unique_ratio_micro"),
+    )
+
+
+@_register(
+    "events_merged_busy_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+             MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           SUM(island_end - island_start) AS busy_seconds,
+           MAX(island_end - island_start) AS max_island_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def events_merged_busy_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval union (merge intervals / gaps-and-islands):
+    each event opens a 5-minute activity interval; per user, transitive
+    overlaps merge into islands and the query reports island count +
+    total/max busy seconds — the classic coverage computation (uptime,
+    speaker time, GPU busy) that a naive self-join gets O(n²) wrong.
+    One shape: running MAX(end) window EXCLUSIVE of the current row
+    detects island starts, a running SUM numbers them, one groupBy
+    merges — two window passes + one aggregation, all partitioned by
+    user (bounded state, no skew beyond a single user's history; the
+    same sweep the sweep-line concurrency query uses, here producing
+    the merged intervals themselves)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w_cum))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias(
+            "busy_seconds"
+        ),
+        F.max(F.col("island_end") - F.col("island_start")).alias(
+            "max_island_seconds"
+        ),
+    )
+
+
+@_register(
+    "scan_csv_multiline_quoted",
+    f"""
+    WITH payload AS (
+      SELECT o_orderkey,
+             'note,' || o_orderstatus || ',"' || CAST(o_orderkey AS VARCHAR)
+               || '"' || chr(10) || 'line2:' || CAST(o_custkey AS VARCHAR)
+               AS note
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           SUM(o_orderkey) AS key_sum,
+           CAST(SUM(CAST({_md5long('note')} AS DECIMAL(38,0))) AS VARCHAR)
+             AS note_digest
+    FROM payload
+    """,
+)
+def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV ROUNDTRIP under the adversarial cases the
+    reference's duplicate-file writer quotes for
+    (CsvDuplicateTripWriter.cs:138-158): embedded delimiters, embedded
+    DOUBLED quotes, and embedded NEWLINES inside a field. Spark writes
+    the payload with escape='"' (RFC doubling, not the default
+    backslash) and reads it back with multiLine=true — the reader must
+    reassemble records across physical line breaks. The oracle never
+    touches a file: it aggregates the same payload directly, so
+    equality proves the write→read cycle is byte-lossless. multiLine
+    note: quoted-newline files are NOT byte-splittable, so at 100 TB
+    the roundtrip uses many files (partition count preserved here) —
+    parallelism comes from file count, which is why the lake prefers
+    parquet for anything with embedded newlines."""
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    payload = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("note,"),
+            F.col("o_orderstatus"),
+            F.lit(',"'),
+            F.col("o_orderkey").cast("string"),
+            F.lit('"\nline2:'),
+            F.col("o_custkey").cast("string"),
+        ).alias("note"),
+    )
+    from etl_developstoday_test_spark.functions import md5_long
+
+    tmp = tempfile.mkdtemp(prefix="csv_multiline_")
+    try:
+        payload.write.mode("overwrite").option("header", True).option(
+            "quote", '"'
+        ).option("escape", '"').csv(f"{tmp}/c")
+        back = (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .schema("o_orderkey long, note string")
+            .csv(f"{tmp}/c")
+        )
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(md5_long("note").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("note_digest"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -263,17 +263,22 @@ def test_tpch_q21_no_expand_single_fact_shuffle(spark):
     assert _fact_exchanges(plan) == 2  # repartition(l_orderkey) + s_name agg
 
 
-def test_tpch_q17_fact_never_shuffles(spark):
-    """Brand/type filter and the per-part averages both broadcast onto
-    the probe-side fact — the only exchanges are the part_avg build and
-    the single-row final aggregate."""
+def test_tpch_q17_one_pass_single_fact_shuffle(spark):
+    """One-pass shape: the brand/type part filter broadcasts onto the
+    fact, and the ONLY hash exchange is the window partitioning of the
+    filtered survivor set that computes the per-part threshold —
+    lineitem is scanned once, not twice (r6 rewrite: threshold as a
+    window over the broadcast-filtered fact instead of a second full
+    scan + broadcast agg)."""
     plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
     lines = plan.splitlines()
     probe_exchanges = [
         l for l in lines if "Exchange hashpartitioning" in l and "Broadcast" not in l
     ]
-    assert len(probe_exchanges) == 1  # the part_avg aggregate only
-    assert plan.count("BroadcastHashJoin") == 2
+    assert len(probe_exchanges) == 1  # window partitioning on l_partkey
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Scan parquet") == 2  # lineitem once + part once
+    assert "Window" in plan
 
 
 def test_tpch_q8_only_fact_join_shuffles(spark):
