@@ -48,6 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a hash-green row for it from that round or later — no manual
 # cleanup needed; just add (name, current_round) when touching code.
 _CHANGED_THIS_ROUND: dict[str, int] = {
+    # r6: ngram pair join restructured (window-carried sizes); every
+    # consumer below re-certifies
+    "dedup_ngram_jaccard": 6,
+    "dedup_threshold_sensitivity": 6,
+    "dedup_cc_alternating_star": 6,
+    "sample_leakage_safe_split": 6,
+    "curation_corpus_card": 6,
     # r6: q17 rewritten one-pass (window threshold over the broadcast-
     # filtered fact instead of a second full scan + agg)
     "tpch_q17_small_quantity_revenue": 6,

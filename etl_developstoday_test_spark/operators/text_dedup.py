@@ -203,23 +203,35 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    # Carry each doc's shingle-set size THROUGH the self-join as a
+    # window column instead of aggregating sizes separately and joining
+    # them back twice: same values, three fewer exchanges (one window
+    # shuffle replaces groupBy + two size joins), and the b-side of the
+    # self-join becomes a ReusedExchange of the a-side.
+    sh = sh.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("_n").alias("_na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("_n").alias("_nb")
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("intersection_size"),
+            F.min("_na").alias("_na"),
+            F.min("_nb").alias("_nb"),
+        )
+    )
     jac = F.col("intersection_size").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("intersection_size")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection_size", "jaccard")
     )

@@ -8703,8 +8703,13 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_developstoday_test_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
-        "doc_a", "doc_b"
+    # pairs feed BOTH the component build and the leak counter —
+    # checkpoint once or the whole shingle self-join replays for the
+    # second consumer
+    pairs = (
+        text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
