@@ -31,12 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # files the driver leaves in the repo root (rotation was a hand-
 # maintained list through round 3 and was forgotten once — this makes
 # it structural):
-#   1. queries with no driver row in any round (newest registrations
-#      first, so fresh additions always make the window),
-#   2. queries whose implementation changed since their last green row
+#   1. queries whose implementation changed since their last green row
 #      (dict below; entries SELF-EXPIRE once a green driver row from
 #      the change round or later lands, so the list can never go stale
-#      the way round 4's did),
+#      the way round 4's did) — changed code outranks everything: a
+#      regression fix that misses the window stays red a whole round,
+#   2. queries with no driver row in any round (newest registrations
+#      first, so fresh additions lead the remaining slots),
 #   3. queries whose LATEST driver row is not hash-green (regressions),
 #   4. everything else, oldest-green-round first — so flagship rows
 #      naturally rotate back through the window for re-certification.
@@ -126,10 +127,10 @@ def _driver_order(d: dict) -> dict:
     reg_idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
-        if n not in checked:
-            return (0, -reg_idx[n])  # newest additions first
         if n in changed:
-            return (1, changed[n])
+            return (0, changed[n])  # changed code re-certifies first
+        if n not in checked:
+            return (1, -reg_idx[n])  # newest additions next
         if checked[n] > green.get(n, 0):
             return (2, reg_idx[n])  # latest row red and never re-greened
         return (3, green[n], reg_idx[n])  # oldest-green rotates in first

@@ -34,14 +34,39 @@ def test_rotation_covers_registry_exactly_once():
 def test_never_checked_queries_lead_the_window():
     seen = _rows()
     ordered = list(entry.queries())
-    never = [n for n in ordered if n not in seen]
-    # every never-checked query sorts before every checked query
+    live_changed = set(_live_changed())
+    never = [
+        n for n in ordered if n not in seen and n not in live_changed
+    ]
+    # outside the live-changed head, every never-checked query sorts
+    # before every checked query
     if never:
         last_never = max(ordered.index(n) for n in never)
         first_checked = min(
-            ordered.index(n) for n in ordered if n in seen
+            ordered.index(n)
+            for n in ordered
+            if n in seen and n not in live_changed
         )
         assert last_never < first_checked
+
+
+def _live_changed():
+    checked, green = entry._driver_history()
+    return [
+        n
+        for n, rnd in entry._CHANGED_THIS_ROUND.items()
+        if green.get(n, -1) < rnd
+    ]
+
+
+def test_live_changed_entries_lead_everything():
+    # a changed-code entry that misses the 50-slot window stays
+    # unverified a whole round, so live changed entries outrank even
+    # never-checked registrations
+    ordered = list(entry.queries())
+    live = _live_changed()
+    if live:
+        assert ordered[: len(live)] == live
 
 
 def test_changed_queries_precede_recertification_tail():
@@ -77,6 +102,19 @@ def _order_with(monkeypatch, registry, checked, green, changed):
     monkeypatch.setattr(entry, "_driver_history", lambda: (checked, green))
     monkeypatch.setattr(entry, "_CHANGED_THIS_ROUND", changed)
     return list(entry._driver_order(dict.fromkeys(registry, None)))
+
+
+def test_changed_outranks_never_checked(monkeypatch):
+    # "fix" changed in round 6 with an old red row; "new" has no row at
+    # all. The fix must lead: it is the one that can stay red a round.
+    order = _order_with(
+        monkeypatch,
+        ["new", "fix"],
+        checked={"fix": 5},
+        green={"fix": 4},
+        changed={"fix": 6},
+    )
+    assert order == ["fix", "new"]
 
 
 def test_changed_entry_expires_once_green_at_or_after_change_round(
