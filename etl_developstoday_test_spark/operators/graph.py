@@ -338,3 +338,101 @@ def pagerank_unrolled(
         prev = stepped
         ranks = stepped
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def kcore_decomposition(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(node, coreness) — the k-core decomposition via distributed
+    h-index iteration (Montresor, De Pellegrini & Miorandi 2013,
+    "Distributed k-Core Decomposition"): every node starts at its
+    degree; each round it re-estimates to the h-index of its neighbors'
+    estimates (the largest h such that ≥ h neighbors estimate ≥ h).
+    Estimates only decrease and the fixpoint is exactly the coreness
+    (max k such that the node survives k-core peeling) — so the
+    sequential peeling semantics come out of a per-node-local rule
+    with NO global ordering, which is what makes it distributable.
+
+    Per round: one window shuffle keyed on node (rank neighbor
+    estimates descending; h = max(min(est_i, i))) and one groupBy on
+    the same key. The node's own previous estimate rides through the
+    aggregation as a tagged row — convergence is read from the same
+    checkpointed round result, no separate old⋈new join (the fused-
+    convergence pattern shared with ``connected_components``). Rounds
+    needed in practice ≈ graph's "coreness diameter", typically far
+    below the node count; each round's lineage is truncated with an
+    eager ``localCheckpoint`` and the superseded round is unpersisted.
+
+    Training-pipeline use: coreness over a document/user similarity or
+    co-activity graph separates tight spam/bot/boilerplate cores
+    (high k) from organically connected content (low k) — a structural
+    quality signal no per-row feature can compute.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("est"))
+    est_cp = (
+        vertices.select(F.col(node).alias("n"))
+        .join(deg, F.col("n") == F.col("s"), "left")
+        .select("n", F.coalesce(F.col("est"), F.lit(0)).alias("est"))
+        .localCheckpoint(eager=True)
+    )
+    est = est_cp
+
+    w = Window.partitionBy("n").orderBy(
+        F.asc("own"), F.desc("val"), F.asc("n")
+    )
+    for _ in range(max_rounds):
+        nb = sym.join(est, sym["d"] == est["n"]).select(
+            F.col("s").alias("n"),
+            F.col("est").alias("val"),
+            F.lit(False).alias("own"),
+        )
+        # own=True sorts last, so row_number over the union numbers the
+        # neighbor rows 1..deg exactly; the own row only carries prev
+        stepped = (
+            nb.union(
+                est.select(
+                    "n",
+                    F.col("est").alias("val"),
+                    F.lit(True).alias("own"),
+                )
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("n")
+            .agg(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            ~F.col("own"),
+                            F.least(F.col("val"), F.col("rn")),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("est"),
+                F.min(F.when(F.col("own"), F.col("val"))).alias("prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = stepped.filter(F.col("est") != F.col("prev")).isEmpty()
+        est_cp.unpersist()
+        est_cp = stepped
+        est = stepped.select("n", "est")
+        if converged:
+            break
+    sym.unpersist()
+    return est.select(
+        F.col("n").alias(node), F.col("est").cast("bigint").alias("coreness")
+    )

@@ -10139,3 +10139,89 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "graph_kcore_decomposition",
+    f"""
+    WITH RECURSIVE cell AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type AS et
+      FROM events
+    ),
+    alledges AS (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM cell a JOIN cell b ON a.h = b.h AND a.et = b.et
+        AND a.user_id < b.user_id
+    ),
+    edges AS (
+      SELECT ua, ub FROM alledges
+      WHERE {_md5long("concat(ua, '#', ub)")} % 100 < 20
+    ),
+    sym AS (
+      SELECT ua AS u, ub AS v FROM edges
+      UNION ALL SELECT ub, ua FROM edges
+    ),
+    verts AS (SELECT DISTINCT user_id AS n FROM events),
+    ints AS (SELECT CAST(t AS BIGINT) AS t FROM range(1, 4001) r(t)),
+    est(iter, n, est) AS (
+      SELECT 0, verts.n,
+             (SELECT COUNT(*) FROM sym WHERE sym.u = verts.n)
+      FROM verts
+      UNION ALL
+      SELECT e.iter + 1, e.n, COALESCE(h.h, 0)
+      FROM est e
+      LEFT JOIN (
+        SELECT cnt.u, MAX(cnt.t) AS h
+        FROM (
+          SELECT s.u, i.t, COUNT(*) AS c
+          FROM sym s
+          JOIN est e2 ON e2.n = s.v
+          JOIN ints i ON e2.est >= i.t
+          GROUP BY s.u, i.t
+          HAVING COUNT(*) >= i.t
+        ) cnt
+        GROUP BY cnt.u
+      ) h ON h.u = e.n
+      WHERE e.iter < 30
+    )
+    SELECT n AS user_id, CAST(est AS BIGINT) AS coreness
+    FROM est WHERE iter = 30
+    """,
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (operators/graph.kcore_decomposition —
+    distributed h-index iteration, Montresor et al. 2013) over the same
+    deterministic (hour, event_type) co-activity graph the triangle
+    counter uses, at a denser 20% md5 edge sample so the core structure
+    is non-trivial. Coreness separates the tightly-bound bot/burst core
+    of a user graph from its organic fringe — the structural quality
+    signal, computed with one window + one groupBy shuffle per round and
+    NO global ordering anywhere. The oracle replays the identical
+    h-index fixpoint as a recursive CTE (30 rounds, comfortably past
+    convergence at driver scale; Spark iterates to the detected
+    fixpoint, which the 30-round replay reproduces exactly because
+    estimates are monotone non-increasing and stall once converged)."""
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.graph import kcore_decomposition
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a = cell.select(F.col("user_id").alias("ua"), "h", "et")
+    b = cell.select(F.col("user_id").alias("ub"), "h", "et")
+    edges = (
+        a.join(b, ["h", "et"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 20)
+    )
+    return kcore_decomposition(
+        edges,
+        ev.select(F.col("user_id").alias("node")).distinct(),
+        src="ua",
+        dst="ub",
+    ).select(F.col("node").alias("user_id"), "coreness")

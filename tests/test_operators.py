@@ -948,6 +948,46 @@ def test_triangle_count_known_graphs(spark):
     assert (r.n_edges, r.n_triangles, r.max_outdegree) == (19, 0, 1)
 
 
+def test_kcore_decomposition_known_graphs(spark):
+    """Coreness on graphs where peeling is computable by hand: a K4
+    with a pendant path (clique nodes 3-core, path tail degrades to
+    1-core), an isolated vertex (0-core), and a 6-cycle (every node
+    exactly 2-core — h-index iteration must NOT stop at degree)."""
+    from etl_developstoday_test_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    # K4 on {0,1,2,3} + path 3-4-5 + isolated 6
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    got = {
+        r.node: r.coreness
+        for r in kcore_decomposition(edges, verts).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1, 6: 0}
+
+    # 6-cycle: degree==2 everywhere and coreness==2 — but the h-index
+    # start (degree) already equals the fixpoint, so also check a
+    # cycle with one chord where estimates must strictly DECREASE:
+    # pendant chain off the cycle starts at degree 2 yet ends 1-core.
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)] + [(0, 7), (7, 8)],
+        "src long, dst long",
+    )
+    cverts = spark.createDataFrame(
+        [(i,) for i in list(range(6)) + [7, 8]], "node long"
+    )
+    got = {
+        r.node: r.coreness
+        for r in kcore_decomposition(cyc, cverts).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 7: 1, 8: 1}
+
+
 # --- logistic-regression GD trainer (operators/ml.py) ----------------------
 
 
