@@ -1207,3 +1207,202 @@ def jl_distortion_pairs(
             F.max("e").alias("max_abs_err_nano"),
         )
     )
+
+
+def anisotropy_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """One-row embedding-space collapse diagnostics from the exact
+    (scaled-integer) covariance second-moment matrix: participation
+    ratio trace(C)²/‖C‖²_F — the effective number of dimensions the
+    representation actually uses (RankMe-family metric, Garrido et al.
+    2023; PR = d for isotropic embeddings, → 1 under dimensional
+    collapse) — plus the dominant-variance dimension and the
+    off-diagonal Frobenius share (0 for axis-aligned/whitened spaces).
+    A training pipeline watches these to catch embedding collapse and
+    un-whitened drift before ANN recall quietly degrades.
+
+    Scale shape — the reason this is mapInPandas and not a d²-explode:
+    each Arrow batch is reduced IN PLACE to one d×d partial Gram
+    (Qᵀ Q, int64 matmul), a column-sum vector, and a row count — so
+    the shuffle carries O(batches · d²) tiny integer rows instead of
+    O(n · d²) exploded pairs; the only wide operation is a groupBy
+    over ≤ d(d+1)/2 + d + 1 keys. Everything after the partial-sum
+    merge is driver-bounded metadata (d² values).
+
+    Determinism contract: components quantize to floor(x·scale + 0.5)
+    BIGINTs before any arithmetic (floor, not round — double
+    round-half ties differ between engines), all Gram/covariance
+    entries are exact integer sums (DECIMAL(38,0) here, HUGEINT in the
+    DuckDB oracle — both exact), and the three reported ratios are
+    single double divisions of identical integers, rounded to 6 dp.
+    With E = n·C_scaled, PR and the shares are scale-invariant, so no
+    de-scaling division ever happens: E_ij = n·G_ij − s_i·s_j stays
+    integer end-to-end.
+    """
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+
+    def _partial_gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_vec"].to_numpy()).astype("float64")
+            q = np.floor(x * float(scale) + 0.5).astype("int64")
+            g = q.T @ q
+            s = q.sum(axis=0)
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            out = pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu, np.arange(d), np.array([-1])]
+                    ).astype("int32"),
+                    "j": np.concatenate(
+                        [ju, np.full(d, -1), np.array([-1])]
+                    ).astype("int32"),
+                    "v": np.concatenate(
+                        [g[iu, ju], s, np.array([len(pdf)])]
+                    ).astype("int64"),
+                }
+            )
+            yield out
+
+    partials = (
+        embeddings.select(as_double_array(vec_col).alias("_vec"))
+        .mapInPandas(_partial_gram, schema="i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)  # ≤ d(d+1)/2 + d + 1 rows
+    )
+    n_row = partials.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("n")
+    )
+    s_rows = partials.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("d"), F.col("v").alias("s")
+    )
+    g_rows = partials.filter(F.col("j") >= 0)
+
+    dec = "decimal(38,0)"
+    si = s_rows.select(F.col("d").alias("i"), F.col("s").alias("s_i"))
+    sj = s_rows.select(F.col("d").alias("j"), F.col("s").alias("s_j"))
+    e = (
+        g_rows.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast(dec) * F.col("v").cast(dec)
+                - F.col("s_i").cast(dec) * F.col("s_j").cast(dec)
+            ).alias("e"),
+        )
+    )
+    diag = F.when(F.col("i") == F.col("j"), F.lit(1)).otherwise(F.lit(0))
+    agg = e.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("e"))).alias("trace"),
+        F.sum(
+            (F.lit(2) - diag).cast(dec) * F.col("e") * F.col("e")
+        ).alias("frob2"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("e") * F.col("e"))
+        ).alias("diag2"),
+        F.max(F.when(F.col("i") == F.col("j"), F.col("e"))).alias("max_var"),
+        F.min(
+            F.when(
+                F.col("i") == F.col("j"), F.struct(F.negate(F.col("e")), "i")
+            )
+        )["i"].alias("top_var_dim"),
+        (F.max(F.greatest("i", "j")) + 1).alias("dim"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.crossJoin(F.broadcast(n_row)).select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.col("dim").cast("int").alias("dim"),
+        F.round(dbl("trace") * dbl("trace") / dbl("frob2"), 6).alias(
+            "participation_ratio"
+        ),
+        F.col("top_var_dim").cast("long").alias("top_var_dim"),
+        F.round(dbl("max_var") / dbl("trace"), 6).alias("top_var_share"),
+        F.round(
+            (dbl("frob2") - dbl("diag2")) / dbl("frob2"), 6
+        ).alias("offdiag_frob_share"),
+    )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Triplet mining for contrastive training (FaceNet, Schroff et al.
+    2015): for every anchor, the hardest positive (lowest-similarity
+    same-label vector — the pull that's hardest to satisfy) and the
+    hardest negative (highest-similarity different-label vector — the
+    push that's hardest to satisfy), plus the triplet margin between
+    them. Batches mined where margin ≤ 0 are the ones worth training
+    on; a curation pipeline runs this to build triplet manifests.
+
+    Scale shape: identical to the exact-ANN baseline — anchors are
+    broadcast, the corpus streams once, and the per-anchor argmax/argmin
+    fold happens in ONE partial-aggregated groupBy (no top-k window, no
+    second scan). Cosines are rounded to 6 dp BEFORE the arg-extremum
+    so the (cos, id) tie order is engine-independent.
+    """
+    a = _with_unit_info(anchors, vec_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col("_vec").alias("_avec"),
+    )
+    c = _with_unit_info(fan_out(embeddings), vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col("_vec").alias("_cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(
+                cosine(F.col("_avec"), F.col("_cvec")), 6
+            ).alias("c6"),
+        )
+    )
+    same = F.col("cand_label") == F.col("anchor_label")
+    # arg-extremum as struct extrema: ties break toward the smaller
+    # cand_id on both sides (negated id under max)
+    pos = F.min(
+        F.when(same, F.struct(F.col("c6").alias("c"), F.col("cand_id").alias("i")))
+    )
+    neg = F.max(
+        F.when(
+            ~same,
+            F.struct(F.col("c6").alias("c"), F.negate(F.col("cand_id")).alias("ni")),
+        )
+    )
+    return (
+        scored.groupBy("anchor_id", "anchor_label")
+        .agg(pos.alias("p"), neg.alias("n"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("p.i").alias("hard_pos_id"),
+            F.col("p.c").alias("hard_pos_cos"),
+            F.negate(F.col("n.ni")).alias("hard_neg_id"),
+            F.col("n.c").alias("hard_neg_cos"),
+            F.round(F.col("p.c") - F.col("n.c"), 6).alias("triplet_margin"),
+        )
+    )

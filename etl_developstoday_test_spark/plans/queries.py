@@ -10225,3 +10225,121 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="ua",
         dst="ub",
     ).select(F.col("node").alias("user_id"), "coreness")
+
+
+@_register(
+    "embed_anisotropy_rankme",
+    """
+    WITH q AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(floor(e * 10000.0 + 0.5) AS BIGINT) AS q
+      FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    g AS (
+      SELECT a.d AS i, b.d AS j, SUM(a.q * b.q) AS g
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT d, SUM(q) AS s FROM q GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    e AS (
+      SELECT g.i, g.j,
+             CAST(nn.n AS HUGEINT) * g.g
+               - CAST(si.s AS HUGEINT) * sj.s AS e
+      FROM g
+      CROSS JOIN nn
+      JOIN s si ON si.d = g.i
+      JOIN s sj ON sj.d = g.j
+    ),
+    stats AS (
+      SELECT SUM(CASE WHEN i = j THEN e END) AS trace,
+             SUM((2 - CASE WHEN i = j THEN 1 ELSE 0 END) * e * e) AS frob2,
+             SUM(CASE WHEN i = j THEN e * e END) AS diag2,
+             MAX(CASE WHEN i = j THEN e END) AS max_var,
+             MAX(GREATEST(i, j)) + 1 AS dim
+      FROM e
+    ),
+    td AS (
+      SELECT MIN(i) AS top_var_dim FROM e
+      WHERE i = j AND e = (SELECT max_var FROM stats)
+    )
+    SELECT nn.n AS n_vectors,
+           CAST(st.dim AS INT) AS dim,
+           round(CAST(st.trace AS DOUBLE) * CAST(st.trace AS DOUBLE)
+                 / CAST(st.frob2 AS DOUBLE), 6) AS participation_ratio,
+           CAST(td.top_var_dim AS BIGINT) AS top_var_dim,
+           round(CAST(st.max_var AS DOUBLE)
+                 / CAST(st.trace AS DOUBLE), 6) AS top_var_share,
+           round((CAST(st.frob2 AS DOUBLE) - CAST(st.diag2 AS DOUBLE))
+                 / CAST(st.frob2 AS DOUBLE), 6) AS offdiag_frob_share
+    FROM stats st CROSS JOIN nn CROSS JOIN td
+    """,
+)
+def embed_anisotropy_rankme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space collapse diagnostics
+    (operators/similarity.anisotropy_stats): participation ratio
+    trace(C)²/‖C‖²_F of the exact covariance second-moment matrix —
+    the effective dimension count of the representation (RankMe-family
+    metric; = dim when isotropic, → 1 under collapse) — plus the
+    dominant-variance axis and off-diagonal Frobenius share. The
+    Spark side reduces each Arrow batch to a d×d integer partial Gram
+    in-place (mapInPandas), so the shuffle is O(batches·d²) rows, not
+    an n·d² explode; the oracle recomputes the identical integer
+    matrix via an unnest pair join, affordable at oracle scale only.
+    """
+    return similarity.anisotropy_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "embed_hard_negative_mining",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS avec
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id AS cand_id,
+             e.label AS cand_label,
+             round({_cosine('a.avec', 'e.embedding')}, 6) AS c6
+      FROM embeddings e CROSS JOIN anchors a
+      WHERE e.vec_id != a.anchor_id
+    ),
+    pos AS (
+      SELECT anchor_id, cand_id, c6,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY c6 ASC, cand_id ASC) AS rn
+      FROM scored WHERE cand_label = anchor_label
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id, c6,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY c6 DESC, cand_id ASC) AS rn
+      FROM scored WHERE cand_label != anchor_label
+    )
+    SELECT s.anchor_id, s.anchor_label,
+           p.cand_id AS hard_pos_id, p.c6 AS hard_pos_cos,
+           n.cand_id AS hard_neg_id, n.c6 AS hard_neg_cos,
+           round(p.c6 - n.c6, 6) AS triplet_margin
+    FROM (SELECT DISTINCT anchor_id, anchor_label FROM scored) s
+    JOIN pos p ON p.anchor_id = s.anchor_id AND p.rn = 1
+    JOIN neg n ON n.anchor_id = s.anchor_id AND n.rn = 1
+    """,
+)
+def embed_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training
+    (operators/similarity.hard_negative_mining — FaceNet-style): per
+    anchor (every 10th vector, broadcast), the hardest positive
+    (lowest same-label cosine) and hardest negative (highest
+    different-label cosine) with the triplet margin between them. One
+    corpus scan, one partial-aggregated groupBy — no top-k window, no
+    second pass; the oracle replays the same rounded-cosine argmax via
+    ranked windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mined = similarity.hard_negative_mining(
+        emb, emb.filter(F.col("vec_id") % 10 == 0)
+    )
+    return mined.filter(
+        F.col("hard_pos_id").isNotNull() & F.col("hard_neg_id").isNotNull()
+    )

@@ -948,6 +948,46 @@ def test_triangle_count_known_graphs(spark):
     assert (r.n_edges, r.n_triangles, r.max_outdegree) == (19, 0, 1)
 
 
+def test_anisotropy_stats_detects_planted_collapse(spark):
+    """Participation ratio must read ≈1 when all variance lives on one
+    axis, ≈d on an isotropic (one-hot) set, and the batch-partial path
+    must agree with a single-partition run (sum order irrelevant —
+    integer partials)."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        anisotropy_stats,
+    )
+
+    # collapse: every vector is t * e_3 — variance only on dim 3
+    collapsed = spark.createDataFrame(
+        [(i, [0.0] * 3 + [float(i % 7) / 10.0] + [0.0] * 4) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    r = anisotropy_stats(collapsed).collect()[0]
+    assert r.n_vectors == 40 and r.dim == 8
+    assert r.top_var_dim == 3
+    assert abs(r.participation_ratio - 1.0) < 1e-9
+    assert abs(r.top_var_share - 1.0) < 1e-9
+    assert abs(r.offdiag_frob_share) < 1e-9
+
+    # isotropic: each basis vector of R^4 ten times → PR == 4 exactly
+    # (covariance is a scaled identity minus a rank-1 mean term with
+    # equal entries — still PR-symmetric across dims)
+    iso = spark.createDataFrame(
+        [(i, [1.0 if d == i % 4 else 0.0 for d in range(4)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    r = anisotropy_stats(iso).collect()[0]
+    assert r.dim == 4
+    # centering removes the ones-direction: PR = d - 1 exactly
+    assert abs(r.participation_ratio - 3.0) < 1e-9
+
+    # partition invariance: 8 partitions vs 1 give identical rows
+    one = anisotropy_stats(collapsed.coalesce(1)).collect()[0]
+    many = anisotropy_stats(collapsed.repartition(8)).collect()[0]
+    assert one == many
+
+
 def test_kcore_decomposition_known_graphs(spark):
     """Coreness on graphs where peeling is computable by hand: a K4
     with a pendant path (clique nodes 3-core, path tail degrades to

@@ -404,6 +404,9 @@ _DECLARED_PYTHON_QUERIES = {
     "mm_frame_phash_dedup",
     # grouped-map Arrow UDF (FlatMapGroupsInArrow)
     "events_arrow_grouped_stats",
+    # per-batch integer partial-Gram reduction (MapInPandas) — the
+    # declared O(batches·d²) covariance path of the anisotropy metric
+    "embed_anisotropy_rankme",
 }
 
 
