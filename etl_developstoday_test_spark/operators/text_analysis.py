@@ -630,3 +630,169 @@ def hashed_importance_scores(
         F.sum("w").alias("sum_score"),
         F.max("w").alias("max_score"),
     )
+
+
+def char_entropy_profile(docs: DataFrame, low_bits: float = 3.0) -> DataFrame:
+    """Per-source character-entropy quality profile: Shannon entropy
+    H = -Σ p(ch)·log2 p(ch) over each document's characters — the
+    cheap compression-ratio proxy quality filters use to drop
+    low-entropy boilerplate / repeated-key spam (H collapses toward 0
+    for 'aaaa…' and sits near log2(alphabet) for organic prose) —
+    with the count of docs under ``low_bits``.
+
+    Scale shape: the explode is narrow (one row per character, no
+    join), the (doc, char) groupBy partial-aggregates map-side down to
+    ≤ alphabet rows per doc, and everything after is per-doc metadata.
+    Determinism: each per-char term quantizes ln to NANO-INTEGERS
+    before summation (the unigram-LM pattern), so per-doc H_nano is an
+    exact integer in any engine and the low-entropy CLASSIFICATION is
+    an integer comparison — no float boundary can flip a doc between
+    engines. Total chars per doc comes from length(text), constant per
+    exploded row, so no totals join is needed.
+    """
+    low_nano = int(low_bits * 1_000_000_000)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    counts = base.groupBy("doc_id", "source", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    term = F.round(
+        F.col("c").cast("double")
+        / F.col("n")
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        / F.log(F.lit(2.0))
+        * F.lit(1e9)
+    ).cast("long")
+    doc_h = counts.groupBy("doc_id", "source").agg(
+        F.sum(term).alias("h_nano")
+    )
+    return doc_h.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("h_nano").cast("double") / F.count(F.lit(1)) / 1e9, 6
+        ).alias("avg_entropy_bits"),
+        F.sum(
+            F.when(F.col("h_nano") < low_nano, 1).otherwise(0)
+        ).alias("n_low_entropy"),
+    )
+
+
+def bpe_merge_rounds(
+    docs: DataFrame, rounds: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE tokenizer training, the first ``rounds`` merges
+    (Sennrich et al. 2016): start from characters, repeatedly (1) count
+    adjacent symbol pairs corpus-wide weighted by word frequency,
+    (2) pick the most frequent pair (ties: lexicographic), (3) merge it
+    greedily leftmost-first in every word. Returns one audit row per
+    round: the chosen pair, its count, and the vocab size / total token
+    count after applying the merge.
+
+    Scale shape — why this distributes: the corpus collapses to
+    (distinct word, freq) once, so all later rounds run on the word
+    VOCABULARY, not the corpus; pair counting is a map-side-combined
+    groupBy over short per-word pair lists; and the merge application
+    is a per-row codegen array fold (F.aggregate) — zero shuffles, no
+    Python, no alignment joins. Per round: one vocabulary-sized
+    shuffle (pair count) + one driver-bounded top-1 action, exactly
+    the k-bounded iteration pattern of kmeans_lloyd. The greedy
+    leftmost fold is equivalent to the run-parity rule (occurrences
+    can only overlap when a == b, in runs; survivors sit at even
+    offsets from the run start) — which is how the SQL oracle replays
+    it with windows instead of a fold.
+    """
+    spark = docs.sparkSession
+
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", F.split("word", "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_arr(syms):
+        idx = F.sequence(F.lit(0), F.size(syms) - 1)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(syms, i).alias("s"), F.get(syms, i + 1).alias("n")
+            ),
+        )
+
+    stats = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            words.select("freq", F.explode(pair_arr(F.col("syms"))).alias("pr"))
+            .filter(F.col("pr.n").isNotNull())
+            .groupBy(F.col("pr.s").alias("a"), F.col("pr.n").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).first()
+        a, b, cnt = top["a"], top["b"], int(top["cnt"])
+
+        init = F.struct(
+            F.expr("cast(array() as array<string>)").alias("out"),
+            F.lit(False).alias("skip"),
+        )
+
+        def make_step(a, b):
+            def step(acc, x):
+                keep = F.struct(
+                    F.concat(acc["out"], F.array(x["s"])).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+                merged = F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(True).alias("skip"),
+                )
+                return (
+                    F.when(
+                        acc["skip"],
+                        F.struct(
+                            acc["out"].alias("out"), F.lit(False).alias("skip")
+                        ),
+                    )
+                    .when((x["s"] == F.lit(a)) & (x["n"] == F.lit(b)), merged)
+                    .otherwise(keep)
+                )
+
+            return step
+
+        words = words.select(
+            "word",
+            "freq",
+            F.aggregate(
+                pair_arr(F.col("syms")),
+                init,
+                make_step(a, b),
+                lambda acc: acc["out"],
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+        vocab = words.select(F.explode("syms").alias("s")).agg(
+            F.count_distinct("s").alias("vocab_size")
+        )
+        toks = words.agg(
+            F.sum(F.col("freq") * F.size("syms")).alias("total_tokens")
+        )
+        stats.append(
+            vocab.crossJoin(toks).select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.lit(a).alias("pair_a"),
+                F.lit(b).alias("pair_b"),
+                F.lit(cnt).cast("bigint").alias("pair_count"),
+                F.col("vocab_size").cast("bigint").alias("vocab_size"),
+                F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            )
+        )
+
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

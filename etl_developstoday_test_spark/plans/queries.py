@@ -10343,3 +10343,192 @@ def embed_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mined.filter(
         F.col("hard_pos_id").isNotNull() & F.col("hard_neg_id").isNotNull()
     )
+
+
+@_register(
+    "text_char_entropy_filter",
+    """
+    WITH ch AS (
+      SELECT doc_id, source, length(text) AS n,
+             unnest(string_split(text, '')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, source, n, ch, COUNT(*) AS c
+      FROM ch GROUP BY 1, 2, 3, 4
+    ),
+    doc_h AS (
+      SELECT doc_id, source,
+             SUM(CAST(round(CAST(c AS DOUBLE) / n
+                            * ln(CAST(n AS DOUBLE) / c) / ln(2.0)
+                            * 1e9) AS BIGINT)) AS h_nano
+      FROM counts GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           round(CAST(SUM(h_nano) AS DOUBLE) / COUNT(*) / 1e9, 6)
+             AS avg_entropy_bits,
+           SUM(CASE WHEN h_nano < 3000000000 THEN 1 ELSE 0 END)
+             AS n_low_entropy
+    FROM doc_h GROUP BY source
+    """,
+)
+def text_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter
+    (operators/text_analysis.char_entropy_profile): per-source Shannon
+    entropy over document characters plus the count of docs under the
+    3-bit boilerplate threshold. Per-char ln terms quantize to
+    nano-integers before the per-doc sum, so the low-entropy
+    classification is an integer comparison in both engines. Narrow
+    explode → map-side-combined (doc, char) groupBy — one shuffle of
+    ≤ alphabet rows per doc."""
+    return text_analysis.char_entropy_profile(
+        fan_out(load_table(spark, sf_dir, "documents"))
+    ).select(
+        "source",
+        "n_docs",
+        "avg_entropy_bits",
+        F.col("n_low_entropy").cast("long").alias("n_low_entropy"),
+    )
+
+
+@_register(
+    "scan_binaryfile_manifest",
+    """
+    SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '.bin'
+             AS file_name,
+           octet_length(encode('BIN1' || text)) AS n_bytes,
+           sha256('BIN1' || text) AS sha256_hex,
+           'BIN1' AS magic
+    FROM documents WHERE doc_id < 8
+    """,
+)
+def scan_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest via Spark's ``binaryFile`` source — the front
+    door of every multimodal pipeline (images/audio arrive as files,
+    not rows): eight fixture blobs (4-byte magic + document payload)
+    are landed on disk, read back as (path, length, content:binary)
+    with a pathGlobFilter, and manifested as basename, byte length,
+    sha256, and the sniffed magic. The oracle recomputes the identical
+    manifest from the documents table — proving content bytes survive
+    the binary read untouched. Scale shape: binaryFile lists files
+    into tasks (one blob per row, many blobs per task), so a 100-TB
+    image corpus fans out by file count; the decode stage downstream
+    is the declared multimodal plug-point (operators/multimodal.py).
+    Blob landing here is driver-side only because it is FIXTURE
+    construction — production blobs already exist in object storage.
+    """
+    import shutil
+    import tempfile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 8)
+        .select("doc_id", "text")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="binmanifest_")
+    try:
+        for r in docs:
+            with open(f"{tmp}/doc_{r.doc_id:04d}.bin", "wb") as f:
+                f.write(b"BIN1" + r.text.encode("utf-8"))
+        # decoy that the glob filter must exclude
+        with open(f"{tmp}/ignore.txt", "wb") as f:
+            f.write(b"not a blob")
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(tmp)
+        )
+        out = back.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha256_hex"),
+            F.substring("content", 1, 4).cast("string").alias("magic"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _bpe_sql(rounds: int = 5) -> str:
+    """Unrolled SQL replay of bpe_merge_rounds: per round, pair counts
+    → lexicographic-tiebreak top-1 → run-parity greedy merge (windows;
+    equivalent to the Spark side's leftmost fold because occurrences
+    only overlap when a == b, where survivors sit at even offsets from
+    their run start)."""
+    ctes = [
+        f"""toks AS (
+      SELECT unnest({_TOKS}) AS word FROM documents
+    ),
+    wc AS MATERIALIZED (
+      SELECT word, COUNT(*) AS freq FROM toks WHERE word <> ''
+      GROUP BY word
+    ),
+    w0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM wc)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(f"""pos{k} AS MATERIALIZED (
+      SELECT word, freq, syms,
+             unnest(generate_series(1, len(syms))) AS i
+      FROM w{p}
+    ),
+    pairs{k} AS MATERIALIZED (
+      SELECT syms[i] AS a, syms[i+1] AS b, SUM(freq) AS cnt
+      FROM pos{k} WHERE i < len(syms)
+      GROUP BY 1, 2
+    ),
+    top{k} AS MATERIALIZED (SELECT a, b, cnt FROM pairs{k} ORDER BY cnt DESC, a, b LIMIT 1),
+    occ{k} AS MATERIALIZED (
+      SELECT q.word, q.i
+      FROM pos{k} q CROSS JOIN top{k} t
+      WHERE q.i < len(q.syms) AND q.syms[q.i] = t.a AND q.syms[q.i+1] = t.b
+    ),
+    surv{k} AS MATERIALIZED (
+      SELECT word, i FROM (
+        SELECT word, i, i - MIN(i) OVER (PARTITION BY word, isl) AS off
+        FROM (SELECT word, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i)
+                       AS isl
+              FROM occ{k})
+      ) WHERE off % 2 = 0
+    ),
+    w{k} AS MATERIALIZED (
+      SELECT q.word, q.freq,
+             list(CASE WHEN s.i IS NOT NULL
+                       THEN q.syms[q.i] || q.syms[q.i+1]
+                       ELSE q.syms[q.i] END ORDER BY q.i) AS syms
+      FROM pos{k} q
+      LEFT JOIN surv{k} s ON s.word = q.word AND s.i = q.i
+      LEFT JOIN surv{k} c ON c.word = q.word AND c.i = q.i - 1
+      WHERE c.i IS NULL
+      GROUP BY q.word, q.freq
+    ),
+    stat{k} AS (
+      SELECT CAST({k} AS BIGINT) AS round, t.a AS pair_a, t.b AS pair_b,
+             CAST(t.cnt AS BIGINT) AS pair_count,
+             CAST((SELECT COUNT(DISTINCT s)
+                   FROM (SELECT unnest(syms) AS s FROM w{k})) AS BIGINT)
+               AS vocab_size,
+             CAST((SELECT SUM(freq * len(syms)) FROM w{k}) AS BIGINT)
+               AS total_tokens
+      FROM top{k} t
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM stat{k}" for k in range(1, rounds + 1)
+    )
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@_register("text_bpe_merge_rounds", _bpe_sql(5))
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 5 merges
+    (operators/text_analysis.bpe_merge_rounds — Sennrich et al. 2016):
+    corpus collapses to (distinct word, freq) once, then each round is
+    one vocabulary-sized pair-count shuffle, a driver-bounded top-1,
+    and a zero-shuffle codegen array fold applying the merge. The
+    oracle replays all 5 rounds unrolled, with the greedy leftmost
+    merge expressed as the run-parity window rule."""
+    return text_analysis.bpe_merge_rounds(
+        fan_out(load_table(spark, sf_dir, "documents")), rounds=5
+    )

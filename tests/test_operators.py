@@ -948,6 +948,51 @@ def test_triangle_count_known_graphs(spark):
     assert (r.n_edges, r.n_triangles, r.max_outdegree) == (19, 0, 1)
 
 
+def test_bpe_merge_rounds_classic_corpus(spark):
+    """Sennrich-style corpus with hand-computed merge sequence: ties on
+    count must break lexicographically, merged symbols must compose in
+    later rounds (ew+est→ewest), and vocab/token counts must track the
+    applied merges exactly."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bpe_merge_rounds,
+    )
+
+    text = " ".join(
+        ["low"] * 3 + ["lower"] * 2 + ["newest"] * 5 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = {
+        r.round: r for r in bpe_merge_rounds(docs, rounds=5).collect()
+    }
+    got = [
+        (r.pair_a, r.pair_b, r.pair_count, r.vocab_size, r.total_tokens)
+        for r in (rows[k] for k in sorted(rows))
+    ]
+    assert got == [
+        ("e", "s", 8, 10, 59),
+        ("es", "t", 8, 9, 51),
+        ("e", "w", 5, 10, 46),
+        ("ew", "est", 5, 10, 41),
+        ("l", "o", 5, 9, 36),
+    ]
+
+
+def test_bpe_merge_greedy_leftmost_in_runs(spark):
+    """Overlapping (a,a) occurrences must merge leftmost-first:
+    'aaaa'→[aa,aa], 'aaa'→[aa,a]; the pair count itself stays the
+    standard overlapping count (5)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bpe_merge_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaa")], "doc_id long, text string"
+    )
+    r = bpe_merge_rounds(docs, rounds=1).collect()[0]
+    assert (r.pair_a, r.pair_b, r.pair_count) == ("a", "a", 5)
+    assert (r.vocab_size, r.total_tokens) == (2, 4)  # {aa, a}; [aa,aa]+[aa,a]
+
+
 def test_anisotropy_stats_detects_planted_collapse(spark):
     """Participation ratio must read ≈1 when all variance lives on one
     axis, ≈d on an isotropic (one-hot) set, and the batch-partial path

@@ -379,6 +379,9 @@ _EAGER_QUERIES = {
     "scan_json_roundtrip",
     "scan_partition_pruned",
     "etl_golden_pipeline_stats",
+    "graph_kcore_decomposition",   # h-index fixpoint iteration
+    "scan_binaryfile_manifest",    # lands fixture blobs, checkpointed read
+    "text_bpe_merge_rounds",       # per-round top-pair driver actions
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
