@@ -262,3 +262,61 @@ def temperature_mixture(
             * F.lit(1e6)
         ).cast("bigint").alias("sample_rate_micro"),
     )
+
+
+def shard_shuffle_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """WebDataset-style deterministic corpus shuffle: every document is
+    assigned a shard by keyed hash and a pseudorandom position WITHIN
+    its shard by a second, independent hash — the global shuffle a
+    training loader needs, computed without any true randomness so
+    every rerun (and every engine) lands every doc in the same place.
+    Returns one manifest row per shard: size, payload bytes, the head
+    document, and an order-sensitive checksum Σ position·(doc-hash mod
+    1000003) that certifies the intra-shard ORDER, not just membership
+    (any swap of two docs changes it).
+
+    Scale shape: shard assignment is a narrow map; the only shuffle is
+    the window partitioned BY SHARD — exactly the partitioning the
+    subsequent shard-file write needs, so the sort is the write's sort
+    and nothing moves twice. Shard count bounds skew: hash balance
+    makes sizes concentrate at n/n_shards (the manifest's min/max
+    exposes any imbalance).
+    """
+    pos_key = md5_long(
+        F.concat(F.lit("ord#"), F.col(id_col).cast("string"))
+    )
+    sharded = docs.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        (
+            md5_long(F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string")))
+            % n_shards
+        ).alias("shard"),
+        pos_key.alias("pos_key"),
+        (md5_long(F.col(id_col).cast("string")) % 1000003).alias("ord_hash"),
+    )
+    w = Window.partitionBy("shard").orderBy("pos_key", id_col)
+    positioned = sharded.withColumn("pos", F.row_number().over(w))
+    return (
+        positioned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min(F.struct("pos", id_col))[id_col].alias("head_doc"),
+            F.sum(F.col("pos").cast("bigint") * F.col("ord_hash")).alias(
+                "order_digest"
+            ),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "total_chars",
+            F.col("head_doc").cast("bigint").alias("head_doc"),
+            "order_digest",
+        )
+    )

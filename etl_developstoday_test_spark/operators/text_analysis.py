@@ -734,6 +734,8 @@ def bpe_merge_rounds(
             .agg(F.sum("freq").alias("cnt"))
         )
         top = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).first()
+        if top is None:  # fully merged (or single-char corpus): done
+            break
         a, b, cnt = top["a"], top["b"], int(top["cnt"])
 
         init = F.struct(
@@ -792,6 +794,12 @@ def bpe_merge_rounds(
             )
         )
 
+    if not stats:  # no adjacent pairs anywhere: nothing to merge
+        return spark.createDataFrame(
+            [],
+            "round bigint, pair_a string, pair_b string, "
+            "pair_count bigint, vocab_size bigint, total_tokens bigint",
+        )
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)

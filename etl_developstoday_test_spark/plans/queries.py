@@ -10144,9 +10144,18 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "graph_kcore_decomposition",
     f"""
-    WITH RECURSIVE cell AS (
+    WITH RECURSIVE cell0 AS (
       SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type AS et
-      FROM events
+      FROM events WHERE day(ts) <= 10
+    ),
+    cell AS (
+      SELECT user_id, h, et FROM (
+        SELECT user_id, h, et,
+               ROW_NUMBER() OVER (PARTITION BY h, et
+                 ORDER BY {_md5long("'kc#' || CAST(user_id AS VARCHAR)")},
+                          user_id) AS rn
+        FROM cell0
+      ) WHERE rn <= 24
     ),
     alledges AS (
       SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
@@ -10204,20 +10213,52 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_developstoday_test_spark.functions import md5_long
     from etl_developstoday_test_spark.operators.graph import kcore_decomposition
 
+    # cloned session (shared pattern): the iteration's stages carry a
+    # few hundred KB each, where 32-way shuffles are pure task-
+    # scheduling overhead — 8 partitions halve the round cost without
+    # touching the caller's conf
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ev = load_table(spark, sf_dir, "events")
-    cell = ev.select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("h"),
-        F.col("event_type").alias("et"),
-    ).distinct()
+    # first 10 days: the co-activity demonstration needs a month of
+    # cells no more than it needs uncapped ones — the iterate cost is
+    # rounds x per-round scheduling, so the graph is sized to the point
+    cell0 = (
+        ev.filter(F.dayofmonth("ts") <= 10)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("event_type").alias("et"),
+        )
+        .distinct()
+    )
+    # Deterministic per-cell membership cap (the df_max pattern): pair
+    # fan-out inside a (hour, type) cell is quadratic in cell size, so
+    # an uncapped cell grows 100x when the corpus grows 10x. Capping at
+    # 24 md5-ranked members bounds every cell to <=276 pairs — edge
+    # count scales LINEARLY with cell count from here on.
+    w_cell = Window.partitionBy("h", "et").orderBy(
+        md5_long(F.concat(F.lit("kc#"), F.col("user_id").cast("string"))),
+        F.col("user_id"),
+    )
+    cell = (
+        cell0.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= 24)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # both join branches reuse it
+    )
     a = cell.select(F.col("user_id").alias("ua"), "h", "et")
     b = cell.select(F.col("user_id").alias("ub"), "h", "et")
     edges = (
         a.join(b, ["h", "et"])
         .filter(F.col("ua") < F.col("ub"))
         .select("ua", "ub")
-        .distinct()
+        # sample BEFORE the distinct: the md5 filter is per-pair
+        # deterministic, so order is free — and it shrinks the
+        # distinct's shuffle 5x
         .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 20)
+        .distinct()
+        .localCheckpoint(eager=True)  # sym's union branches reuse it
     )
     return kcore_decomposition(
         edges,
@@ -10531,4 +10572,46 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge expressed as the run-parity window rule."""
     return text_analysis.bpe_merge_rounds(
         fan_out(load_table(spark, sf_dir, "documents")), rounds=5
+    )
+
+
+@_register(
+    "sample_shard_shuffle",
+    f"""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             {_md5long("'shard#' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+             {_md5long("'ord#' || CAST(doc_id AS VARCHAR)")} AS pos_key,
+             {_md5long("CAST(doc_id AS VARCHAR)")} % 1000003 AS ord_hash
+      FROM documents
+    ),
+    positioned AS (
+      SELECT shard, doc_id, n_chars, ord_hash,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY pos_key, doc_id) AS pos
+      FROM sharded
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc,
+           SUM(CAST(pos AS BIGINT) * ord_hash) AS order_digest
+    FROM positioned
+    GROUP BY shard
+    """,
+)
+def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WebDataset-style corpus shuffle into 16 shards
+    (operators/sampling.shard_shuffle_manifest): keyed-hash shard
+    assignment + an independent keyed-hash intra-shard order, audited
+    by an order-SENSITIVE checksum per shard (Σ pos·hash — any swap
+    changes it). The one shuffle is the by-shard window, which is the
+    same partitioning the shard-file write needs. Every training run
+    re-derives the identical permutation — no RNG state to ship."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        shard_shuffle_manifest,
+    )
+
+    return shard_shuffle_manifest(
+        fan_out(load_table(spark, sf_dir, "documents")), n_shards=16
     )

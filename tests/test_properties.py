@@ -616,3 +616,73 @@ def test_weighted_reservoir_matches_python_replay(spark, rows, k):
         for rank, (key, doc_id) in enumerate(cands[:k], start=1):
             want[(stratum, doc_id)] = (key, rank)
     assert got == want
+
+
+# --- BPE merge rounds vs a pure-Python reference trainer -------------------
+
+_bpe_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ref_bpe(words: list[str], rounds: int):
+    """Reference BPE (Sennrich get_stats/merge_vocab semantics):
+    overlapping pair counts, lexicographic tie-break, greedy leftmost
+    non-overlapping merge."""
+    from collections import Counter
+
+    freq = Counter(words)
+    segs = {w: list(w) for w in freq}
+    out = []
+    for rnd in range(1, rounds + 1):
+        counts = Counter()
+        for w, f in freq.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in segs:
+            s, new, i = segs[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            segs[w] = new
+        vocab = {sym for s in segs.values() for sym in s}
+        total = sum(f * len(segs[w]) for w, f in freq.items())
+        out.append((rnd, a, b, cnt, len(vocab), total))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=_bpe_words)
+def test_bpe_merge_rounds_matches_reference_trainer(spark, words):
+    """On ANY corpus over {a,b,c} (adversarial for overlap handling:
+    runs like 'aaaa' are common), the distributed fold must reproduce
+    the sequential reference trainer's merges, counts, vocab sizes,
+    and token totals for 3 rounds."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bpe_merge_rounds,
+    )
+
+    expected = _ref_bpe(words, rounds=3)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r.round, r.pair_a, r.pair_b, r.pair_count, r.vocab_size,
+         r.total_tokens)
+        for r in sorted(
+            bpe_merge_rounds(docs, rounds=3).collect(), key=lambda r: r.round
+        )
+    ]
+    assert got == expected
