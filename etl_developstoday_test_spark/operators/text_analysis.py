@@ -766,6 +766,7 @@ def bpe_merge_rounds(
 
             return step
 
+        prev = words
         words = words.select(
             "word",
             "freq",
@@ -776,31 +777,21 @@ def bpe_merge_rounds(
                 lambda acc: acc["out"],
             ).alias("syms"),
         ).localCheckpoint(eager=True)
+        prev.unpersist()
 
-        vocab = words.select(F.explode("syms").alias("s")).agg(
-            F.count_distinct("s").alias("vocab_size")
+        # one fused pass over the exploded segmentation: every symbol
+        # occurrence counts freq times, so total_tokens is just
+        # SUM(freq) over exploded rows — no second aggregation
+        vs, tt = (
+            words.select("freq", F.explode("syms").alias("s"))
+            .agg(F.count_distinct("s"), F.sum("freq"))
+            .first()
         )
-        toks = words.agg(
-            F.sum(F.col("freq") * F.size("syms")).alias("total_tokens")
-        )
-        stats.append(
-            vocab.crossJoin(toks).select(
-                F.lit(rnd).cast("bigint").alias("round"),
-                F.lit(a).alias("pair_a"),
-                F.lit(b).alias("pair_b"),
-                F.lit(cnt).cast("bigint").alias("pair_count"),
-                F.col("vocab_size").cast("bigint").alias("vocab_size"),
-                F.col("total_tokens").cast("bigint").alias("total_tokens"),
-            )
-        )
+        stats.append((rnd, a, b, cnt, int(vs), int(tt)))
 
-    if not stats:  # no adjacent pairs anywhere: nothing to merge
-        return spark.createDataFrame(
-            [],
-            "round bigint, pair_a string, pair_b string, "
-            "pair_count bigint, vocab_size bigint, total_tokens bigint",
-        )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+    words.unpersist()  # stats are collected; nothing references it now
+    return spark.createDataFrame(
+        stats,
+        "round bigint, pair_a string, pair_b string, "
+        "pair_count bigint, vocab_size bigint, total_tokens bigint",
+    )

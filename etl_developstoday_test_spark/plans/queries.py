@@ -9649,8 +9649,7 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_pagerank_authority",
     """
     WITH base AS (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
-                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
     edges AS (
@@ -9677,7 +9676,10 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN r1 ON r1.node = e.src CROSS JOIN nn
       GROUP BY e.dst
     )
-    SELECT node, CAST(FLOOR(rank * 1e12) AS BIGINT) AS rank_pico
+    SELECT CASE WHEN node % 2 = 0
+                THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           CAST(FLOOR(rank * 1e12) AS BIGINT) AS rank_pico
     FROM r2 ORDER BY rank_pico DESC, node LIMIT 10
     """,
 )
@@ -9697,21 +9699,34 @@ def graph_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # integer node ids (customers even, suppliers odd): every shuffle in
+    # the iteration carries 8-byte longs instead of strings; the display
+    # label is reconstructed only for the final top-10
     base = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        # both symmetrization branches reuse the joined+distinct edge
+        # set — without the checkpoint the orders⋈lineitem join runs
+        # twice through the union lineage
+        .localCheckpoint(eager=True)
     )
     edges = base.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).union(base.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     ranks = graph.pagerank_unrolled(edges, iters=2, damping=0.85)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.floor(F.col("node") / 2).cast("bigint")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.floor((F.col("node") - 1) / 2).cast("bigint"))
+    )
     return (
         ranks.select(
-            "node",
+            label.alias("node"),
             F.floor(F.col("rank") * F.lit(1e12)).cast("bigint").alias(
                 "rank_pico"
             ),
