@@ -10630,3 +10630,371 @@ def sample_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_shuffle_manifest(
         fan_out(load_table(spark, sf_dir, "documents")), n_shards=16
     )
+
+
+@_register(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH tok AS (
+      SELECT source, {_TOKS} AS arr FROM documents
+    ),
+    g0 AS (
+      SELECT source, unnest(generate_series(1, len(arr) - 7)) AS i, arr
+      FROM tok
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             {_md5long("list_aggregate(arr[i:i+7], 'string_agg', ' ')")} AS h
+      FROM g0
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared_spans
+    FROM grams a JOIN grams b ON a.h = b.h AND a.source < b.source
+    GROUP BY src_a, src_b
+    HAVING COUNT(*) >= 25
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct verbatim 8-token spans appear in BOTH — the table a
+    curation team reads to find which feeds are re-crawling or
+    boilerplating each other before deciding dedup precedence (the
+    source-level rollup of the ExactSubstr statistic). One
+    (source, span-hash) distinct + one equi-join on the hash; per-hash
+    fan-out is bounded by the SOURCE count, never by document count,
+    so the join cannot go quadratic in the corpus. Pairs reported at
+    the ≥25-shared-span floor."""
+    from etl_developstoday_test_spark.functions import (
+        md5_long,
+        tokens,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        fan_out(docs)
+        .select(
+            "source",
+            F.explode(word_shingles(tokens("text"), 8)).alias("g"),
+        )
+        .select("source", md5_long("g").alias("h"))
+        .distinct()
+    )
+    a = grams.select("h", F.col("source").alias("src_a"))
+    b = grams.select("h", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= 25)
+    )
+
+
+@_register(
+    "dq_k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_band,
+             COUNT(*) AS grp
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT COUNT(*) AS n_groups,
+           SUM(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           MIN(grp) AS min_group_size,
+           round(CAST(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS DOUBLE)
+                 / SUM(grp), 6) AS share_at_risk
+    FROM g
+    """,
+)
+def dq_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    100-char size band): counts of equivalence classes below k=5 and
+    the row mass at re-identification risk — the privacy-side data-
+    quality gate that runs before a corpus ships. One map-side-combined
+    groupBy then a single-row rollup; scan-bound at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang", "source", F.floor(F.col("n_chars") / 100).cast("bigint").alias("size_band")
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    risk = F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp") < 5, 1).otherwise(0)).alias(
+            "n_groups_below_k"
+        ),
+        risk.cast("bigint").alias("n_rows_at_risk"),
+        F.min("grp").alias("min_group_size"),
+        F.round(
+            risk.cast("double") / F.sum("grp"), 6
+        ).alias("share_at_risk"),
+    )
+
+
+@_register(
+    "agg_theta_sketch_intersection",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type AS et,
+             {_md5long("'theta#' || CAST(user_id AS VARCHAR)")} AS hv
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT et, hv,
+             ROW_NUMBER() OVER (PARTITION BY et ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT et, hv FROM ranked WHERE rn <= 64),
+    ta AS (SELECT MAX(hv) AS theta_a, COUNT(*) AS ka FROM sk
+           WHERE et = 'click'),
+    tb AS (SELECT MAX(hv) AS theta_b, COUNT(*) AS kb FROM sk
+           WHERE et = 'view'),
+    un AS (
+      SELECT hv FROM (
+        SELECT DISTINCT hv FROM sk ORDER BY hv LIMIT 64
+      )
+    ),
+    tu AS (SELECT MAX(hv) AS theta_u, COUNT(*) AS ku FROM un),
+    inter AS (
+      SELECT COUNT(*) AS ni
+      FROM (SELECT hv FROM sk WHERE et = 'click') a
+      JOIN (SELECT hv FROM sk WHERE et = 'view') b USING (hv)
+      CROSS JOIN ta CROSS JOIN tb
+      WHERE hv < LEAST(ta.theta_a, tb.theta_b)
+    ),
+    ex AS (
+      SELECT COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                 THEN user_id END) AS exact_a,
+             COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                 THEN user_id END) AS exact_b
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    exi AS (
+      SELECT COUNT(*) AS exact_i FROM (
+        SELECT user_id FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2
+      )
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           round(CAST(ka - 1 AS DOUBLE)
+                 / (CAST(theta_a AS DOUBLE) / 1152921504606846976.0), 3)
+             AS est_clicks,
+           round(CAST(kb - 1 AS DOUBLE)
+                 / (CAST(theta_b AS DOUBLE) / 1152921504606846976.0), 3)
+             AS est_views,
+           round(CAST(ku - 1 AS DOUBLE)
+                 / (CAST(theta_u AS DOUBLE) / 1152921504606846976.0), 3)
+             AS est_union,
+           round(CAST(ni AS DOUBLE)
+                 / (CAST(LEAST(theta_a, theta_b) AS DOUBLE)
+                    / 1152921504606846976.0), 3) AS est_intersection,
+           exact_a AS exact_clicks, exact_b AS exact_views,
+           CAST(exact_i AS BIGINT) AS exact_intersection
+    FROM ta CROSS JOIN tb CROSS JOIN tu CROSS JOIN inter
+    CROSS JOIN ex CROSS JOIN exi
+    """,
+)
+def agg_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET ALGEBRA (the Apache DataSketches model):
+    k=64 minimum md5 hashes per user-set (clickers, viewers), union
+    estimated from the merged k-min sketch, intersection from the
+    A∩B survivors below θ = min(θ_A, θ_B) — cardinalities of set
+    EXPRESSIONS from mergeable O(k) state, the thing exact distinct
+    counts can't give a 100-TB rollup without re-scanning. Exact
+    counts ride along as the error audit. Deterministic: the 'random'
+    hash is md5, so both engines build bit-identical sketches; all
+    estimates are one double division, rounded to 3 dp."""
+    from etl_developstoday_test_spark.functions import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "view"))
+    h = both.select(
+        F.col("event_type").alias("et"),
+        md5_long(
+            F.concat(F.lit("theta#"), F.col("user_id").cast("string"))
+        ).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("et").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .select("et", "hv")
+        .localCheckpoint(eager=True)  # ≤ 128 rows, reused 4×
+    )
+    a_sk = sk.filter(F.col("et") == "click").select("hv")
+    b_sk = sk.filter(F.col("et") == "view").select("hv")
+    ta = a_sk.agg(F.max("hv").alias("theta_a"), F.count(F.lit(1)).alias("ka"))
+    tb = b_sk.agg(F.max("hv").alias("theta_b"), F.count(F.lit(1)).alias("kb"))
+    tu = (
+        sk.select("hv").distinct().orderBy("hv").limit(64)
+        .agg(F.max("hv").alias("theta_u"), F.count(F.lit(1)).alias("ku"))
+    )
+    inter = (
+        a_sk.join(b_sk, "hv")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .filter(F.col("hv") < F.least("theta_a", "theta_b"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ex = both.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_b"),
+    )
+    exi = (
+        both.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_i"))
+    )
+    norm = F.lit(1152921504606846976.0)
+    est = lambda cnt, theta: F.round(  # noqa: E731
+        (cnt - F.lit(1)).cast("double") / (F.col(theta).cast("double") / norm),
+        3,
+    )
+    return (
+        ta.crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(exi))
+        .select(
+            F.lit(64).cast("bigint").alias("k"),
+            est(F.col("ka"), "theta_a").alias("est_clicks"),
+            est(F.col("kb"), "theta_b").alias("est_views"),
+            est(F.col("ku"), "theta_u").alias("est_union"),
+            F.round(
+                F.col("ni").cast("double")
+                / (F.least("theta_a", "theta_b").cast("double") / norm),
+                3,
+            ).alias("est_intersection"),
+            F.col("exact_a").alias("exact_clicks"),
+            F.col("exact_b").alias("exact_views"),
+            F.col("exact_i").cast("bigint").alias("exact_intersection"),
+        )
+    )
+
+
+@_register(
+    "agg_trimmed_mean_value",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, value, n FROM ranked
+      WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+        AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    )
+    SELECT event_type, ANY_VALUE(n) AS n_events,
+           COUNT(*) AS n_kept,
+           {_davg('value')} AS trimmed_mean,
+           {_dsum('value')} AS trimmed_sum
+    FROM kept GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of event value per type — the robust
+    location estimate dashboards use when a handful of outliers drag
+    the plain mean. Rank-based trim with a total tiebreak (value,
+    event_id), exact decimal accumulation for the kept mass (the
+    engine's order-independent float-sum contract). One window shuffle
+    on the group key; the trim predicate is a per-row comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.floor(F.col("n") * 0.1))
+        & (F.col("rn") <= F.col("n") - F.floor(F.col("n") * 0.1))
+    )
+    return kept.groupBy("event_type").agg(
+        F.any_value("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_kept"),
+        davg("value").alias("trimmed_mean"),
+        dsum("value").alias("trimmed_sum"),
+    )
+
+
+@_register(
+    "events_rfm_segments",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             date_diff('day', MAX(ts),
+                       (SELECT MAX(ts) FROM events)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(value AS DECIMAL(30,10))) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY recency_days, user_id) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM per_user
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m, COUNT(*) AS n_users
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic warehouse scoring table: per user, days since last
+    event, event count, exact-decimal value sum, each cut into
+    quintiles with a total tiebreak, then segment cardinalities. The
+    per-user rollup is one groupBy; the three global ntile windows are
+    the scale-limited step (swap for approx_percentile cutoffs + a
+    join at 100 TB, same note as window_ntile_order_quartiles); the
+    ordering keys are integers/decimals so quintile edges are exact in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    maxts = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast(ACC_DECIMAL)).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxts))
+        .select(
+            "user_id",
+            F.datediff(F.col("max_ts"), F.col("last_ts")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m"),
+    )
+    return scored.groupBy(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("f").cast("bigint").alias("f"),
+        F.col("m").cast("bigint").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
