@@ -10998,3 +10998,181 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f").cast("bigint").alias("f"),
         F.col("m").cast("bigint").alias("m"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@_register(
+    "etl_incremental_view_maintenance",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def etl_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance: the materialized per-type rollup
+    is UPDATED from a delta batch (days 26+) by merging partial
+    aggregates with the existing base state (days ≤ 25) — count and
+    exact-decimal sum are both self-mergeable, so the refresh scans
+    ONLY the delta. The oracle is the full recompute over all events:
+    hash-equality IS the IVM correctness proof (combine(base, delta) ==
+    recompute(all)). At 100 TB this is the difference between an
+    hourly refresh reading an hour of data and reading the corpus; in
+    production the delta arrives as its own partition/files, so the
+    base branch is a stored aggregate and only the delta branch scans
+    anything (here both branches filter one table because the testdata
+    is a single unpartitioned file)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(ACC_DECIMAL)).alias("s"),
+        )
+
+    base = partial(ev.filter(F.dayofmonth("ts") <= 25))
+    delta = partial(ev.filter(F.dayofmonth("ts") > 25))
+    b = base.select(
+        "event_type", F.col("n").alias("bn"), F.col("s").alias("bs")
+    )
+    d = delta.select(
+        "event_type", F.col("n").alias("dn"), F.col("s").alias("ds")
+    )
+    merged = b.join(d, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+            "n_events"
+        ),
+        (
+            F.coalesce(F.col("bs"), F.lit(0).cast(ACC_DECIMAL))
+            + F.coalesce(F.col("ds"), F.lit(0).cast(ACC_DECIMAL))
+        )
+        .cast("double")
+        .alias("total_value"),
+    )
+    return merged
+
+
+@_register(
+    "stream_left_outer_attribution",
+    f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    v AS (
+      SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts AS p_ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    lj AS (
+      SELECT v.user_id, v.v_ts, p.p_ts, p.value
+      FROM v LEFT JOIN p
+        ON p.user_id = v.user_id
+       AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+           CAST(CAST(SUM(CASE WHEN p_ts IS NOT NULL
+                         THEN CAST(value AS DECIMAL(30,10)) END)
+                AS VARCHAR) AS DOUBLE) AS attributed_value,
+           SUM(CASE WHEN p_ts IS NULL
+                     AND v_ts <= (SELECT max_ts FROM mx)
+                                 - INTERVAL 3 HOURS - INTERVAL 5 MINUTES
+                    THEN 1 ELSE 0 END) AS n_unmatched_closed
+    FROM lj
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) > 0
+        OR SUM(CASE WHEN p_ts IS NULL
+                     AND v_ts <= (SELECT max_ts FROM mx)
+                                 - INTERVAL 3 HOURS - INTERVAL 5 MINUTES
+                    THEN 1 ELSE 0 END) > 0
+    """,
+)
+def stream_left_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join with watermarks — the attribution
+    shape where views WITHOUT a following purchase matter as much as
+    conversions: matches append as both sides arrive; a view emits
+    with NULL purchase only once the watermark proves no purchase can
+    still land in its hour (state eviction = the null decision). The
+    append contract for outer emission mirrors the close-out rule:
+    unmatched rows near the stream tail (inside watermark delay +
+    join bound of max event time) are withheld at termination, so the
+    driver-visible result post-filters unmatched to the provably-
+    closed horizon (max_ts - 2h delay - 1h bound, with a 5-minute
+    guard band) — and the oracle replays the identical batch left
+    join + cutoff. Runs in a cloned 8-partition session like the
+    inner-join twin."""
+    import uuid
+
+    batch_ev = load_table(spark, sf_dir, "events")
+    cutoff_row = batch_ev.agg(
+        (
+            F.max("ts")
+            - F.expr("INTERVAL 3 HOURS")
+            - F.expr("INTERVAL 5 MINUTES")
+        ).alias("cutoff")
+    )
+
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    sink = spark.table(name).crossJoin(F.broadcast(cutoff_row))
+    kept = sink.filter(
+        F.col("p_ts").isNotNull()
+        | (F.col("v_ts") <= F.col("cutoff"))
+    )
+    return (
+        kept.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)
+            ).alias("n_matched"),
+            F.sum(
+                F.when(
+                    F.col("p_ts").isNotNull(),
+                    F.col("value").cast(ACC_DECIMAL),
+                )
+            )
+            .cast("double")
+            .alias("attributed_value"),
+            F.sum(
+                F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched_closed"),
+        )
+        .localCheckpoint(eager=True)
+    )

@@ -382,6 +382,7 @@ _EAGER_QUERIES = {
     "graph_kcore_decomposition",   # h-index fixpoint iteration
     "scan_binaryfile_manifest",    # lands fixture blobs, checkpointed read
     "text_bpe_merge_rounds",       # per-round top-pair driver actions
+    "stream_left_outer_attribution",  # runs a streaming query
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
