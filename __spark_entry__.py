@@ -55,7 +55,6 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "dedup_threshold_sensitivity": 6,
     "dedup_cc_alternating_star": 6,
     "sample_leakage_safe_split": 6,
-    "curation_corpus_card": 6,
     # r6: q17 rewritten one-pass (window threshold over the broadcast-
     # filtered fact instead of a second full scan + agg)
     "tpch_q17_small_quantity_revenue": 6,
@@ -84,6 +83,28 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "agg_hll_mergeable_rollup": 5,
     # r5: B2 counters fused to one aggregation pass / one scan
     "etl_stats_counters": 5,
+    # r7: oracle-typing fix — bare SUM() over integer expressions made
+    # DuckDB return HUGEINT (int128), which the driver's pandas fetch
+    # coerces to float64 while Spark stays int64, hash-diverging on
+    # exactly-equal values (all 14 r6 red rows + 1 latent never-checked
+    # case; judge-verified value-equal). Every such aggregate is now
+    # CAST(... AS BIGINT); tests/test_oracle_parity.py carries a
+    # result-type tripwire so the class can't ship again.
+    "curation_corpus_card": 7,
+    "stream_left_outer_attribution": 7,
+    "dq_k_anonymity_audit": 7,
+    "sample_shard_shuffle": 7,
+    "text_char_entropy_filter": 7,
+    "scan_csv_multiline_quoted": 7,
+    "events_merged_busy_intervals": 7,
+    "text_cdc_chunk_dedup": 7,
+    "curation_dsir_importance": 7,
+    "embed_jl_projection_distortion": 7,
+    "sample_temperature_mixture": 7,
+    "scan_csv_permissive_corrupt": 7,
+    "events_arrow_grouped_stats": 7,
+    "text_exact_substring_coverage": 7,
+    "text_arrow_batch_stats": 7,
 }
 
 

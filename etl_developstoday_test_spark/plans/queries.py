@@ -7968,7 +7968,7 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_arrow_batch_stats",
     """
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            MAX(length(text)) AS max_chars
     FROM documents GROUP BY lang
     """,
@@ -8448,9 +8448,10 @@ def events_sequence_regex_pattern(spark: SparkSession, sf_dir: str) -> DataFrame
       ) GROUP BY doc_id
     )
     SELECT t.source, COUNT(*) AS n_docs,
-           SUM(CASE WHEN COALESCE(c.covered_tokens, 0) > 0 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN COALESCE(c.covered_tokens, 0) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS n_docs_with_dup,
-           SUM(len(t.arr)) AS total_tokens,
+           CAST(SUM(len(t.arr)) AS BIGINT) AS total_tokens,
            CAST(SUM(COALESCE(c.covered_tokens, 0)) AS BIGINT)
              AS covered_tokens,
            CAST(SUM(COALESCE(c.covered_tokens, 0)) AS DOUBLE)
@@ -9263,7 +9264,8 @@ def join_cbo_reordered_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_arrow_grouped_stats",
     """
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
            MAX(value) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -9342,8 +9344,10 @@ def events_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_neardup_losers,
            COUNT(*) FILTER (WHERE split = 'train') AS n_train_docs,
            COUNT(*) FILTER (WHERE split = 'test') AS n_test_docs,
-           SUM(n_tokens) FILTER (WHERE split = 'train') AS train_tokens,
-           SUM(n_tokens) FILTER (WHERE split = 'test') AS test_tokens
+           CAST(SUM(n_tokens) FILTER (WHERE split = 'train') AS BIGINT)
+             AS train_tokens,
+           CAST(SUM(n_tokens) FILTER (WHERE split = 'test') AS BIGINT)
+             AS test_tokens
     FROM survivors
     """,
 )
@@ -9449,8 +9453,9 @@ def curation_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN o_orderkey % 13 = 0 THEN '_corrupt'
                 ELSE o_orderstatus END AS status,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0
-                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+           CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0
+                         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT)
              AS good_cents
     FROM orders GROUP BY status
     """,
@@ -9603,7 +9608,8 @@ def dedup_fastss_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per AS (
       SELECT lang AS grp, COUNT(*) AS n_docs,
-             SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY lang
     ),
@@ -9778,7 +9784,7 @@ def graph_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.vec_id
     )
     SELECT COUNT(*) AS n_pairs,
-           SUM(e) AS sum_abs_err_nano,
+           CAST(SUM(e) AS BIGINT) AS sum_abs_err_nano,
            MAX(e) AS max_abs_err_nano
     FROM (
       SELECT CAST(FLOOR(ABS(cos_orig - cos_proj) * 1e9) AS BIGINT) AS e
@@ -9831,11 +9837,12 @@ def embed_jl_projection_distortion(
       FROM joined
     ),
     dw AS (
-      SELECT tb.doc_id, tb.lang, SUM(sc.s) AS w
+      SELECT tb.doc_id, tb.lang, CAST(SUM(sc.s) AS BIGINT) AS w
       FROM tb JOIN sc ON sc.b = tb.b
       GROUP BY tb.doc_id, tb.lang
     )
-    SELECT lang, COUNT(*) AS n_docs, SUM(w) AS sum_score,
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_score,
            MAX(w) AS max_score
     FROM dw GROUP BY lang
     """,
@@ -9927,7 +9934,7 @@ def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS total_chunks,
            COUNT(DISTINCT chunk_hash) AS distinct_chunks,
-           SUM(chunk_tokens) AS total_tokens,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens,
            MAX(chunk_tokens) AS max_chunk_tokens,
            CAST(FLOOR(CAST(COUNT(DISTINCT chunk_hash) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) * 1e6) AS BIGINT)
@@ -10027,7 +10034,7 @@ def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_islands,
-           SUM(island_end - island_start) AS busy_seconds,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS busy_seconds,
            MAX(island_end - island_start) AS max_island_seconds
     FROM merged GROUP BY user_id
     """,
@@ -10093,7 +10100,7 @@ def events_merged_busy_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_orderkey % 7 = 0
     )
     SELECT COUNT(*) AS n_rows,
-           SUM(o_orderkey) AS key_sum,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
            CAST(SUM(CAST({_md5long('note')} AS DECIMAL(38,0))) AS VARCHAR)
              AS note_digest
     FROM payload
@@ -10423,7 +10430,8 @@ def embed_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, COUNT(*) AS n_docs,
            round(CAST(SUM(h_nano) AS DOUBLE) / COUNT(*) / 1e9, 6)
              AS avg_entropy_bits,
-           SUM(CASE WHEN h_nano < 3000000000 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN h_nano < 3000000000 THEN 1 ELSE 0 END)
+                AS BIGINT)
              AS n_low_entropy
     FROM doc_h GROUP BY source
     """,
@@ -10608,9 +10616,10 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(shard AS BIGINT) AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc,
-           SUM(CAST(pos AS BIGINT) * ord_hash) AS order_digest
+           CAST(SUM(CAST(pos AS BIGINT) * ord_hash) AS BIGINT)
+             AS order_digest
     FROM positioned
     GROUP BY shard
     """,
@@ -10700,7 +10709,8 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY 1, 2, 3
     )
     SELECT COUNT(*) AS n_groups,
-           SUM(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_k,
            CAST(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END) AS BIGINT)
              AS n_rows_at_risk,
            MIN(grp) AS min_group_size,
@@ -11072,14 +11082,15 @@ def etl_incremental_view_maintenance(
        AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
     )
     SELECT user_id,
-           SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+           CAST(SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
            CAST(CAST(SUM(CASE WHEN p_ts IS NOT NULL
                          THEN CAST(value AS DECIMAL(30,10)) END)
                 AS VARCHAR) AS DOUBLE) AS attributed_value,
-           SUM(CASE WHEN p_ts IS NULL
-                     AND v_ts <= (SELECT max_ts FROM mx)
-                                 - INTERVAL 3 HOURS - INTERVAL 5 MINUTES
-                    THEN 1 ELSE 0 END) AS n_unmatched_closed
+           CAST(SUM(CASE WHEN p_ts IS NULL
+                          AND v_ts <= (SELECT max_ts FROM mx)
+                                      - INTERVAL 3 HOURS - INTERVAL 5 MINUTES
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_closed
     FROM lj
     GROUP BY user_id
     HAVING SUM(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) > 0

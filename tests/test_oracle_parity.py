@@ -126,3 +126,29 @@ def test_threshold_queries_hold_at_second_scale(spark, oracle_small, name):
     assert _canonical(spark_rows, sdf.columns) == _canonical(
         duck_rows, duck_cols
     ), name
+
+
+def test_oracle_result_types_survive_pandas_fetch(oracle_small):
+    """Tripwire for the round-6 driver incident: every ORACLE_SQL result
+    column must have a DuckDB type that pandas fetches losslessly into
+    the same dtype Spark produces. An un-cast ``SUM(BIGINT)`` is typed
+    HUGEINT (int128) by DuckDB; the driver's pandas fetch coerces that
+    to float64 while Spark stays int64, so the value hashes diverge on
+    EXACTLY EQUAL values — 14 hash-red rows in CORRECTNESS_r06.json,
+    all value-verified correct. The value-comparing parity tests above
+    are structurally blind to this (int128 == int64 in Python), so the
+    gate has to be on the *types*. DECIMAL is banned from result
+    columns too: the determinism contract routes every decimal
+    accumulator through the VARCHAR→DOUBLE conversion (``_dsum``)
+    before it reaches the result schema.
+    """
+    offenders = []
+    for name in sorted(ORACLE_SQL):
+        rel = oracle_small.sql(ORACLE_SQL[name])
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            if "HUGEINT" in typ or "DECIMAL" in typ:
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracle result columns with driver-hash-unsafe types "
+        f"(wrap in CAST(... AS BIGINT) / finish the _dsum path): {offenders}"
+    )
