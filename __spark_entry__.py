@@ -105,6 +105,10 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "events_arrow_grouped_stats": 7,
     "text_exact_substring_coverage": 7,
     "text_arrow_batch_stats": 7,
+    # r7: k-core h-step rewritten window→collect_list aggregate (one
+    # shuffle per sub-step); oracle replay extended 30→40 rounds to
+    # match max_rounds, operator now raises on exhaustion
+    "graph_kcore_decomposition": 7,
 }
 
 

@@ -358,23 +358,32 @@ def kcore_decomposition(
     sequential peeling semantics come out of a per-node-local rule
     with NO global ordering, which is what makes it distributable.
 
-    Per round: one window shuffle keyed on node (rank neighbor
-    estimates descending; h = max(min(est_i, i))) and one groupBy on
-    the same key. The node's own previous estimate rides through the
-    aggregation as a tagged row — convergence is read from the same
-    checkpointed round result, no separate old⋈new join (the fused-
-    convergence pattern shared with ``connected_components``). Rounds
-    needed in practice ≈ graph's "coreness diameter", typically far
-    below the node count; each round's lineage is truncated with an
-    eager ``localCheckpoint`` and the superseded round is unpersisted.
+    Per sub-step: ONE map-side-combined groupBy shuffle. Neighbor
+    estimates are gathered per node with ``collect_list``, sorted
+    descending with ``sort_array``, and h = max_i min(val_i, i) read
+    off in pure codegen array expressions — no window, no union, no
+    own-row bookkeeping (the r6 variant's window + union cost a second
+    exchange-and-sort per sub-step). The join feeding the aggregation
+    is exchange-free: ``sym`` is persisted hash-partitioned on the
+    join key and the estimate table arrives partitioned on ``n`` from
+    the previous aggregation. Per-node work is O(deg·log deg) inside
+    one task — the same locality bound the window variant had; callers
+    degree-cap pathological graphs (the registered query caps
+    co-activity cells at 24 members). Convergence is read from the
+    checkpointed cycle result (estimate carried as ``prev``), no
+    separate old⋈new join; each cycle's lineage is truncated with an
+    eager ``localCheckpoint`` and the superseded cycle unpersisted.
+    Raises ``RuntimeError`` if ``max_rounds`` sub-steps pass without
+    reaching the fixpoint — an un-converged estimate is NOT the
+    coreness, and returning it silently would let a caller (or the
+    DuckDB oracle, which replays a fixed ``max_rounds`` sub-steps)
+    diverge without any signal.
 
     Training-pipeline use: coreness over a document/user similarity or
     co-activity graph separates tight spam/bot/boilerplate cores
     (high k) from organically connected content (low k) — a structural
     quality signal no per-row feature can compute.
     """
-    from pyspark.sql import Window
-
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -396,48 +405,32 @@ def kcore_decomposition(
     )
     est = est_cp
 
-    w = Window.partitionBy("n").orderBy(
-        F.asc("own"), F.desc("val"), F.asc("n")
-    )
-
-    def h_step(cur: DataFrame, base: DataFrame) -> DataFrame:
-        """(n, est, prev) after ONE h-index update of ``cur``.
-
-        The own-row (presence for isolated nodes + the ``prev`` carry)
-        comes from ``base`` — the CHECKPOINTED cycle input — so ``cur``
-        feeds exactly one join and chained sub-steps never duplicate
-        each other's window subtree. Sound because own rows are
-        excluded from the h computation (~own) and an isolated node's
-        estimate is 0 from round zero onward.
+    def h_step(cur: DataFrame) -> DataFrame:
+        """(n, est) for every EDGE-BEARING node after ONE h-index
+        update of ``cur``: one join (exchange-free against the
+        persisted edge partitioning) + one groupBy shuffle. Isolated
+        nodes are absent by construction — their estimate is 0 from
+        round zero and is re-attached from the cycle input at the
+        checkpoint join, so chained sub-steps never carry them.
+        Sound for chaining: every edge-bearing node has ≥1 edge-
+        bearing neighbor, so the node set is closed under h_step.
         """
-        nb = sym.join(cur, sym["d"] == cur["n"]).select(
-            F.col("s").alias("n"),
-            F.col("est").alias("val"),
-            F.lit(False).alias("own"),
-        )
-        # own=True sorts last, so row_number over the union numbers the
-        # neighbor rows 1..deg exactly; the own row only carries prev
         return (
-            nb.union(
-                base.select(
-                    "n",
-                    F.col("est").alias("val"),
-                    F.lit(True).alias("own"),
-                )
-            )
-            .withColumn("rn", F.row_number().over(w))
+            sym.join(cur, sym["d"] == cur["n"])
+            .select(F.col("s").alias("n"), F.col("est").alias("val"))
             .groupBy("n")
-            .agg(
-                F.coalesce(
-                    F.max(
-                        F.when(
-                            ~F.col("own"),
-                            F.least(F.col("val"), F.col("rn")),
-                        )
-                    ),
-                    F.lit(0),
+            .agg(F.sort_array(F.collect_list("val"), asc=False).alias("vals"))
+            .select(
+                "n",
+                # h = max_i min(vals[i], i), vals sorted descending,
+                # i 1-based — the h-index in three codegen array ops
+                F.array_max(
+                    F.zip_with(
+                        "vals",
+                        F.sequence(F.lit(1), F.size("vals")),
+                        lambda v, i: F.least(v, i),
+                    )
                 ).alias("est"),
-                F.min(F.when(F.col("own"), F.col("val"))).alias("prev"),
             )
         )
 
@@ -449,11 +442,21 @@ def kcore_decomposition(
     # monotone non-increasing, so est4 == est0 pins every intermediate
     # step too — a genuine fixpoint, never a missed update.
     unroll = 4
+    converged = False
     for _ in range((max_rounds + unroll - 1) // unroll):
         cur = est
-        for _i in range(unroll - 1):
-            cur = h_step(cur, est).select("n", "est")
-        stepped = h_step(cur, est).localCheckpoint(eager=True)
+        for _i in range(unroll):
+            cur = h_step(cur)
+        stepped = (
+            est.select("n", F.col("est").alias("prev"))
+            .join(cur, "n", "left")
+            .select(
+                "n",
+                F.coalesce(F.col("est"), F.lit(0)).alias("est"),
+                "prev",
+            )
+            .localCheckpoint(eager=True)
+        )
         converged = stepped.filter(F.col("est") != F.col("prev")).isEmpty()
         est_cp.unpersist()
         est_cp = stepped
@@ -461,6 +464,12 @@ def kcore_decomposition(
         if converged:
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"kcore_decomposition: no fixpoint within max_rounds="
+            f"{max_rounds} h-index sub-steps; raise max_rounds (and keep "
+            "any replaying oracle's round count identical)"
+        )
     return est.select(
         F.col("n").alias(node), F.col("est").cast("bigint").alias("coreness")
     )

@@ -1242,6 +1242,18 @@ def anisotropy_stats(
     With E = n·C_scaled, PR and the shares are scale-invariant, so no
     de-scaling division ever happens: E_ij = n·G_ij − s_i·s_j stays
     integer end-to-end.
+
+    Exactness bound (and loud failure beyond it): |E_ij| ≤ 2n²s²X²
+    for component bound X (≈1 for normalized embeddings), so the
+    Frobenius accumulator Σ(2−δ)·E² ≤ 4d²n⁴s⁴X⁴ must fit in
+    DECIMAL(38,0). At the default scale s=10⁴ that caps n around 10⁵
+    vectors (d=16, X=1); past it Spark's non-ANSI decimal overflow
+    would return NULL *silently*, so the plan carries an
+    ``assert_true`` guard that fails the job instead of emitting a
+    null-poisoned ratio. Remedy at larger n: pass a smaller ``scale``
+    — PR and both shares are scale-invariant, and s=10² admits n
+    up to ~10⁷ at the cost of quantization (not summation) precision.
+    The DuckDB twin needs no guard: HUGEINT overflow errors loudly.
     """
     import pandas as pd
 
@@ -1323,6 +1335,23 @@ def anisotropy_stats(
         (F.max(F.greatest("i", "j")) + 1).alias("dim"),
     )
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    # Loud overflow guard (see docstring): a NULL frob2 with data
+    # present means the DECIMAL(38,0) accumulator overflowed — fail
+    # the job rather than ship null-poisoned ratios. assert_true
+    # returns NULL on success, so the filter keeps every valid row.
+    # (dim IS NULL ⇔ no input rows at all — the empty-corpus agg row is
+    # legitimately all-null and is dropped by the n_row crossJoin below)
+    agg = agg.filter(
+        F.assert_true(
+            F.col("frob2").isNotNull() | F.col("dim").isNull(),
+            F.lit(
+                "anisotropy_stats: DECIMAL(38,0) overflow in the "
+                "Frobenius accumulator — n too large for the chosen "
+                "scale; rerun with a smaller scale (PR is "
+                "scale-invariant)"
+            ),
+        ).isNull()
+    )
     return agg.crossJoin(F.broadcast(n_row)).select(
         F.col("n").cast("long").alias("n_vectors"),
         F.col("dim").cast("int").alias("dim"),

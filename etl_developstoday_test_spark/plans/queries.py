@@ -10213,10 +10213,10 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) cnt
         GROUP BY cnt.u
       ) h ON h.u = e.n
-      WHERE e.iter < 30
+      WHERE e.iter < 40
     )
     SELECT n AS user_id, CAST(est AS BIGINT) AS coreness
-    FROM est WHERE iter = 30
+    FROM est WHERE iter = 40
     """,
 )
 def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10226,11 +10226,13 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter uses, at a denser 20% md5 edge sample so the core structure
     is non-trivial. Coreness separates the tightly-bound bot/burst core
     of a user graph from its organic fringe — the structural quality
-    signal, computed with one window + one groupBy shuffle per round and
-    NO global ordering anywhere. The oracle replays the identical
-    h-index fixpoint as a recursive CTE (30 rounds, comfortably past
-    convergence at driver scale; Spark iterates to the detected
-    fixpoint, which the 30-round replay reproduces exactly because
+    signal, computed with ONE map-side-combined groupBy shuffle per
+    round (sort_array/zip_with h-index over collected neighbor
+    estimates) and NO global ordering anywhere. The oracle replays the
+    identical h-index fixpoint as a recursive CTE for exactly
+    ``max_rounds`` = 40 rounds — the same bound the operator enforces
+    (it RAISES if 40 sub-steps pass un-converged, so Spark can never
+    silently return an estimate the 40-round replay wouldn't reproduce;
     estimates are monotone non-increasing and stall once converged)."""
     from etl_developstoday_test_spark.functions import md5_long
     from etl_developstoday_test_spark.operators.graph import kcore_decomposition
