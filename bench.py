@@ -44,14 +44,26 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
-    # warm the Python-worker pools the same way (daemon spawn + pyarrow
-    # import are one-time per long-lived cluster, not per query): a
-    # 1-row pandas UDF batch and a 1-line chunktext read
+    # warm the Python-worker pools the same way (daemon spawn + pandas/
+    # pyarrow import are one-time per long-lived cluster, not per query).
+    # Crucially, warm ONE WORKER PER CORE: the pool grows lazily, so a
+    # single-partition warmup leaves the first wide pandas-UDF query
+    # (historically mm_media_features) paying up to 31 cold interpreter
+    # starts — 15s+ on a loaded host for a query that runs in <1s warm.
     import tempfile
 
     from etl_developstoday_test_spark.sources import python_datasource
 
-    spark.range(8).groupBy().applyInPandas(
+    width = spark.sparkContext.defaultParallelism
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    @_F.pandas_udf(_T.LongType())
+    def _warm(s):  # pragma: no cover - trivial warmup body
+        return s
+
+    spark.range(width, numPartitions=width).select(_warm("id")).count()
+    spark.range(width, numPartitions=width).groupBy("id").applyInPandas(
         lambda pdf: pdf.head(1), "id long"
     ).count()
     python_datasource.register(spark)

@@ -126,3 +126,37 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays, deterministic fold form:
     dot / sqrt(norm_a * norm_b)."""
     return dot_fold(a, b) / F.sqrt(dot_fold(a, a) * dot_fold(b, b))
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization for web-corpus dedup: two raw URLs that
+    differ only in scheme, a ``www.`` prefix, tracking query parameters
+    (``utm_*``, ``sessionid``, ``ref``), fragment, or a trailing slash
+    are the SAME page, and doc-level exact dedup misses that unless the
+    key is canonicalized first.
+
+    Pure regexp_replace chain in codegen, deliberately written with
+    EMPTY or LITERAL replacements only — no backreferences, because
+    Spark (Java regex, ``$1``) and DuckDB (RE2, ``\\1``) spell them
+    differently and the oracle twin must use the byte-identical
+    patterns (DuckDB side passes the 'g' flag to match Spark's
+    replace-all default): lowercase → strip scheme → strip www. →
+    strip fragment → strip tracking params → strip separator debris →
+    strip trailing slash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.lower(c)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    # tracking param followed by another param: drop it AND its '&'
+    u = F.regexp_replace(u, r"(utm_[a-z]+|sessionid|ref)=[^&#]*&", "")
+    # tracking param in final position: drop it AND its leading ?/&
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|sessionid|ref)=[^&#]*$", "")
+    # '?&rest' left when the first param was dropped mid-string
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # trailing path slash, both before a query string and at the end
+    u = F.regexp_replace(u, r"/\?", "?")
+    u = F.regexp_replace(u, r"/$", "")
+    return u

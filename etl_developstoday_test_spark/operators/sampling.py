@@ -320,3 +320,59 @@ def shard_shuffle_manifest(
             "order_digest",
         )
     )
+
+
+def quality_epoch_schedule(
+    docs: DataFrame,
+    score: Column,
+    n_tokens: Column,
+    repeats: dict[int, int] | None = None,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Quality-weighted epoch scheduling (the LLaMA-style data recipe):
+    rank documents by a quality ``score``, cut them into ``n_tiles``
+    quality tiles, and give each tile a per-epoch repeat factor —
+    highest-quality data is seen several times per epoch, lowest is
+    dropped — then account for the token budget each tile contributes.
+
+    ``repeats`` maps tile number (1 = lowest score .. n_tiles =
+    highest) to its repeat factor; default {1:0, 2:1, 3:2, 4:4}.
+    The ntile ranking orders by (score, doc_id) — the total tiebreak
+    that makes tile assignment deterministic across engines.
+
+    Shape: ntile is ONE global sort — the only unavoidable shuffle in
+    any exact quantile cut (at 100 TB swap in approx quantile bounds +
+    a broadcast range-assign, trading exact tile edges for a sortless
+    narrow map; the accounting below is unchanged); the per-tile
+    accounting is a 4-group aggregate. Returns one row per tile:
+    (tile, repeat_factor, n_docs, n_tokens_raw, n_tokens_per_epoch).
+    """
+    if repeats is None:
+        repeats = {1: 0, 2: 1, 3: 2, 4: 4}
+    w = Window.orderBy(score, F.col("doc_id"))
+    tiled = docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("_nt"),
+        F.ntile(n_tiles).over(w).alias("tile"),
+    )
+    rf = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in sorted(repeats)]),
+            F.array(*[F.lit(repeats[k]) for k in sorted(repeats)]),
+        ),
+        F.col("tile"),
+    ).cast("bigint")
+    return (
+        tiled.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens_raw"),
+        )
+        .select(
+            "tile",
+            rf.alias("repeat_factor"),
+            "n_docs",
+            "n_tokens_raw",
+            (F.col("n_tokens_raw") * rf).alias("n_tokens_per_epoch"),
+        )
+    )

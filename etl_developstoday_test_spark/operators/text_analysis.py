@@ -795,3 +795,68 @@ def bpe_merge_rounds(
         "round bigint, pair_a string, pair_b string, "
         "pair_count bigint, vocab_size bigint, total_tokens bigint",
     )
+
+
+def span_corruption_stats(
+    docs: DataFrame, span_len: int = 3, noise_pct: int = 15
+) -> DataFrame:
+    """T5-style span-corruption planning: deterministically select
+    ~``noise_pct``% of each document's fixed-length token spans for
+    masking and account for the resulting encoder/decoder sequence
+    sizes — the example-generation accounting a denoising-objective
+    training pipeline runs over the whole corpus to budget sequence
+    lengths BEFORE materializing examples.
+
+    Span s of doc d is masked iff ``md5(d#s) % 100 < noise_pct`` — a
+    per-(doc,span) keyed hash, so the plan is reproducible across runs,
+    engines, and partitionings (no RNG state). Masked-span accounting
+    follows the T5 construction: each masked span collapses to one
+    sentinel token on the encoder side and emits its tokens plus its
+    sentinel (plus one EOS per example) on the decoder side.
+
+    Shape: one narrow codegen map (sequence → filter → fold over at
+    most n_tokens/span_len span ids per row), zero shuffles, zero
+    Python. Returns (doc_id, n_tokens, n_spans_masked, n_masked_tokens,
+    n_input_tokens, n_target_tokens), all exact integers.
+    """
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_spans = F.ceil(n_tok.cast("double") / span_len).cast("int")
+    masked = F.filter(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda s: md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#"), s.cast("string")
+            )
+        )
+        % 100
+        < noise_pct,
+    )
+    base = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        masked.alias("_masked"),
+    )
+    n_masked_tok = F.aggregate(
+        "_masked",
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.least(F.lit(span_len), F.col("n_tokens") - s * span_len),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.size("_masked").cast("bigint").alias("n_spans_masked"),
+        n_masked_tok.alias("n_masked_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans_masked",
+        "n_masked_tokens",
+        (
+            F.col("n_tokens") - F.col("n_masked_tokens") + F.col("n_spans_masked")
+        ).alias("n_input_tokens"),
+        (F.col("n_masked_tokens") + F.col("n_spans_masked") + 1).alias(
+            "n_target_tokens"
+        ),
+    )

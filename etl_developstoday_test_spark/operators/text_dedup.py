@@ -897,3 +897,66 @@ def fastss_edit1_pairs(strings: DataFrame, col: str = "name") -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def boilerplate_line_removal(
+    docs: DataFrame,
+    lines,
+    min_docs: int = 2,
+    min_doc_frac: float = 0.0,
+) -> DataFrame:
+    """Line-level boilerplate dedup (the RefinedWeb / CCNet pass that
+    doc-level dedup cannot express): a LINE that recurs across many
+    DISTINCT documents is boilerplate (headers, footers, nav chrome,
+    cookie banners) and is stripped from every document that carries
+    it, while the surrounding document survives.
+
+    ``lines`` is a Column producing ``array<string>`` line units from a
+    document row — ``split(text, '\\n')`` for real corpora; callers on
+    unstructured text pass a deterministic chunker. A line is flagged
+    when its document frequency reaches
+    ``max(min_docs, ceil(min_doc_frac * n_docs))`` — the corpus-size-
+    relative threshold CCNet uses (it dedups lines by hash over shards).
+
+    Scale shape: explode to (doc, line) is a narrow map bounded by
+    corpus text size; document frequency is ONE groupBy on the line
+    hash (md5 — 16 bytes travels, never the line text); the flagged
+    set re-joins the exploded lines on the same hash key, so the two
+    shuffles share a partitioning. The corpus-count scalar rides in as
+    a broadcast 1-row aggregate, never a driver collect. Returns one
+    row per document: (doc_id, n_lines, n_boilerplate_lines,
+    chars_kept, chars_removed) — all exact integers.
+    """
+    per_line = fan_out(docs).select(
+        "doc_id", F.explode(lines).alias("line")
+    ).select("doc_id", "line", F.md5("line").alias("lh"))
+    ndocs_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        per_line.select("doc_id", "lh").distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+    )
+    boiler = (
+        dfreq.crossJoin(F.broadcast(ndocs_row))
+        .filter(
+            F.col("line_df")
+            >= F.greatest(
+                F.lit(min_docs),
+                F.ceil(F.lit(min_doc_frac) * F.col("n_docs")),
+            )
+        )
+        .select("lh", F.lit(True).alias("is_boiler"))
+    )
+    flagged = per_line.join(boiler, "lh", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("is_boiler"), 1).otherwise(0)
+        ).cast("bigint").alias("n_boilerplate_lines"),
+        F.sum(
+            F.when(F.col("is_boiler").isNull(), F.length("line")).otherwise(0)
+        ).cast("bigint").alias("chars_kept"),
+        F.sum(
+            F.when(F.col("is_boiler"), F.length("line")).otherwise(0)
+        ).cast("bigint").alias("chars_removed"),
+    )

@@ -11189,3 +11189,331 @@ def stream_left_outer_attribution(
         )
         .localCheckpoint(eager=True)
     )
+
+
+# --- round 7: line-level boilerplate, T5 span planning, quality epochs, ----
+# --- URL-canonical dedup, parquet bloom-filter scan ------------------------
+
+_LINES3 = (
+    "list_transform(generate_series(1, CAST(ceil(len(arr) / 3.0) AS INT)),"
+    " i -> array_to_string(list_slice(arr, (i-1)*3+1, (i-1)*3+3), ' '))"
+)
+
+
+@_register(
+    "dedup_line_boilerplate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS arr FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest({_LINES3}) AS line FROM toks
+    ),
+    hashed AS (SELECT doc_id, line, md5(line) AS lh FROM lines),
+    ndocs AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT lh, COUNT(DISTINCT doc_id) AS line_df FROM hashed GROUP BY lh
+    ),
+    boiler AS (
+      SELECT lh FROM dfreq, ndocs
+      WHERE line_df >= GREATEST(2, CAST(ceil(0.0 * n_docs) AS BIGINT))
+    )
+    SELECT h.doc_id, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN b.lh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate_lines,
+           CAST(SUM(CASE WHEN b.lh IS NULL THEN length(h.line) ELSE 0 END)
+             AS BIGINT) AS chars_kept,
+           CAST(SUM(CASE WHEN b.lh IS NOT NULL THEN length(h.line) ELSE 0 END)
+             AS BIGINT) AS chars_removed
+    FROM hashed h LEFT JOIN boiler b ON h.lh = b.lh
+    GROUP BY h.doc_id
+    """,
+)
+def dedup_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style LINE-level boilerplate removal — the dedup
+    granularity between exact doc dedup and ExactSubstr: a line recurring
+    in ≥2 distinct documents is boilerplate and is stripped per-document
+    (operators/text_dedup.boilerplate_line_removal; one groupBy on the
+    16-byte line md5 + one re-join sharing that key's partitioning).
+    The synthetic corpus has no newlines, so the line unit here is the
+    deterministic 3-token chunk (real corpora pass split(text, '\\n'));
+    the ≥2-docs absolute threshold is the corpus-scale-appropriate
+    setting of the CCNet fraction knob, which the operator also takes.
+    """
+    from etl_developstoday_test_spark.functions import let, tokens
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        boilerplate_line_removal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = let(
+        tokens(F.col("text")),
+        lambda a: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size(a).cast("double") / 3).cast("int"),
+            ),
+            lambda i: F.array_join(F.slice(a, (i - 1) * 3 + 1, 3), " "),
+        ),
+    )
+    return boilerplate_line_removal(docs, lines, min_docs=2, min_doc_frac=0.0)
+
+
+@_register(
+    "text_t5_span_corruption",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS arr FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(arr) AS n_tokens,
+             list_filter(
+               generate_series(0, CAST(ceil(len(arr) / 3.0) AS INT) - 1),
+               s -> {_md5long("concat(CAST(doc_id AS VARCHAR), '#', CAST(s AS VARCHAR))")} % 100 < 15
+             ) AS masked
+      FROM toks
+    ),
+    agg AS (
+      SELECT doc_id, n_tokens, len(masked) AS nsp,
+             list_reduce(
+               list_prepend(0, list_transform(masked,
+                 s -> least(3, n_tokens - s * 3))),
+               (a, b) -> a + b
+             ) AS nmt
+      FROM base
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(nsp AS BIGINT) AS n_spans_masked,
+           CAST(nmt AS BIGINT) AS n_masked_tokens,
+           CAST(n_tokens - nmt + nsp AS BIGINT) AS n_input_tokens,
+           CAST(nmt + nsp + 1 AS BIGINT) AS n_target_tokens
+    FROM agg
+    """,
+)
+def text_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 denoising-objective example planning: ~15% of each doc's
+    3-token spans selected by a keyed md5 (no RNG state — reproducible
+    across runs, engines, partitionings), with encoder/decoder sequence
+    sizes accounted per the T5 construction (masked span → 1 sentinel
+    on the input side; span tokens + sentinel + EOS on the target side).
+    One narrow codegen map (operators/text_analysis.span_corruption_
+    stats) — zero shuffles, zero Python; at 100 TB this is the pass
+    that budgets packed-sequence lengths before example materialization.
+    """
+    return text_analysis.span_corruption_stats(
+        load_table(spark, sf_dir, "documents"), span_len=3, noise_pct=15
+    )
+
+
+@_register(
+    "sample_quality_epochs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS arr FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, len(arr) AS nt,
+             CAST(len(list_distinct(arr)) AS DOUBLE) / len(arr) AS utr
+      FROM toks
+    ),
+    tiled AS (
+      SELECT doc_id, nt, ntile(4) OVER (ORDER BY utr, doc_id) AS tile
+      FROM scored
+    ),
+    g AS (
+      SELECT tile, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens_raw
+      FROM tiled GROUP BY tile
+    )
+    SELECT CAST(tile AS BIGINT) AS tile,
+           CAST(CASE tile WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 4 END
+                AS BIGINT) AS repeat_factor,
+           n_docs, n_tokens_raw,
+           CAST(n_tokens_raw *
+                CASE tile WHEN 1 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 4 END
+                AS BIGINT) AS n_tokens_per_epoch
+    FROM g
+    """,
+)
+def sample_quality_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted epoch scheduling (the LLaMA-recipe mixing knob):
+    documents ranked by unique-token ratio, cut into quality quartiles
+    (ntile over a (score, doc_id) total order — deterministic across
+    engines), each quartile given a per-epoch repeat factor (best seen
+    4×, worst dropped), and the per-quartile token budget accounted.
+    operators/sampling.quality_epoch_schedule; the ntile global sort is
+    the one unavoidable shuffle of an exact quantile cut — the docstring
+    records the approx-bounds + broadcast range-assign swap at 100 TB.
+    """
+    from etl_developstoday_test_spark.functions import let, tokens
+    from etl_developstoday_test_spark.operators.sampling import (
+        quality_epoch_schedule,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_arr")
+    )
+    score = (
+        F.size(F.array_distinct("_arr")).cast("double") / F.size("_arr")
+    )
+    out = quality_epoch_schedule(
+        docs, score=score, n_tokens=F.size("_arr")
+    )
+    return out.select(
+        F.col("tile").cast("bigint").alias("tile"),
+        "repeat_factor",
+        "n_docs",
+        "n_tokens_raw",
+        "n_tokens_per_epoch",
+    )
+
+
+_RAW_URL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||"
+    " CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||"
+    " source || '.Example.com/p/' || CAST(doc_id % 5 AS VARCHAR) ||"
+    " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||"
+    " '?utm_source=s' || CAST(doc_id AS VARCHAR) ||"
+    " '&id=' || CAST(doc_id % 3 AS VARCHAR) ||"
+    " '&sessionid=' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ||"
+    " CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END"
+)
+
+_CANON_STEPS = [
+    ("^https?://", ""),
+    (r"^www\.", ""),
+    ("#.*$", ""),
+    (r"(utm_[a-z]+|sessionid|ref)=[^&#]*&", ""),
+    (r"[?&](utm_[a-z]+|sessionid|ref)=[^&#]*$", ""),
+    (r"\?&", "?"),
+    (r"[?&]$", ""),
+    (r"/\?", "?"),
+    ("/$", ""),
+]
+
+
+def _canon_sql(expr: str) -> str:
+    # DuckDB standard string literals do NOT process backslash escapes,
+    # so the pattern goes in verbatim (single backslashes); only quotes
+    # need doubling. 'g' flag matches Spark's replace-all default.
+    out = f"lower({expr})"
+    for pat, repl in _CANON_STEPS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+@_register(
+    "dedup_url_canonical",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL} AS raw_url FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, raw_url, {_canon_sql('raw_url')} AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url, MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_docs, COUNT(DISTINCT raw_url) AS n_raw_variants
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonical dedup — the web-corpus pass that runs BEFORE any
+    content hashing: raw URLs differing only in scheme, www., case,
+    tracking params (utm_*/sessionid/ref), fragment, or trailing slash
+    collapse to one canonical key (functions.canonicalize_url — a
+    backreference-free regexp_replace chain, identical pattern bytes on
+    both engines, all codegen). The corpus has no URL column, so raw
+    URLs are synthesized deterministically from (source, doc_id) with
+    all six variation axes exercised — the same typed-stand-in pattern
+    the multimodal family uses for media bytes. One groupBy on the
+    canonical key; at 100 TB the canonical url replaces the raw one as
+    the dedup/join key everywhere downstream.
+    """
+    from etl_developstoday_test_spark.functions import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+                F.lit("http://")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".Example.com/p/"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=s"),
+            F.col("doc_id").cast("string"),
+            F.lit("&id="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&sessionid="),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("raw_url"),
+    )
+    return (
+        raw.select(
+            "doc_id",
+            "raw_url",
+            canonicalize_url("raw_url").alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_raw_variants"),
+        )
+    )
+
+
+@_register(
+    "scan_parquet_bloom_skipping",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {_dsum('value')} AS total_value
+    FROM events WHERE user_id IN (7, 101, 463)
+    GROUP BY user_id
+    """,
+)
+def scan_parquet_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical design: events rewritten with a parquet BLOOM FILTER on
+    the point-lookup key. Min/max row-group stats prune range predicates
+    but are useless for needle-in-haystack equality on a high-cardinality
+    UNSORTED key (every row group spans nearly the full id range); the
+    bloom filter gives the reader a per-row-group membership test, so
+    `user_id IN (...)` skips row groups containing none of the probed
+    ids without decoding a page — the parquet-native analogue of what
+    scan_zorder_clustering achieves by layout. The filter's physical
+    presence is asserted in tests/test_bucketing.py (file-size delta
+    vs a bloom-less write of the same data); the
+    result is value-identical to the plain scan (bloom skipping is
+    lossless: false positives only cost a read, never drop a row)."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="bloom_scan_")
+    try:
+        (
+            ev.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+            # parquet-mr only materializes the bloom once a chunk falls
+            # off dictionary encoding; tiny local NDV never would, so
+            # force the non-dictionary path the 100 TB regime hits
+            .option("parquet.enable.dictionary#user_id", "false")
+            .parquet(f"{tmp}/events_bloom")
+        )
+        out = (
+            spark.read.parquet(f"{tmp}/events_bloom")
+            .filter(F.col("user_id").isin(7, 101, 463))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

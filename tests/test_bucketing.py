@@ -59,3 +59,53 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "= 1996)" in pf_lines[0], pf_lines[0]
     got_years = {r["yr"] for r in q.select("yr").distinct().collect()}
     assert got_years == {1996}
+
+
+def test_parquet_bloom_filter_written_and_lossless(spark, tmp_path):
+    """scan_parquet_bloom_skipping's physical claim: the rewritten
+    parquet files physically carry a bloom filter on user_id, and the
+    filtered read is value-identical to the plain scan (bloom skipping
+    is lossless)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "events_bloom")
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    (
+        ev.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        # parquet-mr skips the bloom filter while a chunk stays fully
+        # dictionary-encoded (the dictionary IS an exact membership
+        # list); tiny test NDV would never overflow it, so force the
+        # non-dictionary path the 100 TB regime actually hits
+        .option("parquet.enable.dictionary#user_id", "false")
+        .parquet(out)
+    )
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    # neither duckdb 1.0 nor this pyarrow exposes bloom offsets in the
+    # footer API, so prove the filter was written physically: the same
+    # data without the bloom option must be materially smaller (the
+    # filter block is ~150 KiB at ndv=100k per user_id column chunk)
+    plain = str(tmp_path / "events_plain")
+    ev.write.mode("overwrite").parquet(plain)
+    size_bloom = sum(os.path.getsize(f) for f in files)
+    size_plain = sum(
+        os.path.getsize(f) for f in glob.glob(f"{plain}/*.parquet")
+    )
+    assert size_bloom > size_plain + 50_000, (size_bloom, size_plain)
+    want = {
+        (r["user_id"], r["cnt"])
+        for r in ev.filter(F.col("user_id").isin(7, 101, 463))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = {
+        (r["user_id"], r["cnt"])
+        for r in spark.read.parquet(out)
+        .filter(F.col("user_id").isin(7, 101, 463))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want

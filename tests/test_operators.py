@@ -1181,3 +1181,105 @@ def test_connected_components_converges_and_labels_min(spark):
         for r in connected_components(edges, verts).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_boilerplate_line_removal_flags_shared_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\nFOOTER"),
+            (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+            (3, "totally unique text\nno chrome here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_dedup.boilerplate_line_removal(
+            docs, F.split(F.col("text"), "\n"), min_docs=2
+        ).collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_boilerplate_lines"] == 2
+    assert out[1]["chars_removed"] == len("COOKIE BANNER") + len("FOOTER")
+    assert out[1]["chars_kept"] == len("real content one")
+    assert out[3]["n_boilerplate_lines"] == 0
+    assert out[3]["chars_removed"] == 0
+
+
+def test_boilerplate_line_removal_frac_threshold(spark):
+    # 10 docs share a line; min_doc_frac=0.5 → threshold 5 → flagged;
+    # a line in only 2 docs stays below ceil(0.5*10)=5 → kept
+    rows = [(i, "SHARED\nuniq%d" % i) for i in range(10)]
+    rows[0] = (0, "SHARED\npairline")
+    rows[1] = (1, "SHARED\npairline")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_dedup.boilerplate_line_removal(
+        docs, F.split(F.col("text"), "\n"), min_docs=2, min_doc_frac=0.5
+    )
+    flagged = {
+        r["doc_id"]: r["n_boilerplate_lines"] for r in out.collect()
+    }
+    assert all(v == 1 for v in flagged.values()), flagged
+
+
+def test_span_corruption_stats_accounting(spark):
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        span_corruption_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, " ".join("tok%d" % i for i in range(10)))],
+        "doc_id long, text string",
+    )
+    r = span_corruption_stats(docs, span_len=3, noise_pct=100).collect()[0]
+    # noise 100%: every span masked; 10 tokens → spans of 3,3,3,1
+    assert r["n_tokens"] == 10
+    assert r["n_spans_masked"] == 4
+    assert r["n_masked_tokens"] == 10
+    assert r["n_input_tokens"] == 4  # only sentinels remain
+    assert r["n_target_tokens"] == 10 + 4 + 1
+    r0 = span_corruption_stats(docs, span_len=3, noise_pct=0).collect()[0]
+    assert r0["n_spans_masked"] == 0 and r0["n_input_tokens"] == 10
+
+
+def test_quality_epoch_schedule_tiles_and_budget(spark):
+    from etl_developstoday_test_spark.operators.sampling import (
+        quality_epoch_schedule,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float(i), 100) for i in range(8)],
+        "doc_id long, score double, nt int",
+    )
+    out = {
+        r["tile"]: r
+        for r in quality_epoch_schedule(
+            docs, score=F.col("score"), n_tokens=F.col("nt")
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert [out[t]["n_docs"] for t in (1, 2, 3, 4)] == [2, 2, 2, 2]
+    assert [out[t]["repeat_factor"] for t in (1, 2, 3, 4)] == [0, 1, 2, 4]
+    assert out[4]["n_tokens_per_epoch"] == 800
+    assert out[1]["n_tokens_per_epoch"] == 0
+
+
+@pytest.mark.parametrize(
+    ("raw", "canon"),
+    [
+        ("https://www.Ex.COM/a/b/", "ex.com/a/b"),
+        ("http://ex.com/a?utm_source=x&id=3&sessionid=abc", "ex.com/a?id=3"),
+        ("https://ex.com/a?utm_campaign=c#frag", "ex.com/a"),
+        ("ex.com/a/?id=1&ref=tw", "ex.com/a?id=1"),
+        ("ex.com/?utm_medium=m", "ex.com"),
+        ("ex.com/p?id=2", "ex.com/p?id=2"),
+    ],
+)
+def test_canonicalize_url_cases(spark, raw, canon):
+    from etl_developstoday_test_spark.functions import canonicalize_url
+
+    got = (
+        spark.range(1)
+        .select(canonicalize_url(F.lit(raw)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == canon, (raw, got, canon)
