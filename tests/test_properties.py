@@ -686,3 +686,132 @@ def test_bpe_merge_rounds_matches_reference_trainer(spark, words):
         )
     ]
     assert got == expected
+
+
+# --- round-7 operators -----------------------------------------------------
+
+_url_piece = st.text(
+    alphabet="abcdefgh0123456789", min_size=1, max_size=6
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    scheme=st.sampled_from(["http://", "https://", ""]),
+    www=st.sampled_from(["www.", "WWW.", ""]),
+    host=_url_piece,
+    path=st.lists(_url_piece, max_size=3),
+    slash=st.booleans(),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["id", "q", "utm_source", "utm_campaign", "sessionid", "ref"]
+            ),
+            _url_piece,
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#x", "#frag/2"]),
+)
+def test_canonicalize_url_idempotent_and_variant_invariant(
+    spark, scheme, www, host, path, slash, params, frag
+):
+    """canonicalize is (a) idempotent and (b) invariant under the
+    variation axes it claims to collapse: any two raw spellings built
+    from the same (host, path, non-tracking params) canonicalize to the
+    same string."""
+    from etl_developstoday_test_spark.functions import canonicalize_url
+    from pyspark.sql import functions as F
+
+    base = host + ".com" + "".join("/" + p for p in path)
+    q = "&".join(f"{k}={v}" for k, v in params)
+    raw = scheme + www + base + ("/" if slash and path else "") + (
+        "?" + q if q else ""
+    ) + frag
+    alt = "https://WWW." + base.upper() + ("?" + q if q else "")
+    rows = (
+        spark.createDataFrame([(raw,), (alt,)], "u string")
+        .select(
+            canonicalize_url("u").alias("c1"),
+            canonicalize_url(canonicalize_url("u")).alias("c2"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["c1"] == r["c2"], (raw, r["c1"], r["c2"])
+    keep = [(k, v) for k, v in params if k in ("id", "q")]
+    if not any(v == "" for _, v in params):
+        # tracking-free spellings of the same resource must collapse
+        # (empty param VALUES can glue separators; out of claimed scope)
+        assert rows[0]["c1"] == rows[1]["c1"], (raw, alt, rows)
+
+
+_bp_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=5),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_bp_docs)
+def test_boilerplate_conservation_and_threshold(spark, docs):
+    """chars_kept + chars_removed == total line chars per doc, and a
+    line is flagged iff its distinct-doc frequency >= 2 (checked against
+    a python reference)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        boilerplate_line_removal,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_line_removal(
+            sdf, F.split(F.col("text"), "\n"), min_docs=2
+        ).collect()
+    }
+    dfreq = Counter()
+    for lines in docs:
+        for line in set(lines):
+            dfreq[line] += 1
+    for i, lines in enumerate(docs):
+        r = out[i]
+        assert r["n_lines"] == len(lines)
+        assert r["chars_kept"] + r["chars_removed"] == sum(
+            len(x) for x in lines
+        )
+        want_flagged = sum(1 for x in lines if dfreq[x] >= 2)
+        assert r["n_boilerplate_lines"] == want_flagged, (i, lines, dict(r.asDict()))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_tokens=st.integers(min_value=1, max_value=40),
+    noise=st.integers(min_value=0, max_value=100),
+)
+def test_span_corruption_conservation(spark, n_tokens, noise):
+    """input + target tokens = n_tokens + 2·sentinels + EOS, masked
+    bounded by n_tokens, and noise=0/100 are exact."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        span_corruption_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join("t%d" % i for i in range(n_tokens)))],
+        "doc_id long, text string",
+    )
+    r = span_corruption_stats(docs, span_len=3, noise_pct=noise).collect()[0]
+    assert 0 <= r["n_masked_tokens"] <= n_tokens
+    assert (
+        r["n_input_tokens"] + r["n_target_tokens"]
+        == r["n_tokens"] + 2 * r["n_spans_masked"] + 1
+    )
+    if noise == 0:
+        assert r["n_spans_masked"] == 0
+    if noise == 100:
+        assert r["n_masked_tokens"] == n_tokens
