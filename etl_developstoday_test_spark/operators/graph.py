@@ -455,9 +455,14 @@ def kcore_decomposition(
                 F.coalesce(F.col("est"), F.lit(0)).alias("est"),
                 "prev",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        converged = stepped.filter(F.col("est") != F.col("prev")).isEmpty()
+        # ONE job materializes the (lazy) checkpoint AND returns the
+        # changed-row count — fusing what an eager checkpoint + isEmpty
+        # pair did in two cluster-idling jobs per cycle
+        converged = (
+            stepped.filter(F.col("est") != F.col("prev")).count() == 0
+        )
         est_cp.unpersist()
         est_cp = stepped
         est = stepped.select("n", "est")

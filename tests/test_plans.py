@@ -383,6 +383,7 @@ _EAGER_QUERIES = {
     "scan_binaryfile_manifest",    # lands fixture blobs, checkpointed read
     "text_bpe_merge_rounds",       # per-round top-pair driver actions
     "stream_left_outer_attribution",  # runs a streaming query
+    "scan_parquet_bloom_skipping",  # writes the bloom-filtered copy
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
@@ -951,3 +952,19 @@ def test_nested_schema_pruning_reads_only_subfield(spark, tmp_path):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "w" in read_schema
     assert "blob" not in read_schema and "h:" not in read_schema, read_schema
+
+
+def test_span_corruption_plan_is_shuffle_free(spark):
+    """text_t5_span_corruption's scale claim pinned at the plan level:
+    the whole denoising plan (span selection + sequence accounting) is
+    one narrow codegen map — zero Exchange, zero Python."""
+    plan = (
+        QUERIES["text_t5_span_corruption"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan
+    # codegen spans print as "*(n)" in executedPlan().toString()
+    assert "*(1)" in plan
