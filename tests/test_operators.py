@@ -1073,6 +1073,32 @@ def test_kcore_decomposition_known_graphs(spark):
     assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 7: 1, 8: 1}
 
 
+def test_kcore_raises_when_rounds_exhausted(spark):
+    """An un-converged estimate is NOT the coreness: a long pendant
+    chain needs ~len(chain) h-index rounds to degrade to 1-core, so a
+    too-small max_rounds must raise instead of silently returning the
+    intermediate estimate (which a fixed-round oracle replay would
+    then diverge from)."""
+    import pytest as _pytest
+
+    from etl_developstoday_test_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(13)], "node long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore_decomposition(chain, verts, max_rounds=2)
+    # and the same graph converges fine with enough rounds
+    got = {
+        r.node: r.coreness
+        for r in kcore_decomposition(chain, verts, max_rounds=40).collect()
+    }
+    assert set(got.values()) == {1}
+
+
 # --- logistic-regression GD trainer (operators/ml.py) ----------------------
 
 
