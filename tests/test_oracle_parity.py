@@ -89,6 +89,8 @@ _SF_SENSITIVE = [
     "agg_approx_percentiles",          # rank-slack bound at small n
     "sample_mixture_weighted",         # per-source hash thresholds
     "text_winnow_match_pairs",         # min_shared/df_max at small corpus
+    "dedup_line_boilerplate",          # >=2-doc line-df threshold
+    "sample_quality_epochs",           # ntile(4) needs >= 4 docs
 ]
 
 
