@@ -860,3 +860,38 @@ def span_corruption_stats(
             "n_target_tokens"
         ),
     )
+
+
+def blocklist_hits(
+    docs: DataFrame, blocklist: dict[str, list[str]], max_hits: int = 0
+) -> DataFrame:
+    """Wordlist-based content filtering (the NSFW/profanity/spam pass of
+    a web-corpus curation stack): per document, count token hits per
+    blocklist CATEGORY and flag documents whose total crosses
+    ``max_hits``. Word-granular containment — ``F.filter`` + ``isin``
+    over the let-bound token array, one codegen map per category, no
+    explode, no join, zero shuffles (the category lists ride into the
+    task as literals; at a real 10⁴-term list swap the literal for a
+    broadcast join on exploded tokens, same output contract).
+
+    Returns (doc_id, <cat>_hits... per category, n_hits, blocked).
+    STAGED for round-8 registration (round-7 caps net-new queries so
+    the driver window clears certification debt).
+    """
+    tok = tokens(F.col("text"))
+    cats = sorted(blocklist)
+
+    def counter(words: list[str]):
+        # one-arg lambda: F.transform treats a 2-arg callable (even via
+        # default args) as an (element, index) lambda
+        return lambda t: _count_in(t, words)
+
+    hit_cols = [
+        let(tok, counter(blocklist[c])).alias(f"{c}_hits") for c in cats
+    ]
+    out = docs.select("doc_id", *hit_cols)
+    total = sum((F.col(f"{c}_hits") for c in cats), F.lit(0).cast("long"))
+    return out.select(
+        "*",
+        total.alias("n_hits"),
+    ).withColumn("blocked", F.col("n_hits") > max_hits)

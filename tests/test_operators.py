@@ -1309,3 +1309,85 @@ def test_canonicalize_url_cases(spark, raw, canon):
         .collect()[0]["c"]
     )
     assert got == canon, (raw, got, canon)
+
+
+# --- staged round-8 operators (drift / blocklist) --------------------------
+
+
+def test_blocklist_hits_counts_and_flags(spark):
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        blocklist_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy cheap pills now cheap pills"),
+            (2, "a perfectly clean document"),
+            (3, "spam and gamble words gamble"),
+        ],
+        "doc_id long, text string",
+    )
+    bl = {"pharma": ["pills", "cheap"], "gambling": ["gamble", "casino"]}
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_hits(docs, bl, max_hits=1).collect()
+    }
+    assert out[1]["pharma_hits"] == 4 and out[1]["gambling_hits"] == 0
+    assert out[1]["n_hits"] == 4 and out[1]["blocked"]
+    assert out[2]["n_hits"] == 0 and not out[2]["blocked"]
+    assert out[3]["gambling_hits"] == 2 and out[3]["blocked"]
+
+
+def test_cusum_matches_sequential_reference(spark):
+    from etl_developstoday_test_spark.operators.drift import (
+        cusum_changepoints,
+    )
+
+    # mean shifts from ~10 to ~14 at i=10
+    vals = [10.0, 9.0, 11.0, 10.0, 9.5, 10.5, 10.0, 11.0, 9.0, 10.0] + [
+        14.0, 13.5, 14.5, 15.0, 13.0, 14.0
+    ]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp int, i int, value double")
+    target, slack, threshold = 10.0, 0.5, 5.0
+    # sequential reference
+    s, alarms = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - target - slack))
+        if s > threshold:
+            alarms[i] = s
+    got = {
+        r["ord"]: r["cusum"]
+        for r in cusum_changepoints(
+            df, "value", "i", "grp", target, slack, threshold
+        ).collect()
+    }
+    assert got.keys() == alarms.keys()
+    for i in got:
+        assert abs(got[i] - alarms[i]) < 1e-9
+    assert min(got) >= 10  # no alarm before the true shift
+
+
+def test_psi_drift_detects_shift_and_stability(spark):
+    from etl_developstoday_test_spark.operators.drift import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    same = spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(1000)], "v double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(50 + (i % 50)),) for i in range(1000)], "v double"
+    )
+    stable = psi_drift(base, same, "v", lo=0.0, hi=100.0).collect()[0]
+    moved = psi_drift(base, shifted, "v", lo=0.0, hi=100.0).collect()[0]
+    assert stable["psi"] < 0.01, stable["psi"]
+    assert moved["psi"] > 0.25, moved["psi"]
+    assert stable["n_base"] == 1000 and stable["n_current"] == 1000
+    # outside-range values clamp into edge bins, never dropped
+    clamped = spark.createDataFrame(
+        [(-5.0,), (500.0,)], "v double"
+    )
+    r = psi_drift(base, clamped, "v", lo=0.0, hi=100.0).collect()[0]
+    assert r["n_current"] == 2

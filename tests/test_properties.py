@@ -815,3 +815,34 @@ def test_span_corruption_conservation(spark, n_tokens, noise):
         assert r["n_spans_masked"] == 0
     if noise == 100:
         assert r["n_masked_tokens"] == n_tokens
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-20, max_value=20, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    target=st.floats(min_value=-5, max_value=5, allow_nan=False),
+)
+def test_cusum_closed_form_equals_recurrence(spark, vals, target):
+    """The prefix-sum/running-min closed form must equal the textbook
+    sequential CUSUM recurrence on arbitrary series."""
+    from etl_developstoday_test_spark.operators.drift import (
+        cusum_changepoints,
+    )
+
+    slack, threshold = 0.5, -1.0  # threshold<0 → every row emitted
+    rows = [(1, i, round(v, 3)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp int, i int, value double")
+    got = {
+        r["ord"]: r["cusum"]
+        for r in cusum_changepoints(
+            df, "value", "i", "grp", target, slack, threshold
+        ).collect()
+    }
+    s = 0.0
+    for i, (_, _, v) in enumerate(rows):
+        s = max(0.0, s + (v - target - slack))
+        assert abs(got[i] - s) < 1e-6, (i, got[i], s)
