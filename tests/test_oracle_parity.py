@@ -154,3 +154,55 @@ def test_oracle_result_types_survive_pandas_fetch(oracle_small):
         "oracle result columns with driver-hash-unsafe types "
         f"(wrap in CAST(... AS BIGINT) / finish the _dsum path): {offenders}"
     )
+
+
+def test_spark_and_oracle_result_types_agree(spark, oracle_small):
+    """General form of the round-6 incident gate: the driver hashes
+    PANDAS frames, so a column whose Spark dtype and oracle dtype fetch
+    into different pandas dtypes (int64 vs float64, int32 vs int64)
+    hash-diverges on equal values. Compare every non-eager query's
+    Spark schema (plan-only) against its oracle's bound DuckDB types
+    under the lossless-fetch mapping."""
+    from tests.test_plans import _EAGER_QUERIES
+
+    # pandas hash_array hashes every INTEGER width by value (uint64
+    # view), so int32-vs-int64 mismatches are hash-safe — the driver's
+    # own green rows for dedup_prefix_filter_jaccard (int vs BIGINT)
+    # and scan_compaction_roundtrip (bigint vs INTEGER) prove it.
+    # Float-vs-int diverges on the BIT PATTERN (the r6 incident), and
+    # float32-vs-float64 is not provably safe — those stay strict.
+    INTS = {"SMALLINT", "INTEGER", "BIGINT", "TINYINT", "UTINYINT",
+            "USMALLINT", "UINTEGER"}
+    MAP = {
+        "bigint": INTS,
+        "int": INTS,
+        "smallint": INTS,
+        "tinyint": INTS,
+        "double": {"DOUBLE"},
+        "float": {"FLOAT"},
+        "string": {"VARCHAR"},
+        "boolean": {"BOOLEAN"},
+        "date": {"DATE"},
+        "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    }
+    offenders = []
+    for name in sorted(ORACLE_SQL):
+        if name in _EAGER_QUERIES:
+            continue  # constructing these runs real jobs; their value
+            # parity (incl. dtypes at the python level) runs above
+        sdf = QUERIES[name](spark, SF_DIR_ORACLE)
+        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
+        rel = oracle_small.sql(ORACLE_SQL[name])
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            st = stypes.get(col)
+            if st is None:
+                continue  # column-name parity is asserted elsewhere
+            allowed = MAP.get(st)
+            if allowed is None:
+                continue  # arrays/structs: not hashed flat by driver
+            if typ not in allowed:
+                offenders.append((name, col, st, typ))
+    assert not offenders, (
+        "Spark/oracle result dtype mismatches (driver pandas hash "
+        f"diverges on equal values): {offenders}"
+    )
