@@ -62,7 +62,12 @@ def main() -> None:
     def _warm(s):  # pragma: no cover - trivial warmup body
         return s
 
-    spark.range(width, numPartitions=width).select(_warm("id")).count()
+    # aggregate OVER the UDF column: under a bare count() Catalyst
+    # prunes the unused deterministic UDF projection and no worker
+    # would ever spawn
+    spark.range(width, numPartitions=width).select(
+        _warm("id").alias("w")
+    ).agg(_F.max("w")).collect()
     spark.range(width, numPartitions=width).groupBy("id").applyInPandas(
         lambda pdf: pdf.head(1), "id long"
     ).count()

@@ -136,25 +136,28 @@ def canonicalize_url(col: Column | str) -> Column:
     key is canonicalized first.
 
     Pure regexp_replace chain in codegen, deliberately written with
-    EMPTY or LITERAL replacements only — no backreferences, because
-    Spark (Java regex, ``$1``) and DuckDB (RE2, ``\\1``) spell them
-    differently and the oracle twin must use the byte-identical
+    EMPTY or LITERAL replacements only — no backreferences (Spark's
+    Java regex and DuckDB's RE2 spell them differently) and no
+    lookarounds (RE2 has none), so the oracle twin uses byte-identical
     patterns (DuckDB side passes the 'g' flag to match Spark's
-    replace-all default): lowercase → strip scheme → strip www. →
-    strip fragment → strip tracking params → strip separator debris →
-    strip trailing slash.
+    replace-all default). Every tracking-param rule consumes its own
+    leading ``&``/``?`` anchor, so a param whose NAME merely ends in a
+    tracking name (``href``, ``xref``, ``xutm_a``) can never match
+    mid-string: lowercase → strip scheme → strip www. → strip fragment
+    → strip &-anchored tracking params → strip ?-anchored first
+    tracking param → strip separator debris → strip trailing slash.
     """
     c = F.col(col) if isinstance(col, str) else col
     u = F.lower(c)
     u = F.regexp_replace(u, r"^https?://", "")
     u = F.regexp_replace(u, r"^www\.", "")
     u = F.regexp_replace(u, r"#.*$", "")
-    # tracking param followed by another param: drop it AND its '&'
-    u = F.regexp_replace(u, r"(utm_[a-z]+|sessionid|ref)=[^&#]*&", "")
-    # tracking param in final position: drop it AND its leading ?/&
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|sessionid|ref)=[^&#]*$", "")
-    # '?&rest' left when the first param was dropped mid-string
-    u = F.regexp_replace(u, r"\?&", "?")
+    # '&'-anchored tracking param anywhere (anchor consumed with it)
+    u = F.regexp_replace(u, r"&(utm_[a-z]+|sessionid|ref)=[^&#]*", "")
+    # first-position tracking param with params after it: keep the '?'
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|sessionid|ref)=[^&#]*&", "?")
+    # first-and-only tracking param: drop it and its '?'
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|sessionid|ref)=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?&]$", "")
     # trailing path slash, both before a query string and at the end
     u = F.regexp_replace(u, r"/\?", "?")

@@ -141,9 +141,12 @@ def cusum_changepoints(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    dev = (F.col(value_col).cast(ACC_DECIMAL) - F.lit(target)) - F.lit(
-        slack
-    )
+    # literals cast to decimal too: decimal-minus-double coerces the
+    # whole expression back to double, silently discarding exactness
+    dev = (
+        F.col(value_col).cast(ACC_DECIMAL)
+        - F.lit(target).cast(ACC_DECIMAL)
+    ) - F.lit(slack).cast(ACC_DECIMAL)
     prefix = F.sum(dev).over(w)
     with_s = df.select(
         F.col(group_col).alias("grp"),

@@ -443,9 +443,16 @@ def kcore_decomposition(
     # step too — a genuine fixpoint, never a missed update.
     unroll = 4
     converged = False
-    for _ in range((max_rounds + unroll - 1) // unroll):
+    steps_done = 0
+    while steps_done < max_rounds:
+        # never overshoot max_rounds: a fixed-round oracle replay
+        # relies on "converged within max_rounds OR raised" — running
+        # ceil(max_rounds/unroll)*unroll sub-steps could converge past
+        # the cap and silently diverge from the replay
+        steps = min(unroll, max_rounds - steps_done)
+        steps_done += steps
         cur = est
-        for _i in range(unroll):
+        for _i in range(steps):
             cur = h_step(cur)
         stepped = (
             est.select("n", F.col("est").alias("prev"))

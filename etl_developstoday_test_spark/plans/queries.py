@@ -11382,9 +11382,9 @@ _CANON_STEPS = [
     ("^https?://", ""),
     (r"^www\.", ""),
     ("#.*$", ""),
-    (r"(utm_[a-z]+|sessionid|ref)=[^&#]*&", ""),
-    (r"[?&](utm_[a-z]+|sessionid|ref)=[^&#]*$", ""),
-    (r"\?&", "?"),
+    (r"&(utm_[a-z]+|sessionid|ref)=[^&#]*", ""),
+    (r"\?(utm_[a-z]+|sessionid|ref)=[^&#]*&", "?"),
+    (r"\?(utm_[a-z]+|sessionid|ref)=[^&#]*$", ""),
     (r"[?&]$", ""),
     (r"/\?", "?"),
     ("/$", ""),

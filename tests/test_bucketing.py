@@ -87,11 +87,16 @@ def test_parquet_bloom_filter_written_and_lossless(spark, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     assert files
     # neither duckdb 1.0 nor this pyarrow exposes bloom offsets in the
-    # footer API, so prove the filter was written physically: the same
-    # data without the bloom option must be materially smaller (the
-    # filter block is ~150 KiB at ndv=100k per user_id column chunk)
+    # footer API, so prove the filter was written physically via file
+    # size — against a control with dictionary ALSO disabled but bloom
+    # off, so the delta isolates the bloom block itself (~150 KiB at
+    # ndv=100k) rather than the dictionary-vs-plain encoding difference
     plain = str(tmp_path / "events_plain")
-    ev.write.mode("overwrite").parquet(plain)
+    (
+        ev.write.mode("overwrite")
+        .option("parquet.enable.dictionary#user_id", "false")
+        .parquet(plain)
+    )
     size_bloom = sum(os.path.getsize(f) for f in files)
     size_plain = sum(
         os.path.getsize(f) for f in glob.glob(f"{plain}/*.parquet")

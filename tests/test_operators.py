@@ -1298,6 +1298,13 @@ def test_quality_epoch_schedule_tiles_and_budget(spark):
         ("ex.com/a/?id=1&ref=tw", "ex.com/a?id=1"),
         ("ex.com/?utm_medium=m", "ex.com"),
         ("ex.com/p?id=2", "ex.com/p?id=2"),
+        # names that merely END in a tracking name must NOT be eaten
+        ("ex.com/p?href=x&id=1", "ex.com/p?href=x&id=1"),
+        ("ex.com/p?xref=7&utm_a=1", "ex.com/p?xref=7"),
+        ("ex.com/p?xutm_a=1&id=2", "ex.com/p?xutm_a=1&id=2"),
+        ("ex.com/p?utm_a=1&utm_b=2&id=3", "ex.com/p?id=3"),
+        ("ex.com/p?utm_a=1&utm_b=2", "ex.com/p"),
+        ("ex.com/p?ref=x&id=1", "ex.com/p?id=1"),
     ],
 )
 def test_canonicalize_url_cases(spark, raw, canon):

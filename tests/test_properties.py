@@ -705,7 +705,8 @@ _url_piece = st.text(
     params=st.lists(
         st.tuples(
             st.sampled_from(
-                ["id", "q", "utm_source", "utm_campaign", "sessionid", "ref"]
+                ["id", "q", "href", "xref", "xutm_a", "utm_source",
+                 "utm_campaign", "sessionid", "ref"]
             ),
             _url_piece,
         ),
@@ -739,11 +740,9 @@ def test_canonicalize_url_idempotent_and_variant_invariant(
     )
     for r in rows:
         assert r["c1"] == r["c2"], (raw, r["c1"], r["c2"])
-    keep = [(k, v) for k, v in params if k in ("id", "q")]
-    if not any(v == "" for _, v in params):
-        # tracking-free spellings of the same resource must collapse
-        # (empty param VALUES can glue separators; out of claimed scope)
-        assert rows[0]["c1"] == rows[1]["c1"], (raw, alt, rows)
+    # same (host, path, query) under different scheme/www/case/slash/
+    # fragment spellings must collapse to one canonical key
+    assert rows[0]["c1"] == rows[1]["c1"], (raw, alt, rows)
 
 
 _bp_docs = st.lists(
