@@ -39,9 +39,9 @@ cost model as Spark MLlib's own LBFGS aggregation step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from etl_developstoday_test_spark.functions import dsum
+from etl_developstoday_test_spark.functions import ACC_DECIMAL, dsum, tokens
 
 
 def _z_expr(weights: list[float], feature_cols: list[str]) -> str:
@@ -121,6 +121,212 @@ def logreg_gd_train(
         "n_rows",
     )
     return w, eval_df
+
+
+def naive_bayes_quality(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: int = 1,
+    test_mod: int = 5,
+) -> DataFrame:
+    """Multinomial naive Bayes trained ON the corpus, evaluated on a
+    held-out hash split — the classic cheap corpus classifier (language
+    ID, domain routing, quality triage) at the scale where training IS
+    a distributed aggregation.
+
+    STAGED for round-8 registration (round 7 caps net-new registered
+    queries at five; see drift.py for the same note).
+
+    Shape — everything is counting, no gradient loop:
+    - split: test = rows with ``doc_id % test_mod = 0`` (deterministic,
+      engine-portable — no RNG);
+    - train: explode train-split tokens once → (label, token) counts
+      and per-label totals — two map-side-combined groupBys over ONE
+      exploded projection;
+    - model: Laplace-smoothed log p(token|label) = ln((c + α) /
+      (total + α·V)); priors ln(n_label/n_train). Each ln is QUANTIZED
+      to integer nanos (round(ln·1e9) as BIGINT — the same contract as
+      ``unigram_logprob_deciles``: ln is not correctly-rounded-
+      guaranteed across engines, so scores must leave double-land
+      before they are summed or compared);
+    - score: explode test tokens, inner-join the (small) model table on
+      token, per-(doc,label) score = Σ quantized log-likelihood + the
+      quantized prior — pure BIGINT arithmetic, order-independent;
+      argmax by (score, label) sort — the label tiebreak makes the
+      prediction total-order deterministic;
+    - unseen test tokens fall out of the inner join on both engines
+      alike (standard NB practice: skip out-of-vocabulary tokens).
+
+    At 100 TB: the model table is (V × labels) rows — broadcast-joined
+    against the exploded test corpus; training is two partial-aggregated
+    shuffles; nothing driver-side but the final per-label accuracy rows.
+
+    Returns one row per true label: (label, n_docs, n_correct).
+    """
+    base = docs.select(
+        F.col("doc_id"),
+        F.col(label_col).alias("_y"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    is_test = F.col("doc_id") % test_mod == 0
+    train = base.filter(~is_test)
+    test = base.filter(is_test)
+
+    counts = train.groupBy("_y", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = train.groupBy("_y").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = train.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    model = counts.join(F.broadcast(totals), "_y").crossJoin(
+        F.broadcast(vocab)
+    ).select(
+        "_y",
+        "tok",
+        F.round(
+            F.log(
+                (F.col("c") + alpha).cast("double")
+                / (F.col("tot") + alpha * F.col("v")).cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("llq"),
+    )
+
+    doc_labels = docs.filter(
+        F.col("doc_id") % test_mod == 0
+    ).select("doc_id", F.col(label_col).alias("truth"))
+    priors = (
+        docs.filter(~(F.col("doc_id") % test_mod == 0))
+        .groupBy(F.col(label_col).alias("_y"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    priors = priors.crossJoin(
+        F.broadcast(priors.agg(F.sum("nd").alias("ntot")))
+    ).select(
+        "_y",
+        F.round(
+            F.log(
+                F.col("nd").cast("double") / F.col("ntot").cast("double")
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("priorq"),
+    )
+
+    # test's own _y (the truth label) would collide with the model's
+    # candidate label — scoring only needs (doc_id, tok)
+    scored = test.drop("_y").join(F.broadcast(model), "tok")
+    per_doc = (
+        scored.groupBy("doc_id", F.col("_y").alias("cand"))
+        .agg(F.sum("llq").alias("ll"))
+        .join(F.broadcast(priors.withColumnRenamed("_y", "cand")), "cand")
+        .select(
+            "doc_id",
+            "cand",
+            (F.col("ll") + F.col("priorq")).alias("score"),
+        )
+    )
+    best = per_doc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("cand").asc()
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+
+    return (
+        doc_labels.join(best.select("doc_id", "cand"), "doc_id", "left")
+        .groupBy(F.col("truth").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("cand") == F.col("truth"), 1)).alias(
+                "n_correct"
+            ),
+        )
+    )
+
+
+def best_stump_split(
+    df: DataFrame, feature_cols: list[str], y_col: str
+) -> DataFrame:
+    """Best decision-stump split (feature, threshold) for a regression
+    target — ONE boosting round of a distributed GBT, the way tree
+    libraries actually find splits at scale: not by trying splits one
+    at a time, but from PREFIX SUMS over the sorted per-feature value
+    histogram, so every candidate threshold of a feature is scored by
+    one window pass.
+
+    STAGED for round-8 registration (round 7 caps net-new registered
+    queries; see drift.py for the same note).
+
+    Shape per feature (all features in the same plan via one unpivot):
+    - aggregate to the (feature, value) histogram: n rows, Σy — one
+      map-side-combined groupBy (candidate thresholds are the observed
+      distinct values; at 100 TB pre-bin values to quantile edges
+      first, same contract);
+    - running (prefix) n and Σy over values ascending — one window
+      over the histogram, NOT the rows;
+    - split gain at threshold v (left = value ≤ v): the variance-
+      reduction numerator S_l²/n_l + S_r²/n_r (total SSE minus this is
+      the post-split SSE; the total term is split-invariant so ranking
+      by this IS ranking by SSE reduction). Sums accumulate through the
+      exact DECIMAL path, the gain is a fixed-order double formula, and
+      the argmax orders by (gain DESC, feature ASC, threshold ASC) —
+      total-order deterministic cross-engine;
+    - the last (highest) value of a feature splits nothing and is
+      excluded (n_r = 0).
+
+    Returns ONE row: (feature, threshold, n_left, n_right, mean_left,
+    mean_right, gain).
+    """
+    y = F.col(y_col).cast("double")
+    stack_expr = "stack({}, {}) as (feature, value)".format(
+        len(feature_cols),
+        ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in feature_cols),
+    )
+    long = df.select(y.alias("_y"), F.expr(stack_expr))
+
+    hist = long.groupBy("feature", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_y").cast(ACC_DECIMAL)).alias("sy"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("feature")
+    scored = hist.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        F.sum("n").over(w).alias("n_l"),
+        F.sum("sy").over(w).alias("sy_l"),
+        F.sum("n").over(wall).alias("n_t"),
+        F.sum("sy").over(wall).alias("sy_t"),
+    ).filter(F.col("n_l") < F.col("n_t"))
+    n_l = F.col("n_l").cast("double")
+    n_r = (F.col("n_t") - F.col("n_l")).cast("double")
+    s_l = F.col("sy_l").cast("double")
+    s_r = (F.col("sy_t") - F.col("sy_l")).cast("double")
+    gain = (s_l * s_l) / n_l + (s_r * s_r) / n_r
+    ranked = scored.select(
+        "feature",
+        "threshold",
+        F.col("n_l").alias("n_left"),
+        (F.col("n_t") - F.col("n_l")).alias("n_right"),
+        (s_l / n_l).alias("mean_left"),
+        (s_r / n_r).alias("mean_right"),
+        gain.alias("gain"),
+    )
+    return ranked.orderBy(
+        F.col("gain").desc(), F.col("feature").asc(), F.col("threshold").asc()
+    ).limit(1)
 
 
 def linreg_closed_form(

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from etl_developstoday_test_spark.functions import let, md5_long, tokens
+from etl_developstoday_test_spark.functions import (
+    let,
+    md5_long,
+    tokens,
+    word_shingles,
+)
 
 # Tiny per-language function-word lists for the n-gram/stopword language
 # heuristic. Deliberately small and embedded: the operator shape (token
@@ -895,3 +900,85 @@ def blocklist_hits(
         "*",
         total.alias("n_hits"),
     ).withColumn("blocked", F.col("n_hits") > max_hits)
+
+
+def bigram_lm_bottomk(
+    docs: DataFrame, k: int = 20, alpha: int = 1
+) -> DataFrame:
+    """Bigram language-model quality scoring — the KenLM-perplexity
+    step of a CCNet-style curation stack, one order up from
+    ``unigram_logprob_deciles``: a document whose TOKENS are all common
+    but whose token SEQUENCE is shuffled word soup scores high under a
+    unigram model and low under a bigram one, so the bigram filter
+    catches scrambled/generated boilerplate the unigram filter cannot.
+
+    STAGED for round-8 registration (round 7 caps net-new registered
+    queries; see drift.py for the same note).
+
+    Model and scoring, all deterministic:
+    - bigrams via the 2-shingle helper; context count c(w1·) = number
+      of bigrams starting with w1 (so p(·|w1) sums to 1 exactly);
+    - Laplace-smoothed p(w2|w1) = (c(w1w2)+α)/(c(w1·)+α·V) with V the
+      corpus unigram vocabulary; ln quantized to integer nanos (the
+      ``unigram_logprob_deciles`` contract — ln is not correctly-
+      rounded-guaranteed across engines, so scores leave double-land
+      before summing/ranking);
+    - per-doc mean over its bigrams, rounded to 6 dp; bottom-k by
+      (mean asc, doc_id) — a TakeOrderedAndProject, never a full sort;
+      docs with < 2 tokens have no bigrams and are out of scope (they
+      are the length filter's job, not the LM's).
+
+    Scale shape: the bigram model is corpus-bigram-vocabulary sized, so
+    the score join is a plain shuffle equi-join on the bigram string —
+    NOT a broadcast (unlike the unigram model, bigram vocabularies
+    outgrow driver memory at web scale). Two map-side-combined
+    groupBys + one equi-join + one top-k.
+
+    Returns (doc_id, n_bigrams, mean_logprob), k lowest-quality rows.
+    """
+    big = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg"),
+    ).localCheckpoint(eager=True)
+
+    bcounts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    ctx = F.substring_index(F.col("bg"), " ", 1)
+    ccounts = (
+        big.select(ctx.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("ctx_c"))
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    model = (
+        bcounts.withColumn("w1", ctx)
+        .join(ccounts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c") + alpha).cast("double")
+                    / (F.col("ctx_c") + alpha * F.col("v")).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("llq"),
+        )
+    )
+    per_doc = (
+        big.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("llq").cast("double") / 1e9 / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return per_doc.orderBy(
+        F.col("mean_logprob").asc(), F.col("doc_id").asc()
+    ).limit(k)

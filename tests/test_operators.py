@@ -1398,3 +1398,104 @@ def test_psi_drift_detects_shift_and_stability(spark):
     )
     r = psi_drift(base, clamped, "v", lo=0.0, hi=100.0).collect()[0]
     assert r["n_current"] == 2
+
+
+# --- staged round-8 operators (ml / bigram LM) ------------------------------
+
+
+def test_naive_bayes_separates_disjoint_vocabularies(spark):
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+    )
+
+    # two labels with disjoint vocabularies; doc_id % 5 == 0 is the
+    # held-out split, so docs 0,5 (label a) and 10,15 (label b) are test
+    rows = []
+    for i in range(10):
+        rows.append((i, "apple banana cherry apple", "a"))
+    for i in range(10, 20):
+        rows.append((i, "xylo zonk wumpus zonk", "b"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = {
+        r["label"]: r
+        for r in naive_bayes_quality(docs, test_mod=5).collect()
+    }
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_correct"] == 2
+    assert out["b"]["n_docs"] == 2 and out["b"]["n_correct"] == 2
+
+
+def test_naive_bayes_unseen_label_scores_zero_correct(spark):
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+    )
+
+    # label 'c' appears ONLY in the test split (doc_id 0): no model, no
+    # prior -> no candidates -> left join leaves cand null -> incorrect
+    rows = [(0, "apple banana", "c")] + [
+        (i, "apple banana", "a") for i in range(1, 8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = {
+        r["label"]: r
+        for r in naive_bayes_quality(docs, test_mod=5).collect()
+    }
+    assert out["c"]["n_docs"] == 1 and out["c"]["n_correct"] == 0
+    assert out["a"]["n_docs"] == 1 and out["a"]["n_correct"] == 1
+
+
+def test_bigram_lm_ranks_scrambled_text_lowest(spark):
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bigram_lm_bottomk,
+    )
+
+    # 9 docs share the same fluent sentence (high bigram probability);
+    # doc 99 uses the SAME tokens in a never-seen order — a unigram
+    # model cannot tell them apart, the bigram model must
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    rows = [(i, fluent) for i in range(9)] + [(99, scrambled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bigram_lm_bottomk(docs, k=3).collect()
+    assert out[0]["doc_id"] == 99
+    assert out[0]["mean_logprob"] < out[1]["mean_logprob"]
+    # one-token docs have no bigrams and are out of scope
+    docs2 = docs.union(
+        spark.createDataFrame([(100, "single")], "doc_id long, text string")
+    )
+    ids = {r["doc_id"] for r in bigram_lm_bottomk(docs2, k=20).collect()}
+    assert 100 not in ids
+
+
+def test_best_stump_split_matches_bruteforce(spark):
+    from etl_developstoday_test_spark.operators.ml import best_stump_split
+
+    # y depends on x1 with a clean step at x1 <= 3; x2 is noise
+    rows = [
+        (1.0, 9.0, 10.0), (2.0, 1.0, 11.0), (3.0, 5.0, 9.0),
+        (4.0, 2.0, 30.0), (5.0, 8.0, 31.0), (6.0, 3.0, 29.0),
+        (2.5, 7.0, 10.5), (4.5, 4.0, 30.5),
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = best_stump_split(df, ["x1", "x2"], "y").collect()[0]
+
+    # brute-force reference over every (feature, observed threshold)
+    best = None
+    data = rows
+    for fi, fname in ((0, "x1"), (1, "x2")):
+        vals = sorted({r[fi] for r in data})
+        for v in vals[:-1]:
+            left = [r[2] for r in data if r[fi] <= v]
+            right = [r[2] for r in data if r[fi] > v]
+            gain = (sum(left) ** 2) / len(left) + (sum(right) ** 2) / len(
+                right
+            )
+            key = (-gain, fname, v)
+            if best is None or key < best:
+                best = key
+    assert got["feature"] == best[1] and got["threshold"] == best[2]
+    assert abs(got["gain"] - (-best[0])) < 1e-6
+    assert got["n_left"] + got["n_right"] == len(rows)
