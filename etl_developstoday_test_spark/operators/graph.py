@@ -489,3 +489,148 @@ def kcore_decomposition(
     return est.select(
         F.col("n").alias(node), F.col("est").cast("bigint").alias("coreness")
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    rounds: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), plus an EXACT modularity score for the resulting
+    partition — the topic/cluster-discovery step over a document- or
+    user-similarity graph (connected components answer "which docs are
+    the same"; communities answer "which docs hang together").
+
+    STAGED for round-8 registration (round 7 caps net-new registered
+    queries; see drift.py for the same note).
+
+    Determinism: synchronous LPA with random tie-breaking is the
+    textbook formulation; this one replaces every random choice with a
+    total order — each round, every node adopts the label with the
+    HIGHEST NEIGHBOR COUNT, ties broken by SMALLEST LABEL (one
+    max(struct(cnt, -lbl)) aggregate — no window needed), and runs
+    EXACTLY ``rounds`` synchronous rounds rather than to a fixpoint
+    (synchronous LPA can 2-cycle on bipartite structures, so a fixed
+    round count is both the standard remedy and what makes a DuckDB
+    recursive-CTE replay exact).
+
+    Modularity is computed WITHOUT floating-point accumulation:
+    Q = Σ_c (e_c/m − (d_c/2m)²) over communities c (e_c = intra-
+    community edges, d_c = degree sum, m = edge count) is assembled as
+    the exact integer numerator Σ_c (4·m·e_c − d_c²) over denominator
+    4m² — one BIGINT sum and ONE double division at the end, so the
+    score is bit-identical on any engine and partitioning.
+
+    Shape: per round ONE edge⋈label join (against the persisted
+    hash-partitioned edge table, kcore-style) + one (node, label)
+    groupBy + one per-node max — two map-side-combined shuffles on
+    graph-sized data; modularity adds one self-contained aggregation
+    pass. Driver holds nothing but the loop counter.
+
+    Returns ``top_k`` rows: (community, n_nodes, intra_edges,
+    degree_sum, modularity) ordered by size desc, community asc —
+    modularity is the partition-global score, repeated per row.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .repartition("d")
+        .persist()
+    )
+    labels = vertices.select(
+        F.col(node).alias("n"), F.col(node).cast("long").alias("lbl")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        neigh = (
+            sym.join(labels, sym["d"] == labels["n"])
+            .select(F.col("s").alias("n"), "lbl")
+            .groupBy("n", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("n")
+            .agg(
+                (-F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("neg")))[
+                    "neg"
+                ]).alias("new_lbl")
+            )
+        )
+        stepped = (
+            labels.join(neigh, "n", "left")
+            .select(
+                "n",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels.unpersist()
+        labels = stepped
+
+    # modularity from exact integer counts: m, e_c, d_c
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    lab_deg = labels.join(deg, labels["n"] == deg["s"], "inner").select(
+        "n", "lbl", "deg"
+    )
+    m_df = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
+    # intra-community DIRECTED pairs per label = 2*e_c (sym is
+    # symmetric), so 4*m*e_c == 2*m*intra_directed
+    lsrc = labels.select(F.col("n").alias("s"), F.col("lbl").alias("ls"))
+    ldst = labels.select(F.col("n").alias("d"), F.col("lbl").alias("ld"))
+    intra = (
+        sym.join(lsrc, "s")
+        .join(ldst, "d")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("intra_directed"))
+    )
+    per_c = (
+        lab_deg.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("degree_sum"),
+        )
+        .join(intra, "lbl", "left")
+        .select(
+            "lbl",
+            "n_nodes",
+            F.coalesce(F.col("intra_directed"), F.lit(0)).alias(
+                "intra_directed"
+            ),
+            "degree_sum",
+        )
+    )
+    num = per_c.crossJoin(F.broadcast(m_df)).agg(
+        F.sum(
+            F.lit(2) * F.col("m") * F.col("intra_directed")
+            - F.col("degree_sum") * F.col("degree_sum")
+        ).alias("q_num"),
+        F.first("m").alias("m"),
+    )
+    q = num.select(
+        (
+            F.col("q_num").cast("double")
+            / (F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double"))
+        ).alias("modularity")
+    )
+    out = (
+        per_c.crossJoin(F.broadcast(q))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_nodes",
+            (F.col("intra_directed") / 2).cast("long").alias("intra_edges"),
+            "degree_sum",
+            "modularity",
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+        .limit(top_k)
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    labels.unpersist()
+    return out

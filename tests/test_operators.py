@@ -1499,3 +1499,50 @@ def test_best_stump_split_matches_bruteforce(spark):
     assert got["feature"] == best[1] and got["threshold"] == best[2]
     assert abs(got["gain"] - (-best[0])) < 1e-6
     assert got["n_left"] + got["n_right"] == len(rows)
+
+
+def test_label_propagation_bridged_cliques(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        label_propagation_communities,
+    )
+    import itertools
+
+    # two 4-cliques joined by one bridge edge: LPA must split them into
+    # exactly the two cliques; modularity checked against a brute-force
+    # python replay of the same deterministic update rule
+    e = list(itertools.combinations(range(4), 2))
+    e += list(itertools.combinations(range(10, 14), 2))
+    e += [(3, 10)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "node long"
+    )
+    out = sorted(
+        tuple(r)
+        for r in label_propagation_communities(edges, verts, rounds=5).collect()
+    )
+    assert [r[:4] for r in out] == [(0, 4, 6, 13), (10, 4, 6, 13)]
+    # Q = Σ_c (4m·e_c − d_c²) / 4m² with m=13, e_c=6, d_c=13 per clique
+    expected_q = (2 * (4 * 13 * 6 - 13 * 13)) / (4.0 * 13 * 13)
+    assert out[0][4] == expected_q and out[1][4] == expected_q
+
+
+def test_label_propagation_tiebreak_is_min_label(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    # node 2 sees neighbor labels {1, 3} with equal counts after round
+    # 0 -> must adopt 1 (smallest among most frequent), never 3
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    out = label_propagation_communities(edges, verts, rounds=1, top_k=10)
+    rows = sorted(tuple(r) for r in out.collect())
+    # after one round: 1 keeps... 1's only neighbor is 2 (label 2) -> 1
+    # adopts 2; 3 adopts 2; 2 adopts min(1,3)=1. Communities by label.
+    labels = {}
+    for community, n_nodes, *_ in rows:
+        labels[community] = n_nodes
+    assert labels == {1: 1, 2: 2}
