@@ -634,3 +634,64 @@ def label_propagation_communities(
     sym.unpersist()
     labels.unpersist()
     return out
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of endpoint degrees
+    over the edge list. Positive = hubs link to hubs (social-network
+    shape); negative = hubs link to leaves (star/botnet shape) — a
+    one-number structural fingerprint for the similarity/co-activity
+    graphs the dedup and quality stacks build, and the cheapest of the
+    graph-quality signals (NO iteration: two shuffles total).
+
+    STAGED for round-8 registration (round 7 caps net-new registered
+    queries; see drift.py for the same note).
+
+    Exactness: over the symmetrized edge list, the five sufficient
+    statistics (M, Σx, Σxy, Σx², with Σy/Σy² equal to Σx/Σx² by
+    symmetry) are EXACT BIGINT sums of integer degrees — no decimal
+    accumulator needed, no ordering sensitivity. The coefficient
+    r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²) (the symmetric Pearson
+    collapses because x and y are identically distributed) is one
+    fixed-order double expression at the very end, so the value is
+    bit-identical on any engine and partitioning. Degree sums fit
+    int64 up to ~10^9 edges of max degree ~10^4; beyond that swap the
+    three sums to DECIMAL(38,0).
+
+    Returns one row: (n_edges, assortativity).
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ds = deg.select(F.col("s").alias("u"), F.col("deg").alias("du"))
+    dd = deg.select(F.col("s").alias("v"), F.col("deg").alias("dv"))
+    pairs = (
+        sym.join(ds, sym["s"] == ds["u"])
+        .join(dd, sym["d"] == dd["v"])
+        .select("du", "dv")
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("du").alias("sx"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+    )
+    m2 = F.col("m2").cast("double")
+    sx = F.col("sx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return stats.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        ((m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)).alias(
+            "assortativity"
+        ),
+    )

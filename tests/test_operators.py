@@ -1546,3 +1546,22 @@ def test_label_propagation_tiebreak_is_min_label(spark):
     for community, n_nodes, *_ in rows:
         labels[community] = n_nodes
     assert labels == {1: 1, 2: 2}
+
+
+def test_degree_assortativity_known_graphs(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star S3: hubs-to-leaves only -> exactly -1
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 3 and r["assortativity"] == -1.0
+    # path P4 (degrees 1,2,2,1): textbook r = -0.5
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    r = degree_assortativity(path).collect()[0]
+    assert r["n_edges"] == 3 and r["assortativity"] == -0.5

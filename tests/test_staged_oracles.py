@@ -1,0 +1,310 @@
+"""DuckDB-twin parity for STAGED (not yet registered) operators.
+
+Each round-8 candidate operator ships with the exact oracle SQL its
+future ``queries()``/``oracle_sql()`` registration will use, verified
+value-for-value at sf0.001 BEFORE registration — so the driver's first
+row for each can only be green. Same comparison discipline as
+tests/test_oracle_parity.py (full multiset, exact equality, no
+epsilon): the determinism contract (nano-quantized ln, exact decimal /
+integer accumulation, total-order argmax) is what's being locked in.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+NB_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang AS y,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+test AS (SELECT doc_id, tok FROM base WHERE doc_id % 5 = 0),
+counts AS (SELECT y, tok, COUNT(*) AS c FROM train GROUP BY y, tok),
+totals AS (SELECT y, COUNT(*) AS tot FROM train GROUP BY y),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+model AS (
+  SELECT counts.y, counts.tok,
+         CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+              * 1e9) AS BIGINT) AS llq
+  FROM counts JOIN totals ON counts.y = totals.y CROSS JOIN vocab
+),
+train_docs AS (
+  SELECT lang AS y, COUNT(*) AS nd FROM documents
+  WHERE doc_id % 5 <> 0 GROUP BY lang
+),
+priors AS (
+  SELECT y, CAST(round(ln(CAST(nd AS DOUBLE) /
+         CAST((SELECT SUM(nd) FROM train_docs) AS DOUBLE)) * 1e9)
+         AS BIGINT) AS priorq
+  FROM train_docs
+),
+per_doc AS (
+  SELECT test.doc_id, model.y AS cand,
+         SUM(llq) + ANY_VALUE(priorq) AS score
+  FROM test JOIN model ON test.tok = model.tok
+  JOIN priors ON priors.y = model.y
+  GROUP BY test.doc_id, model.y
+),
+best AS (
+  SELECT doc_id, cand, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+  FROM per_doc
+),
+truth AS (
+  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
+)
+SELECT truth.truth AS label, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE best.cand = truth.truth) AS n_correct
+FROM truth LEFT JOIN (SELECT doc_id, cand FROM best WHERE rk = 1) best
+  USING (doc_id)
+GROUP BY truth.truth
+"""
+
+BIGRAM_ORACLE = """
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM arrs, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+bcounts AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+ccounts AS (
+  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS ctx_c
+  FROM big GROUP BY 1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+    FROM documents)
+),
+model AS (
+  SELECT bg, CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+         CAST(ctx_c + v AS DOUBLE)) * 1e9) AS BIGINT) AS llq
+  FROM bcounts JOIN ccounts ON split_part(bg, ' ', 1) = ccounts.w1
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS mean_logprob
+  FROM big JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
+ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
+"""
+
+STUMP_ORACLE = """
+WITH long AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS y, f.feature, f.value
+  FROM lineitem,
+  LATERAL (VALUES ('l_quantity', CAST(l_quantity AS DOUBLE)),
+                  ('l_discount', CAST(l_discount AS DOUBLE)))
+    AS f(feature, value)
+),
+hist AS (
+  SELECT feature, value, COUNT(*) AS n,
+         SUM(CAST(y AS DECIMAL(30,10))) AS sy
+  FROM long GROUP BY feature, value
+),
+scored AS (
+  SELECT feature, value AS threshold,
+         SUM(n) OVER (PARTITION BY feature ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l,
+         SUM(sy) OVER (PARTITION BY feature ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sy_l,
+         SUM(n) OVER (PARTITION BY feature) AS n_t,
+         SUM(sy) OVER (PARTITION BY feature) AS sy_t
+  FROM hist
+),
+ranked AS (
+  SELECT feature, threshold,
+         CAST(n_l AS BIGINT) AS n_left,
+         CAST(n_t - n_l AS BIGINT) AS n_right,
+         CAST(sy_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS mean_left,
+         CAST(sy_t - sy_l AS DOUBLE) / CAST(n_t - n_l AS DOUBLE)
+           AS mean_right,
+         (CAST(sy_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
+           / CAST(n_l AS DOUBLE)
+         + (CAST(sy_t - sy_l AS DOUBLE) * CAST(sy_t - sy_l AS DOUBLE))
+           / CAST(n_t - n_l AS DOUBLE) AS gain
+  FROM scored WHERE n_l < n_t
+)
+SELECT * FROM ranked
+ORDER BY gain DESC, feature ASC, threshold ASC LIMIT 1
+"""
+
+LPA_ORACLE = """
+WITH RECURSIVE sym AS (
+  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+),
+verts AS (SELECT DISTINCT s AS n FROM sym),
+lab(iter, n, lbl) AS (
+  SELECT 0, n, CAST(n AS BIGINT) FROM verts
+  UNION ALL
+  SELECT l.iter + 1, l.n, COALESCE(b.new_lbl, l.lbl)
+  FROM lab l
+  LEFT JOIN (
+    SELECT g.s AS nn, -(max(row(cnt, neg))[2]) AS new_lbl
+    FROM (
+      SELECT s.s, l2.lbl, COUNT(*) AS cnt, -l2.lbl AS neg
+      FROM sym s JOIN lab l2 ON l2.n = s.d
+      GROUP BY s.s, l2.lbl
+    ) g
+    GROUP BY g.s
+  ) b ON b.nn = l.n
+  WHERE l.iter < 5
+),
+final AS (SELECT n, lbl FROM lab WHERE iter = 5),
+deg AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
+m AS (SELECT COUNT(*) / 2 AS m FROM sym),
+intra AS (
+  SELECT ls.lbl, COUNT(*) AS intra_directed
+  FROM sym JOIN final ls ON ls.n = sym.s JOIN final ld ON ld.n = sym.d
+  WHERE ls.lbl = ld.lbl GROUP BY ls.lbl
+),
+per_c AS (
+  SELECT f.lbl, COUNT(*) AS n_nodes, SUM(deg.deg) AS degree_sum,
+         COALESCE(ANY_VALUE(i.intra_directed), 0) AS intra_directed
+  FROM final f JOIN deg ON deg.s = f.n LEFT JOIN intra i ON i.lbl = f.lbl
+  GROUP BY f.lbl
+),
+q AS (
+  SELECT CAST(SUM(CAST(2 AS BIGINT) * m.m * intra_directed
+              - degree_sum * degree_sum) AS DOUBLE)
+         / (4.0 * CAST(ANY_VALUE(m.m) AS DOUBLE)
+                * CAST(ANY_VALUE(m.m) AS DOUBLE)) AS modularity
+  FROM per_c CROSS JOIN m
+)
+SELECT lbl AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(intra_directed / 2 AS BIGINT) AS intra_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum, q.modularity
+FROM per_c CROSS JOIN q
+ORDER BY n_nodes DESC, community ASC LIMIT 10
+"""
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "lineitem"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield c
+    c.close()
+
+
+def test_naive_bayes_matches_oracle(spark, con):
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    srows = sorted(tuple(r) for r in naive_bayes_quality(docs).collect())
+    drows = sorted(tuple(r) for r in con.execute(NB_ORACLE).fetchall())
+    assert srows == drows
+
+
+def test_bigram_lm_matches_oracle(spark, con):
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bigram_lm_bottomk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    srows = [tuple(r) for r in bigram_lm_bottomk(docs, k=20).collect()]
+    drows = con.execute(BIGRAM_ORACLE).fetchall()
+    assert srows == drows
+
+
+def test_best_stump_matches_oracle(spark, con):
+    from etl_developstoday_test_spark.operators.ml import best_stump_split
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    srows = [
+        tuple(r)
+        for r in best_stump_split(
+            li, ["l_quantity", "l_discount"], "l_extendedprice"
+        ).collect()
+    ]
+    drows = con.execute(STUMP_ORACLE).fetchall()
+    assert srows == drows
+
+
+def test_lpa_matches_recursive_replay(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        label_propagation_communities,
+    )
+    import itertools
+
+    e = list(itertools.combinations(range(4), 2))
+    e += list(itertools.combinations(range(10, 14), 2))
+    e += [(3, 10), (20, 21)]  # plus a detached pair
+    edges = spark.createDataFrame(e, "src long, dst long")
+    verts = spark.createDataFrame(
+        [(i,) for i in sorted({x for p in e for x in p})], "node long"
+    )
+    srows = [
+        tuple(r)
+        for r in label_propagation_communities(
+            edges, verts, rounds=5
+        ).collect()
+    ]
+    c = duckdb.connect()
+    c.execute("CREATE TABLE edges(a BIGINT, b BIGINT)")
+    c.executemany("INSERT INTO edges VALUES (?, ?)", e)
+    drows = c.execute(LPA_ORACLE).fetchall()
+    c.close()
+    assert srows == drows
+
+
+ASSORT_ORACLE = """
+WITH sym AS (
+  SELECT a AS s, b AS d FROM edges
+  UNION SELECT b, a FROM edges
+),
+deg AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
+pairs AS (
+  SELECT ds.deg AS du, dd.deg AS dv
+  FROM sym JOIN deg ds ON ds.s = sym.s JOIN deg dd ON dd.s = sym.d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2, CAST(SUM(du) AS BIGINT) AS sx,
+         CAST(SUM(du * dv) AS BIGINT) AS sxy,
+         CAST(SUM(du * du) AS BIGINT) AS sxx
+  FROM pairs
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+FROM stats
+"""
+
+
+def test_assortativity_matches_oracle(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_assortativity,
+    )
+    import itertools
+
+    # irregular graph: two bridged cliques + a pendant chain
+    e = list(itertools.combinations(range(4), 2))
+    e += list(itertools.combinations(range(10, 14), 2))
+    e += [(3, 10), (13, 20), (20, 21)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    srow = tuple(degree_assortativity(edges).collect()[0])
+    c = duckdb.connect()
+    c.execute("CREATE TABLE edges(a BIGINT, b BIGINT)")
+    c.executemany("INSERT INTO edges VALUES (?, ?)", e)
+    drow = c.execute(ASSORT_ORACLE).fetchall()[0]
+    c.close()
+    assert srow == drow
