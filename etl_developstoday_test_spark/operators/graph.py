@@ -479,6 +479,24 @@ def kcore_decomposition(
         est = stepped.select("n", "est")
         if converged:
             break
+    if not converged:
+        # Cycle-granular detection can't see a fixpoint reached in the
+        # LAST cycle's interior (est@max_rounds vs est@(max_rounds −
+        # unroll) still shows the change that happened on the way to
+        # the fixpoint): before declaring failure, check the exact
+        # fixpoint condition — one more h-step compared against the
+        # final estimate. Only this rare exhaustion path pays the extra
+        # job; the fixed-round oracle replay stays valid either way
+        # (a genuine fixpoint at max_rounds equals the replay at
+        # max_rounds).
+        converged = (
+            est.withColumnRenamed("est", "prev")
+            .join(h_step(est), "n", "left")
+            .filter(
+                F.coalesce(F.col("est"), F.lit(0)) != F.col("prev")
+            )
+            .isEmpty()
+        )
     sym.unpersist()
     if not converged:
         raise RuntimeError(
@@ -572,10 +590,15 @@ def label_propagation_communities(
         labels.unpersist()
         labels = stepped
 
-    # modularity from exact integer counts: m, e_c, d_c
+    # modularity from exact integer counts: m, e_c, d_c. Isolated
+    # vertices (in ``vertices`` but edge-free) keep their own label and
+    # MUST surface as singleton communities — left join + degree 0
+    # (they contribute 0 to the modularity numerator: e_c=0, d_c=0),
+    # so the output genuinely partitions the caller's vertex set, the
+    # same contract kcore_decomposition keeps with coreness 0.
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    lab_deg = labels.join(deg, labels["n"] == deg["s"], "inner").select(
-        "n", "lbl", "deg"
+    lab_deg = labels.join(deg, labels["n"] == deg["s"], "left").select(
+        "n", "lbl", F.coalesce("deg", F.lit(0)).alias("deg")
     )
     m_df = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m"))
     # intra-community DIRECTED pairs per label = 2*e_c (sym is
@@ -604,6 +627,10 @@ def label_propagation_communities(
             ),
             "degree_sum",
         )
+        # one row per community and TWO consumers below (the modularity
+        # aggregate and the output rows) — without this checkpoint the
+        # intra joins over the full edge set would execute twice
+        .localCheckpoint(eager=True)
     )
     num = per_c.crossJoin(F.broadcast(m_df)).agg(
         F.sum(
@@ -633,6 +660,7 @@ def label_propagation_communities(
     out = out.localCheckpoint(eager=True)
     sym.unpersist()
     labels.unpersist()
+    per_c.unpersist()
     return out
 
 
@@ -663,6 +691,11 @@ def degree_assortativity(
     int64 up to ~10^9 edges of max degree ~10^4; beyond that swap the
     three sums to DECIMAL(38,0).
 
+    REGULAR graphs (cliques, cycles — zero degree variance) have an
+    undefined coefficient: the result is NULL, explicitly, on both
+    engines (Spark double 0/0 is NaN but DuckDB's is NULL, so the
+    guard is what keeps the twin exact).
+
     Returns one row: (n_edges, assortativity).
     """
     sym = (
@@ -689,9 +722,10 @@ def degree_assortativity(
     sx = F.col("sx").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
+    den = m2 * sxx - sx * sx
     return stats.select(
         (F.col("m2") / 2).cast("long").alias("n_edges"),
-        ((m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)).alias(
+        F.when(den != 0.0, (m2 * sxy - sx * sx) / den).alias(
             "assortativity"
         ),
     )

@@ -164,11 +164,14 @@ def naive_bayes_quality(
 
     Returns one row per true label: (label, n_docs, n_correct).
     """
+    # ONE materialized explode feeds all four consumers (token counts,
+    # label totals, vocabulary, test scoring) — lazy, each would
+    # re-tokenize the corpus from the scan; released before returning
     base = docs.select(
         F.col("doc_id"),
         F.col(label_col).alias("_y"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     is_test = F.col("doc_id") % test_mod == 0
     train = base.filter(~is_test)
     test = base.filter(is_test)
@@ -240,7 +243,7 @@ def naive_bayes_quality(
         ),
     ).filter(F.col("rk") == 1)
 
-    return (
+    out = (
         doc_labels.join(best.select("doc_id", "cand"), "doc_id", "left")
         .groupBy(F.col("truth").alias("label"))
         .agg(
@@ -249,7 +252,10 @@ def naive_bayes_quality(
                 "n_correct"
             ),
         )
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
 
 
 def best_stump_split(
@@ -290,7 +296,14 @@ def best_stump_split(
         len(feature_cols),
         ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in feature_cols),
     )
-    long = df.select(y.alias("_y"), F.expr(stack_expr))
+    # NULLs are excluded per (feature, row): a NULL feature value can't
+    # be a threshold or sit on either side of one (and Spark's window
+    # sort puts NULLs FIRST where DuckDB puts them LAST — dropping them
+    # is also what keeps the oracle twin exact); a NULL target carries
+    # no gradient signal.
+    long = df.select(y.alias("_y"), F.expr(stack_expr)).filter(
+        F.col("value").isNotNull() & F.col("_y").isNotNull()
+    )
 
     hist = long.groupBy("feature", "value").agg(
         F.count(F.lit(1)).alias("n"),

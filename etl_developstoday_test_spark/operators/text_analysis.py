@@ -979,6 +979,13 @@ def bigram_lm_bottomk(
             ).alias("mean_logprob"),
         )
     )
-    return per_doc.orderBy(
-        F.col("mean_logprob").asc(), F.col("doc_id").asc()
-    ).limit(k)
+    # materialize the k output rows, then RELEASE the corpus-sized
+    # exploded-bigram checkpoint — returning a lazy plan would pin it
+    # in executor storage for the session lifetime
+    out = (
+        per_doc.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    big.unpersist()
+    return out

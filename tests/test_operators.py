@@ -1565,3 +1565,63 @@ def test_degree_assortativity_known_graphs(spark):
     )
     r = degree_assortativity(path).collect()[0]
     assert r["n_edges"] == 3 and r["assortativity"] == -0.5
+
+
+def test_kcore_converging_inside_final_cycle_does_not_raise(spark):
+    """Regression (r7 review): convergence is only observable at cycle
+    granularity, so a fixpoint reached INSIDE the last unrolled cycle
+    used to raise 'no fixpoint within max_rounds' despite being
+    genuinely converged. A 14-node path needs ~7 h-index sub-steps
+    (changes happen all the way), so with max_rounds=8 (one cycle) the
+    cycle-boundary check alone sees est8 != est0 — only the exact
+    final fixpoint check accepts it."""
+    from etl_developstoday_test_spark.operators.graph import (
+        kcore_decomposition,
+    )
+
+    n = 14
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    out = {
+        r["node"]: r["coreness"]
+        for r in kcore_decomposition(chain, verts, max_rounds=8).collect()
+    }
+    assert out == {i: 1 for i in range(n)}
+
+
+def test_assortativity_null_on_regular_graph(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_assortativity,
+    )
+    import itertools
+
+    # 4-clique: zero degree variance -> coefficient undefined -> NULL
+    # (NOT NaN: DuckDB's double 0/0 is NULL, and the twin must match)
+    clique = spark.createDataFrame(
+        list(itertools.combinations(range(4), 2)), "src long, dst long"
+    )
+    r = degree_assortativity(clique).collect()[0]
+    assert r["n_edges"] == 6 and r["assortativity"] is None
+
+
+def test_lpa_isolated_vertices_become_singletons(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (99,)], "node long")
+    rows = {
+        r["community"]: tuple(r)
+        for r in label_propagation_communities(
+            edges, verts, rounds=2
+        ).collect()
+    }
+    # isolated 99 keeps its own label: singleton, degree 0, 0 edges
+    assert rows[99][1:4] == (1, 0, 0)
+    # the pair 2-cycles under synchronous LPA (1<->2 swap labels every
+    # round), so after 2 rounds each node holds its own label again:
+    # exactly three singleton communities
+    assert set(rows) == {1, 2, 99}

@@ -845,3 +845,126 @@ def test_cusum_closed_form_equals_recurrence(spark, vals, target):
     for i, (_, _, v) in enumerate(rows):
         s = max(0.0, s + (v - target - slack))
         assert abs(got[i] - s) < 1e-6, (i, got[i], s)
+
+
+# --- staged round-8 operators ------------------------------------------------
+
+_stump_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),   # x1 (small value grid:
+        st.integers(min_value=0, max_value=6),   # x2  forces threshold ties)
+        st.integers(min_value=-50, max_value=50),  # y
+    ),
+    min_size=3,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_stump_rows)
+def test_best_stump_matches_bruteforce_random(spark, rows):
+    """best_stump_split == exhaustive search over every (feature,
+    observed-threshold) candidate, with the same (gain desc, feature,
+    threshold) tie-break — on random integer-grid data where gain ties
+    and constant features are common."""
+    from etl_developstoday_test_spark.operators.ml import best_stump_split
+
+    data = [(float(a), float(b), float(y)) for a, b, y in rows]
+    # exhaustive reference
+    best = None
+    for fi, fname in ((0, "x1"), (1, "x2")):
+        vals = sorted({r[fi] for r in data})
+        for v in vals[:-1]:
+            left = [r[2] for r in data if r[fi] <= v]
+            right = [r[2] for r in data if r[fi] > v]
+            gain = (sum(left) ** 2) / len(left) + (sum(right) ** 2) / len(
+                right
+            )
+            key = (-gain, fname, v)
+            if best is None or key < best:
+                best = key
+    if best is None:
+        return  # both features constant: no candidate splits exist
+    df = spark.createDataFrame(data, "x1 double, x2 double, y double")
+    got = best_stump_split(df, ["x1", "x2"], "y").collect()
+    assert len(got) == 1
+    assert (got[0]["feature"], got[0]["threshold"]) == (best[1], best[2])
+    assert abs(got[0]["gain"] - (-best[0])) < 1e-6
+
+
+_lpa_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_lpa_edges)
+def test_lpa_partition_invariance_and_python_replay(spark, edges):
+    """label_propagation_communities is bit-identical across partition
+    layouts AND equal to a sequential python replay of the same
+    deterministic update rule — the two halves of the determinism
+    claim (no partition-order dependence, no hidden randomness)."""
+    import collections
+
+    from etl_developstoday_test_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    e = [(a, b) for a, b in edges if a != b]
+    if not e:
+        return
+    nodes = sorted({x for p in e for x in p})
+    rounds = 3
+
+    # sequential reference
+    sym = collections.defaultdict(set)
+    for a, b in e:
+        sym[a].add(b)
+        sym[b].add(a)
+    labels = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            cnt = collections.Counter(labels[v] for v in sym[n])
+            if cnt:
+                new[n] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            else:
+                new[n] = labels[n]
+        labels = new
+    m = len({tuple(sorted(p)) for p in e})
+    comms = collections.defaultdict(list)
+    for n, l in labels.items():
+        comms[l].append(n)
+    expected = []
+    for l, ns in comms.items():
+        dc = sum(len(sym[n]) for n in ns)
+        ec = sum(
+            1
+            for a, b in {tuple(sorted(p)) for p in e}
+            if labels[a] == l and labels[b] == l
+        )
+        expected.append((l, len(ns), ec, dc))
+    qnum = sum(4 * m * ec - dc * dc for (_, _, ec, dc) in expected)
+    q = qnum / (4.0 * m * m)
+    expected = sorted(
+        [(l, n, ec, dc, q) for (l, n, ec, dc) in expected],
+        key=lambda r: (-r[1], r[0]),
+    )[:10]
+
+    verts = spark.createDataFrame([(n,) for n in nodes], "node long")
+    for nparts in (1, 7):
+        edf = spark.createDataFrame(e, "src long, dst long").repartition(
+            nparts
+        )
+        got = [
+            tuple(r)
+            for r in label_propagation_communities(
+                edf, verts, rounds=rounds
+            ).collect()
+        ]
+        assert got == expected, (nparts, got, expected)

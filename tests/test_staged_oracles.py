@@ -14,7 +14,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_ORACLE
 
 NB_ORACLE = """
 WITH base AS (
@@ -108,6 +108,7 @@ WITH long AS (
   LATERAL (VALUES ('l_quantity', CAST(l_quantity AS DOUBLE)),
                   ('l_discount', CAST(l_discount AS DOUBLE)))
     AS f(feature, value)
+  WHERE f.value IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 hist AS (
   SELECT feature, value, COUNT(*) AS n,
@@ -191,43 +192,55 @@ ORDER BY n_nodes DESC, community ASC LIMIT 10
 """
 
 
-@pytest.fixture(scope="module")
-def con():
+# Both scale factors: data-derived model tables (vocabularies, bigram
+# contexts, split histograms) must track the corpus, not bake in one
+# scale's shape — the same discipline as the registered queries'
+# second-scale checks in tests/test_oracle_parity.py.
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def sf_con(request):
     c = duckdb.connect()
     for t in ["documents", "lineitem"]:
         c.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{request.param}/{t}.parquet'"
         )
-    yield c
+    yield request.param, c
     c.close()
 
 
-def test_naive_bayes_matches_oracle(spark, con):
+def test_naive_bayes_matches_oracle(spark, sf_con):
     from etl_developstoday_test_spark.operators.ml import (
         naive_bayes_quality,
     )
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     srows = sorted(tuple(r) for r in naive_bayes_quality(docs).collect())
     drows = sorted(tuple(r) for r in con.execute(NB_ORACLE).fetchall())
     assert srows == drows
 
 
-def test_bigram_lm_matches_oracle(spark, con):
+def test_bigram_lm_matches_oracle(spark, sf_con):
     from etl_developstoday_test_spark.operators.text_analysis import (
         bigram_lm_bottomk,
     )
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     srows = [tuple(r) for r in bigram_lm_bottomk(docs, k=20).collect()]
     drows = con.execute(BIGRAM_ORACLE).fetchall()
     assert srows == drows
 
 
-def test_best_stump_matches_oracle(spark, con):
+def test_best_stump_matches_oracle(spark, sf_con):
     from etl_developstoday_test_spark.operators.ml import best_stump_split
 
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sf_dir, con = sf_con
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     srows = [
         tuple(r)
         for r in best_stump_split(
