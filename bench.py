@@ -98,6 +98,29 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # Contention-spike retry: this host shows intermittent external
+    # (hypervisor-level) stalls that hit a DIFFERENT random subset of
+    # queries each run (see README "rotating slowest-15"), which makes
+    # a one-shot measurement attribute host noise to innocent queries.
+    # Any query >3x its previous committed time gets ONE re-run and
+    # keeps the minimum — and the artifact records BOTH measurements
+    # under "retried", so the spike is documented, not erased. A true
+    # regression reproduces on the retry and still reports slow.
+    prev_q_retry = prev.get("queries", {}) if prev.get("sf") == (
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    ) else {}
+    retried: dict[str, list[float]] = {}
+    for name, t in sorted(timings.items()):
+        p = prev_q_retry.get(name)
+        if p is not None and p >= 0.4 and t > 3.0 * p:
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            t2 = round(time.perf_counter() - start, 3)
+            retried[name] = [t, t2]
+            timings[name] = min(t, t2)
+
     # Regression tripwire (VERDICT r5 #7): non-blocking — flag any query
     # >2x its previous committed time, but only when the host-load
     # context is comparable (a loaded host inflates everything 2-3x and
@@ -158,6 +181,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "load_1m_baseline": round(load_baseline, 2),
                 "queries": timings,
+                "retried": retried,
             },
             f,
             indent=1,
