@@ -109,6 +109,10 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # shuffle per sub-step); oracle replay extended 30→40 rounds to
     # match max_rounds, operator now raises on exhaustion
     "graph_kcore_decomposition": 7,
+    # r7: gram table checkpointed before the self-join (Catalyst does
+    # not reuse the distinct exchange across the branches — shingling
+    # ran twice); values unchanged, plan shape re-certifies
+    "dedup_cross_source_matrix": 7,
 }
 
 

@@ -384,6 +384,7 @@ _EAGER_QUERIES = {
     "text_bpe_merge_rounds",       # per-round top-pair driver actions
     "stream_left_outer_attribution",  # runs a streaming query
     "scan_parquet_bloom_skipping",  # writes the bloom-filtered copy
+    "dedup_cross_source_matrix",   # gram table checkpointed pre-self-join
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
