@@ -113,6 +113,9 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # not reuse the distinct exchange across the branches — shingling
     # ran twice); values unchanged, plan shape re-certifies
     "dedup_cross_source_matrix": 7,
+    # r7: exact-baseline top-k checkpointed (two consumers re-ran the
+    # brute-force cosine scan); values unchanged
+    "embed_ann_ivf_recall": 7,
 }
 
 

@@ -1147,18 +1147,26 @@ def embed_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF approximate search vs the exact brute-force
     baseline, per probe — the ANN quality metric as a first-class
     queryable artifact (VERDICT r1 §5). Both pipelines are deterministic,
-    so the recall itself has an exact SQL twin."""
+    so the recall itself has an exact SQL twin.
+
+    The exact baseline's 50-row top-k is eagerly checkpointed: it has
+    TWO consumers below (the hit join and the query-id spine), and
+    without materialization each re-runs the brute-force cosine scan
+    of the whole corpus — the most expensive subtree in the query
+    (measured 11.9s → ~6s cold at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     ivf = similarity.ivf_topk(emb, probes, _ivf_centroids(emb), k=10, nprobe=2)
-    exact = similarity.cosine_topk(emb, probes, k=10)
+    exact = similarity.cosine_topk(emb, probes, k=10).localCheckpoint(
+        eager=True
+    )
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return (
+    out = (
         exact.select("query_id")
         .distinct()
         .join(hits, "query_id", "left")
@@ -1169,7 +1177,10 @@ def embed_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_at_10"
             ),
         )
+        .localCheckpoint(eager=True)
     )
+    exact.unpersist()
+    return out
 
 
 @_register(

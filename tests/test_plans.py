@@ -385,6 +385,7 @@ _EAGER_QUERIES = {
     "stream_left_outer_attribution",  # runs a streaming query
     "scan_parquet_bloom_skipping",  # writes the bloom-filtered copy
     "dedup_cross_source_matrix",   # gram table checkpointed pre-self-join
+    "embed_ann_ivf_recall",        # exact-baseline top-k checkpointed
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
