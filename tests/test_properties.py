@@ -968,3 +968,88 @@ def test_lpa_partition_invariance_and_python_replay(spark, edges):
             ).collect()
         ]
         assert got == expected, (nparts, got, expected)
+
+
+_nb_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),  # label
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w", "q"]),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=4,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_nb_docs)
+def test_naive_bayes_matches_python_replay(spark, docs):
+    """naive_bayes_quality == a sequential python replay of the same
+    quantized-nanos scoring rule (Laplace smoothing, OOV-token skip,
+    (score, label) argmax, labels unseen in training unmatched) on
+    random tiny corpora."""
+    import collections
+    import math
+
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+    )
+
+    rows = [
+        (i, " ".join(toks), lab) for i, (lab, toks) in enumerate(docs)
+    ]
+    test_mod = 3
+    train = [(i, t, l) for i, t, l in rows if i % test_mod != 0]
+    test = [(i, t, l) for i, t, l in rows if i % test_mod == 0]
+    if not train or not test:
+        return
+
+    counts: dict = collections.Counter()
+    totals: dict = collections.Counter()
+    vocab = set()
+    for _, t, l in train:
+        for tok in t.split():
+            counts[(l, tok)] += 1
+            totals[l] += 1
+            vocab.add(tok)
+    prior_counts = collections.Counter(l for _, _, l in train)
+    n_train = sum(prior_counts.values())
+    priorq = {
+        l: round(math.log(c / n_train) * 1e9)
+        for l, c in prior_counts.items()
+    }
+    llq = {
+        (l, tok): round(
+            math.log((counts[(l, tok)] + 1) / (totals[l] + len(vocab)))
+            * 1e9
+        )
+        for (l, tok) in counts
+    }
+    expect = collections.Counter()
+    correct = collections.Counter()
+    for i, t, truth in test:
+        expect[truth] += 1
+        scores: dict = {}
+        for tok in t.split():
+            for lab in prior_counts:
+                if (lab, tok) in llq:
+                    scores[lab] = scores.get(lab, 0) + llq[(lab, tok)]
+        if not scores:
+            continue  # no model token matched: unpredicted, incorrect
+        best = max(
+            ((s + priorq[lab], lab) for lab, s in scores.items()),
+            key=lambda p: (p[0], [-ord(c) for c in p[1]]),
+        )[1]
+        if best == truth:
+            correct[truth] += 1
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["label"]: (r["n_docs"], r["n_correct"])
+        for r in naive_bayes_quality(df, test_mod=test_mod).collect()
+    }
+    want = {l: (expect[l], correct[l]) for l in expect}
+    assert got == want
