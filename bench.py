@@ -110,9 +110,17 @@ def main() -> None:
         float(sf) if sf.replace(".", "").isdigit() else sf
     ) else {}
     retried: dict[str, list[float]] = {}
+    # second trigger for stale/spiked baselines: a committed value that
+    # was ITSELF a spike masks the 3x check (observed: a 10.3s spiked
+    # baseline hid a 22.6s re-spike), so any >10s line that is also
+    # >5x this run's own median gets the retry regardless — no current
+    # query is honestly that far above the pack
+    med = sorted(timings.values())[len(timings) // 2]
     for name, t in sorted(timings.items()):
         p = prev_q_retry.get(name)
-        if p is not None and p >= 0.4 and t > 3.0 * p:
+        spike_vs_prev = p is not None and p >= 0.4 and t > 3.0 * p
+        spike_vs_pack = t > 10.0 and t > 5.0 * med
+        if spike_vs_prev or spike_vs_pack:
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
