@@ -7,11 +7,10 @@ DataFrame code — no Python, no iteration — and both follow the repo's
 cross-engine determinism contract (fixed bin edges; per-row doubles in
 a fixed operation order; exact decimal accumulation for every sum).
 
-STAGED for round-8 registration: round 7 caps net-new registered
-queries at five so the driver's 50-row window clears certification
-debt first (VERDICT r6 ask #3); these operators are implemented and
-unit-tested now, and get their ``queries()``/``oracle_sql()`` entries
-next round.
+Staged in round 7 (implemented + unit-tested while the driver window
+cleared certification debt), registered as ``queries()``/
+``oracle_sql()`` entries in round 8 (``drift_psi_value_shift``,
+``drift_cusum_daily_level``).
 """
 
 from __future__ import annotations
@@ -48,11 +47,27 @@ def psi_drift(
     (partition-order independent). Interpretation thresholds follow
     industry convention: <0.1 stable, 0.1–0.25 moderate, >0.25 major.
 
+    Cross-engine exactness: p and q are exact ratios of identical
+    integers (correctly-rounded double division — bit-identical on any
+    engine), but ln(p/q) is NOT correctly-rounded-guaranteed across
+    libm implementations, so the log factor is quantized to integer
+    nanos (round(ln·1e9) as BIGINT) before the per-bin term
+    (p−q)·(lq/1e9) is formed — the ``unigram_logprob_deciles``
+    contract, applied to the one transcendental in the formula.
+
     Returns one row per group: (group, psi, n_base, n_current) —
     ``group`` is '<all>' when ``group_col`` is None.
     """
     if lo is None or hi is None:
         raise ValueError("psi_drift: pin lo/hi from the baseline once")
+    if hi <= lo:
+        # hi == lo would make the bin width 0: the bin expression
+        # divides by zero (NULL under non-ANSI Spark), greatest() skips
+        # the NULL, every row lands in bin 0 on both sides, and PSI
+        # silently reports 0 (stable) for ANY drift
+        raise ValueError("psi_drift: hi must be > lo")
+    if n_bins < 1:
+        raise ValueError("psi_drift: n_bins must be >= 1")
 
     width = (hi - lo) / n_bins
 
@@ -92,7 +107,8 @@ def psi_drift(
     q = F.greatest(
         F.col("n_current").cast("double") / tot_c, F.lit(1e-4)
     )
-    term = (p - q) * F.log(p / q)
+    lq = F.round(F.log(p / q) * 1e9).cast("long")
+    term = (p - q) * (lq.cast("double") / 1e9)
     return (
         merged.select(
             "grp",

@@ -73,10 +73,9 @@ def connected_components(
         converged = stepped.filter(
             F.col("component") != F.col("prev")
         ).isEmpty()
-        # free the superseded round's checkpoint blocks NOW — leaving
-        # them to GC-driven cleanup accumulates cached partitions across
-        # rounds (and across later queries in the same session)
-        labels_cp.unpersist()
+        # superseded rounds' checkpoint blocks free on GC (checkpoint
+        # RDDs are invisible to the cacheManager, so Dataset.unpersist
+        # would be a no-op here) — vertex-sized, bounded by round count
         labels_cp = stepped
         labels = stepped.select("n", "component")
         if converged:
@@ -186,7 +185,8 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cur.unpersist()
+        # superseded iterations' checkpoint blocks free on GC
+        # (checkpoint RDDs are invisible to the cacheManager)
         cur = small
         sig = signature(cur)
         if sig == prev_sig:
@@ -203,7 +203,6 @@ def connected_components_star(
             F.coalesce(F.col("component"), F.col("n")).alias("component"),
         )
     )
-    cur.unpersist()
     return out
 
 
@@ -313,7 +312,6 @@ def pagerank_unrolled(
     base = (1.0 - damping) / n
 
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
-    prev = None
     for _ in range(iters):
         contrib = ed.join(ranks, "src").select(
             F.col("dst"),
@@ -333,9 +331,8 @@ def pagerank_unrolled(
             .select(F.col("dst").alias("src"), "rank")
             .localCheckpoint(eager=True)
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = stepped
+        # superseded iterations' checkpoint blocks free on GC
+        # (checkpoint RDDs are invisible to the cacheManager)
         ranks = stepped
     return ranks.select(F.col("src").alias("node"), "rank")
 
@@ -372,7 +369,7 @@ def kcore_decomposition(
     co-activity cells at 24 members). Convergence is read from the
     checkpointed cycle result (estimate carried as ``prev``), no
     separate old⋈new join; each cycle's lineage is truncated with an
-    eager ``localCheckpoint`` and the superseded cycle unpersisted.
+    eager ``localCheckpoint`` (superseded cycles' blocks free on GC).
     Raises ``RuntimeError`` if ``max_rounds`` sub-steps pass without
     reaching the fixpoint — an un-converged estimate is NOT the
     coreness, and returning it silently would let a caller (or the
@@ -474,7 +471,8 @@ def kcore_decomposition(
         converged = (
             stepped.filter(F.col("est") != F.col("prev")).count() == 0
         )
-        est_cp.unpersist()
+        # superseded cycles' checkpoint blocks free on GC (checkpoint
+        # RDDs are invisible to the cacheManager)
         est_cp = stepped
         est = stepped.select("n", "est")
         if converged:
@@ -523,9 +521,6 @@ def label_propagation_communities(
     partition — the topic/cluster-discovery step over a document- or
     user-similarity graph (connected components answer "which docs are
     the same"; communities answer "which docs hang together").
-
-    STAGED for round-8 registration (round 7 caps net-new registered
-    queries; see drift.py for the same note).
 
     Determinism: synchronous LPA with random tie-breaking is the
     textbook formulation; this one replaces every random choice with a
@@ -579,6 +574,11 @@ def label_propagation_communities(
                 ]).alias("new_lbl")
             )
         )
+        # localCheckpoint is required here (lineage truncation across
+        # rounds); its vertex-sized blocks are NOT cacheManager-tracked,
+        # so the superseded round's blocks free on GC, not eagerly —
+        # acceptable: rounds × one-long-per-vertex is the smallest
+        # table in the query
         stepped = (
             labels.join(neigh, "n", "left")
             .select(
@@ -587,7 +587,6 @@ def label_propagation_communities(
             )
             .localCheckpoint(eager=True)
         )
-        labels.unpersist()
         labels = stepped
 
     # modularity from exact integer counts: m, e_c, d_c. Isolated
@@ -658,9 +657,10 @@ def label_propagation_communities(
         .limit(top_k)
     )
     out = out.localCheckpoint(eager=True)
+    # sym went through persist() so this release is real; the label /
+    # per_c localCheckpoint blocks (vertex-sized and community-sized)
+    # are not cacheManager-tracked and free on GC
     sym.unpersist()
-    labels.unpersist()
-    per_c.unpersist()
     return out
 
 
@@ -676,9 +676,6 @@ def degree_assortativity(
     one-number structural fingerprint for the similarity/co-activity
     graphs the dedup and quality stacks build, and the cheapest of the
     graph-quality signals (NO iteration: two shuffles total).
-
-    STAGED for round-8 registration (round 7 caps net-new registered
-    queries; see drift.py for the same note).
 
     Exactness: over the symmetrized edge list, the five sufficient
     statistics (M, Σx, Σxy, Σx², with Σy/Σy² equal to Σx/Σx² by

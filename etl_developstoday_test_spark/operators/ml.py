@@ -129,14 +129,12 @@ def naive_bayes_quality(
     text_col: str = "text",
     alpha: int = 1,
     test_mod: int = 5,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Multinomial naive Bayes trained ON the corpus, evaluated on a
     held-out hash split — the classic cheap corpus classifier (language
     ID, domain routing, quality triage) at the scale where training IS
     a distributed aggregation.
-
-    STAGED for round-8 registration (round 7 caps net-new registered
-    queries at five; see drift.py for the same note).
 
     Shape — everything is counting, no gradient loop:
     - split: test = rows with ``doc_id % test_mod = 0`` (deterministic,
@@ -144,34 +142,52 @@ def naive_bayes_quality(
     - train: explode train-split tokens once → (label, token) counts
       and per-label totals — two map-side-combined groupBys over ONE
       exploded projection;
-    - model: Laplace-smoothed log p(token|label) = ln((c + α) /
-      (total + α·V)); priors ln(n_label/n_train). Each ln is QUANTIZED
+    - model: the FULL (vocabulary × labels) grid — the (label, token)
+      observed counts left-joined onto it with missing cells at c = 0 —
+      so every in-vocabulary token contributes to EVERY candidate label:
+      the observed ln((c+α)/(total+α·V)) where it was seen, the Laplace
+      default ln(α/(total+α·V)) where it was not. (A per-(label,token)
+      inner join would silently advantage labels with less token
+      overlap — they'd collect fewer negative terms — which is not
+      multinomial NB.) Priors ln(n_label/n_train). Each ln is QUANTIZED
       to integer nanos (round(ln·1e9) as BIGINT — the same contract as
       ``unigram_logprob_deciles``: ln is not correctly-rounded-
       guaranteed across engines, so scores must leave double-land
       before they are summed or compared);
-    - score: explode test tokens, inner-join the (small) model table on
-      token, per-(doc,label) score = Σ quantized log-likelihood + the
+    - score: explode test tokens, join the model grid on token —
+      per-(doc, label) score = Σ quantized log-likelihood + the
       quantized prior — pure BIGINT arithmetic, order-independent;
       argmax by (score, label) sort — the label tiebreak makes the
       prediction total-order deterministic;
-    - unseen test tokens fall out of the inner join on both engines
-      alike (standard NB practice: skip out-of-vocabulary tokens).
+    - test tokens NOT in the training vocabulary fall out of the join
+      on both engines alike (standard NB practice: out-of-vocabulary
+      tokens are skipped for ALL labels equally, which cannot bias the
+      argmax).
 
-    At 100 TB: the model table is (V × labels) rows — broadcast-joined
-    against the exploded test corpus; training is two partial-aggregated
-    shuffles; nothing driver-side but the final per-label accuracy rows.
+    At 100 TB: the model grid is (V × labels) rows. With
+    ``broadcast_model=True`` (default — right for label sets × bounded
+    vocabularies such as language ID) it broadcast-joins against the
+    exploded test corpus; a web-scale open vocabulary times many labels
+    outgrows the driver/executor broadcast ceiling, so pass
+    ``broadcast_model=False`` to score via a shuffle equi-join on the
+    token instead (the ``bigram_lm_bottomk`` escape hatch — same output,
+    one extra exchange). Training is two partial-aggregated shuffles;
+    nothing driver-side but the final per-label accuracy rows.
 
     Returns one row per true label: (label, n_docs, n_correct).
     """
     # ONE materialized explode feeds all four consumers (token counts,
     # label totals, vocabulary, test scoring) — lazy, each would
-    # re-tokenize the corpus from the scan; released before returning
+    # re-tokenize the corpus from the scan. persist()+count() rather
+    # than localCheckpoint: the cacheManager tracks persist, so the
+    # unpersist() before return actually releases the blocks (no
+    # lineage truncation is needed here — nothing iterates).
     base = docs.select(
         F.col("doc_id"),
         F.col(label_col).alias("_y"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).localCheckpoint(eager=True)
+    ).persist()
+    base.count()  # eager: every consumer below reads the cache
     is_test = F.col("doc_id") % test_mod == 0
     train = base.filter(~is_test)
     test = base.filter(is_test)
@@ -180,17 +196,20 @@ def naive_bayes_quality(
         F.count(F.lit(1)).alias("c")
     )
     totals = train.groupBy("_y").agg(F.count(F.lit(1)).alias("tot"))
-    vocab = train.select("tok").distinct().agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    model = counts.join(F.broadcast(totals), "_y").crossJoin(
+    vocab_toks = train.select("tok").distinct()
+    vocab = vocab_toks.agg(F.count(F.lit(1)).alias("v"))
+    # full (vocabulary × labels) grid: labels are few — broadcast them
+    # onto the distinct-token stream; missing (label, token) cells
+    # surface as c = 0 and take the Laplace default likelihood
+    grid = vocab_toks.crossJoin(F.broadcast(totals))
+    model = grid.join(counts, ["_y", "tok"], "left").crossJoin(
         F.broadcast(vocab)
     ).select(
         "_y",
         "tok",
         F.round(
             F.log(
-                (F.col("c") + alpha).cast("double")
+                (F.coalesce(F.col("c"), F.lit(0)) + alpha).cast("double")
                 / (F.col("tot") + alpha * F.col("v")).cast("double")
             )
             * 1e9
@@ -223,7 +242,8 @@ def naive_bayes_quality(
 
     # test's own _y (the truth label) would collide with the model's
     # candidate label — scoring only needs (doc_id, tok)
-    scored = test.drop("_y").join(F.broadcast(model), "tok")
+    model_side = F.broadcast(model) if broadcast_model else model
+    scored = test.drop("_y").join(model_side, "tok")
     per_doc = (
         scored.groupBy("doc_id", F.col("_y").alias("cand"))
         .agg(F.sum("llq").alias("ll"))
@@ -254,7 +274,7 @@ def naive_bayes_quality(
         )
         .localCheckpoint(eager=True)
     )
-    base.unpersist()
+    base.unpersist()  # real release: base went through persist()
     return out
 
 
@@ -267,9 +287,6 @@ def best_stump_split(
     at a time, but from PREFIX SUMS over the sorted per-feature value
     histogram, so every candidate threshold of a feature is scored by
     one window pass.
-
-    STAGED for round-8 registration (round 7 caps net-new registered
-    queries; see drift.py for the same note).
 
     Shape per feature (all features in the same plan via one unpivot):
     - aggregate to the (feature, value) histogram: n rows, Σy — one

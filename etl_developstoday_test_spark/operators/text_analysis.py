@@ -771,7 +771,6 @@ def bpe_merge_rounds(
 
             return step
 
-        prev = words
         words = words.select(
             "word",
             "freq",
@@ -782,7 +781,8 @@ def bpe_merge_rounds(
                 lambda acc: acc["out"],
             ).alias("syms"),
         ).localCheckpoint(eager=True)
-        prev.unpersist()
+        # superseded rounds' checkpoint blocks free on GC (checkpoint
+        # RDDs are invisible to the cacheManager)
 
         # one fused pass over the exploded segmentation: every symbol
         # occurrence counts freq times, so total_tokens is just
@@ -794,7 +794,8 @@ def bpe_merge_rounds(
         )
         stats.append((rnd, a, b, cnt, int(vs), int(tt)))
 
-    words.unpersist()  # stats are collected; nothing references it now
+    # stats are collected; the last round's checkpoint blocks (word-
+    # vocabulary sized) free on GC
     return spark.createDataFrame(
         stats,
         "round bigint, pair_a string, pair_b string, "
@@ -880,8 +881,6 @@ def blocklist_hits(
     broadcast join on exploded tokens, same output contract).
 
     Returns (doc_id, <cat>_hits... per category, n_hits, blocked).
-    STAGED for round-8 registration (round-7 caps net-new queries so
-    the driver window clears certification debt).
     """
     tok = tokens(F.col("text"))
     cats = sorted(blocklist)
@@ -912,9 +911,6 @@ def bigram_lm_bottomk(
     unigram model and low under a bigram one, so the bigram filter
     catches scrambled/generated boilerplate the unigram filter cannot.
 
-    STAGED for round-8 registration (round 7 caps net-new registered
-    queries; see drift.py for the same note).
-
     Model and scoring, all deterministic:
     - bigrams via the 2-shingle helper; context count c(w1·) = number
       of bigrams starting with w1 (so p(·|w1) sums to 1 exactly);
@@ -936,10 +932,16 @@ def bigram_lm_bottomk(
 
     Returns (doc_id, n_bigrams, mean_logprob), k lowest-quality rows.
     """
+    # persist()+count() rather than localCheckpoint: the cacheManager
+    # tracks persist, so the unpersist() before return actually
+    # releases the corpus-sized exploded-bigram blocks (localCheckpoint
+    # blocks are invisible to the cacheManager and would only free on
+    # GC); no lineage truncation is needed — nothing iterates
     big = docs.select(
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg"),
-    ).localCheckpoint(eager=True)
+    ).persist()
+    big.count()  # eager: all three consumers below read the cache
 
     bcounts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     ctx = F.substring_index(F.col("bg"), " ", 1)
@@ -980,12 +982,12 @@ def bigram_lm_bottomk(
         )
     )
     # materialize the k output rows, then RELEASE the corpus-sized
-    # exploded-bigram checkpoint — returning a lazy plan would pin it
-    # in executor storage for the session lifetime
+    # exploded-bigram cache — returning a lazy plan would pin it in
+    # executor storage for the session lifetime
     out = (
         per_doc.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
         .limit(k)
         .localCheckpoint(eager=True)
     )
-    big.unpersist()
+    big.unpersist()  # real release: big went through persist()
     return out

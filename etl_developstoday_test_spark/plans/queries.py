@@ -1149,17 +1149,18 @@ def embed_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queryable artifact (VERDICT r1 §5). Both pipelines are deterministic,
     so the recall itself has an exact SQL twin.
 
-    The exact baseline's 50-row top-k is eagerly checkpointed: it has
-    TWO consumers below (the hit join and the query-id spine), and
-    without materialization each re-runs the brute-force cosine scan
-    of the whole corpus — the most expensive subtree in the query
-    (measured 11.9s → ~6s cold at sf0.1)."""
+    The exact baseline's 50-row top-k is eagerly materialized (persist
+    + count — cacheManager-tracked, so the unpersist before return
+    actually frees the blocks): it has TWO consumers below (the hit
+    join and the query-id spine), and without materialization each
+    re-runs the brute-force cosine scan of the whole corpus — the most
+    expensive subtree in the query (measured 11.9s → ~6s cold at
+    sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     ivf = similarity.ivf_topk(emb, probes, _ivf_centroids(emb), k=10, nprobe=2)
-    exact = similarity.cosine_topk(emb, probes, k=10).localCheckpoint(
-        eager=True
-    )
+    exact = similarity.cosine_topk(emb, probes, k=10).persist()
+    exact.count()  # eager: both consumers read the cache
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
@@ -1179,7 +1180,7 @@ def embed_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    exact.unpersist()
+    exact.unpersist()  # real release: exact went through persist()
     return out
 
 
@@ -10693,14 +10694,15 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the join cannot go quadratic in the corpus. Pairs reported at
     the ≥25-shared-span floor.
 
-    The gram table is eagerly checkpointed before the self-join:
-    Catalyst does NOT reuse the distinct's exchange across the two
-    join branches here (verified via executedPlan — no
+    The gram table is eagerly materialized (persist + count) before
+    the self-join: Catalyst does NOT reuse the distinct's exchange
+    across the two join branches here (verified via executedPlan — no
     ReusedExchange), so a lazy self-join runs the shingle+md5 explode
     — the most CPU-expensive map in the suite — TWICE. Materializing
     it once halved cold wall (7.8s → 3.9s at sf0.1) and removes the
     double exposure to host contention; the k-row result is
-    checkpointed so the gram blocks can be released before return."""
+    checkpointed and the persist()-tracked gram blocks are actually
+    released (cacheManager) before return."""
     from etl_developstoday_test_spark.functions import (
         md5_long,
         tokens,
@@ -10716,8 +10718,9 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", md5_long("g").alias("h"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    grams.count()  # eager: both join branches read the cache
     a = grams.select("h", F.col("source").alias("src_a"))
     b = grams.select("h", F.col("source").alias("src_b"))
     out = (
@@ -10728,7 +10731,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_spans") >= 25)
         .localCheckpoint(eager=True)
     )
-    grams.unpersist()
+    grams.unpersist()  # real release: grams went through persist()
     return out
 
 

@@ -1400,6 +1400,22 @@ def test_psi_drift_detects_shift_and_stability(spark):
     assert r["n_current"] == 2
 
 
+def test_psi_drift_rejects_degenerate_range(spark):
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import psi_drift
+
+    base = spark.createDataFrame([(1.0,)], "v double")
+    # hi == lo would make every row land in bin 0 on both sides and
+    # silently report PSI 0 (stable) for ANY drift
+    with pytest.raises(ValueError, match="hi must be > lo"):
+        psi_drift(base, base, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="hi must be > lo"):
+        psi_drift(base, base, "v", lo=5.0, hi=1.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(base, base, "v", lo=0.0, hi=1.0, n_bins=0)
+
+
 # --- staged round-8 operators (ml / bigram LM) ------------------------------
 
 
@@ -1445,6 +1461,74 @@ def test_naive_bayes_unseen_label_scores_zero_correct(spark):
     }
     assert out["c"]["n_docs"] == 1 and out["c"]["n_correct"] == 0
     assert out["a"]["n_docs"] == 1 and out["a"]["n_correct"] == 1
+
+
+def test_naive_bayes_laplace_default_penalizes_sparse_labels(spark):
+    """A candidate label with NO observation of a test token must pay
+    the Laplace penalty ln(α/(tot+α·V)) for it — not silently skip the
+    term (which would advantage labels with less token overlap)."""
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+    )
+
+    # label 'a' trains on both tokens; label 'b' never sees 'apple'.
+    # Test doc 0 (truth 'a') is 'apple apple banana': under full-grid
+    # scoring, 'b' pays two Laplace defaults for 'apple' and loses;
+    # under skip-semantics 'b' would collect only its strong 'banana'
+    # term and could win.
+    rows = [
+        (0, "apple apple banana", "a"),
+        (1, "apple banana", "a"),
+        (2, "apple banana", "a"),
+        (3, "banana banana banana banana", "b"),
+        (4, "banana banana banana banana", "b"),
+        (6, "banana banana banana banana", "b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = {
+        r["label"]: r
+        for r in naive_bayes_quality(docs, test_mod=5).collect()
+    }
+    assert out["a"]["n_docs"] == 1 and out["a"]["n_correct"] == 1
+
+
+def test_naive_bayes_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_model=False (the web-scale-vocabulary escape hatch:
+    shuffle equi-join on the token) returns row-identical results."""
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+    )
+
+    rows = [
+        (i, t, l)
+        for i, (t, l) in enumerate(
+            [
+                ("apple banana cherry", "a"),
+                ("apple apple banana", "a"),
+                ("xylo zonk banana", "b"),
+                ("xylo xylo zonk", "b"),
+                ("apple zonk", "a"),
+                ("banana xylo", "b"),
+                ("cherry cherry zonk", "a"),
+                ("zonk zonk zonk", "b"),
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    bc = sorted(
+        tuple(r) for r in naive_bayes_quality(docs, test_mod=4).collect()
+    )
+    sj = sorted(
+        tuple(r)
+        for r in naive_bayes_quality(
+            docs, test_mod=4, broadcast_model=False
+        ).collect()
+    )
+    assert bc == sj
 
 
 def test_bigram_lm_ranks_scrambled_text_lowest(spark):

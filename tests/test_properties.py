@@ -988,7 +988,8 @@ _nb_docs = st.lists(
 @given(docs=_nb_docs)
 def test_naive_bayes_matches_python_replay(spark, docs):
     """naive_bayes_quality == a sequential python replay of the same
-    quantized-nanos scoring rule (Laplace smoothing, OOV-token skip,
+    quantized-nanos scoring rule (full vocabulary×label grid with the
+    Laplace default for unseen (label, token) cells, OOV-token skip,
     (score, label) argmax, labels unseen in training unmatched) on
     random tiny corpora."""
     import collections
@@ -1021,12 +1022,18 @@ def test_naive_bayes_matches_python_replay(spark, docs):
         l: round(math.log(c / n_train) * 1e9)
         for l, c in prior_counts.items()
     }
+    # full (vocabulary x label) grid: unseen (label, token) cells take
+    # the Laplace default ln(1/(tot+V)) — same token multiset for every
+    # candidate label
     llq = {
         (l, tok): round(
-            math.log((counts[(l, tok)] + 1) / (totals[l] + len(vocab)))
+            math.log(
+                (counts.get((l, tok), 0) + 1) / (totals[l] + len(vocab))
+            )
             * 1e9
         )
-        for (l, tok) in counts
+        for l in totals
+        for tok in vocab
     }
     expect = collections.Counter()
     correct = collections.Counter()
@@ -1034,11 +1041,12 @@ def test_naive_bayes_matches_python_replay(spark, docs):
         expect[truth] += 1
         scores: dict = {}
         for tok in t.split():
-            for lab in prior_counts:
-                if (lab, tok) in llq:
-                    scores[lab] = scores.get(lab, 0) + llq[(lab, tok)]
+            if tok not in vocab:
+                continue  # OOV: skipped for ALL labels equally
+            for lab in totals:
+                scores[lab] = scores.get(lab, 0) + llq[(lab, tok)]
         if not scores:
-            continue  # no model token matched: unpredicted, incorrect
+            continue  # no in-vocabulary token: unpredicted, incorrect
         best = max(
             ((s + priorq[lab], lab) for lab, s in scores.items()),
             key=lambda p: (p[0], [-ord(c) for c in p[1]]),

@@ -27,11 +27,17 @@ test AS (SELECT doc_id, tok FROM base WHERE doc_id % 5 = 0),
 counts AS (SELECT y, tok, COUNT(*) AS c FROM train GROUP BY y, tok),
 totals AS (SELECT y, COUNT(*) AS tot FROM train GROUP BY y),
 vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+toksv AS (SELECT DISTINCT tok FROM train),
+-- FULL (vocabulary x labels) grid: missing (label, token) cells score
+-- the Laplace default ln(1/(tot+V)) instead of silently contributing
+-- nothing (a per-(label,token) inner join is not multinomial NB)
 model AS (
-  SELECT counts.y, counts.tok,
-         CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
-              * 1e9) AS BIGINT) AS llq
-  FROM counts JOIN totals ON counts.y = totals.y CROSS JOIN vocab
+  SELECT totals.y, toksv.tok,
+         CAST(round(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+              / CAST(tot + v AS DOUBLE)) * 1e9) AS BIGINT) AS llq
+  FROM toksv CROSS JOIN totals
+  LEFT JOIN counts ON counts.y = totals.y AND counts.tok = toksv.tok
+  CROSS JOIN vocab
 ),
 train_docs AS (
   SELECT lang AS y, COUNT(*) AS nd FROM documents
@@ -144,7 +150,12 @@ ORDER BY gain DESC, feature ASC, threshold ASC LIMIT 1
 
 LPA_ORACLE = """
 WITH RECURSIVE sym AS (
-  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+  -- mirror the operator's normalization exactly (distinct symmetric
+  -- edges, self-loops dropped) so parity holds on ANY fixture, not
+  -- just loop-free duplicate-free ones
+  SELECT DISTINCT s, d FROM (
+    SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+  ) WHERE s <> d
 ),
 verts AS (SELECT DISTINCT s AS n FROM sym),
 lab(iter, n, lbl) AS (
@@ -280,8 +291,11 @@ def test_lpa_matches_recursive_replay(spark):
 
 ASSORT_ORACLE = """
 WITH sym AS (
-  SELECT a AS s, b AS d FROM edges
-  UNION SELECT b, a FROM edges
+  -- distinct symmetric edges, self-loops dropped — the operator's
+  -- normalization, mirrored so parity holds on any fixture
+  SELECT DISTINCT s, d FROM (
+    SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+  ) WHERE s <> d
 ),
 deg AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
 pairs AS (
