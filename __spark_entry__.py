@@ -48,6 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # after its last green driver row. An entry is IGNORED once the driver
 # has a hash-green row for it from that round or later — no manual
 # cleanup needed; just add (name, current_round) when touching code.
+# DISCIPLINE NOTE: the self-expiry is sound only because the driver
+# certifies AFTER the round's last commit — if code ever changes after
+# a round's CORRECTNESS artifact already exists, record round N+1 for
+# it (a green row from round N must not expire a change it never saw).
 _CHANGED_THIS_ROUND: dict[str, int] = {
     # r6: ngram pair join restructured (window-carried sizes); every
     # consumer below re-certifies
@@ -109,13 +113,17 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # shuffle per sub-step); oracle replay extended 30→40 rounds to
     # match max_rounds, operator now raises on exhaustion
     "graph_kcore_decomposition": 7,
-    # r7: gram table checkpointed before the self-join (Catalyst does
-    # not reuse the distinct exchange across the branches — shingling
-    # ran twice); values unchanged, plan shape re-certifies
-    "dedup_cross_source_matrix": 7,
-    # r7: exact-baseline top-k checkpointed (two consumers re-ran the
-    # brute-force cosine scan); values unchanged
-    "embed_ann_ivf_recall": 7,
+    # r7 checkpointed the gram table / exact-baseline top-k (shared
+    # subtrees ran twice); r8 switched that materialization from
+    # localCheckpoint to tracked persist()+count() so the pre-return
+    # release is real (unpersist() is a cacheManager no-op on
+    # checkpoint RDDs); values unchanged, plan shape re-certifies
+    "dedup_cross_source_matrix": 8,
+    "embed_ann_ivf_recall": 8,
+    # r8: co-activity edge construction extracted into the shared
+    # _coactivity_edges helper (now also feeding LPA/assortativity);
+    # plan and values unchanged, re-certify per the touch-code rule
+    "graph_kcore_decomposition": 8,
 }
 
 

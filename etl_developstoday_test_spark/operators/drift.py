@@ -146,7 +146,11 @@ def cusum_changepoints(
     shuffle/sort on (group, order): a running sum and a running min.
     Exact decimal accumulation makes both prefix series — and therefore
     the alarm positions — bit-identical across engines and partition
-    layouts.
+    layouts. Caveat for cross-ENGINE replays: the initial double→
+    decimal cast of ``value_col`` is only engine-stable when the value
+    is quantized (e.g. rounded to ≤6 dp) — Spark rounds the shortest
+    decimal repr while other engines may round the binary expansion,
+    and full-precision doubles can disagree at the 10th decimal.
 
     Returns alarm rows only: (group, order, value, cusum) where
     cusum > threshold — at 100 TB the output is the (tiny) alarm set,

@@ -695,12 +695,18 @@ def degree_assortativity(
 
     Returns one row: (n_edges, assortativity).
     """
+    # sym has THREE consumers (the degree rollup and both endpoint
+    # probes of the pairs join) — Catalyst re-derives the union+distinct
+    # subtree per consumer, so materialize it once (persist+count: the
+    # cacheManager tracks it, making the release before return real)
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .filter(F.col("s") != F.col("d"))
         .distinct()
+        .persist()
     )
+    sym.count()  # eager: all three consumers read the cache
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     ds = deg.select(F.col("s").alias("u"), F.col("deg").alias("du"))
     dd = deg.select(F.col("s").alias("v"), F.col("deg").alias("dv"))
@@ -720,9 +726,11 @@ def degree_assortativity(
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     den = m2 * sxx - sx * sx
-    return stats.select(
+    out = stats.select(
         (F.col("m2") / 2).cast("long").alias("n_edges"),
         F.when(den != 0.0, (m2 * sxy - sx * sx) / den).alias(
             "assortativity"
         ),
-    )
+    ).localCheckpoint(eager=True)  # one row
+    sym.unpersist()  # real release: sym went through persist()
+    return out

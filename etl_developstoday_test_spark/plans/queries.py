@@ -10175,10 +10175,11 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@_register(
-    "graph_kcore_decomposition",
-    f"""
-    WITH RECURSIVE cell0 AS (
+# Deterministic (hour, event_type) co-activity graph shared by the
+# graph-family queries (k-core, label propagation, assortativity):
+# first-10-days cells, md5-ranked 24-member cell cap, 20% md5 edge
+# sample — the SQL twin of _coactivity_edges below.
+_COACT_SQL = f"""cell0 AS (
       SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type AS et
       FROM events WHERE day(ts) <= 10
     ),
@@ -10199,7 +10200,72 @@ def scan_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (
       SELECT ua, ub FROM alledges
       WHERE {_md5long("concat(ua, '#', ub)")} % 100 < 20
-    ),
+    )"""
+
+
+def _coactivity_edges(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+):
+    """Deterministic (hour, event_type) co-activity graph over the
+    events table — the shared edge derivation for the graph-family
+    queries (k-core, label-propagation communities, assortativity).
+    Returns (events_df, edges_df) with edge columns (ua, ub).
+
+    First 10 days only: the co-activity demonstration needs a month of
+    cells no more than it needs uncapped ones. Deterministic per-cell
+    membership cap (the df_max pattern): pair fan-out inside a
+    (hour, type) cell is quadratic in cell size, so an uncapped cell
+    grows 100x when the corpus grows 10x; capping at 24 md5-ranked
+    members bounds every cell to <=276 pairs — edge count scales
+    LINEARLY with cell count from here on. The 20% md5 edge sample is
+    applied BEFORE the distinct (per-pair deterministic, so order is
+    free — and it shrinks the distinct's shuffle 5x).
+
+    ``checkpoint=True`` materializes the cell and edge tables for
+    iterative consumers (every round would otherwise replay the pair
+    join); ``False`` keeps the plan lazy for single-pass metrics.
+    """
+    from etl_developstoday_test_spark.functions import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    cell0 = (
+        ev.filter(F.dayofmonth("ts") <= 10)
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("event_type").alias("et"),
+        )
+        .distinct()
+    )
+    w_cell = Window.partitionBy("h", "et").orderBy(
+        md5_long(F.concat(F.lit("kc#"), F.col("user_id").cast("string"))),
+        F.col("user_id"),
+    )
+    cell = (
+        cell0.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= 24)
+        .drop("rn")
+    )
+    if checkpoint:
+        cell = cell.localCheckpoint(eager=True)  # both join branches
+    a = cell.select(F.col("user_id").alias("ua"), "h", "et")
+    b = cell.select(F.col("user_id").alias("ub"), "h", "et")
+    edges = (
+        a.join(b, ["h", "et"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 20)
+        .distinct()
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)  # sym's union branches
+    return ev, edges
+
+
+@_register(
+    "graph_kcore_decomposition",
+    f"""
+    WITH RECURSIVE {_COACT_SQL},
     sym AS (
       SELECT ua AS u, ub AS v FROM edges
       UNION ALL SELECT ub, ua FROM edges
@@ -10246,7 +10312,6 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it RAISES if 40 sub-steps pass un-converged, so Spark can never
     silently return an estimate the 40-round replay wouldn't reproduce;
     estimates are monotone non-increasing and stall once converged)."""
-    from etl_developstoday_test_spark.functions import md5_long
     from etl_developstoday_test_spark.operators.graph import kcore_decomposition
 
     # cloned session (shared pattern): the iteration's stages carry a
@@ -10261,47 +10326,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = spark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    ev = load_table(spark, sf_dir, "events")
-    # first 10 days: the co-activity demonstration needs a month of
-    # cells no more than it needs uncapped ones — the iterate cost is
-    # rounds x per-round scheduling, so the graph is sized to the point
-    cell0 = (
-        ev.filter(F.dayofmonth("ts") <= 10)
-        .select(
-            "user_id",
-            F.date_trunc("hour", "ts").alias("h"),
-            F.col("event_type").alias("et"),
-        )
-        .distinct()
-    )
-    # Deterministic per-cell membership cap (the df_max pattern): pair
-    # fan-out inside a (hour, type) cell is quadratic in cell size, so
-    # an uncapped cell grows 100x when the corpus grows 10x. Capping at
-    # 24 md5-ranked members bounds every cell to <=276 pairs — edge
-    # count scales LINEARLY with cell count from here on.
-    w_cell = Window.partitionBy("h", "et").orderBy(
-        md5_long(F.concat(F.lit("kc#"), F.col("user_id").cast("string"))),
-        F.col("user_id"),
-    )
-    cell = (
-        cell0.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= 24)
-        .drop("rn")
-        .localCheckpoint(eager=True)  # both join branches reuse it
-    )
-    a = cell.select(F.col("user_id").alias("ua"), "h", "et")
-    b = cell.select(F.col("user_id").alias("ub"), "h", "et")
-    edges = (
-        a.join(b, ["h", "et"])
-        .filter(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        # sample BEFORE the distinct: the md5 filter is per-pair
-        # deterministic, so order is free — and it shrinks the
-        # distinct's shuffle 5x
-        .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 20)
-        .distinct()
-        .localCheckpoint(eager=True)  # sym's union branches reuse it
-    )
+    ev, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return kcore_decomposition(
         edges,
         ev.select(F.col("user_id").alias("node")).distinct(),
@@ -11550,3 +11575,517 @@ def scan_parquet_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- round-8 registrations: drift / classifier / LM / graph layer ----------
+# Staged in round 7 (operators implemented + property-tested, oracle SQL
+# pre-validated at two scales in tests/test_staged_oracles.py), given
+# their queries()/oracle_sql() entries here.
+
+# Oracle twins for the corpus-level classifier/LM queries — module
+# constants so tests/test_staged_oracles.py locks the SAME strings at a
+# second scale (single source of truth, no drift between copies).
+NB_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang AS y,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+test AS (SELECT doc_id, tok FROM base WHERE doc_id % 5 = 0),
+counts AS (SELECT y, tok, COUNT(*) AS c FROM train GROUP BY y, tok),
+totals AS (SELECT y, COUNT(*) AS tot FROM train GROUP BY y),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+toksv AS (SELECT DISTINCT tok FROM train),
+-- FULL (vocabulary x labels) grid: missing (label, token) cells score
+-- the Laplace default ln(1/(tot+V)) instead of silently contributing
+-- nothing (a per-(label,token) inner join is not multinomial NB)
+model AS (
+  SELECT totals.y, toksv.tok,
+         CAST(round(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+              / CAST(tot + v AS DOUBLE)) * 1e9) AS BIGINT) AS llq
+  FROM toksv CROSS JOIN totals
+  LEFT JOIN counts ON counts.y = totals.y AND counts.tok = toksv.tok
+  CROSS JOIN vocab
+),
+train_docs AS (
+  SELECT lang AS y, COUNT(*) AS nd FROM documents
+  WHERE doc_id % 5 <> 0 GROUP BY lang
+),
+priors AS (
+  SELECT y, CAST(round(ln(CAST(nd AS DOUBLE) /
+         CAST((SELECT SUM(nd) FROM train_docs) AS DOUBLE)) * 1e9)
+         AS BIGINT) AS priorq
+  FROM train_docs
+),
+per_doc AS (
+  SELECT test.doc_id, model.y AS cand,
+         SUM(llq) + ANY_VALUE(priorq) AS score
+  FROM test JOIN model ON test.tok = model.tok
+  JOIN priors ON priors.y = model.y
+  GROUP BY test.doc_id, model.y
+),
+best AS (
+  SELECT doc_id, cand, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+  FROM per_doc
+),
+truth AS (
+  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
+)
+SELECT truth.truth AS label, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE best.cand = truth.truth) AS n_correct
+FROM truth LEFT JOIN (SELECT doc_id, cand FROM best WHERE rk = 1) best
+  USING (doc_id)
+GROUP BY truth.truth
+"""
+
+BIGRAM_ORACLE_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM arrs, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+bcounts AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+ccounts AS (
+  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS ctx_c
+  FROM big GROUP BY 1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents)
+),
+model AS (
+  SELECT bg, CAST(round(ln(CAST(c + 1 AS DOUBLE) /
+         CAST(ctx_c + v AS DOUBLE)) * 1e9) AS BIGINT) AS llq
+  FROM bcounts JOIN ccounts ON split_part(bg, ' ', 1) = ccounts.w1
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS mean_logprob
+  FROM big JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
+ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
+"""
+
+STUMP_ORACLE_SQL = """
+WITH long AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS y, f.feature, f.value
+  FROM lineitem,
+  LATERAL (VALUES ('l_quantity', CAST(l_quantity AS DOUBLE)),
+                  ('l_discount', CAST(l_discount AS DOUBLE)))
+    AS f(feature, value)
+  WHERE f.value IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+hist AS (
+  SELECT feature, value, COUNT(*) AS n,
+         SUM(CAST(y AS DECIMAL(30,10))) AS sy
+  FROM long GROUP BY feature, value
+),
+scored AS (
+  SELECT feature, value AS threshold,
+         SUM(n) OVER (PARTITION BY feature ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l,
+         SUM(sy) OVER (PARTITION BY feature ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sy_l,
+         SUM(n) OVER (PARTITION BY feature) AS n_t,
+         SUM(sy) OVER (PARTITION BY feature) AS sy_t
+  FROM hist
+),
+ranked AS (
+  SELECT feature, threshold,
+         CAST(n_l AS BIGINT) AS n_left,
+         CAST(n_t - n_l AS BIGINT) AS n_right,
+         CAST(sy_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS mean_left,
+         CAST(sy_t - sy_l AS DOUBLE) / CAST(n_t - n_l AS DOUBLE)
+           AS mean_right,
+         (CAST(sy_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
+           / CAST(n_l AS DOUBLE)
+         + (CAST(sy_t - sy_l AS DOUBLE) * CAST(sy_t - sy_l AS DOUBLE))
+           / CAST(n_t - n_l AS DOUBLE) AS gain
+  FROM scored WHERE n_l < n_t
+)
+SELECT * FROM ranked
+ORDER BY gain DESC, feature ASC, threshold ASC LIMIT 1
+"""
+
+
+@_register(
+    "drift_psi_value_shift",
+    f"""
+    WITH binned AS (
+      SELECT CASE WHEN day(ts) <= 15 THEN 'base' ELSE 'current' END AS side,
+             event_type AS grp,
+             LEAST(9, GREATEST(0,
+               CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)
+             )) AS bin
+      FROM events
+    ),
+    bb AS (SELECT grp, bin, COUNT(*) AS n_base FROM binned
+           WHERE side = 'base' GROUP BY grp, bin),
+    cc AS (SELECT grp, bin, COUNT(*) AS n_current FROM binned
+           WHERE side = 'current' GROUP BY grp, bin),
+    merged AS (
+      SELECT COALESCE(bb.grp, cc.grp) AS grp, COALESCE(bb.bin, cc.bin) AS bin,
+             COALESCE(n_base, 0) AS n_base, COALESCE(n_current, 0) AS n_current
+      FROM bb FULL OUTER JOIN cc ON bb.grp = cc.grp AND bb.bin = cc.bin
+    ),
+    props AS (
+      SELECT grp, n_base, n_current,
+             GREATEST(CAST(n_base AS DOUBLE)
+               / SUM(n_base) OVER (PARTITION BY grp), 1e-4) AS p,
+             GREATEST(CAST(n_current AS DOUBLE)
+               / SUM(n_current) OVER (PARTITION BY grp), 1e-4) AS q
+      FROM merged
+    ),
+    terms AS (
+      SELECT grp, n_base, n_current,
+             (p - q) * (CAST(CAST(round(ln(p / q) * 1e9) AS BIGINT)
+                             AS DOUBLE) / 1e9) AS term
+      FROM props
+    )
+    SELECT grp, {_dsum('term')} AS psi,
+           CAST(SUM(n_base) AS BIGINT) AS n_base,
+           CAST(SUM(n_current) AS BIGINT) AS n_current
+    FROM terms GROUP BY grp
+    """,
+)
+def drift_psi_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution,
+    first half of the month (day <= 15) vs the second, per event_type
+    (operators/drift.psi_drift) — the data-quality monitor a long-
+    running ingest runs BETWEEN snapshots. Bin edges pinned to
+    [0, 200) x 10 (values beyond clamp into the edge bins, so the
+    index is total over all rows); each side is one narrow binning map
+    + one map-side-combined groupBy on the tiny (type x bin) key space,
+    merged by one outer join — at 100 TB nothing here scales with row
+    count past the two scans. ln(p/q) is nano-quantized before the
+    per-bin term so the PSI double is bit-identical cross-engine."""
+    from etl_developstoday_test_spark.operators.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "value",
+        group_col="event_type",
+        n_bins=10,
+        lo=0.0,
+        hi=200.0,
+    )
+
+
+@_register(
+    "drift_cusum_daily_level",
+    f"""
+    WITH daily AS (
+      SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS ord,
+             round({_davg('value')}, 6) AS value
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT grp, ord, value,
+             SUM(CAST(value AS DECIMAL(30,10))
+                 - CAST(50.0 AS DECIMAL(30,10))
+                 - CAST(1.0 AS DECIMAL(30,10)))
+               OVER (PARTITION BY grp ORDER BY ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM daily
+    ),
+    mins AS (
+      SELECT grp, ord, value, p,
+             MIN(p) OVER (PARTITION BY grp ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+      FROM pre
+    ),
+    s AS (
+      -- least(0, mn) spelled as CASE: DuckDB's LEAST promotes ANY
+      -- decimal pair to DOUBLE, which would leak rounding error past
+      -- the exact-decimal path (Spark's F.least stays decimal)
+      SELECT grp, ord, value,
+             CAST(CAST(CASE WHEN mn < CAST(0 AS DECIMAL(38,10))
+                            THEN p - mn ELSE p END
+             AS VARCHAR) AS DOUBLE) AS cusum
+      FROM mins
+    )
+    SELECT grp, ord, value, cusum FROM s WHERE cusum > 15.0
+    """,
+)
+def drift_cusum_daily_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection on the daily mean event
+    value per event_type (operators/drift.cusum_changepoints): target
+    50, slack 1, alarm threshold 15. The sequential recurrence
+    S_i = max(0, S_{{i-1}} + dev_i) is computed via its closed form
+    S_i = P_i - min(0, min_j<=i P_j) — two frame windows over ONE
+    shuffle/sort on (type, day); the day-level rollup in front is a
+    single map-side-combined aggregation, so at 100 TB the windowed
+    series is days x types, never rows. The daily mean is ROUNDED to
+    6 dp before entering the detector: the prefix sums re-cast it to
+    DECIMAL(30,10), and the double→decimal cast of a FULL-precision
+    double is not cross-engine stable (Spark rounds the shortest
+    decimal repr, DuckDB the binary expansion — they can disagree at
+    the 10th decimal), while a 6-dp-quantized double rounds
+    unambiguously on both. From there exact-decimal prefix sums make
+    alarm positions bit-identical cross-engine; output is the (tiny)
+    alarm set only."""
+    from etl_developstoday_test_spark.operators.drift import (
+        cusum_changepoints,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.round(davg("value"), 6).alias("daily_mean"))
+    return cusum_changepoints(
+        daily,
+        "daily_mean",
+        "day",
+        "event_type",
+        target=50.0,
+        slack=1.0,
+        threshold=15.0,
+    )
+
+
+_BLOCKLIST = {
+    "engine": ["spark", "vector"],
+    "perf": ["slow", "fast"],
+}
+
+
+@_register(
+    "text_blocklist_filter",
+    rf"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter(arr, t -> t IN ('spark', 'vector')))
+               AS BIGINT) AS engine_hits,
+             CAST(len(list_filter(arr, t -> t IN ('slow', 'fast')))
+               AS BIGINT) AS perf_hits
+      FROM tok
+    )
+    SELECT doc_id, engine_hits, perf_hits,
+           engine_hits + perf_hits AS n_hits,
+           (engine_hits + perf_hits) > 7 AS blocked
+    FROM hits
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-based content filtering (operators/text_analysis.
+    blocklist_hits) — the NSFW/profanity/spam pass of a web-corpus
+    curation stack, demonstrated with two categories over the corpus
+    vocabulary and a block threshold of 7 total hits. Word-granular
+    containment via F.filter + isin over the let-bound token array:
+    one codegen map per category, no explode, no join, ZERO shuffles —
+    the category lists ride into the task as literals (at a real
+    10^4-term list swap the literal for a broadcast join on exploded
+    tokens, same output contract)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        blocklist_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = blocklist_hits(docs, _BLOCKLIST, max_hits=7)
+    return out.select(
+        "doc_id",
+        F.col("engine_hits").cast("long").alias("engine_hits"),
+        F.col("perf_hits").cast("long").alias("perf_hits"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "blocked",
+    )
+
+
+@_register("ml_naive_bayes_quality", NB_ORACLE_SQL)
+def ml_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language-ID classifier trained ON the
+    corpus and evaluated on the doc_id % 5 == 0 held-out split
+    (operators/ml.naive_bayes_quality): per-label accuracy of the
+    full-vocabulary-grid Laplace-smoothed scorer. Training is two
+    map-side-combined groupBys over one persisted token explode; the
+    (V x labels) model grid broadcast-joins against the exploded test
+    split (labels are 5 here — pass broadcast_model=False for a
+    web-scale open vocabulary); all scores are nano-quantized BIGINT
+    sums, so the argmax — and therefore the accuracy table — is
+    bit-identical cross-engine."""
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_quality(docs)
+
+
+@_register("text_bigram_lm_bottomk", BIGRAM_ORACLE_SQL)
+def text_bigram_lm_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (operators/text_analysis.
+    bigram_lm_bottomk): the 20 lowest-quality documents by mean
+    Laplace-smoothed bigram log-probability under the corpus's own LM
+    — the KenLM-perplexity step of a CCNet-style curation stack, one
+    order up from the unigram filter (it catches scrambled word soup
+    the unigram model cannot). The bigram model deliberately
+    shuffle-joins on the bigram string rather than broadcasting:
+    bigram vocabularies outgrow driver memory at web scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bigram_lm_bottomk(docs, k=20)
+
+
+@_register("ml_best_stump_split", STUMP_ORACLE_SQL)
+def ml_best_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split of l_extendedprice over candidate
+    features (l_quantity, l_discount) — ONE boosting round of a
+    distributed GBT (operators/ml.best_stump_split), found the way
+    tree libraries do it at scale: prefix sums over the per-feature
+    sorted value histogram score EVERY candidate threshold in one
+    window pass over the histogram (never the rows). Exact-decimal
+    target sums + a total-order argmax make the chosen split
+    bit-identical cross-engine."""
+    from etl_developstoday_test_spark.operators.ml import best_stump_split
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return best_stump_split(
+        li, ["l_quantity", "l_discount"], "l_extendedprice"
+    )
+
+
+@_register(
+    "graph_lpa_communities",
+    f"""
+    WITH RECURSIVE {_COACT_SQL},
+    sym AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT ua AS s, ub AS d FROM edges UNION ALL SELECT ub, ua FROM edges
+      ) WHERE s <> d
+    ),
+    verts AS (SELECT DISTINCT user_id AS n FROM events),
+    lab(iter, n, lbl) AS (
+      SELECT 0, n, CAST(n AS BIGINT) FROM verts
+      UNION ALL
+      SELECT l.iter + 1, l.n, COALESCE(b.new_lbl, l.lbl)
+      FROM lab l
+      LEFT JOIN (
+        SELECT g.s AS nn, -(max(row(cnt, neg))[2]) AS new_lbl
+        FROM (
+          SELECT s.s, l2.lbl, COUNT(*) AS cnt, -l2.lbl AS neg
+          FROM sym s JOIN lab l2 ON l2.n = s.d
+          GROUP BY s.s, l2.lbl
+        ) g
+        GROUP BY g.s
+      ) b ON b.nn = l.n
+      WHERE l.iter < 5
+    ),
+    final AS (SELECT n, lbl FROM lab WHERE iter = 5),
+    deg AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
+    m AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS m FROM sym),
+    intra AS (
+      SELECT ls.lbl, COUNT(*) AS intra_directed
+      FROM sym JOIN final ls ON ls.n = sym.s JOIN final ld ON ld.n = sym.d
+      WHERE ls.lbl = ld.lbl GROUP BY ls.lbl
+    ),
+    per_c AS (
+      SELECT f.lbl, COUNT(*) AS n_nodes,
+             COALESCE(SUM(deg.deg), 0) AS degree_sum,
+             COALESCE(ANY_VALUE(i.intra_directed), 0) AS intra_directed
+      FROM final f
+      LEFT JOIN deg ON deg.s = f.n
+      LEFT JOIN intra i ON i.lbl = f.lbl
+      GROUP BY f.lbl
+    ),
+    q AS (
+      SELECT CAST(SUM(CAST(2 AS BIGINT) * m.m * intra_directed
+                  - degree_sum * degree_sum) AS DOUBLE)
+             / (4.0 * CAST(ANY_VALUE(m.m) AS DOUBLE)
+                    * CAST(ANY_VALUE(m.m) AS DOUBLE)) AS modularity
+      FROM per_c CROSS JOIN m
+    )
+    SELECT lbl AS community, CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(intra_directed // 2 AS BIGINT) AS intra_edges,
+           CAST(degree_sum AS BIGINT) AS degree_sum, q.modularity
+    FROM per_c CROSS JOIN q
+    ORDER BY n_nodes DESC, community ASC LIMIT 10
+    """,
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection with exact modularity
+    (operators/graph.label_propagation_communities, Raghavan 2007)
+    over the deterministic co-activity graph the k-core query uses:
+    the topic/cluster-discovery step over a user-similarity graph —
+    components answer "which users are connected", communities answer
+    "which users hang together". 5 synchronous rounds with total-order
+    tie-breaking (highest neighbor count, then smallest label), so a
+    DuckDB recursive-CTE replay is exact; modularity is assembled as
+    an exact integer numerator over 4m^2 with ONE double division at
+    the end. Per round: one edge-join + two map-side-combined shuffles
+    on graph-sized data; cloned session with narrow shuffles +
+    interpreted eval (the k-core recipe — these stages carry KBs)."""
+    from etl_developstoday_test_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    ev, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
+    return label_propagation_communities(
+        edges,
+        ev.select(F.col("user_id").alias("node")).distinct(),
+        src="ua",
+        dst="ub",
+        rounds=5,
+        top_k=10,
+    )
+
+
+@_register(
+    "graph_degree_assortativity",
+    f"""
+    WITH {_COACT_SQL},
+    sym AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT ua AS s, ub AS d FROM edges UNION ALL SELECT ub, ua FROM edges
+      ) WHERE s <> d
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM sym GROUP BY s),
+    pairs AS (
+      SELECT ds.deg AS du, dd.deg AS dv
+      FROM sym JOIN deg ds ON ds.s = sym.s JOIN deg dd ON dd.s = sym.d
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2, CAST(SUM(du) AS BIGINT) AS sx,
+             CAST(SUM(du * dv) AS BIGINT) AS sxy,
+             CAST(SUM(du * du) AS BIGINT) AS sxx
+      FROM pairs
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+    FROM stats
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity coefficient (operators/graph.
+    degree_assortativity, Newman 2002) of the co-activity graph: the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — a one-number structural fingerprint (hubs-link-to-hubs vs
+    hubs-link-to-leaves) and the cheapest graph-quality signal: NO
+    iteration, the symmetrized edge table materialized once and read
+    by its three consumers, sufficient statistics as exact BIGINT sums,
+    one double expression at the very end."""
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return degree_assortativity(edges, src="ua", dst="ub")

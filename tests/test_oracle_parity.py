@@ -91,6 +91,11 @@ _SF_SENSITIVE = [
     "text_winnow_match_pairs",         # min_shared/df_max at small corpus
     "dedup_line_boilerplate",          # >=2-doc line-df threshold
     "sample_quality_epochs",           # ntile(4) needs >= 4 docs
+    "drift_cusum_daily_level",         # alarm threshold at smaller days
+    "drift_psi_value_shift",           # 1e-4 floor at small bin counts
+    "text_blocklist_filter",           # max_hits threshold vs doc length
+    "graph_lpa_communities",           # community structure at small graph
+    "graph_degree_assortativity",      # degree variance at small graph
 ]
 
 

@@ -386,6 +386,10 @@ _EAGER_QUERIES = {
     "scan_parquet_bloom_skipping",  # writes the bloom-filtered copy
     "dedup_cross_source_matrix",   # gram table checkpointed pre-self-join
     "embed_ann_ivf_recall",        # exact-baseline top-k checkpointed
+    "ml_naive_bayes_quality",      # token explode persisted + released
+    "text_bigram_lm_bottomk",      # bigram explode persisted + released
+    "graph_lpa_communities",       # label-propagation iteration
+    "graph_degree_assortativity",  # sym edge table persisted + released
 }
 
 # The declared Python surface: the ONLY queries allowed to carry

@@ -1,12 +1,17 @@
-"""DuckDB-twin parity for STAGED (not yet registered) operators.
+"""DuckDB-twin parity for the round-8 classifier/LM/graph operators.
 
-Each round-8 candidate operator ships with the exact oracle SQL its
-future ``queries()``/``oracle_sql()`` registration will use, verified
-value-for-value at sf0.001 BEFORE registration — so the driver's first
-row for each can only be green. Same comparison discipline as
-tests/test_oracle_parity.py (full multiset, exact equality, no
-epsilon): the determinism contract (nano-quantized ln, exact decimal /
-integer accumulation, total-order argmax) is what's being locked in.
+Originally the staging ground for these operators' oracle SQL (verified
+value-for-value at sf0.001 BEFORE registration, so the driver's first
+row for each could only be green). Now that they are registered, this
+file keeps (a) the SECOND-SCALE (sf0.001 and sf0.01) value locks over
+the SAME oracle strings the registration uses — imported from
+plans/queries.py, single source of truth — and (b) the adversarial
+FIXTURE-GRAPH locks for LPA and assortativity, whose registered
+oracles run over the co-activity graph instead. Same comparison
+discipline as tests/test_oracle_parity.py (full multiset, exact
+equality, no epsilon): the determinism contract (nano-quantized ln,
+exact decimal / integer accumulation, total-order argmax) is what's
+being locked in.
 """
 
 from __future__ import annotations
@@ -14,139 +19,12 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from etl_developstoday_test_spark.plans.queries import (
+    BIGRAM_ORACLE_SQL as BIGRAM_ORACLE,
+    NB_ORACLE_SQL as NB_ORACLE,
+    STUMP_ORACLE_SQL as STUMP_ORACLE,
+)
 from tests.conftest import SF_DIR, SF_DIR_ORACLE
-
-NB_ORACLE = """
-WITH base AS (
-  SELECT doc_id, lang AS y,
-         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-  FROM documents
-),
-train AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
-test AS (SELECT doc_id, tok FROM base WHERE doc_id % 5 = 0),
-counts AS (SELECT y, tok, COUNT(*) AS c FROM train GROUP BY y, tok),
-totals AS (SELECT y, COUNT(*) AS tot FROM train GROUP BY y),
-vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
-toksv AS (SELECT DISTINCT tok FROM train),
--- FULL (vocabulary x labels) grid: missing (label, token) cells score
--- the Laplace default ln(1/(tot+V)) instead of silently contributing
--- nothing (a per-(label,token) inner join is not multinomial NB)
-model AS (
-  SELECT totals.y, toksv.tok,
-         CAST(round(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
-              / CAST(tot + v AS DOUBLE)) * 1e9) AS BIGINT) AS llq
-  FROM toksv CROSS JOIN totals
-  LEFT JOIN counts ON counts.y = totals.y AND counts.tok = toksv.tok
-  CROSS JOIN vocab
-),
-train_docs AS (
-  SELECT lang AS y, COUNT(*) AS nd FROM documents
-  WHERE doc_id % 5 <> 0 GROUP BY lang
-),
-priors AS (
-  SELECT y, CAST(round(ln(CAST(nd AS DOUBLE) /
-         CAST((SELECT SUM(nd) FROM train_docs) AS DOUBLE)) * 1e9)
-         AS BIGINT) AS priorq
-  FROM train_docs
-),
-per_doc AS (
-  SELECT test.doc_id, model.y AS cand,
-         SUM(llq) + ANY_VALUE(priorq) AS score
-  FROM test JOIN model ON test.tok = model.tok
-  JOIN priors ON priors.y = model.y
-  GROUP BY test.doc_id, model.y
-),
-best AS (
-  SELECT doc_id, cand, row_number() OVER (
-    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
-  FROM per_doc
-),
-truth AS (
-  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
-)
-SELECT truth.truth AS label, COUNT(*) AS n_docs,
-       COUNT(*) FILTER (WHERE best.cand = truth.truth) AS n_correct
-FROM truth LEFT JOIN (SELECT doc_id, cand FROM best WHERE rk = 1) best
-  USING (doc_id)
-GROUP BY truth.truth
-"""
-
-BIGRAM_ORACLE = """
-WITH arrs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
-  FROM documents
-),
-big AS (
-  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
-  FROM arrs, unnest(range(1, len(arr))) AS t(i)
-  WHERE len(arr) >= 2
-),
-bcounts AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
-ccounts AS (
-  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS ctx_c
-  FROM big GROUP BY 1
-),
-vocab AS (
-  SELECT COUNT(DISTINCT t) AS v FROM (
-    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-    FROM documents)
-),
-model AS (
-  SELECT bg, CAST(round(ln(CAST(c + 1 AS DOUBLE) /
-         CAST(ctx_c + v AS DOUBLE)) * 1e9) AS BIGINT) AS llq
-  FROM bcounts JOIN ccounts ON split_part(bg, ' ', 1) = ccounts.w1
-  CROSS JOIN vocab
-),
-per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
-           AS mean_logprob
-  FROM big JOIN model USING (bg) GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
-ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
-"""
-
-STUMP_ORACLE = """
-WITH long AS (
-  SELECT CAST(l_extendedprice AS DOUBLE) AS y, f.feature, f.value
-  FROM lineitem,
-  LATERAL (VALUES ('l_quantity', CAST(l_quantity AS DOUBLE)),
-                  ('l_discount', CAST(l_discount AS DOUBLE)))
-    AS f(feature, value)
-  WHERE f.value IS NOT NULL AND l_extendedprice IS NOT NULL
-),
-hist AS (
-  SELECT feature, value, COUNT(*) AS n,
-         SUM(CAST(y AS DECIMAL(30,10))) AS sy
-  FROM long GROUP BY feature, value
-),
-scored AS (
-  SELECT feature, value AS threshold,
-         SUM(n) OVER (PARTITION BY feature ORDER BY value
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_l,
-         SUM(sy) OVER (PARTITION BY feature ORDER BY value
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sy_l,
-         SUM(n) OVER (PARTITION BY feature) AS n_t,
-         SUM(sy) OVER (PARTITION BY feature) AS sy_t
-  FROM hist
-),
-ranked AS (
-  SELECT feature, threshold,
-         CAST(n_l AS BIGINT) AS n_left,
-         CAST(n_t - n_l AS BIGINT) AS n_right,
-         CAST(sy_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS mean_left,
-         CAST(sy_t - sy_l AS DOUBLE) / CAST(n_t - n_l AS DOUBLE)
-           AS mean_right,
-         (CAST(sy_l AS DOUBLE) * CAST(sy_l AS DOUBLE))
-           / CAST(n_l AS DOUBLE)
-         + (CAST(sy_t - sy_l AS DOUBLE) * CAST(sy_t - sy_l AS DOUBLE))
-           / CAST(n_t - n_l AS DOUBLE) AS gain
-  FROM scored WHERE n_l < n_t
-)
-SELECT * FROM ranked
-ORDER BY gain DESC, feature ASC, threshold ASC LIMIT 1
-"""
 
 LPA_ORACLE = """
 WITH RECURSIVE sym AS (
