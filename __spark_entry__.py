@@ -124,6 +124,15 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # _coactivity_edges helper (now also feeding LPA/assortativity);
     # plan and values unchanged, re-certify per the touch-code rule
     "graph_kcore_decomposition": 8,
+    # r8: the four exact-ntile sites swapped from a partitionless
+    # window (single-task global sort — the r7 verdict's one remaining
+    # scale-killer class) to functions.exact_ntile (range-partitioned
+    # rank + broadcast cumulative offsets); tile values are unchanged
+    # by construction (property-tested == ntile), oracles untouched
+    "window_ntile_order_quartiles": 8,
+    "events_rfm_segments": 8,
+    "text_unigram_logprob_quality": 8,
+    "sample_quality_epochs": 8,
 }
 
 

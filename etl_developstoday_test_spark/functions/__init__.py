@@ -59,6 +59,82 @@ def fan_out(df, multiplier: int = 1, cap: int | None = None):
     return df
 
 
+def exact_ntile(df, n_tiles: int, order_cols, tile_col: str = "tile"):
+    """SQL-standard ``ntile(n) OVER (ORDER BY order_cols)`` with NO
+    single-task stage — the scale-safe replacement for a partitionless
+    ranking window (which Spark executes as ``Exchange SinglePartition``
+    + one task holding the ENTIRE input: an OOM/straggler at 10⁹+ rows).
+
+    Plan shape (three pieces, all distributed):
+    1. ``repartitionByRange(P, order_cols)`` — ONE full-data exchange;
+       partition i holds strictly smaller keys than partition i+1. P is
+       passed explicitly so AQE neither coalesces nor splits the range
+       partitions (either would break the pid→offset mapping).
+    2. per-partition local rank — ``sortWithinPartitions`` + the
+       ``monotonically_increasing_id`` decomposition (pid = id >> 33,
+       local row number = low 33 bits + 1): no second exchange. The
+       counts branch reads the SAME exchange (ReuseExchange) and
+       aggregates P (pid, count) rows.
+    3. cumulative offsets over the P-row counts table (a window over P
+       rows — bounded by the partition parameter, never by data) are
+       broadcast back; global rank = offset(pid) + local rank, and the
+       tile falls out of the standard quotient/remainder bucket sizes
+       (first N mod n tiles get ceil(N/n) rows) in exact integer
+       arithmetic (``div`` — double division could round across a
+       bucket boundary).
+
+    ``order_cols`` MUST be a total order (every caller ties by a key
+    column) — with ties, tile assignment is engine-ambiguous under any
+    implementation, and range partitioning needs the order to be total
+    to keep partitions disjoint. Returns ``df`` with ``tile_col``
+    (INT, 1-based) appended; row order is not preserved (it never is
+    after a shuffle).
+    """
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    exchanged = df.repartitionByRange(p, *cols)
+    low33 = (1 << 33) - 1
+    data = (
+        exchanged.sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+        .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(low33)) + 1)
+        .drop("_mid")
+    )
+    counts = exchanged.groupBy(
+        F.spark_partition_id().cast("long").alias("_pid")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy()).alias("_n"),
+    )
+    joined = data.join(F.broadcast(offs), "_pid")
+    tile = F.expr(
+        f"""CAST(CASE
+          WHEN (_n div {n_tiles}) = 0 THEN _off + _lrn
+          WHEN _off + _lrn <= (_n % {n_tiles}) * ((_n div {n_tiles}) + 1)
+            THEN (_off + _lrn + (_n div {n_tiles}))
+                 div ((_n div {n_tiles}) + 1)
+          ELSE (_n % {n_tiles})
+               + ((_off + _lrn - (_n % {n_tiles}) * ((_n div {n_tiles}) + 1)
+                   + (_n div {n_tiles}) - 1) div (_n div {n_tiles}))
+        END AS INT)"""
+    )
+    return (
+        joined.withColumn(tile_col, tile)
+        .drop("_pid", "_lrn", "_off", "_n")
+    )
+
+
 def md5_long(col: Column | str) -> Column:
     """Deterministic 60-bit non-negative hash of a string (md5-based)."""
     c = F.col(col) if isinstance(col, str) else col

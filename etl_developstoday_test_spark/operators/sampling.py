@@ -340,20 +340,27 @@ def quality_epoch_schedule(
     The ntile ranking orders by (score, doc_id) — the total tiebreak
     that makes tile assignment deterministic across engines.
 
-    Shape: ntile is ONE global sort — the only unavoidable shuffle in
-    any exact quantile cut (at 100 TB swap in approx quantile bounds +
-    a broadcast range-assign, trading exact tile edges for a sortless
-    narrow map; the accounting below is unchanged); the per-tile
-    accounting is a 4-group aggregate. Returns one row per tile:
-    (tile, repeat_factor, n_docs, n_tokens_raw, n_tokens_per_epoch).
+    Shape: the exact quantile cut runs through ``functions.exact_ntile``
+    (range-partitioned rank + per-partition counts + broadcast
+    cumulative offsets) — one distributed range exchange, NO
+    single-task global sort, exact SQL-standard tile edges; the
+    per-tile accounting is a 4-group aggregate. Returns one row per
+    tile: (tile, repeat_factor, n_docs, n_tokens_raw,
+    n_tokens_per_epoch).
     """
+    from etl_developstoday_test_spark.functions import exact_ntile
+
     if repeats is None:
         repeats = {1: 0, 2: 1, 3: 2, 4: 4}
-    w = Window.orderBy(score, F.col("doc_id"))
-    tiled = docs.select(
-        "doc_id",
-        n_tokens.cast("bigint").alias("_nt"),
-        F.ntile(n_tiles).over(w).alias("tile"),
+    tiled = exact_ntile(
+        docs.select(
+            "doc_id",
+            n_tokens.cast("bigint").alias("_nt"),
+            score.alias("_score"),
+        ),
+        n_tiles,
+        ["_score", "doc_id"],
+        "tile",
     )
     rf = F.element_at(
         F.map_from_arrays(

@@ -527,10 +527,11 @@ def unigram_logprob_deciles(docs: DataFrame) -> DataFrame:
     corpus against the broadcast model. Per-token ln(freq/total) is
     quantized to 1e-9 and summed in exact BIGINTs (order-independent),
     the per-doc mean rounds to 6 dp, and the decile assignment orders
-    by (score, doc_id) so it is reproducible on any engine. The final
-    ntile is a single-partition window over ONE ROW PER DOCUMENT —
-    fine up to ~10^9 docs; beyond that swap for a quantile-summary cut
-    (approx_percentile boundaries), same output contract.
+    by (score, doc_id) so it is reproducible on any engine. The exact
+    decile cut runs through ``functions.exact_ntile``
+    (range-partitioned rank + broadcast cumulative offsets): identical
+    decile edges to a global ntile window with NO single-task stage,
+    so the one-row-per-document series is safe past ~10^9 docs.
 
     Returns (decile, n_docs, min_logprob, max_logprob).
     """
@@ -552,12 +553,11 @@ def unigram_logprob_deciles(docs: DataFrame) -> DataFrame:
             ).alias("mean_logprob")
         )
     )
-    from pyspark.sql import Window
+    from etl_developstoday_test_spark.functions import exact_ntile
 
-    w = Window.orderBy("mean_logprob", "doc_id")
+    tiled = exact_ntile(doc_lp, 10, ["mean_logprob", "doc_id"], "decile")
     return (
-        doc_lp.withColumn("decile", F.ntile(10).over(w).cast("long"))
-        .groupBy("decile")
+        tiled.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("mean_logprob").alias("min_logprob"),

@@ -1764,16 +1764,22 @@ def sql_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing: global quartiles of order value (deterministic
-    tiebreak on the key), then per-bucket stats. The global window is
-    the scale-limited step — at 100 TB replace with approx_percentile
-    cutoffs + a join, which needs no global sort."""
-    from pyspark.sql import Window
+    tiebreak on the key), then per-bucket stats. The exact cut runs
+    through ``functions.exact_ntile`` (range-partitioned rank +
+    broadcast cumulative offsets): identical tile edges to a global
+    ntile window, but ONE distributed range exchange instead of a
+    single task holding every order."""
+    from etl_developstoday_test_spark.functions import exact_ntile
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = exact_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        4,
+        ["o_totalprice", "o_orderkey"],
+        "quartile",
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).cast("bigint").alias("quartile"))
-        .groupBy("quartile")
+        tiled.groupBy(F.col("quartile").cast("bigint").alias("quartile"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.min("o_totalprice").alias("min_price"),
@@ -8859,7 +8865,13 @@ def text_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the mean ln-probability of its tokens under the corpus's own
     unigram model, cut into 10 reproducible quality deciles (ordered by
     rounded score with doc_id tiebreak). Exact quantized accumulation
-    makes the iterative-free two-pass plan hash-match the SQL twin."""
+    makes the iterative-free two-pass plan hash-match the SQL twin.
+    Cloned session with narrow shuffles: the decile cut and model join
+    stages move ~500 doc rows / a small vocabulary, where 32-way task
+    scheduling is pure overhead (measured 2.7s -> 1.9s warm at sf0.1);
+    at cluster scale leave the width to AQE."""
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     return text_analysis.unigram_logprob_deciles(
         fan_out(load_table(spark, sf_dir, "documents"))
     )
@@ -11029,11 +11041,18 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic warehouse scoring table: per user, days since last
     event, event count, exact-decimal value sum, each cut into
     quintiles with a total tiebreak, then segment cardinalities. The
-    per-user rollup is one groupBy; the three global ntile windows are
-    the scale-limited step (swap for approx_percentile cutoffs + a
-    join at 100 TB, same note as window_ntile_order_quartiles); the
-    ordering keys are integers/decimals so quintile edges are exact in
-    both engines."""
+    per-user rollup is one groupBy; the three exact quintile cuts run
+    through ``functions.exact_ntile`` chained (R, then F, then M —
+    each call preserves all columns, so no re-join), three distributed
+    range exchanges over the per-USER table instead of three
+    single-task global sorts; the ordering keys are integers/decimals
+    so quintile edges are exact in both engines. Cloned session with
+    narrow shuffles (the k-core recipe): the chained cuts are ~10
+    sequential stages over the small per-user series, where 32-way
+    task scheduling is pure overhead — measured 4.5s -> 1.5s warm at
+    sf0.1; at cluster scale leave the width to AQE."""
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ev = load_table(spark, sf_dir, "events")
     maxts = ev.agg(F.max("ts").alias("max_ts"))
     per_user = (
@@ -11053,15 +11072,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = per_user.select(
-        "user_id",
-        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), "user_id"))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), "user_id"))
-        .alias("m"),
+    from etl_developstoday_test_spark.functions import exact_ntile
+
+    scored = exact_ntile(per_user, 5, ["recency_days", "user_id"], "r")
+    scored = exact_ntile(
+        scored, 5, [F.desc("frequency"), F.col("user_id")], "f"
+    )
+    scored = exact_ntile(
+        scored, 5, [F.desc("monetary"), F.col("user_id")], "m"
     )
     return scored.groupBy(
         F.col("r").cast("bigint").alias("r"),

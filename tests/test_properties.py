@@ -1061,3 +1061,60 @@ def test_naive_bayes_matches_python_replay(spark, docs):
     }
     want = {l: (expect[l], correct[l]) for l in expect}
     assert got == want
+
+
+_ntile_rows = st.lists(
+    st.integers(min_value=-1000, max_value=1000),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_ntile_rows, n_tiles=st.integers(min_value=1, max_value=13))
+def test_exact_ntile_equals_global_window_ntile(spark, vals, n_tiles):
+    """functions.exact_ntile (range-partitioned rank + broadcast
+    cumulative offsets — no single-task stage) assigns the EXACT tile
+    SQL-standard ntile assigns, on any input size / tile count /
+    physical layout, including N < n_tiles, duplicate values (broken
+    by the id tiebreak), and descending orders."""
+    from pyspark.sql import Window, functions as F
+
+    from etl_developstoday_test_spark.functions import exact_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    for nparts in (1, 7):
+        df = spark.createDataFrame(rows, "id long, v long").repartition(
+            nparts
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in exact_ntile(df, n_tiles, ["v", "id"], "t").collect()
+        }
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id",
+                F.ntile(n_tiles)
+                .over(Window.orderBy("v", "id"))
+                .alias("t"),
+            ).collect()
+        }
+        assert got == want
+        # descending order variant
+        got_d = {
+            r["id"]: r["t"]
+            for r in exact_ntile(
+                df, n_tiles, [F.desc("v"), F.col("id")], "t"
+            ).collect()
+        }
+        want_d = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id",
+                F.ntile(n_tiles)
+                .over(Window.orderBy(F.desc("v"), "id"))
+                .alias("t"),
+            ).collect()
+        }
+        assert got_d == want_d
