@@ -133,6 +133,15 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "events_rfm_segments": 8,
     "text_unigram_logprob_quality": 8,
     "sample_quality_epochs": 8,
+    # r8: the r7 bench-drift adjudication (isolated 2-run warm timing)
+    # found the pair-graph/CC family's cost is iteration scheduling
+    # overhead at 32-way shuffles over few-hundred-edge graphs — these
+    # four now run in a narrow-shuffle cloned session (the k-core
+    # recipe), ~25-30% faster warm; values unchanged
+    "dedup_cluster_canonicals": 8,
+    "curation_corpus_card": 8,
+    "dedup_prefix_filter_jaccard": 8,
+    "dedup_connected_components": 8,
 }
 
 
