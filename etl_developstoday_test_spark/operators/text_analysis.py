@@ -686,32 +686,12 @@ def char_entropy_profile(docs: DataFrame, low_bits: float = 3.0) -> DataFrame:
     )
 
 
-def bpe_merge_rounds(
-    docs: DataFrame, rounds: int = 5, text_col: str = "text"
-) -> DataFrame:
-    """Distributed BPE tokenizer training, the first ``rounds`` merges
-    (Sennrich et al. 2016): start from characters, repeatedly (1) count
-    adjacent symbol pairs corpus-wide weighted by word frequency,
-    (2) pick the most frequent pair (ties: lexicographic), (3) merge it
-    greedily leftmost-first in every word. Returns one audit row per
-    round: the chosen pair, its count, and the vocab size / total token
-    count after applying the merge.
-
-    Scale shape — why this distributes: the corpus collapses to
-    (distinct word, freq) once, so all later rounds run on the word
-    VOCABULARY, not the corpus; pair counting is a map-side-combined
-    groupBy over short per-word pair lists; and the merge application
-    is a per-row codegen array fold (F.aggregate) — zero shuffles, no
-    Python, no alignment joins. Per round: one vocabulary-sized
-    shuffle (pair count) + one driver-bounded top-1 action, exactly
-    the k-bounded iteration pattern of kmeans_lloyd. The greedy
-    leftmost fold is equivalent to the run-parity rule (occurrences
-    can only overlap when a == b, in runs; survivors sit at even
-    offsets from the run start) — which is how the SQL oracle replays
-    it with windows instead of a fold.
-    """
-    spark = docs.sparkSession
-
+def _bpe_train(
+    docs: DataFrame, rounds: int, text_col: str
+) -> tuple[DataFrame, list[tuple]]:
+    """Shared BPE training loop: returns (final per-word segmentation
+    table (word, freq, syms), per-round stats list). See
+    ``bpe_merge_rounds`` for the algorithm and scale shape."""
     words = (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.col("word") != "")
@@ -794,12 +774,94 @@ def bpe_merge_rounds(
         )
         stats.append((rnd, a, b, cnt, int(vs), int(tt)))
 
+    return words, stats
+
+
+def bpe_merge_rounds(
+    docs: DataFrame, rounds: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE tokenizer training, the first ``rounds`` merges
+    (Sennrich et al. 2016): start from characters, repeatedly (1) count
+    adjacent symbol pairs corpus-wide weighted by word frequency,
+    (2) pick the most frequent pair (ties: lexicographic), (3) merge it
+    greedily leftmost-first in every word. Returns one audit row per
+    round: the chosen pair, its count, and the vocab size / total token
+    count after applying the merge.
+
+    Scale shape — why this distributes: the corpus collapses to
+    (distinct word, freq) once, so all later rounds run on the word
+    VOCABULARY, not the corpus; pair counting is a map-side-combined
+    groupBy over short per-word pair lists; and the merge application
+    is a per-row codegen array fold (F.aggregate) — zero shuffles, no
+    Python, no alignment joins. Per round: one vocabulary-sized
+    shuffle (pair count) + one driver-bounded top-1 action, exactly
+    the k-bounded iteration pattern of kmeans_lloyd. The greedy
+    leftmost fold is equivalent to the run-parity rule (occurrences
+    can only overlap when a == b, in runs; survivors sit at even
+    offsets from the run start) — which is how the SQL oracle replays
+    it with windows instead of a fold.
+    """
+    spark = docs.sparkSession
+    _, stats = _bpe_train(docs, rounds, text_col)
     # stats are collected; the last round's checkpoint blocks (word-
     # vocabulary sized) free on GC
     return spark.createDataFrame(
         stats,
         "round bigint, pair_a string, pair_b string, "
         "pair_count bigint, vocab_size bigint, total_tokens bigint",
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame, rounds: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """BPE APPLICATION — encode the corpus with the merges
+    ``bpe_merge_rounds`` trains, reporting per-document BPE token
+    counts against the whitespace baseline. Training a tokenizer
+    without applying it is half the operator: a token-budget pipeline
+    tokenizes EVERYTHING, and the budget math (sequences packed,
+    epochs scheduled, mixture weights) runs on encoded counts, not
+    whitespace counts.
+
+    The key economy: the trainer's final state IS the encoder. After
+    ``rounds`` merges, the (word, freq, syms) vocabulary table already
+    holds every distinct word's greedy segmentation, so encoding the
+    corpus is ONE join of the exploded token stream against the
+    (vocabulary-sized) segmentation table — no per-document re-fold,
+    no Python. The segmentation table broadcasts (the unigram-model
+    contract; for a web-scale open vocabulary swap to a shuffle
+    equi-join on the word — the ``bigram_lm_bottomk`` escape hatch).
+    Documents with no non-empty tokens have nothing to encode and are
+    out of scope (the length filter's job).
+
+    Returns (doc_id, n_ws_tokens, n_bpe_tokens, tokens_per_word) —
+    tokens_per_word = round(bpe/ws, 6), the per-doc compression the
+    merge table achieves (1.0 = every word fully merged back to one
+    token ... long words of rare characters stay near their character
+    counts).
+    """
+    words, _ = _bpe_train(docs, rounds, text_col)
+    enc = words.select("word", F.size("syms").alias("_bpe"))
+    doc_tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        doc_tok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_ws_tokens"),
+                6,
+            ).alias("tokens_per_word"),
+        )
     )
 
 

@@ -10598,12 +10598,13 @@ def scan_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_sql(rounds: int = 5) -> str:
-    """Unrolled SQL replay of bpe_merge_rounds: per round, pair counts
+def _bpe_ctes(rounds: int = 5) -> str:
+    """Unrolled SQL replay of the BPE trainer: per round, pair counts
     → lexicographic-tiebreak top-1 → run-parity greedy merge (windows;
     equivalent to the Spark side's leftmost fold because occurrences
     only overlap when a == b, where survivors sit at even offsets from
-    their run start)."""
+    their run start). Returns the WITH body; w{rounds} is the final
+    per-word segmentation, stat{k} the per-round audit rows."""
     ctes = [
         f"""toks AS (
       SELECT unnest({_TOKS}) AS word FROM documents
@@ -10662,10 +10663,39 @@ def _bpe_sql(rounds: int = 5) -> str:
                AS total_tokens
       FROM top{k} t
     )""")
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    "
+
+
+def _bpe_sql(rounds: int = 5) -> str:
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM stat{k}" for k in range(1, rounds + 1)
     )
-    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + union
+    return _bpe_ctes(rounds) + union
+
+
+def _bpe_encode_sql(rounds: int = 5) -> str:
+    """The trainer replay's final w{rounds} segmentation joined back
+    onto the exploded per-document token stream — the oracle twin of
+    ``bpe_encode_stats``."""
+    return (
+        _bpe_ctes(rounds)
+        + f""", encoded AS (SELECT word, len(syms) AS bpe FROM w{rounds}),
+    doc_tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(e.bpe) AS BIGINT) AS n_bpe_tokens
+      FROM doc_tok d JOIN encoded e USING (word)
+      WHERE d.word <> ''
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+           round(CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens, 6)
+             AS tokens_per_word
+    FROM per_doc"""
+    )
 
 
 @_register("text_bpe_merge_rounds", _bpe_sql(5))
@@ -12134,3 +12164,107 @@ def graph_degree_assortativity(
 
     _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
     return degree_assortativity(edges, src="ua", dst="ub")
+
+
+@_register("text_bpe_encode_stats", _bpe_encode_sql(5))
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application (operators/text_analysis.bpe_encode_stats):
+    encode the corpus with the 5 merges text_bpe_merge_rounds trains
+    and report per-document BPE token counts vs the whitespace
+    baseline — the pass a token-budget pipeline actually runs over
+    everything. The trainer's final (word, freq, syms) vocabulary
+    table IS the encoder, so application is one broadcast join of the
+    exploded token stream against the vocabulary-sized segmentation
+    table; the oracle replays the same 5 unrolled merge rounds and the
+    same join."""
+    return text_analysis.bpe_encode_stats(
+        fan_out(load_table(spark, sf_dir, "documents")), rounds=5
+    )
+
+
+@_register(
+    "agg_quantile_sketch_rollup",
+    f"""
+    WITH base AS (
+      SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+             CAST(l_extendedprice AS DOUBLE) AS v,
+             {_md5long("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")} AS h
+      FROM lineitem
+    ),
+    msk AS (SELECT y, m, v, h FROM (
+      SELECT y, m, v, h,
+             ROW_NUMBER() OVER (PARTITION BY y, m ORDER BY h) AS rn
+      FROM base) WHERE rn <= 256),
+    ysk AS (SELECT y, m, v, h FROM (
+      SELECT y, m, v, h,
+             ROW_NUMBER() OVER (PARTITION BY y ORDER BY h) AS rn
+      FROM msk) WHERE rn <= 256),
+    tsk AS (SELECT v, h FROM (
+      SELECT v, h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      FROM ysk) WHERE rn <= 256),
+    mest AS (SELECT y, m, v AS est FROM (
+      SELECT y, m, v,
+             ROW_NUMBER() OVER (PARTITION BY y, m ORDER BY v, h) AS r,
+             COUNT(*) OVER (PARTITION BY y, m) AS c
+      FROM msk) WHERE r = (c + 1) // 2),
+    yest AS (SELECT y, v AS est FROM (
+      SELECT y, v,
+             ROW_NUMBER() OVER (PARTITION BY y ORDER BY v, h) AS r,
+             COUNT(*) OVER (PARTITION BY y) AS c
+      FROM ysk) WHERE r = (c + 1) // 2),
+    test_ AS (SELECT v AS est FROM (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS r,
+             COUNT(*) OVER () AS c
+      FROM tsk) WHERE r = (c + 1) // 2),
+    ests AS (
+      SELECT 'month' AS level,
+             CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR), 2, '0')
+               AS grp, est FROM mest
+      UNION ALL SELECT 'year', CAST(y AS VARCHAR), est FROM yest
+      UNION ALL SELECT 'total', 'ALL', est FROM test_
+    ),
+    keys3 AS (
+      SELECT 'month' AS level,
+             CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR), 2, '0')
+               AS grp, v FROM base
+      UNION ALL SELECT 'year', CAST(y AS VARCHAR), v FROM base
+      UNION ALL SELECT 'total', 'ALL', v FROM base
+    ),
+    cert AS (
+      SELECT k.level, k.grp, COUNT(*) AS n_rows, ANY_VALUE(e.est) AS est_p50,
+             round(CAST(SUM(CASE WHEN k.v <= e.est THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS rank_frac_le
+      FROM keys3 k JOIN ests e ON e.level = k.level AND e.grp = k.grp
+      GROUP BY k.level, k.grp
+    )
+    SELECT level, grp, CAST(n_rows AS BIGINT) AS n_rows, est_p50,
+           rank_frac_le, abs(rank_frac_le - 0.5) <= 0.1 AS within_bound
+    FROM cert
+    """,
+)
+def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup over l_extendedprice
+    (operators/sketches.bottomk_quantile_rollup): deterministic
+    bottom-256-by-md5 row samples per (year, month), merged upward to
+    year and grand-total by union + re-truncate — the
+    agg_hll_mergeable_rollup pattern applied to quantiles, the one
+    sketch family the engine lacked a mergeable form for. Each level's
+    median estimate is certified by an explicit distribution-free
+    error-bound column: the estimate's exact rank fraction in its
+    level must sit within 0.1 of 0.5 (a uniform 256-sample median
+    concentrates at ~3 sigma = 0.094 in rank space). Everything is
+    md5-deterministic, so the DuckDB twin verifies the ESTIMATES
+    hash-exactly, not within a tolerance."""
+    from etl_developstoday_test_spark.operators.sketches import (
+        bottomk_quantile_rollup,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return bottomk_quantile_rollup(
+        li,
+        "l_extendedprice",
+        F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber")),
+        year_col=F.year("l_shipdate"),
+        month_col=F.month("l_shipdate"),
+        k=256,
+    )

@@ -1709,3 +1709,39 @@ def test_lpa_isolated_vertices_become_singletons(spark):
     # round), so after 2 rounds each node holds its own label again:
     # exactly three singleton communities
     assert set(rows) == {1, 2, 99}
+
+
+def test_bottomk_quantile_rollup_bounds_and_mergeability(spark):
+    """The sketch median's rank fraction stays within the bound at
+    every level, the estimate is an actual data value, and the total
+    level's sketch equals the bottom-k of the FULL data (mergeability:
+    re-truncating merged child sketches loses nothing)."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.sketches import (
+        bottomk_quantile_rollup,
+    )
+
+    rows = [
+        (i, 2000 + (i // 2000), 1 + (i % 12), float((i * 37) % 1000))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, yy int, mm int, val double")
+    out = bottomk_quantile_rollup(
+        df, "val", F.col("id").cast("string"), "yy", "mm", k=128
+    ).collect()
+    vals = {v for _, _, _, v in rows}
+    assert len(out) == 24 + 2 + 1  # months + years + total
+    for r in out:
+        assert r["within_bound"], r
+        assert r["est_p50"] in vals
+    # mergeability: total-level estimate == estimate from the bottom-k
+    # of the raw data directly (union+retruncate == global bottom-k)
+    hashed = df.select(
+        "val", md5_long(F.col("id").cast("string")).alias("h")
+    ).orderBy("h").limit(128).orderBy("val", "h").collect()
+    k_eff = len(hashed)
+    direct = hashed[(k_eff + 1) // 2 - 1]["val"]
+    total = [r for r in out if r["level"] == "total"][0]
+    assert total["est_p50"] == direct

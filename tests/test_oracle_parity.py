@@ -96,6 +96,7 @@ _SF_SENSITIVE = [
     "text_blocklist_filter",           # max_hits threshold vs doc length
     "graph_lpa_communities",           # community structure at small graph
     "graph_degree_assortativity",      # degree variance at small graph
+    "agg_quantile_sketch_rollup",      # k=256 vs leaf sizes at small sf
 ]
 
 

@@ -388,6 +388,7 @@ _EAGER_QUERIES = {
     "embed_ann_ivf_recall",        # exact-baseline top-k checkpointed
     "ml_naive_bayes_quality",      # token explode persisted + released
     "text_bigram_lm_bottomk",      # bigram explode persisted + released
+    "text_bpe_encode_stats",       # trains the merge table (driver top-1s)
     "graph_lpa_communities",       # label-propagation iteration
     "graph_degree_assortativity",  # sym edge table persisted + released
 }

@@ -688,6 +688,76 @@ def test_bpe_merge_rounds_matches_reference_trainer(spark, words):
     assert got == expected
 
 
+def _ref_bpe_segs(words: list[str], rounds: int) -> dict[str, list[str]]:
+    """The reference trainer's final per-word segmentation — its
+    encoder. Same merge loop as _ref_bpe, returning segs instead of
+    the audit rows."""
+    from collections import Counter
+
+    freq = Counter(words)
+    segs = {w: list(w) for w in freq}
+    for _ in range(rounds):
+        counts = Counter()
+        for w, f in freq.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), _cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in segs:
+            s, new, i = segs[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            segs[w] = new
+    return segs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs_words=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bpe_encode_stats_matches_reference_encoder(spark, docs_words):
+    """Per-document BPE token counts from bpe_encode_stats must equal
+    encoding each document with the sequential reference trainer's
+    final segmentation (the merges are corpus-global, the counts
+    per-doc)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bpe_encode_stats,
+    )
+
+    all_words = [w for ws in docs_words for w in ws]
+    segs = _ref_bpe_segs(all_words, rounds=3)
+    want = {
+        i: (len(ws), sum(len(segs[w]) for w in ws))
+        for i, ws in enumerate(docs_words)
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_words)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in bpe_encode_stats(docs, rounds=3).collect()
+    }
+    assert got == want
+
+
 # --- round-7 operators -----------------------------------------------------
 
 _url_piece = st.text(
