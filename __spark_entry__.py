@@ -142,6 +142,14 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "curation_corpus_card": 8,
     "dedup_prefix_filter_jaccard": 8,
     "dedup_connected_components": 8,
+    # r8: word_shingles now let-binds its token array internally (a raw
+    # split() argument was re-evaluated per reference per element —
+    # ~10x on shingling). Values are unchanged everywhere (pure
+    # expression binding; full local parity suite re-verified), so only
+    # the sites whose argument WAS a raw split — where the expression
+    # tree materially changed — are listed; _doc_shingles consumers
+    # were already bound and merely gained a no-op wrapper.
+    "text_winnow_match_pairs": 8,
 }
 
 

@@ -167,15 +167,28 @@ def word_shingles(tok_col: Column, n: int = 3) -> Column:
 
     Documents shorter than n tokens yield an empty array — guarded
     explicitly because Spark's ``sequence(0, -1)`` counts *down* rather
-    than returning empty."""
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(tok_col) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.get(tok_col, i + off) for off in range(n)]
-        ),
-    )
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(tok_col) >= n, shingles).otherwise(empty)
+    than returning empty.
+
+    ``tok_col`` is ``let``-bound INTERNALLY: the body references the
+    token array ~n+2 times (size guard, sequence bound, one F.get per
+    offset), so a caller passing a raw ``split()`` expression would
+    otherwise re-tokenize the text once per reference PER ELEMENT —
+    CollapseProject re-inlines aliased expressions — a measured ~10×
+    slowdown on shingling. Binding here makes every call site safe by
+    construction (an already-bound lambda variable just double-binds,
+    which is free)."""
+
+    def body(toks: Column) -> Column:
+        shingles = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + off) for off in range(n)]
+            ),
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(F.size(toks) >= n, shingles).otherwise(empty)
+
+    return let(tok_col, body)
 
 
 def dot_fold(a: Column, b: Column) -> Column:

@@ -114,14 +114,20 @@ def bottomk_quantile_rollup(
     (k_eff+1) div 2 by (value, hash) total order), a raw data value,
     so estimates hash-match a SQL replay exactly.
 
-    Scale shape: the leaf sketch is one shuffle+rank per (year, month)
-    partition (distributed); the year merge ranks only its months'
-    k-row sketches (<= 12k rows per year); the total merge ranks the
-    years' sketches (<= n_years*k rows — bounded by CONSTRUCTION, so
-    its partitionless window is safe at any corpus size). The
-    rank-fraction certification is ONE extra pass: each row fans out
-    to its three level keys and joins the broadcast (levels x groups)
-    estimate table.
+    Scale shape — the data is scanned exactly TWICE, everything else is
+    bounded: (1) the leaf sketch is one shuffle+rank per (year, month)
+    partition, materialized eagerly (persist+count — it is at most
+    months x k rows, and every downstream consumer reads it from
+    cache); the year merge ranks only its months' k-row sketches, the
+    total merge the years' (<= n_years*k rows — bounded by
+    CONSTRUCTION, so its partitionless window is safe at any corpus
+    size). (2) the rank-fraction certification is ONE fused pass: each
+    row broadcast-joins its month/year/total estimates and a single
+    (year, month) aggregation produces month-level partials
+    (n, count(v<=est) per level) from which the year and total rows
+    are exact rollups — no per-level re-scan, no 3-way union of the
+    fact table. The month-partial table (months rows) is also
+    materialized so its three consumers don't re-run the fused pass.
 
     Returns one row per (level, grp): n_rows, est_p50, rank_frac_le,
     within_bound.
@@ -147,7 +153,11 @@ def bottomk_quantile_rollup(
             .drop("_rn")
         )
 
-    msk = bottom_k(base, ["y", "m"])
+    # materialize the leaf sketch: <= months*k rows, consumed by the
+    # year merge AND the month medians (persist is cacheManager-tracked
+    # so the release before return is real)
+    msk = bottom_k(base, ["y", "m"]).persist()
+    msk.count()
     ysk = bottom_k(msk, ["y"])
     tsk = bottom_k(ysk, [])
 
@@ -167,61 +177,97 @@ def bottomk_quantile_rollup(
             .select(*keys, F.col("v").alias("est"))
         )
 
+    mest = lower_median(msk, ["y", "m"]).withColumnRenamed("est", "est_m")
+    yest = lower_median(ysk, ["y"]).withColumnRenamed("est", "est_y")
+    test = lower_median(tsk, []).withColumnRenamed("est", "est_t")
+
+    # fused certification: ONE scan of the data, each row carrying its
+    # three level estimates via broadcast joins, aggregated once to
+    # month-level partials (every coarser level is an exact rollup of
+    # these — count and count(v<=est) are both self-mergeable)
+    cert = (
+        base.join(F.broadcast(mest), ["y", "m"])
+        .join(F.broadcast(yest), ["y"])
+        .crossJoin(F.broadcast(test))
+    )
+    mp = (
+        cert.groupBy("y", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("v") <= F.col("est_m"), 1).otherwise(0)
+            ).alias("c_m"),
+            F.sum(
+                F.when(F.col("v") <= F.col("est_y"), 1).otherwise(0)
+            ).alias("c_y"),
+            F.sum(
+                F.when(F.col("v") <= F.col("est_t"), 1).otherwise(0)
+            ).alias("c_t"),
+            F.any_value("est_m").alias("est_m"),
+            F.any_value("est_y").alias("est_y"),
+            F.any_value("est_t").alias("est_t"),
+        )
+        .persist()  # months rows; month/year/total outputs all read it
+    )
+    mp.count()
+
+    def frac(c, n):
+        return F.round(c.cast("double") / n, 6)
+
     grp_month = F.concat_ws(
         "-", F.col("y"), F.lpad(F.col("m").cast("string"), 2, "0")
     )
-    ests = (
-        lower_median(msk, ["y", "m"])
-        .select(F.lit("month").alias("level"), grp_month.alias("grp"), "est")
-        .unionByName(
-            lower_median(ysk, ["y"]).select(
-                F.lit("year").alias("level"),
-                F.col("y").cast("string").alias("grp"),
-                "est",
-            )
-        )
-        .unionByName(
-            lower_median(tsk, []).select(
-                F.lit("total").alias("level"),
-                F.lit("ALL").alias("grp"),
-                "est",
-            )
-        )
+    month_rows = mp.select(
+        F.lit("month").alias("level"),
+        grp_month.alias("grp"),
+        F.col("n").alias("n_rows"),
+        F.col("est_m").alias("est_p50"),
+        frac(F.col("c_m"), F.col("n")).alias("rank_frac_le"),
     )
-    keys3 = (
-        base.select(F.lit("month").alias("level"), grp_month.alias("grp"), "v")
-        .unionByName(
-            base.select(
-                F.lit("year").alias("level"),
-                F.col("y").cast("string").alias("grp"),
-                "v",
-            )
-        )
-        .unionByName(
-            base.select(
-                F.lit("total").alias("level"), F.lit("ALL").alias("grp"), "v"
-            )
-        )
-    )
-    certified = (
-        keys3.join(F.broadcast(ests), ["level", "grp"])
-        .groupBy("level", "grp")
+    year_rows = (
+        mp.groupBy("y")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.any_value("est").alias("est_p50"),
-            F.round(
-                F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("rank_frac_le"),
+            F.sum("n").alias("n_rows"),
+            F.sum("c_y").alias("c"),
+            F.any_value("est_y").alias("est_p50"),
+        )
+        .select(
+            F.lit("year").alias("level"),
+            F.col("y").cast("string").alias("grp"),
+            "n_rows",
+            "est_p50",
+            frac(F.col("c"), F.col("n_rows")).alias("rank_frac_le"),
         )
     )
-    return certified.select(
-        "level",
-        "grp",
-        "n_rows",
-        "est_p50",
-        "rank_frac_le",
-        (F.abs(F.col("rank_frac_le") - 0.5) <= bound).alias("within_bound"),
+    total_rows = (
+        mp.agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("c_t").alias("c"),
+            F.any_value("est_t").alias("est_p50"),
+        )
+        .select(
+            F.lit("total").alias("level"),
+            F.lit("ALL").alias("grp"),
+            "n_rows",
+            "est_p50",
+            frac(F.col("c"), F.col("n_rows")).alias("rank_frac_le"),
+        )
     )
+    out = (
+        month_rows.unionByName(year_rows)
+        .unionByName(total_rows)
+        .select(
+            "level",
+            "grp",
+            "n_rows",
+            "est_p50",
+            "rank_frac_le",
+            (F.abs(F.col("rank_frac_le") - 0.5) <= bound).alias(
+                "within_bound"
+            ),
+        )
+        .localCheckpoint(eager=True)  # levels+groups rows
+    )
+    msk.unpersist()  # real releases: both went through persist()
+    mp.unpersist()
+    return out

@@ -11968,7 +11968,7 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocklist_hits,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     out = blocklist_hits(docs, _BLOCKLIST, max_hits=7)
     return out.select(
         "doc_id",
@@ -11995,8 +11995,9 @@ def ml_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         naive_bayes_quality,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    return naive_bayes_quality(docs)
+    # fan_out: a single-file scan arrives as ONE partition and the
+    # token explode would run on one core
+    return naive_bayes_quality(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 @_register("text_bigram_lm_bottomk", BIGRAM_ORACLE_SQL)
@@ -12009,8 +12010,9 @@ def text_bigram_lm_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unigram model cannot). The bigram model deliberately
     shuffle-joins on the bigram string rather than broadcasting:
     bigram vocabularies outgrow driver memory at web scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text_analysis.bigram_lm_bottomk(docs, k=20)
+    return text_analysis.bigram_lm_bottomk(
+        fan_out(load_table(spark, sf_dir, "documents")), k=20
+    )
 
 
 @_register("ml_best_stump_split", STUMP_ORACLE_SQL)

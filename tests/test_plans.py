@@ -389,6 +389,7 @@ _EAGER_QUERIES = {
     "ml_naive_bayes_quality",      # token explode persisted + released
     "text_bigram_lm_bottomk",      # bigram explode persisted + released
     "text_bpe_encode_stats",       # trains the merge table (driver top-1s)
+    "agg_quantile_sketch_rollup",  # leaf sketch + month partials persisted
     "graph_lpa_communities",       # label-propagation iteration
     "graph_degree_assortativity",  # sym edge table persisted + released
 }
