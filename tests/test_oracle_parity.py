@@ -212,3 +212,43 @@ def test_spark_and_oracle_result_types_agree(spark, oracle_small):
         "Spark/oracle result dtype mismatches (driver pandas hash "
         f"diverges on equal values): {offenders}"
     )
+
+
+def test_eager_query_result_types_agree(spark, oracle_small):
+    """The dtype-agreement gate above skips eager queries (constructing
+    them runs real jobs), which left the round-6 incident class a blind
+    spot exactly where round 8 registered most of its new surface
+    (classifier training, LPA, sketch rollups are all eager). Run the
+    ORACLE-BEARING eager queries once at sf0.001 and hold their Spark
+    schemas to the same lossless-pandas-fetch mapping."""
+    from tests.conftest import SF_DIR
+    from tests.test_plans import _EAGER_QUERIES
+
+    INTS = {"SMALLINT", "INTEGER", "BIGINT", "TINYINT", "UTINYINT",
+            "USMALLINT", "UINTEGER"}
+    MAP = {
+        "bigint": INTS,
+        "int": INTS,
+        "smallint": INTS,
+        "tinyint": INTS,
+        "double": {"DOUBLE"},
+        "float": {"FLOAT"},
+        "string": {"VARCHAR"},
+        "boolean": {"BOOLEAN"},
+        "date": {"DATE"},
+        "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    }
+    offenders = []
+    for name in sorted(set(_EAGER_QUERIES) & set(ORACLE_SQL)):
+        sdf = QUERIES[name](spark, SF_DIR)
+        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema}
+        rel = oracle_small.sql(ORACLE_SQL[name])
+        for col, typ in zip(rel.columns, [str(t) for t in rel.types]):
+            st = stypes.get(col)
+            allowed = MAP.get(st) if st is not None else None
+            if allowed is not None and typ not in allowed:
+                offenders.append((name, col, st, typ))
+    assert not offenders, (
+        "eager-query Spark/oracle result dtype mismatches (driver "
+        f"pandas hash diverges on equal values): {offenders}"
+    )
