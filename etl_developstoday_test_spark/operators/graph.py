@@ -561,7 +561,14 @@ def label_propagation_communities(
         F.col(node).alias("n"), F.col(node).cast("long").alias("lbl")
     ).localCheckpoint(eager=True)
 
-    for _ in range(rounds):
+    # rounds are UNROLLED LAZILY and checkpointed every ``unroll``
+    # steps (the k-core cycle pattern): a per-round eager checkpoint
+    # would serialize one cluster-idling job per round, while a 4-round
+    # lazy chain is a shallow plan Catalyst handles easily — lineage is
+    # still truncated before it can grow across many rounds.
+    # Checkpoint blocks (one long per vertex per cycle) free on GC.
+    unroll = 4
+    for rnd in range(1, rounds + 1):
         neigh = (
             sym.join(labels, sym["d"] == labels["n"])
             .select(F.col("s").alias("n"), "lbl")
@@ -574,20 +581,12 @@ def label_propagation_communities(
                 ]).alias("new_lbl")
             )
         )
-        # localCheckpoint is required here (lineage truncation across
-        # rounds); its vertex-sized blocks are NOT cacheManager-tracked,
-        # so the superseded round's blocks free on GC, not eagerly —
-        # acceptable: rounds × one-long-per-vertex is the smallest
-        # table in the query
-        stepped = (
-            labels.join(neigh, "n", "left")
-            .select(
-                "n",
-                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+        labels = labels.join(neigh, "n", "left").select(
+            "n",
+            F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
         )
-        labels = stepped
+        if rnd % unroll == 0 or rnd == rounds:
+            labels = labels.localCheckpoint(eager=True)
 
     # modularity from exact integer counts: m, e_c, d_c. Isolated
     # vertices (in ``vertices`` but edge-free) keep their own label and
