@@ -150,6 +150,14 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # tree materially changed — are listed; _doc_shingles consumers
     # were already bound and merely gained a no-op wrapper.
     "text_winnow_match_pairs": 8,
+    # r8: the global-scalar step swapped from an unpartitioned window
+    # over the dimension-sized aggregate (per-part / per-supplier rows
+    # scale with SF — a single-task exchange at 100 TB) to a 1-row
+    # aggregate crossJoin-broadcast; AQE reuses the aggregation
+    # exchange at runtime, so the fact is still scanned once. Values
+    # unchanged (same expressions, different physical op).
+    "tpch_q11_important_parts": 8,
+    "tpch_q15_top_supplier": 8,
 }
 
 

@@ -317,30 +317,53 @@ def test_tpch_q9_broadcasts_dims_single_fact_join(spark):
 
 
 def test_tpch_q11_single_fact_scan_and_shuffle(spark):
-    """The HAVING-vs-global-scalar pattern must NOT re-execute the fact
-    subtree for the scalar total (Spark does not reuse the exchange for
-    a crossJoin'd aggregate): the total comes from an unpartitioned
-    window over the per-part aggregate, so lineitem is scanned once and
-    the groupBy(l_partkey) is the only fact shuffle. Top-100 must avoid
-    a global sort."""
-    plan = _plan_without_auto_broadcast(spark, "tpch_q11_important_parts")
-    assert plan.count("lineitem.parquet") == 1
-    assert _fact_exchanges(plan) == 1  # groupBy(l_partkey) only
-    assert "EqualTo(n_name,NATION_7)" in plan  # dim predicate pushed
-    assert "TakeOrderedAndProject" in plan
+    """The HAVING-vs-global-scalar pattern: the scalar total is a 1-row
+    aggregate of the per-part table crossJoin-broadcast back onto it.
+    The STATIC plan prints the per-part subtree under both consumers,
+    but AQE's stage cache must dedupe it at runtime (ReusedExchange in
+    the final plan — the fact is scanned/shuffled once) and NO
+    single-partition exchange may ever carry the per-part rows (they
+    scale with the part count). Top-100 must avoid a global sort."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    static = _plan_without_auto_broadcast(spark, "tpch_q11_important_parts")
+    assert "EqualTo(n_name,NATION_7)" in static  # dim predicate pushed
+    assert "TakeOrderedAndProject" in static
+    assert _global_window_hits(static) == 0
+    # sf0.01: at sf0.001 the NATION_7 slice is empty and AQE collapses
+    # the whole plan to EmptyRelation, leaving nothing to reuse
+    df = QUERIES["tpch_q11_important_parts"](spark, SF_DIR_ORACLE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final  # fact aggregated once at runtime
 
 
 def test_tpch_q15_single_fact_scan_pushed_dates(spark):
-    """The quarterly shipdate range must reach the parquet scan; the
-    scalar max comes from an unpartitioned window over the revenue
-    aggregate (no fact re-execution), and supplier joins by explicit
-    broadcast — the revenue aggregate is the only fact shuffle."""
-    plan = _plan_without_auto_broadcast(spark, "tpch_q15_top_supplier")
+    """The per-supplier revenue view is persisted and read by both the
+    1-row max aggregate and the equality filter, so the fact subtree
+    (with the quarterly shipdate range pushed into its scan) executes
+    exactly once and no single-partition exchange ever carries the
+    per-supplier rows. The query is eager (the persist), so the
+    assertions run on the revenue component built the same way."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum("l_extendedprice").alias("total_revenue"))
+    )
+    plan = revenue._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(l_shipdate," in plan
     assert "LessThan(l_shipdate," in plan
     assert plan.count("lineitem.parquet") == 1
-    assert _fact_exchanges(plan) == 1
-    assert "BroadcastHashJoin" in plan  # supplier name join
+    assert _global_window_hits(plan) == 0
 
 
 def test_tpch_q13_outer_join_keeps_orderless_customers(spark):
@@ -390,6 +413,7 @@ _EAGER_QUERIES = {
     "text_bigram_lm_bottomk",      # bigram explode persisted + released
     "text_bpe_encode_stats",       # trains the merge table (driver top-1s)
     "agg_quantile_sketch_rollup",  # leaf sketch + month partials persisted
+    "tpch_q15_top_supplier",       # per-supplier revenue view persisted
     "graph_lpa_communities",       # label-propagation iteration
     "graph_degree_assortativity",  # sym edge table persisted + released
 }
@@ -453,12 +477,6 @@ _GLOBAL_WINDOW_OK = {
     "events_rfm_segments",
     "text_unigram_logprob_quality",
     "sample_quality_epochs",
-    # global-scalar-vs-aggregate pattern: the window input is the
-    # ALREADY-AGGREGATED dimension-sized table (per-part / per-supplier
-    # skinny rows), chosen over a scalar-subquery crossJoin whose
-    # subtree Spark re-executes (documented in the query docstrings)
-    "tpch_q11_important_parts",
-    "tpch_q15_top_supplier",
     # bounded hour spine (calendar-sized)
     "events_max_concurrent_sessions",
     # per-source mixture table / n_buckets hash profile (config-sized)
