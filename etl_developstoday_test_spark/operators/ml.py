@@ -176,6 +176,46 @@ def naive_bayes_quality(
 
     Returns one row per true label: (label, n_docs, n_correct).
     """
+    per_doc, doc_labels, base = _nb_per_doc_scores(
+        docs, label_col, text_col, alpha, test_mod, broadcast_model
+    )
+    best = per_doc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("cand").asc()
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+
+    out = (
+        doc_labels.join(best.select("doc_id", "cand"), "doc_id", "left")
+        .groupBy(F.col("truth").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("cand") == F.col("truth"), 1)).alias(
+                "n_correct"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()  # real release: base went through persist()
+    return out
+
+
+def _nb_per_doc_scores(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str,
+    alpha: int,
+    test_mod: int,
+    broadcast_model: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared NB trainer/scorer: returns (per_doc scores — one row per
+    (test doc, candidate label) with the quantized-nanos score —, the
+    test docs' truth labels, and the persisted token explode the caller
+    must unpersist after materializing its output). See
+    ``naive_bayes_quality`` for the algorithm and scale shape."""
     # ONE materialized explode feeds all four consumers (token counts,
     # label totals, vocabulary, test scoring) — lazy, each would
     # re-tokenize the corpus from the scan. persist()+count() rather
@@ -254,23 +294,87 @@ def naive_bayes_quality(
             (F.col("ll") + F.col("priorq")).alias("score"),
         )
     )
-    best = per_doc.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy(
-                F.col("score").desc(), F.col("cand").asc()
-            )
-        ),
-    ).filter(F.col("rk") == 1)
+    return per_doc, doc_labels, base
 
+
+def nb_margin_calibration(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: int = 1,
+    test_mod: int = 5,
+    broadcast_model: bool = True,
+    bin_nanos: int = 200_000_000,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for the naive-Bayes classifier — CALIBRATION
+    over the DECISION MARGIN: bucket each held-out document by how far
+    its winning label's score beats the runner-up (the quantized-nanos
+    log-likelihood gap — pure BIGINT, so the bucketing is exact on any
+    engine, unlike a softmax whose exp() is not cross-engine stable),
+    and report per-bucket accuracy. A well-behaved classifier's
+    accuracy must rise with the margin; a flat or inverted table means
+    the scores carry no confidence signal and any margin-thresholded
+    auto-labeling pass built on them is miscalibrated — this is the
+    monitoring artifact a corpus-labeling pipeline checks before
+    trusting the classifier's confident subset.
+
+    STAGED for round-9 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Margin bin = min(n_bins−1, margin div bin_nanos) — fixed integer
+    edges (0.2 ln units per bin by default, top bin open). Documents
+    with no in-vocabulary token have no scores and are out of scope
+    (they are unpredicted, not ill-calibrated — the accuracy operator
+    counts them as incorrect). Same distributed shape as the
+    classifier itself: the margin needs only ranks 1 and 2 of the
+    per-(doc, label) score table — one window per doc over ≤ |labels|
+    rows.
+
+    Returns one row per non-empty bin: (margin_bin, n_docs, n_correct,
+    accuracy).
+    """
+    per_doc, doc_labels, base = _nb_per_doc_scores(
+        docs, label_col, text_col, alpha, test_mod, broadcast_model
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    ranked = per_doc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    top = ranked.filter(F.col("rk") == 1).select(
+        "doc_id", "cand", F.col("score").alias("_s1")
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "doc_id", F.col("score").alias("_s2")
+    )
+    margins = (
+        top.join(second, "doc_id")  # docs with one candidate label
+        .join(doc_labels, "doc_id")  # have no margin and drop here
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"(_s1 - _s2) div {int(bin_nanos)}"),
+            ).alias("margin_bin"),
+            F.when(F.col("cand") == F.col("truth"), 1)
+            .otherwise(0)
+            .alias("_ok"),
+        )
+    )
     out = (
-        doc_labels.join(best.select("doc_id", "cand"), "doc_id", "left")
-        .groupBy(F.col("truth").alias("label"))
+        margins.groupBy("margin_bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.count(F.when(F.col("cand") == F.col("truth"), 1)).alias(
-                "n_correct"
-            ),
+            F.sum("_ok").cast("long").alias("n_correct"),
+        )
+        .select(
+            "margin_bin",
+            "n_docs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_docs"), 6
+            ).alias("accuracy"),
         )
         .localCheckpoint(eager=True)
     )

@@ -383,3 +383,139 @@ def quality_epoch_schedule(
             (F.col("n_tokens_raw") * rf).alias("n_tokens_per_epoch"),
         )
     )
+
+
+def waterfill_allocation(
+    sources: DataFrame,
+    budget_pct: int = 60,
+    source_col: str = "source",
+    avail_col: str = "avail_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Token-budget allocation under per-source caps — WATER-FILLING
+    (the capacity-constrained proportional-fairness allocation): give
+    each source budget ∝ its weight, except a source can never give
+    more than it has; the excess redistributes to the unconstrained
+    sources, proportionally, until nothing moves. This is the budget
+    planner a mixture recipe runs BEFORE sampling: "60% of the corpus,
+    weighted by preference, but source X only has so many tokens".
+
+    STAGED for round-9 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Closed form, no iteration: sort sources by r_s = avail/weight
+    ascending — the saturated set is always a PREFIX of that order —
+    and source i saturates iff the water level computed after
+    saturating sources 1..i-1 already covers its cap:
+
+        a_i · (W_tot − W_{i-1})  <=  (B − A_{i-1}) · w_i
+
+    which is PURE INTEGER arithmetic (budget B = floor(total·pct/100),
+    prefix sums A/W of BIGINT avail/weights), so the saturation
+    frontier i* — and therefore the allocation — is bit-identical on
+    any engine with no float comparisons anywhere near the decision.
+    Only the final level λ = (B − A_{i*})/(W_tot − W_{i*}) and the
+    per-source floor(λ·w) are doubles, both single fixed-order
+    expressions over exact integers. (Products reach a·W ≈ 10^18 at
+    10^12 tokens × 10^6 weight-sum — inside int64; past that, swap the
+    two products to DECIMAL(38,0), same contract.)
+
+    Shape: everything after the per-source rollup runs on the
+    SOURCE-count-sized table — the prefix windows are bounded by the
+    number of sources, never by data. Returns one row per source:
+    (source, avail_tokens, weight, allocated_tokens, saturated).
+    Allocations are floored, so Σ allocated <= B exactly; when
+    B >= Σ avail every source saturates and the leftover budget is
+    simply unfilled (the corpus is the binding constraint).
+    """
+    src = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(avail_col).cast("long").alias("a"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    tot = src.agg(
+        F.sum("a").alias("atot"), F.sum("w").alias("wtot")
+    ).select(
+        "atot",
+        "wtot",
+        F.expr(f"(atot * {int(budget_pct)}) div 100").alias("budget"),
+    )
+    # bounded window: one row per SOURCE, never per data row
+    w_ord = Window.orderBy(
+        F.col("a").cast("double") / F.col("w"), F.col("source")
+    )
+    ranked = (
+        src.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn(
+            "aprev",
+            F.coalesce(
+                F.sum("a").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "wprev",
+            F.coalesce(
+                F.sum("w").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    sat = ranked.withColumn(
+        "is_sat",
+        F.col("a") * (F.col("wtot") - F.col("wprev"))
+        <= (F.col("budget") - F.col("aprev")) * F.col("w"),
+    )
+    istar = sat.agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_sat"), F.col("rn"))), F.lit(0)
+        ).alias("i")
+    )
+    cut = (
+        sat.crossJoin(F.broadcast(istar))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rn") <= F.col("i"), F.col("a"))),
+                F.lit(0),
+            ).alias("asat"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") <= F.col("i"), F.col("w"))),
+                F.lit(0),
+            ).alias("wsat"),
+            F.any_value("i").alias("i"),
+        )
+    )
+    lam = (
+        cut.crossJoin(F.broadcast(tot))
+        .select(
+            "i",
+            F.when(
+                F.col("wtot") - F.col("wsat") > 0,
+                (F.col("budget") - F.col("asat")).cast("double")
+                / (F.col("wtot") - F.col("wsat")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lam"),
+        )
+    )
+    return (
+        sat.crossJoin(F.broadcast(lam))
+        .select(
+            "source",
+            F.col("a").alias("avail_tokens"),
+            F.col("w").alias("weight"),
+            F.when(F.col("rn") <= F.col("i"), F.col("a"))
+            .otherwise(
+                F.floor(F.col("lam") * F.col("w").cast("double")).cast(
+                    "long"
+                )
+            )
+            .alias("allocated_tokens"),
+            (F.col("rn") <= F.col("i")).alias("saturated"),
+        )
+    )

@@ -1053,3 +1053,93 @@ def bigram_lm_bottomk(
     )
     big.unpersist()  # real release: big went through persist()
     return out
+
+
+def kneser_ney_bigram_bottomk(
+    docs: DataFrame, k: int = 20, discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram language model (Kneser & Ney
+    1995; the Chen & Goodman 1999 interpolated form with absolute
+    discounting), bottom-k quality scoring — the model class KenLM
+    actually ships, one real step up from the Laplace bigram
+    (``bigram_lm_bottomk``): instead of smearing probability uniformly
+    over the vocabulary, KN discounts every observed bigram by a fixed
+    ``discount`` and backs off to the CONTINUATION unigram — how many
+    distinct contexts a word follows — which is what stops
+    high-frequency-but-context-locked tokens ("Francisco") from
+    inflating scores of unseen combinations.
+
+    STAGED for round-9 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+        p(w2|w1) = (c(w1w2) − d)/c(w1·)
+                 + (d·N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
+
+    with N1+(w1·)/N1+(·w2) the distinct-successor/-predecessor counts
+    and T the distinct bigram types. Every count is an exact integer,
+    ``d`` = 0.75 is exactly binary-representable, and the probability
+    is ONE fixed-order double expression over them — so only ln() is
+    engine-unstable, and it is nano-quantized (the repo contract).
+    Scored on the corpus the model was built from, every scored bigram
+    has c ≥ 1, so c − d > 0 and the interpolated p is always positive.
+
+    Scale shape: identical to ``bigram_lm_bottomk`` — the three count
+    tables derive from ONE bigram-type aggregation (successor stats
+    are a groupBy over the TYPE table, not the corpus), the model
+    deliberately shuffle-joins on the bigram string (bigram
+    vocabularies outgrow broadcast at web scale), and the output is a
+    TakeOrderedAndProject of k rows.
+
+    Returns (doc_id, n_bigrams, mean_logprob), k lowest-quality rows.
+    """
+    # persist()+count(): cacheManager-tracked so the release is real
+    big = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg"),
+    ).persist()
+    big.count()  # eager: both consumers below read the cache
+
+    bcounts = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    typed = bcounts.select("bg", "c", w1.alias("w1"), w2.alias("w2"))
+    ctx = typed.groupBy("w1").agg(
+        F.sum("c").alias("ctot"), F.count(F.lit(1)).alias("n1p")
+    )
+    pred = typed.groupBy("w2").agg(F.count(F.lit(1)).alias("npred"))
+    tt = bcounts.agg(F.count(F.lit(1)).alias("t"))
+    d = float(discount)
+    p = (F.col("c").cast("double") - F.lit(d)) / F.col("ctot").cast(
+        "double"
+    ) + (
+        (F.lit(d) * F.col("n1p").cast("double"))
+        / F.col("ctot").cast("double")
+    ) * (
+        F.col("npred").cast("double") / F.col("t").cast("double")
+    )
+    model = (
+        typed.join(ctx, "w1")
+        .join(pred, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bg",
+            F.round(F.log(p) * 1e9).cast("long").alias("llq"),
+        )
+    )
+    per_doc = (
+        big.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("llq").cast("double") / 1e9 / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    out = (
+        per_doc.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    big.unpersist()  # real release: big went through persist()
+    return out

@@ -1745,3 +1745,62 @@ def test_bottomk_quantile_rollup_bounds_and_mergeability(spark):
     direct = hashed[(k_eff + 1) // 2 - 1]["val"]
     total = [r for r in out if r["level"] == "total"][0]
     assert total["est_p50"] == direct
+
+
+# --- staged round-9 operators ------------------------------------------------
+
+
+def test_kneser_ney_penalizes_context_locked_tokens(spark):
+    """The continuation-count backoff is what distinguishes KN from
+    Laplace: a token frequent ONLY after one fixed context ("francisco"
+    after "san") must carry a LOWER continuation weight than an
+    equally-frequent token seen after many contexts — so a document
+    pairing the context-locked token with a NOVEL context scores lower
+    under KN even when raw unigram frequencies are identical."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        kneser_ney_bigram_bottomk,
+    )
+
+    rows = [
+        # 'francisco' always follows 'san'; 'deal' follows many contexts
+        (i, "san francisco is a big city with a big deal") for i in range(4)
+    ] + [
+        (10, "new deal old deal good deal bad deal"),
+        # both docs pair a NOVEL context with the probe token — one
+        # probes the context-locked word, one the promiscuous word
+        (20, "the francisco"),
+        (21, "the deal"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in kneser_ney_bigram_bottomk(docs, k=20).collect()
+    }
+    assert out[20] < out[21], (out[20], out[21])
+
+
+def test_nb_margin_calibration_bins_and_counts(spark):
+    """Margin bins are exact integer cuts of the nanos score gap; the
+    per-bin doc counts partition the predicted test split, and each
+    accuracy equals n_correct/n_docs."""
+    from etl_developstoday_test_spark.operators.ml import (
+        nb_margin_calibration,
+        naive_bayes_quality,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "apple banana cherry apple", "a"))
+    for i in range(20, 40):
+        rows.append((i, "xylo zonk wumpus zonk", "b"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cal = nb_margin_calibration(docs, test_mod=5).collect()
+    # disjoint vocabularies: every margin is large and every doc correct
+    assert all(r["accuracy"] == 1.0 for r in cal)
+    assert sum(r["n_docs"] for r in cal) == 8  # the test split
+    for r in cal:
+        assert 0 <= r["margin_bin"] <= 9
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_docs"]) < 1e-9
+    # sanity: the accuracy operator agrees on the same corpus
+    acc = {r["label"]: r for r in naive_bayes_quality(docs, test_mod=5).collect()}
+    assert sum(a["n_correct"] for a in acc.values()) == 8

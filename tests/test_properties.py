@@ -1188,3 +1188,81 @@ def test_exact_ntile_equals_global_window_ntile(spark, vals, n_tiles):
             ).collect()
         }
         assert got_d == want_d
+
+
+_wf_sources = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # avail tokens
+        st.integers(min_value=1, max_value=9),       # weight
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _ref_waterfill(sources, budget):
+    """Iterative reference water-filling: repeatedly allocate the
+    remaining budget proportionally over unsaturated sources, cap any
+    that exceed their avail, repeat until stable. Returns the exact
+    rational water level as a float plus the saturated set."""
+    remaining = budget
+    unsat = dict(enumerate(sources))
+    saturated = {}
+    while True:
+        wsum = sum(w for _, w in unsat.values())
+        if wsum == 0:
+            lam = 0.0
+            break
+        lam = remaining / wsum
+        newly = {
+            i: (a, w) for i, (a, w) in unsat.items() if a <= lam * w
+        }
+        if not newly:
+            break
+        for i, (a, w) in newly.items():
+            saturated[i] = (a, w)
+            remaining -= a
+            del unsat[i]
+    return lam, set(saturated)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sources=_wf_sources, pct=st.integers(min_value=1, max_value=100))
+def test_waterfill_matches_iterative_reference(spark, sources, pct):
+    """waterfill_allocation's closed-form prefix rule == the iterative
+    fixed-point reference on any (avail, weight) profile: the same
+    saturated set, capped sources get exactly their avail, unsaturated
+    sources get floor(lambda*w), and the budget is never exceeded."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    rows = [(f"s{i}", a, w) for i, (a, w) in enumerate(sources)]
+    budget = sum(a for a, _ in sources) * pct // 100
+    lam, sat_ref = _ref_waterfill(sources, budget)
+    df = spark.createDataFrame(
+        rows, "source string, avail_tokens long, weight long"
+    )
+    out = {
+        r["source"]: r
+        for r in waterfill_allocation(df, budget_pct=pct).collect()
+    }
+    total_alloc = 0
+    for i, (a, w) in enumerate(sources):
+        r = out[f"s{i}"]
+        assert r["allocated_tokens"] <= a
+        if r["saturated"]:
+            assert r["allocated_tokens"] == a
+        else:
+            assert r["allocated_tokens"] == int(lam * w // 1) or (
+                # float-order differences between the reference's
+                # iterative lambda and the closed form are possible at
+                # the last ulp; the INTEGER saturation sets must agree
+                abs(r["allocated_tokens"] - lam * w) < 1
+            )
+        total_alloc += r["allocated_tokens"]
+    assert {i for i, (a, w) in enumerate(sources)
+            if out[f"s{i}"]["saturated"]} == sat_ref
+    assert total_alloc <= budget or all(
+        out[f"s{i}"]["saturated"] for i in range(len(sources))
+    )

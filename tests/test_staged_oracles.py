@@ -213,3 +213,209 @@ def test_assortativity_matches_oracle(spark):
     drow = c.execute(ASSORT_ORACLE).fetchall()[0]
     c.close()
     assert srow == drow
+
+
+# --- STAGED for round 9 -----------------------------------------------------
+
+WATERFILL_ORACLE = r"""
+WITH src AS (
+  -- weight = salted-md5 of the source, 1..9: a stand-in for a caller
+  -- preference table that is deterministic AND skewed enough to
+  -- exercise the saturation branch on this corpus (uniform weights
+  -- never saturate anything at 60% of a uniform corpus)
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+           AS BIGINT) AS a,
+         CAST(CAST(concat('0x', substr(md5('wf#' || source), 1, 15))
+           AS BIGINT) % 9 + 1 AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS atot, CAST(SUM(w) AS BIGINT) AS wtot,
+         CAST((SUM(a) * 60) // 100 AS BIGINT) AS budget
+  FROM src
+),
+ranked AS (
+  SELECT source, a, w,
+         ROW_NUMBER() OVER (ORDER BY CAST(a AS DOUBLE) / w, source) AS rn,
+         CAST(COALESCE(SUM(a) OVER (ORDER BY CAST(a AS DOUBLE) / w, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS aprev,
+         CAST(COALESCE(SUM(w) OVER (ORDER BY CAST(a AS DOUBLE) / w, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS wprev
+  FROM src
+),
+sat AS (
+  SELECT ranked.*, tot.budget, tot.wtot,
+         (a * (tot.wtot - wprev)) <= ((tot.budget - aprev) * w) AS is_sat
+  FROM ranked CROSS JOIN tot
+),
+istar AS (
+  SELECT COALESCE(MAX(CASE WHEN is_sat THEN rn END), 0) AS i FROM sat
+),
+cut AS (
+  SELECT CAST(COALESCE(SUM(a) FILTER (WHERE rn <= i), 0) AS BIGINT) AS asat,
+         CAST(COALESCE(SUM(w) FILTER (WHERE rn <= i), 0) AS BIGINT) AS wsat,
+         ANY_VALUE(i) AS i
+  FROM sat CROSS JOIN istar
+),
+lam AS (
+  SELECT cut.i,
+         CASE WHEN tot.wtot - cut.wsat > 0
+              THEN CAST(tot.budget - cut.asat AS DOUBLE)
+                   / CAST(tot.wtot - cut.wsat AS DOUBLE)
+              ELSE 0.0 END AS lam
+  FROM cut CROSS JOIN tot
+)
+SELECT source, a AS avail_tokens, w AS weight,
+       CASE WHEN rn <= lam.i THEN a
+            ELSE CAST(floor(lam.lam * CAST(w AS DOUBLE)) AS BIGINT)
+       END AS allocated_tokens,
+       rn <= lam.i AS saturated
+FROM sat CROSS JOIN lam
+"""
+
+
+def test_waterfill_matches_oracle(spark, sf_con):
+    """STAGED r9: the registered query will roll documents up to
+    (source, avail tokens, distinct-lang weight) and water-fill 60% of
+    the total — verified value-for-value at both scales BEFORE
+    registration, same discipline as the round-8 staging."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import md5_long, tokens
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("avail_tokens"),
+    ).select(
+        "source",
+        "avail_tokens",
+        (
+            md5_long(F.concat(F.lit("wf#"), F.col("source"))) % 9 + 1
+        ).alias("weight"),
+    )
+    srows = sorted(
+        tuple(r) for r in waterfill_allocation(src, budget_pct=60).collect()
+    )
+    drows = sorted(tuple(r) for r in con.execute(WATERFILL_ORACLE).fetchall())
+    assert srows == drows
+    assert all(r[3] <= r[1] for r in srows)  # never exceeds a cap
+    assert any(r[4] for r in srows)  # the saturation branch IS exercised
+
+
+# The calibration oracle shares the NB model CTEs verbatim (imported
+# string, single source of truth) and extends the scoring with ranks 1
+# and 2 per doc — the margin is pure BIGINT nanos, so the bucketing is
+# exact cross-engine.
+NB_CALIBRATION_ORACLE = (
+    NB_ORACLE.split("best AS (")[0]
+    + """ranked AS (
+  SELECT doc_id, cand, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+  FROM per_doc
+),
+truth AS (
+  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
+),
+margins AS (
+  SELECT LEAST(9, (b.score - s.score) // 200000000) AS margin_bin,
+         CASE WHEN b.cand = t.truth THEN 1 ELSE 0 END AS ok
+  FROM ranked b
+  JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
+  JOIN truth t ON t.doc_id = b.doc_id
+  WHERE b.rk = 1
+)
+SELECT CAST(margin_bin AS BIGINT) AS margin_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM margins GROUP BY margin_bin
+"""
+)
+
+
+def test_nb_margin_calibration_matches_oracle(spark, sf_con):
+    """STAGED r9: per-margin-bin reliability table of the naive-Bayes
+    classifier — verified value-for-value at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.ml import (
+        nb_margin_calibration,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = sorted(
+        tuple(r) for r in nb_margin_calibration(docs).collect()
+    )
+    drows = sorted(
+        tuple(r) for r in con.execute(NB_CALIBRATION_ORACLE).fetchall()
+    )
+    assert srows == drows
+
+
+KN_BIGRAM_ORACLE = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM arrs, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+bcounts AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+typed AS (
+  SELECT bg, c, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bcounts
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1p
+  FROM typed GROUP BY w1
+),
+pred AS (SELECT w2, COUNT(*) AS npred FROM typed GROUP BY w2),
+tt AS (SELECT COUNT(*) AS t FROM bcounts),
+model AS (
+  SELECT typed.bg,
+         CAST(round(ln(
+           (CAST(c AS DOUBLE) - 0.75) / CAST(ctot AS DOUBLE)
+           + ((0.75 * CAST(n1p AS DOUBLE)) / CAST(ctot AS DOUBLE))
+             * (CAST(npred AS DOUBLE) / CAST(t AS DOUBLE))
+         ) * 1e9) AS BIGINT) AS llq
+  FROM typed
+  JOIN ctx ON ctx.w1 = typed.w1
+  JOIN pred ON pred.w2 = typed.w2
+  CROSS JOIN tt
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS mean_logprob
+  FROM big JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
+ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
+"""
+
+
+def test_kneser_ney_bigram_matches_oracle(spark, sf_con):
+    """STAGED r9: interpolated Kneser-Ney bigram LM bottom-k — verified
+    value-for-value at both scales BEFORE registration (counts exact,
+    discount 0.75 binary-exact, probability one fixed-order double
+    expression, ln nano-quantized)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        kneser_ney_bigram_bottomk,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [
+        tuple(r) for r in kneser_ney_bigram_bottomk(docs, k=20).collect()
+    ]
+    drows = con.execute(KN_BIGRAM_ORACLE).fetchall()
+    assert srows == drows
