@@ -519,3 +519,74 @@ def waterfill_allocation(
             (F.col("rn") <= F.col("i")).alias("saturated"),
         )
     )
+
+
+def packing_efficiency_audit(
+    docs: DataFrame,
+    budget: int = 128,
+    n_shards: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency audit: how many fixed-``budget`` training
+    sequences the corpus costs UNPACKED (one document per sequence run,
+    ceil(t/B) sequences each, the tail one padded) versus PACKED
+    (concatenate-and-chunk per shard — the layout ``pack_sequences``
+    materializes), and how much padding each regime burns. This is the
+    batch-assembly planning number: padding is compute spent on
+    nothing, and the saved fraction is the direct speedup packing buys
+    a training run.
+
+    STAGED for round-9 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Everything is EXACT integer arithmetic — token counts, ceil
+    divisions ((t + B − 1) div B), per-shard totals — so the audit is
+    bit-identical cross-engine. One narrow token-count map + one
+    shard-level rollup (n_shards rows); nothing scales past the scan.
+
+    Returns ONE row: (n_docs, total_tokens, unpacked_seqs,
+    unpacked_pad_tokens, packed_seqs, packed_pad_tokens,
+    pad_saved_pct = round(100·(unpacked_pad − packed_pad)/unpacked_pad,
+    6); 0.0 when there is no unpacked padding to save).
+    """
+    from etl_developstoday_test_spark.functions import let, md5_long, tokens
+
+    t = docs.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % n_shards).alias(
+            "shard"
+        ),
+        let(tokens(F.col(text_col)), lambda x: F.size(x).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    b = int(budget)
+    per_shard = t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum(F.expr(f"(n_tokens + {b} - 1) div {b}")).alias("useq"),
+    )
+    # packed: each shard is one concatenated stream -> ceil(tok/B)
+    # sequences, padding only in the shard's final sequence
+    out = per_shard.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.sum("useq").alias("unpacked_seqs"),
+        (F.sum("useq") * b - F.sum("tok")).alias("unpacked_pad_tokens"),
+        F.sum(F.expr(f"(tok + {b} - 1) div {b}")).alias("packed_seqs"),
+        (
+            F.sum(F.expr(f"(tok + {b} - 1) div {b}")) * b - F.sum("tok")
+        ).alias("packed_pad_tokens"),
+    )
+    saved = F.when(
+        F.col("unpacked_pad_tokens") > 0,
+        F.round(
+            F.lit(100.0)
+            * (
+                F.col("unpacked_pad_tokens") - F.col("packed_pad_tokens")
+            ).cast("double")
+            / F.col("unpacked_pad_tokens").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("pad_saved_pct", saved)

@@ -1143,3 +1143,56 @@ def kneser_ney_bigram_bottomk(
     )
     big.unpersist()  # real release: big went through persist()
     return out
+
+
+def bpe_fertility_by_lang(
+    docs: DataFrame, rounds: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer FERTILITY by language — the standard multilingual
+    tokenizer-evaluation metric (mean encoded tokens per word): a
+    tokenizer trained on a mixed corpus systematically over-segments
+    the languages it under-saw, inflating their effective sequence
+    lengths and training cost, and the per-language fertility table is
+    how that bias is detected BEFORE committing a vocabulary. Built on
+    the same trained-merge segmentation ``bpe_encode_stats`` applies:
+    the trainer's final (word, syms) table joins the exploded token
+    stream once, then one (lang) rollup.
+
+    STAGED for round-9 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Returns one row per language: (lang, n_docs, n_ws_tokens,
+    n_bpe_tokens, fertility = round(bpe/ws, 6)).
+    """
+    words, _ = _bpe_train(docs, rounds, text_col)
+    enc = words.select("word", F.size("syms").alias("_bpe"))
+    doc_tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = (
+        doc_tok.join(F.broadcast(enc), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("_ws"),
+            F.sum("_bpe").cast("long").alias("_bpe"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("n_ws_tokens"),
+            F.sum("_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_ws_tokens"),
+                6,
+            ).alias("fertility"),
+        )
+    )

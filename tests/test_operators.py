@@ -1804,3 +1804,72 @@ def test_nb_margin_calibration_bins_and_counts(spark):
     # sanity: the accuracy operator agrees on the same corpus
     acc = {r["label"]: r for r in naive_bayes_quality(docs, test_mod=5).collect()}
     assert sum(a["n_correct"] for a in acc.values()) == 8
+
+
+def test_bpe_fertility_consistency_with_encode_stats(spark):
+    """Per-language fertility must be the lang-rollup of the per-doc
+    encoder output (same trained merges, same join), and >= 1 only
+    when merges can't cover every word — single-char vocabularies
+    merge fully."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_fertility_by_lang,
+    )
+
+    rows = [
+        (0, "aa ab aa ab", "x"),
+        (1, "aa aa ba", "x"),
+        (2, "cc cd cc", "y"),
+        (3, "dd dd", "y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    per_doc = bpe_encode_stats(docs, rounds=3).collect()
+    by_lang = {}
+    lang_of = {i: l for i, _, l in rows}
+    for r in per_doc:
+        l = lang_of[r["doc_id"]]
+        d = by_lang.setdefault(l, [0, 0, 0])
+        d[0] += 1
+        d[1] += r["n_ws_tokens"]
+        d[2] += r["n_bpe_tokens"]
+    got = {
+        r["lang"]: (r["n_docs"], r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in bpe_fertility_by_lang(docs, rounds=3).collect()
+    }
+    assert got == {l: tuple(v) for l, v in by_lang.items()}
+
+
+def test_packing_efficiency_matches_python_reference(spark):
+    """The audit's sequence/padding counts equal a direct python fold
+    over the same shard assignment and budget."""
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.sampling import (
+        packing_efficiency_audit,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, " ".join("t" for _ in range((i * 7) % 40 + 1))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    B, S = 16, 4
+    shards = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", (md5_long(F.col("doc_id").cast("string")) % S).alias("s")
+        ).collect()
+    }
+    per_shard_tok = {}
+    useq = 0
+    total = 0
+    for i, text in rows:
+        t = len(text.split())
+        total += t
+        useq += -(-t // B)
+        per_shard_tok[shards[i]] = per_shard_tok.get(shards[i], 0) + t
+    pseq = sum(-(-tok // B) for tok in per_shard_tok.values())
+    r = packing_efficiency_audit(docs, budget=B, n_shards=S).collect()[0]
+    assert (r["n_docs"], r["total_tokens"]) == (60, total)
+    assert (r["unpacked_seqs"], r["packed_seqs"]) == (useq, pseq)
+    assert r["unpacked_pad_tokens"] == useq * B - total
+    assert r["packed_pad_tokens"] == pseq * B - total

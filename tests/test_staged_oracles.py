@@ -419,3 +419,100 @@ def test_kneser_ney_bigram_matches_oracle(spark, sf_con):
     ]
     drows = con.execute(KN_BIGRAM_ORACLE).fetchall()
     assert srows == drows
+
+
+# Fertility shares the BPE trainer replay CTEs (imported builder,
+# single source of truth) and rolls the encoded counts up by language.
+from etl_developstoday_test_spark.plans.queries import _bpe_ctes
+
+FERTILITY_ORACLE = (
+    _bpe_ctes(5)
+    + r""", encoded AS (SELECT word, len(syms) AS bpe FROM w5),
+    doc_tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COUNT(*) AS BIGINT) AS ws,
+             CAST(SUM(e.bpe) AS BIGINT) AS bpe
+      FROM doc_tok d JOIN encoded e USING (word)
+      WHERE d.word <> ''
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility
+    FROM per_doc GROUP BY lang"""
+)
+
+
+def test_bpe_fertility_matches_oracle(spark, sf_con):
+    """STAGED r9: per-language tokenizer fertility over the trained
+    5-merge segmentation — verified value-for-value at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bpe_fertility_by_lang,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = sorted(
+        tuple(r) for r in bpe_fertility_by_lang(docs, rounds=5).collect()
+    )
+    drows = sorted(tuple(r) for r in con.execute(FERTILITY_ORACLE).fetchall())
+    assert srows == drows
+
+
+PACKING_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         {md5} % 32 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok,
+         CAST(SUM((n_tokens + 127) // 128) AS BIGINT) AS useq
+  FROM t GROUP BY shard
+),
+agg AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(useq) AS BIGINT) AS unpacked_seqs,
+         CAST(SUM(useq) * 128 - SUM(tok) AS BIGINT) AS unpacked_pad_tokens,
+         CAST(SUM((tok + 127) // 128) AS BIGINT) AS packed_seqs,
+         CAST(SUM((tok + 127) // 128) * 128 - SUM(tok) AS BIGINT)
+           AS packed_pad_tokens
+  FROM per_shard
+)
+SELECT *, CASE WHEN unpacked_pad_tokens > 0
+           THEN round(100.0 * CAST(unpacked_pad_tokens - packed_pad_tokens
+                AS DOUBLE) / CAST(unpacked_pad_tokens AS DOUBLE), 6)
+           ELSE 0.0 END AS pad_saved_pct
+FROM agg
+""".format(
+    md5="CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+def test_packing_efficiency_matches_oracle(spark, sf_con):
+    """STAGED r9: unpacked-vs-packed sequence/padding audit at budget
+    128 x 32 shards — exact integer arithmetic end to end, verified at
+    both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        packing_efficiency_audit,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srow = tuple(packing_efficiency_audit(docs, budget=128).collect()[0])
+    drow = con.execute(PACKING_ORACLE).fetchall()[0]
+    assert srow == drow
+    # padding saved must be nonnegative and the packed layout never
+    # needs more sequences than the unpacked one
+    assert srow[4] <= srow[2] and srow[5] <= srow[3]
