@@ -69,11 +69,10 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "sample_mixture_upsample": 6,
     # r6: autoBroadcastJoinThreshold override moved to a cloned session
     "join_bucketed_colocated": 6,
-    # r6: convergence check fused into the label-recompute aggregation
-    "dedup_connected_components": 6,
-    "dedup_cluster_canonicals": 6,
-    # r5: df_max hot-fingerprint cap added before the self-join
-    "text_winnow_match_pairs": 5,
+    # (dedup_connected_components / dedup_cluster_canonicals /
+    # text_winnow_match_pairs also changed in r6/r5 — their entries live
+    # at their LATEST change round below; one key per query, no shadowed
+    # duplicates)
     # r5: as-of joins now carry the matched right row as one struct
     # payload (whole-row ASOF semantics; no cross-row null stitching)
     "join_asof_attribution": 5,
@@ -94,7 +93,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # case; judge-verified value-equal). Every such aggregate is now
     # CAST(... AS BIGINT); tests/test_oracle_parity.py carries a
     # result-type tripwire so the class can't ship again.
-    "curation_corpus_card": 7,
+    # (curation_corpus_card was in this batch too — entry at its r8
+    # change below)
     "stream_left_outer_attribution": 7,
     "dq_k_anonymity_audit": 7,
     "sample_shard_shuffle": 7,
@@ -109,10 +109,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "events_arrow_grouped_stats": 7,
     "text_exact_substring_coverage": 7,
     "text_arrow_batch_stats": 7,
-    # r7: k-core h-step rewritten window→collect_list aggregate (one
-    # shuffle per sub-step); oracle replay extended 30→40 rounds to
-    # match max_rounds, operator now raises on exhaustion
-    "graph_kcore_decomposition": 7,
+    # (graph_kcore_decomposition's r7 h-step rewrite is superseded by
+    # its r8 entry below)
     # r7 checkpointed the gram table / exact-baseline top-k (shared
     # subtrees ran twice); r8 switched that materialization from
     # localCheckpoint to tracked persist()+count() so the pre-return

@@ -319,8 +319,8 @@ def nb_margin_calibration(
     monitoring artifact a corpus-labeling pipeline checks before
     trusting the classifier's confident subset.
 
-    STAGED for round-9 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 9; the oracle was value-locked at two scales
+    before registration (tests/test_staged_oracles.py).
 
     Margin bin = min(n_bins−1, margin div bin_nanos) — fixed integer
     edges (0.2 ln units per bin by default, top bin open). Documents

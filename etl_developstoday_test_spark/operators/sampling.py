@@ -400,8 +400,8 @@ def waterfill_allocation(
     planner a mixture recipe runs BEFORE sampling: "60% of the corpus,
     weighted by preference, but source X only has so many tokens".
 
-    STAGED for round-9 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 9; the oracle was value-locked at two scales
+    before registration (tests/test_staged_oracles.py).
 
     Closed form, no iteration: sort sources by r_s = avail/weight
     ascending — the saturated set is always a PREFIX of that order —
@@ -422,7 +422,17 @@ def waterfill_allocation(
 
     Shape: everything after the per-source rollup runs on the
     SOURCE-count-sized table — the prefix windows are bounded by the
-    number of sources, never by data. Returns one row per source:
+    number of sources, never by data — and the rollup is checkpointed
+    EAGERLY, so whatever corpus scan feeds ``sources`` runs exactly
+    once no matter how many downstream branches (tot / ranked / sat /
+    cut / final) the closed form fans into. Weights must be positive:
+    w <= 0 (or NULL) would make the a/w ordering key NULL, the row
+    would sort first and never saturate, and its full avail would be
+    wrongly counted into the saturated prefix — so the operator
+    REJECTS such rows up front (cheap: one job over the checkpointed
+    source-count-sized table) rather than silently skewing the level.
+
+    Returns one row per source:
     (source, avail_tokens, weight, allocated_tokens, saturated).
     Allocations are floored, so Σ allocated <= B exactly; when
     B >= Σ avail every source saturates and the leftover budget is
@@ -432,7 +442,20 @@ def waterfill_allocation(
         F.col(source_col).alias("source"),
         F.col(avail_col).cast("long").alias("a"),
         F.col(weight_col).cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
+    n_bad = src.filter(
+        F.col("w").isNull()
+        | (F.col("w") <= 0)
+        | F.col("a").isNull()
+        | (F.col("a") < 0)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"waterfill_allocation: {n_bad} source(s) with NULL/"
+            "non-positive weight or NULL/negative avail — the "
+            "saturated-prefix invariant needs w > 0 and a >= 0; "
+            "filter or re-weight these sources explicitly"
+        )
     tot = src.agg(
         F.sum("a").alias("atot"), F.sum("w").alias("wtot")
     ).select(
@@ -536,8 +559,8 @@ def packing_efficiency_audit(
     nothing, and the saved fraction is the direct speedup packing buys
     a training run.
 
-    STAGED for round-9 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 9; the oracle was value-locked at two scales
+    before registration (tests/test_staged_oracles.py).
 
     Everything is EXACT integer arithmetic — token counts, ceil
     divisions ((t + B − 1) div B), per-shard totals — so the audit is

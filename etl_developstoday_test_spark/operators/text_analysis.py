@@ -1069,8 +1069,8 @@ def kneser_ney_bigram_bottomk(
     high-frequency-but-context-locked tokens ("Francisco") from
     inflating scores of unseen combinations.
 
-    STAGED for round-9 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 9; the oracle was value-locked at two scales
+    before registration (tests/test_staged_oracles.py).
 
         p(w2|w1) = (c(w1w2) − d)/c(w1·)
                  + (d·N1+(w1·)/c(w1·)) · (N1+(·w2)/T)
@@ -1158,8 +1158,8 @@ def bpe_fertility_by_lang(
     the trainer's final (word, syms) table joins the exploded token
     stream once, then one (lang) rollup.
 
-    STAGED for round-9 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 9; the oracle was value-locked at two scales
+    before registration (tests/test_staged_oracles.py).
 
     Returns one row per language: (lang, n_docs, n_ws_tokens,
     n_bpe_tokens, fertility = round(bpe/ws, 6)).

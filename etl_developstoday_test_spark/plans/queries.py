@@ -12291,3 +12291,319 @@ def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         month_col=F.month("l_shipdate"),
         k=256,
     )
+
+
+# --- round-9 registrations (staged + oracle-locked in round 8:
+# tests/test_staged_oracles.py verified each string below value-for-
+# value at sf0.001 AND sf0.01 BEFORE registration, so the driver's
+# first row can only be green) ----------------------------------------------
+
+WATERFILL_ORACLE_SQL = r"""
+WITH src AS (
+  -- weight = salted-md5 of the source, 1..9: a stand-in for a caller
+  -- preference table that is deterministic AND skewed enough to
+  -- exercise the saturation branch on this corpus (uniform weights
+  -- never saturate anything at 60% of a uniform corpus)
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+           AS BIGINT) AS a,
+         CAST(CAST(concat('0x', substr(md5('wf#' || source), 1, 15))
+           AS BIGINT) % 9 + 1 AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS atot, CAST(SUM(w) AS BIGINT) AS wtot,
+         CAST((SUM(a) * 60) // 100 AS BIGINT) AS budget
+  FROM src
+),
+ranked AS (
+  SELECT source, a, w,
+         ROW_NUMBER() OVER (ORDER BY CAST(a AS DOUBLE) / w, source) AS rn,
+         CAST(COALESCE(SUM(a) OVER (ORDER BY CAST(a AS DOUBLE) / w, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS aprev,
+         CAST(COALESCE(SUM(w) OVER (ORDER BY CAST(a AS DOUBLE) / w, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS wprev
+  FROM src
+),
+sat AS (
+  SELECT ranked.*, tot.budget, tot.wtot,
+         (a * (tot.wtot - wprev)) <= ((tot.budget - aprev) * w) AS is_sat
+  FROM ranked CROSS JOIN tot
+),
+istar AS (
+  SELECT COALESCE(MAX(CASE WHEN is_sat THEN rn END), 0) AS i FROM sat
+),
+cut AS (
+  SELECT CAST(COALESCE(SUM(a) FILTER (WHERE rn <= i), 0) AS BIGINT) AS asat,
+         CAST(COALESCE(SUM(w) FILTER (WHERE rn <= i), 0) AS BIGINT) AS wsat,
+         ANY_VALUE(i) AS i
+  FROM sat CROSS JOIN istar
+),
+lam AS (
+  SELECT cut.i,
+         CASE WHEN tot.wtot - cut.wsat > 0
+              THEN CAST(tot.budget - cut.asat AS DOUBLE)
+                   / CAST(tot.wtot - cut.wsat AS DOUBLE)
+              ELSE 0.0 END AS lam
+  FROM cut CROSS JOIN tot
+)
+SELECT source, a AS avail_tokens, w AS weight,
+       CASE WHEN rn <= lam.i THEN a
+            ELSE CAST(floor(lam.lam * CAST(w AS DOUBLE)) AS BIGINT)
+       END AS allocated_tokens,
+       rn <= lam.i AS saturated
+FROM sat CROSS JOIN lam
+"""
+
+
+@_register("sample_waterfill_allocation", WATERFILL_ORACLE_SQL)
+def sample_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation under per-source caps — WATER-FILLING
+    (operators/sampling.waterfill_allocation): allocate 60% of the
+    corpus's tokens across sources proportionally to a deterministic
+    salted-md5 preference weight, except no source can give more than
+    it has; the excess redistributes to the unconstrained sources.
+    This is the budget planner a mixture recipe runs BEFORE sampling.
+    The saturation frontier is a pure-integer prefix-sum decision
+    (sort by avail/weight: the saturated set is always a prefix), so
+    the allocation is bit-identical cross-engine; only the final water
+    level is a double. One corpus scan (the per-source rollup is
+    checkpointed; every downstream branch is source-count-sized)."""
+    from etl_developstoday_test_spark.functions import md5_long, tokens
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    src = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("avail_tokens"))
+        .select(
+            "source",
+            "avail_tokens",
+            (
+                md5_long(F.concat(F.lit("wf#"), F.col("source"))) % 9 + 1
+            ).alias("weight"),
+        )
+    )
+    return waterfill_allocation(src, budget_pct=60)
+
+
+PACKING_ORACLE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         {md5} % 32 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+per_shard AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok,
+         CAST(SUM((n_tokens + 127) // 128) AS BIGINT) AS useq
+  FROM t GROUP BY shard
+),
+agg AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(useq) AS BIGINT) AS unpacked_seqs,
+         CAST(SUM(useq) * 128 - SUM(tok) AS BIGINT) AS unpacked_pad_tokens,
+         CAST(SUM((tok + 127) // 128) AS BIGINT) AS packed_seqs,
+         CAST(SUM((tok + 127) // 128) * 128 - SUM(tok) AS BIGINT)
+           AS packed_pad_tokens
+  FROM per_shard
+)
+SELECT *, CASE WHEN unpacked_pad_tokens > 0
+           THEN round(100.0 * CAST(unpacked_pad_tokens - packed_pad_tokens
+                AS DOUBLE) / CAST(unpacked_pad_tokens AS DOUBLE), 6)
+           ELSE 0.0 END AS pad_saved_pct
+FROM agg
+""".format(
+    md5="CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@_register("sample_packing_efficiency", PACKING_ORACLE_SQL)
+def sample_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit (operators/sampling.
+    packing_efficiency_audit): how many fixed-128-token training
+    sequences the corpus costs UNPACKED (one document per sequence
+    run) versus PACKED (concatenate-and-chunk per md5 shard, the
+    layout sample_packed_sequences materializes), and the padding each
+    regime burns — padding is compute spent on nothing, and
+    pad_saved_pct is the direct speedup packing buys a training run.
+    Exact integer arithmetic end to end (token counts, ceil divisions,
+    per-shard totals); one narrow codegen token-count map + one
+    32-row shard rollup — nothing scales past the scan."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        packing_efficiency_audit,
+    )
+
+    return packing_efficiency_audit(
+        fan_out(load_table(spark, sf_dir, "documents")), budget=128
+    )
+
+
+# The calibration oracle shares the NB model CTEs verbatim (sliced from
+# NB_ORACLE_SQL — single source of truth) and extends the scoring with
+# ranks 1 and 2 per doc; the margin is pure BIGINT nanos, so the
+# bucketing is exact cross-engine.
+NB_CALIBRATION_ORACLE_SQL = (
+    NB_ORACLE_SQL.split("best AS (")[0]
+    + """ranked AS (
+  SELECT doc_id, cand, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+  FROM per_doc
+),
+truth AS (
+  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
+),
+margins AS (
+  SELECT LEAST(9, (b.score - s.score) // 200000000) AS margin_bin,
+         CASE WHEN b.cand = t.truth THEN 1 ELSE 0 END AS ok
+  FROM ranked b
+  JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
+  JOIN truth t ON t.doc_id = b.doc_id
+  WHERE b.rk = 1
+)
+SELECT CAST(margin_bin AS BIGINT) AS margin_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM margins GROUP BY margin_bin
+"""
+)
+
+
+@_register("ml_nb_margin_calibration", NB_CALIBRATION_ORACLE_SQL)
+def ml_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the naive-Bayes classifier over its
+    DECISION MARGIN (operators/ml.nb_margin_calibration): bucket each
+    held-out document by how far the winning label's score beats the
+    runner-up (quantized-nanos log-likelihood gap — pure BIGINT, so
+    the bucketing is exact cross-engine, unlike a softmax) and report
+    per-bucket accuracy. A flat or inverted table means the scores
+    carry no confidence signal and any margin-thresholded
+    auto-labeling pass built on them is miscalibrated — the monitoring
+    artifact a corpus-labeling pipeline checks before trusting the
+    classifier's confident subset. Same distributed shape as the
+    classifier: the margin needs only ranks 1 and 2 of the per-(doc,
+    label) score table — one window per doc over <= |labels| rows."""
+    from etl_developstoday_test_spark.operators.ml import (
+        nb_margin_calibration,
+    )
+
+    return nb_margin_calibration(
+        fan_out(load_table(spark, sf_dir, "documents"))
+    )
+
+
+KN_BIGRAM_ORACLE_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM arrs, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+bcounts AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+typed AS (
+  SELECT bg, c, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bcounts
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1p
+  FROM typed GROUP BY w1
+),
+pred AS (SELECT w2, COUNT(*) AS npred FROM typed GROUP BY w2),
+tt AS (SELECT COUNT(*) AS t FROM bcounts),
+model AS (
+  SELECT typed.bg,
+         CAST(round(ln(
+           (CAST(c AS DOUBLE) - 0.75) / CAST(ctot AS DOUBLE)
+           + ((0.75 * CAST(n1p AS DOUBLE)) / CAST(ctot AS DOUBLE))
+             * (CAST(npred AS DOUBLE) / CAST(t AS DOUBLE))
+         ) * 1e9) AS BIGINT) AS llq
+  FROM typed
+  JOIN ctx ON ctx.w1 = typed.w1
+  JOIN pred ON pred.w2 = typed.w2
+  CROSS JOIN tt
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS mean_logprob
+  FROM big JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
+ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
+"""
+
+
+@_register("text_kneser_ney_bottomk", KN_BIGRAM_ORACLE_SQL)
+def text_kneser_ney_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM bottom-k quality scoring
+    (operators/text_analysis.kneser_ney_bigram_bottomk; Kneser & Ney
+    1995, Chen & Goodman 1999) — the model class KenLM actually ships,
+    one real step up from the Laplace bigram: observed bigrams are
+    absolute-discounted by 0.75 and back off to the CONTINUATION
+    unigram (distinct-context counts), which stops
+    high-frequency-but-context-locked tokens from inflating unseen
+    combinations. Counts exact, discount binary-exact, probability one
+    fixed-order double expression, ln nano-quantized. Same scale shape
+    as text_bigram_lm_bottomk: three count tables derived from ONE
+    persisted bigram explode, model shuffle-joined on the bigram
+    string (bigram vocabularies outgrow broadcast at web scale),
+    TakeOrderedAndProject output."""
+    return text_analysis.kneser_ney_bigram_bottomk(
+        fan_out(load_table(spark, sf_dir, "documents")), k=20
+    )
+
+
+# Fertility shares the BPE trainer replay CTEs (_bpe_ctes — single
+# source of truth with the trainer/encoder oracles) and rolls the
+# encoded counts up by language.
+BPE_FERTILITY_ORACLE_SQL = (
+    _bpe_ctes(5)
+    + r""", encoded AS (SELECT word, len(syms) AS bpe FROM w5),
+    doc_tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COUNT(*) AS BIGINT) AS ws,
+             CAST(SUM(e.bpe) AS BIGINT) AS bpe
+      FROM doc_tok d JOIN encoded e USING (word)
+      WHERE d.word <> ''
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility
+    FROM per_doc GROUP BY lang"""
+)
+
+
+@_register("text_bpe_fertility_by_lang", BPE_FERTILITY_ORACLE_SQL)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language (operators/text_analysis.
+    bpe_fertility_by_lang) — the standard multilingual
+    tokenizer-evaluation metric (mean encoded tokens per word): a
+    tokenizer trained on a mixed corpus systematically over-segments
+    the languages it under-saw, inflating their sequence lengths and
+    training cost, and this table is how that bias is detected BEFORE
+    committing a vocabulary. Built on the same trained-merge
+    segmentation text_bpe_encode_stats applies: the trainer's final
+    (word, syms) table joins the exploded token stream once, then one
+    language rollup; the oracle replays the same 5 unrolled merge
+    rounds."""
+    return text_analysis.bpe_fertility_by_lang(
+        fan_out(load_table(spark, sf_dir, "documents")), rounds=5
+    )

@@ -50,6 +50,30 @@ def test_never_checked_queries_lead_the_window():
         assert last_never < first_checked
 
 
+def test_changed_dict_has_no_duplicate_keys():
+    """A duplicate key in the _CHANGED_THIS_ROUND literal is silently
+    later-wins — a future edit to the shadowed first occurrence would be
+    ignored, which is dangerous given the self-expiry discipline (a
+    stale earlier round could expire a change it never saw). Parse the
+    source literal: Python's runtime dict can't show the duplicates."""
+    import ast
+    import collections
+
+    tree = ast.parse(open(entry.__file__).read())
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.AnnAssign)
+            and getattr(node.target, "id", "") == "_CHANGED_THIS_ROUND"
+        ):
+            keys = [k.value for k in node.value.keys]
+            dups = [
+                k for k, c in collections.Counter(keys).items() if c > 1
+            ]
+            assert not dups, f"duplicate _CHANGED_THIS_ROUND keys: {dups}"
+            return
+    raise AssertionError("_CHANGED_THIS_ROUND literal not found")
+
+
 def _live_changed():
     checked, green = entry._driver_history()
     return [

@@ -416,6 +416,10 @@ _EAGER_QUERIES = {
     "tpch_q15_top_supplier",       # per-supplier revenue view persisted
     "graph_lpa_communities",       # label-propagation iteration
     "graph_degree_assortativity",  # sym edge table persisted + released
+    "sample_waterfill_allocation",  # source rollup checkpointed + w>0 guard
+    "ml_nb_margin_calibration",    # token explode persisted, output checkpointed
+    "text_kneser_ney_bottomk",     # bigram explode persisted + released
+    "text_bpe_fertility_by_lang",  # trains the merge table (driver top-1s)
 }
 
 # The declared Python surface: the ONLY queries allowed to carry

@@ -1,9 +1,9 @@
-"""DuckDB-twin parity for the round-8 classifier/LM/graph operators.
+"""DuckDB-twin parity for the round-8/9 classifier/LM/planner operators.
 
 Originally the staging ground for these operators' oracle SQL (verified
-value-for-value at sf0.001 BEFORE registration, so the driver's first
-row for each could only be green). Now that they are registered, this
-file keeps (a) the SECOND-SCALE (sf0.001 and sf0.01) value locks over
+value-for-value at sf0.001 AND sf0.01 BEFORE registration, so the
+driver's first row for each could only be green). Now that all of them
+are registered, this file keeps (a) the SECOND-SCALE (sf0.001 and sf0.01) value locks over
 the SAME oracle strings the registration uses — imported from
 plans/queries.py, single source of truth — and (b) the adversarial
 FIXTURE-GRAPH locks for LPA and assortativity, whose registered
@@ -21,8 +21,13 @@ import pytest
 
 from etl_developstoday_test_spark.plans.queries import (
     BIGRAM_ORACLE_SQL as BIGRAM_ORACLE,
+    BPE_FERTILITY_ORACLE_SQL as FERTILITY_ORACLE,
+    KN_BIGRAM_ORACLE_SQL as KN_BIGRAM_ORACLE,
+    NB_CALIBRATION_ORACLE_SQL as NB_CALIBRATION_ORACLE,
     NB_ORACLE_SQL as NB_ORACLE,
+    PACKING_ORACLE_SQL as PACKING_ORACLE,
     STUMP_ORACLE_SQL as STUMP_ORACLE,
+    WATERFILL_ORACLE_SQL as WATERFILL_ORACLE,
 )
 from tests.conftest import SF_DIR, SF_DIR_ORACLE
 
@@ -215,73 +220,14 @@ def test_assortativity_matches_oracle(spark):
     assert srow == drow
 
 
-# --- STAGED for round 9 -----------------------------------------------------
-
-WATERFILL_ORACLE = r"""
-WITH src AS (
-  -- weight = salted-md5 of the source, 1..9: a stand-in for a caller
-  -- preference table that is deterministic AND skewed enough to
-  -- exercise the saturation branch on this corpus (uniform weights
-  -- never saturate anything at 60% of a uniform corpus)
-  SELECT source,
-         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
-           AS BIGINT) AS a,
-         CAST(CAST(concat('0x', substr(md5('wf#' || source), 1, 15))
-           AS BIGINT) % 9 + 1 AS BIGINT) AS w
-  FROM documents GROUP BY source
-),
-tot AS (
-  SELECT CAST(SUM(a) AS BIGINT) AS atot, CAST(SUM(w) AS BIGINT) AS wtot,
-         CAST((SUM(a) * 60) // 100 AS BIGINT) AS budget
-  FROM src
-),
-ranked AS (
-  SELECT source, a, w,
-         ROW_NUMBER() OVER (ORDER BY CAST(a AS DOUBLE) / w, source) AS rn,
-         CAST(COALESCE(SUM(a) OVER (ORDER BY CAST(a AS DOUBLE) / w, source
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS aprev,
-         CAST(COALESCE(SUM(w) OVER (ORDER BY CAST(a AS DOUBLE) / w, source
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS wprev
-  FROM src
-),
-sat AS (
-  SELECT ranked.*, tot.budget, tot.wtot,
-         (a * (tot.wtot - wprev)) <= ((tot.budget - aprev) * w) AS is_sat
-  FROM ranked CROSS JOIN tot
-),
-istar AS (
-  SELECT COALESCE(MAX(CASE WHEN is_sat THEN rn END), 0) AS i FROM sat
-),
-cut AS (
-  SELECT CAST(COALESCE(SUM(a) FILTER (WHERE rn <= i), 0) AS BIGINT) AS asat,
-         CAST(COALESCE(SUM(w) FILTER (WHERE rn <= i), 0) AS BIGINT) AS wsat,
-         ANY_VALUE(i) AS i
-  FROM sat CROSS JOIN istar
-),
-lam AS (
-  SELECT cut.i,
-         CASE WHEN tot.wtot - cut.wsat > 0
-              THEN CAST(tot.budget - cut.asat AS DOUBLE)
-                   / CAST(tot.wtot - cut.wsat AS DOUBLE)
-              ELSE 0.0 END AS lam
-  FROM cut CROSS JOIN tot
-)
-SELECT source, a AS avail_tokens, w AS weight,
-       CASE WHEN rn <= lam.i THEN a
-            ELSE CAST(floor(lam.lam * CAST(w AS DOUBLE)) AS BIGINT)
-       END AS allocated_tokens,
-       rn <= lam.i AS saturated
-FROM sat CROSS JOIN lam
-"""
+# --- registered round 9 (second-scale locks + invariant checks) -------------
 
 
 def test_waterfill_matches_oracle(spark, sf_con):
-    """STAGED r9: the registered query will roll documents up to
-    (source, avail tokens, distinct-lang weight) and water-fill 60% of
-    the total — verified value-for-value at both scales BEFORE
-    registration, same discipline as the round-8 staging."""
+    """Registered r9 (sample_waterfill_allocation): roll documents up
+    to (source, avail tokens, salted-md5 weight) and water-fill 60% of
+    the total — value-locked at both scales, plus the cap/saturation
+    invariants the oracle cannot express."""
     from pyspark.sql import functions as F
 
     from etl_developstoday_test_spark.functions import md5_long, tokens
@@ -309,41 +255,12 @@ def test_waterfill_matches_oracle(spark, sf_con):
     assert any(r[4] for r in srows)  # the saturation branch IS exercised
 
 
-# The calibration oracle shares the NB model CTEs verbatim (imported
-# string, single source of truth) and extends the scoring with ranks 1
-# and 2 per doc — the margin is pure BIGINT nanos, so the bucketing is
-# exact cross-engine.
-NB_CALIBRATION_ORACLE = (
-    NB_ORACLE.split("best AS (")[0]
-    + """ranked AS (
-  SELECT doc_id, cand, score, row_number() OVER (
-    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
-  FROM per_doc
-),
-truth AS (
-  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
-),
-margins AS (
-  SELECT LEAST(9, (b.score - s.score) // 200000000) AS margin_bin,
-         CASE WHEN b.cand = t.truth THEN 1 ELSE 0 END AS ok
-  FROM ranked b
-  JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
-  JOIN truth t ON t.doc_id = b.doc_id
-  WHERE b.rk = 1
-)
-SELECT CAST(margin_bin AS BIGINT) AS margin_bin,
-       COUNT(*) AS n_docs,
-       CAST(SUM(ok) AS BIGINT) AS n_correct,
-       round(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy
-FROM margins GROUP BY margin_bin
-"""
-)
 
 
 def test_nb_margin_calibration_matches_oracle(spark, sf_con):
-    """STAGED r9: per-margin-bin reliability table of the naive-Bayes
-    classifier — verified value-for-value at both scales BEFORE
-    registration."""
+    """Registered r9 (ml_nb_margin_calibration): per-margin-bin
+    reliability table of the naive-Bayes classifier, value-locked at
+    both scales."""
     from etl_developstoday_test_spark.operators.ml import (
         nb_margin_calibration,
     )
@@ -359,53 +276,11 @@ def test_nb_margin_calibration_matches_oracle(spark, sf_con):
     assert srows == drows
 
 
-KN_BIGRAM_ORACLE = r"""
-WITH arrs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-  FROM documents
-),
-big AS (
-  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
-  FROM arrs, unnest(range(1, len(arr))) AS t(i)
-  WHERE len(arr) >= 2
-),
-bcounts AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
-typed AS (
-  SELECT bg, c, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
-  FROM bcounts
-),
-ctx AS (
-  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1p
-  FROM typed GROUP BY w1
-),
-pred AS (SELECT w2, COUNT(*) AS npred FROM typed GROUP BY w2),
-tt AS (SELECT COUNT(*) AS t FROM bcounts),
-model AS (
-  SELECT typed.bg,
-         CAST(round(ln(
-           (CAST(c AS DOUBLE) - 0.75) / CAST(ctot AS DOUBLE)
-           + ((0.75 * CAST(n1p AS DOUBLE)) / CAST(ctot AS DOUBLE))
-             * (CAST(npred AS DOUBLE) / CAST(t AS DOUBLE))
-         ) * 1e9) AS BIGINT) AS llq
-  FROM typed
-  JOIN ctx ON ctx.w1 = typed.w1
-  JOIN pred ON pred.w2 = typed.w2
-  CROSS JOIN tt
-),
-per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
-           AS mean_logprob
-  FROM big JOIN model USING (bg) GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
-ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
-"""
 
 
 def test_kneser_ney_bigram_matches_oracle(spark, sf_con):
-    """STAGED r9: interpolated Kneser-Ney bigram LM bottom-k — verified
-    value-for-value at both scales BEFORE registration (counts exact,
+    """Registered r9 (text_kneser_ney_bottomk): interpolated Kneser-Ney
+    bigram LM bottom-k, value-locked at both scales (counts exact,
     discount 0.75 binary-exact, probability one fixed-order double
     expression, ln nano-quantized)."""
     from etl_developstoday_test_spark.operators.text_analysis import (
@@ -421,38 +296,12 @@ def test_kneser_ney_bigram_matches_oracle(spark, sf_con):
     assert srows == drows
 
 
-# Fertility shares the BPE trainer replay CTEs (imported builder,
-# single source of truth) and rolls the encoded counts up by language.
-from etl_developstoday_test_spark.plans.queries import _bpe_ctes
-
-FERTILITY_ORACLE = (
-    _bpe_ctes(5)
-    + r""", encoded AS (SELECT word, len(syms) AS bpe FROM w5),
-    doc_tok AS (
-      SELECT doc_id, lang,
-             unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-      FROM documents
-    ),
-    per_doc AS (
-      SELECT d.doc_id, d.lang,
-             CAST(COUNT(*) AS BIGINT) AS ws,
-             CAST(SUM(e.bpe) AS BIGINT) AS bpe
-      FROM doc_tok d JOIN encoded e USING (word)
-      WHERE d.word <> ''
-      GROUP BY d.doc_id, d.lang
-    )
-    SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
-           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
-           round(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility
-    FROM per_doc GROUP BY lang"""
-)
 
 
 def test_bpe_fertility_matches_oracle(spark, sf_con):
-    """STAGED r9: per-language tokenizer fertility over the trained
-    5-merge segmentation — verified value-for-value at both scales
-    BEFORE registration."""
+    """Registered r9 (text_bpe_fertility_by_lang): per-language
+    tokenizer fertility over the trained 5-merge segmentation,
+    value-locked at both scales."""
     from etl_developstoday_test_spark.operators.text_analysis import (
         bpe_fertility_by_lang,
     )
@@ -466,44 +315,12 @@ def test_bpe_fertility_matches_oracle(spark, sf_con):
     assert srows == drows
 
 
-PACKING_ORACLE = r"""
-WITH t AS (
-  SELECT doc_id,
-         {md5} % 32 AS shard,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-           AS n_tokens
-  FROM documents
-),
-per_shard AS (
-  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok,
-         CAST(SUM((n_tokens + 127) // 128) AS BIGINT) AS useq
-  FROM t GROUP BY shard
-),
-agg AS (
-  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-         CAST(SUM(tok) AS BIGINT) AS total_tokens,
-         CAST(SUM(useq) AS BIGINT) AS unpacked_seqs,
-         CAST(SUM(useq) * 128 - SUM(tok) AS BIGINT) AS unpacked_pad_tokens,
-         CAST(SUM((tok + 127) // 128) AS BIGINT) AS packed_seqs,
-         CAST(SUM((tok + 127) // 128) * 128 - SUM(tok) AS BIGINT)
-           AS packed_pad_tokens
-  FROM per_shard
-)
-SELECT *, CASE WHEN unpacked_pad_tokens > 0
-           THEN round(100.0 * CAST(unpacked_pad_tokens - packed_pad_tokens
-                AS DOUBLE) / CAST(unpacked_pad_tokens AS DOUBLE), 6)
-           ELSE 0.0 END AS pad_saved_pct
-FROM agg
-""".format(
-    md5="CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
-    " AS BIGINT)"
-)
 
 
 def test_packing_efficiency_matches_oracle(spark, sf_con):
-    """STAGED r9: unpacked-vs-packed sequence/padding audit at budget
-    128 x 32 shards — exact integer arithmetic end to end, verified at
-    both scales BEFORE registration."""
+    """Registered r9 (sample_packing_efficiency): unpacked-vs-packed
+    sequence/padding audit at budget 128 x 32 shards — exact integer
+    arithmetic end to end, value-locked at both scales."""
     from etl_developstoday_test_spark.operators.sampling import (
         packing_efficiency_audit,
     )
