@@ -118,28 +118,17 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # checkpoint RDDs); values unchanged, plan shape re-certifies
     "dedup_cross_source_matrix": 8,
     "embed_ann_ivf_recall": 8,
-    # r8: co-activity edge construction extracted into the shared
-    # _coactivity_edges helper (now also feeding LPA/assortativity);
-    # plan and values unchanged, re-certify per the touch-code rule
-    "graph_kcore_decomposition": 8,
+    # (graph_kcore_decomposition's r8 _coactivity_edges refactor is
+    # superseded by its r9 scale-gate entry below)
     # r8: the four exact-ntile sites swapped from a partitionless
     # window (single-task global sort — the r7 verdict's one remaining
     # scale-killer class) to functions.exact_ntile (range-partitioned
     # rank + broadcast cumulative offsets); tile values are unchanged
     # by construction (property-tested == ntile), oracles untouched
+    # (events_rfm_segments / text_unigram_logprob_quality were in this
+    # batch too — their entries live at their r9 change below)
     "window_ntile_order_quartiles": 8,
-    "events_rfm_segments": 8,
-    "text_unigram_logprob_quality": 8,
     "sample_quality_epochs": 8,
-    # r8: the r7 bench-drift adjudication (isolated 2-run warm timing)
-    # found the pair-graph/CC family's cost is iteration scheduling
-    # overhead at 32-way shuffles over few-hundred-edge graphs — these
-    # four now run in a narrow-shuffle cloned session (the k-core
-    # recipe), ~25-30% faster warm; values unchanged
-    "dedup_cluster_canonicals": 8,
-    "curation_corpus_card": 8,
-    "dedup_prefix_filter_jaccard": 8,
-    "dedup_connected_components": 8,
     # r8: word_shingles now let-binds its token array internally (a raw
     # split() argument was re-evaluated per reference per element —
     # ~10x on shingling). Values are unchanged everywhere (pure
@@ -155,7 +144,38 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # exchange at runtime, so the fact is still scanned once. Values
     # unchanged (same expressions, different physical op).
     "tpch_q11_important_parts": 8,
-    "tpch_q15_top_supplier": 8,
+    # (tpch_q15_top_supplier's r8 global-scalar swap is superseded by
+    # its r9 helper-extraction entry below)
+    # r9: the eleven unconditional narrow-shuffle session overrides
+    # (the r8 verdict's one weak class — shuffle.partitions seeds AQE's
+    # initial partition count, so the bench tune also capped the
+    # corpus-sized leaf shuffles at 8 tasks) are now routed through
+    # plans/queries._narrow_session_if_small, which applies the narrow
+    # clone ONLY when the measured on-disk input is small and returns
+    # the original session untouched otherwise; a plan-sweep test bans
+    # direct width sets outside the gate. Values unchanged everywhere
+    # (conf-only change at bench scale); re-certify per the touch-code
+    # rule. agg_quantile_sketch_rollup additionally gained the
+    # KMV-style hash pre-filter on its leaf rank (verdict ask #4).
+    "dedup_connected_components": 9,
+    "dedup_cluster_canonicals": 9,
+    "dedup_prefix_filter_jaccard": 9,
+    "text_unigram_logprob_quality": 9,
+    "join_cbo_reordered_star": 9,
+    "curation_corpus_card": 9,
+    "graph_kcore_decomposition": 9,
+    "events_rfm_segments": 9,
+    "graph_lpa_communities": 9,
+    "graph_degree_assortativity": 9,
+    "agg_quantile_sketch_rollup": 9,
+    # r9: bpe_encode_stats gained the broadcast_model escape hatch the
+    # NB classifier got in r8 (default True — registered plan/values
+    # unchanged); re-certify per the touch-code rule
+    "text_bpe_encode_stats": 9,
+    # r9: q15's revenue view extracted to module-level _q15_revenue so
+    # the plan test exercises the real subtree (ADVICE ask); values and
+    # plan unchanged, re-certify per the touch-code rule
+    "tpch_q15_top_supplier": 9,
 }
 
 

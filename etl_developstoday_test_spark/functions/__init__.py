@@ -89,9 +89,30 @@ def exact_ntile(df, n_tiles: int, order_cols, tile_col: str = "tile"):
     to keep partitions disjoint. Returns ``df`` with ``tile_col``
     (INT, 1-based) appended; row order is not preserved (it never is
     after a shuffle).
+
+    The offsets and data branches MUST read one physical execution of
+    the range exchange (divergent re-execution could re-sample range
+    boundaries and desync pid↔offset). Spark's ReuseExchange / AQE
+    stage cache guarantees that today — pinned by the plan tests and
+    the ntile-equivalence property suite — and a defensive ``persist``
+    of the exchanged frame is deliberately NOT used: it would
+    materialize the ENTIRE input (this operator exists for the
+    10⁹+-row case) to insure against an optimizer regression the test
+    suite would catch anyway.
     """
     spark = df.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    reserved = {"_mid", "_pid", "_lrn", "_off", "_n", tile_col}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"exact_ntile: input column(s) {sorted(clash)} collide with "
+            "the operator's reserved working columns (withColumn would "
+            "silently REPLACE them) — rename before calling"
+        )
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. set to "auto" on some deployments
+        p = spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
     exchanged = df.repartitionByRange(p, *cols)

@@ -93,6 +93,7 @@ def bottomk_quantile_rollup(
     month_col,
     k: int = 256,
     bound: float = 0.1,
+    oversample: int = 4,
 ) -> DataFrame:
     """MERGEABLE quantile sketch rollup — the quantile sibling of the
     HLL/KMV rollups: a deterministic bottom-k-by-hash row sample per
@@ -114,14 +115,29 @@ def bottomk_quantile_rollup(
     (k_eff+1) div 2 by (value, hash) total order), a raw data value,
     so estimates hash-match a SQL replay exactly.
 
-    Scale shape — the data is scanned exactly TWICE, everything else is
-    bounded: (1) the leaf sketch is one shuffle+rank per (year, month)
-    partition, materialized eagerly (persist+count — it is at most
-    months x k rows, and every downstream consumer reads it from
-    cache); the year merge ranks only its months' k-row sketches, the
-    total merge the years' (<= n_years*k rows — bounded by
-    CONSTRUCTION, so its partitionless window is safe at any corpus
-    size). (2) the rank-fraction certification is ONE fused pass: each
+    Scale shape — the data is scanned exactly THREE times, each pass
+    map-side-combined or hash-bounded, and NO window task ever holds a
+    month's full slice: (0) one count per (year, month) — a combined
+    groupBy whose output is months-sized — sets a per-month KMV-style
+    hash bound ``h < H div greatest(1, n_month div (oversample*k))``;
+    (1) the leaf sketch ranks only the rows UNDER the bound (expected
+    ~oversample*k per month, materialized via persist at months x
+    ~oversample*k rows) instead of the month's entire slice — the fix
+    for the single-task month sort the unfiltered rank implied at
+    100 TB (1 TB in one window task). The filter is EXACT, not
+    approximate: months smaller than oversample*k keep frac=1 (no
+    filtering — which also means small-SF results are bit-identical to
+    the unfiltered form), and larger months keep the true bottom-k as
+    long as >= k rows survive, which the operator CERTIFIES per month
+    (survivors >= min(k, n_month)) and RAISES otherwise — lower
+    ``oversample``'s implied frac rather than silently sketching from
+    a short sample (survivor count concentrates at oversample*k with
+    O(1/sqrt(oversample*k)) relative noise, so the certificate only
+    fires on adversarial hash distributions). The year merge ranks
+    only its months' k-row sketches, the total merge the years'
+    (<= n_years*k rows — bounded by CONSTRUCTION, so its partitionless
+    window is safe at any corpus size). (2) the rank-fraction
+    certification is ONE fused pass: each
     row broadcast-joins its month/year/total estimates and a single
     (year, month) aggregation produces month-level partials
     (n, count(v<=est) per level) from which the year and total rows
@@ -153,11 +169,49 @@ def bottomk_quantile_rollup(
             .drop("_rn")
         )
 
+    # per-month adaptive hash bound (pass 0): months under oversample*k
+    # rows keep everything (frac=1 — exactness and small-SF parity by
+    # construction); larger months keep an expected oversample*k-row
+    # superset of their true bottom-k
+    hs = 1 << 60  # md5_long hash space (HASH_SPACE, as an exact int)
+    cnts = base.groupBy("y", "m").agg(F.count(F.lit(1)).alias("_n_m"))
+    bounds = cnts.select(
+        "y",
+        "m",
+        "_n_m",
+        F.expr(
+            f"{hs} div greatest(1, _n_m div {int(oversample) * k})"
+        ).alias("_hmax"),
+    )
+    survivors = (
+        base.join(F.broadcast(bounds), ["y", "m"])
+        .filter(F.col("h") < F.col("_hmax"))
+        .persist()  # months x ~oversample*k rows
+    )
+    survivors.count()
+    # exactness certificate: the filtered rank equals the unfiltered
+    # bottom-k iff >= min(k, n_month) rows survived per month
+    n_bad = (
+        survivors.groupBy("y", "m")
+        .agg(F.count(F.lit(1)).alias("_kept"), F.any_value("_n_m").alias("_nm"))
+        .filter(F.col("_kept") < F.least(F.lit(k), F.col("_nm")))
+        .count()
+    )
+    if n_bad:
+        survivors.unpersist()
+        raise ValueError(
+            f"bottomk_quantile_rollup: {n_bad} (year, month) group(s) "
+            f"kept fewer than min(k={k}, group size) rows under the "
+            f"oversample={oversample} hash bound — raise oversample "
+            "(widens the pre-filter) instead of sketching from a "
+            "short sample"
+        )
     # materialize the leaf sketch: <= months*k rows, consumed by the
     # year merge AND the month medians (persist is cacheManager-tracked
     # so the release before return is real)
-    msk = bottom_k(base, ["y", "m"]).persist()
+    msk = bottom_k(survivors.drop("_n_m", "_hmax"), ["y", "m"]).persist()
     msk.count()
+    survivors.unpersist()  # msk is materialized; the superset can go
     ysk = bottom_k(msk, ["y"])
     tsk = bottom_k(ysk, [])
 

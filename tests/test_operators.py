@@ -1531,6 +1531,35 @@ def test_naive_bayes_shuffle_join_path_matches_broadcast(spark):
     assert bc == sj
 
 
+def test_bpe_encode_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_model=False on the BPE encoder and the fertility
+    rollup (the open-vocabulary escape hatch: the trained segmentation
+    table shuffle-equi-joins on the word instead of broadcasting)
+    returns row-identical results — the knob the NB classifier already
+    carries, now on both vocabulary-join consumers of the trainer."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_fertility_by_lang,
+    )
+
+    rows = [
+        (1, "low lower lowest", "en"),
+        (2, "newer newest new", "en"),
+        (3, "low new lower newer", "de"),
+        (4, "wide wider widest low", "de"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    for fn in (bpe_encode_stats, bpe_fertility_by_lang):
+        bc = sorted(tuple(r) for r in fn(docs, rounds=3).collect())
+        sj = sorted(
+            tuple(r)
+            for r in fn(docs, rounds=3, broadcast_model=False).collect()
+        )
+        assert bc == sj and bc
+
+
 def test_bigram_lm_ranks_scrambled_text_lowest(spark):
     from etl_developstoday_test_spark.operators.text_analysis import (
         bigram_lm_bottomk,

@@ -344,26 +344,34 @@ def test_tpch_q15_single_fact_scan_pushed_dates(spark):
     1-row max aggregate and the equality filter, so the fact subtree
     (with the quarterly shipdate range pushed into its scan) executes
     exactly once and no single-partition exchange ever carries the
-    per-supplier rows. The query is eager (the persist), so the
-    assertions run on the revenue component built the same way."""
+    per-supplier rows. The query is eager (the persist), so the plan
+    assertions run on _q15_revenue — the SAME module-level subtree the
+    registered query persists (not a test-local lookalike that could
+    drift) — and the registered query itself is then executed
+    end-to-end: its winner must be the true argmax of that subtree."""
     from pyspark.sql import functions as F
 
+    from etl_developstoday_test_spark.plans.queries import _q15_revenue
     from etl_developstoday_test_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
 
-    li = load_table(spark, SF_DIR, "lineitem")
-    revenue = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        )
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum("l_extendedprice").alias("total_revenue"))
-    )
+    revenue = _q15_revenue(load_table(spark, SF_DIR, "lineitem"))
     plan = revenue._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(l_shipdate," in plan
     assert "LessThan(l_shipdate," in plan
     assert plan.count("lineitem.parquet") == 1
     assert _global_window_hits(plan) == 0
+    # run the REAL registered query (sf0.01: non-degenerate slice) and
+    # cross-check the crossJoin-max wiring against the view's argmax
+    out = QUERIES["tpch_q15_top_supplier"](spark, SF_DIR_ORACLE).collect()
+    view = _q15_revenue(load_table(spark, SF_DIR_ORACLE, "lineitem"))
+    mx = view.agg(F.max("total_revenue")).collect()[0][0]
+    assert out and all(r["total_revenue"] == mx for r in out)
+    winners = {
+        r["supplier_no"]
+        for r in view.filter(F.col("total_revenue") == mx).collect()
+    }
+    assert {r["s_suppkey"] for r in out} == winners
 
 
 def test_tpch_q13_outer_join_keeps_orderless_customers(spark):
@@ -555,6 +563,86 @@ def test_no_undeclared_python_in_any_plan(spark):
         "partitionless windows (single-task global sort) outside the "
         f"bounded-input allowlist: {gwindows}"
     )
+
+
+def test_narrow_shuffle_width_only_via_scale_gate():
+    """No registered query may set a global shuffle width directly:
+    spark.sql.shuffle.partitions seeds AQE's INITIAL partition count
+    (AQE can only coalesce down, never widen), so an unconditional
+    narrow override also caps corpus-sized leaf shuffles at a
+    bench-tuned width — at 100 TB an 8-way shuffle of the whole
+    corpus, the round-8 verdict's one weak class. Every batch site
+    must route through _narrow_session_if_small, which returns the
+    original session untouched when the measured input is big or
+    unmeasurable. stream_* sites are exempt: their inputs are bounded
+    by construction (fixture-backed streams) and the override sizes
+    the state-store count to the key cardinality."""
+    import ast
+    import inspect
+
+    import etl_developstoday_test_spark.plans.queries as q
+
+    tree = ast.parse(inspect.getsource(q))
+    offenders = []
+    for fn in tree.body:
+        if not isinstance(fn, ast.FunctionDef):
+            continue
+        for node in ast.walk(fn):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "set"
+                and node.args
+                and isinstance(node.args[0], ast.Constant)
+                and node.args[0].value == "spark.sql.shuffle.partitions"
+                and fn.name != "_narrow_session_if_small"
+                and not fn.name.startswith("stream_")
+            ):
+                offenders.append(fn.name)
+    assert not offenders, (
+        "direct shuffle-width overrides outside the scale gate: "
+        f"{offenders}"
+    )
+
+
+def test_narrow_session_gate_behavior(spark):
+    """The scale gate itself: small measured inputs get a narrow clone
+    (original session untouched); inputs over the bound or unmeasurable
+    (object-store URIs, missing files — every real cluster) return the
+    ORIGINAL session with no conf mutated, so leaf shuffles keep
+    cluster width. extra_conf rides only with the clone."""
+    from etl_developstoday_test_spark.plans.queries import (
+        _narrow_session_if_small,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    s2 = _narrow_session_if_small(
+        spark,
+        SF_DIR,
+        ["documents"],
+        width=5,
+        extra_conf={"spark.sql.codegen.wholeStage": "false"},
+    )
+    assert s2 is not spark
+    assert s2.conf.get("spark.sql.shuffle.partitions") == "5"
+    assert s2.conf.get("spark.sql.codegen.wholeStage") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.conf.get("spark.sql.codegen.wholeStage") == "true"
+    # over the bound: original, untouched
+    assert (
+        _narrow_session_if_small(spark, SF_DIR, ["documents"], max_bytes=1)
+        is spark
+    )
+    # unmeasurable input (missing path / object store): original
+    assert (
+        _narrow_session_if_small(spark, "/nonexistent", ["documents"])
+        is spark
+    )
+    assert (
+        _narrow_session_if_small(spark, "s3://bucket/prefix", ["documents"])
+        is spark
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
 def test_top_tokens_partial_agg_topk(spark):

@@ -1190,6 +1190,54 @@ def test_exact_ntile_equals_global_window_ntile(spark, vals, n_tiles):
         assert got_d == want_d
 
 
+def test_exact_ntile_rejects_reserved_column_collisions(spark):
+    """withColumn silently REPLACES same-named columns, so an input
+    already carrying one of exact_ntile's working names (_mid/_pid/
+    _lrn/_off/_n, or the requested tile_col) would be corrupted — the
+    operator must refuse instead."""
+    import pytest
+
+    from etl_developstoday_test_spark.functions import exact_ntile
+
+    df = spark.createDataFrame([(1, 2)], "id long, _pid long")
+    with pytest.raises(ValueError, match="_pid"):
+        exact_ntile(df, 4, ["id"], "t")
+    df2 = spark.createDataFrame([(1, 2)], "id long, t long")
+    with pytest.raises(ValueError, match="reserved"):
+        exact_ntile(df2, 4, ["id"], "t")
+
+
+def test_exact_ntile_survives_non_numeric_partition_conf(spark, monkeypatch):
+    """Managed platforms may report spark.sql.shuffle.partitions as
+    'auto' (OSS Spark validates the conf at set-time, so the read is
+    simulated here) — int() must fall back to defaultParallelism
+    instead of crashing, and the tiles must still be exact."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    from etl_developstoday_test_spark.functions import exact_ntile
+
+    real_get = RuntimeConfig.get
+
+    def fake_get(self, key, *a, **kw):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(self, key, *a, **kw)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(23)], "id long, v long"
+    )
+    got = sorted(
+        (r["id"], r["t"])
+        for r in exact_ntile(df, 4, ["v", "id"], "t").collect()
+    )
+    # 23 rows into 4 tiles: first 3 tiles get 6 rows, last gets 5
+    from collections import Counter
+
+    sizes = Counter(t for _, t in got)
+    assert sizes == {1: 6, 2: 6, 3: 6, 4: 5}
+
+
 _wf_sources = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=10_000),  # avail tokens
@@ -1266,3 +1314,30 @@ def test_waterfill_matches_iterative_reference(spark, sources, pct):
     assert total_alloc <= budget or all(
         out[f"s{i}"]["saturated"] for i in range(len(sources))
     )
+
+
+def test_waterfill_rejects_nonpositive_or_null_weights(spark):
+    """w <= 0 (or NULL) makes the a/w ordering key NULL under non-ANSI
+    division: the row sorts first, never saturates, and its full avail
+    silently skews the water level — the operator must raise instead
+    (the property suite only generates w in 1..9, so this is the
+    explicit guard lock)."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_allocation,
+    )
+
+    for bad_w in (0, -3, None):
+        df = spark.createDataFrame(
+            [("a", 100, 2), ("b", 50, bad_w)],
+            "source string, avail_tokens long, weight long",
+        )
+        with pytest.raises(ValueError, match="non-positive weight"):
+            waterfill_allocation(df, budget_pct=60)
+    # NULL avail is the same invariant breakage
+    df = spark.createDataFrame(
+        [("a", None, 2)], "source string, avail_tokens long, weight long"
+    )
+    with pytest.raises(ValueError, match="negative avail"):
+        waterfill_allocation(df, budget_pct=60)
