@@ -733,3 +733,93 @@ def degree_assortativity(
     ).localCheckpoint(eager=True)  # one row
     sym.unpersist()  # real release: sym went through persist()
     return out
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient c_u = 2·T_u / (d_u(d_u−1))
+    — the node-level structure signal the global triangle count
+    (``triangle_count``) aggregates away: high-coefficient nodes sit in
+    tight cliques (dedup clusters, bot rings, topic pockets), low ones
+    are bridges; in a user co-activity graph the top-coefficient list
+    is the densest-community shortlist, and the coefficient is the
+    standard feature a graph-based quality filter feeds on.
+
+    STAGED for round-10 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Triangles enumerate once each via the same degree-ordered
+    orientation as ``triangle_count`` (Suri & Vassilvitskii 2011 —
+    wedges only from out-edges, O(√E) out-degree bound on any graph),
+    then each triangle credits its three vertices (one explode + one
+    map-side-combined count). Arithmetic is exact integers until ONE
+    double division, rounded to 6 dp BEFORE the ordering, so the
+    (coefficient DESC, node ASC) top-k is a total order both engines
+    reproduce bit-for-bit. Nodes with degree < 2 have no defined
+    coefficient and are out of scope; degree-≥2 nodes with no
+    triangles rank with coefficient 0.0.
+
+    ``edges`` must be distinct undirected pairs (ua < ub). Returns
+    top_k rows: (node, degree, n_triangles, clustering_coeff).
+    """
+    edges = edges.localCheckpoint(eager=True)  # feeds degrees + both joins
+    deg = (
+        edges.select(F.col("ua").alias("u"))
+        .unionAll(edges.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("_da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("_db"))
+    ranked = edges.join(F.broadcast(da), "ua").join(F.broadcast(db), "ub")
+    lower_first = F.struct(F.col("_da"), F.col("ua")) < F.struct(
+        F.col("_db"), F.col("ub")
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(lower_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        F.when(
+            lower_first,
+            F.struct(F.col("_db").alias("d"), F.col("ub").alias("v")),
+        )
+        .otherwise(F.struct(F.col("_da").alias("d"), F.col("ua").alias("v")))
+        .alias("_dstkey"),
+    ).localCheckpoint(eager=True)  # wedges x2 + closing join
+    e1 = oriented.select(
+        "src", F.col("dst").alias("a"), F.col("_dstkey").alias("_ka")
+    )
+    e2 = oriented.select(
+        "src", F.col("dst").alias("b"), F.col("_dstkey").alias("_kb")
+    )
+    wedges = e1.join(e2, "src").filter(F.col("_ka") < F.col("_kb"))
+    closing = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    tri = wedges.join(closing, ["a", "b"]).select("src", "a", "b")
+    credits = (
+        tri.select(F.col("src").alias("u"))
+        .unionAll(tri.select(F.col("a").alias("u")))
+        .unionAll(tri.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    out = (
+        deg.filter(F.col("d") >= 2)
+        .join(credits, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                (F.lit(2) * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+    return out.orderBy(
+        F.col("clustering_coeff").desc(), F.col("node").asc()
+    ).limit(top_k)

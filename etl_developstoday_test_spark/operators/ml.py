@@ -507,3 +507,66 @@ def linreg_closed_form(
         .withColumn("r2", r2)
         .select(n.cast("bigint").alias("n_rows"), "slope", "intercept", "r2")
     )
+
+
+def nb_confusion_matrix(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: int = 1,
+    test_mod: int = 5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Confusion matrix of the naive-Bayes classifier on the held-out
+    split — WHICH labels get mistaken for WHICH: per-label accuracy
+    (``naive_bayes_quality``) says a label is weak, the confusion cell
+    says where its mass leaks, which is what decides the fix (merge
+    near-duplicate labels, re-balance training mass, or raise the
+    margin threshold for the confusable pair — the artifact a
+    language-ID curation pass reads before trusting per-language
+    routing).
+
+    STAGED for round-10 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Same distributed shape as the classifier (shared
+    ``_nb_per_doc_scores``: one persisted token explode, full-grid
+    Laplace model, quantized-nanos scores with the (score DESC, cand
+    ASC) total-order argmax). Documents with no in-vocabulary token
+    are unpredicted and out of scope (the accuracy operator counts
+    them; a confusion cell needs a prediction). The matrix itself is
+    |labels|² rows, so the row-share window is bounded by
+    construction.
+
+    Returns one row per non-empty cell: (truth, predicted, n_docs,
+    row_frac = round(n_docs / truth's predicted total, 6)).
+    """
+    per_doc, doc_labels, base = _nb_per_doc_scores(
+        docs, label_col, text_col, alpha, test_mod, broadcast_model
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    best = (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    cells = (
+        best.join(doc_labels, "doc_id")
+        .groupBy("truth", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_row = Window.partitionBy("truth")  # |labels|^2 rows, bounded
+    out = cells.select(
+        "truth",
+        "predicted",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_row).cast("double"),
+            6,
+        ).alias("row_frac"),
+    ).localCheckpoint(eager=True)
+    base.unpersist()  # real release: base went through persist()
+    return out

@@ -613,3 +613,143 @@ def packing_efficiency_audit(
         ),
     ).otherwise(F.lit(0.0))
     return out.withColumn("pad_saved_pct", saved)
+
+
+def waterfill_execute(
+    doc_tokens: DataFrame,
+    allocation: DataFrame,
+    salt: str = "wfx",
+    oversample: int = 4,
+) -> DataFrame:
+    """EXECUTE a water-filling allocation: deterministically select,
+    per source, the hash-ordered prefix of documents whose running
+    token total fits the source's allocated budget — the sampling pass
+    that turns ``waterfill_allocation``'s plan into an actual kept-set.
+    Selection is the md5-prefix rule every sampler here uses (a pure
+    function of the data: stable across runs, engines, partitionings),
+    and the budget is enforced exactly: kept tokens never exceed the
+    allocation (the boundary document that would overflow is dropped,
+    not truncated).
+
+    STAGED for round-10 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Scale shape — the same certified pre-filter contract as
+    ``sketches.bottomk_quantile_rollup``: ranking a source's WHOLE
+    document set per prefix-sum window would put a source's entire
+    slice in one task at corpus scale, so each source's window input
+    is pre-shrunk by a static hash bound sized from its allocation
+    (``h < H div max(1, avail div max(1, alloc*oversample))`` —
+    expected survivor mass ~oversample x the budget; sources whose
+    allocation equals their avail — saturated — skip the filter and
+    keep everything, and a ZERO allocation keeps nothing by contract).
+    Survivors are a PREFIX of the (hash, id) order, so the filtered
+    cut is EXACT whenever the budget boundary is provably inside that
+    prefix — surviving mass STRICTLY above the allocation, or the
+    whole source surviving — which is CERTIFIED per source and RAISES
+    otherwise (raise ``oversample`` rather than under-fill silently;
+    a source holding its mass in a handful of huge documents can trip
+    this legitimately — the bound is sized in tokens, granularity is
+    a document). Survivors (~oversample x budget tokens per source)
+    are materialized once; the prefix window runs on that bounded
+    superset.
+
+    ``doc_tokens``: (source, doc_id, n_tokens); ``allocation``: the
+    waterfill_allocation output. Returns one row per source: (source,
+    allocated_tokens, n_docs_kept, tokens_kept, utilization =
+    round(kept/allocated, 6); 0.0 for zero allocations).
+    """
+    hs = 1 << 60  # md5_long hash space
+    alloc = allocation.select(
+        "source",
+        F.col("avail_tokens").cast("long").alias("_avail"),
+        F.col("allocated_tokens").cast("long").alias("_alloc"),
+    )
+    h = md5_long(
+        F.concat(F.lit(f"{salt}#"), F.col("doc_id").cast("string"))
+    )
+    hmax = F.expr(
+        f"{hs} div greatest(1, _avail div greatest(1, _alloc * {int(oversample)}))"
+    )
+    survivors = (
+        doc_tokens.select(
+            "source", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+        )
+        .join(F.broadcast(alloc), "source")
+        .withColumn("_h", h)
+        .filter(
+            (F.col("_alloc") > 0)
+            & ((F.col("_alloc") == F.col("_avail")) | (F.col("_h") < hmax))
+        )
+        .persist()  # ~oversample x budget tokens per source
+    )
+    survivors.count()
+    # exactness certificate: survivors are a PREFIX of the (h, doc_id)
+    # order, so the filtered cut equals the unfiltered cut iff the
+    # budget boundary is provably inside the prefix — surviving mass
+    # STRICTLY exceeds the allocation (the crossing row is visible;
+    # mass == alloc is NOT enough: a zero-token doc beyond the bound
+    # would still belong to the true cut) — or the prefix is the whole
+    # source (mass == avail). Zero allocations keep nothing by
+    # contract and are exempt.
+    short = (
+        survivors.groupBy("source")
+        .agg(F.sum("n_tokens").alias("_stok"))
+        .join(F.broadcast(alloc), "source", "right")
+        .filter(
+            (F.col("_alloc") > 0)
+            & ~(
+                (F.coalesce(F.col("_stok"), F.lit(0)) > F.col("_alloc"))
+                | (F.coalesce(F.col("_stok"), F.lit(0)) == F.col("_avail"))
+            )
+        )
+        .count()
+    )
+    if short:
+        survivors.unpersist()
+        raise ValueError(
+            f"waterfill_execute: {short} source(s) kept less token "
+            f"mass than their allocation under the oversample="
+            f"{oversample} hash bound — raise oversample (widens the "
+            "pre-filter) instead of under-filling silently"
+        )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        survivors.withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") <= F.col("_alloc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )
+    out = (
+        alloc.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("_alloc").alias("allocated_tokens"),
+            F.coalesce(F.col("n_docs_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.when(
+                F.col("_alloc") > 0,
+                F.round(
+                    F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("double")
+                    / F.col("_alloc").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("utilization"),
+        )
+        .localCheckpoint(eager=True)  # source-count rows
+    )
+    survivors.unpersist()
+    return out

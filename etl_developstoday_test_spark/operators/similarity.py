@@ -1435,3 +1435,98 @@ def hard_negative_mining(
             F.round(F.col("p.c") - F.col("n.c"), 6).alias("triplet_margin"),
         )
     )
+
+
+def embedding_dimension_drift(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-DIMENSION drift between two deterministic halves of an
+    embedding corpus — the embedding-space sibling of ``drift.psi``:
+    when the upstream encoder, preprocessing, or data mix shifts, the
+    first detectable symptom is a handful of dimensions whose means
+    move, and a per-dimension Welch z-score table localizes WHICH
+    dimensions moved before any downstream ANN-recall or
+    cluster-assignment metric degrades. The halves are the even/odd
+    id split (a stand-in for the before/after snapshot columns a real
+    monitor would feed; on an undrifted corpus the z-scores certify
+    the null).
+
+    STAGED for round-10 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: each component is MICRO-QUANTIZED up front —
+    xq = round(x*1e6) as BIGINT — so the per-dimension sums and sums
+    of squares are pure integer arithmetic (order-independent and
+    bit-identical on any engine; a DECIMAL(30,10) accumulation of raw
+    doubles would hit the engine-divergent double→decimal rounding the
+    CUSUM work documented). The z-score
+
+        z_d = (mB - mA) / sqrt(vA/nA + vB/nB),  v = ss/n - (s/n)^2
+
+    is ONE fixed-order double expression over those exact integer sums
+    computed entirely in micro-units (z is scale-invariant), so the
+    table — and the (|z| DESC, dim ASC) top-k order, taken on the
+    6-dp-rounded score — hash-matches a SQL replay exactly. Integer
+    headroom: |xq| <= 1e6·max|x|, so Σ xq² stays inside int64 up to
+    ~10⁷ unit-norm vectors per dimension pair; past that swap the two
+    square-sums to DECIMAL(38,0), same contract.
+
+    Scale shape: posexplode is a narrow in-row expansion (dim x rows,
+    no Python); ONE map-side-combined groupBy on the dimension id (2d
+    partial aggregates of 6 BIGINTs each); everything after is
+    d-row-sized. Returns top_k rows: (dim, n_a, n_b, mean_a, mean_b,
+    z_score) ordered by |z| descending.
+    """
+    is_a = (F.col(id_col) % 2 == 0).alias("_is_a")
+    exploded = emb.select(
+        is_a, F.posexplode(as_double_array(vec_col)).alias("dim", "_x")
+    ).select(
+        "_is_a",
+        "dim",
+        F.round(F.col("_x") * 1e6).cast("long").alias("_xq"),
+    )
+    per_dim = exploded.groupBy("dim").agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_xq"))).alias("s_a"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_xq"))).alias("s_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_xq") * F.col("_xq"))).alias(
+            "ss_a"
+        ),
+        F.sum(F.when(~F.col("_is_a"), F.col("_xq") * F.col("_xq"))).alias(
+            "ss_b"
+        ),
+    )
+    # all in micro-units, one fixed operation order (z is invariant)
+    mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    var_a = (
+        F.col("ss_a").cast("double") / F.col("n_a").cast("double")
+        - mean_a * mean_a
+    )
+    var_b = (
+        F.col("ss_b").cast("double") / F.col("n_b").cast("double")
+        - mean_b * mean_b
+    )
+    denom = F.sqrt(
+        var_a / F.col("n_a").cast("double")
+        + var_b / F.col("n_b").cast("double")
+    )
+    z = F.when(denom > 0, F.round((mean_b - mean_a) / denom, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        per_dim.select(
+            "dim",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(mean_a / F.lit(1e6), 6).alias("mean_a"),
+            F.round(mean_b / F.lit(1e6), 6).alias("mean_b"),
+            z.alias("z_score"),
+        )
+        .orderBy(F.abs(F.col("z_score")).desc(), F.col("dim").asc())
+        .limit(top_k)
+    )

@@ -960,3 +960,81 @@ def boilerplate_line_removal(
             F.when(F.col("is_boiler"), F.length("line")).otherwise(0)
         ).cast("bigint").alias("chars_removed"),
     )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus DELTA card — the continuous-ingestion
+    counterpart of ``incremental_new_docs``: instead of only surfacing
+    never-seen content, diff two full crawl snapshots into the four CDC
+    classes (added / removed / changed / unchanged, change detected by
+    content hash) and account the per-source token movement. This is
+    the freshness/churn table a recurring pretraining refresh reads
+    before deciding what to re-tokenize, what dedup state to invalidate,
+    and whether a source's churn rate makes its snapshots worth the
+    re-crawl.
+
+    STAGED for round-10 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Scale shape: ONE full-outer equi-join on the document id (both
+    sides co-shuffle on the same key — the standard CDC diff plan) and
+    ONE map-side-combined per-source rollup; the classification is a
+    codegen when-chain over the joined row. All outputs are exact
+    BIGINTs (counts and a token delta), so the card hash-matches a SQL
+    replay.
+
+    Returns one row per source: (source, n_added, n_removed,
+    n_changed, n_unchanged, token_delta = Σ new tokens − Σ old
+    tokens over that source's rows in either snapshot).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_o_src"),
+        F.md5(F.col(text_col)).alias("_o_hash"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_o_tok"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_n_src"),
+        F.md5(F.col(text_col)).alias("_n_hash"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_n_tok"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    cls = (
+        F.when(F.col("_o_hash").isNull(), F.lit("added"))
+        .when(F.col("_n_hash").isNull(), F.lit("removed"))
+        .when(F.col("_o_hash") != F.col("_n_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_n_src"), F.col("_o_src")).alias("source"),
+            cls.alias("_cls"),
+            (
+                F.coalesce(F.col("_n_tok"), F.lit(0))
+                - F.coalesce(F.col("_o_tok"), F.lit(0))
+            ).alias("_dtok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_cls") == "added", 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("_cls") == "removed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("_cls") == "changed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.when(F.col("_cls") == "unchanged", 1).otherwise(0))
+            .cast("long")
+            .alias("n_unchanged"),
+            F.sum("_dtok").cast("long").alias("token_delta"),
+        )
+    )

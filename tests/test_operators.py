@@ -1902,3 +1902,123 @@ def test_packing_efficiency_matches_python_reference(spark):
     assert (r["unpacked_seqs"], r["packed_seqs"]) == (useq, pseq)
     assert r["unpacked_pad_tokens"] == useq * B - total
     assert r["packed_pad_tokens"] == pseq * B - total
+
+
+def test_nb_confusion_diagonal_equals_quality_correct_counts(spark):
+    """The confusion matrix's diagonal must equal naive_bayes_quality's
+    per-label n_correct on the same corpus (same model, same argmax),
+    and each truth row's predicted total can only be <= the quality
+    row's n_docs (unpredicted docs have no confusion cell)."""
+    from etl_developstoday_test_spark.operators.ml import (
+        naive_bayes_quality,
+        nb_confusion_matrix,
+    )
+
+    rows = [
+        (i, t, l)
+        for i, (t, l) in enumerate(
+            [
+                ("apple banana cherry", "a"),
+                ("apple apple banana", "a"),
+                ("xylo zonk banana", "b"),
+                ("xylo xylo zonk", "b"),
+                ("apple zonk apple", "a"),
+                ("banana xylo zonk", "b"),
+                ("cherry apple banana", "a"),
+                ("zonk zonk xylo", "b"),
+                ("apple cherry", "a"),
+                ("xylo zonk", "b"),
+            ]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    quality = {
+        r["label"]: r for r in naive_bayes_quality(docs, test_mod=3).collect()
+    }
+    cm = nb_confusion_matrix(docs, test_mod=3).collect()
+    diag = {r["truth"]: r["n_docs"] for r in cm if r["truth"] == r["predicted"]}
+    row_tot = {}
+    for r in cm:
+        row_tot[r["truth"]] = row_tot.get(r["truth"], 0) + r["n_docs"]
+    for label, q in quality.items():
+        assert diag.get(label, 0) == q["n_correct"], label
+        assert row_tot.get(label, 0) <= q["n_docs"], label
+    # row_frac sums to 1 within each truth row
+    from collections import defaultdict
+
+    fr = defaultdict(float)
+    for r in cm:
+        fr[r["truth"]] += r["row_frac"]
+    assert all(abs(v - 1.0) < 1e-4 for v in fr.values())
+
+
+def test_snapshot_delta_classifies_all_four_cdc_classes(spark):
+    """Hand-built snapshots: one added, one removed, one changed, two
+    unchanged, split across two sources; token_delta counts the moved
+    whitespace tokens exactly."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "s1", "alpha beta"),          # unchanged
+            (2, "s1", "gamma delta epsilon"),  # changed -> 2 tokens
+            (3, "s2", "zeta eta"),             # removed (-2 tokens)
+            (5, "s2", "iota kappa"),           # unchanged
+        ],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "s1", "alpha beta"),
+            (2, "s1", "theta mu"),             # changed (3 -> 2 tokens)
+            (4, "s2", "nu xi omicron pi"),     # added (+4 tokens)
+            (5, "s2", "iota kappa"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in snapshot_delta(old, new).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_added"], s1["n_removed"], s1["n_changed"], s1["n_unchanged"]) == (0, 0, 1, 1)
+    assert s1["token_delta"] == -1  # 3-token doc replaced by 2 tokens
+    assert (s2["n_added"], s2["n_removed"], s2["n_changed"], s2["n_unchanged"]) == (1, 1, 0, 1)
+    assert s2["token_delta"] == 2  # +4 added, -2 removed
+
+
+def test_waterfill_execute_certificate_raises_on_short_mass(spark):
+    """A source whose surviving hash mass cannot cover its allocation
+    must RAISE (the exactness certificate), not silently under-fill:
+    doc ids are chosen so every hash falls ABOVE the oversample=4
+    pre-filter bound for a 2-doc source with a small allocation."""
+    import hashlib
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_execute,
+    )
+
+    hs = 1 << 60
+
+    def h(i):
+        return int(hashlib.md5(f"wfx#{i}".encode()).hexdigest()[:15], 16)
+
+    # allocation 100 of avail 2000 -> frac = 2000 div 400 = 5,
+    # bound = H div 5; find two ids hashing above it
+    bound = hs // 5
+    ids = [i for i in range(1000) if h(i) >= bound][:2]
+    assert len(ids) == 2
+    dt = spark.createDataFrame(
+        [("s", ids[0], 1000), ("s", ids[1], 1000)],
+        "source string, doc_id long, n_tokens long",
+    )
+    alloc = spark.createDataFrame(
+        [("s", 2000, 1, 100, False)],
+        "source string, avail_tokens long, weight long, "
+        "allocated_tokens long, saturated boolean",
+    )
+    with pytest.raises(ValueError, match="under-filling"):
+        waterfill_execute(dt, alloc)

@@ -1341,3 +1341,151 @@ def test_waterfill_rejects_nonpositive_or_null_weights(spark):
     )
     with pytest.raises(ValueError, match="negative avail"):
         waterfill_allocation(df, budget_pct=60)
+
+
+def _md5_long_py(s: str) -> int:
+    """Python replica of functions.md5_long (15 hex chars = 60 bits)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+_wfx_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # source index
+        st.integers(min_value=0, max_value=400),   # doc tokens
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_wfx_docs, pct=st.integers(min_value=1, max_value=100))
+def test_waterfill_execute_matches_sequential_reference(spark, docs, pct):
+    """waterfill_execute NEVER returns a wrong answer: when it returns,
+    every source equals the sequential hash-prefix reference (walk docs
+    by (md5('wfx#'+id), id), keep while the running token total fits
+    the allocation; zero allocations keep nothing by contract) and the
+    budget is never exceeded; when it raises, the python replica of
+    the certificate confirms some source's pre-filter prefix was
+    genuinely unable to prove its boundary (mass <= alloc and < avail
+    — e.g. a source holding its tokens in one huge document)."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_allocation,
+        waterfill_execute,
+    )
+
+    rows = [
+        (f"s{src}", i, int(tok)) for i, (src, tok) in enumerate(docs)
+    ]
+    dt = spark.createDataFrame(
+        rows, "source string, doc_id long, n_tokens long"
+    )
+    src_rows = {}
+    for s, i, t in rows:
+        src_rows.setdefault(s, []).append((i, t))
+    alloc_in = spark.createDataFrame(
+        [
+            (s, sum(t for _, t in v), (_md5_long_py(f"wf#{s}") % 9) + 1)
+            for s, v in src_rows.items()
+        ],
+        "source string, avail_tokens long, weight long",
+    )
+    alloc = waterfill_allocation(alloc_in, budget_pct=pct)
+    alloc_map = {
+        r["source"]: (r["allocated_tokens"], r["avail_tokens"])
+        for r in alloc.collect()
+    }
+
+    def surviving_mass(s, v):
+        budget, avail = alloc_map[s]
+        if budget == avail:
+            return avail
+        if budget == 0:
+            return 0
+        hmax = (1 << 60) // max(1, avail // max(1, budget * 4))
+        return sum(
+            t for i, t in v if _md5_long_py(f"wfx#{i}") < hmax
+        )
+
+    ambiguous = [
+        s
+        for s, v in src_rows.items()
+        if alloc_map[s][0] > 0
+        and not (
+            surviving_mass(s, v) > alloc_map[s][0]
+            or surviving_mass(s, v) == alloc_map[s][1]
+        )
+    ]
+    try:
+        out = {
+            r["source"]: r for r in waterfill_execute(dt, alloc).collect()
+        }
+    except ValueError:
+        assert ambiguous, "raised with no genuinely ambiguous source"
+        return
+    assert not ambiguous, "returned although the certificate should fire"
+    for s, v in src_rows.items():
+        budget = alloc_map[s][0]
+        cum, nd, tk = 0, 0, 0
+        if budget > 0:
+            for i, t in sorted(
+                v, key=lambda p: (_md5_long_py(f"wfx#{p[0]}"), p[0])
+            ):
+                if cum + t <= budget:
+                    cum += t
+                    nd += 1
+                    tk += t
+                else:
+                    break
+        r = out[s]
+        assert (r["n_docs_kept"], r["tokens_kept"]) == (nd, tk), s
+        assert r["tokens_kept"] <= budget
+
+
+_cc_graph = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=_cc_graph)
+def test_clustering_coefficient_matches_bruteforce(spark, pairs):
+    """local_clustering_coefficient == the adjacency-set brute force on
+    any small graph: per node, triangles = closed neighbor pairs,
+    coefficient = 2T/(d(d-1)), degree-<2 nodes excluded."""
+    from etl_developstoday_test_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for u, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for v in nb
+            for w in nb
+            if v < w and w in adj.get(v, set())
+        )
+        expect[u] = (d, t, round(2 * t / (d * (d - 1)), 6))
+    df = spark.createDataFrame(edges, "ua long, ub long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in local_clustering_coefficient(df, top_k=100).collect()
+    }
+    assert got == expect

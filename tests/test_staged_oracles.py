@@ -333,3 +333,351 @@ def test_packing_efficiency_matches_oracle(spark, sf_con):
     # padding saved must be nonnegative and the packed layout never
     # needs more sequences than the unpacked one
     assert srow[4] <= srow[2] and srow[5] <= srow[3]
+
+
+# --- STAGED for round 10 -----------------------------------------------------
+#
+# Same discipline as the round-8/round-9 staging: each operator below is
+# implemented and unit-tested NOW, its DuckDB twin is value-locked at
+# sf0.001 AND sf0.01 here, and registration waits for the round-10
+# driver window — so the first driver row can only be green.
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    WATERFILL_ORACLE_SQL as _WF_ORACLE,
+)
+
+WATERFILL_EXECUTE_ORACLE = (
+    "WITH alloc AS (\n"
+    + _WF_ORACLE
+    + r"""),
+dt AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x', substr(md5('wfx#' || CAST(doc_id AS VARCHAR)),
+           1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+surv AS (
+  SELECT dt.source, dt.doc_id, dt.n_tokens, dt.h, a.allocated_tokens
+  FROM dt JOIN alloc a USING (source)
+  WHERE a.allocated_tokens > 0
+    AND (a.allocated_tokens = a.avail_tokens
+         OR dt.h <
+            CAST(1152921504606846976 AS BIGINT)
+            // greatest(CAST(1 AS BIGINT),
+                 a.avail_tokens // greatest(CAST(1 AS BIGINT),
+                                            a.allocated_tokens * 4)))
+),
+kept AS (
+  SELECT source, n_tokens FROM (
+    SELECT source, n_tokens, allocated_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM surv) WHERE cum <= allocated_tokens
+)
+SELECT a.source, a.allocated_tokens,
+       CAST(COALESCE(k.nd, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.tk, 0) AS BIGINT) AS tokens_kept,
+       CASE WHEN a.allocated_tokens > 0
+            THEN round(CAST(COALESCE(k.tk, 0) AS DOUBLE)
+                       / CAST(a.allocated_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS utilization
+FROM alloc a LEFT JOIN (
+  SELECT source, COUNT(*) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS tk
+  FROM kept GROUP BY source) k USING (source)
+"""
+)
+
+
+def _wf_inputs(spark, sf_dir):
+    """The registered waterfill construction: per-source token rollup
+    with the salted-md5 1..9 weight, plus the doc-level token table."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import md5_long, tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("avail_tokens"))
+        .select(
+            "source",
+            "avail_tokens",
+            (
+                md5_long(F.concat(F.lit("wf#"), F.col("source"))) % 9 + 1
+            ).alias("weight"),
+        )
+    )
+    doc_tokens = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return src, doc_tokens
+
+
+def test_waterfill_execute_matches_oracle(spark, sf_con):
+    """STAGED r10: execute the registered waterfill plan — per-source
+    hash-prefix selection under the exact token budget, with the
+    certified KMV-style pre-filter bounding each source's window
+    input. Value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_allocation,
+        waterfill_execute,
+    )
+
+    sf_dir, con = sf_con
+    src, doc_tokens = _wf_inputs(spark, sf_dir)
+    alloc = waterfill_allocation(src, budget_pct=60)
+    srows = sorted(
+        tuple(r) for r in waterfill_execute(doc_tokens, alloc).collect()
+    )
+    drows = sorted(
+        tuple(r) for r in con.execute(WATERFILL_EXECUTE_ORACLE).fetchall()
+    )
+    assert srows == drows
+    # the budget is enforced exactly and the kept mass is nontrivial
+    assert all(r[3] <= r[1] for r in srows)
+    assert any(r[3] > 0 for r in srows)
+
+
+NB_CONFUSION_ORACLE = (
+    NB_ORACLE.split("SELECT truth.truth")[0]
+    + """, picks AS (
+  SELECT t.truth, b.cand AS predicted
+  FROM truth t JOIN (SELECT doc_id, cand FROM best WHERE rk = 1) b
+    USING (doc_id)
+),
+cells AS (
+  SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM picks GROUP BY truth, predicted
+)
+SELECT truth, predicted, n_docs,
+       round(CAST(n_docs AS DOUBLE) /
+             CAST(SUM(n_docs) OVER (PARTITION BY truth) AS DOUBLE), 6)
+         AS row_frac
+FROM cells
+"""
+)
+
+
+def test_nb_confusion_matrix_matches_oracle(spark, sf_con):
+    """STAGED r10: which-label-leaks-where confusion matrix of the NB
+    classifier, sharing the registered model CTEs verbatim.
+    Value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.ml import (
+        nb_confusion_matrix,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = sorted(tuple(r) for r in nb_confusion_matrix(docs).collect())
+    drows = sorted(
+        tuple(r) for r in con.execute(NB_CONFUSION_ORACLE).fetchall()
+    )
+    assert srows == drows
+
+
+CLUSTERING_ORACLE = """
+WITH e AS (SELECT a AS ua, b AS ub FROM edges),
+deg AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT ua AS u FROM e UNION ALL SELECT ub FROM e) GROUP BY u
+),
+tri AS (
+  SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+  FROM e e1
+  JOIN e e2 ON e2.ua = e1.ub
+  JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+),
+cred AS (
+  SELECT x AS u FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tc AS (SELECT u, COUNT(*) AS t FROM cred GROUP BY u)
+SELECT deg.u AS node, CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       round(CAST(2 * COALESCE(t, 0) AS DOUBLE)
+             / CAST(d * (d - 1) AS DOUBLE), 6) AS clustering_coeff
+FROM deg LEFT JOIN tc ON tc.u = deg.u
+WHERE d >= 2
+ORDER BY clustering_coeff DESC, node ASC LIMIT 10
+"""
+
+
+def test_clustering_coefficient_matches_oracle(spark):
+    """STAGED r10: per-node local clustering coefficient on an
+    irregular fixture (two bridged cliques + a pendant chain + a
+    square) — the degree-ordered oriented enumeration must credit
+    exactly the triangles the naive ordered SQL join finds."""
+    import itertools
+
+    from etl_developstoday_test_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    e = list(itertools.combinations(range(4), 2))
+    e += list(itertools.combinations(range(10, 14), 2))
+    e += [(3, 10), (13, 20), (20, 21)]
+    e += [(30, 31), (31, 32), (32, 33), (30, 33)]  # triangle-free square
+    edges = spark.createDataFrame(e, "ua long, ub long")
+    srows = [
+        tuple(r) for r in local_clustering_coefficient(edges).collect()
+    ]
+    c = duckdb.connect()
+    c.execute("CREATE TABLE edges(a BIGINT, b BIGINT)")
+    c.executemany("INSERT INTO edges VALUES (?, ?)", e)
+    drows = c.execute(CLUSTERING_ORACLE).fetchall()
+    c.close()
+    assert srows == drows
+    # the square's nodes have degree 2 and no triangles: coefficient 0
+    by_node = {r[0]: r for r in srows}
+    assert 30 in by_node and by_node[30][3] == 0.0
+
+
+EMBED_DRIFT_ORACLE = """
+WITH ex AS (
+  SELECT vec_id % 2 = 0 AS is_a, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+pd AS (
+  SELECT dim,
+         CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b,
+         CAST(SUM(xq) FILTER (WHERE is_a) AS BIGINT) AS s_a,
+         CAST(SUM(xq) FILTER (WHERE NOT is_a) AS BIGINT) AS s_b,
+         CAST(SUM(xq * xq) FILTER (WHERE is_a) AS BIGINT) AS ss_a,
+         CAST(SUM(xq * xq) FILTER (WHERE NOT is_a) AS BIGINT) AS ss_b
+  FROM ex GROUP BY dim
+),
+calc AS (
+  SELECT dim, n_a, n_b,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS va,
+         CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS vb
+  FROM pd
+)
+SELECT CAST(dim AS INTEGER) AS dim, n_a, n_b,
+       round(ma / 1e6, 6) AS mean_a, round(mb / 1e6, 6) AS mean_b,
+       CASE WHEN sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) > 0
+            THEN round((mb - ma)
+                 / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)), 6)
+            ELSE 0.0 END AS z_score
+FROM calc
+ORDER BY abs(z_score) DESC, dim ASC LIMIT 10
+"""
+
+
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def emb_con(request):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{request.param}/embeddings.parquet'"
+    )
+    yield request.param, c
+    c.close()
+
+
+def test_embedding_dimension_drift_matches_oracle(spark, emb_con):
+    """STAGED r10: per-dimension Welch z between the even/odd vec_id
+    halves — micro-quantized BIGINT moments, one fixed-order double
+    expression, value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        embedding_dimension_drift,
+    )
+
+    sf_dir, con = emb_con
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srows = [
+        tuple(r) for r in embedding_dimension_drift(emb).collect()
+    ]
+    drows = con.execute(EMBED_DRIFT_ORACLE).fetchall()
+    assert srows == drows
+    # undrifted corpus: an even/odd split should certify the null
+    # loosely (no |z| explosion) — sanity, not a lock
+    assert all(abs(r[5]) < 10 for r in srows)
+
+
+SNAPSHOT_DELTA_ORACLE = r"""
+WITH snap_a AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 19
+),
+snap_b AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 20 <> 0
+),
+o AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+      FROM snap_a),
+n AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+      FROM snap_b),
+j AS (SELECT COALESCE(n.source, o.source) AS source,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS cls,
+             COALESCE(n.tok, 0) - COALESCE(o.tok, 0) AS dtok
+      FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE cls = 'added') AS BIGINT) AS n_added,
+       CAST(COUNT(*) FILTER (WHERE cls = 'removed') AS BIGINT) AS n_removed,
+       CAST(COUNT(*) FILTER (WHERE cls = 'changed') AS BIGINT) AS n_changed,
+       CAST(COUNT(*) FILTER (WHERE cls = 'unchanged') AS BIGINT)
+         AS n_unchanged,
+       CAST(SUM(dtok) AS BIGINT) AS token_delta
+FROM j GROUP BY source
+"""
+
+
+def test_snapshot_delta_matches_oracle(spark, sf_con):
+    """STAGED r10: CDC-class snapshot diff card (added / removed /
+    changed / unchanged + per-source token movement) over two
+    deterministic snapshot views of the corpus. Value-locked at both
+    scales BEFORE registration; every class must be non-empty so the
+    lock exercises all four branches."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        snapshot_delta,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snap_a = docs.filter(F.col("doc_id") % 20 != 19).select(
+        "doc_id", "source", "text"
+    )
+    snap_b = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    srows = sorted(
+        tuple(r) for r in snapshot_delta(snap_a, snap_b).collect()
+    )
+    drows = sorted(
+        tuple(r) for r in con.execute(SNAPSHOT_DELTA_ORACLE).fetchall()
+    )
+    assert srows == drows
+    tot = [sum(r[i] for r in srows) for i in range(1, 5)]
+    assert all(t > 0 for t in tot), f"a CDC class is unexercised: {tot}"
