@@ -190,11 +190,22 @@ def bottomk_quantile_rollup(
     )
     survivors.count()
     # exactness certificate: the filtered rank equals the unfiltered
-    # bottom-k iff >= min(k, n_month) rows survived per month
+    # bottom-k iff >= min(k, n_month) rows survived per month —
+    # anchored on the COUNTS table (a month whose survivors were ALL
+    # filtered out has no survivor row at all and must still be
+    # flagged, not silently skipped)
     n_bad = (
-        survivors.groupBy("y", "m")
-        .agg(F.count(F.lit(1)).alias("_kept"), F.any_value("_n_m").alias("_nm"))
-        .filter(F.col("_kept") < F.least(F.lit(k), F.col("_nm")))
+        cnts.join(
+            survivors.groupBy("y", "m").agg(
+                F.count(F.lit(1)).alias("_kept")
+            ),
+            ["y", "m"],
+            "left",
+        )
+        .filter(
+            F.coalesce(F.col("_kept"), F.lit(0))
+            < F.least(F.lit(k), F.col("_n_m"))
+        )
         .count()
     )
     if n_bad:

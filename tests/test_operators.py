@@ -2022,3 +2022,75 @@ def test_waterfill_execute_certificate_raises_on_short_mass(spark):
     )
     with pytest.raises(ValueError, match="under-filling"):
         waterfill_execute(dt, alloc)
+
+
+def _md5l(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_bottomk_quantile_leaf_prefilter_active_and_exact(spark):
+    """The per-month KMV-style leaf pre-filter ENGAGES on months larger
+    than oversample*k (the parity suites run at scales where frac = 1,
+    so this locks the filtered path): with the filter provably active,
+    every month estimate must still equal the unfiltered bottom-k
+    reference — the certificate guarantees the k smallest hashes all
+    survive the bound."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.sketches import (
+        bottomk_quantile_rollup,
+    )
+
+    k = 16
+    rows = [
+        (i, 2001, 1 + (i % 4), float((i * 131) % 997))
+        for i in range(2400)  # 600 rows/month -> frac = 600 div 64 = 9
+    ]
+    df = spark.createDataFrame(rows, "id long, yy int, mm int, val double")
+    out = {
+        r["grp"]: r
+        for r in bottomk_quantile_rollup(
+            df, "val", F.col("id").cast("string"), "yy", "mm", k=k
+        ).collect()
+        if r["level"] == "month"
+    }
+    hs = 1 << 60
+    by_month: dict = {}
+    for i, yy, mm, v in rows:
+        by_month.setdefault(mm, []).append((v, _md5l(str(i))))
+    for mm, vh in by_month.items():
+        frac = max(1, len(vh) // (4 * k))
+        assert frac > 1  # the filter is genuinely active
+        sketch = sorted(vh, key=lambda p: p[1])[:k]
+        # certificate precondition holds: all k minima under the bound
+        assert all(h < hs // frac for _, h in sketch)
+        ref = sorted(sketch)[(k + 1) // 2 - 1][0]
+        assert out[f"2001-{mm:02d}"]["est_p50"] == ref, mm
+
+
+def test_bottomk_quantile_prefilter_certificate_raises(spark):
+    """Adversarial hash distribution: every row of a month hashes ABOVE
+    the pre-filter bound, so fewer than min(k, n) rows survive — the
+    operator must RAISE (exactness certificate), not silently sketch
+    from a short sample."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.sketches import (
+        bottomk_quantile_rollup,
+    )
+
+    k, n = 16, 640  # oversample=1 -> frac = 640 div 16 = 40
+    hs = 1 << 60
+    bound = hs // 40
+    ids = [i for i in range(20000) if _md5l(str(i)) >= bound][:n]
+    assert len(ids) == n
+    rows = [(i, 2001, 1, float(i % 100)) for i in ids]
+    df = spark.createDataFrame(rows, "id long, yy int, mm int, val double")
+    with pytest.raises(ValueError, match="oversample"):
+        bottomk_quantile_rollup(
+            df, "val", F.col("id").cast("string"), "yy", "mm",
+            k=k, oversample=1,
+        )
