@@ -1211,3 +1211,105 @@ def bpe_fertility_by_lang(
             ).alias("fertility"),
         )
     )
+
+
+def kn_heldout_bottomk(
+    docs: DataFrame,
+    k: int = 20,
+    discount: float = 0.75,
+    test_mod: int = 5,
+) -> DataFrame:
+    """HELD-OUT Kneser–Ney scoring — the production form of the
+    perplexity filter: train the interpolated-KN bigram model on the
+    ``doc_id % test_mod != 0`` split and score the held-out docs, which
+    forces the two code paths in-corpus scoring
+    (``kneser_ney_bigram_bottomk``) structurally never hits: bigrams
+    UNSEEN in training (the discounted term clamps to zero and only the
+    continuation backoff speaks) and contexts/words outside the
+    training vocabulary entirely (scored by a Laplace-floored
+    continuation unigram — proper probability mass is reserved for OOV
+    successors, so ln() is always finite). CCNet-style curation scores
+    the crawl under a model trained on a CLEAN reference corpus; a
+    same-corpus score can't see distribution shift, a held-out score
+    can.
+
+    STAGED for round-10 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+        pcont(w2)   = (N1+(·w2) + 1) / (T + V2 + 1)      -- Laplace floor
+        p(w2|w1)    = max(c − d, 0)/c(w1·)
+                      + (d · N1+(w1·)/c(w1·)) · pcont(w2)  -- w1 known
+        p(w2|w1)    = pcont(w2)                            -- w1 unseen
+
+    with T = distinct training bigram types, V2 = distinct training
+    successors (Σ_seen pcont < 1, the remainder is the OOV mass). All
+    counts exact integers, d = 0.75 binary-exact, p is ONE fixed-order
+    double expression, ln nano-quantized — hash-exact cross-engine.
+
+    Scale shape: ONE persisted bigram explode feeds the train counts
+    and the test scoring (the ``bigram_lm_bottomk`` posture); the model
+    travels as shuffle equi-joins on bg/w1/w2 (never broadcast — open
+    vocabularies); output is a TakeOrderedAndProject of k rows.
+    Returns (doc_id, n_bigrams, mean_logprob), k lowest held-out docs.
+    """
+    big_all = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg"),
+    ).persist()
+    big_all.count()  # eager: train counts AND test scoring read it
+
+    is_test = F.col("doc_id") % test_mod == 0
+    bcounts = (
+        big_all.filter(~is_test).groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    )
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    typed = bcounts.select("bg", "c", w1.alias("w1"), w2.alias("w2"))
+    ctx = typed.groupBy("w1").agg(
+        F.sum("c").alias("ctot"), F.count(F.lit(1)).alias("n1p")
+    )
+    pred = typed.groupBy("w2").agg(F.count(F.lit(1)).alias("npred"))
+    stats = typed.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.count_distinct(F.col("w2")).alias("v2"),
+    )
+
+    tb = big_all.filter(is_test).select(
+        "doc_id", "bg", w1.alias("w1"), w2.alias("w2")
+    )
+    joined = (
+        tb.join(typed.select("bg", "c"), "bg", "left")
+        .join(ctx, "w1", "left")
+        .join(pred, "w2", "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    d = float(discount)
+    pcont = (F.coalesce(F.col("npred"), F.lit(0)) + 1).cast("double") / (
+        F.col("t") + F.col("v2") + 1
+    ).cast("double")
+    inner = F.greatest(
+        F.coalesce(F.col("c"), F.lit(0)).cast("double") - F.lit(d),
+        F.lit(0.0),
+    ) / F.col("ctot").cast("double") + (
+        (F.lit(d) * F.col("n1p").cast("double"))
+        / F.col("ctot").cast("double")
+    ) * pcont
+    p = F.when(F.col("ctot").isNull(), pcont).otherwise(inner)
+    llq = F.round(F.log(p) * 1e9).cast("long")
+    per_doc = (
+        joined.select("doc_id", llq.alias("llq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("llq").cast("double") / 1e9 / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    out = (
+        per_doc.orderBy(F.col("mean_logprob").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    big_all.unpersist()  # real release: went through persist()
+    return out

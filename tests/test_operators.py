@@ -2094,3 +2094,33 @@ def test_bottomk_quantile_prefilter_certificate_raises(spark):
             df, "val", F.col("id").cast("string"), "yy", "mm",
             k=k, oversample=1,
         )
+
+
+def test_kn_heldout_oov_doc_scores_exactly_the_laplace_floor(spark):
+    """A held-out document made ENTIRELY of never-seen words must score
+    exactly ln(1/(T + V2 + 1)) per bigram (unseen context -> pure
+    Laplace-floored continuation, npred = 0), and any held-out doc of
+    training-seen text must score strictly higher."""
+    import math
+
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        kn_heldout_bottomk,
+    )
+
+    train_text = "the cat sat on the mat"
+    rows = [(i, train_text) for i in range(1, 9) if i % 5 != 0]
+    rows += [(5, "qqq www eee rrr"), (10, train_text)]  # held-out docs
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in kn_heldout_bottomk(docs, k=20).collect()
+    }
+    # train bigram types from the repeated sentence: the-cat, cat-sat,
+    # sat-on, on-the, the-mat -> T = 5; successors {cat,sat,on,the,mat}
+    # -> V2 = 5; floor = 1/11
+    floor = round(round(math.log(1.0 / 11.0) * 1e9) / 1e9 / 1.0, 6)
+    oov = out[5]
+    assert oov["n_bigrams"] == 3
+    assert oov["mean_logprob"] == round(
+        round(math.log(1.0 / 11.0) * 1e9) * 3 / 1e9 / 3, 6
+    ) == floor
+    assert out[10]["mean_logprob"] > oov["mean_logprob"]

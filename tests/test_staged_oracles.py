@@ -1,17 +1,18 @@
-"""DuckDB-twin parity for the round-8/9 classifier/LM/planner operators.
+"""DuckDB-twin parity for the staged-then-registered operator pipeline.
 
-Originally the staging ground for these operators' oracle SQL (verified
-value-for-value at sf0.001 AND sf0.01 BEFORE registration, so the
-driver's first row for each could only be green). Now that all of them
-are registered, this file keeps (a) the SECOND-SCALE (sf0.001 and sf0.01) value locks over
-the SAME oracle strings the registration uses — imported from
-plans/queries.py, single source of truth — and (b) the adversarial
-FIXTURE-GRAPH locks for LPA and assortativity, whose registered
-oracles run over the co-activity graph instead. Same comparison
-discipline as tests/test_oracle_parity.py (full multiset, exact
-equality, no epsilon): the determinism contract (nano-quantized ln,
-exact decimal / integer accumulation, total-order argmax) is what's
-being locked in.
+The staging ground: every operator lands here FIRST, with its oracle
+SQL verified value-for-value at sf0.001 AND sf0.01 before any
+registration — so each one's first driver row can only be green. For
+the already-registered rounds (8 and 9) this file keeps (a) the
+second-scale value locks over the SAME oracle strings the registration
+uses — imported from plans/queries.py, single source of truth — and
+(b) the adversarial FIXTURE-GRAPH locks for LPA and assortativity,
+whose registered oracles run over the co-activity graph instead. The
+"STAGED for round 10" section below holds the next registration
+batch's locks. Same comparison discipline as
+tests/test_oracle_parity.py (full multiset, exact equality, no
+epsilon): the determinism contract (nano-quantized ln, exact decimal /
+integer accumulation, total-order argmax) is what's being locked in.
 """
 
 from __future__ import annotations
@@ -681,3 +682,78 @@ def test_snapshot_delta_matches_oracle(spark, sf_con):
     assert srows == drows
     tot = [sum(r[i] for r in srows) for i in range(1, 5)]
     assert all(t > 0 for t in tot), f"a CDC class is unexercised: {tot}"
+
+
+KN_HELDOUT_ORACLE = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM arrs, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+bcounts AS (
+  SELECT bg, COUNT(*) AS c FROM big WHERE doc_id % 5 <> 0 GROUP BY bg
+),
+typed AS (
+  SELECT bg, c, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bcounts
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1p
+  FROM typed GROUP BY w1
+),
+pred AS (SELECT w2, COUNT(*) AS npred FROM typed GROUP BY w2),
+stats AS (SELECT COUNT(*) AS t, COUNT(DISTINCT w2) AS v2 FROM typed),
+tb AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+         split_part(bg, ' ', 2) AS w2
+  FROM big WHERE doc_id % 5 = 0
+),
+scored AS (
+  SELECT tb.doc_id,
+    CAST(round(ln(
+      CASE WHEN ctx.ctot IS NULL
+        THEN CAST(COALESCE(pred.npred, 0) + 1 AS DOUBLE)
+             / CAST(stats.t + stats.v2 + 1 AS DOUBLE)
+        ELSE greatest(CAST(COALESCE(tc.c, 0) AS DOUBLE) - 0.75, 0.0)
+               / CAST(ctx.ctot AS DOUBLE)
+             + ((0.75 * CAST(ctx.n1p AS DOUBLE)) / CAST(ctx.ctot AS DOUBLE))
+               * (CAST(COALESCE(pred.npred, 0) + 1 AS DOUBLE)
+                  / CAST(stats.t + stats.v2 + 1 AS DOUBLE))
+      END
+    ) * 1e9) AS BIGINT) AS llq
+  FROM tb
+  LEFT JOIN (SELECT bg, c FROM typed) tc USING (bg)
+  LEFT JOIN ctx ON ctx.w1 = tb.w1
+  LEFT JOIN pred ON pred.w2 = tb.w2
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS mean_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
+ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
+"""
+
+
+def test_kn_heldout_matches_oracle(spark, sf_con):
+    """STAGED r10: held-out interpolated-KN scoring (train on
+    doc_id % 5 != 0, score the rest) — the unseen-bigram clamp and the
+    Laplace-floored continuation are live code paths here, unlike the
+    in-corpus scorer. Value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        kn_heldout_bottomk,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in kn_heldout_bottomk(docs, k=20).collect()]
+    drows = con.execute(KN_HELDOUT_ORACLE).fetchall()
+    assert srows == drows
