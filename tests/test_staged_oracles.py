@@ -757,3 +757,39 @@ def test_kn_heldout_matches_oracle(spark, sf_con):
     srows = [tuple(r) for r in kn_heldout_bottomk(docs, k=20).collect()]
     drows = con.execute(KN_HELDOUT_ORACLE).fetchall()
     assert srows == drows
+
+
+def test_staged_oracle_result_types_survive_pandas_fetch():
+    """The round-6 incident gate, applied at STAGING time: every oracle
+    string in this module (staged or registered-and-locked) must bind
+    to DuckDB result types that pandas fetches losslessly — an un-cast
+    SUM(BIGINT) is HUGEINT, which the driver's pandas fetch coerces to
+    float64 while Spark stays int64, hash-diverging on equal values.
+    Catching it here means a staged operator can't carry the bug into
+    its registration round."""
+    con = duckdb.connect()
+    for t in ["documents", "lineitem", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{SF_DIR}/{t}.parquet'"
+        )
+    con.execute("CREATE TABLE edges(a BIGINT, b BIGINT)")
+    con.execute("INSERT INTO edges VALUES (1,2),(2,3),(1,3),(3,4)")
+    offenders = []
+    for name, val in sorted(globals().items()):
+        # "SELECT" filter: SF_DIR_ORACLE (a conftest path) also ends
+        # in _ORACLE
+        if (
+            name.endswith("_ORACLE")
+            and isinstance(val, str)
+            and "SELECT" in val
+        ):
+            rel = con.sql(val)
+            for c, ty in zip(rel.columns, [str(t) for t in rel.types]):
+                if "HUGEINT" in ty or "DECIMAL" in ty:
+                    offenders.append((name, c, ty))
+    con.close()
+    assert not offenders, (
+        "staged oracle columns with driver-hash-unsafe types "
+        f"(CAST(... AS BIGINT) / finish the _dsum path): {offenders}"
+    )
