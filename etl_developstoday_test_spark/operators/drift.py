@@ -194,3 +194,127 @@ def cusum_changepoints(
         .alias("cusum"),
     )
     return with_s.filter(F.col("cusum") > threshold)
+
+
+def psi_drift_series(
+    df: DataFrame,
+    value_col: str,
+    period_col,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """PSI monitoring SERIES: one Population Stability Index per time
+    period against the EARLIEST period as the fixed baseline — the
+    continuous form of ``psi_drift`` (one-shot PSI answers "did the
+    distribution move between these two snapshots"; a long-running
+    ingest needs "when did it start moving and how fast", which is
+    this per-period series with conventional stable/moderate/major
+    levels attached).
+
+    STAGED for round-10 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Same determinism contract as ``psi_drift``: fixed caller-pinned
+    [lo, hi] bin edges (values beyond clamp into the edge bins), exact
+    integer bin counts, correctly-rounded double proportions with the
+    standard 1e-4 empty-bin floor, ln(p/q) nano-quantized before the
+    per-bin term, exact-decimal term sum. The baseline period's own
+    PSI is exactly 0.0 (p == q bin-for-bin), which doubles as a
+    built-in self-check.
+
+    Shape: ONE corpus pass (narrow binning map + map-side-combined
+    groupBy on (period, bin)), materialized once at (periods x bins)
+    rows; everything downstream — baseline slice, dense period x bin
+    grid, proportion windows, level casing — runs on that bounded
+    table. The level thresholds compare the exact-decimal PSI double,
+    so the labels are engine-stable too.
+
+    Returns one row per period: (period, psi, n_rows, drift_level)
+    with drift_level in {stable (<0.1), moderate (<=0.25), major}.
+    """
+    if lo is None or hi is None:
+        raise ValueError("psi_drift_series: pin lo/hi once")
+    if hi <= lo:
+        raise ValueError("psi_drift_series: hi must be > lo")
+    if n_bins < 1:
+        raise ValueError("psi_drift_series: n_bins must be >= 1")
+
+    width = (hi - lo) / n_bins
+    per = F.col(period_col) if isinstance(period_col, str) else period_col
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col).cast("double") - lo) / width).cast(
+                "int"
+            ),
+        ),
+    )
+    counts = (
+        df.select(per.alias("period"), b.alias("bin"))
+        .groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # (periods x bins) rows; four consumers below
+    )
+    counts.count()
+    bp = counts.agg(F.min("period").alias("_bp"))
+    bc = (
+        counts.crossJoin(F.broadcast(bp))
+        .filter(F.col("period") == F.col("_bp"))
+        .select("bin", F.col("n").alias("n_base"))
+    )
+    btot = bc.agg(F.sum("n_base").alias("_tb"))
+    grid = (
+        counts.select("period")
+        .distinct()
+        .select(
+            "period",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+    )
+    merged = (
+        grid.join(counts, ["period", "bin"], "left")
+        .select(
+            "period", "bin", F.coalesce("n", F.lit(0)).alias("n_cur")
+        )
+        .join(F.broadcast(bc), "bin", "left")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "period",
+            "n_cur",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            "_tb",
+        )
+    )
+    w = Window.partitionBy("period")
+    p = F.greatest(
+        F.col("n_base").cast("double") / F.col("_tb"), F.lit(1e-4)
+    )
+    q = F.greatest(
+        F.col("n_cur").cast("double") / F.sum("n_cur").over(w), F.lit(1e-4)
+    )
+    lq = F.round(F.log(p / q) * 1e9).cast("long")
+    term = (p - q) * (lq.cast("double") / 1e9)
+    out = (
+        merged.select(
+            "period", "n_cur", term.cast(ACC_DECIMAL).alias("_term")
+        )
+        .groupBy("period")
+        .agg(
+            F.sum("_term").cast("double").alias("psi"),
+            F.sum("n_cur").alias("n_rows"),
+        )
+        .select(
+            "period",
+            "psi",
+            "n_rows",
+            F.when(F.col("psi") < 0.1, F.lit("stable"))
+            .when(F.col("psi") <= 0.25, F.lit("moderate"))
+            .otherwise(F.lit("major"))
+            .alias("drift_level"),
+        )
+        .localCheckpoint(eager=True)  # periods rows
+    )
+    counts.unpersist()  # real release: went through persist()
+    return out

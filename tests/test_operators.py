@@ -2124,3 +2124,27 @@ def test_kn_heldout_oov_doc_scores_exactly_the_laplace_floor(spark):
         round(math.log(1.0 / 11.0) * 1e9) * 3 / 1e9 / 3, 6
     ) == floor
     assert out[10]["mean_logprob"] > oov["mean_logprob"]
+
+
+def test_psi_drift_series_levels_and_baseline_zero(spark):
+    """Synthetic three-period series: the baseline scores exactly 0.0,
+    an identical period scores 0.0/stable, and a period whose mass
+    moved to the opposite edge bin scores major."""
+    from etl_developstoday_test_spark.operators.drift import (
+        psi_drift_series,
+    )
+
+    rows = [(1, float(v % 10)) for v in range(200)]          # baseline
+    rows += [(2, float(v % 10)) for v in range(200)]          # identical
+    rows += [(3, 90.0 + float(v % 10)) for v in range(200)]   # shifted
+    df = spark.createDataFrame(rows, "p int, value double")
+    out = {
+        r["period"]: r
+        for r in psi_drift_series(
+            df, "value", "p", n_bins=10, lo=0.0, hi=100.0
+        ).collect()
+    }
+    assert out[1]["psi"] == 0.0 and out[1]["drift_level"] == "stable"
+    assert out[2]["psi"] == 0.0 and out[2]["drift_level"] == "stable"
+    assert out[3]["drift_level"] == "major" and out[3]["psi"] > 0.25
+    assert all(r["n_rows"] == 200 for r in out.values())

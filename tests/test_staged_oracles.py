@@ -768,7 +768,7 @@ def test_staged_oracle_result_types_survive_pandas_fetch():
     Catching it here means a staged operator can't carry the bug into
     its registration round."""
     con = duckdb.connect()
-    for t in ["documents", "lineitem", "embeddings"]:
+    for t in ["documents", "lineitem", "embeddings", "events"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{SF_DIR}/{t}.parquet'"
@@ -793,3 +793,100 @@ def test_staged_oracle_result_types_survive_pandas_fetch():
         "staged oracle columns with driver-hash-unsafe types "
         f"(CAST(... AS BIGINT) / finish the _dsum path): {offenders}"
     )
+
+
+PSI_SERIES_ORACLE = r"""
+WITH binned AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
+         LEAST(9, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)
+         )) AS bin
+  FROM events
+),
+counts AS (SELECT period, bin, COUNT(*) AS n FROM binned GROUP BY period, bin),
+bp AS (SELECT MIN(period) AS bp FROM counts),
+bc AS (SELECT bin, n AS n_base FROM counts, bp WHERE period = bp),
+btot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb FROM bc),
+grid AS (SELECT period, i AS bin
+         FROM (SELECT DISTINCT period FROM counts), range(0, 10) t(i)),
+m AS (
+  SELECT g.period, g.bin,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur,
+         CAST(COALESCE(bc.n_base, 0) AS BIGINT) AS n_base, btot.tb
+  FROM grid g
+  LEFT JOIN counts c ON c.period = g.period AND c.bin = g.bin
+  LEFT JOIN bc ON bc.bin = g.bin
+  CROSS JOIN btot
+),
+props AS (
+  SELECT period, n_cur,
+         GREATEST(CAST(n_base AS DOUBLE) / tb, 1e-4) AS p,
+         GREATEST(CAST(n_cur AS DOUBLE)
+           / SUM(n_cur) OVER (PARTITION BY period), 1e-4) AS q
+  FROM m
+),
+terms AS (
+  SELECT period, n_cur,
+         (p - q) * (CAST(CAST(round(ln(p / q) * 1e9) AS BIGINT)
+                         AS DOUBLE) / 1e9) AS term
+  FROM props
+),
+psis AS (
+  SELECT period,
+         CAST(CAST(SUM(CAST((term) AS DECIMAL(30,10))) AS VARCHAR)
+           AS DOUBLE) AS psi,
+         CAST(SUM(n_cur) AS BIGINT) AS n_rows
+  FROM terms GROUP BY period
+)
+SELECT period, psi, n_rows,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi <= 0.25 THEN 'moderate'
+            ELSE 'major' END AS drift_level
+FROM psis
+"""
+
+
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def ev_con(request):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{request.param}/events.parquet'"
+    )
+    yield request.param, c
+    c.close()
+
+
+def test_psi_drift_series_matches_oracle(spark, ev_con):
+    """STAGED r10: per-week PSI series of the event value distribution
+    against the earliest week (pinned [0,200) x 10 bins) — the
+    continuous-monitoring form of the registered one-shot PSI.
+    Value-locked at both scales BEFORE registration; the baseline
+    week's own PSI must be exactly 0.0."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.drift import (
+        psi_drift_series,
+    )
+
+    sf_dir, con = ev_con
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = psi_drift_series(
+        ev,
+        "value",
+        F.date_trunc("week", F.col("ts")).cast("date"),
+        n_bins=10,
+        lo=0.0,
+        hi=200.0,
+    )
+    srows = sorted(tuple(r) for r in out.collect())
+    drows = sorted(
+        tuple(r) for r in con.execute(PSI_SERIES_ORACLE).fetchall()
+    )
+    assert srows == drows
+    base = min(srows, key=lambda r: r[0])
+    assert base[1] == 0.0 and base[3] == "stable"
