@@ -890,3 +890,59 @@ def test_psi_drift_series_matches_oracle(spark, ev_con):
     assert srows == drows
     base = min(srows, key=lambda r: r[0])
     assert base[1] == 0.0 and base[3] == "stable"
+
+
+# Registration-ready second lock for the clustering coefficient: the
+# round-10 registration will run it over the shared co-activity graph
+# (like k-core / LPA / assortativity), so lock THAT construction too —
+# the fixture-graph lock above proves the algorithm, this one proves
+# the exact query+oracle pair the registration will ship.
+from etl_developstoday_test_spark.plans.queries import _COACT_SQL  # noqa: E402
+
+CLUSTERING_COACT_ORACLE = f"""
+WITH {_COACT_SQL},
+deg AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges) GROUP BY u
+),
+tri AS (
+  SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.ua = e1.ub
+  JOIN edges e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+),
+cred AS (
+  SELECT x AS u FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tc AS (SELECT u, COUNT(*) AS t FROM cred GROUP BY u)
+SELECT deg.u AS node, CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       round(CAST(2 * COALESCE(t, 0) AS DOUBLE)
+             / CAST(d * (d - 1) AS DOUBLE), 6) AS clustering_coeff
+FROM deg LEFT JOIN tc ON tc.u = deg.u
+WHERE d >= 2
+ORDER BY clustering_coeff DESC, node ASC LIMIT 10
+"""
+
+
+def test_clustering_coefficient_coactivity_matches_oracle(spark, ev_con):
+    """STAGED r10: the clustering coefficient over the SHARED
+    co-activity graph — the exact construction the registration will
+    use — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+    from etl_developstoday_test_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [
+        tuple(r) for r in local_clustering_coefficient(edges).collect()
+    ]
+    drows = con.execute(CLUSTERING_COACT_ORACLE).fetchall()
+    assert srows == drows
+    assert srows  # non-degenerate at both scales
