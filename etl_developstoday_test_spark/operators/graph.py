@@ -206,7 +206,9 @@ def connected_components_star(
     return out
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, broadcast_degrees: bool = True
+) -> DataFrame:
     """Exact triangle count via DEGREE-ORDERED edge orientation (the
     MapReduce-classic of Suri & Vassilvitskii 2011, "Counting Triangles
     and the Curse of the Last Reducer"): orient every undirected edge
@@ -221,8 +223,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     ``edges`` must be distinct undirected pairs (ua < ub). Three
     equi-join shuffles (degree count, wedge join, closing join); the
-    degree table is one row per vertex — broadcast here; at real scale
-    it co-shuffles with the edge list. The edge list and the oriented
+    degree table is one row per vertex — broadcast by DEFAULT (right
+    for the dimension-sized graphs registered here), but a web-scale
+    graph has 10⁹+ vertices and a vertex-sized broadcast OOMs the
+    driver, so ``broadcast_degrees=False`` drops the hint and the
+    degree table co-shuffles with the edge list (AQE still broadcasts
+    it at runtime whenever it measures small) — values identical
+    either way, the same escape-hatch contract as the NB/BPE
+    ``broadcast_model``. The edge list and the oriented
     edge list are localCheckpoint-ed: each feeds several consumers
     (degrees + orientation; wedges ×2 + closing + stats), and without
     materialization every consumer re-derives the whole upstream
@@ -239,7 +247,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     da = deg.select(F.col("u").alias("ua"), F.col("d").alias("_da"))
     db = deg.select(F.col("u").alias("ub"), F.col("d").alias("_db"))
-    ranked = edges.join(F.broadcast(da), "ua").join(F.broadcast(db), "ub")
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
+    ranked = edges.join(da, "ua").join(db, "ub")
     lower_first = F.struct(F.col("_da"), F.col("ua")) < F.struct(
         F.col("_db"), F.col("ub")
     )
@@ -736,7 +746,7 @@ def degree_assortativity(
 
 
 def local_clustering_coefficient(
-    edges: DataFrame, top_k: int = 10
+    edges: DataFrame, top_k: int = 10, broadcast_degrees: bool = True
 ) -> DataFrame:
     """Per-node LOCAL clustering coefficient c_u = 2·T_u / (d_u(d_u−1))
     — the node-level structure signal the global triangle count
@@ -762,6 +772,12 @@ def local_clustering_coefficient(
 
     ``edges`` must be distinct undirected pairs (ua < ub). Returns
     top_k rows: (node, degree, n_triangles, clustering_coeff).
+
+    The one-row-per-vertex degree table broadcasts by DEFAULT (right
+    for the dimension-sized graphs registered here); at web scale
+    (10⁹+ vertices) pass ``broadcast_degrees=False`` so it co-shuffles
+    with the edge list instead of OOMing the driver — values
+    identical, same hatch contract as ``triangle_count``.
     """
     edges = edges.localCheckpoint(eager=True)  # feeds degrees + both joins
     deg = (
@@ -772,7 +788,9 @@ def local_clustering_coefficient(
     )
     da = deg.select(F.col("u").alias("ua"), F.col("d").alias("_da"))
     db = deg.select(F.col("u").alias("ub"), F.col("d").alias("_db"))
-    ranked = edges.join(F.broadcast(da), "ua").join(F.broadcast(db), "ub")
+    if broadcast_degrees:
+        da, db = F.broadcast(da), F.broadcast(db)
+    ranked = edges.join(da, "ua").join(db, "ub")
     lower_first = F.struct(F.col("_da"), F.col("ua")) < F.struct(
         F.col("_db"), F.col("ub")
     )

@@ -246,7 +246,7 @@ def repetition_ratio(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def token_rarity(docs: DataFrame) -> DataFrame:
+def token_rarity(docs: DataFrame, broadcast_model: bool = True) -> DataFrame:
     """Corpus-frequency rarity score per document: the mean document
     frequency of its distinct tokens — a cheap, fully deterministic
     stand-in for LM-perplexity corpus filtering (rare-vocabulary docs
@@ -254,9 +254,14 @@ def token_rarity(docs: DataFrame) -> DataFrame:
 
     Two-pass shape: pass 1 aggregates the vocabulary (token → doc
     frequency; vocabulary-sized, shuffles once), pass 2 streams the
-    corpus once against the BROADCAST vocabulary — at 100 TB the
-    vocabulary aggregate is the only wide operation, and mean-df stays
-    in exact integer arithmetic until one final double division.
+    corpus once against the vocabulary — broadcast by DEFAULT (a
+    curated corpus's vocabulary is dimension-sized), but a noisy
+    web-scale crawl's open vocabulary outgrows driver memory, so
+    ``broadcast_model=False`` drops the hint and the join becomes a
+    shuffle equi-join on the token (AQE still broadcasts when it
+    measures small) — values identical, the ``bpe_encode_stats``
+    hatch contract. Mean-df stays in exact integer arithmetic until
+    one final double division.
     Returns (doc_id, n_distinct_tokens, total_df, mean_token_df).
     """
     tok_rows = docs.select(
@@ -268,8 +273,10 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     vocab = tok_rows.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
+    if broadcast_model:
+        vocab = F.broadcast(vocab)
     per_doc = (
-        tok_rows.join(F.broadcast(vocab), "token")
+        tok_rows.join(vocab, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
@@ -490,6 +497,10 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
             + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))
         )
     )
+    # df_ is NOT vocabulary-sized: `hits` is pre-filtered to the
+    # caller's fixed query-term list, so this table is <= |terms| rows
+    # by construction — a bounded broadcast at any corpus size (unlike
+    # the token_rarity / unigram model tables, which carry a hatch)
     scored = (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
@@ -515,7 +526,9 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     )
 
 
-def unigram_logprob_deciles(docs: DataFrame) -> DataFrame:
+def unigram_logprob_deciles(
+    docs: DataFrame, broadcast_model: bool = True
+) -> DataFrame:
     """Unigram language-model quality score, bucketed into deciles —
     the CCNet-style corpus filter: score each document by the mean
     log-probability of its tokens under the corpus's own unigram model
@@ -524,7 +537,11 @@ def unigram_logprob_deciles(docs: DataFrame) -> DataFrame:
 
     Two-pass shape like token_rarity: pass 1 builds the unigram model
     (token → count; vocabulary-sized shuffle), pass 2 streams the
-    corpus against the broadcast model. Per-token ln(freq/total) is
+    corpus against the model — broadcast by DEFAULT; for a web-scale
+    open vocabulary pass ``broadcast_model=False`` and the join
+    shuffles on the token instead (values identical — the
+    ``token_rarity``/``bpe_encode_stats`` hatch). Per-token
+    ln(freq/total) is
     quantized to 1e-9 and summed in exact BIGINTs (order-independent),
     the per-doc mean rounds to 6 dp, and the decile assignment orders
     by (score, doc_id) so it is reproducible on any engine. The exact
@@ -540,9 +557,11 @@ def unigram_logprob_deciles(docs: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     total = tok.count()
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    if broadcast_model:
+        freq = F.broadcast(freq)
     lp = F.log(F.col("f").cast("double") / F.lit(float(total)))
     doc_lp = (
-        tok.join(F.broadcast(freq), "term")
+        tok.join(freq, "term")
         .groupBy("doc_id")
         .agg(
             F.round(

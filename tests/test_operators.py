@@ -1560,6 +1560,61 @@ def test_bpe_encode_shuffle_join_path_matches_broadcast(spark):
         assert bc == sj and bc
 
 
+def test_vocab_model_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_model=False on the two remaining vocabulary-sized
+    model joins (token_rarity's df table, the unigram LM's frequency
+    table — the r9 verdict's term-table seam) returns row-identical
+    results: the hint is plan-only, the open-vocabulary hatch is
+    value-neutral."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        token_rarity,
+        unigram_logprob_deciles,
+    )
+
+    rows = [
+        (1, "apple banana cherry apple"),
+        (2, "apple apple apple"),
+        (3, "xylo zonk quux"),
+        (4, "banana cherry banana cherry"),
+        (5, "apple xylo banana zonk cherry quux"),
+        (6, "zonk zonk"),
+        (7, "cherry"),
+        (8, "quux apple quux"),
+        (9, "banana"),
+        (10, "apple banana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (token_rarity, unigram_logprob_deciles):
+        bc = sorted(tuple(r) for r in fn(docs).collect())
+        sj = sorted(
+            tuple(r) for r in fn(docs, broadcast_model=False).collect()
+        )
+        assert bc == sj and bc
+
+
+def test_graph_degree_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_degrees=False on the triangle family (the r9
+    verdict's vertex-degree-broadcast seam: a web-scale graph's
+    one-row-per-vertex degree table cannot broadcast) returns
+    row-identical results on an irregular fixture — the hint is
+    plan-only, the co-shuffle hatch is value-neutral."""
+    import itertools
+
+    from etl_developstoday_test_spark.operators.graph import (
+        local_clustering_coefficient,
+        triangle_count,
+    )
+
+    e = list(itertools.combinations(range(4), 2))
+    e += list(itertools.combinations(range(10, 14), 2))
+    e += [(3, 10), (13, 20), (20, 21), (30, 31), (31, 32), (30, 32)]
+    edges = spark.createDataFrame(e, "ua long, ub long")
+    for fn in (triangle_count, local_clustering_coefficient):
+        bc = [tuple(r) for r in fn(edges).collect()]
+        sj = [tuple(r) for r in fn(edges, broadcast_degrees=False).collect()]
+        assert bc == sj and bc
+
+
 def test_bigram_lm_ranks_scrambled_text_lowest(spark):
     from etl_developstoday_test_spark.operators.text_analysis import (
         bigram_lm_bottomk,
