@@ -571,12 +571,13 @@ def test_narrow_shuffle_width_only_via_scale_gate():
     (AQE can only coalesce down, never widen), so an unconditional
     narrow override also caps corpus-sized leaf shuffles at a
     bench-tuned width — at 100 TB an 8-way shuffle of the whole
-    corpus, the round-8 verdict's one weak class. Every batch site
-    must route through _narrow_session_if_small, which returns the
-    original session untouched when the measured input is big or
-    unmeasurable. stream_* sites are exempt: their inputs are bounded
-    by construction (fixture-backed streams) and the override sizes
-    the state-store count to the key cardinality."""
+    corpus, the round-8 verdict's one weak class. EVERY site — batch
+    and streaming alike — must route through _narrow_session_if_small
+    (streams via _stream_session, which composes it), which returns
+    the original session untouched when the measured input is big or
+    unmeasurable. The r9 name-prefix exemption for stream_* sites is
+    gone: it silently granted any future stream_* query an
+    unconditional state-store-width cap."""
     import ast
     import inspect
 
@@ -596,7 +597,6 @@ def test_narrow_shuffle_width_only_via_scale_gate():
                 and isinstance(node.args[0], ast.Constant)
                 and node.args[0].value == "spark.sql.shuffle.partitions"
                 and fn.name != "_narrow_session_if_small"
-                and not fn.name.startswith("stream_")
             ):
                 offenders.append(fn.name)
     assert not offenders, (
@@ -642,6 +642,25 @@ def test_narrow_session_gate_behavior(spark):
         _narrow_session_if_small(spark, "s3://bucket/prefix", ["documents"])
         is spark
     )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_session_gate_behavior(spark):
+    """_stream_session always hands back a CLONE (stream conf pins are
+    isolated from concurrent queries) but carries the narrow
+    state-store width only when the measured input is small; over the
+    bound or unmeasurable (every real cluster) the clone keeps the
+    session default, so a corpus-scale stateful shuffle is never
+    capped at the bench width."""
+    from etl_developstoday_test_spark.plans.queries import _stream_session
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    small = _stream_session(spark, SF_DIR, ["events"], width=8)
+    assert small is not spark
+    assert small.conf.get("spark.sql.shuffle.partitions") == "8"
+    big = _stream_session(spark, "s3://bucket/prefix", ["events"])
+    assert big is not spark
+    assert big.conf.get("spark.sql.shuffle.partitions") == before
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
