@@ -683,7 +683,6 @@ def waterfill_execute(
         )
         .persist()  # ~oversample x budget tokens per source
     )
-    survivors.count()
     # exactness certificate: survivors are a PREFIX of the (h, doc_id)
     # order, so the filtered cut equals the unfiltered cut iff the
     # budget boundary is provably inside the prefix — surviving mass
@@ -691,11 +690,21 @@ def waterfill_execute(
     # mass == alloc is NOT enough: a zero-token doc beyond the bound
     # would still belong to the true cut) — or the prefix is the whole
     # source (mass == avail). Zero allocations keep nothing by
-    # contract and are exempt.
+    # contract and are exempt. ALLOC must be the preserved side, so it
+    # sits on the LEFT of a left join with the broadcast hint on the
+    # per-source mass rollup (a hint on the preserved side of an outer
+    # join is ignored with a warning — the r9 ADVICE seam); this
+    # count() is also what materializes the survivors persist.
     short = (
-        survivors.groupBy("source")
-        .agg(F.sum("n_tokens").alias("_stok"))
-        .join(F.broadcast(alloc), "source", "right")
+        alloc.join(
+            F.broadcast(
+                survivors.groupBy("source").agg(
+                    F.sum("n_tokens").alias("_stok")
+                )
+            ),
+            "source",
+            "left",
+        )
         .filter(
             (F.col("_alloc") > 0)
             & ~(

@@ -188,12 +188,14 @@ def bottomk_quantile_rollup(
         .filter(F.col("h") < F.col("_hmax"))
         .persist()  # months x ~oversample*k rows
     )
-    survivors.count()
     # exactness certificate: the filtered rank equals the unfiltered
     # bottom-k iff >= min(k, n_month) rows survived per month —
     # anchored on the COUNTS table (a month whose survivors were ALL
     # filtered out has no survivor row at all and must still be
-    # flagged, not silently skipped)
+    # flagged, not silently skipped). The certificate's count() is
+    # ALSO what materializes the persist — whichever action touches a
+    # persisted frame first populates the cache, so a separate eager
+    # count here would be a redundant job (r9 verdict #3)
     n_bad = (
         cnts.join(
             survivors.groupBy("y", "m").agg(
