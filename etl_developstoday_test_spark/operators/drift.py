@@ -223,6 +223,15 @@ def psi_drift_series(
     PSI is exactly 0.0 (p == q bin-for-bin), which doubles as a
     built-in self-check.
 
+    NULL values are EXCLUDED from the distribution and surfaced as a
+    per-period ``n_nulls`` column instead of being silently clamped
+    into bin 0 (in a long-running monitor a NULL influx is itself a
+    drift signal — upstream schema/parse breakage — and folding it
+    into the lowest bin would both hide it and corrupt the PSI). They
+    ride the same single pass via a sentinel bin. Periods are defined
+    by non-NULL rows: a period whose values are ALL NULL has no
+    distribution to score and is absent from the series.
+
     Shape: ONE corpus pass (narrow binning map + map-side-combined
     groupBy on (period, bin)), materialized once at (periods x bins)
     rows; everything downstream — baseline slice, dense period x bin
@@ -230,8 +239,9 @@ def psi_drift_series(
     table. The level thresholds compare the exact-decimal PSI double,
     so the labels are engine-stable too.
 
-    Returns one row per period: (period, psi, n_rows, drift_level)
-    with drift_level in {stable (<0.1), moderate (<=0.25), major}.
+    Returns one row per period: (period, psi, n_rows, n_nulls,
+    drift_level) with drift_level in {stable (<0.1), moderate
+    (<=0.25), major}.
     """
     if lo is None or hi is None:
         raise ValueError("psi_drift_series: pin lo/hi once")
@@ -242,22 +252,26 @@ def psi_drift_series(
 
     width = (hi - lo) / n_bins
     per = F.col(period_col) if isinstance(period_col, str) else period_col
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col).cast("double") - lo) / width).cast(
-                "int"
-            ),
-        ),
+    v = F.col(value_col).cast("double")
+    # NULL values take the -1 sentinel bin in the SAME single pass
+    # (no second corpus scan for the null accounting)
+    b = F.when(v.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor((v - lo) / width).cast("int")),
+        )
     )
-    counts = (
+    all_counts = (
         df.select(per.alias("period"), b.alias("bin"))
         .groupBy("period", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # (periods x bins) rows; four consumers below
+        .persist()  # (periods x (bins+1)) rows; five consumers below
     )
-    counts.count()
+    all_counts.count()
+    nulls = all_counts.filter(F.col("bin") == -1).select(
+        "period", F.col("n").alias("_n_nulls")
+    )
+    counts = all_counts.filter(F.col("bin") >= 0)
     bp = counts.agg(F.min("period").alias("_bp"))
     bc = (
         counts.crossJoin(F.broadcast(bp))
@@ -305,10 +319,14 @@ def psi_drift_series(
             F.sum("_term").cast("double").alias("psi"),
             F.sum("n_cur").alias("n_rows"),
         )
+        .join(F.broadcast(nulls), "period", "left")  # periods-sized
         .select(
             "period",
             "psi",
             "n_rows",
+            F.coalesce(F.col("_n_nulls"), F.lit(0))
+            .cast("long")
+            .alias("n_nulls"),
             F.when(F.col("psi") < 0.1, F.lit("stable"))
             .when(F.col("psi") <= 0.25, F.lit("moderate"))
             .otherwise(F.lit("major"))
@@ -316,5 +334,5 @@ def psi_drift_series(
         )
         .localCheckpoint(eager=True)  # periods rows
     )
-    counts.unpersist()  # real release: went through persist()
+    all_counts.unpersist()  # real release: went through persist()
     return out

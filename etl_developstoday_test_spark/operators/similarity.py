@@ -1470,9 +1470,13 @@ def embedding_dimension_drift(
     computed entirely in micro-units (z is scale-invariant), so the
     table — and the (|z| DESC, dim ASC) top-k order, taken on the
     6-dp-rounded score — hash-matches a SQL replay exactly. Integer
-    headroom: |xq| <= 1e6·max|x|, so Σ xq² stays inside int64 up to
-    ~10⁷ unit-norm vectors per dimension pair; past that swap the two
-    square-sums to DECIMAL(38,0), same contract.
+    headroom: |xq| <= 1e6·max|x|, so an int64 Σ xq² would wrap
+    SILENTLY (non-ANSI Spark) past ~10⁷ unit-norm rows per half —
+    the two square-sums therefore accumulate as DECIMAL(38,0) (each
+    per-element product still fits int64 up to |x| ~ 3e3; the SUM is
+    where the headroom dies), pushing the limit past 10²⁵ rows with
+    no runtime guard needed. The decimal→double cast at the end is
+    value-identical to the int64 path wherever both are exact.
 
     Scale shape: posexplode is a narrow in-row expansion (dim x rows,
     no Python); ONE map-side-combined groupBy on the dimension id (2d
@@ -1493,12 +1497,18 @@ def embedding_dimension_drift(
         F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("_is_a"), F.col("_xq"))).alias("s_a"),
         F.sum(F.when(~F.col("_is_a"), F.col("_xq"))).alias("s_b"),
-        F.sum(F.when(F.col("_is_a"), F.col("_xq") * F.col("_xq"))).alias(
-            "ss_a"
-        ),
-        F.sum(F.when(~F.col("_is_a"), F.col("_xq") * F.col("_xq"))).alias(
-            "ss_b"
-        ),
+        F.sum(
+            F.when(
+                F.col("_is_a"),
+                (F.col("_xq") * F.col("_xq")).cast("decimal(38,0)"),
+            )
+        ).alias("ss_a"),
+        F.sum(
+            F.when(
+                ~F.col("_is_a"),
+                (F.col("_xq") * F.col("_xq")).cast("decimal(38,0)"),
+            )
+        ).alias("ss_b"),
     )
     # all in micro-units, one fixed operation order (z is invariant)
     mean_a = F.col("s_a").cast("double") / F.col("n_a").cast("double")

@@ -991,7 +991,18 @@ def snapshot_delta(
 
     Returns one row per source: (source, n_added, n_removed,
     n_changed, n_unchanged, token_delta = Σ new tokens − Σ old
-    tokens over that source's rows in either snapshot).
+    tokens over that source's rows, attributed as below).
+
+    Source ATTRIBUTION rule: each doc is accounted to
+    ``coalesce(new_source, old_source)`` — a doc whose source field
+    moved between snapshots belongs entirely to its NEW source (its
+    old tokens are subtracted from the new source's token_delta, so
+    per-source deltas still sum to the corpus-wide token movement),
+    and a source-only move with identical text classes as
+    'unchanged': change is detected by CONTENT hash alone, which is
+    the signal a re-tokenization decision needs (the bytes are the
+    cost; the label is free). Callers who treat a source move as
+    churn should fold the source into the id or the hashed text.
     """
     o = old.select(
         F.col(id_col).alias("_id"),

@@ -1416,6 +1416,40 @@ def test_psi_drift_rejects_degenerate_range(spark):
         psi_drift(base, base, "v", lo=0.0, hi=1.0, n_bins=0)
 
 
+def test_psi_drift_series_excludes_nulls_and_reports_them(spark):
+    """NULL values must be EXCLUDED from the binned distribution and
+    surfaced per-period as n_nulls — not silently clamped into bin 0
+    (which would both hide an upstream parse breakage and corrupt the
+    PSI). A period whose values are ALL NULL has no distribution and
+    is absent from the series."""
+    from etl_developstoday_test_spark.operators.drift import (
+        psi_drift_series,
+    )
+
+    rows = (
+        # period 1: clean uniform baseline
+        [(1, float(i % 10) * 10.0) for i in range(100)]
+        # period 2: same distribution + 30 NULLs — PSI must stay ~0
+        + [(2, float(i % 10) * 10.0) for i in range(100)]
+        + [(2, None)] * 30
+        # period 3: all NULL — no distribution, absent from the series
+        + [(3, None)] * 5
+    )
+    df = spark.createDataFrame(rows, "p int, v double")
+    out = {
+        r["period"]: r
+        for r in psi_drift_series(
+            df, "v", "p", n_bins=10, lo=0.0, hi=100.0
+        ).collect()
+    }
+    assert sorted(out) == [1, 2]  # period 3 has no non-NULL rows
+    assert out[1]["n_nulls"] == 0 and out[1]["psi"] == 0.0
+    assert out[2]["n_nulls"] == 30
+    assert out[2]["n_rows"] == 100  # NULLs not counted as rows
+    # identical non-NULL distribution: the NULLs must not move the PSI
+    assert out[2]["psi"] == 0.0 and out[2]["drift_level"] == "stable"
+
+
 # --- staged round-8 operators (ml / bigram LM) ------------------------------
 
 

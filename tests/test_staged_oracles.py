@@ -796,12 +796,21 @@ def test_staged_oracle_result_types_survive_pandas_fetch():
 
 
 PSI_SERIES_ORACLE = r"""
-WITH binned AS (
+WITH base AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
-         LEAST(9, GREATEST(0,
-           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)
-         )) AS bin
+         CAST(value AS DOUBLE) AS v
   FROM events
+),
+nn AS (
+  SELECT period, CAST(COUNT(*) AS BIGINT) AS n_nulls
+  FROM base WHERE v IS NULL GROUP BY period
+),
+binned AS (
+  SELECT period,
+         LEAST(9, GREATEST(0,
+           CAST(floor((v - 0.0) / 20.0) AS INTEGER)
+         )) AS bin
+  FROM base WHERE v IS NOT NULL
 ),
 counts AS (SELECT period, bin, COUNT(*) AS n FROM binned GROUP BY period, bin),
 bp AS (SELECT MIN(period) AS bp FROM counts),
@@ -839,10 +848,11 @@ psis AS (
   FROM terms GROUP BY period
 )
 SELECT period, psi, n_rows,
+       CAST(COALESCE(nn.n_nulls, 0) AS BIGINT) AS n_nulls,
        CASE WHEN psi < 0.1 THEN 'stable'
             WHEN psi <= 0.25 THEN 'moderate'
             ELSE 'major' END AS drift_level
-FROM psis
+FROM psis LEFT JOIN nn USING (period)
 """
 
 
@@ -889,7 +899,11 @@ def test_psi_drift_series_matches_oracle(spark, ev_con):
     )
     assert srows == drows
     base = min(srows, key=lambda r: r[0])
-    assert base[1] == 0.0 and base[3] == "stable"
+    assert base[1] == 0.0 and base[4] == "stable"
+    # the fixture has no NULL values: every period reports n_nulls=0
+    # (the NULL-bearing path is locked by the unit test in
+    # tests/test_operators.py)
+    assert all(r[3] == 0 for r in srows)
 
 
 # Registration-ready second lock for the clustering coefficient: the
