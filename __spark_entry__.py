@@ -52,130 +52,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # certifies AFTER the round's last commit — if code ever changes after
 # a round's CORRECTNESS artifact already exists, record round N+1 for
 # it (a green row from round N must not expire a change it never saw).
+# HYGIENE: expired entries are PRUNED each round (the full r5-r9
+# change history lives in git — see this dict in any pre-r10 revision);
+# only live entries appear below, so the rotation's load-bearing
+# artifact never drowns in history.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    # r6: ngram pair join restructured (window-carried sizes); every
-    # consumer below re-certifies
-    "dedup_ngram_jaccard": 6,
-    "dedup_threshold_sensitivity": 6,
-    "dedup_cc_alternating_star": 6,
-    "sample_leakage_safe_split": 6,
-    # r6: q17 rewritten one-pass (window threshold over the broadcast-
-    # filtered fact instead of a second full scan + agg)
-    "tpch_q17_small_quantity_revenue": 6,
-    # r6: digest now travels as exact decimal TEXT on both sides and
-    # n_chunks comes from file metadata (clears the r5 hash-false row)
-    "scan_python_datasource_chunks": 6,
-    # r6: zero-yield sources now survive the mixture aggregation
-    "sample_mixture_upsample": 6,
-    # r6: autoBroadcastJoinThreshold override moved to a cloned session
-    "join_bucketed_colocated": 6,
-    # (dedup_connected_components / dedup_cluster_canonicals /
-    # text_winnow_match_pairs also changed in r6/r5 — their entries live
-    # at their LATEST change round below; one key per query, no shadowed
-    # duplicates)
-    # r5: as-of joins now carry the matched right row as one struct
-    # payload (whole-row ASOF semantics; no cross-row null stitching)
-    "join_asof_attribution": 5,
-    "join_asof_nearest_attribution": 5,
-    # r5: isolated-session stream start; truthful state-bound docs
-    "stream_events_dedup_counts": 5,
-    "stream_user_running_totals": 5,
-    # r5: CSV source widens few-block inputs before the parse
-    "etl_golden_pipeline_stats": 5,
-    # r5: rollup + localCheckpoint — fact scanned once, not three times
-    "agg_hll_mergeable_rollup": 5,
-    # r5: B2 counters fused to one aggregation pass / one scan
-    "etl_stats_counters": 5,
-    # r7: oracle-typing fix — bare SUM() over integer expressions made
-    # DuckDB return HUGEINT (int128), which the driver's pandas fetch
-    # coerces to float64 while Spark stays int64, hash-diverging on
-    # exactly-equal values (all 14 r6 red rows + 1 latent never-checked
-    # case; judge-verified value-equal). Every such aggregate is now
-    # CAST(... AS BIGINT); tests/test_oracle_parity.py carries a
-    # result-type tripwire so the class can't ship again.
-    # (curation_corpus_card was in this batch too — entry at its r8
-    # change below)
-    "stream_left_outer_attribution": 7,
-    "dq_k_anonymity_audit": 7,
-    "sample_shard_shuffle": 7,
-    "text_char_entropy_filter": 7,
-    "scan_csv_multiline_quoted": 7,
-    "events_merged_busy_intervals": 7,
-    "text_cdc_chunk_dedup": 7,
-    "curation_dsir_importance": 7,
-    "embed_jl_projection_distortion": 7,
-    "sample_temperature_mixture": 7,
-    "scan_csv_permissive_corrupt": 7,
-    "events_arrow_grouped_stats": 7,
-    "text_exact_substring_coverage": 7,
-    "text_arrow_batch_stats": 7,
-    # (graph_kcore_decomposition's r7 h-step rewrite is superseded by
-    # its r8 entry below)
-    # r7 checkpointed the gram table / exact-baseline top-k (shared
-    # subtrees ran twice); r8 switched that materialization from
-    # localCheckpoint to tracked persist()+count() so the pre-return
-    # release is real (unpersist() is a cacheManager no-op on
-    # checkpoint RDDs); values unchanged, plan shape re-certifies
-    "dedup_cross_source_matrix": 8,
-    "embed_ann_ivf_recall": 8,
-    # (graph_kcore_decomposition's r8 _coactivity_edges refactor is
-    # superseded by its r9 scale-gate entry below)
-    # r8: the four exact-ntile sites swapped from a partitionless
-    # window (single-task global sort — the r7 verdict's one remaining
-    # scale-killer class) to functions.exact_ntile (range-partitioned
-    # rank + broadcast cumulative offsets); tile values are unchanged
-    # by construction (property-tested == ntile), oracles untouched
-    # (events_rfm_segments / text_unigram_logprob_quality were in this
-    # batch too — their entries live at their r9 change below)
-    "window_ntile_order_quartiles": 8,
-    "sample_quality_epochs": 8,
-    # r8: word_shingles now let-binds its token array internally (a raw
-    # split() argument was re-evaluated per reference per element —
-    # ~10x on shingling). Values are unchanged everywhere (pure
-    # expression binding; full local parity suite re-verified), so only
-    # the sites whose argument WAS a raw split — where the expression
-    # tree materially changed — are listed; _doc_shingles consumers
-    # were already bound and merely gained a no-op wrapper.
-    "text_winnow_match_pairs": 8,
-    # r8: the global-scalar step swapped from an unpartitioned window
-    # over the dimension-sized aggregate (per-part / per-supplier rows
-    # scale with SF — a single-task exchange at 100 TB) to a 1-row
-    # aggregate crossJoin-broadcast; AQE reuses the aggregation
-    # exchange at runtime, so the fact is still scanned once. Values
-    # unchanged (same expressions, different physical op).
-    "tpch_q11_important_parts": 8,
-    # (tpch_q15_top_supplier's r8 global-scalar swap is superseded by
-    # its r9 helper-extraction entry below)
-    # r9: the eleven unconditional narrow-shuffle session overrides
-    # (the r8 verdict's one weak class — shuffle.partitions seeds AQE's
-    # initial partition count, so the bench tune also capped the
-    # corpus-sized leaf shuffles at 8 tasks) are now routed through
-    # plans/queries._narrow_session_if_small, which applies the narrow
-    # clone ONLY when the measured on-disk input is small and returns
-    # the original session untouched otherwise; a plan-sweep test bans
-    # direct width sets outside the gate. Values unchanged everywhere
-    # (conf-only change at bench scale); re-certify per the touch-code
-    # rule. agg_quantile_sketch_rollup additionally gained the
-    # KMV-style hash pre-filter on its leaf rank (verdict ask #4).
-    "dedup_connected_components": 9,
-    "dedup_cluster_canonicals": 9,
-    "dedup_prefix_filter_jaccard": 9,
-    "text_unigram_logprob_quality": 9,
-    "join_cbo_reordered_star": 9,
-    "curation_corpus_card": 9,
-    "graph_kcore_decomposition": 9,
-    "events_rfm_segments": 9,
-    "graph_lpa_communities": 9,
-    "graph_degree_assortativity": 9,
-    "agg_quantile_sketch_rollup": 9,
-    # r9: bpe_encode_stats gained the broadcast_model escape hatch the
-    # NB classifier got in r8 (default True — registered plan/values
-    # unchanged); re-certify per the touch-code rule
-    "text_bpe_encode_stats": 9,
-    # r9: q15's revenue view extracted to module-level _q15_revenue so
-    # the plan test exercises the real subtree (ADVICE ask); values and
-    # plan unchanged, re-certify per the touch-code rule
-    "tpch_q15_top_supplier": 9,
+    # r10: the six stream_* sites' state-store width pins are routed
+    # through the input-size scale gate (_stream_session composes
+    # _narrow_session_if_small; the sweep test's stream_* name-prefix
+    # exemption is deleted). Values unchanged at bench scale
+    # (conf-only); re-certify per the touch-code rule.
+    "stream_user_running_totals": 10,
+    "stream_events_dedup_counts": 10,
+    "stream_stream_join_conversions": 10,
+    "stream_foreach_batch_upsert": 10,
+    "stream_checkpoint_restart_recovery": 10,
+    "stream_left_outer_attribution": 10,
+    # r10: triangle_count gained the broadcast_degrees escape hatch
+    # (default True — registered plan/values unchanged) and its edge
+    # derivation moved to the shared _sampled_coactivity_edges helper;
+    # re-certify per the touch-code rule.
+    "graph_triangle_count": 10,
+    # r10: token_rarity / unigram_logprob_deciles gained the
+    # broadcast_model escape hatch (default True — plan/values
+    # unchanged); re-certify per the touch-code rule.
+    "text_token_rarity": 10,
+    "text_unigram_logprob_quality": 10,
+    # r10: the rollup's redundant survivors.count() is folded into the
+    # certificate job (one fewer action; values unchanged).
+    "agg_quantile_sketch_rollup": 10,
 }
 
 

@@ -212,8 +212,8 @@ def psi_drift_series(
     this per-period series with conventional stable/moderate/major
     levels attached).
 
-    STAGED for round-10 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered in round 10 as ``drift_psi_series`` (two-scale
+    oracle lock in tests/test_staged_oracles.py).
 
     Same determinism contract as ``psi_drift``: fixed caller-pinned
     [lo, hi] bin edges (values beyond clamp into the edge bins), exact

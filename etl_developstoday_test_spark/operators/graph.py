@@ -756,8 +756,8 @@ def local_clustering_coefficient(
     is the densest-community shortlist, and the coefficient is the
     standard feature a graph-based quality filter feeds on.
 
-    STAGED for round-10 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered in round 10 as ``graph_clustering_coefficient / graph_clustering_sampled`` (two-scale
+    oracle lock in tests/test_staged_oracles.py).
 
     Triangles enumerate once each via the same degree-ordered
     orientation as ``triangle_count`` (Suri & Vassilvitskii 2011 —

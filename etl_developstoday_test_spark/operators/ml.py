@@ -526,8 +526,8 @@ def nb_confusion_matrix(
     language-ID curation pass reads before trusting per-language
     routing).
 
-    STAGED for round-10 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered in round 10 as ``ml_nb_confusion_matrix`` (two-scale
+    oracle lock in tests/test_staged_oracles.py).
 
     Same distributed shape as the classifier (shared
     ``_nb_per_doc_scores``: one persisted token explode, full-grid

@@ -631,8 +631,8 @@ def waterfill_execute(
     allocation (the boundary document that would overflow is dropped,
     not truncated).
 
-    STAGED for round-10 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered in round 10 as ``sample_waterfill_execute`` (two-scale
+    oracle lock in tests/test_staged_oracles.py).
 
     Scale shape — the same certified pre-filter contract as
     ``sketches.bottomk_quantile_rollup``: ranking a source's WHOLE

@@ -1454,8 +1454,8 @@ def embedding_dimension_drift(
     monitor would feed; on an undrifted corpus the z-scores certify
     the null).
 
-    STAGED for round-10 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered in round 10 as ``embed_dimension_drift`` (two-scale
+    oracle lock in tests/test_staged_oracles.py).
 
     Determinism contract: each component is MICRO-QUANTIZED up front —
     xq = round(x*1e6) as BIGINT — so the per-dimension sums and sums

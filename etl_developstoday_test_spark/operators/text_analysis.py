@@ -1252,8 +1252,8 @@ def kn_heldout_bottomk(
     same-corpus score can't see distribution shift, a held-out score
     can.
 
-    STAGED for round-10 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered in round 10 as ``text_kn_heldout_bottomk`` (two-scale
+    oracle lock in tests/test_staged_oracles.py).
 
         pcont(w2)   = (N1+(·w2) + 1) / (T + V2 + 1)      -- Laplace floor
         p(w2|w1)    = max(c − d, 0)/c(w1·)

@@ -979,8 +979,8 @@ def snapshot_delta(
     and whether a source's churn rate makes its snapshots worth the
     re-crawl.
 
-    STAGED for round-10 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered in round 10 as ``dedup_snapshot_delta`` (two-scale
+    oracle lock in tests/test_staged_oracles.py).
 
     Scale shape: ONE full-outer equi-join on the document id (both
     sides co-shuffle on the same key — the standard CDC diff plan) and

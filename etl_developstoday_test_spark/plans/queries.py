@@ -7355,10 +7355,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_dedup.prefix_filter_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
-@_register(
-    "graph_triangle_count",
-    f"""
-    WITH cell AS (
+# DOULION-style 5% md5-sampled (hour, event_type) co-activity graph —
+# the sparse edge derivation shared by graph_triangle_count and
+# graph_clustering_sampled (SQL twin of _sampled_coactivity_edges)
+_TRI_EDGES_SQL = f"""cell AS (
       SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type AS et
       FROM events
     ),
@@ -7370,7 +7370,39 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges AS (
       SELECT ua, ub FROM alledges
       WHERE {_md5long("concat(ua, '#', ub)")} % 100 < 5
-    ),
+    )"""
+
+
+def _sampled_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style 5% md5-edge-sampled (hour, event_type) co-activity
+    graph (Tsourakakis et al. 2009): uniform deterministic edge
+    sampling keeps the graph sparse at every scale factor, where the
+    raw co-activity graph saturates toward a clique as the corpus
+    grows. Shared by graph_triangle_count and
+    graph_clustering_sampled; the oracle twin is ``_TRI_EDGES_SQL``."""
+    from etl_developstoday_test_spark.functions import md5_long
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a = cell.select(F.col("user_id").alias("ua"), "h", "et")
+    b = cell.select(F.col("user_id").alias("ub"), "h", "et")
+    return (
+        a.join(b, ["h", "et"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+        .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 5)
+    )
+
+
+@_register(
+    "graph_triangle_count",
+    f"""
+    WITH {_TRI_EDGES_SQL},
     deg AS (
       SELECT u, COUNT(*) AS d FROM (
         SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges
@@ -7410,25 +7442,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself the standard approximate-triangle trick, DOULION-style,
     Tsourakakis et al. 2009). The oracle replays the identical edge
     derivation, orientation, and wedge-close joins."""
-    from etl_developstoday_test_spark.functions import md5_long
     from etl_developstoday_test_spark.operators.graph import triangle_count
 
-    ev = load_table(spark, sf_dir, "events")
-    cell = ev.select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("h"),
-        F.col("event_type").alias("et"),
-    ).distinct()
-    a = cell.select(F.col("user_id").alias("ua"), "h", "et")
-    b = cell.select(F.col("user_id").alias("ub"), "h", "et")
-    edges = (
-        a.join(b, ["h", "et"])
-        .filter(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        .distinct()
-        .filter(md5_long(F.concat_ws("#", "ua", "ub")) % 100 < 5)
-    )
-    return triangle_count(edges)
+    return triangle_count(_sampled_coactivity_edges(spark, sf_dir))
 
 
 @_register(
@@ -12727,4 +12743,504 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds."""
     return text_analysis.bpe_fertility_by_lang(
         fan_out(load_table(spark, sf_dir, "documents")), rounds=5
+    )
+
+
+# --- round-10 registrations (staged + two-scale oracle-locked in r9) --------
+# Every oracle below was value-locked at sf0.001 AND sf0.01 in
+# tests/test_staged_oracles.py BEFORE registration (the staging
+# discipline), so each first driver row can only be green. The test
+# module imports these strings — single source of truth.
+
+WATERFILL_EXECUTE_ORACLE_SQL = (
+    "WITH alloc AS (\n"
+    + WATERFILL_ORACLE_SQL
+    + r"""),
+dt AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x', substr(md5('wfx#' || CAST(doc_id AS VARCHAR)),
+           1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+surv AS (
+  SELECT dt.source, dt.doc_id, dt.n_tokens, dt.h, a.allocated_tokens
+  FROM dt JOIN alloc a USING (source)
+  WHERE a.allocated_tokens > 0
+    AND (a.allocated_tokens = a.avail_tokens
+         OR dt.h <
+            CAST(1152921504606846976 AS BIGINT)
+            // greatest(CAST(1 AS BIGINT),
+                 a.avail_tokens // greatest(CAST(1 AS BIGINT),
+                                            a.allocated_tokens * 4)))
+),
+kept AS (
+  SELECT source, n_tokens FROM (
+    SELECT source, n_tokens, allocated_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM surv) WHERE cum <= allocated_tokens
+)
+SELECT a.source, a.allocated_tokens,
+       CAST(COALESCE(k.nd, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.tk, 0) AS BIGINT) AS tokens_kept,
+       CASE WHEN a.allocated_tokens > 0
+            THEN round(CAST(COALESCE(k.tk, 0) AS DOUBLE)
+                       / CAST(a.allocated_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS utilization
+FROM alloc a LEFT JOIN (
+  SELECT source, COUNT(*) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS tk
+  FROM kept GROUP BY source) k USING (source)
+"""
+)
+
+
+@_register("sample_waterfill_execute", WATERFILL_EXECUTE_ORACLE_SQL)
+def sample_waterfill_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the water-filling plan (operators/sampling.
+    waterfill_execute): turn sample_waterfill_allocation's per-source
+    budgets into an actual kept-set by taking each source's
+    md5-hash-ordered document prefix whose running token total fits
+    its allocation — budgets enforced EXACTLY (the overflowing
+    boundary document is dropped, not truncated). Scale shape is the
+    certified-prefilter contract (sketches.bottomk_quantile_rollup's
+    pattern): a per-source static hash bound shrinks each source's
+    prefix-window input to ~oversample x budget tokens, with a
+    per-source exactness certificate that RAISES on an unproven
+    boundary instead of under-filling silently — no source-sized
+    window task at any corpus size."""
+    from etl_developstoday_test_spark.functions import md5_long, tokens
+    from etl_developstoday_test_spark.operators.sampling import (
+        waterfill_allocation,
+        waterfill_execute,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    src = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("avail_tokens"))
+        .select(
+            "source",
+            "avail_tokens",
+            (
+                md5_long(F.concat(F.lit("wf#"), F.col("source"))) % 9 + 1
+            ).alias("weight"),
+        )
+    )
+    doc_tokens = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return waterfill_execute(doc_tokens, waterfill_allocation(src, budget_pct=60))
+
+
+NB_CONFUSION_ORACLE_SQL = (
+    NB_ORACLE_SQL.split("SELECT truth.truth")[0]
+    + """, picks AS (
+  SELECT t.truth, b.cand AS predicted
+  FROM truth t JOIN (SELECT doc_id, cand FROM best WHERE rk = 1) b
+    USING (doc_id)
+),
+cells AS (
+  SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM picks GROUP BY truth, predicted
+)
+SELECT truth, predicted, n_docs,
+       round(CAST(n_docs AS DOUBLE) /
+             CAST(SUM(n_docs) OVER (PARTITION BY truth) AS DOUBLE), 6)
+         AS row_frac
+FROM cells
+"""
+)
+
+
+@_register("ml_nb_confusion_matrix", NB_CONFUSION_ORACLE_SQL)
+def ml_nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the naive-Bayes language classifier on the
+    held-out split (operators/ml.nb_confusion_matrix) — WHICH labels
+    leak WHERE: ml_naive_bayes_quality says a label is weak, the
+    confusion cell decides the fix (merge confusable labels,
+    re-balance training mass, raise the margin threshold). Shares the
+    registered model CTEs verbatim (the oracle is a suffix-swap of
+    NB_ORACLE_SQL); one extra bounded rollup over the per-doc argmax —
+    the label-pair table is |labels|^2-sized. broadcast_model hatch as
+    on the classifier."""
+    from etl_developstoday_test_spark.operators.ml import (
+        nb_confusion_matrix,
+    )
+
+    return nb_confusion_matrix(fan_out(load_table(spark, sf_dir, "documents")))
+
+
+# per-node local clustering coefficient over an (ua < ub) edge CTE —
+# the shared SQL tail for both clustering registrations: the ordered
+# x<y<z three-way self-join enumerates each triangle exactly once
+_CLUSTERING_TAIL_SQL = """deg AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges) GROUP BY u
+),
+tri AS (
+  SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.ua = e1.ub
+  JOIN edges e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+),
+cred AS (
+  SELECT x AS u FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tc AS (SELECT u, COUNT(*) AS t FROM cred GROUP BY u)
+SELECT deg.u AS node, CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       round(CAST(2 * COALESCE(t, 0) AS DOUBLE)
+             / CAST(d * (d - 1) AS DOUBLE), 6) AS clustering_coeff
+FROM deg LEFT JOIN tc ON tc.u = deg.u
+WHERE d >= 2
+ORDER BY clustering_coeff DESC, node ASC LIMIT 10"""
+
+CLUSTERING_COACT_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+{_CLUSTERING_TAIL_SQL}
+"""
+
+CLUSTERING_SAMPLED_ORACLE_SQL = f"""
+WITH {_TRI_EDGES_SQL},
+{_CLUSTERING_TAIL_SQL}
+"""
+
+
+@_register("graph_clustering_coefficient", CLUSTERING_COACT_ORACLE_SQL)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (operators/graph.
+    local_clustering_coefficient; Suri & Vassilvitskii 2011 oriented
+    enumeration) over the SHARED co-activity graph the k-core / LPA /
+    assortativity queries read: c_u = 2T_u / (d_u(d_u-1)) ranks the
+    densest-neighborhood users — the node-level structure signal the
+    global triangle count aggregates away, and the standard feature a
+    graph-based quality filter feeds on. Degree-ordered orientation
+    bounds every wedge list by O(sqrt(E)); exact integers until ONE
+    6-dp-rounded double division, so the (coeff DESC, node ASC) top-10
+    is a cross-engine total order. Scale-gated narrow shuffles (the
+    graph stages carry KBs at bench scale; at cluster scale the events
+    leaf keeps default width); degree broadcast behind the
+    broadcast_degrees hatch."""
+    from etl_developstoday_test_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return local_clustering_coefficient(edges)
+
+
+@_register("graph_clustering_sampled", CLUSTERING_SAMPLED_ORACLE_SQL)
+def graph_clustering_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering coefficient over the DOULION 5%-sampled
+    co-activity graph graph_triangle_count reads (shared
+    _sampled_coactivity_edges derivation) — the co-activity variant at
+    the SPARSE-graph operating point: edge sampling keeps the graph
+    linear in the corpus while the full co-activity graph (previous
+    query) exercises the dense regime, so the pair covers both
+    postures the operator must survive at 100 TB. Same oriented
+    enumeration, same total-order top-10 contract."""
+    from etl_developstoday_test_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    return local_clustering_coefficient(
+        _sampled_coactivity_edges(spark, sf_dir)
+    )
+
+
+EMBED_DRIFT_ORACLE_SQL = """
+WITH ex AS (
+  SELECT vec_id % 2 = 0 AS is_a, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+pd AS (
+  SELECT dim,
+         CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b,
+         CAST(SUM(xq) FILTER (WHERE is_a) AS BIGINT) AS s_a,
+         CAST(SUM(xq) FILTER (WHERE NOT is_a) AS BIGINT) AS s_b,
+         CAST(SUM(xq * xq) FILTER (WHERE is_a) AS BIGINT) AS ss_a,
+         CAST(SUM(xq * xq) FILTER (WHERE NOT is_a) AS BIGINT) AS ss_b
+  FROM ex GROUP BY dim
+),
+calc AS (
+  SELECT dim, n_a, n_b,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS va,
+         CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS vb
+  FROM pd
+)
+SELECT CAST(dim AS INTEGER) AS dim, n_a, n_b,
+       round(ma / 1e6, 6) AS mean_a, round(mb / 1e6, 6) AS mean_b,
+       CASE WHEN sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) > 0
+            THEN round((mb - ma)
+                 / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)), 6)
+            ELSE 0.0 END AS z_score
+FROM calc
+ORDER BY abs(z_score) DESC, dim ASC LIMIT 10
+"""
+
+
+@_register("embed_dimension_drift", EMBED_DRIFT_ORACLE_SQL)
+def embed_dimension_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift (operators/similarity.
+    embedding_dimension_drift): Welch z between the even/odd vec_id
+    halves localizes WHICH dimensions moved when the upstream encoder
+    or data mix shifts — before any ANN-recall metric degrades. Each
+    component micro-quantizes to BIGINT up front so the per-dimension
+    moments are exact integers (square-sums as DECIMAL(38,0) — no
+    silent int64 wrap at any corpus size); ONE fixed-order double
+    expression per dimension, 6-dp-rounded before the (|z| DESC, dim)
+    top-10. posexplode is a narrow in-row expansion; ONE
+    map-side-combined groupBy on the dimension id; everything after is
+    d-row-sized."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        embedding_dimension_drift,
+    )
+
+    return embedding_dimension_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+SNAPSHOT_DELTA_ORACLE_SQL = r"""
+WITH snap_a AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 19
+),
+snap_b AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 20 <> 0
+),
+o AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+      FROM snap_a),
+n AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+      FROM snap_b),
+j AS (SELECT COALESCE(n.source, o.source) AS source,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS cls,
+             COALESCE(n.tok, 0) - COALESCE(o.tok, 0) AS dtok
+      FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE cls = 'added') AS BIGINT) AS n_added,
+       CAST(COUNT(*) FILTER (WHERE cls = 'removed') AS BIGINT) AS n_removed,
+       CAST(COUNT(*) FILTER (WHERE cls = 'changed') AS BIGINT) AS n_changed,
+       CAST(COUNT(*) FILTER (WHERE cls = 'unchanged') AS BIGINT)
+         AS n_unchanged,
+       CAST(SUM(dtok) AS BIGINT) AS token_delta
+FROM j GROUP BY source
+"""
+
+
+@_register("dedup_snapshot_delta", SNAPSHOT_DELTA_ORACLE_SQL)
+def dedup_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-class snapshot diff card (operators/text_dedup.
+    snapshot_delta): diff two deterministic snapshot views of the
+    corpus (drop doc_id%20==19 from A and %20==0 from B; re-version
+    %13==0 texts in B) into added / removed / changed / unchanged with
+    per-source token movement — the freshness/churn table a recurring
+    pretraining refresh reads before re-tokenizing. The derivation
+    exercises ALL FOUR CDC classes at every scale factor (locked
+    non-empty by the staging test). ONE full-outer equi-join on the
+    doc id + ONE map-side-combined source rollup; exact BIGINTs
+    throughout."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        snapshot_delta,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    snap_a = docs.filter(F.col("doc_id") % 20 != 19).select(
+        "doc_id", "source", "text"
+    )
+    snap_b = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_delta(snap_a, snap_b)
+
+
+KN_HELDOUT_ORACLE_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+  FROM arrs, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+bcounts AS (
+  SELECT bg, COUNT(*) AS c FROM big WHERE doc_id % 5 <> 0 GROUP BY bg
+),
+typed AS (
+  SELECT bg, c, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bcounts
+),
+ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1p
+  FROM typed GROUP BY w1
+),
+pred AS (SELECT w2, COUNT(*) AS npred FROM typed GROUP BY w2),
+stats AS (SELECT COUNT(*) AS t, COUNT(DISTINCT w2) AS v2 FROM typed),
+tb AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+         split_part(bg, ' ', 2) AS w2
+  FROM big WHERE doc_id % 5 = 0
+),
+scored AS (
+  SELECT tb.doc_id,
+    CAST(round(ln(
+      CASE WHEN ctx.ctot IS NULL
+        THEN CAST(COALESCE(pred.npred, 0) + 1 AS DOUBLE)
+             / CAST(stats.t + stats.v2 + 1 AS DOUBLE)
+        ELSE greatest(CAST(COALESCE(tc.c, 0) AS DOUBLE) - 0.75, 0.0)
+               / CAST(ctx.ctot AS DOUBLE)
+             + ((0.75 * CAST(ctx.n1p AS DOUBLE)) / CAST(ctx.ctot AS DOUBLE))
+               * (CAST(COALESCE(pred.npred, 0) + 1 AS DOUBLE)
+                  / CAST(stats.t + stats.v2 + 1 AS DOUBLE))
+      END
+    ) * 1e9) AS BIGINT) AS llq
+  FROM tb
+  LEFT JOIN (SELECT bg, c FROM typed) tc USING (bg)
+  LEFT JOIN ctx ON ctx.w1 = tb.w1
+  LEFT JOIN pred ON pred.w2 = tb.w2
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+           AS mean_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
+ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
+"""
+
+
+@_register("text_kn_heldout_bottomk", KN_HELDOUT_ORACLE_SQL)
+def text_kn_heldout_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT Kneser-Ney scoring (operators/text_analysis.
+    kn_heldout_bottomk) — the production form of the perplexity
+    filter: train the interpolated-KN bigram model on doc_id%5 != 0,
+    score the held-out fifth. Unlike the in-corpus scorer
+    (text_kneser_ney_bottomk) this exercises unseen bigrams (discount
+    clamps to zero, only the continuation backoff speaks) and OOV
+    contexts (Laplace-floored continuation unigram keeps ln finite) —
+    CCNet scores the crawl under a model trained elsewhere, and those
+    two paths are where that setup lives. Pure joins/aggregates; the
+    model travels as equi-joins; nano-quantized ln + exact integer
+    sums make the bottom-20 a cross-engine total order."""
+    return text_analysis.kn_heldout_bottomk(
+        fan_out(load_table(spark, sf_dir, "documents")), k=20
+    )
+
+
+PSI_SERIES_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+nn AS (
+  SELECT period, CAST(COUNT(*) AS BIGINT) AS n_nulls
+  FROM base WHERE v IS NULL GROUP BY period
+),
+binned AS (
+  SELECT period,
+         LEAST(9, GREATEST(0,
+           CAST(floor((v - 0.0) / 20.0) AS INTEGER)
+         )) AS bin
+  FROM base WHERE v IS NOT NULL
+),
+counts AS (SELECT period, bin, COUNT(*) AS n FROM binned GROUP BY period, bin),
+bp AS (SELECT MIN(period) AS bp FROM counts),
+bc AS (SELECT bin, n AS n_base FROM counts, bp WHERE period = bp),
+btot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb FROM bc),
+grid AS (SELECT period, i AS bin
+         FROM (SELECT DISTINCT period FROM counts), range(0, 10) t(i)),
+m AS (
+  SELECT g.period, g.bin,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur,
+         CAST(COALESCE(bc.n_base, 0) AS BIGINT) AS n_base, btot.tb
+  FROM grid g
+  LEFT JOIN counts c ON c.period = g.period AND c.bin = g.bin
+  LEFT JOIN bc ON bc.bin = g.bin
+  CROSS JOIN btot
+),
+props AS (
+  SELECT period, n_cur,
+         GREATEST(CAST(n_base AS DOUBLE) / tb, 1e-4) AS p,
+         GREATEST(CAST(n_cur AS DOUBLE)
+           / SUM(n_cur) OVER (PARTITION BY period), 1e-4) AS q
+  FROM m
+),
+terms AS (
+  SELECT period, n_cur,
+         (p - q) * (CAST(CAST(round(ln(p / q) * 1e9) AS BIGINT)
+                         AS DOUBLE) / 1e9) AS term
+  FROM props
+),
+psis AS (
+  SELECT period,
+         CAST(CAST(SUM(CAST((term) AS DECIMAL(30,10))) AS VARCHAR)
+           AS DOUBLE) AS psi,
+         CAST(SUM(n_cur) AS BIGINT) AS n_rows
+  FROM terms GROUP BY period
+)
+SELECT period, psi, n_rows,
+       CAST(COALESCE(nn.n_nulls, 0) AS BIGINT) AS n_nulls,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi <= 0.25 THEN 'moderate'
+            ELSE 'major' END AS drift_level
+FROM psis LEFT JOIN nn USING (period)
+"""
+
+
+@_register("drift_psi_series", PSI_SERIES_ORACLE_SQL)
+def drift_psi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-week PSI monitoring SERIES (operators/drift.
+    psi_drift_series): one Population Stability Index per week of the
+    event value distribution against the earliest week as fixed
+    baseline (pinned [0,200) x 10 bins) — drift_psi_value_shift
+    answers "did it move between these snapshots", this answers "when
+    did it start moving and how fast", with conventional
+    stable/moderate/major levels. ONE corpus pass to a (periods x
+    bins) table; NULL values excluded from the distribution and
+    reported per-period as n_nulls (a NULL influx is itself a drift
+    signal); the baseline week's own PSI is exactly 0.0 — a built-in
+    self-check the staging lock asserts."""
+    from etl_developstoday_test_spark.operators.drift import (
+        psi_drift_series,
+    )
+
+    return psi_drift_series(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        F.date_trunc("week", F.col("ts")).cast("date"),
+        n_bins=10,
+        lo=0.0,
+        hi=200.0,
     )

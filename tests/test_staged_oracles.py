@@ -7,9 +7,9 @@ the already-registered rounds (8 and 9) this file keeps (a) the
 second-scale value locks over the SAME oracle strings the registration
 uses — imported from plans/queries.py, single source of truth — and
 (b) the adversarial FIXTURE-GRAPH locks for LPA and assortativity,
-whose registered oracles run over the co-activity graph instead. The
-"STAGED for round 10" section below holds the next registration
-batch's locks. Same comparison discipline as
+whose registered oracles run over the co-activity graph instead. The round-10
+batch is registered too; its locks below import the registration
+oracles the same way. Same comparison discipline as
 tests/test_oracle_parity.py (full multiset, exact equality, no
 epsilon): the determinism contract (nano-quantized ln, exact decimal /
 integer accumulation, total-order argmax) is what's being locked in.
@@ -336,58 +336,23 @@ def test_packing_efficiency_matches_oracle(spark, sf_con):
     assert srow[4] <= srow[2] and srow[5] <= srow[3]
 
 
-# --- STAGED for round 10 -----------------------------------------------------
+# --- registered round 10 (second-scale locks) --------------------------------
 #
-# Same discipline as the round-8/round-9 staging: each operator below is
-# implemented and unit-tested NOW, its DuckDB twin is value-locked at
-# sf0.001 AND sf0.01 here, and registration waits for the round-10
-# driver window — so the first driver row can only be green.
+# Staged here through round 9 with the same discipline as the
+# round-8/round-9 batches (implemented + unit-tested + value-locked at
+# sf0.001 AND sf0.01 BEFORE registration), registered in round 10. The
+# oracle strings now live in plans/queries.py next to their
+# registrations — imported here so the second-scale locks always run
+# against the exact SQL the driver executes.
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    WATERFILL_ORACLE_SQL as _WF_ORACLE,
-)
-
-WATERFILL_EXECUTE_ORACLE = (
-    "WITH alloc AS (\n"
-    + _WF_ORACLE
-    + r"""),
-dt AS (
-  SELECT source, doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-           AS n_tokens,
-         CAST(concat('0x', substr(md5('wfx#' || CAST(doc_id AS VARCHAR)),
-           1, 15)) AS BIGINT) AS h
-  FROM documents
-),
-surv AS (
-  SELECT dt.source, dt.doc_id, dt.n_tokens, dt.h, a.allocated_tokens
-  FROM dt JOIN alloc a USING (source)
-  WHERE a.allocated_tokens > 0
-    AND (a.allocated_tokens = a.avail_tokens
-         OR dt.h <
-            CAST(1152921504606846976 AS BIGINT)
-            // greatest(CAST(1 AS BIGINT),
-                 a.avail_tokens // greatest(CAST(1 AS BIGINT),
-                                            a.allocated_tokens * 4)))
-),
-kept AS (
-  SELECT source, n_tokens FROM (
-    SELECT source, n_tokens, allocated_tokens,
-           SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-    FROM surv) WHERE cum <= allocated_tokens
-)
-SELECT a.source, a.allocated_tokens,
-       CAST(COALESCE(k.nd, 0) AS BIGINT) AS n_docs_kept,
-       CAST(COALESCE(k.tk, 0) AS BIGINT) AS tokens_kept,
-       CASE WHEN a.allocated_tokens > 0
-            THEN round(CAST(COALESCE(k.tk, 0) AS DOUBLE)
-                       / CAST(a.allocated_tokens AS DOUBLE), 6)
-            ELSE 0.0 END AS utilization
-FROM alloc a LEFT JOIN (
-  SELECT source, COUNT(*) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS tk
-  FROM kept GROUP BY source) k USING (source)
-"""
+    CLUSTERING_SAMPLED_ORACLE_SQL as CLUSTERING_SAMPLED_ORACLE,
+    EMBED_DRIFT_ORACLE_SQL as EMBED_DRIFT_ORACLE,
+    KN_HELDOUT_ORACLE_SQL as KN_HELDOUT_ORACLE,
+    NB_CONFUSION_ORACLE_SQL as NB_CONFUSION_ORACLE,
+    PSI_SERIES_ORACLE_SQL as PSI_SERIES_ORACLE,
+    SNAPSHOT_DELTA_ORACLE_SQL as SNAPSHOT_DELTA_ORACLE,
+    WATERFILL_EXECUTE_ORACLE_SQL as WATERFILL_EXECUTE_ORACLE,
 )
 
 
@@ -419,7 +384,7 @@ def _wf_inputs(spark, sf_dir):
 
 
 def test_waterfill_execute_matches_oracle(spark, sf_con):
-    """STAGED r10: execute the registered waterfill plan — per-source
+    """Registered r10 (sample_waterfill_execute): execute the waterfill plan — per-source
     hash-prefix selection under the exact token budget, with the
     certified KMV-style pre-filter bounding each source's window
     input. Value-locked at both scales BEFORE registration."""
@@ -443,28 +408,8 @@ def test_waterfill_execute_matches_oracle(spark, sf_con):
     assert any(r[3] > 0 for r in srows)
 
 
-NB_CONFUSION_ORACLE = (
-    NB_ORACLE.split("SELECT truth.truth")[0]
-    + """, picks AS (
-  SELECT t.truth, b.cand AS predicted
-  FROM truth t JOIN (SELECT doc_id, cand FROM best WHERE rk = 1) b
-    USING (doc_id)
-),
-cells AS (
-  SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
-  FROM picks GROUP BY truth, predicted
-)
-SELECT truth, predicted, n_docs,
-       round(CAST(n_docs AS DOUBLE) /
-             CAST(SUM(n_docs) OVER (PARTITION BY truth) AS DOUBLE), 6)
-         AS row_frac
-FROM cells
-"""
-)
-
-
 def test_nb_confusion_matrix_matches_oracle(spark, sf_con):
-    """STAGED r10: which-label-leaks-where confusion matrix of the NB
+    """Registered r10 (ml_nb_confusion_matrix): which-label-leaks-where confusion matrix of the NB
     classifier, sharing the registered model CTEs verbatim.
     Value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.ml import (
@@ -509,7 +454,8 @@ ORDER BY clustering_coeff DESC, node ASC LIMIT 10
 
 
 def test_clustering_coefficient_matches_oracle(spark):
-    """STAGED r10: per-node local clustering coefficient on an
+    """Fixture-graph algorithm lock for the r10 clustering
+    registrations: per-node local clustering coefficient on an
     irregular fixture (two bridged cliques + a pendant chain + a
     square) — the degree-ordered oriented enumeration must credit
     exactly the triangles the naive ordered SQL join finds."""
@@ -538,45 +484,6 @@ def test_clustering_coefficient_matches_oracle(spark):
     assert 30 in by_node and by_node[30][3] == 0.0
 
 
-EMBED_DRIFT_ORACLE = """
-WITH ex AS (
-  SELECT vec_id % 2 = 0 AS is_a, i - 1 AS dim,
-         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xq
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-),
-pd AS (
-  SELECT dim,
-         CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
-         CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b,
-         CAST(SUM(xq) FILTER (WHERE is_a) AS BIGINT) AS s_a,
-         CAST(SUM(xq) FILTER (WHERE NOT is_a) AS BIGINT) AS s_b,
-         CAST(SUM(xq * xq) FILTER (WHERE is_a) AS BIGINT) AS ss_a,
-         CAST(SUM(xq * xq) FILTER (WHERE NOT is_a) AS BIGINT) AS ss_b
-  FROM ex GROUP BY dim
-),
-calc AS (
-  SELECT dim, n_a, n_b,
-         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
-         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
-         CAST(ss_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-           - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-             * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS va,
-         CAST(ss_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-           - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-             * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS vb
-  FROM pd
-)
-SELECT CAST(dim AS INTEGER) AS dim, n_a, n_b,
-       round(ma / 1e6, 6) AS mean_a, round(mb / 1e6, 6) AS mean_b,
-       CASE WHEN sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) > 0
-            THEN round((mb - ma)
-                 / sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)), 6)
-            ELSE 0.0 END AS z_score
-FROM calc
-ORDER BY abs(z_score) DESC, dim ASC LIMIT 10
-"""
-
-
 @pytest.fixture(
     scope="module",
     params=[SF_DIR, SF_DIR_ORACLE],
@@ -593,7 +500,7 @@ def emb_con(request):
 
 
 def test_embedding_dimension_drift_matches_oracle(spark, emb_con):
-    """STAGED r10: per-dimension Welch z between the even/odd vec_id
+    """Registered r10 (embed_dimension_drift): per-dimension Welch z between the even/odd vec_id
     halves — micro-quantized BIGINT moments, one fixed-order double
     expression, value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.similarity import (
@@ -612,43 +519,8 @@ def test_embedding_dimension_drift_matches_oracle(spark, emb_con):
     assert all(abs(r[5]) < 10 for r in srows)
 
 
-SNAPSHOT_DELTA_ORACLE = r"""
-WITH snap_a AS (
-  SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 19
-),
-snap_b AS (
-  SELECT doc_id, source,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
-  FROM documents WHERE doc_id % 20 <> 0
-),
-o AS (SELECT doc_id, source, md5(text) AS h,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS tok
-      FROM snap_a),
-n AS (SELECT doc_id, source, md5(text) AS h,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-               AS tok
-      FROM snap_b),
-j AS (SELECT COALESCE(n.source, o.source) AS source,
-             CASE WHEN o.h IS NULL THEN 'added'
-                  WHEN n.h IS NULL THEN 'removed'
-                  WHEN o.h <> n.h THEN 'changed'
-                  ELSE 'unchanged' END AS cls,
-             COALESCE(n.tok, 0) - COALESCE(o.tok, 0) AS dtok
-      FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id)
-SELECT source,
-       CAST(COUNT(*) FILTER (WHERE cls = 'added') AS BIGINT) AS n_added,
-       CAST(COUNT(*) FILTER (WHERE cls = 'removed') AS BIGINT) AS n_removed,
-       CAST(COUNT(*) FILTER (WHERE cls = 'changed') AS BIGINT) AS n_changed,
-       CAST(COUNT(*) FILTER (WHERE cls = 'unchanged') AS BIGINT)
-         AS n_unchanged,
-       CAST(SUM(dtok) AS BIGINT) AS token_delta
-FROM j GROUP BY source
-"""
-
-
 def test_snapshot_delta_matches_oracle(spark, sf_con):
-    """STAGED r10: CDC-class snapshot diff card (added / removed /
+    """Registered r10 (dedup_snapshot_delta): CDC-class snapshot diff card (added / removed /
     changed / unchanged + per-source token movement) over two
     deterministic snapshot views of the corpus. Value-locked at both
     scales BEFORE registration; every class must be non-empty so the
@@ -684,66 +556,8 @@ def test_snapshot_delta_matches_oracle(spark, sf_con):
     assert all(t > 0 for t in tot), f"a CDC class is unexercised: {tot}"
 
 
-KN_HELDOUT_ORACLE = r"""
-WITH arrs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-  FROM documents
-),
-big AS (
-  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
-  FROM arrs, unnest(range(1, len(arr))) AS t(i)
-  WHERE len(arr) >= 2
-),
-bcounts AS (
-  SELECT bg, COUNT(*) AS c FROM big WHERE doc_id % 5 <> 0 GROUP BY bg
-),
-typed AS (
-  SELECT bg, c, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
-  FROM bcounts
-),
-ctx AS (
-  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, COUNT(*) AS n1p
-  FROM typed GROUP BY w1
-),
-pred AS (SELECT w2, COUNT(*) AS npred FROM typed GROUP BY w2),
-stats AS (SELECT COUNT(*) AS t, COUNT(DISTINCT w2) AS v2 FROM typed),
-tb AS (
-  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
-         split_part(bg, ' ', 2) AS w2
-  FROM big WHERE doc_id % 5 = 0
-),
-scored AS (
-  SELECT tb.doc_id,
-    CAST(round(ln(
-      CASE WHEN ctx.ctot IS NULL
-        THEN CAST(COALESCE(pred.npred, 0) + 1 AS DOUBLE)
-             / CAST(stats.t + stats.v2 + 1 AS DOUBLE)
-        ELSE greatest(CAST(COALESCE(tc.c, 0) AS DOUBLE) - 0.75, 0.0)
-               / CAST(ctx.ctot AS DOUBLE)
-             + ((0.75 * CAST(ctx.n1p AS DOUBLE)) / CAST(ctx.ctot AS DOUBLE))
-               * (CAST(COALESCE(pred.npred, 0) + 1 AS DOUBLE)
-                  / CAST(stats.t + stats.v2 + 1 AS DOUBLE))
-      END
-    ) * 1e9) AS BIGINT) AS llq
-  FROM tb
-  LEFT JOIN (SELECT bg, c FROM typed) tc USING (bg)
-  LEFT JOIN ctx ON ctx.w1 = tb.w1
-  LEFT JOIN pred ON pred.w2 = tb.w2
-  CROSS JOIN stats
-),
-per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         round(CAST(SUM(llq) AS DOUBLE) / 1e9 / COUNT(*), 6)
-           AS mean_logprob
-  FROM scored GROUP BY doc_id
-)
-SELECT doc_id, n_bigrams, mean_logprob FROM per_doc
-ORDER BY mean_logprob ASC, doc_id ASC LIMIT 20
-"""
-
-
 def test_kn_heldout_matches_oracle(spark, sf_con):
-    """STAGED r10: held-out interpolated-KN scoring (train on
+    """Registered r10 (text_kn_heldout_bottomk): held-out interpolated-KN scoring (train on
     doc_id % 5 != 0, score the rest) — the unseen-bigram clamp and the
     Laplace-floored continuation are live code paths here, unlike the
     in-corpus scorer. Value-locked at both scales BEFORE
@@ -795,67 +609,6 @@ def test_staged_oracle_result_types_survive_pandas_fetch():
     )
 
 
-PSI_SERIES_ORACLE = r"""
-WITH base AS (
-  SELECT CAST(date_trunc('week', ts) AS DATE) AS period,
-         CAST(value AS DOUBLE) AS v
-  FROM events
-),
-nn AS (
-  SELECT period, CAST(COUNT(*) AS BIGINT) AS n_nulls
-  FROM base WHERE v IS NULL GROUP BY period
-),
-binned AS (
-  SELECT period,
-         LEAST(9, GREATEST(0,
-           CAST(floor((v - 0.0) / 20.0) AS INTEGER)
-         )) AS bin
-  FROM base WHERE v IS NOT NULL
-),
-counts AS (SELECT period, bin, COUNT(*) AS n FROM binned GROUP BY period, bin),
-bp AS (SELECT MIN(period) AS bp FROM counts),
-bc AS (SELECT bin, n AS n_base FROM counts, bp WHERE period = bp),
-btot AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb FROM bc),
-grid AS (SELECT period, i AS bin
-         FROM (SELECT DISTINCT period FROM counts), range(0, 10) t(i)),
-m AS (
-  SELECT g.period, g.bin,
-         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur,
-         CAST(COALESCE(bc.n_base, 0) AS BIGINT) AS n_base, btot.tb
-  FROM grid g
-  LEFT JOIN counts c ON c.period = g.period AND c.bin = g.bin
-  LEFT JOIN bc ON bc.bin = g.bin
-  CROSS JOIN btot
-),
-props AS (
-  SELECT period, n_cur,
-         GREATEST(CAST(n_base AS DOUBLE) / tb, 1e-4) AS p,
-         GREATEST(CAST(n_cur AS DOUBLE)
-           / SUM(n_cur) OVER (PARTITION BY period), 1e-4) AS q
-  FROM m
-),
-terms AS (
-  SELECT period, n_cur,
-         (p - q) * (CAST(CAST(round(ln(p / q) * 1e9) AS BIGINT)
-                         AS DOUBLE) / 1e9) AS term
-  FROM props
-),
-psis AS (
-  SELECT period,
-         CAST(CAST(SUM(CAST((term) AS DECIMAL(30,10))) AS VARCHAR)
-           AS DOUBLE) AS psi,
-         CAST(SUM(n_cur) AS BIGINT) AS n_rows
-  FROM terms GROUP BY period
-)
-SELECT period, psi, n_rows,
-       CAST(COALESCE(nn.n_nulls, 0) AS BIGINT) AS n_nulls,
-       CASE WHEN psi < 0.1 THEN 'stable'
-            WHEN psi <= 0.25 THEN 'moderate'
-            ELSE 'major' END AS drift_level
-FROM psis LEFT JOIN nn USING (period)
-"""
-
-
 @pytest.fixture(
     scope="module",
     params=[SF_DIR, SF_DIR_ORACLE],
@@ -872,7 +625,7 @@ def ev_con(request):
 
 
 def test_psi_drift_series_matches_oracle(spark, ev_con):
-    """STAGED r10: per-week PSI series of the event value distribution
+    """Registered r10 (drift_psi_series): per-week PSI series of the event value distribution
     against the earliest week (pinned [0,200) x 10 bins) — the
     continuous-monitoring form of the registered one-shot PSI.
     Value-locked at both scales BEFORE registration; the baseline
@@ -906,45 +659,21 @@ def test_psi_drift_series_matches_oracle(spark, ev_con):
     assert all(r[3] == 0 for r in srows)
 
 
-# Registration-ready second lock for the clustering coefficient: the
-# round-10 registration will run it over the shared co-activity graph
-# (like k-core / LPA / assortativity), so lock THAT construction too —
-# the fixture-graph lock above proves the algorithm, this one proves
-# the exact query+oracle pair the registration will ship.
-from etl_developstoday_test_spark.plans.queries import _COACT_SQL  # noqa: E402
-
-CLUSTERING_COACT_ORACLE = f"""
-WITH {_COACT_SQL},
-deg AS (
-  SELECT u, COUNT(*) AS d FROM (
-    SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges) GROUP BY u
-),
-tri AS (
-  SELECT e1.ua AS x, e1.ub AS y, e2.ub AS z
-  FROM edges e1
-  JOIN edges e2 ON e2.ua = e1.ub
-  JOIN edges e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
-),
-cred AS (
-  SELECT x AS u FROM tri
-  UNION ALL SELECT y FROM tri
-  UNION ALL SELECT z FROM tri
-),
-tc AS (SELECT u, COUNT(*) AS t FROM cred GROUP BY u)
-SELECT deg.u AS node, CAST(d AS BIGINT) AS degree,
-       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
-       round(CAST(2 * COALESCE(t, 0) AS DOUBLE)
-             / CAST(d * (d - 1) AS DOUBLE), 6) AS clustering_coeff
-FROM deg LEFT JOIN tc ON tc.u = deg.u
-WHERE d >= 2
-ORDER BY clustering_coeff DESC, node ASC LIMIT 10
-"""
+# Second locks for the two clustering-coefficient registrations: the
+# fixture-graph lock above proves the algorithm; these prove the exact
+# query+oracle pairs the registrations ship — the full co-activity
+# graph (the k-core / LPA / assortativity construction) and the
+# DOULION 5%-sampled graph (the triangle-count construction).
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    CLUSTERING_COACT_ORACLE_SQL as CLUSTERING_COACT_ORACLE,
+)
 
 
 def test_clustering_coefficient_coactivity_matches_oracle(spark, ev_con):
-    """STAGED r10: the clustering coefficient over the SHARED
-    co-activity graph — the exact construction the registration will
-    use — value-locked at both scales BEFORE registration."""
+    """Registered r10 (graph_clustering_coefficient): the clustering
+    coefficient over the SHARED co-activity graph — the exact
+    construction the registration runs — value-locked at both
+    scales."""
     from etl_developstoday_test_spark.plans.queries import (
         _coactivity_edges,
     )
@@ -958,5 +687,27 @@ def test_clustering_coefficient_coactivity_matches_oracle(spark, ev_con):
         tuple(r) for r in local_clustering_coefficient(edges).collect()
     ]
     drows = con.execute(CLUSTERING_COACT_ORACLE).fetchall()
+    assert srows == drows
+    assert srows  # non-degenerate at both scales
+
+
+def test_clustering_coefficient_sampled_matches_oracle(spark, ev_con):
+    """Registered r10 (graph_clustering_sampled): the clustering
+    coefficient over the DOULION 5%-sampled co-activity graph
+    graph_triangle_count reads — the sparse-regime variant —
+    value-locked at both scales."""
+    from etl_developstoday_test_spark.plans.queries import (
+        _sampled_coactivity_edges,
+    )
+    from etl_developstoday_test_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    sf_dir, con = ev_con
+    edges = _sampled_coactivity_edges(spark, sf_dir)
+    srows = [
+        tuple(r) for r in local_clustering_coefficient(edges).collect()
+    ]
+    drows = con.execute(CLUSTERING_SAMPLED_ORACLE).fetchall()
     assert srows == drows
     assert srows  # non-degenerate at both scales
