@@ -336,3 +336,104 @@ def psi_drift_series(
     )
     all_counts.unpersist()  # real release: went through persist()
     return out
+
+
+def ks_two_sample(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    quantum: int = 100,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between a baseline
+    and a current snapshot of one numeric column — the third leg of the
+    drift kit: PSI sees binned mass movement (and is blind inside a
+    bin), CUSUM sees level shifts over time, KS is the classic
+    distribution-free whole-CDF test whose statistic
+    D = max_v |F_base(v) − F_cur(v)| catches shape changes PSI's ten
+    fixed bins smear out, with a standard significance threshold
+    (c(0.05) = 1.358) that needs no distributional assumptions.
+
+    STAGED for round-11 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: values are quantized up front to
+    ``1/quantum`` units (round(v·quantum) as BIGINT — the drift kit's
+    micro-quantize idiom), so every per-value count is an exact
+    integer and each CDF point is ONE correctly-rounded double
+    division of identical integers; the difference and its 6-dp
+    rounding are fixed-order, and the argmax value carries a (D DESC,
+    vq ASC) total tiebreak — the row hash-matches a SQL replay.
+
+    Scale shape: ONE map-side-combined groupBy per side on the
+    quantized value, then everything runs on the merged DISTINCT-value
+    table, whose size is bounded by the value DOMAIN times ``quantum``
+    — a property of the column, not the corpus (a [0, 200] metric at
+    centi-precision is ≤ 20k rows at any SF). The cumulative-count
+    window over that bounded table is partitionless BY CONSTRUCTION —
+    the same bounded-input allowlist class as the merge levels of the
+    quantile rollup. Returns ONE row: (n_base, n_current, ks_stat,
+    ks_at_value, critical_005, drifted).
+    """
+    if quantum < 1:
+        raise ValueError("ks_two_sample: quantum must be >= 1")
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        vq = (
+            F.round(F.col(value_col).cast("double") * quantum)
+            .cast("long")
+            .alias("vq")
+        )
+        return (
+            df.select(vq)
+            .filter(F.col("vq").isNotNull())
+            .groupBy("vq")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a, b = side(base, "n_a"), side(current, "n_b")
+    merged = (
+        a.join(b, "vq", "full_outer")
+        .select(
+            "vq",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .localCheckpoint(eager=True)  # bounded: |value domain| * quantum
+    )
+    tot = merged.agg(
+        F.sum("n_a").cast("long").alias("_ta"),
+        F.sum("n_b").cast("long").alias("_tb"),
+    )
+    w = Window.orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        merged.withColumn("_ca", F.sum("n_a").over(w))
+        .withColumn("_cb", F.sum("n_b").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    # each CDF point: one exact-integer ratio; D rounded to 6 dp BEFORE
+    # the (D DESC, vq ASC) argmax so the pick is a total order
+    d = F.round(
+        F.abs(
+            F.col("_ca").cast("double") / F.col("_ta").cast("double")
+            - F.col("_cb").cast("double") / F.col("_tb").cast("double")
+        ),
+        6,
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("_ta") + F.col("_tb")).cast("double")
+        / (F.col("_ta").cast("double") * F.col("_tb").cast("double"))
+    )
+    return (
+        cum.select(
+            F.col("_ta").alias("n_base"),
+            F.col("_tb").alias("n_current"),
+            d.alias("ks_stat"),
+            (F.col("vq").cast("double") / quantum).alias("ks_at_value"),
+            F.round(crit, 6).alias("critical_005"),
+            (d > crit).alias("drifted"),
+        )
+        .orderBy(F.desc("ks_stat"), F.asc("ks_at_value"))
+        .limit(1)
+    )

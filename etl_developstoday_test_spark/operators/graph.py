@@ -841,3 +841,62 @@ def local_clustering_coefficient(
     return out.orderBy(
         F.col("clustering_coeff").desc(), F.col("node").asc()
     ).limit(top_k)
+
+
+def two_hop_reach(
+    edges: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """Per-node 2-HOP REACH |{w : dist(u, w) <= 2}| — the
+    influence/spread shortlist the degree table understates: a
+    moderate-degree node whose neighbors are hubs reaches more of the
+    graph in two steps than a high-degree node inside a clique, and in
+    a user co-activity graph the top reach list is the
+    exposure-ranking a contamination / virality audit starts from
+    (what one account can touch in two hops), complementing the
+    clustering coefficient (density) and k-core (robustness) views.
+
+    STAGED for round-11 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Exact counts in pure integers (a distinct + count, no floats
+    anywhere), so the (reach DESC, node ASC) top-k is trivially a
+    cross-engine total order.
+
+    Scale shape: symmetrize once (materialized — three consumers),
+    ONE self-equi-join on the middle vertex produces the 2-hop
+    candidate pairs, then distinct + a map-side-combined count. The
+    join's fan-out is Σ_v deg(v)² — the wedge volume, same cost class
+    as the triangle family and bounded on the registered co-activity
+    graphs by the per-cell membership cap / DOULION sampling; on an
+    uncapped power-law graph the standard mitigation applies (cap or
+    sample the hub adjacency lists first, as _coactivity_edges does).
+    ``edges`` must be distinct undirected pairs (ua < ub). Returns
+    top_k rows: (node, degree, reach_2hop).
+    """
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)  # deg + both join branches
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    mid = sym.select(F.col("u").alias("_m"), F.col("w"))
+    hop2 = sym.select("u", F.col("w").alias("_m")).join(mid, "_m").select(
+        "u", "w"
+    )
+    reach = (
+        sym.unionAll(hop2)
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("reach_2hop"))
+    )
+    return (
+        deg.join(reach, "u")
+        .select(
+            F.col("u").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("reach_2hop").cast("long").alias("reach_2hop"),
+        )
+        .orderBy(F.desc("reach_2hop"), F.asc("node"))
+        .limit(top_k)
+    )

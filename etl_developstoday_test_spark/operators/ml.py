@@ -570,3 +570,106 @@ def nb_confusion_matrix(
     ).localCheckpoint(eager=True)
     base.unpersist()  # real release: base went through persist()
     return out
+
+
+def chi2_token_label(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    top_m: int = 20,
+    k: int = 15,
+) -> DataFrame:
+    """Chi-squared token↔label association over the ``top_m``
+    highest-df tokens — the classic feature-selection / leakage probe:
+    a token whose PRESENCE is strongly associated with one label is
+    either a genuine class marker (keep: it is what the NB family
+    feeds on) or a label leak / template artifact (a boilerplate
+    header that pins the label means the "classifier" is reading the
+    wrapper, not the text), and the 2×2-per-(token, label) chi² table
+    is how both are found before trusting any label-conditioned
+    routing.
+
+    STAGED for round-11 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    For each (token t, label l) over N docs: a = docs with t and l,
+    b = df(t) − a, c = n(l) − a, d = N − df(t) − n(l) + a, and
+        chi² = N · (ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    Every cell is an exact integer; ad − bc stays exact in int64 up to
+    ~3·10⁹ docs (headroom documented — past it the margins themselves
+    outgrow the double mantissa first); the four denominator margins
+    are cast to double INDIVIDUALLY before multiplying (each margin
+    ≤ N is exact in a double to 2⁵³ — an int64 product of four margins
+    would wrap silently past ~55k docs, the overflow class the r9
+    ADVICE flagged), so the statistic is ONE fixed-order double
+    expression over exact operands, rounded to 6 dp before the
+    (chi² DESC, token, label) top-k — a cross-engine total order.
+    Degenerate margins (a token in every doc, an empty label) zero a
+    denominator factor and score 0.0 by convention.
+
+    Scale shape: presence rows explode once (distinct tokens per doc);
+    ONE map-side-combined groupBy builds the (token, label) counts and
+    one more the df table; the top-m pick is TakeOrderedAndProject;
+    everything after runs on the (top_m × |labels|) grid with the
+    |labels|-sized margins broadcast. Returns top-k rows:
+    (token, label, n_present_label, chi2).
+    """
+    pres = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+    tl = pres.groupBy("token", "label").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    df_t = tl.groupBy("token").agg(F.sum("a").alias("df"))
+    top = df_t.orderBy(F.desc("df"), F.asc("token")).limit(top_m)
+    labels = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    n_docs = docs.count()  # driver-bounded scalar (the bm25 idiom)
+    grid = (
+        top.crossJoin(F.broadcast(labels))
+        .join(tl, ["token", "label"], "left")
+        .select(
+            "token",
+            "label",
+            F.coalesce("a", F.lit(0)).cast("long").alias("a"),
+            F.col("df").cast("long").alias("df"),
+            F.col("n_l").cast("long").alias("n_l"),
+        )
+    )
+    a = F.col("a")
+    b = F.col("df") - a
+    c = F.col("n_l") - a
+    d = F.lit(int(n_docs)) - F.col("df") - F.col("n_l") + a
+    num = a * d - b * c  # exact int64 up to ~3e9 docs
+    # margins to double BEFORE the product: an int64 4-way product
+    # wraps past ~55k docs; doubles of exact <=N integers don't
+    den = (
+        (a + b).cast("double")
+        * (c + d).cast("double")
+        * (a + c).cast("double")
+        * (b + d).cast("double")
+    )
+    chi2 = F.when(
+        den > 0,
+        F.round(
+            F.lit(float(n_docs))
+            * num.cast("double")
+            * num.cast("double")
+            / den,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.select(
+            "token",
+            "label",
+            a.alias("n_present_label"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), F.asc("token"), F.asc("label"))
+        .limit(k)
+    )

@@ -1332,3 +1332,56 @@ def kn_heldout_bottomk(
     )
     big_all.unpersist()  # real release: went through persist()
     return out
+
+
+def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Zipf-law fit of the corpus's token frequency distribution: OLS
+    of ln(freq) on ln(rank) over the top ``top_n`` tokens — a natural
+    corpus scores a slope near −1, and deviation is one of the
+    cheapest whole-corpus health signals a curation pipeline owns
+    (machine-generated or templated text flattens the head, heavy
+    boilerplate steepens it; the slope moving between snapshots means
+    the MIX moved even when volume didn't).
+
+    STAGED for round-11 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: the top-n pick is a (freq DESC, token ASC)
+    total order; rank and freq are exact integers; BOTH logs are
+    nano-quantized (round(ln·1e9)/1e9 — ln is the only
+    non-correctly-rounded op in the formula) before the five OLS
+    sufficient statistics accumulate through the exact decimal
+    summator (``ml.linreg_closed_form``, reused verbatim), so slope /
+    intercept / R² are bit-identical cross-engine.
+
+    Scale shape: ONE map-side-combined vocabulary aggregate; the top-n
+    pick is TakeOrderedAndProject (per-partition heaps, no global
+    sort); the rank window and the regression run on ``top_n`` rows —
+    a constant. Returns one row: (n_rows, slope, intercept, r2).
+    """
+    from pyspark.sql import Window
+
+    from etl_developstoday_test_spark.operators.ml import (
+        linreg_closed_form,
+    )
+
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("f"), F.asc("term"))  # top_n rows only
+
+    def lnq(c):
+        return (
+            F.round(F.log(c.cast("double")) * 1e9)
+            .cast("long")
+            .cast("double")
+            / 1e9
+        )
+
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        lnq(F.col("rank")).alias("lx"), lnq(F.col("f")).alias("ly")
+    )
+    return linreg_closed_form(pts, "lx", "ly")

@@ -1049,3 +1049,64 @@ def snapshot_delta(
             F.sum("_dtok").cast("long").alias("token_delta"),
         )
     )
+
+
+def ngram_novelty(
+    old: DataFrame,
+    new: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source N-GRAM NOVELTY of a new snapshot against a reference
+    corpus: the fraction of each source's distinct word n-grams never
+    seen in the reference — the companion number to
+    ``snapshot_delta``'s row-level churn: a source can churn many rows
+    while contributing near-zero novel text (template rotation,
+    re-crawls) or ship few rows carrying genuinely new language, and
+    novelty-per-token is what decides whether a snapshot is worth
+    re-tokenizing. The same statistic run against a benchmark corpus
+    is the contamination complement (LOW novelty = overlap alert).
+
+    STAGED for round-11 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Pure integer counts (distinct grams per source, LEFT ANTI join
+    against the reference gram set) with one final rounded division —
+    hash-exact cross-engine.
+
+    Scale shape: each side shingles once (narrow in-row expansion,
+    the let-bound ``word_shingles``); the reference gram set and the
+    (source, gram) table are both gram-keyed, so the anti join
+    co-shuffles on the gram — one wide exchange each side, no
+    broadcast of anything corpus-sized; the rollup is
+    map-side-combined and sources-sized. Returns one row per source:
+    (source, n_grams, n_novel, novelty_rate = round(novel/grams, 6)).
+    """
+    ref = (
+        old.select(F.explode(_shingle_set(n)).alias("g"))
+        .distinct()
+    )
+    sg = (
+        new.select(
+            F.col(source_col).alias("source"),
+            F.explode(_shingle_set(n)).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # totals + anti join both read it
+    )
+    totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        sg.join(ref, "g", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return totals.join(novel, "source", "left").select(
+        "source",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.round(
+            F.coalesce("n_novel", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )

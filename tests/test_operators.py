@@ -2237,3 +2237,107 @@ def test_psi_drift_series_levels_and_baseline_zero(spark):
     assert out[2]["psi"] == 0.0 and out[2]["drift_level"] == "stable"
     assert out[3]["drift_level"] == "major" and out[3]["psi"] > 0.25
     assert all(r["n_rows"] == 200 for r in out.values())
+
+
+# --- staged round-11 operators ----------------------------------------------
+
+
+def test_ks_two_sample_identical_and_disjoint(spark):
+    """KS = 0 on identical distributions, 1 on disjoint supports, and
+    the significance call follows the 1.358 critical line."""
+    from etl_developstoday_test_spark.operators.drift import ks_two_sample
+
+    a = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], "v double"
+    )
+    same = spark.createDataFrame(
+        [(float((i * 7) % 50),) for i in range(500)], "v double"
+    )
+    far = spark.createDataFrame(
+        [(float(100 + i % 50),) for i in range(500)], "v double"
+    )
+    r0 = ks_two_sample(a, same, "v").collect()[0]
+    assert r0["ks_stat"] == 0.0 and not r0["drifted"]
+    r1 = ks_two_sample(a, far, "v").collect()[0]
+    assert r1["ks_stat"] == 1.0 and r1["drifted"]
+    # NULLs are excluded from both sides, not binned
+    with_null = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)] + [(None,)] * 20, "v double"
+    )
+    r2 = ks_two_sample(a, with_null, "v").collect()[0]
+    assert r2["n_current"] == 500 and r2["ks_stat"] == 0.0
+    import pytest
+
+    with pytest.raises(ValueError, match="quantum"):
+        ks_two_sample(a, same, "v", quantum=0)
+
+
+def test_zipf_slope_recovers_power_law(spark):
+    """On a constructed exact power law (freq_r = floor(10000/r)) the
+    OLS fit must recover slope ~ -1 with a near-perfect fit — the
+    behavior the flat synthetic corpus can't exercise."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        zipf_slope,
+    )
+
+    rows = []
+    doc_id = 0
+    for r in range(1, 51):
+        freq = 10000 // r
+        # one doc per token repeating it freq times keeps tokenization
+        # trivial and the counts exact
+        rows.append((doc_id, " ".join([f"tok{r:03d}"] * freq)))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_slope(docs, top_n=50).collect()[0]
+    assert out["n_rows"] == 50
+    assert -1.05 < out["slope"] < -0.95
+    assert out["r2"] > 0.999
+
+
+def test_chi2_token_label_flags_perfect_separator(spark):
+    """A token present in every doc of one label and absent elsewhere
+    is a perfect separator: its chi2 must equal N (the 2x2 maximum)
+    and rank first; a token present in EVERY doc has a zero margin and
+    scores 0.0 by convention."""
+    from etl_developstoday_test_spark.operators.ml import chi2_token_label
+
+    rows = []
+    for i in range(10):
+        rows.append((i, f"common leak{'A' if i < 5 else 'B'} filler{i % 3}",
+                     "a" if i < 5 else "b"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = chi2_token_label(docs, top_m=10, k=30).collect()
+    by = {(r["token"], r["label"]): r for r in out}
+    assert by[("leakA", "a")]["chi2"] == 10.0  # == N, perfect separator
+    assert by[("leakB", "b")]["chi2"] == 10.0
+    assert by[("common", "a")]["chi2"] == 0.0  # df == N margin -> 0
+    assert out[0]["chi2"] == 10.0  # separators rank first
+
+
+def test_ngram_novelty_bounds(spark):
+    """Novelty is 0 when B's grams are a subset of A's, 1 for an
+    all-new source, and sources absent from B produce no row."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_novelty,
+    )
+
+    a = spark.createDataFrame(
+        [
+            (1, "s1", "the quick brown fox jumps"),
+            (2, "s2", "pack my box with five dozen jugs"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            (3, "s1", "the quick brown fox"),          # all grams seen
+            (4, "s3", "entirely novel trigram content here"),  # all new
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in ngram_novelty(a, b, n=3).collect()}
+    assert set(out) == {"s1", "s3"}
+    assert out["s1"]["n_novel"] == 0 and out["s1"]["novelty_rate"] == 0.0
+    assert out["s3"]["n_novel"] == out["s3"]["n_grams"] > 0
+    assert out["s3"]["novelty_rate"] == 1.0
