@@ -1158,3 +1158,29 @@ def test_span_corruption_plan_is_shuffle_free(spark):
     assert "Python" not in plan
     # codegen spans print as "*(n)" in executedPlan().toString()
     assert "*(1)" in plan
+
+
+def test_embed_dimension_drift_single_scan_one_exchange(spark):
+    """The per-dimension drift table must be ONE corpus scan feeding
+    ONE map-side-combined groupBy on the dimension id — posexplode is
+    a narrow in-row expansion, and the top-10 is TakeOrdered, never a
+    single-partition global sort."""
+    import re
+
+    plan = plan_of(spark, "embed_dimension_drift")
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_snapshot_delta_one_diff_join_one_rollup(spark):
+    """The CDC diff is ONE full-outer equi-join on the doc id (both
+    snapshot projections co-shuffle on the same key) plus ONE
+    map-side-combined source rollup — nothing corpus-sized broadcasts
+    and nothing runs single-partition."""
+    plan = plan_of(spark, "dedup_snapshot_delta")
+    assert "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" not in plan
