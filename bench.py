@@ -80,16 +80,32 @@ def main() -> None:
         ).load().count()
     finally:
         os.unlink(f.name)
-    # warm the golden CSV's text-scan path the same way the parquet
-    # tables are warmed above: the raw-text read pays OS page cache +
-    # Hadoop block-map first touch ONCE per long-lived cluster, and
-    # charging it to whichever golden-pipeline row runs first kept
-    # mis-flagging that row as a regression (isolates at ~3s warm vs
-    # ~9s cold; r9 verdict ask #7)
+    # warm the golden pipeline's code paths the way the Python pools
+    # are warmed above: isolated profiling showed the row's ~6s
+    # first-run surcharge is NOT the file read (a text-scan warm left
+    # run0 at 9.8s) but first-execution compilation of the ETL's wide
+    # generated stages — so run the SAME pipeline over a 100-row head
+    # of the sample. Codegen caches by generated source (schema +
+    # expressions, not data volume), so this sub-second warm gives the
+    # measured row the steady-state ~3s a long-lived cluster sees
+    # (r9 verdict ask #7).
+    from etl_developstoday_test_spark.config import EtlSettings
+    from etl_developstoday_test_spark.pipeline import run_stats_only
     from etl_developstoday_test_spark.plans.queries import GOLDEN_CSV
 
     if os.path.exists(GOLDEN_CSV):
-        spark.read.text(GOLDEN_CSV).count()
+        with open(GOLDEN_CSV, errors="replace") as f:
+            head = [next(f) for _ in range(101)]
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".csv", delete=False
+        ) as f:
+            f.writelines(head)
+        try:
+            run_stats_only(
+                spark, EtlSettings(input_path=f.name, duplicates_path="")
+            )
+        finally:
+            os.unlink(f.name)
 
     # previous committed run, for the regression tripwire below
     full_path = os.path.join(
