@@ -1540,3 +1540,62 @@ def embedding_dimension_drift(
         .orderBy(F.abs(F.col("z_score")).desc(), F.col("dim").asc())
         .limit(top_k)
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space OUTLIER shortlist: each vector's cosine to its
+    OWN label's centroid, bottom-k — the quality filter the embedding
+    family was missing: a vector far from its label centroid is a
+    mislabel, a garbage/degenerate embedding, or genuinely novel
+    content, and the bottom-of-the-list is what a curation pass sends
+    to review or prunes before centroid-seeded training (the same
+    signal SemDeDup uses at the top of the list to prune redundancy,
+    read from the other end).
+
+    STAGED for round-11 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism: centroids come from ``label_centroids``'s exact
+    integer mean (micro-quantized components, one fixed-order double
+    finish per dimension); the centroid array is assembled in
+    dimension order (array_sort on (dim, val) structs — collect order
+    can't leak); the cosine is the shared sequential-fold form
+    (``functions.cosine``), rounded to 6 dp BEFORE the
+    (cos ASC, id ASC) bottom-k — a cross-engine total order.
+
+    Scale shape: the centroid table is labels × dims (a true
+    dimension — broadcast unconditionally), the corpus is scanned once
+    for the centroid aggregate and once for the scoring pass, and the
+    bottom-k is TakeOrderedAndProject. Returns k rows:
+    (vec_id, label, cos_to_centroid) most-anomalous first.
+    """
+    cent = label_centroids(emb)
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("_cvec")
+    )
+    scored = (
+        _with_unit_info(fan_out(emb), vec_col)
+        .select(
+            F.col(id_col), F.col(label_col).alias("label"), F.col("_vec")
+        )
+        .join(F.broadcast(carr), "label")
+        .select(
+            F.col(id_col),
+            "label",
+            F.round(cosine(F.col("_vec"), F.col("_cvec")), 6).alias(
+                "cos_to_centroid"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.asc("cos_to_centroid"), F.asc(id_col)
+    ).limit(k)

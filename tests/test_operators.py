@@ -2341,3 +2341,23 @@ def test_ngram_novelty_bounds(spark):
     assert out["s1"]["n_novel"] == 0 and out["s1"]["novelty_rate"] == 0.0
     assert out["s3"]["n_novel"] == out["s3"]["n_grams"] > 0
     assert out["s3"]["novelty_rate"] == 1.0
+
+
+def test_centroid_outliers_flags_planted_mislabel(spark):
+    """A vector pointing opposite its label's tight cluster must rank
+    first (lowest cosine-to-centroid); in-cluster vectors score ~1."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    rows = (
+        [(i, "a", [1.0, 0.02 * i, 0.0]) for i in range(8)]
+        + [(99, "a", [-1.0, 0.0, 0.0])]  # planted: opposite direction
+        + [(i, "b", [0.0, 1.0, 0.01 * i]) for i in range(200, 208)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = centroid_outliers(emb, k=3).collect()
+    assert out[0]["vec_id"] == 99 and out[0]["cos_to_centroid"] < 0
+    assert all(r["cos_to_centroid"] > 0.9 for r in out[1:])

@@ -1066,3 +1066,47 @@ def test_ngram_novelty_matches_oracle(spark, sf_con):
     # the shared majority guarantees non-novel ones — both branches live
     assert any(r[2] > 0 for r in srows)
     assert all(r[2] < r[1] for r in srows)
+
+
+from etl_developstoday_test_spark.plans.queries import _cosine  # noqa: E402
+
+CENTROID_OUTLIERS_ORACLE = f"""
+WITH cent AS (
+  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(SUM(CAST(round(e * 100000000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 100000000.0 AS cv
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+  GROUP BY label, dim
+),
+carr AS (
+  SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round({_cosine('CAST(e.embedding AS DOUBLE[])', 'c.cvec')}, 6)
+           AS cos_to_centroid
+  FROM embeddings e JOIN carr c ON c.label = e.label
+)
+SELECT vec_id, label, cos_to_centroid
+FROM scored ORDER BY cos_to_centroid ASC, vec_id ASC LIMIT 10
+"""
+
+
+def test_centroid_outliers_matches_oracle(spark, emb_con):
+    """STAGED r11: bottom-k cosine-to-own-label-centroid (the
+    embedding-space mislabel/garbage shortlist) — value-locked at both
+    scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    sf_dir, con = emb_con
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srows = [tuple(r) for r in centroid_outliers(emb, k=10).collect()]
+    drows = con.execute(CENTROID_OUTLIERS_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 10
+    # bottom-k is ordered most-anomalous first
+    assert srows[0][2] <= srows[-1][2]
