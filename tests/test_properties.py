@@ -1489,3 +1489,138 @@ def test_clustering_coefficient_matches_bruteforce(spark, pairs):
         for r in local_clustering_coefficient(df, top_k=100).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_two_hop_reach_matches_brute_force(spark, edges):
+    """2-hop reach must equal the adjacency-set closure |N(u) ∪
+    N(N(u))| \\ {u} on ANY graph — the wedge join must neither
+    double-count shared middles nor leak the self node back in."""
+    from etl_developstoday_test_spark.operators.graph import two_hop_reach
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    got = [tuple(r) for r in two_hop_reach(df, top_k=100).collect()]
+
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = []
+    for u in adj:
+        reach = set(adj[u])
+        for v in adj[u]:
+            reach |= adj[v]
+        reach.discard(u)
+        want.append((u, len(adj[u]), len(reach)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a_vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    b_vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+)
+def test_ks_two_sample_matches_python_reference(spark, a_vals, b_vals):
+    """The distributed KS row must equal a sequential CDF walk on ANY
+    two samples — counts, statistic, argmax value (with the smallest-
+    value tiebreak), critical line, and the drift verdict. Integer
+    values keep the quantization exact so the reference shares the
+    operator's arithmetic precisely."""
+    import math
+
+    from etl_developstoday_test_spark.operators.drift import ks_two_sample
+
+    a = spark.createDataFrame([(float(v),) for v in a_vals], "v double")
+    b = spark.createDataFrame([(float(v),) for v in b_vals], "v double")
+    got = tuple(ks_two_sample(a, b, "v", quantum=100).collect()[0])
+
+    from collections import Counter
+
+    qa, qb = Counter(v * 100 for v in a_vals), Counter(v * 100 for v in b_vals)
+    na, nb = len(a_vals), len(b_vals)
+    ca = cb = 0
+    best_d, best_v = -1.0, None
+    for v in sorted(set(qa) | set(qb)):
+        ca += qa.get(v, 0)
+        cb += qb.get(v, 0)
+        d = round(abs(ca / na - cb / nb), 6)
+        if d > best_d:
+            best_d, best_v = d, v
+    crit = 1.358 * math.sqrt((na + nb) / (na * nb))
+    want = (na, nb, best_d, best_v / 100, round(crit, 6), best_d > crit)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    old_texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "gold", "iron", "wolf"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    new_texts=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "gold", "iron", "wolf"]),
+            min_size=3,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_ngram_novelty_matches_python_reference(spark, old_texts, new_texts):
+    """Per-source novelty must equal the set-algebra reference on ANY
+    corpus pair: distinct grams per source, minus the reference gram
+    set, one division. Small word alphabet forces heavy overlap — the
+    regime where a broken anti join would over- or under-count."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_novelty,
+    )
+
+    def grams(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    old = spark.createDataFrame(
+        [(i, f"s{i % 2}", t) for i, t in enumerate(old_texts)],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"s{i % 3}", t) for i, t in enumerate(new_texts)],
+        "doc_id long, source string, text string",
+    )
+    got = sorted(tuple(r) for r in ngram_novelty(old, new, n=3).collect())
+
+    ref: set[str] = set()
+    for t in old_texts:
+        ref |= grams(t)
+    per_src: dict[str, set[str]] = {}
+    for i, t in enumerate(new_texts):
+        per_src.setdefault(f"s{i % 3}", set()).update(grams(t))
+    want = sorted(
+        (
+            s,
+            len(g),
+            len(g - ref),
+            round(len(g - ref) / len(g), 6),
+        )
+        for s, g in per_src.items()
+        if g
+    )
+    assert got == want
