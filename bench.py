@@ -94,8 +94,12 @@ def main() -> None:
     from etl_developstoday_test_spark.plans.queries import GOLDEN_CSV
 
     if os.path.exists(GOLDEN_CSV):
+        import itertools
+
         with open(GOLDEN_CSV, errors="replace") as f:
-            head = [next(f) for _ in range(101)]
+            # islice, not next(): a <=100-line sample warms with what
+            # exists instead of aborting the bench on StopIteration
+            head = list(itertools.islice(f, 101))
         with tempfile.NamedTemporaryFile(
             "w", suffix=".csv", delete=False
         ) as f:

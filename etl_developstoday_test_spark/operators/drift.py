@@ -378,14 +378,17 @@ def ks_two_sample(
         raise ValueError("ks_two_sample: quantum must be >= 1")
 
     def side(df: DataFrame, name: str) -> DataFrame:
-        vq = (
-            F.round(F.col(value_col).cast("double") * quantum)
-            .cast("long")
-            .alias("vq")
-        )
+        # NULL *and* NaN are excluded BEFORE quantization: Spark's
+        # non-ANSI cast folds round(NaN·quantum) to 0, which would
+        # silently bin NaN at vq=0 while the SQL twin diverges — the
+        # documented exclusion contract covers both non-values.
+        v = F.col(value_col).cast("double")
         return (
-            df.select(vq)
-            .filter(F.col("vq").isNotNull())
+            df.select(v.alias("_v"))
+            .filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+            .select(
+                F.round(F.col("_v") * quantum).cast("long").alias("vq")
+            )
             .groupBy("vq")
             .agg(F.count(F.lit(1)).alias(name))
         )
@@ -400,35 +403,45 @@ def ks_two_sample(
         )
         .localCheckpoint(eager=True)  # bounded: |value domain| * quantum
     )
-    tot = merged.agg(
-        F.sum("n_a").cast("long").alias("_ta"),
-        F.sum("n_b").cast("long").alias("_tb"),
-    )
+    # Loud failure on a degenerate side: with n_base or n_current = 0
+    # every CDF ratio is NULL and the row would carry NULL
+    # ks_stat/drifted — raise instead, matching the operator's
+    # degenerate-input convention. The totals read is one cheap action
+    # over the already-materialized bounded checkpoint.
+    trow = merged.agg(
+        F.coalesce(F.sum("n_a"), F.lit(0)).cast("long").alias("_ta"),
+        F.coalesce(F.sum("n_b"), F.lit(0)).cast("long").alias("_tb"),
+    ).collect()[0]
+    if trow["_ta"] == 0 or trow["_tb"] == 0:
+        raise ValueError(
+            "ks_two_sample: empty side after NULL/NaN exclusion "
+            f"(n_base={trow['_ta']}, n_current={trow['_tb']})"
+        )
+    ta = F.lit(trow["_ta"]).cast("long")
+    tb = F.lit(trow["_tb"]).cast("long")
     w = Window.orderBy("vq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = (
-        merged.withColumn("_ca", F.sum("n_a").over(w))
-        .withColumn("_cb", F.sum("n_b").over(w))
-        .crossJoin(F.broadcast(tot))
+    cum = merged.withColumn("_ca", F.sum("n_a").over(w)).withColumn(
+        "_cb", F.sum("n_b").over(w)
     )
     # each CDF point: one exact-integer ratio; D rounded to 6 dp BEFORE
-    # the (D DESC, vq ASC) argmax so the pick is a total order
+    # the (D DESC, vq ASC) argmax so the pick is a total order. The
+    # totals travel as literals (collected above) — no crossJoin stage.
     d = F.round(
         F.abs(
-            F.col("_ca").cast("double") / F.col("_ta").cast("double")
-            - F.col("_cb").cast("double") / F.col("_tb").cast("double")
+            F.col("_ca").cast("double") / ta.cast("double")
+            - F.col("_cb").cast("double") / tb.cast("double")
         ),
         6,
     )
     crit = F.lit(1.358) * F.sqrt(
-        (F.col("_ta") + F.col("_tb")).cast("double")
-        / (F.col("_ta").cast("double") * F.col("_tb").cast("double"))
+        (ta + tb).cast("double") / (ta.cast("double") * tb.cast("double"))
     )
     return (
         cum.select(
-            F.col("_ta").alias("n_base"),
-            F.col("_tb").alias("n_current"),
+            ta.alias("n_base"),
+            tb.alias("n_current"),
             d.alias("ks_stat"),
             (F.col("vq").cast("double") / quantum).alias("ks_at_value"),
             F.round(crit, 6).alias("critical_005"),

@@ -2266,8 +2266,22 @@ def test_ks_two_sample_identical_and_disjoint(spark):
     )
     r2 = ks_two_sample(a, with_null, "v").collect()[0]
     assert r2["n_current"] == 500 and r2["ks_stat"] == 0.0
+    # NaN is excluded like NULL (non-ANSI cast would otherwise silently
+    # bin it at vq=0), and an empty-after-exclusion side fails loudly
+    # instead of returning a NULL-statistic row
+    with_nan = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)] + [(float("nan"),)] * 20,
+        "v double",
+    )
+    r3 = ks_two_sample(a, with_nan, "v").collect()[0]
+    assert r3["n_current"] == 500 and r3["ks_stat"] == 0.0
     import pytest
 
+    only_nonvalues = spark.createDataFrame(
+        [(None,), (float("nan"),)], "v double"
+    )
+    with pytest.raises(ValueError, match="empty side"):
+        ks_two_sample(a, only_nonvalues, "v")
     with pytest.raises(ValueError, match="quantum"):
         ks_two_sample(a, same, "v", quantum=0)
 
