@@ -57,30 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # only live entries appear below, so the rotation's load-bearing
 # artifact never drowns in history.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    # r10: the six stream_* sites' state-store width pins are routed
-    # through the input-size scale gate (_stream_session composes
-    # _narrow_session_if_small; the sweep test's stream_* name-prefix
-    # exemption is deleted). Values unchanged at bench scale
-    # (conf-only); re-certify per the touch-code rule.
-    "stream_user_running_totals": 10,
-    "stream_events_dedup_counts": 10,
-    "stream_stream_join_conversions": 10,
-    "stream_foreach_batch_upsert": 10,
-    "stream_checkpoint_restart_recovery": 10,
-    "stream_left_outer_attribution": 10,
-    # r10: triangle_count gained the broadcast_degrees escape hatch
-    # (default True — registered plan/values unchanged) and its edge
-    # derivation moved to the shared _sampled_coactivity_edges helper;
-    # re-certify per the touch-code rule.
-    "graph_triangle_count": 10,
-    # r10: token_rarity / unigram_logprob_deciles gained the
-    # broadcast_model escape hatch (default True — plan/values
-    # unchanged); re-certify per the touch-code rule.
-    "text_token_rarity": 10,
-    "text_unigram_logprob_quality": 10,
-    # r10: the rollup's redundant survivors.count() is folded into the
-    # certificate job (one fewer action; values unchanged).
-    "agg_quantile_sketch_rollup": 10,
+    # (empty this round: all ten r10 entries re-certified green in
+    # CORRECTNESS_r10.json and expired — full history in git. The six
+    # r11 registrations are NEVER-CHECKED, which already outranks
+    # everything but changed code; drift_ks_two_sample's NaN/empty-side
+    # ADVICE fixes landed BEFORE its registration, so no entry needed.)
 }
 
 

@@ -353,8 +353,8 @@ def ks_two_sample(
     fixed bins smear out, with a standard significance threshold
     (c(0.05) = 1.358) that needs no distributional assumptions.
 
-    STAGED for round-11 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: values are quantized up front to
     ``1/quantum`` units (round(v·quantum) as BIGINT — the drift kit's

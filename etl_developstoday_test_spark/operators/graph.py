@@ -855,8 +855,8 @@ def two_hop_reach(
     (what one account can touch in two hops), complementing the
     clustering coefficient (density) and k-core (robustness) views.
 
-    STAGED for round-11 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Exact counts in pure integers (a distinct + count, no floats
     anywhere), so the (reach DESC, node ASC) top-k is trivially a

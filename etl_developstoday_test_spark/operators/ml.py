@@ -589,8 +589,8 @@ def chi2_token_label(
     is how both are found before trusting any label-conditioned
     routing.
 
-    STAGED for round-11 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     For each (token t, label l) over N docs: a = docs with t and l,
     b = df(t) − a, c = n(l) − a, d = N − df(t) − n(l) + a, and

@@ -1558,8 +1558,8 @@ def centroid_outliers(
     signal SemDeDup uses at the top of the list to prune redundancy,
     read from the other end).
 
-    STAGED for round-11 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: centroids come from ``label_centroids``'s exact
     integer mean (micro-quantized components, one fixed-order double

@@ -1343,8 +1343,8 @@ def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
     boilerplate steepens it; the slope moving between snapshots means
     the MIX moved even when volume didn't).
 
-    STAGED for round-11 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: the top-n pick is a (freq DESC, token ASC)
     total order; rank and freq are exact integers; BOTH logs are

@@ -1067,8 +1067,8 @@ def ngram_novelty(
     re-tokenizing. The same statistic run against a benchmark corpus
     is the contamination complement (LOW novelty = overlap alert).
 
-    STAGED for round-11 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Pure integer counts (distinct grams per source, LEFT ANTI join
     against the reference gram set) with one final rounded division —

@@ -13244,3 +13244,367 @@ def drift_psi_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=200.0,
     )
+
+
+KS_ORACLE_SQL = r"""
+WITH a AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq,
+         COUNT(*) AS n_a
+  FROM events WHERE day(ts) <= 15 AND value IS NOT NULL GROUP BY 1
+),
+b AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq,
+         COUNT(*) AS n_b
+  FROM events WHERE day(ts) > 15 AND value IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(a.vq, b.vq) AS vq,
+         CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+  FROM a FULL OUTER JOIN b ON a.vq = b.vq
+),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+  FROM m
+),
+cum AS (
+  SELECT vq,
+         SUM(n_a) OVER (ORDER BY vq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(n_b) OVER (ORDER BY vq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM m
+),
+sc AS (
+  SELECT tot.ta AS n_base, tot.tb AS n_current,
+         round(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS ks_stat,
+         CAST(vq AS DOUBLE) / 100 AS ks_at_value,
+         round(1.358 * sqrt(CAST(ta + tb AS DOUBLE)
+               / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))), 6)
+           AS critical_005,
+         round(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6)
+           > 1.358 * sqrt(CAST(ta + tb AS DOUBLE)
+               / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) AS drifted
+  FROM cum CROSS JOIN tot
+)
+SELECT * FROM sc ORDER BY ks_stat DESC, ks_at_value ASC LIMIT 1
+"""
+
+
+@_register("drift_ks_two_sample", KS_ORACLE_SQL)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test (operators/drift.
+    ks_two_sample) between the first- and second-half-of-month event
+    value distributions — the drift kit's whole-CDF leg: PSI sees
+    binned mass movement (blind inside a bin), CUSUM sees level shifts
+    over time, KS's D = max|F_a − F_b| catches shape changes the fixed
+    bins smear out, with the distribution-free 1.358·sqrt((m+n)/mn)
+    significance line. Values centi-quantize to exact integer counts;
+    one map-side-combined groupBy per side; everything after runs on
+    the merged DISTINCT-value table whose size is bounded by the value
+    DOMAIN × quantum (a property of the column, not the corpus), so
+    the cumulative window is partitionless over a bounded input by
+    construction. NULL and NaN are excluded; an empty side raises."""
+    from etl_developstoday_test_spark.operators.drift import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "value",
+        quantum=100,
+    )
+
+
+ZIPF_ORACLE_SQL = rf"""
+WITH freq AS (
+  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents)
+  GROUP BY t
+),
+top AS (
+  SELECT term, f FROM freq ORDER BY f DESC, term ASC LIMIT 100
+),
+pts AS (
+  SELECT CAST(CAST(round(ln(CAST(ROW_NUMBER() OVER
+           (ORDER BY f DESC, term ASC) AS DOUBLE)) * 1e9) AS BIGINT)
+           AS DOUBLE) / 1e9 AS lx,
+         CAST(CAST(round(ln(CAST(f AS DOUBLE)) * 1e9) AS BIGINT)
+           AS DOUBLE) / 1e9 AS ly
+  FROM top
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {_dsum('lx')} AS sx, {_dsum('ly')} AS sy,
+         {_dsum('lx * ly')} AS sxy, {_dsum('lx * lx')} AS sxx,
+         {_dsum('ly * ly')} AS syy
+  FROM pts
+),
+m AS (
+  SELECT n, sx, sy, sxy, sxx, syy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM stats
+)
+SELECT CAST(n AS BIGINT) AS n_rows, slope,
+       (sy - slope * sx) / n AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+"""
+
+
+@_register("text_zipf_slope", ZIPF_ORACLE_SQL)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit (operators/text_analysis.zipf_slope): ln(freq)
+    on ln(rank) over the top-100 tokens — the cheapest whole-corpus
+    mix-health signal a curation pipeline owns (natural text scores
+    slope ≈ −1; machine-generated/templated text flattens the head,
+    boilerplate steepens it; the slope moving between snapshots means
+    the MIX moved even when volume didn't). ONE map-side-combined
+    vocabulary aggregate; the top-n pick is TakeOrderedAndProject; the
+    rank window and regression run on a CONSTANT 100 rows (the
+    bounded-window allowlist class); logs nano-quantize before the
+    exact decimal summator (ml.linreg_closed_form reused verbatim), so
+    slope/intercept/R² are bit-identical cross-engine."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        zipf_slope,
+    )
+
+    return zipf_slope(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+CHI2_ORACLE_SQL = r"""
+WITH pres AS (
+  SELECT DISTINCT doc_id, lang AS label, t AS token
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+tl AS (
+  SELECT token, label, CAST(COUNT(*) AS BIGINT) AS a
+  FROM pres GROUP BY token, label
+),
+dft AS (SELECT token, CAST(SUM(a) AS BIGINT) AS df FROM tl GROUP BY token),
+top AS (SELECT token, df FROM dft ORDER BY df DESC, token ASC LIMIT 20),
+lab AS (
+  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_l
+  FROM documents GROUP BY lang
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+grid AS (
+  SELECT top.token, lab.label,
+         CAST(COALESCE(tl.a, 0) AS BIGINT) AS a, top.df, lab.n_l, nn.n
+  FROM top CROSS JOIN lab
+  LEFT JOIN tl ON tl.token = top.token AND tl.label = lab.label
+  CROSS JOIN nn
+),
+sc AS (
+  SELECT token, label, a,
+         CASE WHEN ((CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE))
+                    * CAST(n_l AS DOUBLE)) * CAST(n - n_l AS DOUBLE) > 0
+              THEN round(
+                CAST(n AS DOUBLE)
+                * CAST(a * (n - df - n_l + a)
+                       - (df - a) * (n_l - a) AS DOUBLE)
+                * CAST(a * (n - df - n_l + a)
+                       - (df - a) * (n_l - a) AS DOUBLE)
+                / (((CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE))
+                    * CAST(n_l AS DOUBLE)) * CAST(n - n_l AS DOUBLE)), 6)
+              ELSE 0.0 END AS chi2
+  FROM grid
+)
+SELECT token, label, a AS n_present_label, chi2 FROM sc
+ORDER BY chi2 DESC, token ASC, label ASC LIMIT 15
+"""
+
+
+@_register("ml_chi2_token_label", CHI2_ORACLE_SQL)
+def ml_chi2_token_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared token↔label association (operators/ml.
+    chi2_token_label) over the top-20 document-frequency tokens — the
+    classic feature-selection / label-leak probe: a token whose
+    presence pins one label is either a genuine class marker or a
+    template artifact that means any label-conditioned router is
+    reading the wrapper, not the text. Presence rows explode once
+    (per-doc distinct tokens); two map-side-combined groupBys build
+    the (token, label) and df tables; the top-m pick is
+    TakeOrderedAndProject; everything after runs on the
+    (top_m × |labels|) grid with |labels|-sized margins broadcast.
+    The four 2×2 margins cast to double INDIVIDUALLY before
+    multiplying (an int64 4-way product wraps past ~55k docs)."""
+    from etl_developstoday_test_spark.operators.ml import chi2_token_label
+
+    return chi2_token_label(
+        load_table(spark, sf_dir, "documents"), top_m=20, k=15
+    )
+
+
+TWO_HOP_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY u),
+hop2 AS (
+  SELECT s1.u AS u, s2.w AS w FROM sym s1 JOIN sym s2 ON s2.u = s1.w
+),
+reach AS (
+  SELECT u, COUNT(*) AS reach FROM (
+    SELECT DISTINCT u, w FROM (
+      SELECT u, w FROM sym UNION ALL SELECT u, w FROM hop2
+    ) WHERE u <> w
+  ) GROUP BY u
+)
+SELECT deg.u AS node, CAST(degree AS BIGINT) AS degree,
+       CAST(reach AS BIGINT) AS reach_2hop
+FROM deg JOIN reach ON reach.u = deg.u
+ORDER BY reach_2hop DESC, node ASC LIMIT 10
+"""
+
+
+@_register("graph_two_hop_reach", TWO_HOP_ORACLE_SQL)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node 2-hop reach (operators/graph.two_hop_reach) over the
+    SHARED co-activity graph: |{w : dist(u,w) ≤ 2}| — the
+    influence/exposure ranking the degree table understates (a
+    moderate-degree node whose neighbors are hubs touches more of the
+    graph in two steps than a hub inside a clique); the shortlist a
+    contamination/virality audit starts from, complementing the
+    clustering coefficient (density) and k-core (robustness) views.
+    Symmetrize once (materialized — three consumers), ONE
+    self-equi-join on the middle vertex, distinct + map-side-combined
+    count; wedge-volume cost class, bounded here by the co-activity
+    per-cell membership cap. Exact integers end to end, so the
+    (reach DESC, node ASC) top-10 is a cross-engine total order.
+    Scale-gated narrow shuffles (graph stages carry KBs at bench
+    scale; the events leaf keeps cluster width when input is big)."""
+    from etl_developstoday_test_spark.operators.graph import two_hop_reach
+
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return two_hop_reach(edges)
+
+
+NGRAM_NOVELTY_ORACLE_SQL = r"""
+WITH snap_a AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 19
+),
+snap_b AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 20 <> 0
+),
+ga AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_distinct(list_transform(
+             generate_series(1, len(arr) - 2),
+             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS g
+    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM snap_a)
+  )
+),
+gb AS (
+  SELECT DISTINCT source, g FROM (
+    SELECT source, unnest(list_distinct(list_transform(
+             generate_series(1, len(arr) - 2),
+             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS g
+    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM snap_b)
+  )
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM gb GROUP BY source
+),
+nov AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM gb WHERE NOT EXISTS (SELECT 1 FROM ga WHERE ga.g = gb.g)
+  GROUP BY source
+)
+SELECT t.source, t.n_grams,
+       CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+       round(CAST(COALESCE(v.n_novel, 0) AS DOUBLE)
+             / CAST(t.n_grams AS DOUBLE), 6) AS novelty_rate
+FROM tot t LEFT JOIN nov v ON v.source = t.source
+"""
+
+
+@_register("dedup_ngram_novelty", NGRAM_NOVELTY_ORACLE_SQL)
+def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-gram novelty (operators/text_dedup.ngram_novelty)
+    of snapshot B against snapshot A — the dedup_snapshot_delta
+    companion (same synthetic snapshot split, so the two cards read
+    together): row-level churn says HOW MUCH moved, novelty-per-gram
+    says whether the moved rows carry genuinely new language or
+    template rotation; against a benchmark corpus the same statistic
+    is the contamination complement (LOW novelty = overlap alert).
+    Each side shingles once; the reference gram set and the
+    (source, gram) table co-shuffle on the gram for one LEFT ANTI join
+    — no broadcast of anything corpus-sized; the rollup is
+    map-side-combined and sources-sized. Pure integer counts with one
+    final rounded division — hash-exact cross-engine."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 20 != 19).select(
+        "doc_id", "source", "text"
+    )
+    snap_b = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return ngram_novelty(snap_a, snap_b, n=3)
+
+
+CENTROID_OUTLIERS_ORACLE_SQL = f"""
+WITH cent AS (
+  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(SUM(CAST(round(e * 100000000.0) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 100000000.0 AS cv
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+  GROUP BY label, dim
+),
+carr AS (
+  SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round({_cosine('CAST(e.embedding AS DOUBLE[])', 'c.cvec')}, 6)
+           AS cos_to_centroid
+  FROM embeddings e JOIN carr c ON c.label = e.label
+)
+SELECT vec_id, label, cos_to_centroid
+FROM scored ORDER BY cos_to_centroid ASC, vec_id ASC LIMIT 10
+"""
+
+
+@_register("embed_centroid_outliers", CENTROID_OUTLIERS_ORACLE_SQL)
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space mislabel/garbage shortlist (operators/
+    similarity.centroid_outliers): each vector's cosine to its OWN
+    label's centroid, bottom-10 — SemDeDup's signal read from the
+    other end (far-from-centroid = mislabel, degenerate embedding, or
+    genuinely novel content; what a curation pass sends to review
+    before centroid-seeded training). The centroid table is
+    labels × dims (a true dimension — broadcast), the corpus is
+    scanned once for the centroid aggregate and once for scoring, and
+    the bottom-k is TakeOrderedAndProject; the exact-integer centroid
+    mean and sequential-fold cosine make the (cos ASC, id ASC)
+    bottom-k a cross-engine total order."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    return centroid_outliers(load_table(spark, sf_dir, "embeddings"), k=10)

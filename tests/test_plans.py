@@ -428,6 +428,8 @@ _EAGER_QUERIES = {
     "ml_nb_margin_calibration",    # token explode persisted, output checkpointed
     "text_kneser_ney_bottomk",     # bigram explode persisted + released
     "text_bpe_fertility_by_lang",  # trains the merge table (driver top-1s)
+    "graph_two_hop_reach",         # sym edge table persisted (3 consumers)
+    "dedup_ngram_novelty",         # (source, gram) table checkpointed
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
@@ -494,6 +496,13 @@ _GLOBAL_WINDOW_OK = {
     # per-source mixture table / n_buckets hash profile (config-sized)
     "sample_temperature_mixture",
     "curation_dsir_importance",
+    # KS cumulative-CDF window runs over the merged DISTINCT-value
+    # table: bounded by |value domain| * quantum (a property of the
+    # column, not the corpus — <= 20k rows for a [0,200] metric at
+    # centi-precision, at any SF)
+    "drift_ks_two_sample",
+    # Zipf rank window runs over the top-100 pick: constant-sized
+    "text_zipf_slope",
 }
 
 

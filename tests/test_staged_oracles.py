@@ -713,67 +713,27 @@ def test_clustering_coefficient_sampled_matches_oracle(spark, ev_con):
     assert srows  # non-degenerate at both scales
 
 
-# --- STAGED for round 11 -----------------------------------------------------
+# --- Round 11 registrations (locked here BEFORE registration) ----------------
 #
-# Same discipline as rounds 8-10: each operator below is implemented
-# and unit-tested NOW, its DuckDB twin is value-locked at sf0.001 AND
-# sf0.01 here, and registration waits for the round-11 driver window —
-# so the first driver row can only be green.
+# Same discipline as rounds 8-10: each operator below was implemented
+# and unit-tested a round early, its DuckDB twin value-locked at
+# sf0.001 AND sf0.01 here, and registration waited for the round-11
+# driver window — so the first driver row can only be green. The
+# oracle strings now live in plans/queries.py next to their
+# registrations; these locks import and re-verify THE SAME strings.
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _COACT_SQL,
-    _dsum,
+    CENTROID_OUTLIERS_ORACLE_SQL as CENTROID_OUTLIERS_ORACLE,
+    CHI2_ORACLE_SQL as CHI2_ORACLE,
+    KS_ORACLE_SQL as KS_ORACLE,
+    NGRAM_NOVELTY_ORACLE_SQL as NOVELTY_ORACLE,
+    TWO_HOP_ORACLE_SQL as TWO_HOP_COACT_ORACLE,
+    ZIPF_ORACLE_SQL as ZIPF_ORACLE,
 )
-
-KS_ORACLE = r"""
-WITH a AS (
-  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq,
-         COUNT(*) AS n_a
-  FROM events WHERE day(ts) <= 15 AND value IS NOT NULL GROUP BY 1
-),
-b AS (
-  SELECT CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vq,
-         COUNT(*) AS n_b
-  FROM events WHERE day(ts) > 15 AND value IS NOT NULL GROUP BY 1
-),
-m AS (
-  SELECT COALESCE(a.vq, b.vq) AS vq,
-         CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
-         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
-  FROM a FULL OUTER JOIN b ON a.vq = b.vq
-),
-tot AS (
-  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
-  FROM m
-),
-cum AS (
-  SELECT vq,
-         SUM(n_a) OVER (ORDER BY vq
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-         SUM(n_b) OVER (ORDER BY vq
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
-  FROM m
-),
-sc AS (
-  SELECT tot.ta AS n_base, tot.tb AS n_current,
-         round(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
-                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS ks_stat,
-         CAST(vq AS DOUBLE) / 100 AS ks_at_value,
-         round(1.358 * sqrt(CAST(ta + tb AS DOUBLE)
-               / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))), 6)
-           AS critical_005,
-         round(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
-                   - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6)
-           > 1.358 * sqrt(CAST(ta + tb AS DOUBLE)
-               / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))) AS drifted
-  FROM cum CROSS JOIN tot
-)
-SELECT * FROM sc ORDER BY ks_stat DESC, ks_at_value ASC LIMIT 1
-"""
 
 
 def test_ks_two_sample_matches_oracle(spark, ev_con):
-    """STAGED r11: exact two-sample KS between the first- and
+    """Registered r11 (drift_ks_two_sample): exact two-sample KS between the first- and
     second-half-of-month value distributions (the psi_value_shift
     split), centi-quantized — value-locked at both scales BEFORE
     registration."""
@@ -796,46 +756,8 @@ def test_ks_two_sample_matches_oracle(spark, ev_con):
     assert 0.0 < srow[0][2] < 0.5
 
 
-ZIPF_ORACLE = rf"""
-WITH freq AS (
-  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS f
-  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-        FROM documents)
-  GROUP BY t
-),
-top AS (
-  SELECT term, f FROM freq ORDER BY f DESC, term ASC LIMIT 100
-),
-pts AS (
-  SELECT CAST(CAST(round(ln(CAST(ROW_NUMBER() OVER
-           (ORDER BY f DESC, term ASC) AS DOUBLE)) * 1e9) AS BIGINT)
-           AS DOUBLE) / 1e9 AS lx,
-         CAST(CAST(round(ln(CAST(f AS DOUBLE)) * 1e9) AS BIGINT)
-           AS DOUBLE) / 1e9 AS ly
-  FROM top
-),
-stats AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         {_dsum('lx')} AS sx, {_dsum('ly')} AS sy,
-         {_dsum('lx * ly')} AS sxy, {_dsum('lx * lx')} AS sxx,
-         {_dsum('ly * ly')} AS syy
-  FROM pts
-),
-m AS (
-  SELECT n, sx, sy, sxy, sxx, syy,
-         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
-  FROM stats
-)
-SELECT CAST(n AS BIGINT) AS n_rows, slope,
-       (sy - slope * sx) / n AS intercept,
-       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
-FROM m
-"""
-
-
 def test_zipf_slope_matches_oracle(spark, sf_con):
-    """STAGED r11: Zipf-law OLS fit (ln freq on ln rank, top-100
+    """Registered r11 (text_zipf_slope): Zipf-law OLS fit (ln freq on ln rank, top-100
     tokens, nano-quantized logs through the exact decimal summator) —
     value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.text_analysis import (
@@ -857,54 +779,8 @@ def test_zipf_slope_matches_oracle(spark, sf_con):
     assert slope < 0 and 2 <= n_rows <= 100
 
 
-CHI2_ORACLE = r"""
-WITH pres AS (
-  SELECT DISTINCT doc_id, lang AS label, t AS token
-  FROM (SELECT doc_id, lang,
-               unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-        FROM documents)
-  WHERE t <> ''
-),
-tl AS (
-  SELECT token, label, CAST(COUNT(*) AS BIGINT) AS a
-  FROM pres GROUP BY token, label
-),
-dft AS (SELECT token, CAST(SUM(a) AS BIGINT) AS df FROM tl GROUP BY token),
-top AS (SELECT token, df FROM dft ORDER BY df DESC, token ASC LIMIT 20),
-lab AS (
-  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_l
-  FROM documents GROUP BY lang
-),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-grid AS (
-  SELECT top.token, lab.label,
-         CAST(COALESCE(tl.a, 0) AS BIGINT) AS a, top.df, lab.n_l, nn.n
-  FROM top CROSS JOIN lab
-  LEFT JOIN tl ON tl.token = top.token AND tl.label = lab.label
-  CROSS JOIN nn
-),
-sc AS (
-  SELECT token, label, a,
-         CASE WHEN ((CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE))
-                    * CAST(n_l AS DOUBLE)) * CAST(n - n_l AS DOUBLE) > 0
-              THEN round(
-                CAST(n AS DOUBLE)
-                * CAST(a * (n - df - n_l + a)
-                       - (df - a) * (n_l - a) AS DOUBLE)
-                * CAST(a * (n - df - n_l + a)
-                       - (df - a) * (n_l - a) AS DOUBLE)
-                / (((CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE))
-                    * CAST(n_l AS DOUBLE)) * CAST(n - n_l AS DOUBLE)), 6)
-              ELSE 0.0 END AS chi2
-  FROM grid
-)
-SELECT token, label, a AS n_present_label, chi2 FROM sc
-ORDER BY chi2 DESC, token ASC, label ASC LIMIT 15
-"""
-
-
 def test_chi2_token_label_matches_oracle(spark, sf_con):
-    """STAGED r11: chi-squared token-label association over the top-20
+    """Registered r11 (ml_chi2_token_label): chi-squared token-label association over the top-20
     df tokens (feature-selection / label-leak probe) — value-locked at
     both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.ml import (
@@ -922,7 +798,7 @@ def test_chi2_token_label_matches_oracle(spark, sf_con):
 
 
 def test_two_hop_reach_matches_brute_force(spark):
-    """STAGED r11: per-node 2-hop reach on an irregular fixture must
+    """Unit lock (graph_two_hop_reach): per-node 2-hop reach on an irregular fixture must
     equal an independent adjacency-set brute force."""
     import itertools
 
@@ -949,31 +825,8 @@ def test_two_hop_reach_matches_brute_force(spark):
     assert srows == expect
 
 
-TWO_HOP_COACT_ORACLE = f"""
-WITH {_COACT_SQL},
-sym AS (
-  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
-),
-deg AS (SELECT u, COUNT(*) AS degree FROM sym GROUP BY u),
-hop2 AS (
-  SELECT s1.u AS u, s2.w AS w FROM sym s1 JOIN sym s2 ON s2.u = s1.w
-),
-reach AS (
-  SELECT u, COUNT(*) AS reach FROM (
-    SELECT DISTINCT u, w FROM (
-      SELECT u, w FROM sym UNION ALL SELECT u, w FROM hop2
-    ) WHERE u <> w
-  ) GROUP BY u
-)
-SELECT deg.u AS node, CAST(degree AS BIGINT) AS degree,
-       CAST(reach AS BIGINT) AS reach_2hop
-FROM deg JOIN reach ON reach.u = deg.u
-ORDER BY reach_2hop DESC, node ASC LIMIT 10
-"""
-
-
 def test_two_hop_reach_coactivity_matches_oracle(spark, ev_con):
-    """STAGED r11: 2-hop reach over the SHARED co-activity graph — the
+    """Registered r11 (graph_two_hop_reach): 2-hop reach over the SHARED co-activity graph — the
     exact construction the registration will use — value-locked at
     both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.graph import two_hop_reach
@@ -989,51 +842,8 @@ def test_two_hop_reach_coactivity_matches_oracle(spark, ev_con):
     assert srows  # non-degenerate at both scales
 
 
-NOVELTY_ORACLE = r"""
-WITH snap_a AS (
-  SELECT doc_id, source, text FROM documents WHERE doc_id % 20 <> 19
-),
-snap_b AS (
-  SELECT doc_id, source,
-         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
-  FROM documents WHERE doc_id % 20 <> 0
-),
-ga AS (
-  SELECT DISTINCT g FROM (
-    SELECT unnest(list_distinct(list_transform(
-             generate_series(1, len(arr) - 2),
-             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS g
-    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
-          FROM snap_a)
-  )
-),
-gb AS (
-  SELECT DISTINCT source, g FROM (
-    SELECT source, unnest(list_distinct(list_transform(
-             generate_series(1, len(arr) - 2),
-             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS g
-    FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS arr
-          FROM snap_b)
-  )
-),
-tot AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM gb GROUP BY source
-),
-nov AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel
-  FROM gb WHERE NOT EXISTS (SELECT 1 FROM ga WHERE ga.g = gb.g)
-  GROUP BY source
-)
-SELECT t.source, t.n_grams,
-       CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
-       round(CAST(COALESCE(v.n_novel, 0) AS DOUBLE)
-             / CAST(t.n_grams AS DOUBLE), 6) AS novelty_rate
-FROM tot t LEFT JOIN nov v ON v.source = t.source
-"""
-
-
 def test_ngram_novelty_matches_oracle(spark, sf_con):
-    """STAGED r11: per-source 3-gram novelty of snapshot B against
+    """Registered r11 (dedup_ngram_novelty): per-source 3-gram novelty of snapshot B against
     snapshot A (the dedup_snapshot_delta derivation, so the two cards
     read together) — value-locked at both scales BEFORE
     registration."""
@@ -1068,34 +878,8 @@ def test_ngram_novelty_matches_oracle(spark, sf_con):
     assert all(r[2] < r[1] for r in srows)
 
 
-from etl_developstoday_test_spark.plans.queries import _cosine  # noqa: E402
-
-CENTROID_OUTLIERS_ORACLE = f"""
-WITH cent AS (
-  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-         CAST(SUM(CAST(round(e * 100000000.0) AS BIGINT)) AS DOUBLE)
-           / COUNT(*) / 100000000.0 AS cv
-  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
-               unnest(generate_series(1, len(embedding))) AS i
-        FROM embeddings)
-  GROUP BY label, dim
-),
-carr AS (
-  SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
-),
-scored AS (
-  SELECT e.vec_id, e.label,
-         round({_cosine('CAST(e.embedding AS DOUBLE[])', 'c.cvec')}, 6)
-           AS cos_to_centroid
-  FROM embeddings e JOIN carr c ON c.label = e.label
-)
-SELECT vec_id, label, cos_to_centroid
-FROM scored ORDER BY cos_to_centroid ASC, vec_id ASC LIMIT 10
-"""
-
-
 def test_centroid_outliers_matches_oracle(spark, emb_con):
-    """STAGED r11: bottom-k cosine-to-own-label-centroid (the
+    """Registered r11 (embed_centroid_outliers): bottom-k cosine-to-own-label-centroid (the
     embedding-space mislabel/garbage shortlist) — value-locked at both
     scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.similarity import (
