@@ -450,3 +450,109 @@ def ks_two_sample(
         .orderBy(F.desc("ks_stat"), F.asc("ks_at_value"))
         .limit(1)
     )
+
+
+def js_divergence(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Jensen–Shannon divergence between a baseline and a current
+    snapshot of one numeric column over the same FIXED bins as
+    ``psi_drift`` — the drift kit's fourth leg and the one with the
+    properties the others lack: symmetric, always finite (no empty-bin
+    floor needed — a bin one side never hits contributes p·ln2, not
+    ±∞), bounded in [0, ln 2], and √JS is a true metric, so JS scores
+    are comparable across columns and across time in a way PSI's
+    unbounded index is not. Lin 1991: JS(p,q) = ½KL(p‖m) + ½KL(q‖m),
+    m = (p+q)/2.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: bin counts are exact integers; p and q are
+    correctly-rounded double divisions of identical integers; m and
+    the p/m, q/m ratios are fixed-order double arithmetic; each ln is
+    nano-quantized (the ``psi_drift`` contract, applied to the two
+    transcendentals per bin); the per-bin term
+    (p·lnq(p/m) + q·lnq(q/m))/2 accumulates through the exact decimal
+    summator, so the 6-dp result is bit-identical cross-engine.
+    Zero-count bins contribute exactly their surviving half (0·ln is
+    skipped by construction, never evaluated as NaN). NULL and NaN are
+    excluded on both sides (the ``ks_two_sample`` contract); an empty
+    side raises rather than returning a NULL score.
+
+    Scale shape: one narrow binning map + ONE map-side-combined
+    groupBy per side, merged by an outer join on the ≤ n_bins key
+    space — everything after the two leaf aggregates runs on a bounded
+    bins table. Returns one row:
+    (n_base, n_current, js_divergence, js_distance).
+    """
+    if lo is None or hi is None:
+        raise ValueError("js_divergence: pin lo/hi from the baseline once")
+    if hi <= lo:
+        raise ValueError("js_divergence: hi must be > lo")
+    if n_bins < 1:
+        raise ValueError("js_divergence: n_bins must be >= 1")
+
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("_v") - lo) / width).cast("int"),
+            ),
+        )
+        return (
+            df.select(v.alias("_v"))
+            .filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(side))
+        )
+
+    merged = (
+        binned(base, "n_b")
+        .join(binned(current, "n_c"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("n_c", F.lit(0)).alias("n_c"),
+        )
+        .localCheckpoint(eager=True)  # bounded: <= n_bins rows
+    )
+    trow = merged.agg(
+        F.coalesce(F.sum("n_b"), F.lit(0)).cast("long").alias("_tb"),
+        F.coalesce(F.sum("n_c"), F.lit(0)).cast("long").alias("_tc"),
+    ).collect()[0]
+    if trow["_tb"] == 0 or trow["_tc"] == 0:
+        raise ValueError(
+            "js_divergence: empty side after NULL/NaN exclusion "
+            f"(n_base={trow['_tb']}, n_current={trow['_tc']})"
+        )
+    p = F.col("n_b").cast("double") / F.lit(float(trow["_tb"]))
+    q = F.col("n_c").cast("double") / F.lit(float(trow["_tc"]))
+
+    def lnq(c):
+        return F.round(F.log(c) * 1e9).cast("long").cast("double")
+
+    def half_kl(r, m):  # r·ln(r/m), 0 when r = 0 (limit, never NaN)
+        return F.when(r > 0, r * (lnq(r / m) / 1e9)).otherwise(F.lit(0.0))
+
+    m = (p + q) / 2
+    term = (half_kl(p, m) + half_kl(q, m)) / 2
+    out = merged.select(term.cast(ACC_DECIMAL).alias("_t")).agg(
+        F.round(F.sum("_t").cast("double"), 6).alias("js_divergence")
+    )
+    return out.select(
+        F.lit(trow["_tb"]).cast("long").alias("n_base"),
+        F.lit(trow["_tc"]).cast("long").alias("n_current"),
+        "js_divergence",
+        F.round(F.sqrt(F.col("js_divergence")), 6).alias("js_distance"),
+    )

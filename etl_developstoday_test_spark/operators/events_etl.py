@@ -206,3 +206,104 @@ def mad_outliers_per_type(events) -> "DataFrame":
             " mad_value double, n_outliers long"
         ),
     )
+
+
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered FUNNEL conversion over the event stream: how many users
+    performed step 1, then step 2 STRICTLY AFTER their first step 1,
+    then step 3 strictly after that — the canonical product-analytics
+    rollup (view → click → purchase), and the ordered-sequence shape
+    the per-pair ``events_type_transitions`` matrix cannot express
+    (a user who purchases BEFORE ever viewing does not convert).
+    Per user the funnel anchors greedily on FIRST qualifying
+    timestamps (min ts of step k among events after the user's step
+    k−1 anchor) — the standard unordered-window funnel semantics.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Exact semantics on integer-microsecond timestamps (strict ``>``
+    comparisons, min aggregates — no floats until the two
+    6-dp-rounded rate divisions of exact counts), so the 3-row card is
+    a cross-engine total order by construction.
+
+    Scale shape: one filtered map-side-combined min-aggregate per step,
+    chained by equi-joins that ALL co-shuffle on user_id (with AQE
+    free to broadcast the shrinking step frames at runtime — step k's
+    table only loses users as k grows); counts are 1-row aggregates
+    joined by 1-row broadcasts. Nothing corpus-sized is windowed,
+    broadcast by hint, or collected. Returns one row per step:
+    (step_idx, step, n_users, rate_vs_prev, rate_vs_first).
+    """
+    if len(steps) != 3:
+        raise ValueError("funnel_conversion: exactly 3 steps supported")
+
+    s1 = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == steps[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == steps[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n3"))
+
+    def rate(num, den):
+        return F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    card = (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("step_idx"),
+                        F.lit(steps[0]).alias("step"),
+                        n1.alias("n_users"),
+                        F.when(n1 > 0, F.lit(1.0))
+                        .otherwise(F.lit(0.0))
+                        .alias("rate_vs_prev"),
+                        F.when(n1 > 0, F.lit(1.0))
+                        .otherwise(F.lit(0.0))
+                        .alias("rate_vs_first"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("step_idx"),
+                        F.lit(steps[1]).alias("step"),
+                        n2.alias("n_users"),
+                        rate(n2, n1).alias("rate_vs_prev"),
+                        rate(n2, n1).alias("rate_vs_first"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("step_idx"),
+                        F.lit(steps[2]).alias("step"),
+                        n3.alias("n_users"),
+                        rate(n3, n2).alias("rate_vs_prev"),
+                        rate(n3, n1).alias("rate_vs_first"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
+    return card.orderBy("step_idx")

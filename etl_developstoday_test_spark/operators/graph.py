@@ -900,3 +900,73 @@ def two_hop_reach(
         .orderBy(F.desc("reach_2hop"), F.asc("node"))
         .limit(top_k)
     )
+
+
+def jaccard_link_prediction(edges: DataFrame, top_k: int = 10) -> DataFrame:
+    """Neighborhood-Jaccard LINK PREDICTION (Liben-Nowell & Kleinberg
+    2003): among node pairs at distance exactly 2 (share ≥ 1 neighbor,
+    no edge), rank by J(u,v) = |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — in a user
+    co-activity graph the top of this list is simultaneously the
+    "same actor, split identity" shortlist an entity-resolution /
+    ban-evasion audit starts from and the most-likely-next-edge
+    forecast, the third read of the wedge structure the triangle and
+    clustering-coefficient views aggregate away.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Exact integers end to end (common = wedge count per pair;
+    |Γ(u)∪Γ(v)| = d_u + d_v − common) until ONE 6-dp-rounded double
+    division, so the (jaccard DESC, ua ASC, ub ASC) top-k is a
+    cross-engine total order.
+
+    Scale shape: symmetrize once (materialized — the wedge join reads
+    it twice, the degree table once); ONE self-equi-join on the middle
+    vertex emits each candidate pair once per shared neighbor
+    (ua < ub de-mirrors); a map-side-combined count collapses wedges
+    to (pair, common); a LEFT ANTI equi-join removes existing edges;
+    degrees attach via two equi-joins that CO-SHUFFLE on the pair
+    endpoints — the degree table is vertex-sized, so it is never
+    broadcast (the triangle family's ``broadcast_degrees`` lesson,
+    designed out here rather than gated). Wedge-volume cost class
+    (Σ deg² — same as the triangle family), bounded on the registered
+    co-activity graphs by the per-cell membership cap. ``edges`` must
+    be distinct undirected pairs (ua < ub). Returns top_k rows:
+    (ua, ub, common_neighbors, jaccard).
+    """
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)  # degree + both wedge-join sides
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    left = sym.select(F.col("w").alias("_m"), F.col("u").alias("ua"))
+    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
+    common = (
+        left.join(right, "_m")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+    )
+    with_deg = (
+        common.join(deg.select(F.col("u").alias("ua"), F.col("d").alias("_da")), "ua")
+        .join(deg.select(F.col("u").alias("ub"), F.col("d").alias("_db")), "ub")
+    )
+    jacc = F.round(
+        F.col("common_neighbors").cast("double")
+        / (F.col("_da") + F.col("_db") - F.col("common_neighbors")).cast(
+            "double"
+        ),
+        6,
+    )
+    return (
+        with_deg.select(
+            "ua",
+            "ub",
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            jacc.alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("ua"), F.asc("ub"))
+        .limit(top_k)
+    )

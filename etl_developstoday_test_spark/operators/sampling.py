@@ -762,3 +762,109 @@ def waterfill_execute(
     )
     survivors.unpersist()
     return out
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """NEYMAN-OPTIMAL stratified sample allocation (Neyman 1934): split
+    a sampling budget of ``total_n`` rows across strata proportional to
+    N_h·S_h (stratum size × stratum std) — the allocation that
+    minimizes the variance of the stratified mean estimator at fixed
+    budget. Proportional allocation oversamples big uniform strata and
+    starves small noisy ones; this is the fix, and in a curation
+    pipeline it is how an eval/audit sample gets drawn from a corpus
+    whose sources differ wildly in both volume and variance (the
+    actual draw then reuses ``hash_split``'s per-stratum prefix).
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: values micro-quantize to integers (NULL/NaN
+    excluded), so each stratum's count / sum / square-sum are EXACT
+    integers (square-sums as DECIMAL(38,0) — no silent int64 wrap);
+    the population variance numerator n·Σx² − (Σx)² is exact integer
+    arithmetic on the driver; S_h is one correctly-rounded sqrt of
+    that exact integer, scaled and 6-dp-rounded BEFORE the weight
+    forms, and the weight micro-quantizes to integer micros — so the
+    largest-remainder split of ``total_n`` runs in PURE INTEGER
+    arithmetic (floor shares from exact rationals; the deficit goes to
+    the largest remainders with a (rem DESC, stratum ASC) total
+    tiebreak) and Σ n_alloc == total_n exactly, on any engine.
+    All-constant strata (ΣN_h·S_h = 0) fall back to proportional-to-
+    size weights rather than dividing by zero; an empty input raises.
+
+    Scale shape: ONE map-side-combined groupBy on the stratum builds
+    the moment table; everything after runs on the driver over the
+    strata list — strata are a true dimension (sources, languages,
+    event types: config-sized, NOT corpus-sized), which is what makes
+    the driver-side largest-remainder pass legitimate (same bounded-
+    collect class as the BPE trainer's top-1s). Returns one row per
+    stratum: (stratum, n_rows, std, n_alloc), ordered by stratum.
+    """
+    if total_n < 0:
+        raise ValueError("neyman_allocation: total_n must be >= 0")
+    if quantum < 1:
+        raise ValueError("neyman_allocation: quantum must be >= 1")
+
+    v = F.col(value_col).cast("double")
+    xq = F.round(F.col("_v") * quantum).cast("long")
+    moments = (
+        df.select(F.col(stratum_col).cast("string").alias("stratum"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+        .select("stratum", xq.alias("_xq"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_xq").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                (
+                    F.col("_xq").cast("decimal(38,0)")
+                    * F.col("_xq").cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+        .collect()
+    )
+    if not moments:
+        raise ValueError("neyman_allocation: no rows after NULL/NaN exclusion")
+
+    import math
+
+    def round_half_up6(x: float) -> float:
+        # Python round() is banker's; SQL round is half-away-from-zero.
+        # For the non-negative values here, HALF_UP = floor(x·1e6 + .5)
+        # on the same double both engines hold — bit-identical.
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    strata = []
+    for r in sorted(moments, key=lambda r: r["stratum"]):
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        var_num = n * s2 - s1 * s1  # exact integer, >= 0
+        std = round_half_up6(math.sqrt(var_num) / (n * quantum))
+        strata.append(
+            (r["stratum"], n, std, math.floor(n * std * 1e6 + 0.5))
+        )
+
+    sumw = sum(wq for _, _, _, wq in strata)
+    if sumw == 0:  # all strata constant: proportional-to-size fallback
+        strata = [(s, n, std, n) for s, n, std, _ in strata]
+        sumw = sum(n for _, n, _, _ in strata)
+
+    base = {s: total_n * wq // sumw for s, _, _, wq in strata}
+    rems = sorted(
+        ((total_n * wq - base[s] * sumw, s) for s, _, _, wq in strata),
+        key=lambda t: (-t[0], t[1]),
+    )
+    deficit = total_n - sum(base.values())
+    for _, s in rems[:deficit]:
+        base[s] += 1
+
+    out = [(s, n, std, base[s]) for s, n, std, _ in strata]
+    return df.sparkSession.createDataFrame(
+        out, "stratum string, n_rows long, std double, n_alloc long"
+    )

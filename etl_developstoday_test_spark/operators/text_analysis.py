@@ -1385,3 +1385,174 @@ def zipf_slope(docs: DataFrame, top_n: int = 100) -> DataFrame:
         lnq(F.col("rank")).alias("lx"), lnq(F.col("f")).alias("ly")
     )
     return linreg_closed_form(pts, "lx", "ly")
+
+
+def repetition_profile(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Intra-document REPETITION profile, worst-k shortlist — the
+    Gopher-class (Rae et al. 2021, §A1.1) repetition filters a
+    curation pipeline runs before any cross-document dedup: a document
+    whose own 3-grams repeat heavily, or whose single most frequent
+    2-gram carries a large share of the text, is boilerplate / a
+    scraper loop / degenerate generation, and no BETWEEN-document
+    signal catches it (the doc can be globally unique and still be
+    90% the same line).
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Per document over order-preserving word shingles (duplicates
+    KEPT): ``dup3_frac`` = fraction of 3-gram INSTANCES whose gram
+    occurs ≥ 2× in the same doc; ``top2_frac`` = the most frequent
+    2-gram's share of all 2-gram instances (max-count tie needs no
+    break — only the count enters). Pure integer counts until two
+    6-dp-rounded divisions, so the (dup3 DESC, top2 DESC, doc_id ASC)
+    worst-k is a cross-engine total order. Documents shorter than 2
+    tokens have no 2-grams and drop out (nothing to repeat); docs with
+    2 tokens but no 3-grams report dup3 over 0 grams as 0.0.
+
+    Scale shape: each n-gram table is one explode + ONE
+    map-side-combined groupBy on (doc_id, gram) — the heavy key is the
+    doc, so the per-doc rollup that follows co-shuffles on doc_id;
+    nothing corpus-sized is ever broadcast or windowed; the worst-k is
+    TakeOrderedAndProject. Returns k rows:
+    (doc_id, n_grams3, dup3_frac, top2_frac).
+    """
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(word_shingles(tokens(F.col("text")), n)).alias(
+                    "g"
+                ),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    g3 = (
+        gram_counts(3)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams3"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup3"
+            ),
+        )
+    )
+    g2 = (
+        gram_counts(2)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams2"), F.max("c").alias("top2"))
+    )
+    joined = g2.join(g3, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams3", F.lit(0)).cast("long").alias("n_grams3"),
+        F.coalesce("n_dup3", F.lit(0)).cast("long").alias("_dup3"),
+        F.col("n_grams2").cast("long").alias("_n2"),
+        F.col("top2").cast("long").alias("_top2"),
+    )
+    dup3_frac = F.when(
+        F.col("n_grams3") > 0,
+        F.round(
+            F.col("_dup3").cast("double")
+            / F.col("n_grams3").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    top2_frac = F.round(
+        F.col("_top2").cast("double") / F.col("_n2").cast("double"), 6
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "n_grams3",
+            dup3_frac.alias("dup3_frac"),
+            top2_frac.alias("top2_frac"),
+        )
+        .orderBy(
+            F.desc("dup3_frac"), F.desc("top2_frac"), F.asc("doc_id")
+        )
+        .limit(k)
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 15
+) -> DataFrame:
+    """Top-k PMI COLLOCATIONS (Church & Hanks 1990): adjacent word
+    pairs whose co-occurrence beats chance by the widest margin —
+    PMI(x,y) = ln(c_xy·T / (c_x·c_y)) over the corpus bigram table
+    with margin counts c_x = Σ_y c_xy, c_y = Σ_x c_xy and T = total
+    bigram instances. The collocation head is a corpus fingerprint the
+    curation kit reads two ways: genuine multiword units (natural
+    text) vs template seams (the same wrapper phrase everywhere —
+    machine-generated mass shows up as absurdly high-PMI fixed pairs).
+    ``min_count`` is the standard low-frequency guard (PMI explodes on
+    hapax pairs).
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: all four factors are exact integers; each ln
+    is nano-quantized INDIVIDUALLY (round(ln·1e9) as BIGINT — the one
+    non-correctly-rounded op in the formula), the PMI assembles in
+    exact integer nanos (lq_xy + lq_T − lq_x − lq_y) and divides by
+    1e9 once, then rounds to 6 dp before the (pmi DESC, x ASC, y ASC)
+    top-k — a cross-engine total order.
+
+    Scale shape: ONE bigram explode + map-side-combined groupBy builds
+    the pair table; the margins are two more groupBys OF THE PAIR
+    TABLE (vocabulary-sized, not corpus-sized) equi-joined back on
+    their key — co-shuffles, no vocabulary broadcast (the
+    text_token_rarity lesson); T is a 1-row aggregate broadcast; the
+    min_count filter prunes the pair table BEFORE both joins; the
+    top-k is TakeOrderedAndProject. Returns k rows:
+    (term_x, term_y, n_pair, pmi).
+    """
+    if min_count < 1:
+        raise ValueError("pmi_collocations: min_count must be >= 1")
+
+    pairs = (
+        docs.select(
+            F.explode(word_shingles(tokens(F.col("text")), 2)).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .select(
+            F.substring_index("g", " ", 1).alias("x"),
+            F.substring_index("g", " ", -1).alias("y"),
+            "c_xy",
+        )
+    )
+    cx = pairs.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy = pairs.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    tot = pairs.agg(F.sum("c_xy").cast("long").alias("t_all"))
+
+    def lnq(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")) * 1e9).cast("long")
+
+    pmi = F.round(
+        (
+            lnq(F.col("c_xy"))
+            + lnq(F.col("t_all"))
+            - lnq(F.col("c_x"))
+            - lnq(F.col("c_y"))
+        ).cast("double")
+        / 1e9,
+        6,
+    )
+    return (
+        pairs.filter(F.col("c_xy") >= min_count)
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x").alias("term_x"),
+            F.col("y").alias("term_y"),
+            F.col("c_xy").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("term_x"), F.asc("term_y"))
+        .limit(k)
+    )

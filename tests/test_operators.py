@@ -2375,3 +2375,203 @@ def test_centroid_outliers_flags_planted_mislabel(spark):
     out = centroid_outliers(emb, k=3).collect()
     assert out[0]["vec_id"] == 99 and out[0]["cos_to_centroid"] < 0
     assert all(r["cos_to_centroid"] > 0.9 for r in out[1:])
+
+
+# --- staged round-12 operators ----------------------------------------------
+
+
+def test_repetition_profile_constructed(spark):
+    """A fully-alternating doc scores dup3_frac=1.0 and a known top2
+    share; a no-repeat doc scores 0.0 on both; a 2-token doc has no
+    3-grams and reports dup3 as 0.0 over 0 grams."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        repetition_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # 2-grams: ab,ba,ab,ba,ab -> top2 3/5
+            (2, "u v w x y z"),     # all unique
+            (3, "p q"),             # no 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_profile(docs, k=3).collect()}
+    assert rows[1]["dup3_frac"] == 1.0 and rows[1]["top2_frac"] == 0.6
+    assert rows[2]["dup3_frac"] == 0.0 and rows[2]["top2_frac"] == 0.2
+    assert rows[3]["n_grams3"] == 0 and rows[3]["dup3_frac"] == 0.0
+    assert rows[3]["top2_frac"] == 1.0
+    # worst-first ordering
+    ordered = [r["doc_id"] for r in repetition_profile(docs, k=3).collect()]
+    assert ordered[0] == 1
+
+
+def test_pmi_collocations_constructed(spark):
+    """A pair that always co-occurs scores the maximum PMI and ranks
+    first; the min_count guard drops rarer pairs; min_count=0 raises."""
+    import math
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    # "alpha beta" appears 6x and alpha/beta appear nowhere else;
+    # filler pairs are frequent but independent-ish
+    rows = [(i, "alpha beta") for i in range(6)]
+    rows += [(100 + i, "x y x z y z") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_collocations(docs, min_count=5, k=3).collect()
+    assert got[0]["term_x"] == "alpha" and got[0]["term_y"] == "beta"
+    # exact expectation through the operator's own quantization:
+    # pmi = ln(c_xy) + ln(T) - ln(c_x) - ln(c_y), each ln nano-rounded
+    t_all = 6 + 5 * 10
+
+    def lnq(v):
+        return round(math.log(v) * 1e9)
+
+    want = round((lnq(6) + lnq(t_all) - lnq(6) - lnq(6)) / 1e9, 6)
+    assert abs(got[0]["pmi"] - want) < 1e-9
+    assert all(r["n_pair"] >= 5 for r in got)
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, min_count=0)
+
+
+def test_js_divergence_bounds_and_exclusions(spark):
+    """JS = 0 on identical distributions, = ln 2 on disjoint bin
+    supports; NULL and NaN are excluded; an empty side and bad
+    parameters raise."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import js_divergence
+
+    a = spark.createDataFrame(
+        [(float(i % 100),) for i in range(400)], "v double"
+    )
+    same = spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(400)], "v double"
+    )
+    r0 = js_divergence(a, same, "v", n_bins=10, lo=0.0, hi=200.0).collect()[0]
+    assert r0["js_divergence"] == 0.0 and r0["js_distance"] == 0.0
+    far = spark.createDataFrame(
+        [(float(100 + i % 100),) for i in range(400)], "v double"
+    )
+    r1 = js_divergence(a, far, "v", n_bins=10, lo=0.0, hi=200.0).collect()[0]
+    assert abs(r1["js_divergence"] - 0.693147) < 1e-6  # ln 2
+    messy = spark.createDataFrame(
+        [(float(i % 100),) for i in range(400)]
+        + [(None,)] * 7
+        + [(float("nan"),)] * 3,
+        "v double",
+    )
+    r2 = js_divergence(a, messy, "v", n_bins=10, lo=0.0, hi=200.0).collect()[0]
+    assert r2["n_current"] == 400 and r2["js_divergence"] == 0.0
+    empty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="empty side"):
+        js_divergence(a, empty, "v", n_bins=10, lo=0.0, hi=200.0)
+    with pytest.raises(ValueError, match="lo/hi"):
+        js_divergence(a, same, "v")
+    with pytest.raises(ValueError, match="hi must be"):
+        js_divergence(a, same, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        js_divergence(a, same, "v", n_bins=0, lo=0.0, hi=1.0)
+
+
+def test_jaccard_link_prediction_fixture(spark):
+    """Hand-checkable fixture: a path 1-2-3 predicts (1,3) at J=1;
+    existing edges are excluded; a triangle with a pendant predicts
+    the pendant's wedge partners."""
+    from etl_developstoday_test_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    # path 1-2-3 plus triangle 10-11-12 with pendant 13 on 12
+    e = [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(e, "ua long, ub long")
+    got = [tuple(r) for r in jaccard_link_prediction(edges, top_k=10).collect()]
+    # (1,3): common={2}, d1=1, d3=1 -> 1/(1+1-1)=1.0
+    # (10,13): common={12}, d10=2, d13=1 -> 1/2; (11,13) same
+    assert got[0] == (1, 3, 1, 1.0)
+    assert (10, 13, 1, 0.5) in got and (11, 13, 1, 0.5) in got
+    # no existing edge appears as a prediction
+    eset = set(e)
+    assert all((r[0], r[1]) not in eset for r in got)
+
+
+def test_neyman_allocation_constructed(spark):
+    """Known two-strata case: the high-variance stratum takes the
+    lion's share; budget sums exactly; constant strata fall back to
+    proportional; empty input and bad params raise."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    # stratum A: 100 rows alternating 0/10 (std 5); B: 100 rows all 7
+    rows = [("A", float(10 * (i % 2))) for i in range(100)]
+    rows += [("B", 7.0)] * 100
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {
+        r["stratum"]: r
+        for r in neyman_allocation(df, "s", "v", total_n=60).collect()
+    }
+    assert got["A"]["std"] == 5.0 and got["B"]["std"] == 0.0
+    # all weight sits on A: A gets the whole budget
+    assert got["A"]["n_alloc"] == 60 and got["B"]["n_alloc"] == 0
+    assert sum(r["n_alloc"] for r in got.values()) == 60
+    # all-constant strata: proportional-to-size fallback
+    flat = spark.createDataFrame(
+        [("A", 1.0)] * 30 + [("B", 2.0)] * 10, "s string, v double"
+    )
+    got2 = {
+        r["stratum"]: r["n_alloc"]
+        for r in neyman_allocation(flat, "s", "v", total_n=20).collect()
+    }
+    assert got2 == {"A": 15, "B": 5}
+    empty = spark.createDataFrame([(None, None)], "s string, v double")
+    with pytest.raises(ValueError, match="no rows"):
+        neyman_allocation(empty, "s", "v", total_n=5)
+    with pytest.raises(ValueError, match="total_n"):
+        neyman_allocation(df, "s", "v", total_n=-1)
+    with pytest.raises(ValueError, match="quantum"):
+        neyman_allocation(df, "s", "v", total_n=5, quantum=0)
+
+
+def test_funnel_conversion_ordering_semantics(spark):
+    """The funnel is ORDERED: a user who purchases before ever viewing
+    does not convert; anchors are first-qualifying timestamps."""
+    import datetime as dt
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        funnel_conversion,
+    )
+
+    def t(m):
+        return dt.datetime(2026, 1, 1, 0, m)
+
+    rows = [
+        # u1 converts fully in order
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2 purchases BEFORE viewing: no conversion past step 1
+        (2, t(5), "purchase"), (2, t(6), "view"),
+        # u3 clicks at the same instant as the view: strict > excludes
+        (3, t(0), "view"), (3, t(0), "click"),
+        # u4 views only
+        (4, t(0), "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, ty) for u, ts, ty in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = [tuple(r) for r in funnel_conversion(ev).collect()]
+    assert got == [
+        (1, "view", 4, 1.0, 1.0),
+        (2, "click", 1, 0.25, 0.25),
+        (3, "purchase", 1, 1.0, 0.25),
+    ]
+    with pytest.raises(ValueError, match="exactly 3"):
+        funnel_conversion(ev, steps=("a", "b"))

@@ -1624,3 +1624,146 @@ def test_ngram_novelty_matches_python_reference(spark, old_texts, new_texts):
         if g
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a_vals=st.lists(
+        st.integers(min_value=0, max_value=99), min_size=1, max_size=80
+    ),
+    b_vals=st.lists(
+        st.integers(min_value=0, max_value=99), min_size=1, max_size=80
+    ),
+)
+def test_js_divergence_matches_python_reference(spark, a_vals, b_vals):
+    """The distributed JS row must equal a sequential reference sharing
+    the operator's exact quantization (nano-rounded logs, decimal term
+    sum) on ANY two integer samples, and respect the [0, ln 2] bound."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from etl_developstoday_test_spark.operators.drift import js_divergence
+
+    a = spark.createDataFrame([(float(v),) for v in a_vals], "v double")
+    b = spark.createDataFrame([(float(v),) for v in b_vals], "v double")
+    got = tuple(
+        js_divergence(a, b, "v", n_bins=10, lo=0.0, hi=100.0).collect()[0]
+    )
+
+    def bins(vals):
+        return Counter(min(9, max(0, math.floor((v - 0.0) / 10.0))) for v in vals)
+
+    ca, cb = bins(a_vals), bins(b_vals)
+    na, nb = len(a_vals), len(b_vals)
+    total = Decimal(0)
+    for k in sorted(set(ca) | set(cb)):
+        p, q = ca.get(k, 0) / na, cb.get(k, 0) / nb
+        m = (p + q) / 2
+        tp = p * (round(math.log(p / m) * 1e9) / 1e9) if p > 0 else 0.0
+        tq = q * (round(math.log(q / m) * 1e9) / 1e9) if q > 0 else 0.0
+        total += Decimal((tp + tq) / 2).quantize(Decimal("1.0000000000"))
+    want = (na, nb, round(float(total), 6))
+    assert got[:3] == want
+    assert 0.0 <= got[2] <= 0.693148
+    assert got[3] == round(math.sqrt(got[2]), 6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_jaccard_link_prediction_matches_brute_force(spark, pairs):
+    """Top-k neighborhood-Jaccard predictions on ANY small graph must
+    equal an adjacency-set brute force over non-adjacent distance-2
+    pairs (same rounding, same total order)."""
+    from etl_developstoday_test_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    edges = spark.createDataFrame(pairs, "ua long, ub long")
+    got = [tuple(r) for r in jaccard_link_prediction(edges, top_k=100).collect()]
+
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    eset = set(pairs)
+    want = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in eset:
+                continue
+            common = len(adj[u] & adj[v])
+            if common == 0:
+                continue
+            want.append(
+                (u, v, common, round(common / len(adj[u] | adj[v]), 6))
+            )
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want[:100]
+
+
+_EVT = st.tuples(
+    st.integers(min_value=0, max_value=5),           # user
+    st.integers(min_value=0, max_value=30),          # minute
+    st.sampled_from(["view", "click", "purchase"]),  # type
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evts=st.lists(_EVT, min_size=1, max_size=60))
+def test_funnel_conversion_matches_python_reference(spark, evts):
+    """The funnel card on ANY event set must equal a sequential
+    first-anchor walk (strict-after semantics), and can only narrow."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        funnel_conversion,
+    )
+
+    rows = [
+        (u, dt.datetime(2026, 1, 1, 0, m), ty) for u, m, ty in evts
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = [tuple(r) for r in funnel_conversion(ev).collect()]
+
+    by_user: dict[int, list] = {}
+    for u, ts, ty in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    n1 = n2 = n3 = 0
+    for u, es in by_user.items():
+        t1 = min((ts for ts, ty in es if ty == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min(
+            (ts for ts, ty in es if ty == "click" and ts > t1), default=None
+        )
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(ty == "purchase" and ts > t2 for ts, ty in es):
+            n3 += 1
+    want = [
+        (1, "view", n1, 1.0 if n1 else 0.0, 1.0 if n1 else 0.0),
+        (2, "click", n2,
+         round(n2 / n1, 6) if n1 else 0.0,
+         round(n2 / n1, 6) if n1 else 0.0),
+        (3, "purchase", n3,
+         round(n3 / n2, 6) if n2 else 0.0,
+         round(n3 / n1, 6) if n1 else 0.0),
+    ]
+    assert got == want
+    assert got[0][2] >= got[1][2] >= got[2][2]

@@ -894,3 +894,382 @@ def test_centroid_outliers_matches_oracle(spark, emb_con):
     assert len(srows) == 10
     # bottom-k is ordered most-anomalous first
     assert srows[0][2] <= srows[-1][2]
+
+
+# --- STAGED for round 12 -----------------------------------------------------
+#
+# Same discipline as rounds 8-11: each operator below is implemented
+# and unit-tested NOW, its DuckDB twin is value-locked at sf0.001 AND
+# sf0.01 here, and registration waits for the round-12 driver window —
+# so the first driver row can only be green.
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _COACT_SQL as _COACT_SQL_R12,
+)
+
+REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+g3 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(arr) - 2),
+             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+    FROM toks
+  ) GROUP BY doc_id, g
+),
+a3 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams3,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup3
+  FROM g3 GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(arr) - 1),
+             i -> arr[i] || ' ' || arr[i+1])) AS g
+    FROM toks
+  ) GROUP BY doc_id, g
+),
+a2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+         CAST(MAX(c) AS BIGINT) AS top2
+  FROM g2 GROUP BY doc_id
+)
+SELECT a2.doc_id,
+       CAST(COALESCE(a3.n_grams3, 0) AS BIGINT) AS n_grams3,
+       CASE WHEN COALESCE(a3.n_grams3, 0) > 0
+            THEN round(CAST(a3.n_dup3 AS DOUBLE)
+                       / CAST(a3.n_grams3 AS DOUBLE), 6)
+            ELSE 0.0 END AS dup3_frac,
+       round(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS top2_frac
+FROM a2 LEFT JOIN a3 ON a3.doc_id = a2.doc_id
+ORDER BY dup3_frac DESC, top2_frac DESC, a2.doc_id ASC LIMIT 10
+"""
+
+
+def test_repetition_profile_matches_oracle(spark, sf_con):
+    """STAGED r12: Gopher-class intra-doc repetition worst-10
+    (duplicated-3-gram instance fraction + top-2-gram mass share) —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        repetition_profile,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in repetition_profile(docs, k=10).collect()]
+    drows = con.execute(REPETITION_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 10
+    # the synthetic corpus has SOME in-doc repetition but is nowhere
+    # near degenerate: the worst doc repeats, but far below half
+    assert 0.0 < srows[0][2] < 0.5
+
+
+PMI_ORACLE = r"""
+WITH pairs AS (
+  SELECT split_part(g, ' ', 1) AS x, split_part(g, ' ', 2) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+             i -> arr[i] || ' ' || arr[i+1])) AS g
+    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents)
+  ) GROUP BY 1, 2
+),
+cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pairs GROUP BY x),
+cy AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pairs GROUP BY y),
+tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS t_all FROM pairs)
+SELECT x AS term_x, y AS term_y, c_xy AS n_pair,
+       round(CAST(CAST(round(ln(CAST(c_xy AS DOUBLE)) * 1e9) AS BIGINT)
+             + CAST(round(ln(CAST(t_all AS DOUBLE)) * 1e9) AS BIGINT)
+             - CAST(round(ln(CAST(c_x AS DOUBLE)) * 1e9) AS BIGINT)
+             - CAST(round(ln(CAST(c_y AS DOUBLE)) * 1e9) AS BIGINT)
+             AS DOUBLE) / 1e9, 6) AS pmi
+FROM pairs JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+WHERE c_xy >= 5
+ORDER BY pmi DESC, term_x ASC, term_y ASC LIMIT 15
+"""
+
+
+def test_pmi_collocations_matches_oracle(spark, sf_con):
+    """STAGED r12: top-15 PMI collocations (nano-quantized per-factor
+    logs, min_count=5 hapax guard) — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [
+        tuple(r) for r in pmi_collocations(docs, min_count=5, k=15).collect()
+    ]
+    drows = con.execute(PMI_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 15
+    # every surviving pair beat the frequency guard and PMI is ordered
+    assert all(r[2] >= 5 for r in srows)
+    assert srows[0][3] >= srows[-1][3]
+
+
+JS_ORACLE = r"""
+WITH b AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)))
+           AS bin,
+         COUNT(*) AS n_b
+  FROM events
+  WHERE day(ts) <= 15 AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+c AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)))
+           AS bin,
+         COUNT(*) AS n_c
+  FROM events
+  WHERE day(ts) > 15 AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(b.bin, c.bin) AS bin,
+         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(n_c, 0) AS BIGINT) AS n_c
+  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS tb, CAST(SUM(n_c) AS BIGINT) AS tc
+  FROM m
+),
+terms AS (
+  SELECT CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p,
+         CAST(n_c AS DOUBLE) / CAST(tc AS DOUBLE) AS q
+  FROM m CROSS JOIN tot
+),
+per_bin AS (
+  SELECT ((CASE WHEN p > 0
+            THEN p * (CAST(CAST(round(ln(p / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+            ELSE 0.0 END)
+        + (CASE WHEN q > 0
+            THEN q * (CAST(CAST(round(ln(q / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+            ELSE 0.0 END)) / 2 AS term
+  FROM terms
+),
+js AS (
+  SELECT round(CAST(CAST(SUM(CAST(term AS DECIMAL(30,10))) AS VARCHAR)
+               AS DOUBLE), 6) AS js_divergence
+  FROM per_bin
+)
+SELECT tot.tb AS n_base, tot.tc AS n_current, js.js_divergence,
+       round(sqrt(js.js_divergence), 6) AS js_distance
+FROM js CROSS JOIN tot
+"""
+
+
+def test_js_divergence_matches_oracle(spark, ev_con):
+    """STAGED r12: Jensen-Shannon divergence between the first- and
+    second-half-of-month value distributions over the PSI bins —
+    value-locked at both scales BEFORE registration."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.drift import js_divergence
+
+    sf_dir, con = ev_con
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = js_divergence(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "value",
+        n_bins=10,
+        lo=0.0,
+        hi=200.0,
+    )
+    srow = [tuple(r) for r in out.collect()]
+    drow = con.execute(JS_ORACLE).fetchall()
+    assert srow == drow
+    # an undrifted synthetic corpus: JS is small, positive, < ln 2
+    assert 0.0 < srow[0][2] < 0.693147
+
+
+JACCARD_LINK_ORACLE = f"""
+WITH {_COACT_SQL_R12},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+common AS (
+  SELECT s1.u AS ua, s2.u AS ub, CAST(COUNT(*) AS BIGINT)
+           AS common_neighbors
+  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.ua = c.ua AND e.ub = c.ub)
+)
+SELECT n.ua, n.ub, n.common_neighbors,
+       round(CAST(n.common_neighbors AS DOUBLE)
+             / CAST(da.d + db.d - n.common_neighbors AS DOUBLE), 6)
+         AS jaccard
+FROM nonedge n
+JOIN deg da ON da.u = n.ua
+JOIN deg db ON db.u = n.ub
+ORDER BY jaccard DESC, ua ASC, ub ASC LIMIT 10
+"""
+
+
+def test_jaccard_link_prediction_matches_oracle(spark, ev_con):
+    """STAGED r12: neighborhood-Jaccard link prediction over the
+    SHARED co-activity graph — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [tuple(r) for r in jaccard_link_prediction(edges).collect()]
+    drows = con.execute(JACCARD_LINK_ORACLE).fetchall()
+    assert srows == drows
+    assert srows  # non-degenerate at both scales
+
+
+NEYMAN_ORACLE = r"""
+WITH mom AS (
+  SELECT CAST(source AS VARCHAR) AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(xq AS HUGEINT)) AS s1,
+         SUM(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS s2
+  FROM (SELECT source,
+               CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+                 AS xq
+        FROM documents
+        WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)))
+  GROUP BY 1
+),
+w AS (
+  SELECT stratum, n,
+         round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * 1000000), 6) AS std
+  FROM mom
+),
+wq AS (
+  SELECT stratum, n, std,
+         CAST(round(CAST(n AS DOUBLE) * std * 1e6) AS HUGEINT) AS wq
+  FROM w
+),
+tot AS (SELECT SUM(wq) AS sumw FROM wq),
+base AS (
+  SELECT stratum, n, std,
+         (CAST(1000 AS HUGEINT) * wq) // sumw AS b,
+         (CAST(1000 AS HUGEINT) * wq) % sumw AS rem
+  FROM wq CROSS JOIN tot
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
+         (SELECT 1000 - SUM(b) FROM base) AS deficit
+  FROM base
+)
+SELECT stratum, n AS n_rows, std,
+       CAST(b + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM rk ORDER BY stratum
+"""
+
+
+def test_neyman_allocation_matches_oracle(spark, sf_con):
+    """STAGED r12: Neyman-optimal stratified allocation of a
+    1000-row budget across document sources by n_chars dispersion —
+    value-locked at both scales BEFORE registration, plus the exact
+    budget invariant the oracle can't see failing."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [
+        tuple(r)
+        for r in neyman_allocation(
+            docs, "source", "n_chars", total_n=1000
+        ).collect()
+    ]
+    drows = con.execute(NEYMAN_ORACLE).fetchall()
+    assert srows == drows
+    assert sum(r[3] for r in srows) == 1000  # exact budget, always
+    assert all(r[2] > 0 for r in srows)  # real dispersion per stratum
+
+
+FUNNEL_ORACLE = r"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT * FROM (
+  SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
+         CAST(CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+           AS rate_vs_prev,
+         CAST(CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+           AS rate_vs_first
+  FROM n
+  UNION ALL
+  SELECT 2, 'click', CAST(n2 AS BIGINT),
+         CAST(CASE WHEN n1 > 0
+              THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE),
+         CAST(CASE WHEN n1 > 0
+              THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE)
+  FROM n
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+         CAST(CASE WHEN n2 > 0
+              THEN round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE),
+         CAST(CASE WHEN n1 > 0
+              THEN round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE)
+  FROM n
+) ORDER BY step_idx
+"""
+
+
+def test_funnel_conversion_matches_oracle(spark, ev_con):
+    """STAGED r12: ordered view→click→purchase funnel (strictly-after
+    first-anchor semantics) — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        funnel_conversion,
+    )
+
+    sf_dir, con = ev_con
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    srows = [tuple(r) for r in funnel_conversion(ev).collect()]
+    drows = con.execute(FUNNEL_ORACLE).fetchall()
+    assert srows == drows
+    # the funnel can only narrow
+    assert srows[0][2] >= srows[1][2] >= srows[2][2]
