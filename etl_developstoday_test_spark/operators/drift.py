@@ -556,3 +556,106 @@ def js_divergence(
         "js_divergence",
         F.round(F.sqrt(F.col("js_divergence")), 6).alias("js_distance"),
     )
+
+
+# Nano-quantized log10(1 + 1/d), d = 1..9 — round(log10(1+1/d)·1e9)/1e9,
+# baked as decimal text so the Spark plan and the SQL twin share the
+# EXACT constants (no runtime libm anywhere).
+BENFORD_EXPECTED = (
+    0.301029996,
+    0.176091259,
+    0.124938737,
+    0.096910013,
+    0.079181246,
+    0.06694679,
+    0.057991947,
+    0.051152522,
+    0.045757491,
+)
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """Benford first-digit conformance audit of one positive numeric
+    column — the classic fabricated-or-truncated-data tripwire
+    (Benford 1938, Nigrini 2012): natural multi-scale magnitudes put
+    digit d first with probability log₁₀(1 + 1/d); synthetic caps,
+    copy-paste rows, or unit bugs bend the curve. One 9-row card per
+    audit: observed vs expected share per leading digit plus the
+    Pearson χ² over the whole fit, the number a dq dashboard trends.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: the leading digit comes from an INTEGER —
+    round(value·100) cast to long, first character of its decimal
+    rendering — never from formatting a double (engines disagree on
+    double→string, never on bigint→string). Expected shares are
+    nano-quantized log₁₀(1+1/d) literals BAKED into both plans as the
+    same decimal text (mathematical constants, like π — baking them
+    removes even the libm-last-ulp dependency a runtime ``math.log10``
+    would reintroduce). Observed shares and χ² terms
+    are fixed-order double expressions over exact integers; the χ²
+    sum runs through the decimal accumulator. All 9 digits always
+    appear (zero-observation digits via the spine join).
+
+    Scale shape: one narrow map + ONE map-side-combined 9-group
+    aggregate; everything after runs on a checkpointed 9-row table
+    (the total collects from it — 9 rows, not data — and an empty
+    audit raises instead of returning a NULL card). Returns
+    (digit, n_obs, obs_share, exp_share, abs_dev, chi2) — chi2 is the
+    audit-level statistic, repeated per row like the LPA modularity.
+    """
+    v = F.col(value_col).cast("double")
+    cents = F.round(v * 100).cast("long")
+    digits = (
+        df.filter(v.isNotNull() & ~F.isnan(v) & (v > 0))
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    spine = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    exp_share = F.element_at(
+        F.array(*[F.lit(e) for e in BENFORD_EXPECTED]), F.col("digit")
+    )
+    full = (
+        df.sparkSession.range(1)
+        .select(spine)
+        .join(digits, "digit", "left")
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            exp_share.alias("_e"),
+        )
+    )
+    full = full.localCheckpoint(eager=True)  # bounded: exactly 9 rows
+    total = full.agg(F.sum("n_obs").cast("long").alias("t")).collect()[0]["t"]
+    if total == 0:
+        raise ValueError(
+            "benford_first_digit: no positive values to audit "
+            "(loud-failure convention — a silent NULL card hides the bug)"
+        )
+    j = full.withColumn("t", F.lit(total).cast("long"))
+    n_d = F.col("n_obs").cast("double")
+    t = F.col("t").cast("double")
+    e = F.col("_e")
+    obs = n_d / t
+    chi_term = ((n_d - t * e) * (n_d - t * e) / (t * e)).cast(ACC_DECIMAL)
+    chi2 = j.select(chi_term.alias("_c")).agg(
+        F.round(F.sum("_c").cast("double"), 6).alias("chi2")
+    )
+    return (
+        j.crossJoin(F.broadcast(chi2))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(obs, 6).alias("obs_share"),
+            F.round(e, 6).alias("exp_share"),
+            F.round(F.abs(obs - e), 6).alias("abs_dev"),
+            "chi2",
+        )
+        .orderBy("digit")
+    )

@@ -307,3 +307,180 @@ def funnel_conversion(
         .select("s.*")
     )
     return card.orderBy("step_idx")
+
+
+def interarrival_burstiness(
+    events: DataFrame, min_gaps: int = 5, k: int = 20
+) -> DataFrame:
+    """Per-user inter-arrival BURSTINESS: the Goh-Barabási (2008)
+    coefficient B = (σ−μ)/(σ+μ) over the gaps between a user's
+    consecutive events — B→−1 for a metronome, 0 for a Poisson
+    process, →+1 for extreme burst-silence alternation. The single
+    most-used temporal-pattern probe a behavioral corpus card needs
+    and one ``etl_time_since_prev`` (which returns the raw gaps)
+    deliberately stops short of.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: gaps are exact integer SECONDS
+    (``unix_micros div 1_000_000`` — floor division on integer
+    microseconds, never a double truncation); per-user Σg sums
+    exactly through the decimal accumulator and Σg² accumulates the
+    per-row double g·g (bit-identical cross-engine: g < 2⁵³ is an
+    exact double, the product correctly rounded once) through the
+    same decimal path, so mean/variance come out of identical doubles
+    in an identical expression tree; σ = sqrt(max(var, 0)) clamps the
+    −ulp case. Ties in the per-user ordering break on event_id.
+
+    Scale shape: ONE window partitioned by user_id (a user's own
+    history — the same bounded-partition contract as sessionize),
+    one map-side-combined groupBy, then TakeOrderedAndProject for the
+    top-k card. Nothing corpus-sized is windowed without a partition
+    key, broadcast, or collected. Returns
+    (user_id, n_gaps, mean_gap_s, burstiness), worst-k by B.
+    """
+    if min_gaps < 2:
+        raise ValueError("interarrival_burstiness: min_gaps must be >= 2")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("_s", sec)
+        .withColumn("gap", F.col("_s") - F.lag("_s").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    g = F.col("gap")
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(g.cast("decimal(30,10)")).alias("_s1"),
+        F.sum(
+            (g.cast("double") * g.cast("double")).cast("decimal(30,10)")
+        ).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mu = s1 / n
+    var = F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0))
+    sig = F.sqrt(var)
+    return (
+        agg.filter(
+            (F.col("n_gaps") >= min_gaps) & (F.col("_s1") > 0)
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round((sig - mu) / (sig + mu), 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def user_type_entropy(
+    events: DataFrame, min_events: int = 10, k: int = 20
+) -> DataFrame:
+    """Per-user Shannon ENTROPY of the event-type mix — the behavioral
+    diversity score (H = −Σ p·ln p over the user's type shares): 0 for
+    a single-type user, ln(n_types) for a perfectly mixed one. The
+    per-user complement of the global ``events_type_transitions``
+    matrix, and the standard panel feature for engagement breadth.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Determinism contract: p = c/n is one double division of exact
+    integers; each ln is nano-quantized (the drift-kit contract);
+    per-user terms accumulate through the exact decimal summator, so
+    the 6-dp entropy is bit-identical cross-engine. Top-k ties break
+    on user_id.
+
+    Scale shape: two map-side-combined groupBys — (user, type) then
+    user — and a TakeOrderedAndProject for the card. No windows, no
+    broadcasts, no collects. Returns
+    (user_id, n_events, n_types, entropy), most-diverse-k.
+    """
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = per_type.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("n_events").cast("double")
+    lnq_p = F.round(F.log(p) * 1e9).cast("long").cast("double") / 1e9
+    terms = per_type.join(totals, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (p * lnq_p).cast("decimal(30,10)").alias("_t"),
+    )
+    return (
+        terms.groupBy("user_id", "n_events", "n_types")
+        .agg(F.round(-F.sum("_t").cast("double"), 6).alias("entropy"))
+        .filter(F.col("n_events") >= min_events)
+        .orderBy(F.desc("entropy"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def user_gini_concentration(events: DataFrame) -> DataFrame:
+    """EXACT Gini coefficient of the events-per-user distribution —
+    the one-number answer to "how concentrated is this corpus on its
+    heaviest users": 0 when every user contributes equally, →1 when a
+    handful dominate. The whole-distribution complement of a top-k
+    share card, and the number a 100-TB curation run checks before
+    trusting any per-user cap.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Scale-safety is the point of the construction: the textbook
+    G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n needs a GLOBAL rank over users —
+    a partitionless window over a corpus-sized table. Instead the
+    per-user counts collapse to a (count, multiplicity) table first —
+    bounded by the count DOMAIN (≤ max events per user), not the user
+    count — and each equal-value block of m users spanning ranks
+    (s, s+m] contributes c·(m·s + m(m+1)/2) in closed form. The only
+    window runs over that bounded multiplicity table (same class as
+    the drift kit's bins tables; bounded-window allowlist on
+    registration).
+
+    Determinism contract: block terms are products of exact integers
+    evaluated once in double (identical cross-engine), accumulated
+    through a decimal summator wide enough for 10²⁶; the final
+    expression is a fixed-order double tree over exact totals,
+    rounded to 6 dp. Returns one row: (n_users, n_events, gini).
+    """
+    counts = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mult = counts.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = mult.withColumn(
+        "s", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+    )
+    term = (
+        F.col("c").cast("double")
+        * (
+            F.col("m") * F.col("s")
+            + F.expr("m * (m + 1) div 2")
+        ).cast("double")
+    ).cast("decimal(38,6)")
+    agg = blocks.agg(
+        F.sum("m").cast("long").alias("n_users"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("n_events"),
+        F.sum(term).alias("_srank"),
+    )
+    n = F.col("n_users").cast("double")
+    t = F.col("n_events").cast("double")
+    srank = F.col("_srank").cast("double")
+    return agg.select(
+        "n_users",
+        "n_events",
+        F.round(
+            F.lit(2.0) * srank / (n * t) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    )

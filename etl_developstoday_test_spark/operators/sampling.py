@@ -868,3 +868,56 @@ def neyman_allocation(
     return df.sparkSession.createDataFrame(
         out, "stratum string, n_rows long, std double, n_alloc long"
     )
+
+
+def quality_decile_thresholds(
+    docs: DataFrame, score_col: str = "n_chars", group_col: str = "lang"
+) -> DataFrame:
+    """Per-GROUP exact decile thresholds of an integer quality score —
+    the normalization table that makes one keep-top-X% policy mean
+    the same thing in every language. Raw quality scores are not
+    comparable across languages (English always outscores low-resource
+    text on absolute heuristics); the standard fix (CCNet, Wenzek
+    2020) is per-language quantile thresholds, applied as a lookup.
+    This emits that lookup: for each group and decile d, the smallest
+    score whose within-group empirical CDF reaches d/10.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Scale-safety is the construction: no per-document window (a
+    per-lang partition is corpus-sized — a handful of giant
+    partitions at 100 TB). Scores collapse to a (group, score,
+    multiplicity) table first — bounded by the score DOMAIN — and the
+    cumulative window runs over THAT (bounded-window allowlist class).
+    The threshold test is pure integers (10·cum ≥ d·n — no double CDF
+    anywhere), so the table is exact and cross-engine by construction.
+
+    Returns (lang, decile, threshold, n_docs), ordered.
+    """
+    vals = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.col(score_col).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = vals.withColumn("cum", F.sum("m").over(w).cast("long"))
+    totals = vals.groupBy("g").agg(F.sum("m").cast("long").alias("n_docs"))
+    deciles = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile")
+    return (
+        cum.join(totals, "g")
+        .select("g", "v", "cum", "n_docs", deciles)
+        .filter(
+            F.col("cum") * 10 >= F.col("decile") * F.col("n_docs")
+        )
+        .groupBy(
+            F.col("g").alias("lang"), F.col("decile"), F.col("n_docs")
+        )
+        .agg(F.min("v").alias("threshold"))
+        .select("lang", "decile", "threshold", "n_docs")
+        .orderBy("lang", "decile")
+    )

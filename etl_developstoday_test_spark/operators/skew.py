@@ -22,7 +22,7 @@ grouping.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_developstoday_test_spark.functions import ACC_DECIMAL
 
@@ -89,3 +89,62 @@ def salted_join(
         replicated_small,
         (F.col(big_key) == F.col(small_key)) & (salted_big["_salt"] == replicated_small["_salt"]),
     ).drop("_salt")
+
+
+def topk_key_share(
+    df: DataFrame, key_col: str, k: int = 20
+) -> DataFrame:
+    """Hot-key SKEW PROFILE of a join/group key: the k heaviest keys
+    with their row share and cumulative head share — the audit that
+    decides whether a 100-TB join needs salting, AQE skew splits, or
+    nothing (a top key at 0.1% is noise; at 10% it is one straggler
+    task). The measurement companion to ``salted_sum_count`` /
+    ``salted_join`` above: those are the cure, this is the diagnosis.
+
+    STAGED for round-12 registration (this round's driver window is
+    full; oracle pre-validated in tests/test_staged_oracles.py).
+
+    Scale shape: ONE map-side-combined groupBy count, a 1-row total,
+    then orderBy+limit — which Spark compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge of k·P
+    rows, never a global sort). The cumulative window runs AFTER the
+    limit, over exactly k rows (bounded-window allowlist class).
+    Shares are single double divisions of exact longs, cumulative
+    share from the exact integer running sum — deterministic
+    cross-engine; ties break on the key value.
+
+    Returns (rank, key, n_rows, share, cum_share), heaviest first.
+    """
+    counts = (
+        df.select(F.col(key_col).cast("long").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").cast("long").alias("t"))
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(k)
+        .localCheckpoint(eager=True)  # bounded: exactly k rows
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    t = F.col("t").cast("double")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cum_rows",
+            F.sum("n_rows")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / t, 6).alias("share"),
+            F.round(F.col("cum_rows").cast("double") / t, 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -2575,3 +2575,136 @@ def test_funnel_conversion_ordering_semantics(spark):
     ]
     with pytest.raises(ValueError, match="exactly 3"):
         funnel_conversion(ev, steps=("a", "b"))
+
+
+def test_interarrival_burstiness_constructed(spark):
+    """A metronome user scores exactly B = −1 (σ = 0); a bursty user
+    scores higher; users under min_gaps and all-zero-gap users are
+    excluded; min_gaps < 2 raises."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_burstiness,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: metronome — 6 events, constant 10s gaps
+    rows += [(1, t0 + timedelta(seconds=10 * i), 100 + i) for i in range(6)]
+    # user 2: bursty — gaps 1,1,1,1,996 (mean 200)
+    offs = [0, 1, 2, 3, 4, 1000]
+    rows += [(2, t0 + timedelta(seconds=o), 200 + i) for i, o in enumerate(offs)]
+    # user 3: only 3 gaps — excluded by min_gaps=5
+    rows += [(3, t0 + timedelta(seconds=7 * i), 300 + i) for i in range(4)]
+    # user 4: 6 events all at the SAME second — s1 = 0, excluded
+    rows += [(4, t0, 400 + i) for i in range(6)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r["user_id"]: r for r in interarrival_burstiness(ev).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["burstiness"] == -1.0
+    assert got[1]["mean_gap_s"] == 10.0
+    assert -1.0 < got[2]["burstiness"] < 1.0
+    assert got[2]["burstiness"] > got[1]["burstiness"]
+    assert got[2]["mean_gap_s"] == 200.0
+    with pytest.raises(ValueError, match="min_gaps"):
+        interarrival_burstiness(ev, min_gaps=1)
+
+
+def test_user_type_entropy_constructed(spark):
+    """A single-type user scores exactly 0; a perfectly mixed k-type
+    user scores ln k; users under min_events are excluded."""
+    rows = []
+    rows += [(1, "click")] * 10  # one type -> H = 0
+    for t in ["a", "b", "c", "d", "e"]:  # 5 types x 2 -> H = ln 5
+        rows += [(2, t)] * 2
+    rows += [(3, "click")] * 9  # under min_events=10
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_type_entropy,
+    )
+
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r["user_id"]: r for r in user_type_entropy(ev).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_types"] == 1
+    assert got[2]["entropy"] == 1.609438  # round(ln 5, 6)
+    assert got[2]["n_types"] == 5 and got[2]["n_events"] == 10
+
+
+def test_user_gini_constructed(spark):
+    """Equal contribution gives exactly 0; a hand-computed skewed split
+    ([1,1,1,97] → 0.72) comes out exactly; totals are exact."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_gini_concentration,
+    )
+
+    equal = spark.createDataFrame(
+        [(u,) for u in range(1, 6) for _ in range(4)], "user_id long"
+    )
+    r = user_gini_concentration(equal).collect()[0]
+    assert tuple(r) == (5, 20, 0.0)
+    skew = spark.createDataFrame(
+        [(1,), (2,), (3,)] + [(4,)] * 97, "user_id long"
+    )
+    r2 = user_gini_concentration(skew).collect()[0]
+    # sorted x = [1,1,1,97]: G = 2*394/(4*100) - 5/4 = 0.72
+    assert tuple(r2) == (4, 100, 0.72)
+
+
+def test_benford_first_digit_constructed(spark):
+    """All-digit-1 values put the whole mass on digit 1 (others emit
+    zero rows via the spine); sub-unit values use the first SIGNIFICANT
+    digit; non-positive/NULL/NaN are excluded; an empty audit raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import (
+        benford_first_digit,
+    )
+
+    vals = [(10.0,), (12.34,), (199.99,), (0.15,), (-5.0,), (None,), (0.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    rows = benford_first_digit(df, "v").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    by_d = {r["digit"]: r for r in rows}
+    assert by_d[1]["n_obs"] == 4  # 10, 12.34, 199.99, 0.15 (cents=15)
+    assert all(by_d[d]["n_obs"] == 0 for d in range(2, 10))
+    assert by_d[1]["obs_share"] == 1.0
+    assert rows[0]["chi2"] > 2.0  # far from Benford
+    empty = spark.createDataFrame([(-1.0,), (None,)], "v double")
+    with pytest.raises(ValueError, match="no positive values"):
+        benford_first_digit(empty, "v")
+
+
+def test_quality_decile_thresholds_constructed(spark):
+    """Uniform 1..10 scores give thresholds exactly 1..9; a
+    constant-score group emits the same threshold at every decile."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        quality_decile_thresholds,
+    )
+
+    rows = [("en", "x", i) for i in range(1, 11)] + [
+        ("fr", "x", 7)
+    ] * 5
+    docs = spark.createDataFrame(rows, "lang string, text string, n_chars long")
+    got = [tuple(r) for r in quality_decile_thresholds(docs).collect()]
+    en = [r for r in got if r[0] == "en"]
+    fr = [r for r in got if r[0] == "fr"]
+    assert [(r[1], r[2]) for r in en] == [(d, d) for d in range(1, 10)]
+    assert all(r[2] == 7 and r[3] == 5 for r in fr)
+    assert len(fr) == 9
+
+
+def test_topk_key_share_constructed(spark):
+    """Hand-computed counts [5,3,3,1] at k=3: tie on 3 breaks by key,
+    shares and cumulative shares are the exact 6-dp divisions."""
+    from etl_developstoday_test_spark.operators.skew import topk_key_share
+
+    rows = [(10,)] * 5 + [(7,)] * 3 + [(2,)] * 3 + [(99,)]
+    df = spark.createDataFrame(rows, "k long")
+    got = [tuple(r) for r in topk_key_share(df, "k", k=3).collect()]
+    assert got == [
+        (1, 10, 5, round(5 / 12, 6), round(5 / 12, 6)),
+        (2, 2, 3, 0.25, round(8 / 12, 6)),
+        (3, 7, 3, 0.25, round(11 / 12, 6)),
+    ]

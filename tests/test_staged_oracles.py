@@ -1273,3 +1273,331 @@ def test_funnel_conversion_matches_oracle(spark, ev_con):
     assert srows == drows
     # the funnel can only narrow
     assert srows[0][2] >= srows[1][2] >= srows[2][2]
+
+
+# --- STAGED for round 12: second batch (corpus-health probes) -----------------
+#
+# Same discipline: implemented + unit-tested now, DuckDB twins
+# value-locked at sf0.001 AND sf0.01 here, registration waits for a
+# driver window (r12 has 50 slots; with the staleness tail nearly
+# clear, both batches fit). These six close the corpus-card gaps the
+# first batch left: temporal pattern (burstiness), behavioral
+# diversity (type entropy), whole-distribution concentration (exact
+# Gini), numeric-integrity (Benford), cross-language score
+# normalization (decile thresholds), and hot-key skew diagnosis.
+
+BURSTINESS_ORACLE = r"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - lag(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(gap AS DECIMAL(30,10))) AS s1,
+         SUM(CAST(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)
+             AS DECIMAL(30,10))) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+       round((sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+               - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             / (sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+               + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+         AS burstiness
+FROM a
+WHERE n_gaps >= 5 AND s1 > 0
+ORDER BY burstiness DESC, user_id ASC
+LIMIT 20
+"""
+
+
+def test_interarrival_burstiness_matches_oracle(spark, ev_con):
+    """STAGED r12 (batch 2): per-user Goh-Barabási burstiness of
+    inter-arrival gaps, worst-20 — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_burstiness,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in interarrival_burstiness(ev).collect()]
+    drows = con.execute(BURSTINESS_ORACLE).fetchall()
+    assert srows == drows
+    assert srows  # non-degenerate at both scales
+    # B is bounded in (-1, 1) by construction and the card is ordered
+    assert all(-1.0 < r[3] < 1.0 for r in srows)
+    assert srows[0][3] >= srows[-1][3]
+
+
+ENTROPY_ORACLE = r"""
+WITH pt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM pt GROUP BY user_id
+),
+terms AS (
+  SELECT pt.user_id, n_events, n_types,
+         CAST((CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE))
+              * (CAST(CAST(round(ln(CAST(c AS DOUBLE)
+                       / CAST(n_events AS DOUBLE)) * 1e9) AS BIGINT)
+                 AS DOUBLE) / 1e9)
+              AS DECIMAL(30,10)) AS t
+  FROM pt JOIN tot USING (user_id)
+)
+SELECT user_id, n_events, n_types,
+       round(-CAST(SUM(t) AS DOUBLE), 6) AS entropy
+FROM terms
+GROUP BY user_id, n_events, n_types
+HAVING n_events >= 10
+ORDER BY entropy DESC, user_id ASC LIMIT 20
+"""
+
+
+def test_user_type_entropy_matches_oracle(spark, ev_con):
+    """STAGED r12 (batch 2): per-user Shannon entropy of the
+    event-type mix, most-diverse-20 — value-locked at both scales
+    BEFORE registration."""
+    import math
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_type_entropy,
+    )
+
+    sf_dir, con = ev_con
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    srows = [tuple(r) for r in user_type_entropy(ev).collect()]
+    drows = con.execute(ENTROPY_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # H is bounded by ln(n_types) per row (allow the 6-dp round up)
+    assert all(r[3] <= math.log(r[2]) + 1e-6 for r in srows)
+
+
+GINI_ORACLE = r"""
+WITH uc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+mult AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM uc GROUP BY c),
+blocks AS (
+  SELECT c, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM mult
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+         CAST(SUM(c * m) AS BIGINT) AS n_events,
+         SUM(CAST(CAST(c AS DOUBLE)
+             * CAST(m * s + m * (m + 1) // 2 AS DOUBLE)
+             AS DECIMAL(38,6))) AS srank
+  FROM blocks
+)
+SELECT n_users, n_events,
+       round(2.0 * CAST(srank AS DOUBLE)
+               / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE))
+             - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE),
+             6) AS gini
+FROM agg
+"""
+
+
+def test_user_gini_matches_oracle(spark, ev_con):
+    """STAGED r12 (batch 2): exact Gini coefficient of events-per-user
+    concentration via the closed-form (count, multiplicity) blocks —
+    no corpus-sized window anywhere — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_gini_concentration,
+    )
+
+    sf_dir, con = ev_con
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    srows = [tuple(r) for r in user_gini_concentration(ev).collect()]
+    drows = con.execute(GINI_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 1
+    assert 0.0 <= srows[0][2] < 1.0
+
+
+BENFORD_ORACLE = r"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    AND o_totalprice > 0
+),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+spine AS (
+  SELECT * FROM (VALUES
+    (1, 0.301029996), (2, 0.176091259), (3, 0.124938737),
+    (4, 0.096910013), (5, 0.079181246), (6, 0.06694679),
+    (7, 0.057991947), (8, 0.051152522), (9, 0.045757491)
+  ) AS t(digit, e)
+),
+full_t AS (
+  SELECT spine.digit, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+         CAST(e AS DOUBLE) AS e
+  FROM spine LEFT JOIN obs ON obs.digit = spine.digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM full_t),
+chi AS (
+  SELECT round(CAST(SUM(CAST(
+           (CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * e)
+         * (CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * e)
+         / (CAST(t AS DOUBLE) * e) AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS chi2
+  FROM full_t CROSS JOIN tot
+)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS obs_share,
+       round(e, 6) AS exp_share,
+       round(abs(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE) - e), 6)
+         AS abs_dev,
+       chi2
+FROM full_t CROSS JOIN tot CROSS JOIN chi
+ORDER BY digit
+"""
+
+
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def ord_con(request):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{request.param}/orders.parquet'"
+    )
+    yield request.param, c
+    c.close()
+
+
+def test_benford_first_digit_matches_oracle(spark, ord_con):
+    """STAGED r12 (batch 2): Benford first-digit conformance audit of
+    o_totalprice (integer-cents leading digit, baked nano-quantized
+    expected shares, Pearson chi-square) — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        benford_first_digit,
+    )
+
+    sf_dir, con = ord_con
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    srows = [
+        tuple(r) for r in benford_first_digit(orders, "o_totalprice").collect()
+    ]
+    drows = con.execute(BENFORD_ORACLE).fetchall()
+    assert srows == drows
+    assert [r[0] for r in srows] == list(range(1, 10))
+    # shares are a distribution; the uniform-ish synthetic price column
+    # should NOT fit Benford (that's the audit working: chi2 >> 0)
+    assert abs(sum(r[2] for r in srows) - 1.0) < 1e-4
+    assert srows[0][5] > 100.0
+
+
+DECILES_ORACLE = r"""
+WITH vals AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT g, v,
+         CAST(SUM(m) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+  FROM vals
+),
+tot AS (SELECT g, CAST(SUM(m) AS BIGINT) AS n_docs FROM vals GROUP BY g)
+SELECT g AS lang, decile, MIN(v) AS threshold, n_docs
+FROM cum JOIN tot USING (g)
+CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) d
+WHERE cum * 10 >= decile * n_docs
+GROUP BY g, decile, n_docs
+ORDER BY lang, decile
+"""
+
+
+def test_quality_decile_thresholds_matches_oracle(spark, sf_con):
+    """STAGED r12 (batch 2): per-language exact decile thresholds of
+    the doc-length score (CCNet-style cross-language normalization
+    lookup; pure-integer CDF test over the value-multiplicity table) —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        quality_decile_thresholds,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in quality_decile_thresholds(docs).collect()]
+    drows = con.execute(DECILES_ORACLE).fetchall()
+    assert srows == drows
+    # every language emits exactly 9 deciles, monotone in threshold
+    langs = {r[0] for r in srows}
+    assert all(
+        sum(1 for r in srows if r[0] == g) == 9 for g in langs
+    )
+    for g in langs:
+        ts = [r[2] for r in srows if r[0] == g]
+        assert ts == sorted(ts)
+
+
+TOPK_KEY_ORACLE = r"""
+WITH counts AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM counts),
+top AS (
+  SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key ASC LIMIT 20
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC)
+           AS INTEGER) AS rank,
+         key, n_rows,
+         CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_rows
+  FROM top
+)
+SELECT rank, key, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+       round(CAST(cum_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+FROM ranked CROSS JOIN tot
+ORDER BY rank
+"""
+
+
+def test_topk_key_share_matches_oracle(spark, sf_con):
+    """STAGED r12 (batch 2): hot-key skew profile of l_suppkey (top-20
+    keys, share + cumulative head share; TakeOrderedAndProject then a
+    k-row window) — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.skew import topk_key_share
+
+    sf_dir, con = sf_con
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    srows = [tuple(r) for r in topk_key_share(li, "l_suppkey").collect()]
+    drows = con.execute(TOPK_KEY_ORACLE).fetchall()
+    assert srows == drows
+    assert [r[0] for r in srows] == list(range(1, len(srows) + 1))
+    # cumulative share is monotone and ends at the head's true share
+    cs = [r[4] for r in srows]
+    assert cs == sorted(cs)
