@@ -1767,3 +1767,225 @@ def test_funnel_conversion_matches_python_reference(spark, evts):
     ]
     assert got == want
     assert got[0][2] >= got[1][2] >= got[2][2]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=30
+    )
+)
+def test_user_gini_matches_sequential_reference(spark, counts):
+    """The closed-form (count, multiplicity) block Gini must equal the
+    textbook sorted-rank formula (shared quantization: per-block double
+    terms, decimal sum, fixed-order final tree) on ANY count multiset,
+    and stay inside [0, 1)."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_gini_concentration,
+    )
+
+    rows = [(u,) for u, c in enumerate(counts) for _ in range(c)]
+    ev = spark.createDataFrame(rows, "user_id long")
+    got = tuple(user_gini_concentration(ev).collect()[0])
+
+    mult = Counter(counts)
+    s, total = 0, Decimal(0)
+    for c in sorted(mult):
+        m = mult[c]
+        total += Decimal(
+            float(c) * float(m * s + m * (m + 1) // 2)
+        ).quantize(Decimal("1.000000"))
+        s += m
+    n, t = len(counts), sum(counts)
+    want = round(2.0 * float(total) / (float(n) * float(t))
+                 - (float(n) + 1.0) / float(n), 6)
+    assert got == (n, t, want)
+    assert 0.0 <= got[2] < 1.0
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    evts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_user_type_entropy_matches_sequential_reference(spark, evts):
+    """Per-user entropy must equal a sequential reference sharing the
+    operator's quantization (nano-rounded ln, decimal term sum) on ANY
+    event multiset, bounded by ln(n_types)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_type_entropy,
+    )
+
+    ev = spark.createDataFrame(evts, "user_id long, event_type string")
+    got = [
+        tuple(r)
+        for r in user_type_entropy(ev, min_events=1, k=10_000).collect()
+    ]
+
+    per_user: dict[int, Counter] = {}
+    for u, t in evts:
+        per_user.setdefault(u, Counter())[t] += 1
+    want = []
+    for u, cnt in per_user.items():
+        n = sum(cnt.values())
+        total = Decimal(0)
+        for c in cnt.values():
+            p = c / n
+            total += Decimal(
+                p * (round(math.log(p) * 1e9) / 1e9)
+            ).quantize(Decimal("1.0000000000"))
+        want.append((u, n, len(cnt), round(-float(total), 6)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert got == want
+    assert all(r[3] <= math.log(r[2]) + 1e-6 for r in got)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    offsets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=3,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_burstiness_matches_sequential_reference(spark, offsets):
+    """Per-user burstiness must equal a sequential reference sharing
+    the operator's arithmetic (exact integer gaps, decimal sums,
+    fixed-order double tree) on ANY event-offset multiset, and stay in
+    [−1, 1)."""
+    import math
+    from datetime import datetime, timedelta
+    from decimal import Decimal
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_burstiness,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + timedelta(seconds=o), i)
+        for i, (u, o) in enumerate(offsets)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    got = [
+        tuple(r)
+        for r in interarrival_burstiness(ev, min_gaps=2, k=10_000).collect()
+    ]
+
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, o) in enumerate(offsets):
+        per_user.setdefault(u, []).append((o, i))
+    want = []
+    for u, evs in per_user.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if len(gaps) < 2 or sum(gaps) == 0:
+            continue
+        n = len(gaps)
+        s1 = Decimal(0)
+        s2 = Decimal(0)
+        for g in gaps:
+            s1 += Decimal(g).quantize(Decimal("1.0000000000"))
+            s2 += Decimal(float(g) * float(g)).quantize(
+                Decimal("1.0000000000")
+            )
+        fn, f1, f2 = float(n), float(s1), float(s2)
+        mu = f1 / fn
+        var = max(f2 / fn - (f1 / fn) * (f1 / fn), 0.0)
+        sig = math.sqrt(var)
+        want.append((u, n, round(mu, 6), round((sig - mu) / (sig + mu), 6)))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert got == want
+    assert all(-1.0 <= r[3] < 1.0 for r in got)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=15), min_size=1, max_size=120
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_topk_key_share_matches_sequential_reference(spark, keys, k):
+    """The skew profile must equal a sequential count/sort/prefix
+    reference on ANY key multiset: exact counts, 6-dp shares, monotone
+    cumulative share ending at the true head mass."""
+    from collections import Counter
+
+    from etl_developstoday_test_spark.operators.skew import topk_key_share
+
+    df = spark.createDataFrame([(v,) for v in keys], "k long")
+    got = [tuple(r) for r in topk_key_share(df, "k", k=k).collect()]
+
+    cnt = Counter(keys)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    t, cum, want = float(len(keys)), 0, []
+    for i, (key, c) in enumerate(top, start=1):
+        cum += c
+        want.append(
+            (i, key, c, round(float(c) / t, 6), round(float(cum) / t, 6))
+        )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_decile_thresholds_match_sequential_reference(spark, docs):
+    """Per-group decile thresholds must equal the integer-CDF
+    definition (smallest v with 10·|{x ≤ v}| ≥ d·n) on ANY score
+    multiset; 9 monotone thresholds per group."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        quality_decile_thresholds,
+    )
+
+    df = spark.createDataFrame(
+        [(g, "t", v) for g, v in docs], "lang string, text string, n_chars long"
+    )
+    got = [tuple(r) for r in quality_decile_thresholds(df).collect()]
+
+    want = []
+    per_g: dict[str, list[int]] = {}
+    for g, v in docs:
+        per_g.setdefault(g, []).append(v)
+    for g in sorted(per_g):
+        vals = sorted(per_g[g])
+        n = len(vals)
+        for d in range(1, 10):
+            thr = next(
+                v
+                for v in vals
+                if 10 * sum(1 for x in vals if x <= v) >= d * n
+            )
+            want.append((g, d, thr, n))
+    assert got == want
+    for g in per_g:
+        ts = [r[2] for r in got if r[0] == g]
+        assert ts == sorted(ts) and len(ts) == 9
