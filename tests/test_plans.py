@@ -1193,3 +1193,112 @@ def test_snapshot_delta_one_diff_join_one_rollup(spark):
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def _staged_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_burstiness_window_partitioned_topk_not_global_sort(spark):
+    """interarrival_burstiness (staged r12): the gap window must be
+    PARTITIONED by user_id (never a global sort of the corpus), and
+    the worst-k card must compile to TakeOrderedAndProject."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_burstiness,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    import re
+
+    plan = _staged_plan(
+        interarrival_burstiness(load_table(spark, SF_DIR, "events"))
+    )
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s == "user_id" for s in specs)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_gini_window_only_over_bounded_multiplicity_table(spark):
+    """user_gini_concentration (staged r12): the ONLY partitionless
+    window runs AFTER the two groupBys, over the count-multiplicity
+    table (bounded by the count domain) — the corpus itself is never
+    globally sorted, and nothing broadcasts."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_gini_concentration,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        user_gini_concentration(load_table(spark, SF_DIR, "events"))
+    )
+    # two hash aggregations precede the single-partition stage: the
+    # SinglePartition exchange is fed by the (c, m) aggregate, not a scan
+    idx_win = plan.index("Window")
+    idx_aggs = [
+        i
+        for i in range(len(plan))
+        if plan.startswith("HashAggregate", i)
+    ]
+    assert sum(1 for i in idx_aggs if i > idx_win) >= 2, (
+        "the multiplicity groupBys must run below (before) the window"
+    )
+    assert "BroadcastExchange" not in plan
+
+
+def test_decile_thresholds_window_partitioned_by_group(spark):
+    """quality_decile_thresholds (staged r12): the cumulative window is
+    partitioned by the group column over the value-multiplicity
+    aggregate — never over raw documents — and the doc scan reads only
+    the two needed columns."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        quality_decile_thresholds,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(quality_decile_thresholds(docs))
+    assert "windowspecdefinition(g" in plan
+    assert "Exchange SinglePartition" not in plan
+    # column pruning: text never leaves the scan
+    scan_line = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "text" not in scan_line
+
+
+def test_topk_key_share_takeordered_then_bounded_window(spark):
+    """topk_key_share (staged r12): the top-k branch is the
+    checkpointed k-row RDD (its corpus scan already ran, as
+    TakeOrdered, at checkpoint time); the ONLY FileScan left in the
+    returned plan is the total pass, reading just the key column
+    through one hash exchange. The SinglePartition stages are the
+    1-row total and the k-row window input — both bounded."""
+    import re
+
+    from etl_developstoday_test_spark.operators.skew import topk_key_share
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    out = topk_key_share(li, "l_suppkey", k=10)
+    plan = _staged_plan(out)
+    assert "Scan ExistingRDD" in plan  # the k-row checkpoint
+    scans = re.findall(r"FileScan parquet \[(\w+)", plan)
+    assert scans == ["l_suppkey"]  # total pass, key column only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert out.count() == 10
+
+
+def test_benford_after_checkpoint_is_nine_row_only(spark):
+    """benford_first_digit (staged r12): everything after the one
+    corpus aggregate runs on the checkpointed 9-row spine — the
+    returned plan has no parquet scan, and the audit's heavy stage
+    (verified by the oracle locks) is a single map-side-combined
+    groupBy upstream."""
+    from etl_developstoday_test_spark.operators.drift import (
+        benford_first_digit,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = benford_first_digit(orders, "o_totalprice")
+    plan = _staged_plan(out)
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert out.count() == 9
