@@ -484,3 +484,68 @@ def user_gini_concentration(events: DataFrame) -> DataFrame:
             F.lit(2.0) * srank / (n * t) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
     )
+
+
+def top_event_paths(
+    events: DataFrame, path_len: int = 3, k: int = 20
+) -> DataFrame:
+    """Most-frequent ordered event-type PATHS of length ``path_len``
+    across all user streams — the sequence-mining card between the
+    pair-transition matrix (length 2, all pairs) and the fixed funnel
+    (one hand-picked sequence): which 3-step behaviors actually
+    dominate the corpus, with their share of all observed paths.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    A path is ``path_len`` CONSECUTIVE events of one user in
+    (ts, event_id) order, joined with '>' — overlapping windows count
+    every occurrence (the standard n-gram-over-sessions convention).
+    Exact counts; one 6-dp share division; (count DESC, path ASC)
+    total order.
+
+    Scale shape: ONE window partitioned by user_id (lead × 2 — a
+    user's own history, the sessionize partition contract), one
+    map-side-combined groupBy on the path string, a 1-row total, and
+    TakeOrderedAndProject for the card. Returns top-k rows:
+    (path, n_occurrences, share).
+    """
+    if path_len != 3:
+        raise ValueError("top_event_paths: path_len=3 is the supported shape")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_t2", F.lead("event_type", 1).over(w))
+        .withColumn("_t3", F.lead("event_type", 2).over(w))
+        # all three legs non-null: a NULL type is a parse failure, not
+        # a step (and '||' vs concat_ws must agree cross-engine)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("_t2").isNotNull()
+            & F.col("_t3").isNotNull()
+        )
+        .select(
+            F.concat_ws(">", "event_type", "_t2", "_t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    total = paths.agg(
+        F.coalesce(F.sum("n_occurrences"), F.lit(0))
+        .cast("long")
+        .alias("_t")
+    )
+    return (
+        paths.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences").cast("double")
+                / F.col("_t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(k)
+    )

@@ -970,3 +970,76 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 10) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("ua"), F.asc("ub"))
         .limit(top_k)
     )
+
+
+def adamic_adar_link_prediction(
+    edges: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """Adamic–Adar LINK PREDICTION (Adamic & Adar 2003) over distance-2
+    non-edges: AA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg(w)) — the
+    companion ranking to ``jaccard_link_prediction`` that weights each
+    shared neighbor by its RARITY: two users co-active with one
+    obscure 3-member cell are far stronger same-actor evidence than
+    two users sharing a million-member hub, which Jaccard cannot see.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: every wedge middle has deg ≥ 2 (it touches
+    both endpoints), so ln(deg) ≥ ln 2 > 0 — no pole; each 1/lnq(d)
+    term nano-quantizes the ln then divides once (identical doubles
+    cross-engine), accumulating through the exact decimal summator;
+    the final 6-dp round makes (aa DESC, ua ASC, ub ASC) a total order.
+
+    Scale shape: the Jaccard wedge machinery with the degree join
+    MOVED TO THE MIDDLE vertex — deg attaches to the wedge stream by
+    ONE equi-join co-shuffled on the middle id BEFORE pairs form (the
+    vertex-sized degree table is never broadcast), then one
+    map-side-combined sum per pair, LEFT ANTI against existing edges,
+    TakeOrderedAndProject. Wedge-volume cost class (Σ deg²), bounded
+    on the registered co-activity graphs by the per-cell membership
+    cap. ``edges`` must be distinct undirected pairs (ua < ub).
+    Returns top_k rows: (ua, ub, common_neighbors, adamic_adar).
+    """
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)  # degree + both wedge-join sides
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    lnq_d = (
+        F.round(F.log(F.col("d").cast("double")) * 1e9)
+        .cast("long")
+        .cast("double")
+        / 1e9
+    )
+    # only deg >= 2 vertices can be wedge middles (a middle touches
+    # both endpoints) — and ANSI mode evaluates the division eagerly,
+    # so the deg = 1 rows must leave BEFORE 1/ln(1) can fire
+    mid_weight = deg.filter(F.col("d") >= 2).select(
+        F.col("u").alias("_m"),
+        (F.lit(1.0) / lnq_d).alias("_w_aa"),
+    )
+    left = sym.select(F.col("w").alias("_m"), F.col("u").alias("ua"))
+    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
+    pairs = (
+        left.join(right, "_m")
+        .filter(F.col("ua") < F.col("ub"))
+        .join(mid_weight, "_m")  # co-shuffles on the middle vertex
+        .groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(F.col("_w_aa").cast("decimal(30,10)")).alias("_aa"),
+        )
+        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+    )
+    return (
+        pairs.select(
+            "ua",
+            "ub",
+            "common_neighbors",
+            F.round(F.col("_aa").cast("double"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("ua"), F.asc("ub"))
+        .limit(top_k)
+    )

@@ -673,3 +673,107 @@ def chi2_token_label(
         .orderBy(F.desc("chi2"), F.asc("token"), F.asc("label"))
         .limit(k)
     )
+
+
+def nb_margin_auc(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: int = 1,
+    test_mod: int = 5,
+    broadcast_model: bool = True,
+    quantum_nanos: int = 10_000_000,
+) -> DataFrame:
+    """Ranking AUC of the naive-Bayes decision margin as a
+    CONFIDENCE SIGNAL: the probability that a correctly-classified
+    held-out document carries a larger margin than a misclassified one
+    (ties count half) — the Mann–Whitney/Wilcoxon reading of the
+    margin. The calibration table (``nb_margin_calibration``) shows
+    the shape per bucket; AUC is the one number a pipeline thresholds
+    on: 0.5 means the margin carries no signal and NO threshold makes
+    the confident subset trustworthy, so it gates whether
+    margin-thresholded auto-labeling is allowed at all.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Scale-safety is the construction: the textbook rank-sum needs a
+    GLOBAL rank over the test set. Margins are exact BIGINT nanos, so
+    they centi-quantize (``div quantum_nanos``, the ks_two_sample
+    contract) to a value DOMAIN bounded by margin-range/quantum —
+    the (value, n_correct, n_incorrect) multiplicity table the prefix
+    window runs over is bins-sized, never corpus-sized. Tie-aware
+    U in pure integers: 2U = Σ_v pos_v·(2·neg_below_v + neg_v);
+    AUC = 2U / (2·P·N) is ONE double division of exact integers,
+    rounded to 6 dp — bit-identical cross-engine. Either class empty
+    raises (an AUC over one class is undefined, and a NULL would
+    silently pass a gate).
+
+    Returns one row: (n_correct, n_incorrect, auc).
+    """
+    per_doc, doc_labels, base = _nb_per_doc_scores(
+        docs, label_col, text_col, alpha, test_mod, broadcast_model
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    ranked = per_doc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    top = ranked.filter(F.col("rk") == 1).select(
+        "doc_id", "cand", F.col("score").alias("_s1")
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "doc_id", F.col("score").alias("_s2")
+    )
+    mult = (
+        top.join(second, "doc_id")
+        .join(doc_labels, "doc_id")
+        .select(
+            F.expr(f"(_s1 - _s2) div {int(quantum_nanos)}").alias("mq"),
+            F.when(F.col("cand") == F.col("truth"), 1)
+            .otherwise(0)
+            .alias("_ok"),
+        )
+        .groupBy("mq")
+        .agg(
+            F.sum("_ok").cast("long").alias("pos"),
+            F.sum(1 - F.col("_ok")).cast("long").alias("neg"),
+        )
+        .localCheckpoint(eager=True)  # bounded: margin-domain/quantum rows
+    )
+    base.unpersist()  # real release: base went through persist()
+    pn = mult.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("p"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("n"),
+    ).collect()[0]
+    if pn["p"] == 0 or pn["n"] == 0:
+        raise ValueError(
+            "nb_margin_auc: need both correct and incorrect held-out "
+            f"predictions (n_correct={pn['p']}, n_incorrect={pn['n']}) — "
+            "an AUC over one class is undefined"
+        )
+    wv = Window.orderBy("mq").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = mult.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(wv), F.lit(0)).cast("long")
+    )
+    two_u = blocks.agg(
+        F.sum(
+            (
+                F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))
+            ).cast("decimal(38,0)")
+        ).alias("_2u")
+    )
+    return two_u.select(
+        F.lit(pn["p"]).cast("long").alias("n_correct"),
+        F.lit(pn["n"]).cast("long").alias("n_incorrect"),
+        F.round(
+            F.col("_2u").cast("double")
+            / (
+                F.lit(2.0)
+                * F.lit(float(pn["p"]))
+                * F.lit(float(pn["n"]))
+            ),
+            6,
+        ).alias("auc"),
+    )

@@ -1599,3 +1599,100 @@ def centroid_outliers(
     return scored.orderBy(
         F.asc("cos_to_centroid"), F.asc(id_col)
     ).limit(k)
+
+
+def norm_profile(emb: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-label NORM profile of the embedding column — the
+    norm-collapse / norm-explosion tripwire an embedding pipeline
+    checks before any cosine-based stage: RMS norm and the spread of
+    the SQUARED norm per label, plus the count of vectors beyond
+    ``z`` standard deviations on each side. A label whose norms
+    collapse toward 0 (dead encoder), blow up (missing
+    normalization), or bimodalize (mixed encoder versions — the
+    n_low/n_high tails light up together) will poison every
+    downstream dot product while passing row-count checks; the
+    per-DIMENSION view (``embedding_dimension_drift``) cannot see it
+    because norms live across dimensions.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract — and why the profile lives on the SQUARED
+    norm: ‖x‖² accumulates per element as pico-quantized integers
+    (floor(x²·1e12 + 0.5), exact long sum in array order), so every
+    per-label moment is a sum of EXACT INTEGERS (Σpico as decimal;
+    Σpico² via exact decimal(19,0)² products) and the mean/std tree
+    is fixed-order doubles over exact operands — no double→decimal
+    quantization anywhere, which matters because a unit-normalized
+    corpus has std(‖x‖) ~1e-6: any 10-dp decimal waypoint floors the
+    signal and the two engines' cast-rounding modes diverge in the
+    last digit. Tail thresholds compare the exact pico integers
+    against that identical double tree. 6-dp rounding on the reported
+    moments only.
+
+    Scale shape: one narrow per-row fold, ONE map-side-combined
+    groupBy(label) for the moments, and one label-co-shuffled
+    equi-join back (label-count-sized stats table — AQE broadcasts it
+    on its own) for the tail counts. No windows, no hint broadcasts,
+    no collects. Returns one row per label:
+    (label, n_vecs, rms_norm, std_norm2, n_low, n_high), ordered —
+    rms_norm = sqrt(E[‖x‖²]), std_norm2 = std(‖x‖²) in norm² units.
+    """
+    xs = as_double_array(F.col("embedding"))
+    norm2_pico = F.aggregate(
+        F.transform(
+            xs,
+            lambda x: F.floor(x * x * F.lit(1e12) + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    rows = emb.select("label", norm2_pico.alias("_pico"))
+    pd = F.col("_pico").cast("decimal(19,0)")
+    stats = rows.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(pd).alias("_s1"),
+        F.sum(pd * pd).alias("_s2"),
+    )
+    n = F.col("n_vecs").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mu = s1 / n
+    sig = F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0)))
+    stats = stats.select(
+        "label", "n_vecs", mu.alias("_mu"), sig.alias("_sig")
+    )
+    tails = (
+        rows.join(stats, "label")
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (
+                    F.col("_pico").cast("double")
+                    < F.col("_mu") - F.lit(z) * F.col("_sig")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                (
+                    F.col("_pico").cast("double")
+                    > F.col("_mu") + F.lit(z) * F.col("_sig")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+    return (
+        stats.join(tails, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(F.sqrt(F.col("_mu") / F.lit(1e12)), 6).alias("rms_norm"),
+            F.round(F.col("_sig") / F.lit(1e12), 6).alias("std_norm2"),
+            "n_low",
+            "n_high",
+        )
+        .orderBy("label")
+    )

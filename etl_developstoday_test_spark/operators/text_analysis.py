@@ -1556,3 +1556,93 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("term_x"), F.asc("term_y"))
         .limit(k)
     )
+
+
+def source_vocab_js(docs: DataFrame) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the per-SOURCE
+    unigram distributions — the corpus-mixture distance matrix: how
+    lexically different each ingest source is from each other source,
+    on the one scale (√JS is a metric, JS ≤ ln 2) that makes the
+    numbers comparable across corpus versions. Near-zero off-diagonal
+    means a duplicated feed; a source far from all others is either
+    the valuable diversity a mixture recipe wants upweighted or a
+    scraper gone wrong — this card is how you tell before training.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: the ``js_divergence`` drift-kit contract
+    applied per source pair — p, q are double divisions of exact token
+    counts, each ln nano-quantized, per-token terms through the exact
+    decimal summator, 6-dp results. A token absent from one side
+    contributes its surviving half exactly (0·ln never evaluates).
+
+    Scale shape: one tokenize + ONE map-side-combined (source, token)
+    count; the (sources × vocabulary) grid is built by one broadcast
+    of the SOURCE-COUNT-sized totals table onto the distinct-token
+    stream (never the vocabulary side); pair terms form by ONE
+    vocabulary-co-shuffled self-equi-join on the token with
+    source_a < source_b (|S|²/2 × |V| rows — |S| is the handful of
+    ingest feeds, the explicitly bounded factor); everything after is
+    a pair-count-sized rollup. Returns one row per unordered source
+    pair: (source_a, source_b, n_tokens_a, n_tokens_b, js_divergence,
+    js_distance), ordered.
+    """
+    counts = (
+        docs.select(
+            F.col("source").alias("s"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+        .groupBy("s", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = counts.groupBy("s").agg(F.sum("c").cast("long").alias("t"))
+    vocab = counts.select("tok").distinct()
+    # full grid so both "present in a, absent in b" directions surface
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(counts, ["s", "tok"], "left")
+        .select(
+            "tok",
+            "s",
+            "t",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    a = grid.select(
+        F.col("tok"),
+        F.col("s").alias("source_a"),
+        F.col("t").alias("_ta"),
+        F.col("c").alias("_ca"),
+    )
+    b = grid.select(
+        F.col("tok"),
+        F.col("s").alias("source_b"),
+        F.col("t").alias("_tb"),
+        F.col("c").alias("_cb"),
+    )
+    p = F.col("_ca").cast("double") / F.col("_ta").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_tb").cast("double")
+
+    def lnq(c: Column) -> Column:
+        return F.round(F.log(c) * 1e9).cast("long").cast("double") / 1e9
+
+    def half_kl(r: Column, m: Column) -> Column:
+        return F.when(r > 0, r * lnq(r / m)).otherwise(F.lit(0.0))
+
+    m = (p + q) / 2
+    term = ((half_kl(p, m) + half_kl(q, m)) / 2).cast("decimal(30,10)")
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "_ta", "_tb")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("js_divergence"))
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("_ta").alias("n_tokens_a"),
+        F.col("_tb").alias("n_tokens_b"),
+        "js_divergence",
+        F.round(F.sqrt(F.col("js_divergence")), 6).alias("js_distance"),
+    ).orderBy("source_a", "source_b")

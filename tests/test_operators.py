@@ -2708,3 +2708,156 @@ def test_topk_key_share_constructed(spark):
         (2, 2, 3, 0.25, round(8 / 12, 6)),
         (3, 7, 3, 0.25, round(11 / 12, 6)),
     ]
+
+
+def test_fk_orphan_audit_constructed(spark):
+    """NULL FKs count separately from orphans; a clean relation audits
+    0; an empty relations list raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.dq import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    got = [
+        tuple(r)
+        for r in fk_orphan_audit(
+            [("c->p", child, "fk", parent, "pk")]
+        ).collect()
+    ]
+    assert got == [("c->p", 6, 2, 1, round(1 / 6, 6))]
+    clean = fk_orphan_audit(
+        [("ok", parent, "pk", parent, "pk")]
+    ).collect()[0]
+    assert clean["n_orphans"] == 0 and clean["orphan_rate"] == 0.0
+    with pytest.raises(ValueError, match="at least one relation"):
+        fk_orphan_audit([])
+
+
+def test_top_event_paths_constructed(spark):
+    """Overlapping 3-windows each count; users with < 3 events emit
+    nothing; ties break on the path string; path_len != 3 raises."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        top_event_paths,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    seq = ["a", "b", "a", "b"]  # paths: a>b>a, b>a>b
+    rows = [
+        (1, t0 + timedelta(seconds=i), i, s) for i, s in enumerate(seq)
+    ]
+    rows += [(2, t0, 100, "x"), (2, t0 + timedelta(seconds=1), 101, "y")]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = [tuple(r) for r in top_event_paths(ev).collect()]
+    assert got == [("a>b>a", 1, 0.5), ("b>a>b", 1, 0.5)]
+    with pytest.raises(ValueError, match="path_len"):
+        top_event_paths(ev, path_len=2)
+
+
+def test_adamic_adar_fixture(spark):
+    """Path 1-2-3 predicts (1,3) at exactly 1/lnq(2); shared rare
+    neighbors outrank shared hubs; existing edges are excluded."""
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+
+    # pair (10,11) shares hub 0 (degree 6); pair (20,21) shares rare
+    # middle 30 (degree 2): AA must rank (20,21) above (10,11)
+    e = [(0, 10), (0, 11), (0, 12), (0, 13), (0, 14), (0, 15),
+         (20, 30), (21, 30), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(e, "ua long, ub long")
+    got = [
+        tuple(r)
+        for r in adamic_adar_link_prediction(edges, top_k=100).collect()
+    ]
+    by_pair = {(r[0], r[1]): r[3] for r in got}
+    # 1/round6(1/0.693147181) and existing-edge exclusion
+    assert by_pair[(1, 3)] == round(1 / 0.693147181, 6)
+    assert by_pair[(20, 21)] == by_pair[(1, 3)]
+    assert by_pair[(10, 11)] == round(1 / 1.791759469, 6)  # lnq(6)
+    assert by_pair[(20, 21)] > by_pair[(10, 11)]
+    eset = set(e)
+    assert all((r[0], r[1]) not in eset for r in got)
+
+
+def test_source_vocab_js_identical_and_disjoint(spark):
+    """Identical per-source token distributions give exactly 0;
+    disjoint vocabularies give exactly ln 2."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        source_vocab_js,
+    )
+
+    same = spark.createDataFrame(
+        [("s1", "a b c"), ("s2", "a b c")], "source string, text string"
+    )
+    r = source_vocab_js(same).collect()[0]
+    assert r["js_divergence"] == 0.0 and r["js_distance"] == 0.0
+    far = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "x y z")], "source string, text string"
+    )
+    r2 = source_vocab_js(far).collect()[0]
+    assert abs(r2["js_divergence"] - 0.693147) < 1e-6
+
+
+def test_nb_margin_auc_symmetric_ties_and_one_class_raise(spark):
+    """A corpus where every text appears once correctly and once
+    mislabeled produces exact margin ties between the classes —
+    tie-aware AUC is exactly 0.5; a perfectly-separable corpus (no
+    misclassifications) raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.ml import nb_margin_auc
+
+    texts = {"en": "the quick brown fox", "fr": "le chat noir dort"}
+    rows = []
+    # train docs: ids not divisible by 5
+    for i in range(1, 30):
+        if i % 5 == 0:
+            continue
+        lang = "en" if i % 2 == 0 else "fr"
+        rows.append((i, texts[lang], lang))
+    # test docs (id % 5 == 0): each text once with true and once with
+    # wrong label -> margins tie exactly across pos/neg
+    rows += [
+        (5, texts["en"], "en"),
+        (10, texts["en"], "fr"),
+        (15, texts["fr"], "fr"),
+        (20, texts["fr"], "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = nb_margin_auc(docs).collect()[0]
+    assert tuple(r) == (2, 2, 0.5)
+    clean = spark.createDataFrame(
+        [t for t in rows if t[0] not in (10, 20)]
+        + [(10, texts["en"], "en"), (20, texts["fr"], "fr")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="one class"):
+        nb_margin_auc(clean)
+
+
+def test_norm_profile_constructed(spark):
+    """Unit vectors profile at RMS exactly 1.0 with zero spread; a
+    planted 10x-norm vector trips n_high and only n_high."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        norm_profile,
+    )
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(10)]
+    rows += [(100 + i, [0.0, 1.0], 1) for i in range(12)]
+    rows += [(200, [10.0, 0.0], 1)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in norm_profile(embs).collect()}
+    assert tuple(got[0]) == (0, 10, 1.0, 0.0, 0, 0)
+    assert got[1]["n_vecs"] == 13
+    assert got[1]["n_high"] == 1 and got[1]["n_low"] == 0

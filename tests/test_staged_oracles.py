@@ -1601,3 +1601,412 @@ def test_topk_key_share_matches_oracle(spark, sf_con):
     # cumulative share is monotone and ends at the head's true share
     cs = [r[4] for r in srows]
     assert cs == sorted(cs)
+
+
+# --- STAGED for round 13 -------------------------------------------------------
+#
+# Same discipline, staged a round ahead: six operators rounding out the
+# relational-dq / sequence-mining / link-prediction / corpus-mixture /
+# model-evaluation / embedding-health families, each value-locked at
+# sf0.001 AND sf0.01 here before any registration.
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _COACT_SQL as _COACT_SQL_R13,
+    NB_ORACLE_SQL as _NB_SQL_R13,
+)
+
+FK_ORPHANS_ORACLE = r"""
+WITH r1 AS (
+  SELECT 'lineitem->orders' AS relation,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM lineitem c
+               WHERE c.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders p
+                                 WHERE p.o_orderkey = c.l_orderkey))
+           AS BIGINT) AS n_orphans
+),
+r2 AS (
+  SELECT 'lineitem->part' AS relation,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM lineitem c
+               WHERE c.l_partkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = c.l_partkey))
+           AS BIGINT) AS n_orphans
+),
+r3 AS (
+  SELECT 'orders->customer' AS relation,
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM orders c
+               WHERE c.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer p
+                                 WHERE p.c_custkey = c.o_custkey))
+           AS BIGINT) AS n_orphans
+),
+r4 AS (
+  SELECT 'orders->customer(sim_lost_10pct)' AS relation,
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM orders c
+               WHERE c.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer p
+                                 WHERE p.c_custkey % 10 <> 7
+                                   AND p.c_custkey = c.o_custkey))
+           AS BIGINT) AS n_orphans
+),
+u AS (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+)
+SELECT relation, n_child, n_null_keys, n_orphans,
+       CASE WHEN n_child > 0
+            THEN round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+            ELSE 0.0 END AS orphan_rate
+FROM u ORDER BY relation
+"""
+
+
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def star_con(request):
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "part"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{request.param}/{t}.parquet'"
+        )
+    yield request.param, c
+    c.close()
+
+
+def test_fk_orphan_audit_matches_oracle(spark, star_con):
+    """STAGED r13: referential-integrity orphan card over three real
+    star-schema relations plus one simulated 10%-parent-loss relation
+    (so the non-zero path is exercised at corpus scale) — value-locked
+    at both scales BEFORE registration."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.dq import fk_orphan_audit
+
+    sf_dir, con = star_con
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = fk_orphan_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            (
+                "orders->customer(sim_lost_10pct)",
+                orders,
+                "o_custkey",
+                cust.filter(F.col("c_custkey") % 10 != 7),
+                "c_custkey",
+            ),
+        ]
+    )
+    srows = [tuple(r) for r in out.collect()]
+    drows = con.execute(FK_ORPHANS_ORACLE).fetchall()
+    assert srows == drows
+    by_rel = {r[0]: r for r in srows}
+    # the intact relations audit clean; the simulated loss does not
+    assert by_rel["lineitem->orders"][3] == 0
+    assert by_rel["orders->customer"][3] == 0
+    assert by_rel["orders->customer(sim_lost_10pct)"][3] > 0
+
+
+TOP_PATHS_ORACLE = r"""
+WITH p AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS t FROM c)
+SELECT path, n_occurrences,
+       round(CAST(n_occurrences AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM c CROSS JOIN tot
+ORDER BY n_occurrences DESC, path ASC LIMIT 20
+"""
+
+
+def test_top_event_paths_matches_oracle(spark, ev_con):
+    """STAGED r13: most-frequent 3-step event-type paths across user
+    streams with their share of all paths — value-locked at both
+    scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        top_event_paths,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in top_event_paths(ev).collect()]
+    drows = con.execute(TOP_PATHS_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 20
+    assert all(r[0].count(">") == 2 for r in srows)
+    assert srows[0][1] >= srows[-1][1]
+
+
+ADAMIC_ORACLE = f"""
+WITH {_COACT_SQL_R13},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+mid AS (
+  SELECT u AS m,
+         1.0 / (CAST(CAST(round(ln(CAST(d AS DOUBLE)) * 1e9) AS BIGINT)
+                AS DOUBLE) / 1e9) AS w_aa
+  FROM deg WHERE d >= 2
+),
+pairs AS (
+  SELECT s1.u AS ua, s2.u AS ub,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         SUM(CAST(mid.w_aa AS DECIMAL(30,10))) AS aa
+  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+  JOIN mid ON mid.m = s1.w
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.ua = p.ua AND e.ub = p.ub)
+)
+SELECT ua, ub, common_neighbors,
+       round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+FROM nonedge
+ORDER BY adamic_adar DESC, ua ASC, ub ASC LIMIT 10
+"""
+
+
+def test_adamic_adar_matches_oracle(spark, ev_con):
+    """STAGED r13: Adamic-Adar link prediction over the SHARED
+    co-activity graph (rarity-weighted shared neighbors) —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [
+        tuple(r) for r in adamic_adar_link_prediction(edges).collect()
+    ]
+    drows = con.execute(ADAMIC_ORACLE).fetchall()
+    assert srows == drows
+    assert srows  # non-degenerate at both scales
+    assert all(r[3] > 0 for r in srows)
+
+
+SOURCE_JS_ORACLE = r"""
+WITH counts AS (
+  SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source AS s,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  ) GROUP BY s, tok
+),
+totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY s),
+vocab AS (SELECT DISTINCT tok FROM counts),
+grid AS (
+  SELECT v.tok, tt.s, tt.t, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM vocab v CROSS JOIN totals tt
+  LEFT JOIN counts c ON c.s = tt.s AND c.tok = v.tok
+),
+pairs AS (
+  SELECT a.s AS source_a, b.s AS source_b, a.t AS ta, b.t AS tb,
+         CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE) AS p,
+         CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE) AS q
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.s < b.s
+),
+terms AS (
+  SELECT source_a, source_b, ta, tb,
+         CAST(((CASE WHEN p > 0
+                THEN p * (CAST(CAST(round(ln(p / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+                ELSE 0.0 END)
+             + (CASE WHEN q > 0
+                THEN q * (CAST(CAST(round(ln(q / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+                ELSE 0.0 END)) / 2 AS DECIMAL(30,10)) AS term
+  FROM pairs
+),
+agg AS (
+  SELECT source_a, source_b, ta, tb,
+         round(CAST(SUM(term) AS DOUBLE), 6) AS js_divergence
+  FROM terms GROUP BY source_a, source_b, ta, tb
+)
+SELECT source_a, source_b, ta AS n_tokens_a, tb AS n_tokens_b,
+       js_divergence, round(sqrt(js_divergence), 6) AS js_distance
+FROM agg ORDER BY source_a, source_b
+"""
+
+
+def test_source_vocab_js_matches_oracle(spark, sf_con):
+    """STAGED r13: pairwise Jensen-Shannon divergence between
+    per-source unigram distributions (the corpus-mixture distance
+    matrix) — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        source_vocab_js,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in source_vocab_js(docs).collect()]
+    drows = con.execute(SOURCE_JS_ORACLE).fetchall()
+    assert srows == drows
+    # every unordered pair appears once; JS bounded in (0, ln 2]
+    n_src = len({r[0] for r in srows} | {r[1] for r in srows})
+    assert len(srows) == n_src * (n_src - 1) // 2
+    assert all(0.0 < r[4] <= 0.693148 for r in srows)
+
+
+NB_AUC_ORACLE = (
+    _NB_SQL_R13.split("best AS (")[0]
+    + """ranked AS (
+  SELECT doc_id, cand, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+  FROM per_doc
+),
+truth AS (
+  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
+),
+mult AS (
+  SELECT (b.score - s.score) // 10000000 AS mq,
+         CAST(SUM(CASE WHEN b.cand = t.truth THEN 1 ELSE 0 END)
+           AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN b.cand = t.truth THEN 0 ELSE 1 END)
+           AS BIGINT) AS neg
+  FROM ranked b
+  JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
+  JOIN truth t ON t.doc_id = b.doc_id
+  WHERE b.rk = 1
+  GROUP BY 1
+),
+blocks AS (
+  SELECT pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (ORDER BY mq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS neg_below
+  FROM mult
+),
+pn AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+  FROM mult
+),
+u AS (
+  SELECT SUM(CAST(pos * (2 * neg_below + neg) AS DECIMAL(38,0))) AS u2
+  FROM blocks
+)
+SELECT pn.p AS n_correct, pn.n AS n_incorrect,
+       round(CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(pn.p AS DOUBLE) * CAST(pn.n AS DOUBLE)), 6)
+         AS auc
+FROM u CROSS JOIN pn
+"""
+)
+
+
+def test_nb_margin_auc_matches_oracle(spark, sf_con):
+    """STAGED r13: tie-aware Mann-Whitney AUC of the NB decision
+    margin as a confidence signal, computed scale-safe over the
+    centi-quantized margin multiplicity table (shares the registered
+    NB model CTEs verbatim) — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.ml import nb_margin_auc
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srow = [tuple(r) for r in nb_margin_auc(docs).collect()]
+    drow = con.execute(NB_AUC_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    assert 0.0 <= srow[0][2] <= 1.0
+    # at the larger scale the margin carries real signal; at sf0.001
+    # the handful of held-out docs genuinely anti-correlate (~0.39) —
+    # which is exactly the situation the gate exists to catch
+    if sf_dir == SF_DIR_ORACLE:
+        assert srow[0][2] > 0.5
+
+
+NORM_PROFILE_ORACLE = r"""
+WITH el AS (
+  SELECT vec_id, label, unnest(embedding) AS x FROM embeddings
+),
+n2 AS (
+  SELECT vec_id, label,
+         CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12
+                + 0.5) AS BIGINT)) AS BIGINT) AS pico
+  FROM el GROUP BY vec_id, label
+),
+stats AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(pico AS DECIMAL(19,0))) AS s1,
+         SUM(CAST(pico AS DECIMAL(19,0)) * CAST(pico AS DECIMAL(19,0)))
+           AS s2
+  FROM n2 GROUP BY label
+),
+ms AS (
+  SELECT label, n_vecs,
+         CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mu,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 0.0))
+           AS sig
+  FROM stats
+)
+SELECT ms.label, n_vecs,
+       round(sqrt(mu / 1e12), 6) AS rms_norm,
+       round(sig / 1e12, 6) AS std_norm2,
+       CAST(SUM(CASE WHEN CAST(pico AS DOUBLE) < mu - 3.0 * sig
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN CAST(pico AS DOUBLE) > mu + 3.0 * sig
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM n2 JOIN ms USING (label)
+GROUP BY ms.label, n_vecs, mu, sig
+ORDER BY 1
+"""
+
+
+def test_norm_profile_matches_oracle(spark, emb_con):
+    """STAGED r13: per-label embedding norm profile on the exact
+    integer pico scale (RMS norm, std of the squared norm, z-tail
+    counts) — value-locked at both scales BEFORE registration. The
+    pico construction is the point: a unit-normalized corpus has
+    std(norm) ~1e-6, below any 10-dp decimal waypoint."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        norm_profile,
+    )
+
+    sf_dir, con = emb_con
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srows = [tuple(r) for r in norm_profile(embs).collect()]
+    drows = con.execute(NORM_PROFILE_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # the synthetic embeddings are unit-normalized: RMS ~ 1
+    assert all(abs(r[2] - 1.0) < 0.01 for r in srows)
