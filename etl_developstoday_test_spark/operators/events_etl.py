@@ -529,6 +529,9 @@ def top_event_paths(
         )
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        # bounded: |event types|³ rows — and the total branch would
+        # otherwise replay the whole window+groupBy pipeline
+        .localCheckpoint(eager=True)
     )
     total = paths.agg(
         F.coalesce(F.sum("n_occurrences"), F.lit(0))

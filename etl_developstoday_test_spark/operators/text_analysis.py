@@ -1595,6 +1595,10 @@ def source_vocab_js(docs: DataFrame) -> DataFrame:
         )
         .groupBy("s", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # model-sized (|S|×|V|), read by totals/vocab/grid and BOTH
+        # self-join sides — without this the corpus tokenizes six
+        # times (the NB trainer's persisted-explode lesson)
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("s").agg(F.sum("c").cast("long").alias("t"))
     vocab = counts.select("tok").distinct()

@@ -1302,3 +1302,97 @@ def test_benford_after_checkpoint_is_nine_row_only(spark):
     plan = _staged_plan(out)
     assert "FileScan" not in plan and "Scan parquet" not in plan
     assert out.count() == 9
+
+
+def test_fk_orphan_audit_antijoin_no_single_partition_data_stage(spark):
+    """fk_orphan_audit (staged r13): each relation resolves its
+    orphans through a LEFT ANTI equi-join (never a NOT IN subquery
+    rewrite into a cartesian shape); the only single-partition stages
+    are the 1-row count aggregates."""
+    from etl_developstoday_test_spark.operators.dq import fk_orphan_audit
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plan = _staged_plan(
+        fk_orphan_audit(
+            [("li->o", li, "l_orderkey", orders, "o_orderkey")]
+        )
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_event_paths_window_partitioned_topk(spark):
+    """top_event_paths (staged r13): both leads live in ONE window
+    spec keyed on user_id, and the card compiles to
+    TakeOrderedAndProject — no global sort, no partitionless window."""
+    import re
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        top_event_paths,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    out = top_event_paths(load_table(spark, SF_DIR, "events"))
+    plan = _staged_plan(out)
+    # the path-counts table is checkpointed (bounded: |types|³ rows),
+    # so the returned plan has NO corpus stage left at all — the one
+    # user-partitioned window ran exactly once, at checkpoint time
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    checkpoint_plan = out._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"windowspecdefinition", checkpoint_plan) is None
+    assert out.count() > 0
+
+
+def test_adamic_adar_no_degree_broadcast_hint(spark):
+    """adamic_adar_link_prediction (staged r13): the vertex-sized
+    degree/weight table attaches by equi-join with NO broadcast hint
+    in the analyzed plan (AQE may still choose one at runtime on
+    bench-scale data — the hint is what would pin the OOM at 100 TB),
+    and the existing-edge exclusion is LEFT ANTI."""
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    _, edges = _coactivity_edges(spark, SF_DIR, checkpoint=False)
+    out = adamic_adar_link_prediction(edges)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "LeftAnti" in _staged_plan(out)
+
+
+def test_source_vocab_js_single_corpus_scan(spark):
+    """source_vocab_js (staged r13): the (source, token) counts table
+    is checkpointed, so the returned plan reads the corpus ZERO times
+    (the one tokenize pass ran at checkpoint time) — without it the
+    six downstream branches re-tokenize six times."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        source_vocab_js,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(source_vocab_js(docs))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_norm_profile_two_aggregates_no_windows(spark):
+    """norm_profile (staged r13): one narrow fold into a
+    map-side-combined groupBy(label), one label-keyed join back for
+    the tails — no window operator anywhere and nothing
+    single-partition."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        norm_profile,
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _staged_plan(norm_profile(embs))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

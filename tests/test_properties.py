@@ -1989,3 +1989,271 @@ def test_decile_thresholds_match_sequential_reference(spark, docs):
     for g in per_g:
         ts = [r[2] for r in got if r[0] == g]
         assert ts == sorted(ts) and len(ts) == 9
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    child=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+        min_size=1,
+        max_size=60,
+    ),
+    parent=st.lists(
+        st.integers(min_value=0, max_value=20), max_size=20, unique=True
+    ),
+)
+def test_fk_orphan_audit_matches_sequential_reference(spark, child, parent):
+    """The orphan card must equal a set-membership reference on ANY
+    child/parent key multiset: NULLs apart from orphans, exact counts,
+    one 6-dp rate."""
+    from etl_developstoday_test_spark.operators.dq import fk_orphan_audit
+
+    cdf = spark.createDataFrame([(v,) for v in child], "fk long")
+    pdf = spark.createDataFrame(
+        [(v,) for v in parent] or [(None,)], "pk long"
+    )
+    got = tuple(
+        fk_orphan_audit([("r", cdf, "fk", pdf, "pk")]).collect()[0]
+    )
+    pset = set(parent)
+    n_null = sum(1 for v in child if v is None)
+    n_orph = sum(1 for v in child if v is not None and v not in pset)
+    want = ("r", len(child), n_null, n_orph,
+            round(n_orph / len(child), 6))
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    evts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_top_event_paths_matches_sequential_reference(spark, evts):
+    """Top paths must equal a per-user sliding-window reference on ANY
+    event stream (overlap counted, (count DESC, path ASC) order)."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        top_event_paths,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + timedelta(seconds=i), i, t)
+        for i, (u, t) in enumerate(evts)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = [tuple(r) for r in top_event_paths(ev, k=10_000).collect()]
+
+    per_user: dict[int, list[str]] = {}
+    for u, t in evts:
+        per_user.setdefault(u, []).append(t)
+    cnt = Counter(
+        ">".join(seq[i : i + 3])
+        for seq in per_user.values()
+        for i in range(len(seq) - 2)
+    )
+    tot = sum(cnt.values())
+    want = sorted(
+        ((p, c, round(c / tot, 6)) for p, c in cnt.items()),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda p: p[0] < p[1]),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_adamic_adar_matches_brute_force(spark, pairs):
+    """Top-k Adamic-Adar on ANY small graph must equal an
+    adjacency-set brute force sharing the operator's quantization
+    (nano-rounded ln, decimal term sum)."""
+    import math
+    from decimal import Decimal
+
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+
+    edges = spark.createDataFrame(pairs, "ua long, ub long")
+    got = [
+        tuple(r)
+        for r in adamic_adar_link_prediction(edges, top_k=1000).collect()
+    ]
+
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    eset = set(pairs)
+    want = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in eset:
+                continue
+            common = adj[u] & adj[v]
+            if not common:
+                continue
+            total = Decimal(0)
+            for w in sorted(common):
+                lnq = round(math.log(len(adj[w])) * 1e9) / 1e9
+                total += Decimal(1.0 / lnq).quantize(
+                    Decimal("1.0000000000")
+                )
+            want.append((u, v, len(common), round(float(total), 6)))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=2,
+        max_size=30,
+    ).filter(lambda d: len({g for g, _ in d}) >= 2)
+)
+def test_source_vocab_js_matches_sequential_reference(spark, docs):
+    """Pairwise source JS must equal a sequential reference sharing
+    the operator's quantization on ANY corpus, bounded by ln 2."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        source_vocab_js,
+    )
+
+    df = spark.createDataFrame(
+        [(g, " ".join(toks)) for g, toks in docs],
+        "source string, text string",
+    )
+    got = [tuple(r) for r in source_vocab_js(df).collect()]
+
+    per_s: dict[str, Counter] = {}
+    for g, toks in docs:
+        per_s.setdefault(g, Counter()).update(toks)
+    vocab = sorted({t for c in per_s.values() for t in c})
+    want = []
+    for sa in sorted(per_s):
+        for sb in sorted(per_s):
+            if not sa < sb:
+                continue
+            ta = sum(per_s[sa].values())
+            tb = sum(per_s[sb].values())
+            total = Decimal(0)
+            for t in vocab:
+                p, q = per_s[sa].get(t, 0) / ta, per_s[sb].get(t, 0) / tb
+                m = (p + q) / 2
+                tp = (
+                    p * (round(math.log(p / m) * 1e9) / 1e9)
+                    if p > 0
+                    else 0.0
+                )
+                tq = (
+                    q * (round(math.log(q / m) * 1e9) / 1e9)
+                    if q > 0
+                    else 0.0
+                )
+                total += Decimal((tp + tq) / 2).quantize(
+                    Decimal("1.0000000000")
+                )
+            js = round(float(total), 6)
+            want.append((sa, sb, ta, tb, js, round(math.sqrt(js), 6)))
+    assert got == want
+    assert all(0.0 <= r[4] <= 0.693148 for r in got)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.lists(
+                st.floats(
+                    min_value=-3.0,
+                    max_value=3.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_norm_profile_matches_sequential_reference(spark, vecs):
+    """The pico-scale norm profile must equal a sequential reference
+    sharing the exact integer construction on ANY float vectors."""
+    import math
+
+    from etl_developstoday_test_spark.operators.similarity import (
+        norm_profile,
+    )
+
+    embs = spark.createDataFrame(
+        [(i, v, lbl) for i, (lbl, v) in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [tuple(r) for r in norm_profile(embs).collect()]
+
+    import struct
+
+    def f32(x):  # the parquet/createDataFrame float32 round-trip
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    per_l: dict[int, list[int]] = {}
+    for lbl, v in vecs:
+        pico = sum(
+            math.floor(f32(x) * f32(x) * 1e12 + 0.5) for x in v
+        )
+        per_l.setdefault(lbl, []).append(pico)
+    want = []
+    for lbl in sorted(per_l):
+        ps = per_l[lbl]
+        n = len(ps)
+        s1, s2 = sum(ps), sum(p * p for p in ps)
+        mu = float(s1) / float(n)
+        sig = math.sqrt(
+            max(float(s2) / float(n) - (float(s1) / float(n)) ** 2, 0.0)
+        )
+        want.append(
+            (
+                lbl,
+                n,
+                round(math.sqrt(mu / 1e12), 6),
+                round(sig / 1e12, 6),
+                sum(1 for p in ps if float(p) < mu - 3.0 * sig),
+                sum(1 for p in ps if float(p) > mu + 3.0 * sig),
+            )
+        )
+    assert got == want
