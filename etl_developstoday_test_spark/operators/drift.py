@@ -659,3 +659,88 @@ def benford_first_digit(
         )
         .orderBy("digit")
     )
+
+
+def chi2_categorical(
+    base: DataFrame, current: DataFrame, cat_col: str
+) -> DataFrame:
+    """Chi-square HOMOGENEITY test between two snapshots of one
+    CATEGORICAL column — the drift-kit leg PSI/KS/JS (numeric bins)
+    don't cover: did the event-type / language / source MIX shift?
+    Standard two-sample contingency chi²: expected cell =
+    row_total·side_total/grand_total; the per-category contribution
+    shows WHICH category moved, the audit-level χ² (df = k−1) is the
+    number a monitor thresholds.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: observed counts are exact longs; expected cells and
+    χ² terms are a fixed-order double tree over exact integers,
+    accumulated through the exact decimal summator, 6-dp rounded.
+    NULL categories are EXCLUDED on both sides (the ks_two_sample
+    NULL-exclusion contract — a NULL category is a parse failure for
+    dq, not a category); an empty side raises. Categories absent from
+    one side still contribute (zero-filled via the full outer merge).
+
+    Scale shape: one map-side-combined groupBy per side, merged by an
+    outer join on the category-DOMAIN-sized key space — everything
+    after the two leaf aggregates runs on the checkpointed bounded
+    table. Returns one row per category:
+    (category, n_base, n_current, chi2_contrib, chi2, dof), chi2/dof
+    repeated per row like the LPA modularity.
+    """
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(cat_col).alias("category"))
+            .filter(F.col("category").isNotNull())
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    merged = (
+        side(base, "n_base")
+        .join(side(current, "n_current"), "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_current", F.lit(0)).cast("long").alias("n_current"),
+        )
+        .localCheckpoint(eager=True)  # bounded: category domain
+    )
+    trow = merged.agg(
+        F.coalesce(F.sum("n_base"), F.lit(0)).cast("long").alias("_tb"),
+        F.coalesce(F.sum("n_current"), F.lit(0)).cast("long").alias("_tc"),
+        F.count(F.lit(1)).cast("long").alias("_k"),
+    ).collect()[0]
+    if trow["_tb"] == 0 or trow["_tc"] == 0:
+        raise ValueError(
+            "chi2_categorical: empty side after NULL exclusion "
+            f"(n_base={trow['_tb']}, n_current={trow['_tc']})"
+        )
+    grand = float(trow["_tb"] + trow["_tc"])
+    row_tot = (F.col("n_base") + F.col("n_current")).cast("double")
+    e_b = row_tot * F.lit(float(trow["_tb"])) / F.lit(grand)
+    e_c = row_tot * F.lit(float(trow["_tc"])) / F.lit(grand)
+    o_b = F.col("n_base").cast("double")
+    o_c = F.col("n_current").cast("double")
+    contrib = (o_b - e_b) * (o_b - e_b) / e_b + (o_c - e_c) * (
+        o_c - e_c
+    ) / e_c
+    terms = merged.withColumn("_contrib", contrib)
+    chi2 = terms.select(
+        F.col("_contrib").cast("decimal(30,10)").alias("_t")
+    ).agg(F.round(F.sum("_t").cast("double"), 6).alias("chi2"))
+    return (
+        terms.crossJoin(F.broadcast(chi2))
+        .select(
+            "category",
+            "n_base",
+            "n_current",
+            F.round(F.col("_contrib"), 6).alias("chi2_contrib"),
+            "chi2",
+            F.lit(int(trow["_k"]) - 1).cast("long").alias("dof"),
+        )
+        .orderBy("category")
+    )

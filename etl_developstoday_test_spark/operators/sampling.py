@@ -921,3 +921,66 @@ def quality_decile_thresholds(
         .select("lang", "decile", "threshold", "n_docs")
         .orderBy("lang", "decile")
     )
+
+
+def hash_split_balance_audit(
+    df: DataFrame, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Uniformity audit of the deterministic md5 HASH SPLIT every
+    sampler in this module rides on: chi-square goodness-of-fit of the
+    100-bucket assignment against uniform, plus the worst bucket's
+    share deviation. A skewed split means the "random" holdout isn't
+    (correlated keys, truncated id domains, a salt collision with the
+    key format) — and every downstream train/eval split inherits the
+    bias. This is the audit a pipeline runs ONCE per new key scheme
+    before trusting ``hash_split`` / ``stratified_sample``.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: bucket counts are exact longs over the md5 bucket
+    (cross-engine by construction); expected = n/100 is one double;
+    χ² terms are a fixed double tree through the exact decimal
+    summator; the max share deviation compares identical doubles. All
+    100 buckets participate (zero-count buckets via the spine join —
+    missing buckets are exactly the failure the audit looks for).
+    Empty input raises.
+
+    Scale shape: one narrow md5 map + ONE map-side-combined 100-group
+    aggregate; everything after runs on the checkpointed 100-row
+    table. Returns one row:
+    (n_rows, n_buckets, chi2, max_abs_dev_share).
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    counts = (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = df.sparkSession.range(N_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    full = (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+        .localCheckpoint(eager=True)  # bounded: exactly 100 rows
+    )
+    total = full.agg(F.sum("c").cast("long").alias("t")).collect()[0]["t"]
+    if total == 0:
+        raise ValueError(
+            "hash_split_balance_audit: empty input — nothing to audit"
+        )
+    e = F.lit(float(total)) / F.lit(float(N_BUCKETS))
+    c = F.col("c").cast("double")
+    chi_term = ((c - e) * (c - e) / e).cast("decimal(30,10)")
+    dev = F.abs(
+        c / F.lit(float(total)) - F.lit(1.0) / F.lit(float(N_BUCKETS))
+    )
+    return full.agg(
+        F.lit(total).cast("long").alias("n_rows"),
+        F.lit(N_BUCKETS).cast("long").alias("n_buckets"),
+        F.round(F.sum(chi_term).cast("double"), 6).alias("chi2"),
+        F.round(F.max(dev), 6).alias("max_abs_dev_share"),
+    )

@@ -148,3 +148,79 @@ def topk_key_share(
         )
         .orderBy("rank")
     )
+
+
+def pareto_revenue_curve(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Pareto CONCENTRATION CURVE of a value measure over its keys —
+    "the top decile of customers carries X% of revenue", the 80/20
+    card: rank keys by their exact total value, cut into ``n_tiles``
+    ntile buckets (tile 1 = heaviest), and report each tile's value
+    share and the cumulative head share. The distribution-shaped
+    complement to ``topk_key_share`` (named heavy keys) and the
+    events-side Gini (one number): this is the curve a revenue /
+    token-budget / storage-attribution review reads.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: per-key value totals are EXACT INTEGER
+    CENTS (round(v·100) per row, long sums — no decimal/double sums
+    to order by); the tile cut is ``exact_ntile`` over the total
+    order (cents DESC, key ASC), whose quotient/remainder semantics
+    equal SQL ntile on any engine; shares are single double divisions
+    of exact longs. NULL keys/values are excluded (documented — a
+    NULL key is unattributable revenue, flagged by dq, not ranked).
+
+    Scale shape: one map-side-combined groupBy(key), the exact_ntile
+    range exchange (NO single-task ranking stage — that is the point
+    of exact_ntile), one n_tiles-group rollup, then a window over the
+    checkpointed n_tiles-row table. Returns one row per tile:
+    (tile, n_keys, value_cents, value_share, cum_share).
+    """
+    from etl_developstoday_test_spark.functions import exact_ntile
+
+    v = F.col(value_col).cast("double")
+    rev = (
+        df.filter(F.col(key_col).isNotNull() & v.isNotNull() & ~F.isnan(v))
+        .select(
+            F.col(key_col).alias("k"),
+            F.round(v * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("k")
+        .agg(F.sum("_cents").cast("long").alias("cents"))
+    )
+    tiled = exact_ntile(
+        rev, n_tiles, [F.col("cents").desc(), F.col("k").asc()]
+    )
+    per = (
+        tiled.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .localCheckpoint(eager=True)  # bounded: exactly n_tiles rows
+    )
+    total = per.agg(F.sum("value_cents").cast("long").alias("t"))
+    w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("t").cast("double")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "_cum", F.sum("value_cents").over(w).cast("long")
+        )
+        .select(
+            "tile",
+            "n_keys",
+            "value_cents",
+            F.round(F.col("value_cents").cast("double") / t, 6).alias(
+                "value_share"
+            ),
+            F.round(F.col("_cum").cast("double") / t, 6).alias("cum_share"),
+        )
+        .orderBy("tile")
+    )

@@ -1110,3 +1110,67 @@ def ngram_novelty(
             6,
         ).alias("novelty_rate"),
     )
+
+
+def cluster_size_histogram(docs: DataFrame) -> DataFrame:
+    """Histogram of EXACT-DUPLICATE cluster sizes — the structural
+    companion to ``exact_duplicates`` (which picks winners): how much
+    of the corpus sits in 2-copies, 10-copies, 1000-copies clusters.
+    The shape decides the dedup strategy (a fat head of mega-clusters
+    is boilerplate → one canonical survives; a long tail of pairs is
+    mirrors → URL-canonicalization first), and doc_share is the exact
+    fraction of the corpus each cluster size holds.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Exact integers end to end (md5 content digest → cluster sizes →
+    size multiplicities); the only doubles are the two 6-dp share
+    divisions. Scale shape: one digest groupBy (the exact-dedup
+    shuffle), one map-side-combined size rollup — the histogram table
+    is bounded by the size DOMAIN (max copies of one text), never by
+    corpus size; shares attach via one 1-row broadcast. Returns one
+    row per occupied cluster size:
+    (cluster_size, n_clusters, n_docs, doc_share, dedup_savings_share)
+    — savings = fraction of the corpus removable keeping one canonical
+    per cluster, repeated per row like the LPA modularity.
+    """
+    sizes = (
+        docs.select(F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    hist = (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        # bounded by the size domain — and the totals branch would
+        # otherwise replay the whole digest groupBy (2 corpus scans)
+        .localCheckpoint(eager=True)
+    )
+    totals = hist.agg(
+        F.coalesce(F.sum(F.col("cluster_size") * F.col("n_clusters")), F.lit(0))
+        .cast("long")
+        .alias("_docs"),
+        F.coalesce(F.sum("n_clusters"), F.lit(0)).cast("long").alias("_clusters"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("_docs").cast("double"),
+                6,
+            ).alias("doc_share"),
+            F.round(
+                (F.col("_docs") - F.col("_clusters")).cast("double")
+                / F.col("_docs").cast("double"),
+                6,
+            ).alias("dedup_savings_share"),
+        )
+        .orderBy("cluster_size")
+    )

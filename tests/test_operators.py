@@ -2861,3 +2861,97 @@ def test_norm_profile_constructed(spark):
     assert tuple(got[0]) == (0, 10, 1.0, 0.0, 0, 0)
     assert got[1]["n_vecs"] == 13
     assert got[1]["n_high"] == 1 and got[1]["n_low"] == 0
+
+
+def test_hash_split_balance_audit_constructed(spark):
+    """A constant key concentrates everything in one bucket: chi2 is
+    exactly 99·n and the worst share deviation exactly 0.99; empty
+    input raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        hash_split_balance_audit,
+    )
+
+    df = spark.createDataFrame([(42,)] * 50, "k long")
+    r = hash_split_balance_audit(df, "k").collect()[0]
+    assert tuple(r) == (50, 100, 4950.0, 0.99)
+    empty = spark.createDataFrame([], "k long")
+    with pytest.raises(ValueError, match="empty input"):
+        hash_split_balance_audit(empty, "k")
+
+
+def test_cluster_size_histogram_constructed(spark):
+    """Hand-checkable corpus [a,a,a,b,b,c]: one 3-cluster, one
+    2-cluster, one singleton; savings exactly 0.5."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        cluster_size_histogram,
+    )
+
+    docs = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "text string"
+    )
+    got = [tuple(r) for r in cluster_size_histogram(docs).collect()]
+    assert got == [
+        (1, 1, 1, round(1 / 6, 6), 0.5),
+        (2, 1, 2, round(2 / 6, 6), 0.5),
+        (3, 1, 3, 0.5, 0.5),
+    ]
+
+
+def test_pareto_revenue_curve_constructed(spark):
+    """Ten keys with values 1..10 at n_tiles=5: tiles pair (10,9),
+    (8,7)... with exact cent totals and shares; NULL keys/values are
+    excluded."""
+    from etl_developstoday_test_spark.operators.skew import (
+        pareto_revenue_curve,
+    )
+
+    rows = [(k, float(k)) for k in range(1, 11)]
+    rows += [(None, 99.0), (77, None)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = [
+        tuple(r)
+        for r in pareto_revenue_curve(df, "k", "v", n_tiles=5).collect()
+    ]
+    cents = {k: k * 100 for k in range(1, 11)}
+    tiles = [(10, 9), (8, 7), (6, 5), (4, 3), (2, 1)]
+    total = sum(cents.values())
+    cum = 0
+    want = []
+    for i, (a, b) in enumerate(tiles, start=1):
+        vc = cents[a] + cents[b]
+        cum += vc
+        want.append(
+            (i, 2, vc, round(vc / total, 6), round(cum / total, 6))
+        )
+    assert got == want
+
+
+def test_chi2_categorical_identical_disjoint_and_raises(spark):
+    """Identical mixes score exactly 0; disjoint category supports
+    score the theoretical maximum n_b + n_c; NULL categories are
+    excluded; an empty side raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import (
+        chi2_categorical,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 10, "c string"
+    )
+    same = spark.createDataFrame(
+        [("x",)] * 60 + [("y",)] * 20 + [(None,)] * 5, "c string"
+    )
+    rows = chi2_categorical(a, same, "c").collect()
+    assert all(r["chi2"] == 0.0 and r["chi2_contrib"] == 0.0 for r in rows)
+    assert {r["category"] for r in rows} == {"x", "y"}
+    assert rows[0]["dof"] == 1
+    far = spark.createDataFrame([("z",)] * 40, "c string")
+    r2 = chi2_categorical(a, far, "c").collect()
+    # disjoint supports: chi2 = grand total (40 + 40)
+    assert all(r["chi2"] == 80.0 for r in r2)
+    empty = spark.createDataFrame([(None,)], "c string")
+    with pytest.raises(ValueError, match="empty side"):
+        chi2_categorical(a, empty, "c")

@@ -1396,3 +1396,74 @@ def test_norm_profile_two_aggregates_no_windows(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_split_balance_after_checkpoint_is_bounded(spark):
+    """hash_split_balance_audit (staged r13 batch 2): everything after
+    the one md5 aggregate runs on the checkpointed 100-row spine — no
+    parquet stage left in the returned plan."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        hash_split_balance_audit,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(hash_split_balance_audit(docs, "doc_id"))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_cluster_size_histogram_single_digest_pass(spark):
+    """cluster_size_histogram (staged r13 batch 2): the histogram is
+    checkpointed (bounded by the size domain), so the returned plan —
+    shares, savings, total — reads it alone; the digest groupBy ran
+    exactly once, at checkpoint time."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        cluster_size_histogram,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(cluster_size_histogram(docs))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_curve_no_single_task_ranking(spark):
+    """pareto_revenue_curve (staged r13 batch 2): the tile cut is
+    exact_ntile (range exchange, no Exchange SinglePartition over
+    data); the per-tile table is checkpointed, so the returned plan is
+    n_tiles-row-bounded."""
+    from etl_developstoday_test_spark.operators.skew import (
+        pareto_revenue_curve,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = pareto_revenue_curve(orders, "o_custkey", "o_totalprice")
+    plan = _staged_plan(out)
+    assert "FileScan parquet" not in plan  # bounded tail only
+    assert "Scan ExistingRDD" in plan
+    assert out.count() == 10
+
+
+def test_chi2_categorical_bounded_tail(spark):
+    """chi2_categorical (staged r13 batch 2): after the two leaf
+    aggregates merge into the checkpointed category table, the
+    returned plan carries no corpus stage and no partitionless window.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.drift import (
+        chi2_categorical,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = chi2_categorical(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "event_type",
+    )
+    plan = _staged_plan(out)
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan

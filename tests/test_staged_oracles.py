@@ -2010,3 +2010,257 @@ def test_norm_profile_matches_oracle(spark, emb_con):
     assert srows
     # the synthetic embeddings are unit-normalized: RMS ~ 1
     assert all(abs(r[2] - 1.0) < 0.01 for r in srows)
+
+
+# --- STAGED for round 13: second batch ----------------------------------------
+#
+# Four more: sampler-integrity (hash-split uniformity), dedup structure
+# (cluster-size histogram over a constructed duplicated corpus),
+# value concentration (Pareto ntile curve), and the drift kit's
+# categorical leg (chi-square homogeneity). Same two-scale locks.
+
+HASH_BALANCE_ORACLE = """
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5('sample#' || CAST(doc_id AS VARCHAR)),
+         1, 15)) AS BIGINT) % 100 AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT s.bucket, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(generate_series(0, 99)) AS bucket) s
+  LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket) c
+    USING (bucket)
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts)
+SELECT t AS n_rows, CAST(100 AS BIGINT) AS n_buckets,
+       round(CAST(SUM(CAST(
+         (CAST(c AS DOUBLE) - CAST(t AS DOUBLE) / 100.0)
+         * (CAST(c AS DOUBLE) - CAST(t AS DOUBLE) / 100.0)
+         / (CAST(t AS DOUBLE) / 100.0) AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS chi2,
+       round(MAX(abs(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) - 1.0 / 100.0)),
+             6) AS max_abs_dev_share
+FROM counts CROSS JOIN tot
+GROUP BY t
+"""
+
+
+def test_hash_split_balance_matches_oracle(spark, sf_con):
+    """STAGED r13 (batch 2): chi-square uniformity audit of the
+    100-bucket md5 hash split over doc_id — value-locked at both
+    scales BEFORE registration. The synthetic corpus's keys must
+    audit as uniform (chi2 far below the ~149 p=0.001 cut for 99 df).
+    """
+    from etl_developstoday_test_spark.operators.sampling import (
+        hash_split_balance_audit,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srow = [tuple(r) for r in hash_split_balance_audit(docs, "doc_id").collect()]
+    drow = con.execute(HASH_BALANCE_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    assert srow[0][1] == 100
+    assert srow[0][2] < 149.0  # uniform split passes its own audit
+
+
+CLUSTER_HIST_ORACLE = r"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 7 = 0
+),
+sizes AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM corpus GROUP BY md5(text)
+),
+hist AS (
+  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY cluster_size
+),
+tot AS (
+  SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS docs,
+         CAST(SUM(n_clusters) AS BIGINT) AS clusters
+  FROM hist
+)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       round(CAST(cluster_size * n_clusters AS DOUBLE)
+             / CAST(docs AS DOUBLE), 6) AS doc_share,
+       round(CAST(docs - clusters AS DOUBLE) / CAST(docs AS DOUBLE), 6)
+         AS dedup_savings_share
+FROM hist CROSS JOIN tot
+ORDER BY cluster_size
+"""
+
+
+def test_cluster_size_histogram_matches_oracle(spark, sf_con):
+    """STAGED r13 (batch 2): exact-duplicate cluster-size histogram
+    over a CONSTRUCTED duplicated corpus (docs ∪ every-7th doc — the
+    synthetic corpus alone has no exact dupes, and a histogram of all
+    1s locks nothing) — value-locked at both scales BEFORE
+    registration."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        cluster_size_histogram,
+    )
+
+    sf_dir, con = sf_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select("text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    )
+    srows = [tuple(r) for r in cluster_size_histogram(corpus).collect()]
+    drows = con.execute(CLUSTER_HIST_ORACLE).fetchall()
+    assert srows == drows
+    by_size = {r[0]: r for r in srows}
+    assert 1 in by_size and 2 in by_size  # both classes exercised
+    assert 0.0 < srows[0][4] < 1.0  # real savings, not degenerate
+
+
+PARETO_ORACLE = r"""
+WITH rev AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+              AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    AND NOT isnan(o_totalprice)
+  GROUP BY o_custkey
+),
+tiled AS (
+  SELECT k, cents,
+         ntile(10) OVER (ORDER BY cents DESC, k ASC) AS tile
+  FROM rev
+),
+per AS (
+  SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM tiled GROUP BY tile
+),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM per),
+cum AS (
+  SELECT tile, n_keys, value_cents,
+         CAST(SUM(value_cents) OVER (ORDER BY tile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_cents
+  FROM per
+)
+SELECT tile, n_keys, value_cents,
+       round(CAST(value_cents AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS value_share,
+       round(CAST(cum_cents AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+FROM cum CROSS JOIN tot
+ORDER BY tile
+"""
+
+
+def test_pareto_revenue_curve_matches_oracle(spark, ord_con):
+    """STAGED r13 (batch 2): customer-revenue Pareto decile curve
+    (exact integer cents, exact_ntile cut = SQL ntile) — value-locked
+    at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.skew import (
+        pareto_revenue_curve,
+    )
+
+    sf_dir, con = ord_con
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    srows = [
+        tuple(r)
+        for r in pareto_revenue_curve(
+            orders, "o_custkey", "o_totalprice"
+        ).collect()
+    ]
+    drows = con.execute(PARETO_ORACLE).fetchall()
+    assert srows == drows
+    assert [r[0] for r in srows] == list(range(1, 11))
+    # tile 1 = heaviest: shares strictly dominate the bottom tile and
+    # cumulative share is monotone to 1.0
+    assert srows[0][3] > srows[-1][3]
+    assert srows[-1][4] == 1.0
+
+
+CHI2_CAT_ORACLE = r"""
+WITH b AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_base
+  FROM events WHERE day(ts) <= 15 AND event_type IS NOT NULL
+  GROUP BY 1
+),
+c AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_current
+  FROM events WHERE day(ts) > 15 AND event_type IS NOT NULL
+  GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(b.category, c.category) AS category,
+         CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+  FROM b FULL OUTER JOIN c ON b.category = c.category
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_current) AS BIGINT) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM m
+),
+terms AS (
+  SELECT category, n_base, n_current,
+         (CAST(n_base AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         * (CAST(n_base AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         / (CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         + (CAST(n_current AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         * (CAST(n_current AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         / (CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE)) AS contrib,
+         k
+  FROM m CROSS JOIN tot
+),
+chi AS (
+  SELECT round(CAST(SUM(CAST(contrib AS DECIMAL(30,10))) AS DOUBLE), 6)
+    AS chi2
+  FROM terms
+)
+SELECT category, n_base, n_current,
+       round(contrib, 6) AS chi2_contrib, chi.chi2,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM terms CROSS JOIN chi
+ORDER BY category
+"""
+
+
+def test_chi2_categorical_matches_oracle(spark, ev_con):
+    """STAGED r13 (batch 2): chi-square homogeneity of the event-type
+    mix between the first- and second-half-of-month (the drift kit's
+    categorical leg) — value-locked at both scales BEFORE
+    registration."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.drift import (
+        chi2_categorical,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    out = chi2_categorical(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "event_type",
+    )
+    srows = [tuple(r) for r in out.collect()]
+    drows = con.execute(CHI2_CAT_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) >= 2
+    # contributions are non-negative and dof = k-1 on every row
+    assert all(r[3] >= 0.0 and r[5] == len(srows) - 1 for r in srows)
