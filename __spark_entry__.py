@@ -58,10 +58,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # artifact never drowns in history.
 _CHANGED_THIS_ROUND: dict[str, int] = {
     # (empty this round: all ten r10 entries re-certified green in
-    # CORRECTNESS_r10.json and expired — full history in git. The six
-    # r11 registrations are NEVER-CHECKED, which already outranks
-    # everything but changed code; drift_ks_two_sample's NaN/empty-side
-    # ADVICE fixes landed BEFORE its registration, so no entry needed.)
+    # CORRECTNESS_r10.json and expired — full history in git. The
+    # EIGHTEEN r11 registrations — six staged in r10, twelve staged
+    # and registered within r11 — are NEVER-CHECKED, which already
+    # outranks everything but changed code; every pre-registration
+    # fix (drift_ks_two_sample's NaN/empty-side ADVICE items, the
+    # norm-profile pico rebuild) landed BEFORE the oracles locked, so
+    # no entries needed.)
 }
 
 

@@ -470,8 +470,9 @@ def js_divergence(
     unbounded index is not. Lin 1991: JS(p,q) = ½KL(p‖m) + ½KL(q‖m),
     m = (p+q)/2.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Determinism contract: bin counts are exact integers; p and q are
     correctly-rounded double divisions of identical integers; m and
@@ -585,8 +586,9 @@ def benford_first_digit(
     audit: observed vs expected share per leading digit plus the
     Pearson χ² over the whole fit, the number a dq dashboard trends.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Determinism contract: the leading digit comes from an INTEGER —
     round(value·100) cast to long, first character of its decimal

@@ -221,8 +221,9 @@ def funnel_conversion(
     timestamps (min ts of step k among events after the user's step
     k−1 anchor) — the standard unordered-window funnel semantics.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Exact semantics on integer-microsecond timestamps (strict ``>``
     comparisons, min aggregates — no floats until the two
@@ -320,8 +321,9 @@ def interarrival_burstiness(
     and one ``etl_time_since_prev`` (which returns the raw gaps)
     deliberately stops short of.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Determinism contract: gaps are exact integer SECONDS
     (``unix_micros div 1_000_000`` — floor division on integer
@@ -388,8 +390,9 @@ def user_type_entropy(
     per-user complement of the global ``events_type_transitions``
     matrix, and the standard panel feature for engagement breadth.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Determinism contract: p = c/n is one double division of exact
     integers; each ln is nano-quantized (the drift-kit contract);
@@ -434,8 +437,9 @@ def user_gini_concentration(events: DataFrame) -> DataFrame:
     share card, and the number a 100-TB curation run checks before
     trusting any per-user cap.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Scale-safety is the point of the construction: the textbook
     G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n needs a GLOBAL rank over users —

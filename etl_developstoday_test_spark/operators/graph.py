@@ -912,8 +912,9 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 10) -> DataFrame:
     forecast, the third read of the wedge structure the triangle and
     clustering-coefficient views aggregate away.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Exact integers end to end (common = wedge count per pair;
     |Γ(u)∪Γ(v)| = d_u + d_v − common) until ONE 6-dp-rounded double

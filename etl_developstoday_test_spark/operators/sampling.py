@@ -781,8 +781,9 @@ def neyman_allocation(
     whose sources differ wildly in both volume and variance (the
     actual draw then reuses ``hash_split``'s per-stratum prefix).
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Determinism contract: values micro-quantize to integers (NULL/NaN
     excluded), so each stratum's count / sum / square-sum are EXACT
@@ -882,8 +883,9 @@ def quality_decile_thresholds(
     This emits that lookup: for each group and decile d, the smallest
     score whose within-group empirical CDF reaches d/10.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Scale-safety is the construction: no per-document window (a
     per-lang partition is corpus-sized — a handful of giant

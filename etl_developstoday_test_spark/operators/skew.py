@@ -101,8 +101,9 @@ def topk_key_share(
     task). The measurement companion to ``salted_sum_count`` /
     ``salted_join`` above: those are the cure, this is the diagnosis.
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Scale shape: ONE map-side-combined groupBy count, a 1-row total,
     then orderBy+limit — which Spark compiles to

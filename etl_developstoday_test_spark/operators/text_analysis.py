@@ -1397,8 +1397,9 @@ def repetition_profile(docs: DataFrame, k: int = 10) -> DataFrame:
     signal catches it (the doc can be globally unique and still be
     90% the same line).
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Per document over order-preserving word shingles (duplicates
     KEPT): ``dup3_frac`` = fraction of 3-gram INSTANCES whose gram
@@ -1491,8 +1492,9 @@ def pmi_collocations(
     ``min_count`` is the standard low-frequency guard (PMI explodes on
     hapax pairs).
 
-    STAGED for round-12 registration (this round's driver window is
-    full; oracle pre-validated in tests/test_staged_oracles.py).
+    Registered round 11 (the window had room for all staged work;
+    oracle value-locked at two scales in tests/test_staged_oracles.py
+    BEFORE registration).
 
     Determinism contract: all four factors are exact integers; each ln
     is nano-quantized INDIVIDUALLY (round(ln·1e9) as BIGINT — the one

@@ -13608,3 +13608,642 @@ def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return centroid_outliers(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Round-12-staged operators, registered in round 11: the r11 driver
+# window has 50 slots and every oracle below was value-locked at
+# sf0.001 AND sf0.01 in tests/test_staged_oracles.py BEFORE this
+# registration (the lock tests now import these constants — single
+# source of truth), so each first row can only be green.
+# ---------------------------------------------------------------------------
+REPETITION_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+),
+g3 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(arr) - 2),
+             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+    FROM toks
+  ) GROUP BY doc_id, g
+),
+a3 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams3,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup3
+  FROM g3 GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(arr) - 1),
+             i -> arr[i] || ' ' || arr[i+1])) AS g
+    FROM toks
+  ) GROUP BY doc_id, g
+),
+a2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+         CAST(MAX(c) AS BIGINT) AS top2
+  FROM g2 GROUP BY doc_id
+)
+SELECT a2.doc_id,
+       CAST(COALESCE(a3.n_grams3, 0) AS BIGINT) AS n_grams3,
+       CASE WHEN COALESCE(a3.n_grams3, 0) > 0
+            THEN round(CAST(a3.n_dup3 AS DOUBLE)
+                       / CAST(a3.n_grams3 AS DOUBLE), 6)
+            ELSE 0.0 END AS dup3_frac,
+       round(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS top2_frac
+FROM a2 LEFT JOIN a3 ON a3.doc_id = a2.doc_id
+ORDER BY dup3_frac DESC, top2_frac DESC, a2.doc_id ASC LIMIT 10
+"""
+
+PMI_ORACLE_SQL = r"""
+WITH pairs AS (
+  SELECT split_part(g, ' ', 1) AS x, split_part(g, ' ', 2) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+             i -> arr[i] || ' ' || arr[i+1])) AS g
+    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents)
+  ) GROUP BY 1, 2
+),
+cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pairs GROUP BY x),
+cy AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pairs GROUP BY y),
+tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS t_all FROM pairs)
+SELECT x AS term_x, y AS term_y, c_xy AS n_pair,
+       round(CAST(CAST(round(ln(CAST(c_xy AS DOUBLE)) * 1e9) AS BIGINT)
+             + CAST(round(ln(CAST(t_all AS DOUBLE)) * 1e9) AS BIGINT)
+             - CAST(round(ln(CAST(c_x AS DOUBLE)) * 1e9) AS BIGINT)
+             - CAST(round(ln(CAST(c_y AS DOUBLE)) * 1e9) AS BIGINT)
+             AS DOUBLE) / 1e9, 6) AS pmi
+FROM pairs JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+WHERE c_xy >= 5
+ORDER BY pmi DESC, term_x ASC, term_y ASC LIMIT 15
+"""
+
+JS_ORACLE_SQL = r"""
+WITH b AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)))
+           AS bin,
+         COUNT(*) AS n_b
+  FROM events
+  WHERE day(ts) <= 15 AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+c AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)))
+           AS bin,
+         COUNT(*) AS n_c
+  FROM events
+  WHERE day(ts) > 15 AND value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(b.bin, c.bin) AS bin,
+         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(n_c, 0) AS BIGINT) AS n_c
+  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+),
+tot AS (
+  SELECT CAST(SUM(n_b) AS BIGINT) AS tb, CAST(SUM(n_c) AS BIGINT) AS tc
+  FROM m
+),
+terms AS (
+  SELECT CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p,
+         CAST(n_c AS DOUBLE) / CAST(tc AS DOUBLE) AS q
+  FROM m CROSS JOIN tot
+),
+per_bin AS (
+  SELECT ((CASE WHEN p > 0
+            THEN p * (CAST(CAST(round(ln(p / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+            ELSE 0.0 END)
+        + (CASE WHEN q > 0
+            THEN q * (CAST(CAST(round(ln(q / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+            ELSE 0.0 END)) / 2 AS term
+  FROM terms
+),
+js AS (
+  SELECT round(CAST(CAST(SUM(CAST(term AS DECIMAL(30,10))) AS VARCHAR)
+               AS DOUBLE), 6) AS js_divergence
+  FROM per_bin
+)
+SELECT tot.tb AS n_base, tot.tc AS n_current, js.js_divergence,
+       round(sqrt(js.js_divergence), 6) AS js_distance
+FROM js CROSS JOIN tot
+"""
+
+JACCARD_LINK_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+common AS (
+  SELECT s1.u AS ua, s2.u AS ub, CAST(COUNT(*) AS BIGINT)
+           AS common_neighbors
+  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.ua = c.ua AND e.ub = c.ub)
+)
+SELECT n.ua, n.ub, n.common_neighbors,
+       round(CAST(n.common_neighbors AS DOUBLE)
+             / CAST(da.d + db.d - n.common_neighbors AS DOUBLE), 6)
+         AS jaccard
+FROM nonedge n
+JOIN deg da ON da.u = n.ua
+JOIN deg db ON db.u = n.ub
+ORDER BY jaccard DESC, ua ASC, ub ASC LIMIT 10
+"""
+
+NEYMAN_ORACLE_SQL = r"""
+WITH mom AS (
+  SELECT CAST(source AS VARCHAR) AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(xq AS HUGEINT)) AS s1,
+         SUM(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS s2
+  FROM (SELECT source,
+               CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+                 AS xq
+        FROM documents
+        WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)))
+  GROUP BY 1
+),
+w AS (
+  SELECT stratum, n,
+         round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * 1000000), 6) AS std
+  FROM mom
+),
+wq AS (
+  SELECT stratum, n, std,
+         CAST(round(CAST(n AS DOUBLE) * std * 1e6) AS HUGEINT) AS wq
+  FROM w
+),
+tot AS (SELECT SUM(wq) AS sumw FROM wq),
+base AS (
+  SELECT stratum, n, std,
+         (CAST(1000 AS HUGEINT) * wq) // sumw AS b,
+         (CAST(1000 AS HUGEINT) * wq) % sumw AS rem
+  FROM wq CROSS JOIN tot
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
+         (SELECT 1000 - SUM(b) FROM base) AS deficit
+  FROM base
+)
+SELECT stratum, n AS n_rows, std,
+       CAST(b + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM rk ORDER BY stratum
+"""
+
+FUNNEL_ORACLE_SQL = r"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+),
+n AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT * FROM (
+  SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
+         CAST(CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+           AS rate_vs_prev,
+         CAST(CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+           AS rate_vs_first
+  FROM n
+  UNION ALL
+  SELECT 2, 'click', CAST(n2 AS BIGINT),
+         CAST(CASE WHEN n1 > 0
+              THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE),
+         CAST(CASE WHEN n1 > 0
+              THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE)
+  FROM n
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+         CAST(CASE WHEN n2 > 0
+              THEN round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE),
+         CAST(CASE WHEN n1 > 0
+              THEN round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+              ELSE 0.0 END AS DOUBLE)
+  FROM n
+) ORDER BY step_idx
+"""
+
+BURSTINESS_ORACLE_SQL = r"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000
+           - lag(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+a AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         SUM(CAST(gap AS DECIMAL(30,10))) AS s1,
+         SUM(CAST(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)
+             AS DECIMAL(30,10))) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+       round((sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+               - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+             / (sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+               + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+         AS burstiness
+FROM a
+WHERE n_gaps >= 5 AND s1 > 0
+ORDER BY burstiness DESC, user_id ASC
+LIMIT 20
+"""
+
+ENTROPY_ORACLE_SQL = r"""
+WITH pt AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM pt GROUP BY user_id
+),
+terms AS (
+  SELECT pt.user_id, n_events, n_types,
+         CAST((CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE))
+              * (CAST(CAST(round(ln(CAST(c AS DOUBLE)
+                       / CAST(n_events AS DOUBLE)) * 1e9) AS BIGINT)
+                 AS DOUBLE) / 1e9)
+              AS DECIMAL(30,10)) AS t
+  FROM pt JOIN tot USING (user_id)
+)
+SELECT user_id, n_events, n_types,
+       round(-CAST(SUM(t) AS DOUBLE), 6) AS entropy
+FROM terms
+GROUP BY user_id, n_events, n_types
+HAVING n_events >= 10
+ORDER BY entropy DESC, user_id ASC LIMIT 20
+"""
+
+GINI_ORACLE_SQL = r"""
+WITH uc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+mult AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM uc GROUP BY c),
+blocks AS (
+  SELECT c, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM mult
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+         CAST(SUM(c * m) AS BIGINT) AS n_events,
+         SUM(CAST(CAST(c AS DOUBLE)
+             * CAST(m * s + m * (m + 1) // 2 AS DOUBLE)
+             AS DECIMAL(38,6))) AS srank
+  FROM blocks
+)
+SELECT n_users, n_events,
+       round(2.0 * CAST(srank AS DOUBLE)
+               / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE))
+             - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE),
+             6) AS gini
+FROM agg
+"""
+
+BENFORD_ORACLE_SQL = r"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    AND o_totalprice > 0
+),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+spine AS (
+  SELECT * FROM (VALUES
+    (1, 0.301029996), (2, 0.176091259), (3, 0.124938737),
+    (4, 0.096910013), (5, 0.079181246), (6, 0.06694679),
+    (7, 0.057991947), (8, 0.051152522), (9, 0.045757491)
+  ) AS t(digit, e)
+),
+full_t AS (
+  SELECT spine.digit, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+         CAST(e AS DOUBLE) AS e
+  FROM spine LEFT JOIN obs ON obs.digit = spine.digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM full_t),
+chi AS (
+  SELECT round(CAST(SUM(CAST(
+           (CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * e)
+         * (CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * e)
+         / (CAST(t AS DOUBLE) * e) AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS chi2
+  FROM full_t CROSS JOIN tot
+)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS obs_share,
+       round(e, 6) AS exp_share,
+       round(abs(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE) - e), 6)
+         AS abs_dev,
+       chi2
+FROM full_t CROSS JOIN tot CROSS JOIN chi
+ORDER BY digit
+"""
+
+DECILES_ORACLE_SQL = r"""
+WITH vals AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT g, v,
+         CAST(SUM(m) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+  FROM vals
+),
+tot AS (SELECT g, CAST(SUM(m) AS BIGINT) AS n_docs FROM vals GROUP BY g)
+SELECT g AS lang, decile, MIN(v) AS threshold, n_docs
+FROM cum JOIN tot USING (g)
+CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) d
+WHERE cum * 10 >= decile * n_docs
+GROUP BY g, decile, n_docs
+ORDER BY lang, decile
+"""
+
+TOPK_KEY_ORACLE_SQL = r"""
+WITH counts AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM counts),
+top AS (
+  SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key ASC LIMIT 20
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC)
+           AS INTEGER) AS rank,
+         key, n_rows,
+         CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_rows
+  FROM top
+)
+SELECT rank, key, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+       round(CAST(cum_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+FROM ranked CROSS JOIN tot
+ORDER BY rank
+"""
+
+
+@_register("text_repetition_profile", REPETITION_ORACLE_SQL)
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-class intra-document repetition worst-10 (operators/
+    text_analysis.repetition_profile): duplicated-3-gram instance
+    fraction + top-2-gram mass share per doc — the boilerplate /
+    scraper-loop / degenerate-generation filter no cross-document
+    signal catches (a globally unique doc can still be 90% one line).
+    Exact integer n-gram counts, two 6-dp divisions, worst-k total
+    order via TakeOrderedAndProject; per-doc aggregates are
+    map-side-combined — nothing corpus-sized is windowed or
+    broadcast."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        repetition_profile,
+    )
+
+    return repetition_profile(load_table(spark, sf_dir, "documents"), k=10)
+
+
+@_register("text_pmi_collocations", PMI_ORACLE_SQL)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 PMI collocations (operators/text_analysis.
+    pmi_collocations; Church & Hanks 1990) with a min_count=5 hapax
+    guard: genuine multiword units vs template seams — the
+    corpus-card lexical-cohesion probe. All four log factors
+    nano-quantized individually, PMI assembled in exact integer
+    nanos; margin counts equi-join back from the pair table
+    (vocabulary-sized, never broadcast — the token_rarity lesson)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5, k=15
+    )
+
+
+@_register("drift_js_divergence", JS_ORACLE_SQL)
+def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (operators/drift.js_divergence; Lin
+    1991) between the first- and second-half-of-month event value
+    distributions over the pinned PSI bins — the drift-kit leg that
+    is symmetric, always finite without the empty-bin floor, bounded
+    in [0, ln 2], with √JS a true metric, so scores are comparable
+    across columns and time. One narrow binning map + ONE
+    map-side-combined groupBy per side; everything after runs on the
+    checkpointed ≤ n_bins table. NULL/NaN excluded; an empty side
+    raises."""
+    from etl_developstoday_test_spark.operators.drift import js_divergence
+
+    ev = load_table(spark, sf_dir, "events")
+    return js_divergence(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "value",
+        n_bins=10,
+        lo=0.0,
+        hi=200.0,
+    )
+
+
+@_register("graph_jaccard_linkpred", JACCARD_LINK_ORACLE_SQL)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction (operators/graph.
+    jaccard_link_prediction; Liben-Nowell & Kleinberg 2003) over the
+    SHARED co-activity graph: among distance-2 non-edges, rank by
+    |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| — simultaneously the split-identity /
+    ban-evasion shortlist and the most-likely-next-edge forecast.
+    Exact integers until one 6-dp division; the vertex-sized degree
+    table attaches by CO-SHUFFLING equi-joins, never a broadcast (the
+    triangle family's seam designed out); wedge volume bounded by the
+    co-activity per-cell membership cap."""
+    from etl_developstoday_test_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return jaccard_link_prediction(edges)
+
+
+@_register("sample_neyman_allocation", NEYMAN_ORACLE_SQL)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified budget allocation (operators/
+    sampling.neyman_allocation): split a 1000-row sampling budget
+    across document sources proportional to N_h·S_h (stratum size ×
+    dispersion of n_chars) — the variance-minimizing design a corpus
+    audit samples with, vs naive proportional. Exact integer moments
+    (micro-quantized square-sums as DECIMAL(38,0)), correctly-rounded
+    std, and a PURE-INTEGER largest-remainder split so
+    Σ n_alloc == total_n exactly on any engine."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        "n_chars",
+        total_n=1000,
+    )
+
+
+@_register("events_funnel_conversion", FUNNEL_ORACLE_SQL)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (operators/events_etl.
+    funnel_conversion) with strictly-after first-anchor semantics —
+    the ordered-sequence shape the pair-transition matrix cannot
+    express (a user who purchases BEFORE ever viewing does not
+    convert). One filtered min-aggregate per step chained by
+    user_id-co-shuffled equi-joins (AQE free to broadcast the
+    shrinking step frames); exact on integer-microsecond timestamps;
+    counts are 1-row aggregates."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        funnel_conversion,
+    )
+
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@_register("events_interarrival_burstiness", BURSTINESS_ORACLE_SQL)
+def events_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user inter-arrival burstiness worst-20 (operators/
+    events_etl.interarrival_burstiness; Goh & Barabási 2008):
+    B = (σ−μ)/(σ+μ) over the gaps between a user's consecutive
+    events — metronome −1, Poisson 0, bursty →1; the temporal-pattern
+    probe a behavioral corpus card leads with. Exact integer-second
+    gaps, decimal-accumulated Σg/Σg², fixed-order double
+    mean/variance tree; ONE user-partitioned window + one groupBy +
+    TakeOrderedAndProject."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_burstiness,
+    )
+
+    return interarrival_burstiness(load_table(spark, sf_dir, "events"))
+
+
+@_register("events_user_type_entropy", ENTROPY_ORACLE_SQL)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix, most-diverse-20
+    (operators/events_etl.user_type_entropy): 0 for a single-type
+    user, ln k for a perfectly mixed one — the engagement-breadth
+    panel feature. Nano-quantized ln, exact decimal term sum; two
+    map-side-combined groupBys and a TakeOrderedAndProject — no
+    windows, no broadcasts."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_type_entropy,
+    )
+
+    return user_type_entropy(load_table(spark, sf_dir, "events"))
+
+
+@_register("events_user_gini", GINI_ORACLE_SQL)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of events-per-user concentration
+    (operators/events_etl.user_gini_concentration): the one-number
+    how-concentrated-is-this-corpus answer a per-user cap policy is
+    checked against. The textbook global-rank window is designed out:
+    counts collapse to a (count, multiplicity) table bounded by the
+    count DOMAIN, each equal-value block contributes
+    c·(m·s + m(m+1)/2) in closed form, and the only window runs over
+    that bounded table (bounded-input allowlist class)."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_gini_concentration,
+    )
+
+    return user_gini_concentration(load_table(spark, sf_dir, "events"))
+
+
+@_register("drift_benford_first_digit", BENFORD_ORACLE_SQL)
+def drift_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit of o_totalprice
+    (operators/drift.benford_first_digit; Nigrini 2012) — the
+    fabricated/truncated-data tripwire: observed vs expected leading-
+    digit shares plus the audit-level Pearson χ². Leading digit from
+    the INTEGER cents rendering (never double→string); expected
+    shares are baked nano-quantized log₁₀(1+1/d) constants shared by
+    both plans; one 9-group map-side-combined aggregate, checkpointed
+    9-row tail; an empty audit raises. (The synthetic uniform price
+    column rightly FAILS Benford — that is the audit working.)"""
+    from etl_developstoday_test_spark.operators.drift import (
+        benford_first_digit,
+    )
+
+    return benford_first_digit(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+@_register("sample_quality_deciles", DECILES_ORACLE_SQL)
+def sample_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact decile thresholds of the doc-length quality
+    score (operators/sampling.quality_decile_thresholds) — the CCNet
+    (Wenzek 2020) cross-language normalization lookup that makes one
+    keep-top-X% policy mean the same thing in every language. The
+    cumulative window runs over the (lang, score, multiplicity) table
+    — bounded by the score DOMAIN, never corpus-sized — and the
+    threshold test is pure integers (10·cum ≥ d·n)."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        quality_decile_thresholds,
+    )
+
+    return quality_decile_thresholds(load_table(spark, sf_dir, "documents"))
+
+
+@_register("skew_topk_key_share", TOPK_KEY_ORACLE_SQL)
+def skew_topk_key_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew profile of l_suppkey (operators/skew.
+    topk_key_share): the 20 heaviest join keys with row share and
+    cumulative head share — the audit that decides whether a 100-TB
+    join needs salting, AQE skew splits, or nothing; the measurement
+    companion to salted_sum_count/salted_join. ONE map-side-combined
+    groupBy count into TakeOrderedAndProject (never a global sort);
+    the ranking window runs over the checkpointed k-row result."""
+    from etl_developstoday_test_spark.operators.skew import topk_key_share
+
+    return topk_key_share(load_table(spark, sf_dir, "lineitem"), "l_suppkey")

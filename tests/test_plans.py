@@ -430,6 +430,11 @@ _EAGER_QUERIES = {
     "text_bpe_fertility_by_lang",  # trains the merge table (driver top-1s)
     "graph_two_hop_reach",         # sym edge table persisted (3 consumers)
     "dedup_ngram_novelty",         # (source, gram) table checkpointed
+    "drift_js_divergence",         # bins checkpointed + totals collected
+    "graph_jaccard_linkpred",      # sym edge table checkpointed
+    "sample_neyman_allocation",    # moment rollup checkpointed + collected
+    "drift_benford_first_digit",   # 9-row spine checkpointed + collected
+    "skew_topk_key_share",         # top-k table checkpointed
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
@@ -478,6 +483,10 @@ _SCAN_EXCEPTIONS = {
     # stage cache reuses every one at runtime (final plan shows
     # ReusedExchange; events is shuffled once per cut, scanned twice)
     "events_rfm_segments": 16,
+    # three chained min-aggregates (steps 2 and 3 each embed the prior
+    # step's subtree in the STATIC plan: 1+2+3 scans); AQE's stage
+    # cache reuses the shared exchanges at runtime
+    "events_funnel_conversion": 6,
 }
 
 # Queries whose plans legitimately contain a PARTITIONLESS window
@@ -503,6 +512,10 @@ _GLOBAL_WINDOW_OK = {
     "drift_ks_two_sample",
     # Zipf rank window runs over the top-100 pick: constant-sized
     "text_zipf_slope",
+    # Gini's one window runs over the (count, multiplicity) table:
+    # bounded by the count DOMAIN (max events per user), not the
+    # user count — the closed-form rank-block construction
+    "events_user_gini",
 }
 
 

@@ -582,7 +582,10 @@ def test_staged_oracle_result_types_survive_pandas_fetch():
     Catching it here means a staged operator can't carry the bug into
     its registration round."""
     con = duckdb.connect()
-    for t in ["documents", "lineitem", "embeddings", "events"]:
+    for t in [
+        "documents", "lineitem", "embeddings", "events",
+        "orders", "customer", "part",
+    ]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{SF_DIR}/{t}.parquet'"
@@ -896,62 +899,34 @@ def test_centroid_outliers_matches_oracle(spark, emb_con):
     assert srows[0][2] <= srows[-1][2]
 
 
-# --- STAGED for round 12 -----------------------------------------------------
+# --- Round 11 registrations, second wave (originally staged for r12) ---------
 #
-# Same discipline as rounds 8-11: each operator below is implemented
-# and unit-tested NOW, its DuckDB twin is value-locked at sf0.001 AND
-# sf0.01 here, and registration waits for the round-12 driver window —
-# so the first driver row can only be green.
+# Same discipline as rounds 8-11: each operator below was implemented
+# and unit-tested first, its DuckDB twin value-locked at sf0.001 AND
+# sf0.01 here, and THEN registered (the r11 window had room for all
+# staged work) — so the first driver row can only be green. The
+# oracle strings live in plans/queries.py next to their registrations;
+# these locks import and re-verify THE SAME strings.
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _COACT_SQL as _COACT_SQL_R12,
+    BENFORD_ORACLE_SQL as BENFORD_ORACLE,
+    BURSTINESS_ORACLE_SQL as BURSTINESS_ORACLE,
+    DECILES_ORACLE_SQL as DECILES_ORACLE,
+    ENTROPY_ORACLE_SQL as ENTROPY_ORACLE,
+    FUNNEL_ORACLE_SQL as FUNNEL_ORACLE,
+    GINI_ORACLE_SQL as GINI_ORACLE,
+    JACCARD_LINK_ORACLE_SQL as JACCARD_LINK_ORACLE,
+    JS_ORACLE_SQL as JS_ORACLE,
+    NEYMAN_ORACLE_SQL as NEYMAN_ORACLE,
+    PMI_ORACLE_SQL as PMI_ORACLE,
+    REPETITION_ORACLE_SQL as REPETITION_ORACLE,
+    TOPK_KEY_ORACLE_SQL as TOPK_KEY_ORACLE,
 )
 
-REPETITION_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-  FROM documents
-),
-g3 AS (
-  SELECT doc_id, g, COUNT(*) AS c FROM (
-    SELECT doc_id, unnest(list_transform(
-             generate_series(1, len(arr) - 2),
-             i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
-    FROM toks
-  ) GROUP BY doc_id, g
-),
-a3 AS (
-  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams3,
-         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup3
-  FROM g3 GROUP BY doc_id
-),
-g2 AS (
-  SELECT doc_id, g, COUNT(*) AS c FROM (
-    SELECT doc_id, unnest(list_transform(
-             generate_series(1, len(arr) - 1),
-             i -> arr[i] || ' ' || arr[i+1])) AS g
-    FROM toks
-  ) GROUP BY doc_id, g
-),
-a2 AS (
-  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
-         CAST(MAX(c) AS BIGINT) AS top2
-  FROM g2 GROUP BY doc_id
-)
-SELECT a2.doc_id,
-       CAST(COALESCE(a3.n_grams3, 0) AS BIGINT) AS n_grams3,
-       CASE WHEN COALESCE(a3.n_grams3, 0) > 0
-            THEN round(CAST(a3.n_dup3 AS DOUBLE)
-                       / CAST(a3.n_grams3 AS DOUBLE), 6)
-            ELSE 0.0 END AS dup3_frac,
-       round(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS top2_frac
-FROM a2 LEFT JOIN a3 ON a3.doc_id = a2.doc_id
-ORDER BY dup3_frac DESC, top2_frac DESC, a2.doc_id ASC LIMIT 10
-"""
 
 
 def test_repetition_profile_matches_oracle(spark, sf_con):
-    """STAGED r12: Gopher-class intra-doc repetition worst-10
+    """Registered r11 (second wave): Gopher-class intra-doc repetition worst-10
     (duplicated-3-gram instance fraction + top-2-gram mass share) —
     value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.text_analysis import (
@@ -969,34 +944,10 @@ def test_repetition_profile_matches_oracle(spark, sf_con):
     assert 0.0 < srows[0][2] < 0.5
 
 
-PMI_ORACLE = r"""
-WITH pairs AS (
-  SELECT split_part(g, ' ', 1) AS x, split_part(g, ' ', 2) AS y,
-         CAST(COUNT(*) AS BIGINT) AS c_xy
-  FROM (
-    SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
-             i -> arr[i] || ' ' || arr[i+1])) AS g
-    FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
-          FROM documents)
-  ) GROUP BY 1, 2
-),
-cx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pairs GROUP BY x),
-cy AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pairs GROUP BY y),
-tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS t_all FROM pairs)
-SELECT x AS term_x, y AS term_y, c_xy AS n_pair,
-       round(CAST(CAST(round(ln(CAST(c_xy AS DOUBLE)) * 1e9) AS BIGINT)
-             + CAST(round(ln(CAST(t_all AS DOUBLE)) * 1e9) AS BIGINT)
-             - CAST(round(ln(CAST(c_x AS DOUBLE)) * 1e9) AS BIGINT)
-             - CAST(round(ln(CAST(c_y AS DOUBLE)) * 1e9) AS BIGINT)
-             AS DOUBLE) / 1e9, 6) AS pmi
-FROM pairs JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
-WHERE c_xy >= 5
-ORDER BY pmi DESC, term_x ASC, term_y ASC LIMIT 15
-"""
 
 
 def test_pmi_collocations_matches_oracle(spark, sf_con):
-    """STAGED r12: top-15 PMI collocations (nano-quantized per-factor
+    """Registered r11 (second wave): top-15 PMI collocations (nano-quantized per-factor
     logs, min_count=5 hapax guard) — value-locked at both scales
     BEFORE registration."""
     from etl_developstoday_test_spark.operators.text_analysis import (
@@ -1016,64 +967,10 @@ def test_pmi_collocations_matches_oracle(spark, sf_con):
     assert srows[0][3] >= srows[-1][3]
 
 
-JS_ORACLE = r"""
-WITH b AS (
-  SELECT LEAST(9, GREATEST(0,
-           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)))
-           AS bin,
-         COUNT(*) AS n_b
-  FROM events
-  WHERE day(ts) <= 15 AND value IS NOT NULL AND NOT isnan(value)
-  GROUP BY 1
-),
-c AS (
-  SELECT LEAST(9, GREATEST(0,
-           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS INTEGER)))
-           AS bin,
-         COUNT(*) AS n_c
-  FROM events
-  WHERE day(ts) > 15 AND value IS NOT NULL AND NOT isnan(value)
-  GROUP BY 1
-),
-m AS (
-  SELECT COALESCE(b.bin, c.bin) AS bin,
-         CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
-         CAST(COALESCE(n_c, 0) AS BIGINT) AS n_c
-  FROM b FULL OUTER JOIN c ON b.bin = c.bin
-),
-tot AS (
-  SELECT CAST(SUM(n_b) AS BIGINT) AS tb, CAST(SUM(n_c) AS BIGINT) AS tc
-  FROM m
-),
-terms AS (
-  SELECT CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS p,
-         CAST(n_c AS DOUBLE) / CAST(tc AS DOUBLE) AS q
-  FROM m CROSS JOIN tot
-),
-per_bin AS (
-  SELECT ((CASE WHEN p > 0
-            THEN p * (CAST(CAST(round(ln(p / ((p + q) / 2)) * 1e9)
-                     AS BIGINT) AS DOUBLE) / 1e9)
-            ELSE 0.0 END)
-        + (CASE WHEN q > 0
-            THEN q * (CAST(CAST(round(ln(q / ((p + q) / 2)) * 1e9)
-                     AS BIGINT) AS DOUBLE) / 1e9)
-            ELSE 0.0 END)) / 2 AS term
-  FROM terms
-),
-js AS (
-  SELECT round(CAST(CAST(SUM(CAST(term AS DECIMAL(30,10))) AS VARCHAR)
-               AS DOUBLE), 6) AS js_divergence
-  FROM per_bin
-)
-SELECT tot.tb AS n_base, tot.tc AS n_current, js.js_divergence,
-       round(sqrt(js.js_divergence), 6) AS js_distance
-FROM js CROSS JOIN tot
-"""
 
 
 def test_js_divergence_matches_oracle(spark, ev_con):
-    """STAGED r12: Jensen-Shannon divergence between the first- and
+    """Registered r11 (second wave): Jensen-Shannon divergence between the first- and
     second-half-of-month value distributions over the PSI bins —
     value-locked at both scales BEFORE registration."""
     from pyspark.sql import functions as F
@@ -1097,36 +994,10 @@ def test_js_divergence_matches_oracle(spark, ev_con):
     assert 0.0 < srow[0][2] < 0.693147
 
 
-JACCARD_LINK_ORACLE = f"""
-WITH {_COACT_SQL_R12},
-sym AS (
-  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
-),
-deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
-common AS (
-  SELECT s1.u AS ua, s2.u AS ub, CAST(COUNT(*) AS BIGINT)
-           AS common_neighbors
-  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
-  GROUP BY 1, 2
-),
-nonedge AS (
-  SELECT c.* FROM common c
-  WHERE NOT EXISTS (SELECT 1 FROM edges e
-                    WHERE e.ua = c.ua AND e.ub = c.ub)
-)
-SELECT n.ua, n.ub, n.common_neighbors,
-       round(CAST(n.common_neighbors AS DOUBLE)
-             / CAST(da.d + db.d - n.common_neighbors AS DOUBLE), 6)
-         AS jaccard
-FROM nonedge n
-JOIN deg da ON da.u = n.ua
-JOIN deg db ON db.u = n.ub
-ORDER BY jaccard DESC, ua ASC, ub ASC LIMIT 10
-"""
 
 
 def test_jaccard_link_prediction_matches_oracle(spark, ev_con):
-    """STAGED r12: neighborhood-Jaccard link prediction over the
+    """Registered r11 (second wave): neighborhood-Jaccard link prediction over the
     SHARED co-activity graph — value-locked at both scales BEFORE
     registration."""
     from etl_developstoday_test_spark.operators.graph import (
@@ -1144,50 +1015,10 @@ def test_jaccard_link_prediction_matches_oracle(spark, ev_con):
     assert srows  # non-degenerate at both scales
 
 
-NEYMAN_ORACLE = r"""
-WITH mom AS (
-  SELECT CAST(source AS VARCHAR) AS stratum, CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(xq AS HUGEINT)) AS s1,
-         SUM(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS s2
-  FROM (SELECT source,
-               CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
-                 AS xq
-        FROM documents
-        WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE)))
-  GROUP BY 1
-),
-w AS (
-  SELECT stratum, n,
-         round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
-               / (CAST(n AS DOUBLE) * 1000000), 6) AS std
-  FROM mom
-),
-wq AS (
-  SELECT stratum, n, std,
-         CAST(round(CAST(n AS DOUBLE) * std * 1e6) AS HUGEINT) AS wq
-  FROM w
-),
-tot AS (SELECT SUM(wq) AS sumw FROM wq),
-base AS (
-  SELECT stratum, n, std,
-         (CAST(1000 AS HUGEINT) * wq) // sumw AS b,
-         (CAST(1000 AS HUGEINT) * wq) % sumw AS rem
-  FROM wq CROSS JOIN tot
-),
-rk AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
-         (SELECT 1000 - SUM(b) FROM base) AS deficit
-  FROM base
-)
-SELECT stratum, n AS n_rows, std,
-       CAST(b + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
-         AS n_alloc
-FROM rk ORDER BY stratum
-"""
 
 
 def test_neyman_allocation_matches_oracle(spark, sf_con):
-    """STAGED r12: Neyman-optimal stratified allocation of a
+    """Registered r11 (second wave): Neyman-optimal stratified allocation of a
     1000-row budget across document sources by n_chars dispersion —
     value-locked at both scales BEFORE registration, plus the exact
     budget invariant the oracle can't see failing."""
@@ -1209,57 +1040,10 @@ def test_neyman_allocation_matches_oracle(spark, sf_con):
     assert all(r[2] > 0 for r in srows)  # real dispersion per stratum
 
 
-FUNNEL_ORACLE = r"""
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY 1
-),
-s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN s1 USING (user_id)
-  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
-),
-s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN s2 USING (user_id)
-  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
-),
-n AS (
-  SELECT (SELECT COUNT(*) FROM s1) AS n1,
-         (SELECT COUNT(*) FROM s2) AS n2,
-         (SELECT COUNT(*) FROM s3) AS n3
-)
-SELECT * FROM (
-  SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
-         CAST(CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
-           AS rate_vs_prev,
-         CAST(CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
-           AS rate_vs_first
-  FROM n
-  UNION ALL
-  SELECT 2, 'click', CAST(n2 AS BIGINT),
-         CAST(CASE WHEN n1 > 0
-              THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
-              ELSE 0.0 END AS DOUBLE),
-         CAST(CASE WHEN n1 > 0
-              THEN round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
-              ELSE 0.0 END AS DOUBLE)
-  FROM n
-  UNION ALL
-  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
-         CAST(CASE WHEN n2 > 0
-              THEN round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
-              ELSE 0.0 END AS DOUBLE),
-         CAST(CASE WHEN n1 > 0
-              THEN round(CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
-              ELSE 0.0 END AS DOUBLE)
-  FROM n
-) ORDER BY step_idx
-"""
 
 
 def test_funnel_conversion_matches_oracle(spark, ev_con):
-    """STAGED r12: ordered view→click→purchase funnel (strictly-after
+    """Registered r11 (second wave): ordered view→click→purchase funnel (strictly-after
     first-anchor semantics) — value-locked at both scales BEFORE
     registration."""
     from etl_developstoday_test_spark.operators.events_etl import (
@@ -1275,53 +1059,20 @@ def test_funnel_conversion_matches_oracle(spark, ev_con):
     assert srows[0][2] >= srows[1][2] >= srows[2][2]
 
 
-# --- STAGED for round 12: second batch (corpus-health probes) -----------------
+# --- Round 11 registrations, third wave (corpus-health probes) ----------------
 #
-# Same discipline: implemented + unit-tested now, DuckDB twins
-# value-locked at sf0.001 AND sf0.01 here, registration waits for a
-# driver window (r12 has 50 slots; with the staleness tail nearly
-# clear, both batches fit). These six close the corpus-card gaps the
-# first batch left: temporal pattern (burstiness), behavioral
+# Same discipline: implemented + unit-tested first, DuckDB twins
+# value-locked at sf0.001 AND sf0.01 here, then registered in the
+# same round (the r11 window had room). These six close the
+# corpus-card gaps the first wave left: temporal pattern (burstiness), behavioral
 # diversity (type entropy), whole-distribution concentration (exact
 # Gini), numeric-integrity (Benford), cross-language score
 # normalization (decile thresholds), and hot-key skew diagnosis.
 
-BURSTINESS_ORACLE = r"""
-WITH g AS (
-  SELECT user_id,
-         epoch_us(ts) // 1000000
-           - lag(epoch_us(ts) // 1000000)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-  FROM events
-),
-a AS (
-  SELECT user_id,
-         CAST(COUNT(*) AS BIGINT) AS n_gaps,
-         SUM(CAST(gap AS DECIMAL(30,10))) AS s1,
-         SUM(CAST(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)
-             AS DECIMAL(30,10))) AS s2
-  FROM g WHERE gap IS NOT NULL GROUP BY user_id
-)
-SELECT user_id, n_gaps,
-       round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
-       round((sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-                 - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-                   * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
-               - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-             / (sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-                 - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-                   * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
-               + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
-         AS burstiness
-FROM a
-WHERE n_gaps >= 5 AND s1 > 0
-ORDER BY burstiness DESC, user_id ASC
-LIMIT 20
-"""
 
 
 def test_interarrival_burstiness_matches_oracle(spark, ev_con):
-    """STAGED r12 (batch 2): per-user Goh-Barabási burstiness of
+    """Registered r11 (third wave): per-user Goh-Barabási burstiness of
     inter-arrival gaps, worst-20 — value-locked at both scales BEFORE
     registration."""
     from etl_developstoday_test_spark.operators.events_etl import (
@@ -1340,36 +1091,10 @@ def test_interarrival_burstiness_matches_oracle(spark, ev_con):
     assert srows[0][3] >= srows[-1][3]
 
 
-ENTROPY_ORACLE = r"""
-WITH pt AS (
-  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY user_id, event_type
-),
-tot AS (
-  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
-         CAST(COUNT(*) AS BIGINT) AS n_types
-  FROM pt GROUP BY user_id
-),
-terms AS (
-  SELECT pt.user_id, n_events, n_types,
-         CAST((CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE))
-              * (CAST(CAST(round(ln(CAST(c AS DOUBLE)
-                       / CAST(n_events AS DOUBLE)) * 1e9) AS BIGINT)
-                 AS DOUBLE) / 1e9)
-              AS DECIMAL(30,10)) AS t
-  FROM pt JOIN tot USING (user_id)
-)
-SELECT user_id, n_events, n_types,
-       round(-CAST(SUM(t) AS DOUBLE), 6) AS entropy
-FROM terms
-GROUP BY user_id, n_events, n_types
-HAVING n_events >= 10
-ORDER BY entropy DESC, user_id ASC LIMIT 20
-"""
 
 
 def test_user_type_entropy_matches_oracle(spark, ev_con):
-    """STAGED r12 (batch 2): per-user Shannon entropy of the
+    """Registered r11 (third wave): per-user Shannon entropy of the
     event-type mix, most-diverse-20 — value-locked at both scales
     BEFORE registration."""
     import math
@@ -1388,38 +1113,10 @@ def test_user_type_entropy_matches_oracle(spark, ev_con):
     assert all(r[3] <= math.log(r[2]) + 1e-6 for r in srows)
 
 
-GINI_ORACLE = r"""
-WITH uc AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY user_id
-),
-mult AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM uc GROUP BY c),
-blocks AS (
-  SELECT c, m,
-         CAST(COALESCE(SUM(m) OVER (ORDER BY c
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS s
-  FROM mult
-),
-agg AS (
-  SELECT CAST(SUM(m) AS BIGINT) AS n_users,
-         CAST(SUM(c * m) AS BIGINT) AS n_events,
-         SUM(CAST(CAST(c AS DOUBLE)
-             * CAST(m * s + m * (m + 1) // 2 AS DOUBLE)
-             AS DECIMAL(38,6))) AS srank
-  FROM blocks
-)
-SELECT n_users, n_events,
-       round(2.0 * CAST(srank AS DOUBLE)
-               / (CAST(n_users AS DOUBLE) * CAST(n_events AS DOUBLE))
-             - (CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE),
-             6) AS gini
-FROM agg
-"""
 
 
 def test_user_gini_matches_oracle(spark, ev_con):
-    """STAGED r12 (batch 2): exact Gini coefficient of events-per-user
+    """Registered r11 (third wave): exact Gini coefficient of events-per-user
     concentration via the closed-form (count, multiplicity) blocks —
     no corpus-sized window anywhere — value-locked at both scales
     BEFORE registration."""
@@ -1436,45 +1133,6 @@ def test_user_gini_matches_oracle(spark, ev_con):
     assert 0.0 <= srows[0][2] < 1.0
 
 
-BENFORD_ORACLE = r"""
-WITH d AS (
-  SELECT CAST(substr(CAST(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
-           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-  FROM orders
-  WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
-    AND o_totalprice > 0
-),
-obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
-spine AS (
-  SELECT * FROM (VALUES
-    (1, 0.301029996), (2, 0.176091259), (3, 0.124938737),
-    (4, 0.096910013), (5, 0.079181246), (6, 0.06694679),
-    (7, 0.057991947), (8, 0.051152522), (9, 0.045757491)
-  ) AS t(digit, e)
-),
-full_t AS (
-  SELECT spine.digit, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
-         CAST(e AS DOUBLE) AS e
-  FROM spine LEFT JOIN obs ON obs.digit = spine.digit
-),
-tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM full_t),
-chi AS (
-  SELECT round(CAST(SUM(CAST(
-           (CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * e)
-         * (CAST(n_obs AS DOUBLE) - CAST(t AS DOUBLE) * e)
-         / (CAST(t AS DOUBLE) * e) AS DECIMAL(30,10))) AS DOUBLE), 6)
-         AS chi2
-  FROM full_t CROSS JOIN tot
-)
-SELECT digit, n_obs,
-       round(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS obs_share,
-       round(e, 6) AS exp_share,
-       round(abs(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE) - e), 6)
-         AS abs_dev,
-       chi2
-FROM full_t CROSS JOIN tot CROSS JOIN chi
-ORDER BY digit
-"""
 
 
 @pytest.fixture(
@@ -1493,7 +1151,7 @@ def ord_con(request):
 
 
 def test_benford_first_digit_matches_oracle(spark, ord_con):
-    """STAGED r12 (batch 2): Benford first-digit conformance audit of
+    """Registered r11 (third wave): Benford first-digit conformance audit of
     o_totalprice (integer-cents leading digit, baked nano-quantized
     expected shares, Pearson chi-square) — value-locked at both scales
     BEFORE registration."""
@@ -1515,29 +1173,10 @@ def test_benford_first_digit_matches_oracle(spark, ord_con):
     assert srows[0][5] > 100.0
 
 
-DECILES_ORACLE = r"""
-WITH vals AS (
-  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
-         CAST(COUNT(*) AS BIGINT) AS m
-  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars
-),
-cum AS (
-  SELECT g, v,
-         CAST(SUM(m) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-  FROM vals
-),
-tot AS (SELECT g, CAST(SUM(m) AS BIGINT) AS n_docs FROM vals GROUP BY g)
-SELECT g AS lang, decile, MIN(v) AS threshold, n_docs
-FROM cum JOIN tot USING (g)
-CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) d
-WHERE cum * 10 >= decile * n_docs
-GROUP BY g, decile, n_docs
-ORDER BY lang, decile
-"""
 
 
 def test_quality_decile_thresholds_matches_oracle(spark, sf_con):
-    """STAGED r12 (batch 2): per-language exact decile thresholds of
+    """Registered r11 (third wave): per-language exact decile thresholds of
     the doc-length score (CCNet-style cross-language normalization
     lookup; pure-integer CDF test over the value-multiplicity table) —
     value-locked at both scales BEFORE registration."""
@@ -1560,34 +1199,10 @@ def test_quality_decile_thresholds_matches_oracle(spark, sf_con):
         assert ts == sorted(ts)
 
 
-TOPK_KEY_ORACLE = r"""
-WITH counts AS (
-  SELECT CAST(l_suppkey AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
-  FROM lineitem GROUP BY l_suppkey
-),
-tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM counts),
-top AS (
-  SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key ASC LIMIT 20
-),
-ranked AS (
-  SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC)
-           AS INTEGER) AS rank,
-         key, n_rows,
-         CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS cum_rows
-  FROM top
-)
-SELECT rank, key, n_rows,
-       round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
-       round(CAST(cum_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
-FROM ranked CROSS JOIN tot
-ORDER BY rank
-"""
 
 
 def test_topk_key_share_matches_oracle(spark, sf_con):
-    """STAGED r12 (batch 2): hot-key skew profile of l_suppkey (top-20
+    """Registered r11 (third wave): hot-key skew profile of l_suppkey (top-20
     keys, share + cumulative head share; TakeOrderedAndProject then a
     k-row window) — value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.skew import topk_key_share
