@@ -23,8 +23,8 @@ def fk_orphan_audit(
     after every load (orphans mean a lost/partial parent load, and
     every inner join downstream silently drops them).
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     NULL child keys are counted separately (``n_null_keys``): a NULL
     FK is "no reference" (legal in SQL semantics), not a broken one —

@@ -674,8 +674,8 @@ def chi2_categorical(
     shows WHICH category moved, the audit-level χ² (df = k−1) is the
     number a monitor thresholds.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: observed counts are exact longs; expected cells and
     χ² terms are a fixed-order double tree over exact integers,

@@ -499,8 +499,8 @@ def top_event_paths(
     (one hand-picked sequence): which 3-step behaviors actually
     dominate the corpus, with their share of all observed paths.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     A path is ``path_len`` CONSECUTIVE events of one user in
     (ts, event_id) order, joined with '>' — overlapping windows count

@@ -983,8 +983,8 @@ def adamic_adar_link_prediction(
     obscure 3-member cell are far stronger same-actor evidence than
     two users sharing a million-member hub, which Jaccard cannot see.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: every wedge middle has deg ≥ 2 (it touches
     both endpoints), so ln(deg) ≥ ln 2 > 0 — no pole; each 1/lnq(d)

@@ -694,8 +694,8 @@ def nb_margin_auc(
     the confident subset trustworthy, so it gates whether
     margin-thresholded auto-labeling is allowed at all.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Scale-safety is the construction: the textbook rank-sum needs a
     GLOBAL rank over the test set. Margins are exact BIGINT nanos, so

@@ -937,8 +937,8 @@ def hash_split_balance_audit(
     bias. This is the audit a pipeline runs ONCE per new key scheme
     before trusting ``hash_split`` / ``stratified_sample``.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: bucket counts are exact longs over the md5 bucket
     (cross-engine by construction); expected = n/100 is one double;

@@ -1614,8 +1614,8 @@ def norm_profile(emb: DataFrame, z: float = 3.0) -> DataFrame:
     per-DIMENSION view (``embedding_dimension_drift``) cannot see it
     because norms live across dimensions.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract — and why the profile lives on the SQUARED
     norm: ‖x‖² accumulates per element as pico-quantized integers

@@ -166,8 +166,8 @@ def pareto_revenue_curve(
     events-side Gini (one number): this is the curve a revenue /
     token-budget / storage-attribution review reads.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: per-key value totals are EXACT INTEGER
     CENTS (round(v·100) per row, long sums — no decimal/double sums

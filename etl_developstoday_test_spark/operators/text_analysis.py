@@ -1570,8 +1570,8 @@ def source_vocab_js(docs: DataFrame) -> DataFrame:
     the valuable diversity a mixture recipe wants upweighted or a
     scraper gone wrong — this card is how you tell before training.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: the ``js_divergence`` drift-kit contract
     applied per source pair — p, q are double divisions of exact token

@@ -1121,8 +1121,8 @@ def cluster_size_histogram(docs: DataFrame) -> DataFrame:
     mirrors → URL-canonicalization first), and doc_share is the exact
     fraction of the corpus each cluster size holds.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 11 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Exact integers end to end (md5 content digest → cluster sizes →
     size multiplicities); the only doubles are the two 6-dp share

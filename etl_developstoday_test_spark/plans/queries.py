@@ -14247,3 +14247,595 @@ def skew_topk_key_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_developstoday_test_spark.operators.skew import topk_key_share
 
     return topk_key_share(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Round-13-staged operators, also registered in round 11 (same
+# staged-lock-then-register discipline; every oracle below was
+# value-locked at both scales BEFORE this registration).
+# ---------------------------------------------------------------------------
+FK_ORPHANS_ORACLE_SQL = r"""
+WITH r1 AS (
+  SELECT 'lineitem->orders' AS relation,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM lineitem c
+               WHERE c.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders p
+                                 WHERE p.o_orderkey = c.l_orderkey))
+           AS BIGINT) AS n_orphans
+),
+r2 AS (
+  SELECT 'lineitem->part' AS relation,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM lineitem c
+               WHERE c.l_partkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = c.l_partkey))
+           AS BIGINT) AS n_orphans
+),
+r3 AS (
+  SELECT 'orders->customer' AS relation,
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM orders c
+               WHERE c.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer p
+                                 WHERE p.c_custkey = c.o_custkey))
+           AS BIGINT) AS n_orphans
+),
+r4 AS (
+  SELECT 'orders->customer(sim_lost_10pct)' AS relation,
+         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
+         CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+           AS BIGINT) AS n_null_keys,
+         CAST((SELECT COUNT(*) FROM orders c
+               WHERE c.o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer p
+                                 WHERE p.c_custkey % 10 <> 7
+                                   AND p.c_custkey = c.o_custkey))
+           AS BIGINT) AS n_orphans
+),
+u AS (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+)
+SELECT relation, n_child, n_null_keys, n_orphans,
+       CASE WHEN n_child > 0
+            THEN round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+            ELSE 0.0 END AS orphan_rate
+FROM u ORDER BY relation
+"""
+
+TOP_PATHS_ORACLE_SQL = r"""
+WITH p AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS t FROM c)
+SELECT path, n_occurrences,
+       round(CAST(n_occurrences AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM c CROSS JOIN tot
+ORDER BY n_occurrences DESC, path ASC LIMIT 20
+"""
+
+ADAMIC_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+mid AS (
+  SELECT u AS m,
+         1.0 / (CAST(CAST(round(ln(CAST(d AS DOUBLE)) * 1e9) AS BIGINT)
+                AS DOUBLE) / 1e9) AS w_aa
+  FROM deg WHERE d >= 2
+),
+pairs AS (
+  SELECT s1.u AS ua, s2.u AS ub,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         SUM(CAST(mid.w_aa AS DECIMAL(30,10))) AS aa
+  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+  JOIN mid ON mid.m = s1.w
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.ua = p.ua AND e.ub = p.ub)
+)
+SELECT ua, ub, common_neighbors,
+       round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+FROM nonedge
+ORDER BY adamic_adar DESC, ua ASC, ub ASC LIMIT 10
+"""
+
+SOURCE_JS_ORACLE_SQL = r"""
+WITH counts AS (
+  SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source AS s,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  ) GROUP BY s, tok
+),
+totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY s),
+vocab AS (SELECT DISTINCT tok FROM counts),
+grid AS (
+  SELECT v.tok, tt.s, tt.t, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM vocab v CROSS JOIN totals tt
+  LEFT JOIN counts c ON c.s = tt.s AND c.tok = v.tok
+),
+pairs AS (
+  SELECT a.s AS source_a, b.s AS source_b, a.t AS ta, b.t AS tb,
+         CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE) AS p,
+         CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE) AS q
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.s < b.s
+),
+terms AS (
+  SELECT source_a, source_b, ta, tb,
+         CAST(((CASE WHEN p > 0
+                THEN p * (CAST(CAST(round(ln(p / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+                ELSE 0.0 END)
+             + (CASE WHEN q > 0
+                THEN q * (CAST(CAST(round(ln(q / ((p + q) / 2)) * 1e9)
+                     AS BIGINT) AS DOUBLE) / 1e9)
+                ELSE 0.0 END)) / 2 AS DECIMAL(30,10)) AS term
+  FROM pairs
+),
+agg AS (
+  SELECT source_a, source_b, ta, tb,
+         round(CAST(SUM(term) AS DOUBLE), 6) AS js_divergence
+  FROM terms GROUP BY source_a, source_b, ta, tb
+)
+SELECT source_a, source_b, ta AS n_tokens_a, tb AS n_tokens_b,
+       js_divergence, round(sqrt(js_divergence), 6) AS js_distance
+FROM agg ORDER BY source_a, source_b
+"""
+
+NB_AUC_ORACLE_SQL = (
+    NB_ORACLE_SQL.split("best AS (")[0]
+    + """ranked AS (
+  SELECT doc_id, cand, score, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+  FROM per_doc
+),
+truth AS (
+  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
+),
+mult AS (
+  SELECT (b.score - s.score) // 10000000 AS mq,
+         CAST(SUM(CASE WHEN b.cand = t.truth THEN 1 ELSE 0 END)
+           AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN b.cand = t.truth THEN 0 ELSE 1 END)
+           AS BIGINT) AS neg
+  FROM ranked b
+  JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
+  JOIN truth t ON t.doc_id = b.doc_id
+  WHERE b.rk = 1
+  GROUP BY 1
+),
+blocks AS (
+  SELECT pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (ORDER BY mq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS neg_below
+  FROM mult
+),
+pn AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+  FROM mult
+),
+u AS (
+  SELECT SUM(CAST(pos * (2 * neg_below + neg) AS DECIMAL(38,0))) AS u2
+  FROM blocks
+)
+SELECT pn.p AS n_correct, pn.n AS n_incorrect,
+       round(CAST(u2 AS DOUBLE)
+             / (2.0 * CAST(pn.p AS DOUBLE) * CAST(pn.n AS DOUBLE)), 6)
+         AS auc
+FROM u CROSS JOIN pn
+"""
+)
+
+NORM_PROFILE_ORACLE_SQL = r"""
+WITH el AS (
+  SELECT vec_id, label, unnest(embedding) AS x FROM embeddings
+),
+n2 AS (
+  SELECT vec_id, label,
+         CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12
+                + 0.5) AS BIGINT)) AS BIGINT) AS pico
+  FROM el GROUP BY vec_id, label
+),
+stats AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(pico AS DECIMAL(19,0))) AS s1,
+         SUM(CAST(pico AS DECIMAL(19,0)) * CAST(pico AS DECIMAL(19,0)))
+           AS s2
+  FROM n2 GROUP BY label
+),
+ms AS (
+  SELECT label, n_vecs,
+         CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mu,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 0.0))
+           AS sig
+  FROM stats
+)
+SELECT ms.label, n_vecs,
+       round(sqrt(mu / 1e12), 6) AS rms_norm,
+       round(sig / 1e12, 6) AS std_norm2,
+       CAST(SUM(CASE WHEN CAST(pico AS DOUBLE) < mu - 3.0 * sig
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN CAST(pico AS DOUBLE) > mu + 3.0 * sig
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM n2 JOIN ms USING (label)
+GROUP BY ms.label, n_vecs, mu, sig
+ORDER BY 1
+"""
+
+HASH_BALANCE_ORACLE_SQL = r"""
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5('sample#' || CAST(doc_id AS VARCHAR)),
+         1, 15)) AS BIGINT) % 100 AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT s.bucket, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(generate_series(0, 99)) AS bucket) s
+  LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket) c
+    USING (bucket)
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts)
+SELECT t AS n_rows, CAST(100 AS BIGINT) AS n_buckets,
+       round(CAST(SUM(CAST(
+         (CAST(c AS DOUBLE) - CAST(t AS DOUBLE) / 100.0)
+         * (CAST(c AS DOUBLE) - CAST(t AS DOUBLE) / 100.0)
+         / (CAST(t AS DOUBLE) / 100.0) AS DECIMAL(30,10))) AS DOUBLE), 6)
+         AS chi2,
+       round(MAX(abs(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) - 1.0 / 100.0)),
+             6) AS max_abs_dev_share
+FROM counts CROSS JOIN tot
+GROUP BY t
+"""
+
+CLUSTER_HIST_ORACLE_SQL = r"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 7 = 0
+),
+sizes AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM corpus GROUP BY md5(text)
+),
+hist AS (
+  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY cluster_size
+),
+tot AS (
+  SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS docs,
+         CAST(SUM(n_clusters) AS BIGINT) AS clusters
+  FROM hist
+)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       round(CAST(cluster_size * n_clusters AS DOUBLE)
+             / CAST(docs AS DOUBLE), 6) AS doc_share,
+       round(CAST(docs - clusters AS DOUBLE) / CAST(docs AS DOUBLE), 6)
+         AS dedup_savings_share
+FROM hist CROSS JOIN tot
+ORDER BY cluster_size
+"""
+
+PARETO_ORACLE_SQL = r"""
+WITH rev AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+              AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    AND NOT isnan(o_totalprice)
+  GROUP BY o_custkey
+),
+tiled AS (
+  SELECT k, cents,
+         ntile(10) OVER (ORDER BY cents DESC, k ASC) AS tile
+  FROM rev
+),
+per AS (
+  SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM tiled GROUP BY tile
+),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM per),
+cum AS (
+  SELECT tile, n_keys, value_cents,
+         CAST(SUM(value_cents) OVER (ORDER BY tile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_cents
+  FROM per
+)
+SELECT tile, n_keys, value_cents,
+       round(CAST(value_cents AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS value_share,
+       round(CAST(cum_cents AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+FROM cum CROSS JOIN tot
+ORDER BY tile
+"""
+
+CHI2_CAT_ORACLE_SQL = r"""
+WITH b AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_base
+  FROM events WHERE day(ts) <= 15 AND event_type IS NOT NULL
+  GROUP BY 1
+),
+c AS (
+  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_current
+  FROM events WHERE day(ts) > 15 AND event_type IS NOT NULL
+  GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(b.category, c.category) AS category,
+         CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
+  FROM b FULL OUTER JOIN c ON b.category = c.category
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_current) AS BIGINT) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM m
+),
+terms AS (
+  SELECT category, n_base, n_current,
+         (CAST(n_base AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         * (CAST(n_base AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         / (CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         + (CAST(n_current AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         * (CAST(n_current AS DOUBLE)
+          - CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE))
+         / (CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
+            / CAST(tb + tc AS DOUBLE)) AS contrib,
+         k
+  FROM m CROSS JOIN tot
+),
+chi AS (
+  SELECT round(CAST(SUM(CAST(contrib AS DECIMAL(30,10))) AS DOUBLE), 6)
+    AS chi2
+  FROM terms
+)
+SELECT category, n_base, n_current,
+       round(contrib, 6) AS chi2_contrib, chi.chi2,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM terms CROSS JOIN chi
+ORDER BY category
+"""
+
+
+@_register("dq_fk_orphans", FK_ORPHANS_ORACLE_SQL)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity ORPHAN card (operators/dq.
+    fk_orphan_audit) over three real star-schema relations plus one
+    SIMULATED 10%-parent-loss relation (drop every custkey ≡ 7 mod 10
+    from the parent) — the cross-TABLE consistency audit the
+    column-domain dq queries don't cover, with the simulated loss
+    keeping the non-zero path exercised at corpus scale. NULL FKs
+    count separately from orphans (different failure modes). One
+    left-anti equi-join per relation co-shuffled on the key (AQE free
+    to broadcast small parents) into 1-row counts."""
+    from etl_developstoday_test_spark.operators.dq import fk_orphan_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    return fk_orphan_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+            ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+            (
+                "orders->customer(sim_lost_10pct)",
+                orders,
+                "o_custkey",
+                cust.filter(F.col("c_custkey") % 10 != 7),
+                "c_custkey",
+            ),
+        ]
+    )
+
+
+@_register("events_top_paths", TOP_PATHS_ORACLE_SQL)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent 3-step event-type paths (operators/events_etl.
+    top_event_paths): the sequence-mining card between the pair
+    matrix (events_type_transitions) and the fixed funnel — which
+    3-step behaviors dominate, with their share of all observed
+    paths. Two leads in ONE user-partitioned window; the path-counts
+    table is checkpointed (bounded: |types|³), so the share's total
+    branch never replays the corpus pipeline; TakeOrderedAndProject
+    card."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        top_event_paths,
+    )
+
+    return top_event_paths(load_table(spark, sf_dir, "events"))
+
+
+@_register("graph_adamic_adar", ADAMIC_ORACLE_SQL)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (operators/graph.
+    adamic_adar_link_prediction; Adamic & Adar 2003) over the SHARED
+    co-activity graph: Σ 1/ln(deg(w)) over shared neighbors — the
+    rarity-weighted companion to graph_jaccard_linkpred (two users
+    sharing an obscure 3-member cell are stronger same-actor evidence
+    than two sharing a mega-hub, which Jaccard can't see). The
+    1/lnq(deg) weight joins the wedge stream co-shuffled on the
+    MIDDLE vertex (degree table never broadcast); deg-1 vertices
+    leave before the eager ANSI division; decimal term sum, 6-dp
+    total order."""
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction,
+    )
+
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return adamic_adar_link_prediction(edges)
+
+
+@_register("text_source_vocab_js", SOURCE_JS_ORACLE_SQL)
+def text_source_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-SOURCE unigram
+    distributions (operators/text_analysis.source_vocab_js) — the
+    corpus-mixture distance matrix: near-zero off-diagonal = a
+    duplicated feed; a far-from-everything source = valuable
+    diversity or a scraper gone wrong. One tokenize into a
+    CHECKPOINTED (source, token) counts model (six consumers — one
+    corpus pass, not six); pair terms via one vocabulary-co-shuffled
+    self-equi-join with source_a < source_b (|S|²/2 pairs, |S| = the
+    handful of feeds); the js_divergence determinism contract per
+    pair."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        source_vocab_js,
+    )
+
+    return source_vocab_js(load_table(spark, sf_dir, "documents"))
+
+
+@_register("ml_nb_margin_auc", NB_AUC_ORACLE_SQL)
+def ml_nb_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Mann–Whitney AUC of the naive-Bayes decision margin
+    as a confidence signal (operators/ml.nb_margin_auc): P(correct
+    doc's margin > misclassified doc's margin), ties half — the one
+    number that gates margin-thresholded auto-labeling (0.5 = the
+    margin carries nothing, no threshold helps). Shares the
+    registered NB model CTEs; the global rank-sum is designed out via
+    the centi-quantized margin MULTIPLICITY table (ks_two_sample's
+    bounded-domain contract): 2U in pure integers, ONE double
+    division. Either class empty raises."""
+    from etl_developstoday_test_spark.operators.ml import nb_margin_auc
+
+    return nb_margin_auc(load_table(spark, sf_dir, "documents"))
+
+
+@_register("embed_norm_profile", NORM_PROFILE_ORACLE_SQL)
+def embed_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding NORM health (operators/similarity.
+    norm_profile): RMS norm, std of the squared norm, and z=3 tail
+    counts — the norm-collapse/explosion/mixed-encoder tripwire the
+    per-dimension drift view cannot see (norms live across
+    dimensions). Entirely on the EXACT integer pico scale
+    (floor(x²·1e12+0.5) element sums): a unit-normalized corpus has
+    std(‖x‖) ~1e-6, below any 10-dp decimal waypoint, so the moments
+    are sums of exact integers with no double→decimal cast anywhere.
+    One fold + one groupBy(label) + one label-keyed join back."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        norm_profile,
+    )
+
+    return norm_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+@_register("sample_hash_balance", HASH_BALANCE_ORACLE_SQL)
+def sample_hash_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity audit of the 100-bucket md5 hash split
+    every sampler in this repo rides on (operators/sampling.
+    hash_split_balance_audit): a skewed split means the "random"
+    holdout isn't, and every train/eval split inherits the bias — the
+    audit a pipeline runs once per new key scheme. One narrow md5 map
+    + ONE 100-group aggregate; everything after runs on the
+    checkpointed 100-row spine; zero-count buckets participate (they
+    ARE the failure mode); empty input raises."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        hash_split_balance_audit,
+    )
+
+    return hash_split_balance_audit(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
+@_register("dedup_cluster_size_hist", CLUSTER_HIST_ORACLE_SQL)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram + dedup savings share
+    (operators/text_dedup.cluster_size_histogram) over a CONSTRUCTED
+    duplicated corpus (documents ∪ every-7th document — the synthetic
+    corpus alone has no exact dupes and an all-1s histogram certifies
+    nothing): the STRUCTURE view exact dedup aggregates away, and the
+    shape that decides the dedup strategy (mega-cluster head =
+    boilerplate; pair tail = mirrors). Digest groupBy → size rollup;
+    the histogram is checkpointed (bounded by the size domain) so the
+    digest pass runs once."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        cluster_size_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("text").unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    )
+    return cluster_size_histogram(corpus)
+
+
+@_register("skew_pareto_revenue", PARETO_ORACLE_SQL)
+def skew_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue Pareto decile curve (operators/skew.
+    pareto_revenue_curve): "the top decile carries X%" — the
+    distribution-shaped complement to skew_topk_key_share (named
+    keys) and events_user_gini (one number). Per-key totals in EXACT
+    INTEGER CENTS; the tile cut is exact_ntile over (cents DESC, key
+    ASC) — SQL-ntile semantics with NO single-task ranking stage; the
+    per-tile rollup is checkpointed (10 rows) before the cumulative
+    window."""
+    from etl_developstoday_test_spark.operators.skew import (
+        pareto_revenue_curve,
+    )
+
+    return pareto_revenue_curve(
+        load_table(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
+
+
+@_register("drift_chi2_event_mix", CHI2_CAT_ORACLE_SQL)
+def drift_chi2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity of the event-type MIX between the first-
+    and second-half-of-month (operators/drift.chi2_categorical) — the
+    drift kit's categorical leg beside PSI/KS/JS (numeric bins): did
+    the type composition shift, and WHICH category moved (per-category
+    contributions, audit-level χ² with df = k−1). One
+    map-side-combined groupBy per side merged on the category-domain
+    key space; everything after runs on the checkpointed bounded
+    table; NULL categories excluded; an empty side raises."""
+    from etl_developstoday_test_spark.operators.drift import (
+        chi2_categorical,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return chi2_categorical(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "event_type",
+    )

@@ -435,6 +435,14 @@ _EAGER_QUERIES = {
     "sample_neyman_allocation",    # moment rollup checkpointed + collected
     "drift_benford_first_digit",   # 9-row spine checkpointed + collected
     "skew_topk_key_share",         # top-k table checkpointed
+    "events_top_paths",            # path-counts table checkpointed
+    "graph_adamic_adar",           # sym edge table checkpointed
+    "text_source_vocab_js",        # (source, token) model checkpointed
+    "ml_nb_margin_auc",            # token explode persisted + collected
+    "sample_hash_balance",         # 100-row spine checkpointed + collected
+    "dedup_cluster_size_hist",     # histogram checkpointed
+    "skew_pareto_revenue",         # per-tile rollup checkpointed
+    "drift_chi2_event_mix",        # category table checkpointed + collected
 }
 
 # The declared Python surface: the ONLY queries allowed to carry
@@ -487,6 +495,10 @@ _SCAN_EXCEPTIONS = {
     # step's subtree in the STATIC plan: 1+2+3 scans); AQE's stage
     # cache reuses the shared exchanges at runtime
     "events_funnel_conversion": 6,
+    # four relations: lineitem/orders appear as child (keys agg +
+    # anti-join side each) and orders also as a parent — the static
+    # plan prints orders 5x; each is a key-column-only scan
+    "dq_fk_orphans": 6,
 }
 
 # Queries whose plans legitimately contain a PARTITIONLESS window

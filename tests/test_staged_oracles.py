@@ -1218,74 +1218,27 @@ def test_topk_key_share_matches_oracle(spark, sf_con):
     assert cs == sorted(cs)
 
 
-# --- STAGED for round 13 -------------------------------------------------------
+# --- Round 11 registrations, fourth wave (originally staged for r13) ----------
 #
-# Same discipline, staged a round ahead: six operators rounding out the
-# relational-dq / sequence-mining / link-prediction / corpus-mixture /
+# Same discipline: six operators rounding out the relational-dq /
+# sequence-mining / link-prediction / corpus-mixture /
 # model-evaluation / embedding-health families, each value-locked at
-# sf0.001 AND sf0.01 here before any registration.
+# sf0.001 AND sf0.01 BEFORE registration; the oracle strings live in
+# plans/queries.py next to their registrations.
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _COACT_SQL as _COACT_SQL_R13,
-    NB_ORACLE_SQL as _NB_SQL_R13,
+    ADAMIC_ORACLE_SQL as ADAMIC_ORACLE,
+    CHI2_CAT_ORACLE_SQL as CHI2_CAT_ORACLE,
+    CLUSTER_HIST_ORACLE_SQL as CLUSTER_HIST_ORACLE,
+    FK_ORPHANS_ORACLE_SQL as FK_ORPHANS_ORACLE,
+    HASH_BALANCE_ORACLE_SQL as HASH_BALANCE_ORACLE,
+    NB_AUC_ORACLE_SQL as NB_AUC_ORACLE,
+    NORM_PROFILE_ORACLE_SQL as NORM_PROFILE_ORACLE,
+    PARETO_ORACLE_SQL as PARETO_ORACLE,
+    SOURCE_JS_ORACLE_SQL as SOURCE_JS_ORACLE,
+    TOP_PATHS_ORACLE_SQL as TOP_PATHS_ORACLE,
 )
 
-FK_ORPHANS_ORACLE = r"""
-WITH r1 AS (
-  SELECT 'lineitem->orders' AS relation,
-         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
-         CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
-           AS BIGINT) AS n_null_keys,
-         CAST((SELECT COUNT(*) FROM lineitem c
-               WHERE c.l_orderkey IS NOT NULL
-                 AND NOT EXISTS (SELECT 1 FROM orders p
-                                 WHERE p.o_orderkey = c.l_orderkey))
-           AS BIGINT) AS n_orphans
-),
-r2 AS (
-  SELECT 'lineitem->part' AS relation,
-         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
-         CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL)
-           AS BIGINT) AS n_null_keys,
-         CAST((SELECT COUNT(*) FROM lineitem c
-               WHERE c.l_partkey IS NOT NULL
-                 AND NOT EXISTS (SELECT 1 FROM part p
-                                 WHERE p.p_partkey = c.l_partkey))
-           AS BIGINT) AS n_orphans
-),
-r3 AS (
-  SELECT 'orders->customer' AS relation,
-         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
-         CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
-           AS BIGINT) AS n_null_keys,
-         CAST((SELECT COUNT(*) FROM orders c
-               WHERE c.o_custkey IS NOT NULL
-                 AND NOT EXISTS (SELECT 1 FROM customer p
-                                 WHERE p.c_custkey = c.o_custkey))
-           AS BIGINT) AS n_orphans
-),
-r4 AS (
-  SELECT 'orders->customer(sim_lost_10pct)' AS relation,
-         CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child,
-         CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
-           AS BIGINT) AS n_null_keys,
-         CAST((SELECT COUNT(*) FROM orders c
-               WHERE c.o_custkey IS NOT NULL
-                 AND NOT EXISTS (SELECT 1 FROM customer p
-                                 WHERE p.c_custkey % 10 <> 7
-                                   AND p.c_custkey = c.o_custkey))
-           AS BIGINT) AS n_orphans
-),
-u AS (
-  SELECT * FROM r1 UNION ALL SELECT * FROM r2
-  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
-)
-SELECT relation, n_child, n_null_keys, n_orphans,
-       CASE WHEN n_child > 0
-            THEN round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
-            ELSE 0.0 END AS orphan_rate
-FROM u ORDER BY relation
-"""
 
 
 @pytest.fixture(
@@ -1305,7 +1258,7 @@ def star_con(request):
 
 
 def test_fk_orphan_audit_matches_oracle(spark, star_con):
-    """STAGED r13: referential-integrity orphan card over three real
+    """Registered r11 (fourth wave): referential-integrity orphan card over three real
     star-schema relations plus one simulated 10%-parent-loss relation
     (so the non-zero path is exercised at corpus scale) — value-locked
     at both scales BEFORE registration."""
@@ -1342,30 +1295,10 @@ def test_fk_orphan_audit_matches_oracle(spark, star_con):
     assert by_rel["orders->customer(sim_lost_10pct)"][3] > 0
 
 
-TOP_PATHS_ORACLE = r"""
-WITH p AS (
-  SELECT event_type AS t1,
-         lead(event_type, 1) OVER w AS t2,
-         lead(event_type, 2) OVER w AS t3
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-c AS (
-  SELECT t1 || '>' || t2 || '>' || t3 AS path,
-         CAST(COUNT(*) AS BIGINT) AS n_occurrences
-  FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
-  GROUP BY 1
-),
-tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS t FROM c)
-SELECT path, n_occurrences,
-       round(CAST(n_occurrences AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
-FROM c CROSS JOIN tot
-ORDER BY n_occurrences DESC, path ASC LIMIT 20
-"""
 
 
 def test_top_event_paths_matches_oracle(spark, ev_con):
-    """STAGED r13: most-frequent 3-step event-type paths across user
+    """Registered r11 (fourth wave): most-frequent 3-step event-type paths across user
     streams with their share of all paths — value-locked at both
     scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.events_etl import (
@@ -1383,40 +1316,10 @@ def test_top_event_paths_matches_oracle(spark, ev_con):
     assert srows[0][1] >= srows[-1][1]
 
 
-ADAMIC_ORACLE = f"""
-WITH {_COACT_SQL_R13},
-sym AS (
-  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
-),
-deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
-mid AS (
-  SELECT u AS m,
-         1.0 / (CAST(CAST(round(ln(CAST(d AS DOUBLE)) * 1e9) AS BIGINT)
-                AS DOUBLE) / 1e9) AS w_aa
-  FROM deg WHERE d >= 2
-),
-pairs AS (
-  SELECT s1.u AS ua, s2.u AS ub,
-         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
-         SUM(CAST(mid.w_aa AS DECIMAL(30,10))) AS aa
-  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
-  JOIN mid ON mid.m = s1.w
-  GROUP BY 1, 2
-),
-nonedge AS (
-  SELECT p.* FROM pairs p
-  WHERE NOT EXISTS (SELECT 1 FROM edges e
-                    WHERE e.ua = p.ua AND e.ub = p.ub)
-)
-SELECT ua, ub, common_neighbors,
-       round(CAST(aa AS DOUBLE), 6) AS adamic_adar
-FROM nonedge
-ORDER BY adamic_adar DESC, ua ASC, ub ASC LIMIT 10
-"""
 
 
 def test_adamic_adar_matches_oracle(spark, ev_con):
-    """STAGED r13: Adamic-Adar link prediction over the SHARED
+    """Registered r11 (fourth wave): Adamic-Adar link prediction over the SHARED
     co-activity graph (rarity-weighted shared neighbors) —
     value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.graph import (
@@ -1437,52 +1340,10 @@ def test_adamic_adar_matches_oracle(spark, ev_con):
     assert all(r[3] > 0 for r in srows)
 
 
-SOURCE_JS_ORACLE = r"""
-WITH counts AS (
-  SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
-    SELECT source AS s,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-    FROM documents
-  ) GROUP BY s, tok
-),
-totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY s),
-vocab AS (SELECT DISTINCT tok FROM counts),
-grid AS (
-  SELECT v.tok, tt.s, tt.t, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
-  FROM vocab v CROSS JOIN totals tt
-  LEFT JOIN counts c ON c.s = tt.s AND c.tok = v.tok
-),
-pairs AS (
-  SELECT a.s AS source_a, b.s AS source_b, a.t AS ta, b.t AS tb,
-         CAST(a.c AS DOUBLE) / CAST(a.t AS DOUBLE) AS p,
-         CAST(b.c AS DOUBLE) / CAST(b.t AS DOUBLE) AS q
-  FROM grid a JOIN grid b ON a.tok = b.tok AND a.s < b.s
-),
-terms AS (
-  SELECT source_a, source_b, ta, tb,
-         CAST(((CASE WHEN p > 0
-                THEN p * (CAST(CAST(round(ln(p / ((p + q) / 2)) * 1e9)
-                     AS BIGINT) AS DOUBLE) / 1e9)
-                ELSE 0.0 END)
-             + (CASE WHEN q > 0
-                THEN q * (CAST(CAST(round(ln(q / ((p + q) / 2)) * 1e9)
-                     AS BIGINT) AS DOUBLE) / 1e9)
-                ELSE 0.0 END)) / 2 AS DECIMAL(30,10)) AS term
-  FROM pairs
-),
-agg AS (
-  SELECT source_a, source_b, ta, tb,
-         round(CAST(SUM(term) AS DOUBLE), 6) AS js_divergence
-  FROM terms GROUP BY source_a, source_b, ta, tb
-)
-SELECT source_a, source_b, ta AS n_tokens_a, tb AS n_tokens_b,
-       js_divergence, round(sqrt(js_divergence), 6) AS js_distance
-FROM agg ORDER BY source_a, source_b
-"""
 
 
 def test_source_vocab_js_matches_oracle(spark, sf_con):
-    """STAGED r13: pairwise Jensen-Shannon divergence between
+    """Registered r11 (fourth wave): pairwise Jensen-Shannon divergence between
     per-source unigram distributions (the corpus-mixture distance
     matrix) — value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.text_analysis import (
@@ -1500,54 +1361,8 @@ def test_source_vocab_js_matches_oracle(spark, sf_con):
     assert all(0.0 < r[4] <= 0.693148 for r in srows)
 
 
-NB_AUC_ORACLE = (
-    _NB_SQL_R13.split("best AS (")[0]
-    + """ranked AS (
-  SELECT doc_id, cand, score, row_number() OVER (
-    PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
-  FROM per_doc
-),
-truth AS (
-  SELECT doc_id, lang AS truth FROM documents WHERE doc_id % 5 = 0
-),
-mult AS (
-  SELECT (b.score - s.score) // 10000000 AS mq,
-         CAST(SUM(CASE WHEN b.cand = t.truth THEN 1 ELSE 0 END)
-           AS BIGINT) AS pos,
-         CAST(SUM(CASE WHEN b.cand = t.truth THEN 0 ELSE 1 END)
-           AS BIGINT) AS neg
-  FROM ranked b
-  JOIN ranked s ON s.doc_id = b.doc_id AND s.rk = 2
-  JOIN truth t ON t.doc_id = b.doc_id
-  WHERE b.rk = 1
-  GROUP BY 1
-),
-blocks AS (
-  SELECT pos, neg,
-         CAST(COALESCE(SUM(neg) OVER (ORDER BY mq
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS neg_below
-  FROM mult
-),
-pn AS (
-  SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
-  FROM mult
-),
-u AS (
-  SELECT SUM(CAST(pos * (2 * neg_below + neg) AS DECIMAL(38,0))) AS u2
-  FROM blocks
-)
-SELECT pn.p AS n_correct, pn.n AS n_incorrect,
-       round(CAST(u2 AS DOUBLE)
-             / (2.0 * CAST(pn.p AS DOUBLE) * CAST(pn.n AS DOUBLE)), 6)
-         AS auc
-FROM u CROSS JOIN pn
-"""
-)
-
-
 def test_nb_margin_auc_matches_oracle(spark, sf_con):
-    """STAGED r13: tie-aware Mann-Whitney AUC of the NB decision
+    """Registered r11 (fourth wave): tie-aware Mann-Whitney AUC of the NB decision
     margin as a confidence signal, computed scale-safe over the
     centi-quantized margin multiplicity table (shares the registered
     NB model CTEs verbatim) — value-locked at both scales BEFORE
@@ -1568,47 +1383,10 @@ def test_nb_margin_auc_matches_oracle(spark, sf_con):
         assert srow[0][2] > 0.5
 
 
-NORM_PROFILE_ORACLE = r"""
-WITH el AS (
-  SELECT vec_id, label, unnest(embedding) AS x FROM embeddings
-),
-n2 AS (
-  SELECT vec_id, label,
-         CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12
-                + 0.5) AS BIGINT)) AS BIGINT) AS pico
-  FROM el GROUP BY vec_id, label
-),
-stats AS (
-  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         SUM(CAST(pico AS DECIMAL(19,0))) AS s1,
-         SUM(CAST(pico AS DECIMAL(19,0)) * CAST(pico AS DECIMAL(19,0)))
-           AS s2
-  FROM n2 GROUP BY label
-),
-ms AS (
-  SELECT label, n_vecs,
-         CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mu,
-         sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_vecs AS DOUBLE)
-              - (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE))
-                * (CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE)), 0.0))
-           AS sig
-  FROM stats
-)
-SELECT ms.label, n_vecs,
-       round(sqrt(mu / 1e12), 6) AS rms_norm,
-       round(sig / 1e12, 6) AS std_norm2,
-       CAST(SUM(CASE WHEN CAST(pico AS DOUBLE) < mu - 3.0 * sig
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-       CAST(SUM(CASE WHEN CAST(pico AS DOUBLE) > mu + 3.0 * sig
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-FROM n2 JOIN ms USING (label)
-GROUP BY ms.label, n_vecs, mu, sig
-ORDER BY 1
-"""
 
 
 def test_norm_profile_matches_oracle(spark, emb_con):
-    """STAGED r13: per-label embedding norm profile on the exact
+    """Registered r11 (fourth wave): per-label embedding norm profile on the exact
     integer pico scale (RMS norm, std of the squared norm, z-tail
     counts) — value-locked at both scales BEFORE registration. The
     pico construction is the point: a unit-normalized corpus has
@@ -1627,41 +1405,18 @@ def test_norm_profile_matches_oracle(spark, emb_con):
     assert all(abs(r[2] - 1.0) < 0.01 for r in srows)
 
 
-# --- STAGED for round 13: second batch ----------------------------------------
+# --- Round 11 registrations, fifth wave ----------------------------------------
 #
 # Four more: sampler-integrity (hash-split uniformity), dedup structure
 # (cluster-size histogram over a constructed duplicated corpus),
 # value concentration (Pareto ntile curve), and the drift kit's
-# categorical leg (chi-square homogeneity). Same two-scale locks.
+# categorical leg (chi-square homogeneity). Same two-scale locks,
+# applied BEFORE registration.
 
-HASH_BALANCE_ORACLE = """
-WITH b AS (
-  SELECT CAST(concat('0x', substr(md5('sample#' || CAST(doc_id AS VARCHAR)),
-         1, 15)) AS BIGINT) % 100 AS bucket
-  FROM documents
-),
-counts AS (
-  SELECT s.bucket, CAST(COALESCE(c.c, 0) AS BIGINT) AS c
-  FROM (SELECT unnest(generate_series(0, 99)) AS bucket) s
-  LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket) c
-    USING (bucket)
-),
-tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts)
-SELECT t AS n_rows, CAST(100 AS BIGINT) AS n_buckets,
-       round(CAST(SUM(CAST(
-         (CAST(c AS DOUBLE) - CAST(t AS DOUBLE) / 100.0)
-         * (CAST(c AS DOUBLE) - CAST(t AS DOUBLE) / 100.0)
-         / (CAST(t AS DOUBLE) / 100.0) AS DECIMAL(30,10))) AS DOUBLE), 6)
-         AS chi2,
-       round(MAX(abs(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) - 1.0 / 100.0)),
-             6) AS max_abs_dev_share
-FROM counts CROSS JOIN tot
-GROUP BY t
-"""
 
 
 def test_hash_split_balance_matches_oracle(spark, sf_con):
-    """STAGED r13 (batch 2): chi-square uniformity audit of the
+    """Registered r11 (fifth wave): chi-square uniformity audit of the
     100-bucket md5 hash split over doc_id — value-locked at both
     scales BEFORE registration. The synthetic corpus's keys must
     audit as uniform (chi2 far below the ~149 p=0.001 cut for 99 df).
@@ -1680,38 +1435,10 @@ def test_hash_split_balance_matches_oracle(spark, sf_con):
     assert srow[0][2] < 149.0  # uniform split passes its own audit
 
 
-CLUSTER_HIST_ORACLE = r"""
-WITH corpus AS (
-  SELECT text FROM documents
-  UNION ALL
-  SELECT text FROM documents WHERE doc_id % 7 = 0
-),
-sizes AS (
-  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
-  FROM corpus GROUP BY md5(text)
-),
-hist AS (
-  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
-  FROM sizes GROUP BY cluster_size
-),
-tot AS (
-  SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS docs,
-         CAST(SUM(n_clusters) AS BIGINT) AS clusters
-  FROM hist
-)
-SELECT cluster_size, n_clusters,
-       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
-       round(CAST(cluster_size * n_clusters AS DOUBLE)
-             / CAST(docs AS DOUBLE), 6) AS doc_share,
-       round(CAST(docs - clusters AS DOUBLE) / CAST(docs AS DOUBLE), 6)
-         AS dedup_savings_share
-FROM hist CROSS JOIN tot
-ORDER BY cluster_size
-"""
 
 
 def test_cluster_size_histogram_matches_oracle(spark, sf_con):
-    """STAGED r13 (batch 2): exact-duplicate cluster-size histogram
+    """Registered r11 (fifth wave): exact-duplicate cluster-size histogram
     over a CONSTRUCTED duplicated corpus (docs ∪ every-7th doc — the
     synthetic corpus alone has no exact dupes, and a histogram of all
     1s locks nothing) — value-locked at both scales BEFORE
@@ -1735,45 +1462,10 @@ def test_cluster_size_histogram_matches_oracle(spark, sf_con):
     assert 0.0 < srows[0][4] < 1.0  # real savings, not degenerate
 
 
-PARETO_ORACLE = r"""
-WITH rev AS (
-  SELECT o_custkey AS k,
-         CAST(SUM(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
-              AS BIGINT)) AS BIGINT) AS cents
-  FROM orders
-  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
-    AND NOT isnan(o_totalprice)
-  GROUP BY o_custkey
-),
-tiled AS (
-  SELECT k, cents,
-         ntile(10) OVER (ORDER BY cents DESC, k ASC) AS tile
-  FROM rev
-),
-per AS (
-  SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_keys,
-         CAST(SUM(cents) AS BIGINT) AS value_cents
-  FROM tiled GROUP BY tile
-),
-tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM per),
-cum AS (
-  SELECT tile, n_keys, value_cents,
-         CAST(SUM(value_cents) OVER (ORDER BY tile
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS cum_cents
-  FROM per
-)
-SELECT tile, n_keys, value_cents,
-       round(CAST(value_cents AS DOUBLE) / CAST(t AS DOUBLE), 6)
-         AS value_share,
-       round(CAST(cum_cents AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
-FROM cum CROSS JOIN tot
-ORDER BY tile
-"""
 
 
 def test_pareto_revenue_curve_matches_oracle(spark, ord_con):
-    """STAGED r13 (batch 2): customer-revenue Pareto decile curve
+    """Registered r11 (fifth wave): customer-revenue Pareto decile curve
     (exact integer cents, exact_ntile cut = SQL ntile) — value-locked
     at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.skew import (
@@ -1797,65 +1489,10 @@ def test_pareto_revenue_curve_matches_oracle(spark, ord_con):
     assert srows[-1][4] == 1.0
 
 
-CHI2_CAT_ORACLE = r"""
-WITH b AS (
-  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_base
-  FROM events WHERE day(ts) <= 15 AND event_type IS NOT NULL
-  GROUP BY 1
-),
-c AS (
-  SELECT event_type AS category, CAST(COUNT(*) AS BIGINT) AS n_current
-  FROM events WHERE day(ts) > 15 AND event_type IS NOT NULL
-  GROUP BY 1
-),
-m AS (
-  SELECT COALESCE(b.category, c.category) AS category,
-         CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
-         CAST(COALESCE(n_current, 0) AS BIGINT) AS n_current
-  FROM b FULL OUTER JOIN c ON b.category = c.category
-),
-tot AS (
-  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
-         CAST(SUM(n_current) AS BIGINT) AS tc,
-         CAST(COUNT(*) AS BIGINT) AS k
-  FROM m
-),
-terms AS (
-  SELECT category, n_base, n_current,
-         (CAST(n_base AS DOUBLE)
-          - CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
-            / CAST(tb + tc AS DOUBLE))
-         * (CAST(n_base AS DOUBLE)
-          - CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
-            / CAST(tb + tc AS DOUBLE))
-         / (CAST(n_base + n_current AS DOUBLE) * CAST(tb AS DOUBLE)
-            / CAST(tb + tc AS DOUBLE))
-         + (CAST(n_current AS DOUBLE)
-          - CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
-            / CAST(tb + tc AS DOUBLE))
-         * (CAST(n_current AS DOUBLE)
-          - CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
-            / CAST(tb + tc AS DOUBLE))
-         / (CAST(n_base + n_current AS DOUBLE) * CAST(tc AS DOUBLE)
-            / CAST(tb + tc AS DOUBLE)) AS contrib,
-         k
-  FROM m CROSS JOIN tot
-),
-chi AS (
-  SELECT round(CAST(SUM(CAST(contrib AS DECIMAL(30,10))) AS DOUBLE), 6)
-    AS chi2
-  FROM terms
-)
-SELECT category, n_base, n_current,
-       round(contrib, 6) AS chi2_contrib, chi.chi2,
-       CAST(k - 1 AS BIGINT) AS dof
-FROM terms CROSS JOIN chi
-ORDER BY category
-"""
 
 
 def test_chi2_categorical_matches_oracle(spark, ev_con):
-    """STAGED r13 (batch 2): chi-square homogeneity of the event-type
+    """Registered r11 (fifth wave): chi-square homogeneity of the event-type
     mix between the first- and second-half-of-month (the drift kit's
     categorical leg) — value-locked at both scales BEFORE
     registration."""
