@@ -83,3 +83,77 @@ def fk_orphan_audit(
     for c in cards[1:]:
         out = out.unionAll(c)
     return out.orderBy("relation")
+
+
+def uniqueness_audit(
+    relations: list[tuple[str, DataFrame, list[str]]],
+) -> DataFrame:
+    """Candidate-KEY uniqueness audit: for each (name, table,
+    key_columns), how many rows exist, how many distinct non-NULL
+    keys, how many keys are violated (appear more than once) and by
+    how many excess rows — the dq card that certifies primary-key /
+    natural-key assumptions BEFORE a merge/upsert or a dedup pass
+    silently relies on them (a violated merge key = lost updates; a
+    violated dedup key = over-deletion). Keys with any NULL component
+    are counted separately (``n_null_keys``) — a NULL key is a
+    different defect than a duplicate one.
+
+    STAGED for round-12 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: pure exact integer counts (one groupBy per key +
+    bounded rollups); ``is_unique`` is a boolean of those counts.
+    Scale shape: per relation, ONE map-side-combined groupBy on the
+    key columns into a 1-row rollup — the same single-exchange
+    posture as exact dedup; the card is a union of 1-row frames.
+    Returns one row per relation: (candidate_key, n_rows,
+    n_null_keys, n_distinct_keys, n_violating_keys, n_excess_rows,
+    is_unique), ordered by candidate_key.
+    """
+    if not relations:
+        raise ValueError("uniqueness_audit: at least one relation required")
+    cards = []
+    for name, df, keys in relations:
+        nonnull = F.lit(True)
+        for k in keys:
+            nonnull = nonnull & F.col(k).isNotNull()
+        per_key = (
+            df.select(
+                *[F.col(k) for k in keys], nonnull.alias("_ok")
+            )
+            .filter(F.col("_ok"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        key_stats = per_key.agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("_nn"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+            F.coalesce(F.sum((F.col("_c") > 1).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_excess_rows"),
+        )
+        totals = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        card = (
+            totals.crossJoin(F.broadcast(key_stats))
+            .select(
+                F.lit(name).alias("candidate_key"),
+                "n_rows",
+                (F.col("n_rows") - F.col("_nn")).cast("long").alias(
+                    "n_null_keys"
+                ),
+                "n_distinct_keys",
+                "n_violating_keys",
+                "n_excess_rows",
+                (F.col("n_violating_keys") == 0).alias("is_unique"),
+            )
+        )
+        cards.append(card)
+    out = cards[0]
+    for c in cards[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("candidate_key")

@@ -746,3 +746,93 @@ def chi2_categorical(
         )
         .orderBy("category")
     )
+
+
+def daily_autocorr_lag1(
+    df: DataFrame, value_col: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of the DAILY-MEAN series of one
+    numeric column — the time-structure probe the drift kit's
+    between-snapshot tests (PSI/KS/JS/χ²) and level-shift detector
+    (CUSUM) both miss: r₁ ≈ 0 says days are independent (healthy
+    event flow), r₁ → 1 says strong day-over-day momentum (backfill
+    waves, quota ramps), r₁ < 0 says alternation (retry storms,
+    batch-everything-on-even-days). The first number a
+    forecasting/anomaly layer checks before trusting a daily model.
+
+    STAGED for round-12 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: daily means come from exact decimal sums of
+    the raw values over exact day counts (one double division per
+    day); consecutive-day pairs form by ONE lag over the
+    CALENDAR-BOUNDED daily table (bounded-window allowlist class);
+    the Pearson moments (Σa, Σb, Σab, Σa², Σb²) accumulate those
+    identical doubles through the decimal summator; the final r is a
+    fixed-order double tree, 6-dp rounded. NULL/NaN values are
+    excluded; fewer than 3 days (< 2 pairs) raises — a correlation of
+    one pair is ±1 by construction and would read as extreme drift.
+
+    Scale shape: one narrow map + ONE map-side-combined daily groupBy;
+    everything after runs on the checkpointed days table. Returns one
+    row: (n_days, n_pairs, autocorr_lag1).
+    """
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("d"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_v").cast(ACC_DECIMAL)).alias("_s"),
+        )
+        .select(
+            "d",
+            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
+                "x"
+            ),
+        )
+        .localCheckpoint(eager=True)  # bounded: calendar days
+    )
+    n_days = daily.count()
+    if n_days < 3:
+        raise ValueError(
+            f"daily_autocorr_lag1: need >= 3 days, got {n_days} — a "
+            "single-pair correlation is ±1 by construction"
+        )
+    w = Window.orderBy("d")
+    pairs = (
+        daily.withColumn("y", F.lead("x").over(w))
+        .filter(F.col("y").isNotNull())
+        .select("x", "y")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(ACC_DECIMAL)).alias("sa"),
+        F.sum(F.col("y").cast(ACC_DECIMAL)).alias("sb"),
+        F.sum((F.col("x") * F.col("y")).cast(ACC_DECIMAL)).alias("sab"),
+        F.sum((F.col("x") * F.col("x")).cast(ACC_DECIMAL)).alias("saa"),
+        F.sum((F.col("y") * F.col("y")).cast(ACC_DECIMAL)).alias("sbb"),
+    ).localCheckpoint(eager=True)  # 1 row; guard + result share it
+    g = mom.collect()[0]
+    da = float(g["n"]) * float(g["saa"]) - float(g["sa"]) * float(g["sa"])
+    db = float(g["n"]) * float(g["sbb"]) - float(g["sb"]) * float(g["sb"])
+    if da <= 0.0 or db <= 0.0:
+        raise ValueError(
+            "daily_autocorr_lag1: a constant daily series has no "
+            "defined autocorrelation (zero variance on one side)"
+        )
+    n = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    r = (n * sab - sa * sb) / F.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    return mom.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(r, 6).alias("autocorr_lag1"),
+    )

@@ -9,7 +9,7 @@ where noted.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from etl_developstoday_test_spark.functions import (
     let,
@@ -1652,3 +1652,118 @@ def source_vocab_js(docs: DataFrame) -> DataFrame:
         "js_divergence",
         F.round(F.sqrt(F.col("js_divergence")), 6).alias("js_distance"),
     ).orderBy("source_a", "source_b")
+
+
+def heaps_law_fit(
+    docs: DataFrame, n_buckets: int = 10, shingle_n: int = 3
+) -> DataFrame:
+    """Heaps'-law TYPE-INVENTORY GROWTH curve + log-log slope: distinct
+    type count V(N) at 10 nested corpus prefixes (deterministic md5
+    doc buckets), with the fitted exponent β of V = K·N^β — the
+    corpus-diversity number a scaling review reads: β drifting toward
+    0 as the corpus grows means new data is re-treading old material
+    (a dedup/diversity problem the per-pair dedup metrics can't
+    summarize), β near 1 means noise (every doc invents strings). The
+    type unit is the ``shingle_n``-word shingle: Heaps holds for any
+    type inventory, and the n-gram inventory keeps discriminating
+    long after a small closed word vocabulary saturates (the word
+    curve on a template-generated corpus is a flat line — measured:
+    31 types, β = 0).
+
+    STAGED for round-12 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Scale-safety is the construction: V(N) at k prefixes is NOT k
+    distinct-counts over k sub-corpora — each token keeps its MINIMUM
+    doc-bucket (one groupBy over the token explode), so the whole
+    curve falls out of a FIRST-SEEN-bucket histogram of ≤ n_buckets
+    rows, cumulated by a bounded window; prefix token totals come from
+    the per-bucket token counts the same way. One tokenize pass total.
+
+    Determinism: exact integer counts; lnq-quantized logs; the
+    least-squares slope β = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) accumulates over
+    the ≤ n_buckets points through the decimal summator into a
+    fixed-order double tree, 6-dp rounded. Returns one row per prefix:
+    (prefix_bucket, n_ngrams, vocab_size, heaps_beta) — β repeated per
+    row like the LPA modularity.
+    """
+    base = docs.select(
+        (
+            md5_long(
+                F.concat(F.lit("heaps#"), F.col("doc_id").cast("string"))
+            )
+            % n_buckets
+        ).alias("bucket"),
+        F.explode(
+            word_shingles(tokens(F.col("text")), shingle_n)
+        ).alias("tok"),
+    ).localCheckpoint(eager=True)  # ONE shingling pass, two consumers
+    first_seen = (
+        base.groupBy("tok")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    per_bucket = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("toks")
+    )
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        spine.join(first_seen, spine["bucket"] == first_seen["fb"], "left")
+        .join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_vocab", F.lit(0)).alias("_nv"),
+            F.coalesce("toks", F.lit(0)).alias("_tk"),
+        )
+        .withColumn("vocab_size", F.sum("_nv").over(w).cast("long"))
+        .withColumn("n_ngrams", F.sum("_tk").over(w).cast("long"))
+        .filter((F.col("n_ngrams") > 0) & (F.col("vocab_size") > 0))
+        .select("bucket", "n_ngrams", "vocab_size")
+        .localCheckpoint(eager=True)  # bounded: <= n_buckets rows
+    )
+    # a slope needs >= 2 DISTINCT x points: a one-doc corpus fills the
+    # cumulative spine with identical rows, and a constant x makes the
+    # least-squares denominator exactly 0 (ANSI division error)
+    if curve.select("n_ngrams").distinct().count() < 2:
+        raise ValueError(
+            "heaps_law_fit: need >= 2 non-empty prefixes to fit a slope"
+        )
+
+    def lnq(c: Column) -> Column:
+        return F.round(F.log(c) * 1e9).cast("long").cast("double") / 1e9
+
+    pts = curve.select(
+        lnq(F.col("n_ngrams").cast("double")).alias("x"),
+        lnq(F.col("vocab_size").cast("double")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,10)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,10)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    beta = mom.select(
+        F.round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        ).alias("heaps_beta")
+    )
+    return (
+        curve.crossJoin(F.broadcast(beta))
+        .select(
+            F.col("bucket").alias("prefix_bucket"),
+            "n_ngrams",
+            "vocab_size",
+            "heaps_beta",
+        )
+        .orderBy("prefix_bucket")
+    )

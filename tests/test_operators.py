@@ -2955,3 +2955,86 @@ def test_chi2_categorical_identical_disjoint_and_raises(spark):
     empty = spark.createDataFrame([(None,)], "c string")
     with pytest.raises(ValueError, match="empty side"):
         chi2_categorical(a, empty, "c")
+
+
+def test_uniqueness_audit_constructed(spark):
+    """Hand-computed card: 6 rows, one NULL-component key, one doubled
+    key -> n_distinct 3, one violating key, one excess row; empty
+    relation list raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.dq import uniqueness_audit
+
+    rows = [(1, "a"), (1, "a"), (2, "b"), (3, "c"), (None, "d"), (4, None)]
+    df = spark.createDataFrame(rows, "k1 long, k2 string")
+    got = tuple(
+        uniqueness_audit([("t.(k1,k2)", df, ["k1", "k2"])]).collect()[0]
+    )
+    assert got == ("t.(k1,k2)", 6, 2, 3, 1, 1, False)
+    clean = spark.createDataFrame([(1,), (2,)], "k long")
+    r = uniqueness_audit([("c.k", clean, ["k"])]).collect()[0]
+    assert r["is_unique"] is True and r["n_excess_rows"] == 0
+    with pytest.raises(ValueError, match="at least one relation"):
+        uniqueness_audit([])
+
+
+def test_daily_autocorr_constructed(spark):
+    """A linear daily ramp pins r = +1 exactly; a two-level alternator
+    pins r = -1; constant series and < 3 days raise."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def series(vals):
+        return spark.createDataFrame(
+            [(t0 + timedelta(days=i), float(v)) for i, v in enumerate(vals)],
+            "ts timestamp, value double",
+        )
+
+    up = daily_autocorr_lag1(series([1, 2, 3, 4, 5, 6]), "value").collect()[0]
+    assert tuple(up) == (6, 5, 1.0)
+    alt = daily_autocorr_lag1(
+        series([1, 9, 1, 9, 1, 9]), "value"
+    ).collect()[0]
+    assert alt["autocorr_lag1"] == -1.0
+    with pytest.raises(ValueError, match="constant daily series"):
+        daily_autocorr_lag1(series([5, 5, 5, 5]), "value")
+    with pytest.raises(ValueError, match=">= 3 days"):
+        daily_autocorr_lag1(series([1, 2]), "value")
+
+
+def test_heaps_law_fit_diverse_vs_duplicated(spark):
+    """An all-unique-trigram corpus fits beta near 1 (every n-gram is
+    new); a corpus of one repeated text saturates immediately (beta
+    near 0); the curve is monotone; a single-prefix corpus raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        heaps_law_fit,
+    )
+
+    diverse = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    dv = heaps_law_fit(diverse).collect()
+    assert dv[0]["heaps_beta"] > 0.9
+    dup = spark.createDataFrame(
+        [(i, "same old text again and again") for i in range(200)],
+        "doc_id long, text string",
+    )
+    dp = heaps_law_fit(dup).collect()
+    assert dp[0]["heaps_beta"] < 0.1
+    for rows in (dv, dp):
+        nt = [r["n_ngrams"] for r in rows]
+        vs = [r["vocab_size"] for r in rows]
+        assert nt == sorted(nt) and vs == sorted(vs)
+    one = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty prefixes"):
+        heaps_law_fit(one)

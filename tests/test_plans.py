@@ -1492,3 +1492,50 @@ def test_chi2_categorical_bounded_tail(spark):
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
     assert "Window" not in plan
+
+
+def test_uniqueness_audit_single_exchange_per_relation(spark):
+    """uniqueness_audit (staged r12): one map-side-combined groupBy on
+    the key columns per relation, no cartesian shapes, and the card is
+    1-row aggregates only."""
+    from etl_developstoday_test_spark.operators.dq import uniqueness_audit
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _staged_plan(
+        uniqueness_audit(
+            [("li", li, ["l_orderkey", "l_linenumber"])]
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_daily_autocorr_bounded_tail(spark):
+    """daily_autocorr_lag1 (staged r12): the daily table is
+    checkpointed (calendar-bounded) and the moments collapse to a
+    checkpointed 1-row frame — no corpus stage in the returned plan."""
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    out = daily_autocorr_lag1(load_table(spark, SF_DIR, "events"), "value")
+    plan = _staged_plan(out)
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_heaps_fit_bounded_tail_single_shingle_pass(spark):
+    """heaps_law_fit (staged r12): the shingle explode is checkpointed
+    (one corpus pass feeds both the first-seen and per-bucket
+    consumers) and the curve is a checkpointed <= n_buckets table —
+    the returned plan has no parquet stage."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        heaps_law_fit,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(heaps_law_fit(docs))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

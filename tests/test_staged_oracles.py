@@ -1248,7 +1248,7 @@ from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
 )
 def star_con(request):
     c = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "part"]:
+    for t in ["lineitem", "orders", "customer", "part", "documents"]:
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{request.param}/{t}.parquet'"
@@ -1516,3 +1516,242 @@ def test_chi2_categorical_matches_oracle(spark, ev_con):
     assert len(srows) >= 2
     # contributions are non-negative and dof = k-1 on every row
     assert all(r[3] >= 0.0 and r[5] == len(srows) - 1 for r in srows)
+
+
+# --- STAGED for round 12 (post-registration refill) ----------------------------
+#
+# The r11 window is full (28 first-rows + 22 rotation slots), so these
+# three wait for the r12 window — implemented + unit-tested now, twins
+# value-locked at sf0.001 AND sf0.01 here, registration next round.
+
+UNIQUENESS_ORACLE = r"""
+WITH rel AS (
+  SELECT 'documents.doc_id' AS candidate_key,
+         (SELECT COUNT(*) FROM documents) AS n_rows,
+         (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL)
+           AS n_null_keys,
+         (SELECT COUNT(*) FROM (SELECT doc_id FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY doc_id)) AS n_distinct_keys,
+         (SELECT COUNT(*) FROM (SELECT doc_id FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING COUNT(*) > 1))
+           AS n_violating_keys,
+         (SELECT COALESCE(SUM(c - 1), 0) FROM (
+            SELECT COUNT(*) AS c FROM documents WHERE doc_id IS NOT NULL
+            GROUP BY doc_id HAVING COUNT(*) > 1)) AS n_excess_rows
+  UNION ALL
+  SELECT 'lineitem.(l_orderkey,l_linenumber)',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IS NULL OR l_linenumber IS NULL),
+         (SELECT COUNT(*) FROM (SELECT 1 FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY l_orderkey, l_linenumber)),
+         (SELECT COUNT(*) FROM (SELECT 1 FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+         (SELECT COALESCE(SUM(c - 1), 0) FROM (
+            SELECT COUNT(*) AS c FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'orders.o_custkey(non-key control)',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+         (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey)),
+         (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+            HAVING COUNT(*) > 1)),
+         (SELECT COALESCE(SUM(c - 1), 0) FROM (
+            SELECT COUNT(*) AS c FROM orders WHERE o_custkey IS NOT NULL
+            GROUP BY o_custkey HAVING COUNT(*) > 1))
+)
+SELECT candidate_key, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null_keys AS BIGINT) AS n_null_keys,
+       CAST(n_distinct_keys AS BIGINT) AS n_distinct_keys,
+       CAST(n_violating_keys AS BIGINT) AS n_violating_keys,
+       CAST(n_excess_rows AS BIGINT) AS n_excess_rows,
+       n_violating_keys = 0 AS is_unique
+FROM rel ORDER BY candidate_key
+"""
+
+
+def test_uniqueness_audit_matches_oracle(spark, star_con):
+    """STAGED r12: candidate-key uniqueness card over two real keys
+    plus one deliberately non-unique control (orders.o_custkey) so the
+    violation path is exercised at corpus scale — value-locked at both
+    scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.dq import uniqueness_audit
+
+    sf_dir, con = star_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = uniqueness_audit(
+        [
+            ("documents.doc_id", docs, ["doc_id"]),
+            (
+                "lineitem.(l_orderkey,l_linenumber)",
+                li,
+                ["l_orderkey", "l_linenumber"],
+            ),
+            ("orders.o_custkey(non-key control)", orders, ["o_custkey"]),
+        ]
+    )
+    srows = [tuple(r) for r in out.collect()]
+    drows = con.execute(UNIQUENESS_ORACLE).fetchall()
+    assert srows == drows
+    by_k = {r[0]: r for r in srows}
+    assert by_k["documents.doc_id"][6] is True
+    # a real finding, locked: the SYNTHETIC lineitem does NOT enforce
+    # the TPC-H (l_orderkey, l_linenumber) composite key — exactly the
+    # assumption-check this audit exists for
+    li_row = by_k["lineitem.(l_orderkey,l_linenumber)"]
+    assert li_row[6] is False and li_row[5] > 0
+    ck = by_k["orders.o_custkey(non-key control)"]
+    assert ck[6] is False and ck[4] > 0
+
+
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def docstar_con(request):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{request.param}/documents.parquet'"
+    )
+    yield request.param, c
+    c.close()
+
+
+AUTOCORR_ORACLE = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT x, lead(x) OVER (ORDER BY d) AS y FROM daily
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sb,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS sbb
+  FROM pairs WHERE y IS NOT NULL
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sab - sa * sb)
+             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                    * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+         AS autocorr_lag1
+FROM mom
+"""
+
+
+def test_daily_autocorr_matches_oracle(spark, ev_con):
+    """STAGED r12: lag-1 Pearson autocorrelation of the daily-mean
+    value series — the drift kit's time-structure leg — value-locked
+    at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srow = [tuple(r) for r in daily_autocorr_lag1(ev, "value").collect()]
+    drow = con.execute(AUTOCORR_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    assert -1.0 <= srow[0][2] <= 1.0
+    assert srow[0][1] == srow[0][0] - 1  # consecutive calendar days
+
+
+HEAPS_ORACLE = r"""
+WITH base AS (
+  SELECT bucket, unnest(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS tok
+  FROM (
+    SELECT CAST(concat('0x', substr(md5('heaps#' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT) % 10 AS bucket,
+           regexp_split_to_array(trim(text), '\s+') AS arr
+    FROM documents
+  )
+),
+first_seen AS (
+  SELECT fb, CAST(COUNT(*) AS BIGINT) AS new_vocab
+  FROM (SELECT tok, MIN(bucket) AS fb FROM base GROUP BY tok)
+  GROUP BY fb
+),
+per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS toks FROM base GROUP BY bucket
+),
+curve AS (
+  SELECT s.bucket,
+         CAST(SUM(COALESCE(pb.toks, 0)) OVER (ORDER BY s.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_ngrams,
+         CAST(SUM(COALESCE(fs.new_vocab, 0)) OVER (ORDER BY s.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) s
+  LEFT JOIN first_seen fs ON fs.fb = s.bucket
+  LEFT JOIN per_bucket pb ON pb.bucket = s.bucket
+),
+pts AS (
+  SELECT CAST(CAST(round(ln(CAST(n_ngrams AS DOUBLE)) * 1e9) AS BIGINT)
+           AS DOUBLE) / 1e9 AS x,
+         CAST(CAST(round(ln(CAST(vocab_size AS DOUBLE)) * 1e9) AS BIGINT)
+           AS DOUBLE) / 1e9 AS y
+  FROM curve WHERE n_ngrams > 0 AND vocab_size > 0
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+  FROM pts
+),
+beta AS (
+  SELECT round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta
+  FROM mom
+)
+SELECT bucket AS prefix_bucket, n_ngrams, vocab_size, beta.heaps_beta
+FROM curve CROSS JOIN beta
+WHERE n_ngrams > 0 AND vocab_size > 0
+ORDER BY prefix_bucket
+"""
+
+
+def test_heaps_law_fit_matches_oracle(spark, docstar_con):
+    """STAGED r12: Heaps'-law vocabulary growth curve over 10 nested
+    md5 doc prefixes with the log-log least-squares exponent —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        heaps_law_fit,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in heaps_law_fit(docs).collect()]
+    drows = con.execute(HEAPS_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 10
+    # growth curve is monotone and the exponent is a real sublinear fit
+    nt = [r[1] for r in srows]
+    vs = [r[2] for r in srows]
+    assert nt == sorted(nt) and vs == sorted(vs)
+    assert 0.0 < srows[0][3] < 1.0
