@@ -2261,3 +2261,190 @@ def test_norm_profile_matches_sequential_reference(spark, vecs):
             )
         )
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_uniqueness_audit_matches_sequential_reference(spark, rows):
+    """The uniqueness card must equal a Counter reference on ANY key
+    multiset: NULL-component keys apart, exact distinct/violation/
+    excess counts."""
+    from collections import Counter
+
+    from etl_developstoday_test_spark.operators.dq import uniqueness_audit
+
+    df = spark.createDataFrame(rows, "k1 long, k2 long")
+    got = tuple(
+        uniqueness_audit([("r", df, ["k1", "k2"])]).collect()[0]
+    )
+    nonnull = [r for r in rows if r[0] is not None and r[1] is not None]
+    cnt = Counter(nonnull)
+    viol = [c for c in cnt.values() if c > 1]
+    want = (
+        "r",
+        len(rows),
+        len(rows) - len(nonnull),
+        len(cnt),
+        len(viol),
+        sum(c - 1 for c in viol),
+        len(viol) == 0,
+    )
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=100),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=3,
+        max_size=25,
+    ).filter(
+        # at least two distinct daily means on both pair sides
+        lambda days: len({sum(d) / len(d) for d in days[:-1]}) > 1
+        and len({sum(d) / len(d) for d in days[1:]}) > 1
+    )
+)
+def test_daily_autocorr_matches_sequential_reference(spark, vals):
+    """The lag-1 autocorrelation must equal a sequential reference
+    sharing the operator's arithmetic (decimal daily sums, decimal
+    moments, fixed-order Pearson tree) on ANY daily series, and sit in
+    [-1, 1]."""
+    import math
+    from datetime import datetime, timedelta
+    from decimal import Decimal
+
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (t0 + timedelta(days=i), float(v))
+        for i, day in enumerate(vals)
+        for v in day
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = tuple(daily_autocorr_lag1(ev, "value").collect()[0])
+
+    means = []
+    for day in vals:
+        s = sum((Decimal(float(v)).quantize(Decimal("1.0000000000"))
+                 for v in day), Decimal(0))
+        means.append(float(s) / float(len(day)))
+    pairs = list(zip(means, means[1:]))
+
+    def dsum10(xs):
+        return float(
+            sum(
+                (Decimal(x).quantize(Decimal("1.0000000000")) for x in xs),
+                Decimal(0),
+            )
+        )
+
+    n = float(len(pairs))
+    sa = dsum10([a for a, _ in pairs])
+    sb = dsum10([b for _, b in pairs])
+    sab = dsum10([a * b for a, b in pairs])
+    saa = dsum10([a * a for a, _ in pairs])
+    sbb = dsum10([b * b for _, b in pairs])
+    r = (n * sab - sa * sb) / math.sqrt(
+        (n * saa - sa * sa) * (n * sbb - sb * sb)
+    )
+    assert got == (len(vals), len(pairs), round(r, 6))
+    assert -1.0 <= got[2] <= 1.0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=9), min_size=3, max_size=10
+        ),
+        min_size=4,
+        max_size=40,
+    )
+)
+def test_heaps_fit_matches_sequential_reference(spark, docs):
+    """The Heaps curve must equal a hashlib-md5 sequential reference
+    (first-seen buckets, cumulative counts, quantized-log least
+    squares) on ANY corpus — or raise identically when fewer than two
+    distinct prefix points exist."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        heaps_law_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{w}" for w in ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"heaps#{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % 10
+
+    first_seen: dict[str, int] = {}
+    per_bucket = [0] * 10
+    for i, ws in enumerate(docs):
+        toks = [f"t{w}" for w in ws]
+        b = bucket(i)
+        for j in range(len(toks) - 2):
+            g = " ".join(toks[j : j + 3])
+            per_bucket[b] += 1
+            if g not in first_seen or first_seen[g] > b:
+                first_seen[g] = b
+    new_vocab = [0] * 10
+    for fb in first_seen.values():
+        new_vocab[fb] += 1
+    curve = []
+    nt = vs = 0
+    for b in range(10):
+        nt += per_bucket[b]
+        vs += new_vocab[b]
+        if nt > 0 and vs > 0:
+            curve.append((b, nt, vs))
+
+    if len({c[1] for c in curve}) < 2:
+        with pytest.raises(ValueError, match="non-empty prefixes"):
+            heaps_law_fit(df)
+        return
+    got = [tuple(r) for r in heaps_law_fit(df).collect()]
+
+    def lnq(x):
+        return round(math.log(x) * 1e9) / 1e9
+
+    pts = [(lnq(float(c[1])), lnq(float(c[2]))) for c in curve]
+
+    def dsum10(xs):
+        return float(
+            sum(
+                (Decimal(x).quantize(Decimal("1.0000000000")) for x in xs),
+                Decimal(0),
+            )
+        )
+
+    n = float(len(pts))
+    sx = dsum10([x for x, _ in pts])
+    sy = dsum10([y for _, y in pts])
+    sxy = dsum10([x * y for x, y in pts])
+    sxx = dsum10([x * x for x, _ in pts])
+    beta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert got == [(b, t, v, beta) for b, t, v in curve]
