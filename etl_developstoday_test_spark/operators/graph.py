@@ -1059,3 +1059,91 @@ def adamic_adar_link_prediction(
         .orderBy(F.desc("adamic_adar"), F.asc("ua"), F.asc("ub"))
         .limit(top_k)
     )
+
+
+def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
+    """LOCAL BRIDGES (Easley & Kleinberg ch. 3; Granovetter's weak
+    ties): edges whose endpoints share NO common neighbor — removing
+    one lengthens its endpoints' distance beyond 2, so these are the
+    only conduits between otherwise-separate neighborhoods. In a user
+    co-activity graph the high-degree local bridges are the
+    cross-community carriers a contamination audit watches and the
+    links a community-merging dedup step should NOT collapse; the
+    structural opposite of the triangle/clustering family (those count
+    closed wedges, this finds edges in none).
+
+    STAGED for round-12 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Exact integers end to end: common-neighbor counts per edge come
+    from the wedge self-join (the triangle family's machinery), the
+    bridge test is a LEFT ANTI against pairs with any wedge, degrees
+    attach by co-shuffling equi-joins (never a vertex-sized
+    broadcast), and bridge_share is ONE 6-dp division of exact longs —
+    so the (degree_sum DESC, ua ASC, ub ASC) top-k is a cross-engine
+    total order, with the audit-level share repeated per row.
+
+    Scale shape: symmetrize once (materialized — wedge sides + degree
+    table), ONE wedge self-join restricted to candidate pairs that ARE
+    edges (the distinct output is edge-bounded, not wedge-bounded),
+    one anti-join, TakeOrderedAndProject. Wedge-volume cost class,
+    bounded on the registered co-activity graphs by the per-cell cap.
+    ``edges`` must be distinct undirected pairs (ua < ub). Returns
+    top_k rows: (ua, ub, degree_sum, n_bridges, bridge_share).
+    """
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    left = sym.select(F.col("w").alias("_m"), F.col("u").alias("ua"))
+    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
+    closed = (
+        left.join(right, "_m")
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()  # pairs with >= 1 common neighbor
+    )
+    bridges = edges.select("ua", "ub").join(
+        closed, ["ua", "ub"], "left_anti"
+    )
+    counts = (
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(
+                bridges.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_bridges")
+                )
+            )
+        )
+        .select(
+            "n_bridges",
+            F.round(
+                F.col("n_bridges").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("bridge_share"),
+        )
+    )
+    with_deg = (
+        bridges.join(
+            deg.select(F.col("u").alias("ua"), F.col("d").alias("_da")),
+            "ua",
+        )
+        .join(
+            deg.select(F.col("u").alias("ub"), F.col("d").alias("_db")),
+            "ub",
+        )
+        .select(
+            "ua",
+            "ub",
+            (F.col("_da") + F.col("_db")).cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        with_deg.crossJoin(F.broadcast(counts))
+        .orderBy(F.desc("degree_sum"), F.asc("ua"), F.asc("ub"))
+        .limit(top_k)
+        .select("ua", "ub", "degree_sum", "n_bridges", "bridge_share")
+    )

@@ -3038,3 +3038,17 @@ def test_heaps_law_fit_diverse_vs_duplicated(spark):
     one = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty prefixes"):
         heaps_law_fit(one)
+
+
+def test_local_bridges_fixture(spark):
+    """Triangle edges are never local bridges; a pendant on the
+    triangle and an isolated path are; degree sums and the share are
+    exact."""
+    from etl_developstoday_test_spark.operators.graph import local_bridges
+
+    # triangle 1-2-3, pendant 3-4, path 10-11
+    e = [(1, 2), (1, 3), (2, 3), (3, 4), (10, 11)]
+    edges = spark.createDataFrame(e, "ua long, ub long")
+    got = [tuple(r) for r in local_bridges(edges, top_k=10).collect()]
+    # bridges: (3,4) deg 3+1=4; (10,11) deg 1+1=2; share 2/5
+    assert got == [(3, 4, 4, 2, 0.4), (10, 11, 2, 2, 0.4)]

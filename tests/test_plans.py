@@ -1539,3 +1539,23 @@ def test_heaps_fit_bounded_tail_single_shingle_pass(spark):
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_local_bridges_antijoin_no_degree_broadcast(spark):
+    """local_bridges (staged r12): the bridge test is a LEFT ANTI
+    against the distinct closed-pair table; degrees attach by
+    equi-join with no broadcast hint in the analyzed plan."""
+    from etl_developstoday_test_spark.operators.graph import local_bridges
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    _, edges = _coactivity_edges(spark, SF_DIR, checkpoint=False)
+    out = local_bridges(edges)
+    plan = _staged_plan(out)
+    assert "LeftAnti" in plan
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # the two 1-row count frames broadcast by hint; the vertex-sized
+    # degree table must not
+    assert analyzed.count("ResolvedHint") <= 2
+    assert "TakeOrderedAndProject" in plan

@@ -1755,3 +1755,58 @@ def test_heaps_law_fit_matches_oracle(spark, docstar_con):
     vs = [r[2] for r in srows]
     assert nt == sorted(nt) and vs == sorted(vs)
     assert 0.0 < srows[0][3] < 1.0
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _COACT_SQL as _COACT_SQL_LB,
+)
+
+LOCAL_BRIDGES_ORACLE = f"""
+WITH {_COACT_SQL_LB},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+closed AS (
+  SELECT DISTINCT s1.u AS ua, s2.u AS ub
+  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+),
+bridges AS (
+  SELECT e.ua, e.ub FROM edges e
+  WHERE NOT EXISTS (SELECT 1 FROM closed c
+                    WHERE c.ua = e.ua AND c.ub = e.ub)
+),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bridges) AS n_bridges,
+         round(CAST((SELECT COUNT(*) FROM bridges) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM edges) AS DOUBLE), 6)
+           AS bridge_share
+)
+SELECT b.ua, b.ub, CAST(da.d + db.d AS BIGINT) AS degree_sum,
+       counts.n_bridges, counts.bridge_share
+FROM bridges b
+JOIN deg da ON da.u = b.ua
+JOIN deg db ON db.u = b.ub
+CROSS JOIN counts
+ORDER BY degree_sum DESC, ua ASC, ub ASC LIMIT 10
+"""
+
+
+def test_local_bridges_matches_oracle(spark, ev_con):
+    """STAGED r12: local bridges (edges with zero common neighbors —
+    the weak-tie/cross-community conduit audit) over the SHARED
+    co-activity graph, highest-traffic first — value-locked at both
+    scales BEFORE registration. The sf0.001 co-activity graph is
+    triangle-free (share = 1.0); sf0.01 exercises both classes."""
+    from etl_developstoday_test_spark.operators.graph import local_bridges
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [tuple(r) for r in local_bridges(edges).collect()]
+    drows = con.execute(LOCAL_BRIDGES_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    assert all(0.0 < r[4] <= 1.0 for r in srows)
