@@ -57,14 +57,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # only live entries appear below, so the rotation's load-bearing
 # artifact never drowns in history.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    # (empty this round: all ten r10 entries re-certified green in
-    # CORRECTNESS_r10.json and expired — full history in git. The
-    # EIGHTEEN r11 registrations — six staged in r10, twelve staged
-    # and registered within r11 — are NEVER-CHECKED, which already
-    # outranks everything but changed code; every pre-registration
-    # fix (drift_ks_two_sample's NaN/empty-side ADVICE items, the
-    # norm-profile pico rebuild) landed BEFORE the oracles locked, so
-    # no entries needed.)
+    # (All TWENTY-EIGHT r11 registrations — six staged in r10,
+    # twelve staged-and-registered within r11, plus the ten
+    # originally r13-staged operators the window had room for — got
+    # green first rows in CORRECTNESS_r11.json; count corrected per
+    # r11 ADVICE. The r12 entries below are the round's ADVICE /
+    # VERDICT fixes to already-certified queries.)
+    # r11 ADVICE: scale-invariant first-significant-digit extraction
+    # (the cents heuristic mis-read 0.999->1 and dropped (0,0.005));
+    # oracle updated in lockstep, re-locked at both scales.
+    "drift_benford_first_digit": 12,
+    # r11 ADVICE: key kept in native type (string keys must not be
+    # numerically coerced); long cast moved to the call site, values
+    # and schema unchanged.
+    "skew_topk_key_share": 12,
+    # r11 ADVICE: n_null_keys coalesced to 0 on an empty child table
+    # (was NULL); registered values unchanged.
+    "dq_fk_orphans": 12,
 }
 
 

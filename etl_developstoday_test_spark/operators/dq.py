@@ -50,7 +50,9 @@ def fk_orphan_audit(
         card = (
             keys.agg(
                 F.count(F.lit(1)).cast("long").alias("n_child"),
-                F.sum(F.col("_k").isNull().cast("long"))
+                F.coalesce(
+                    F.sum(F.col("_k").isNull().cast("long")), F.lit(0)
+                )
                 .cast("long")
                 .alias("n_null_keys"),
             )

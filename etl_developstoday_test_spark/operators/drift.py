@@ -590,10 +590,21 @@ def benford_first_digit(
     oracle value-locked at two scales in tests/test_staged_oracles.py
     BEFORE registration).
 
-    Determinism contract: the leading digit comes from an INTEGER —
-    round(value·100) cast to long, first character of its decimal
-    rendering — never from formatting a double (engines disagree on
-    double→string, never on bigint→string). Expected shares are
+    Determinism contract: the leading digit is the first [1-9] match
+    in the DECIMAL(38,18) rendering of the value — scale-invariant
+    (0.0019, 1.9 and 19000 all read digit 1), and deterministic
+    because both engines render a decimal's digits in order (plain or
+    scientific, the mantissa leads with the first significant digit)
+    and both round the same exact binary value at scale 18, far below
+    any first digit in the supported domain. The r11 cents heuristic
+    (first char of round(v·100)) mis-assigned every value whose cents
+    rounding crossed a power of ten (0.999 → cents 100 → digit 1, true
+    9) and silently dropped (0, 0.005) — this rendering has neither
+    failure mode. Domain: positive values in [1e-15, 1e20); smaller
+    values have no significant digit at scale 18 and larger ones no
+    DECIMAL(38,18) representation — both RAISE loudly with a count
+    (infinity included) instead of silently skewing the shares.
+    Expected shares are
     nano-quantized log₁₀(1+1/d) literals BAKED into both plans as the
     same decimal text (mathematical constants, like π — baking them
     removes even the libm-last-ulp dependency a runtime ``math.log10``
@@ -610,15 +621,39 @@ def benford_first_digit(
     audit-level statistic, repeated per row like the LPA modularity.
     """
     v = F.col(value_col).cast("double")
-    cents = F.round(v * 100).cast("long")
-    digits = (
+    # First significant digit, scale-invariantly: render the value as
+    # DECIMAL(38,18) and take the first [1-9]. try_cast NULLs values
+    # >= 1e20 (and infinity); values < 1e-18 render as all zeros and
+    # nullif the empty match — both land in the NULL sentinel group,
+    # which is bounded-counted below and raises.
+    sig = F.nullif(
+        F.regexp_extract(
+            F.expr("CAST(try_cast(_v AS DECIMAL(38,18)) AS STRING)"),
+            "[1-9]",
+            0,
+        ),
+        F.lit(""),
+    ).cast("int")
+    grouped = (
         df.filter(v.isNotNull() & ~F.isnan(v) & (v > 0))
-        .select(
-            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
-        )
+        .select(v.alias("_v"))
+        .select(sig.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .localCheckpoint(eager=True)  # bounded: <= 10 digit groups
     )
+    bad = (
+        grouped.filter(F.col("digit").isNull())
+        .agg(F.coalesce(F.sum("n_obs"), F.lit(0)).alias("b"))
+        .collect()[0]["b"]
+    )
+    if bad:
+        raise ValueError(
+            f"benford_first_digit: {bad} positive values outside the "
+            "representable domain [1e-15, 1e20) (or infinite) — refusing "
+            "to silently drop them from the digit shares"
+        )
+    digits = grouped.filter(F.col("digit").isNotNull())
     spine = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
     exp_share = F.element_at(
         F.array(*[F.lit(e) for e in BENFORD_EXPECTED]), F.col("digit")
@@ -760,22 +795,35 @@ def daily_autocorr_lag1(
     batch-everything-on-even-days). The first number a
     forecasting/anomaly layer checks before trusting a daily model.
 
-    STAGED for round-12 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
-    Determinism contract: daily means come from exact decimal sums of
-    the raw values over exact day counts (one double division per
-    day); consecutive-day pairs form by ONE lag over the
-    CALENDAR-BOUNDED daily table (bounded-window allowlist class);
-    the Pearson moments (Σa, Σb, Σab, Σa², Σb²) accumulate those
-    identical doubles through the decimal summator; the final r is a
-    fixed-order double tree, 6-dp rounded. NULL/NaN values are
-    excluded; fewer than 3 days (< 2 pairs) raises — a correlation of
-    one pair is ±1 by construction and would read as extreme drift.
+    Determinism contract: daily means are MICRO-QUANTIZED integer
+    sums over exact day counts — per row floor(v·1e6 + 0.5), an
+    IEEE-exact expression with no libm, rendering, or rounding-mode
+    dependence (unlike round(double), whose half-way behavior routes
+    through decimal rendering on the JVM and raw-double rounding in
+    C engines), summed as longs on the codegen fast path (the
+    adamic-adar lesson: decimal(30,10) accumulation over a
+    corpus-sized stream measured 2.3x slower than long sums).
+    Headroom: |v| ≤ 1e6 at 9.2e12 rows/day before long overflow —
+    document a larger quantum for wider-magnitude columns. Pairs are
+    TRUE CALENDAR lag-1 — daily self-joined on d+1 day — so calendar
+    gaps DROP the spanning pair instead of silently correlating
+    non-adjacent days (r11 ADVICE: lead() over observed days measured
+    an observed-sequence autocorrelation, not a calendar lag-1). The
+    Pearson moments (Σa, Σb, Σab, Σa², Σb²) accumulate identical
+    doubles through the decimal summator over the BOUNDED days table
+    (bounded decimal sums are free — only corpus-sized ones are the
+    slow path); the final r is a fixed-order double tree, 6-dp
+    rounded. NULL/NaN values are excluded; fewer than 2 pairs raises
+    — a correlation of one pair is ±1 by construction and would read
+    as extreme drift.
 
     Scale shape: one narrow map + ONE map-side-combined daily groupBy;
-    everything after runs on the checkpointed days table. Returns one
-    row: (n_days, n_pairs, autocorr_lag1).
+    everything after runs on the checkpointed days table (the d+1
+    self-join is days × days key-matched — calendar-bounded). Returns
+    one row: (n_days, n_pairs, autocorr_lag1).
     """
     v = F.col(value_col).cast("double")
     daily = (
@@ -784,26 +832,27 @@ def daily_autocorr_lag1(
         .groupBy("d")
         .agg(
             F.count(F.lit(1)).cast("long").alias("_n"),
-            F.sum(F.col("_v").cast(ACC_DECIMAL)).alias("_s"),
+            F.sum(
+                F.floor(F.col("_v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("_s"),
         )
         .select(
             "d",
-            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias(
-                "x"
-            ),
+            (
+                F.col("_s").cast("double")
+                / F.lit(1e6)
+                / F.col("_n").cast("double")
+            ).alias("x"),
         )
         .localCheckpoint(eager=True)  # bounded: calendar days
     )
     n_days = daily.count()
-    if n_days < 3:
-        raise ValueError(
-            f"daily_autocorr_lag1: need >= 3 days, got {n_days} — a "
-            "single-pair correlation is ±1 by construction"
-        )
-    w = Window.orderBy("d")
     pairs = (
-        daily.withColumn("y", F.lead("x").over(w))
-        .filter(F.col("y").isNotNull())
+        daily.select(F.col("d").alias("_da"), F.col("x").alias("x"))
+        .join(
+            daily.select(F.col("d").alias("_db"), F.col("x").alias("y")),
+            F.date_add(F.col("_da"), 1) == F.col("_db"),
+        )
         .select("x", "y")
     )
     mom = pairs.agg(
@@ -815,6 +864,12 @@ def daily_autocorr_lag1(
         F.sum((F.col("y") * F.col("y")).cast(ACC_DECIMAL)).alias("sbb"),
     ).localCheckpoint(eager=True)  # 1 row; guard + result share it
     g = mom.collect()[0]
+    if g["n"] < 2:
+        raise ValueError(
+            f"daily_autocorr_lag1: need >= 2 consecutive-calendar-day "
+            f"pairs, got {g['n']} (n_days={n_days}) — a single-pair "
+            "correlation is ±1 by construction"
+        )
     da = float(g["n"]) * float(g["saa"]) - float(g["sa"]) * float(g["sa"])
     db = float(g["n"]) * float(g["sbb"]) - float(g["sb"]) * float(g["sb"])
     if da <= 0.0 or db <= 0.0:

@@ -114,10 +114,17 @@ def topk_key_share(
     share from the exact integer running sum — deterministic
     cross-engine; ties break on the key value.
 
+    Key-type contract: the key is grouped and returned in its NATIVE
+    type (string join keys — a common hot-key case — must not be
+    coerced: a numeric cast would NULL-collapse every string key into
+    one fake mega-key under non-ANSI casts, or throw under ANSI).
+    Callers wanting a specific output type cast the column BEFORE
+    calling. Ties break on the key's native ordering.
+
     Returns (rank, key, n_rows, share, cum_share), heaviest first.
     """
     counts = (
-        df.select(F.col(key_col).cast("long").alias("key"))
+        df.select(F.col(key_col).alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )

@@ -13946,8 +13946,9 @@ FROM agg
 
 BENFORD_ORACLE_SQL = r"""
 WITH d AS (
-  SELECT CAST(substr(CAST(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
-           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  SELECT CAST(nullif(regexp_extract(
+           CAST(TRY_CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(38,18))
+                AS VARCHAR), '[1-9]'), '') AS INTEGER) AS digit
   FROM orders
   WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
     AND o_totalprice > 0
@@ -14204,8 +14205,11 @@ def drift_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit conformance audit of o_totalprice
     (operators/drift.benford_first_digit; Nigrini 2012) — the
     fabricated/truncated-data tripwire: observed vs expected leading-
-    digit shares plus the audit-level Pearson χ². Leading digit from
-    the INTEGER cents rendering (never double→string); expected
+    digit shares plus the audit-level Pearson χ². Leading digit is
+    the first [1-9] of the DECIMAL(38,18) rendering — scale-invariant
+    over the documented [1e-15, 1e20) domain, out-of-domain raises
+    (the r11 cents heuristic mis-read 0.999 as digit 1 and dropped
+    (0, 0.005) — r11 ADVICE, fixed r12); expected
     shares are baked nano-quantized log₁₀(1+1/d) constants shared by
     both plans; one 9-group map-side-combined aggregate, checkpointed
     9-row tail; an empty audit raises. (The synthetic uniform price
@@ -14243,10 +14247,16 @@ def skew_topk_key_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     join needs salting, AQE skew splits, or nothing; the measurement
     companion to salted_sum_count/salted_join. ONE map-side-combined
     groupBy count into TakeOrderedAndProject (never a global sort);
-    the ranking window runs over the checkpointed k-row result."""
+    the ranking window runs over the checkpointed k-row result. The
+    operator keeps the key's NATIVE type (string keys must never be
+    numerically coerced — r11 ADVICE); the long cast the locked
+    oracle schema expects happens HERE, at the call site."""
     from etl_developstoday_test_spark.operators.skew import topk_key_share
 
-    return topk_key_share(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey")
+    )
+    return topk_key_share(li, "l_suppkey")
 
 
 # ---------------------------------------------------------------------------

@@ -2654,26 +2654,40 @@ def test_user_gini_constructed(spark):
 
 def test_benford_first_digit_constructed(spark):
     """All-digit-1 values put the whole mass on digit 1 (others emit
-    zero rows via the spine); sub-unit values use the first SIGNIFICANT
-    digit; non-positive/NULL/NaN are excluded; an empty audit raises."""
+    zero rows via the spine); the digit is the first SIGNIFICANT digit
+    at ANY scale — including the r11 ADVICE counterexamples 0.019
+    (digit 1, NOT cents-rounded 2) and 0.999 (digit 9, NOT
+    carry-bumped 1); non-positive/NULL/NaN are excluded; an empty
+    audit raises; out-of-domain magnitudes raise."""
     import pytest
 
     from etl_developstoday_test_spark.operators.drift import (
         benford_first_digit,
     )
 
-    vals = [(10.0,), (12.34,), (199.99,), (0.15,), (-5.0,), (None,), (0.0,)]
+    vals = [
+        (10.0,), (12.34,), (199.99,), (0.15,), (0.019,), (0.004,),
+        (0.999,), (1.9e8,), (-5.0,), (None,), (0.0,),
+    ]
     df = spark.createDataFrame(vals, "v double")
     rows = benford_first_digit(df, "v").collect()
     assert [r["digit"] for r in rows] == list(range(1, 10))
     by_d = {r["digit"]: r for r in rows}
-    assert by_d[1]["n_obs"] == 4  # 10, 12.34, 199.99, 0.15 (cents=15)
-    assert all(by_d[d]["n_obs"] == 0 for d in range(2, 10))
-    assert by_d[1]["obs_share"] == 1.0
+    # digit 1: 10, 12.34, 199.99, 0.15, 0.019, 1.9e8
+    assert by_d[1]["n_obs"] == 6
+    assert by_d[4]["n_obs"] == 1  # 0.004 — dropped by the r11 cents path
+    assert by_d[9]["n_obs"] == 1  # 0.999 — digit 9, not the carry's 1
+    assert all(by_d[d]["n_obs"] == 0 for d in (2, 3, 5, 6, 7, 8))
     assert rows[0]["chi2"] > 2.0  # far from Benford
     empty = spark.createDataFrame([(-1.0,), (None,)], "v double")
     with pytest.raises(ValueError, match="no positive values"):
         benford_first_digit(empty, "v")
+    tiny = spark.createDataFrame([(1e-20,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="outside the representable"):
+        benford_first_digit(tiny, "v")
+    huge = spark.createDataFrame([(1e21,), (float("inf"),)], "v double")
+    with pytest.raises(ValueError, match="outside the representable"):
+        benford_first_digit(huge, "v")
 
 
 def test_quality_decile_thresholds_constructed(spark):
@@ -2980,7 +2994,9 @@ def test_uniqueness_audit_constructed(spark):
 
 def test_daily_autocorr_constructed(spark):
     """A linear daily ramp pins r = +1 exactly; a two-level alternator
-    pins r = -1; constant series and < 3 days raise."""
+    pins r = -1; a CALENDAR GAP drops the spanning pair instead of
+    correlating non-adjacent days (r11 ADVICE); constant series and
+    < 2 pairs raise."""
     from datetime import datetime, timedelta
 
     import pytest
@@ -2991,9 +3007,10 @@ def test_daily_autocorr_constructed(spark):
 
     t0 = datetime(2024, 1, 1)
 
-    def series(vals):
+    def series(vals, day_offsets=None):
+        offs = day_offsets or range(len(vals))
         return spark.createDataFrame(
-            [(t0 + timedelta(days=i), float(v)) for i, v in enumerate(vals)],
+            [(t0 + timedelta(days=o), float(v)) for o, v in zip(offs, vals)],
             "ts timestamp, value double",
         )
 
@@ -3003,10 +3020,22 @@ def test_daily_autocorr_constructed(spark):
         series([1, 9, 1, 9, 1, 9]), "value"
     ).collect()[0]
     assert alt["autocorr_lag1"] == -1.0
+    # gap between day 2 and day 10: pairs are (1,2),(2,3),(7,9) — the
+    # 3->7 jump across the gap is NOT a pair; an observed-sequence
+    # lead() would have correlated it
+    gap = daily_autocorr_lag1(
+        series([1, 2, 3, 7, 9], day_offsets=[0, 1, 2, 10, 11]), "value"
+    ).collect()[0]
+    assert (gap["n_days"], gap["n_pairs"]) == (5, 3)
     with pytest.raises(ValueError, match="constant daily series"):
         daily_autocorr_lag1(series([5, 5, 5, 5]), "value")
-    with pytest.raises(ValueError, match=">= 3 days"):
+    with pytest.raises(ValueError, match=">= 2 consecutive-calendar"):
         daily_autocorr_lag1(series([1, 2]), "value")
+    # 4 observed days but only ONE consecutive pair -> raises
+    with pytest.raises(ValueError, match=">= 2 consecutive-calendar"):
+        daily_autocorr_lag1(
+            series([1, 2, 5, 6], day_offsets=[0, 1, 5, 9]), "value"
+        )
 
 
 def test_heaps_law_fit_diverse_vs_duplicated(spark):

@@ -2319,9 +2319,9 @@ def test_uniqueness_audit_matches_sequential_reference(spark, rows):
 )
 def test_daily_autocorr_matches_sequential_reference(spark, vals):
     """The lag-1 autocorrelation must equal a sequential reference
-    sharing the operator's arithmetic (decimal daily sums, decimal
-    moments, fixed-order Pearson tree) on ANY daily series, and sit in
-    [-1, 1]."""
+    sharing the operator's arithmetic (micro-quantized long daily
+    sums, decimal moments over the bounded days table, fixed-order
+    Pearson tree) on ANY gap-free daily series, and sit in [-1, 1]."""
     import math
     from datetime import datetime, timedelta
     from decimal import Decimal
@@ -2341,9 +2341,8 @@ def test_daily_autocorr_matches_sequential_reference(spark, vals):
 
     means = []
     for day in vals:
-        s = sum((Decimal(float(v)).quantize(Decimal("1.0000000000"))
-                 for v in day), Decimal(0))
-        means.append(float(s) / float(len(day)))
+        s = sum(int(math.floor(float(v) * 1e6 + 0.5)) for v in day)
+        means.append(float(s) / 1e6 / float(len(day)))
     pairs = list(zip(means, means[1:]))
 
     def dsum10(xs):

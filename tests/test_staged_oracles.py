@@ -1630,14 +1630,15 @@ def docstar_con(request):
 AUTOCORR_ORACLE = r"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,
-         CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS DOUBLE) / 1e6
            / CAST(COUNT(*) AS DOUBLE) AS x
   FROM events
   WHERE value IS NOT NULL AND NOT isnan(value)
   GROUP BY 1
 ),
 pairs AS (
-  SELECT x, lead(x) OVER (ORDER BY d) AS y FROM daily
+  SELECT a.x AS x, b.x AS y FROM daily a JOIN daily b ON a.d + 1 = b.d
 ),
 mom AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1646,7 +1647,7 @@ mom AS (
          CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sab,
          CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS saa,
          CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS sbb
-  FROM pairs WHERE y IS NOT NULL
+  FROM pairs
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
        n AS n_pairs,
