@@ -232,11 +232,20 @@ def _nb_per_doc_scores(
     train = base.filter(~is_test)
     test = base.filter(is_test)
 
-    counts = train.groupBy("_y", "tok").agg(
-        F.count(F.lit(1)).alias("c")
+    # ONE corpus-sized (label, token) count shuffle, materialized:
+    # everything model-shaped below — vocabulary, grid, cells — derives
+    # from this bounded (V × labels) table instead of re-aggregating
+    # the cached explode per consumer (r11 VERDICT: vocab_toks was
+    # re-derived per consumer, a corpus-wide distinct each time).
+    counts = (
+        train.groupBy("_y", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     totals = train.groupBy("_y").agg(F.count(F.lit(1)).alias("tot"))
-    vocab_toks = train.select("tok").distinct()
+    # distinct train tokens == distinct tokens of the counts table —
+    # model-sized input, not corpus-sized
+    vocab_toks = counts.select("tok").distinct().localCheckpoint(eager=True)
     vocab = vocab_toks.agg(F.count(F.lit(1)).alias("v"))
     # full (vocabulary × labels) grid: labels are few — broadcast them
     # onto the distinct-token stream; missing (label, token) cells
@@ -281,12 +290,20 @@ def _nb_per_doc_scores(
     )
 
     # test's own _y (the truth label) would collide with the model's
-    # candidate label — scoring only needs (doc_id, tok)
+    # candidate label — scoring only needs (doc_id, tok). Collapse the
+    # test explode to per-(doc, token) COUNTS before the model join
+    # (r11 VERDICT): the join then carries one row per distinct
+    # doc-token — not per occurrence — and Σ llq over occurrences is
+    # exactly Σ m·llq over distinct tokens (integer arithmetic, so the
+    # scores are bit-identical to the occurrence-level join).
     model_side = F.broadcast(model) if broadcast_model else model
-    scored = test.drop("_y").join(model_side, "tok")
+    test_counts = test.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    scored = test_counts.join(model_side, "tok")
     per_doc = (
         scored.groupBy("doc_id", F.col("_y").alias("cand"))
-        .agg(F.sum("llq").alias("ll"))
+        .agg(F.sum(F.col("m") * F.col("llq")).alias("ll"))
         .join(F.broadcast(priors.withColumnRenamed("_y", "cand")), "cand")
         .select(
             "doc_id",
