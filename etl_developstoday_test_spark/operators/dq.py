@@ -100,8 +100,8 @@ def uniqueness_audit(
     are counted separately (``n_null_keys``) — a NULL key is a
     different defect than a duplicate one.
 
-    STAGED for round-12 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: pure exact integer counts (one groupBy per key +
     bounded rollups); ``is_unique`` is a boolean of those counts.

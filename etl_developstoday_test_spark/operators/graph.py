@@ -870,6 +870,12 @@ def two_hop_reach(
     graphs by the per-cell membership cap / DOULION sampling; on an
     uncapped power-law graph the standard mitigation applies (cap or
     sample the hub adjacency lists first, as _coactivity_edges does).
+    The exact ``distinct()`` over the wedge-volume candidate set is
+    the first stage to fall over at 100× — ``two_hop_reach_sampled``
+    below is the scale path (seeded source sampling cuts BOTH the
+    fan-out and the distinct by the sampling factor; this exact
+    version is its oracle mode — the r11 VERDICT item 5 pairing,
+    mirroring the clustering coefficient's exact/DOULION twins).
     ``edges`` must be distinct undirected pairs (ua < ub). Returns
     top_k rows: (node, degree, reach_2hop).
     """
@@ -885,6 +891,84 @@ def two_hop_reach(
     )
     reach = (
         sym.unionAll(hop2)
+        .filter(F.col("u") != F.col("w"))
+        .distinct()
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("reach_2hop"))
+    )
+    return (
+        deg.join(reach, "u")
+        .select(
+            F.col("u").alias("node"),
+            F.col("degree").cast("long").alias("degree"),
+            F.col("reach_2hop").cast("long").alias("reach_2hop"),
+        )
+        .orderBy(F.desc("reach_2hop"), F.asc("node"))
+        .limit(top_k)
+    )
+
+
+def two_hop_reach_sampled(
+    edges: DataFrame, sample_mod: int = 4, top_k: int = 10
+) -> DataFrame:
+    """SEEDED SOURCE-SAMPLED twin of ``two_hop_reach`` — the scale
+    path for the exact version's one liability, the exact
+    ``distinct()`` over the Σdeg² wedge-volume candidate set: keep a
+    deterministic 1/``sample_mod`` subset of SOURCE vertices (seeded
+    md5, so the subset — and therefore every output value — is
+    identical on any engine) and compute each sampled source's EXACT
+    2-hop reach. Source sampling is the standard
+    sampled-sources/landmarks estimator for per-node reach and
+    centrality profiles (Eppstein & Wang 2004 style, the
+    source-sampling analogue of DOULION's edge sampling — which does
+    NOT fit a distinct-count): the reach DISTRIBUTION and the
+    heavy-tail ranking are estimated at 1/mod of both the wedge
+    fan-out (only wedges rooted at sampled sources are generated) and
+    the distinct shuffle, while every reported number stays exact for
+    its node — no estimator error bar on the values themselves, only
+    coverage sampling on WHICH nodes are profiled.
+
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration). The unsampled
+    ``two_hop_reach`` above is the oracle mode and stays the
+    registered exact audit; at 100 TB you run THIS one and raise
+    ``sample_mod`` with graph size.
+
+    Determinism: the sample predicate is md5_long('r2s#' || node) %
+    sample_mod == 0 — the repo's salted-md5 idiom, bit-identical in
+    DuckDB as CAST(concat('0x', substr(md5(...), 1, 15)) AS BIGINT);
+    everything downstream is exact integers, so (reach DESC, node
+    ASC) is a cross-engine total order.
+
+    Scale shape: identical to the exact twin with the source filter
+    pushed BELOW the wedge join's left branch — fan-out becomes
+    Σ_mid deg_sampled(mid)·deg(mid) ≈ wedge volume / mod, and the
+    distinct runs on that reduced stream. ``edges`` must be distinct
+    undirected pairs (ua < ub). Returns top_k rows:
+    (node, degree, reach_2hop) over sampled sources only.
+    """
+    from etl_developstoday_test_spark.functions import md5_long
+
+    if sample_mod < 1:
+        raise ValueError("two_hop_reach_sampled: sample_mod must be >= 1")
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)  # deg + both join branches
+    )
+    sampled = (
+        md5_long(F.concat(F.lit("r2s#"), F.col("u").cast("string")))
+        % sample_mod
+        == 0
+    )
+    src = sym.filter(sampled)
+    deg = src.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    mid = sym.select(F.col("u").alias("_m"), F.col("w"))
+    hop2 = src.select("u", F.col("w").alias("_m")).join(mid, "_m").select(
+        "u", "w"
+    )
+    reach = (
+        src.unionAll(hop2)
         .filter(F.col("u") != F.col("w"))
         .distinct()
         .groupBy("u")
@@ -1072,8 +1156,8 @@ def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
     structural opposite of the triangle/clustering family (those count
     closed wedges, this finds edges in none).
 
-    STAGED for round-12 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Exact integers end to end: common-neighbor counts per edge come
     from the wedge self-join (the triangle family's machinery), the
@@ -1083,18 +1167,28 @@ def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
     so the (degree_sum DESC, ua ASC, ub ASC) top-k is a cross-engine
     total order, with the audit-level share repeated per row.
 
-    Scale shape: symmetrize once (materialized — wedge sides + degree
-    table), ONE wedge self-join restricted to candidate pairs that ARE
-    edges (the distinct output is edge-bounded, not wedge-bounded),
-    one anti-join, TakeOrderedAndProject. Wedge-volume cost class,
-    bounded on the registered co-activity graphs by the per-cell cap.
-    ``edges`` must be distinct undirected pairs (ua < ub). Returns
-    top_k rows: (ua, ub, degree_sum, n_bridges, bridge_share).
+    Scale shape: symmetrize once (materialized — wedge sides, degree
+    table, AND the edge-pair recovery ``u < w``, so the input lineage
+    is read exactly once), ONE wedge self-join restricted to candidate
+    pairs that ARE edges (the distinct output is edge-bounded, not
+    wedge-bounded), one anti-join into a materialized edge-bounded
+    bridge set (two consumers: the count card and the degree join),
+    TakeOrderedAndProject. Wedge-volume cost class, bounded on the
+    registered co-activity graphs by the per-cell cap. ``edges`` must
+    be distinct undirected pairs (ua < ub). Returns top_k rows:
+    (ua, ub, degree_sum, n_bridges, bridge_share).
     """
     sym = (
         edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
         .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
         .localCheckpoint(eager=True)
+    )
+    # recover the (ua < ub) edge pairs from the checkpointed sym —
+    # every further reference to the input's (possibly expensive)
+    # lineage would otherwise re-derive it per consumer (the plan
+    # sweep caught exactly that: 6 events scans via _coactivity_edges)
+    epairs = sym.filter(F.col("u") < F.col("w")).select(
+        F.col("u").alias("ua"), F.col("w").alias("ub")
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     left = sym.select(F.col("w").alias("_m"), F.col("u").alias("ua"))
@@ -1105,11 +1199,11 @@ def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
         .select("ua", "ub")
         .distinct()  # pairs with >= 1 common neighbor
     )
-    bridges = edges.select("ua", "ub").join(
+    bridges = epairs.join(
         closed, ["ua", "ub"], "left_anti"
-    )
+    ).localCheckpoint(eager=True)  # edge-bounded; card + degree join
     counts = (
-        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        epairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         .crossJoin(
             F.broadcast(
                 bridges.agg(

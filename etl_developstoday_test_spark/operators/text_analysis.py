@@ -1670,8 +1670,8 @@ def heaps_law_fit(
     curve on a template-generated corpus is a flat line — measured:
     31 types, β = 0).
 
-    STAGED for round-12 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Scale-safety is the construction: V(N) at k prefixes is NOT k
     distinct-counts over k sub-corpora — each token keeps its MINIMUM

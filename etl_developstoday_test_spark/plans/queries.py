@@ -14849,3 +14849,322 @@ def drift_chi2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.dayofmonth("ts") > 15),
         "event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 registrations: the four operators staged in round 11 (each
+# value-locked at both scales in tests/test_staged_oracles.py BEFORE
+# this registration — the lock tests import these oracle strings), plus
+# the seeded-sampled scale twin of graph_two_hop_reach built this round
+# (r11 VERDICT item 5).
+# ---------------------------------------------------------------------------
+
+UNIQUENESS_ORACLE_SQL = r"""
+WITH rel AS (
+  SELECT 'documents.doc_id' AS candidate_key,
+         (SELECT COUNT(*) FROM documents) AS n_rows,
+         (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL)
+           AS n_null_keys,
+         (SELECT COUNT(*) FROM (SELECT doc_id FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY doc_id)) AS n_distinct_keys,
+         (SELECT COUNT(*) FROM (SELECT doc_id FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING COUNT(*) > 1))
+           AS n_violating_keys,
+         (SELECT COALESCE(SUM(c - 1), 0) FROM (
+            SELECT COUNT(*) AS c FROM documents WHERE doc_id IS NOT NULL
+            GROUP BY doc_id HAVING COUNT(*) > 1)) AS n_excess_rows
+  UNION ALL
+  SELECT 'lineitem.(l_orderkey,l_linenumber)',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IS NULL OR l_linenumber IS NULL),
+         (SELECT COUNT(*) FROM (SELECT 1 FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY l_orderkey, l_linenumber)),
+         (SELECT COUNT(*) FROM (SELECT 1 FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+         (SELECT COALESCE(SUM(c - 1), 0) FROM (
+            SELECT COUNT(*) AS c FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+  UNION ALL
+  SELECT 'orders.o_custkey(non-key control)',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+         (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey)),
+         (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+            HAVING COUNT(*) > 1)),
+         (SELECT COALESCE(SUM(c - 1), 0) FROM (
+            SELECT COUNT(*) AS c FROM orders WHERE o_custkey IS NOT NULL
+            GROUP BY o_custkey HAVING COUNT(*) > 1))
+)
+SELECT candidate_key, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null_keys AS BIGINT) AS n_null_keys,
+       CAST(n_distinct_keys AS BIGINT) AS n_distinct_keys,
+       CAST(n_violating_keys AS BIGINT) AS n_violating_keys,
+       CAST(n_excess_rows AS BIGINT) AS n_excess_rows,
+       n_violating_keys = 0 AS is_unique
+FROM rel ORDER BY candidate_key
+"""
+
+
+@_register("dq_uniqueness_audit", UNIQUENESS_ORACLE_SQL)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit (operators/dq.uniqueness_audit)
+    over two real keys plus a deliberately non-unique control
+    (orders.o_custkey), certifying primary/natural-key assumptions
+    BEFORE a merge/upsert or dedup relies on them — and locking a real
+    finding: the synthetic lineitem does NOT enforce the TPC-H
+    (l_orderkey, l_linenumber) composite key. Per relation ONE
+    map-side-combined groupBy into a 1-row rollup (the exact-dedup
+    single-exchange posture); the card is a union of 1-row frames;
+    NULL-component keys counted separately from duplicates (different
+    defect)."""
+    from etl_developstoday_test_spark.operators.dq import uniqueness_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return uniqueness_audit(
+        [
+            ("documents.doc_id", docs, ["doc_id"]),
+            (
+                "lineitem.(l_orderkey,l_linenumber)",
+                li,
+                ["l_orderkey", "l_linenumber"],
+            ),
+            ("orders.o_custkey(non-key control)", orders, ["o_custkey"]),
+        ]
+    )
+
+
+AUTOCORR_ORACLE_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS DOUBLE) / 1e6
+           / CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.x AS x, b.x AS y FROM daily a JOIN daily b ON a.d + 1 = b.d
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sb,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS sbb
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sab - sa * sb)
+             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                    * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+         AS autocorr_lag1
+FROM mom
+"""
+
+
+@_register("drift_daily_autocorr", AUTOCORR_ORACLE_SQL)
+def drift_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of the daily-mean event value
+    (operators/drift.daily_autocorr_lag1) — the drift kit's
+    time-structure leg beside the between-snapshot tests (PSI/KS/JS/
+    χ²) and CUSUM: r₁→1 = day-over-day momentum (backfill waves),
+    r₁<0 = alternation (retry storms). Daily means from
+    MICRO-QUANTIZED long sums (floor(v·1e6 + 0.5) — IEEE-exact, no
+    rounding-mode seam; the r11 adamic-adar decimal lesson applied
+    BEFORE registration); pairs are TRUE CALENDAR lag-1 (d+1
+    self-join of the bounded days table — calendar gaps drop the
+    spanning pair, r11 ADVICE); Pearson moments decimal-accumulated
+    over the bounded days table only."""
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+
+    return daily_autocorr_lag1(load_table(spark, sf_dir, "events"), "value")
+
+
+HEAPS_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT bucket, unnest(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS tok
+  FROM (
+    SELECT CAST(concat('0x', substr(md5('heaps#' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT) % 10 AS bucket,
+           regexp_split_to_array(trim(text), '\s+') AS arr
+    FROM documents
+  )
+),
+first_seen AS (
+  SELECT fb, CAST(COUNT(*) AS BIGINT) AS new_vocab
+  FROM (SELECT tok, MIN(bucket) AS fb FROM base GROUP BY tok)
+  GROUP BY fb
+),
+per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS toks FROM base GROUP BY bucket
+),
+curve AS (
+  SELECT s.bucket,
+         CAST(SUM(COALESCE(pb.toks, 0)) OVER (ORDER BY s.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_ngrams,
+         CAST(SUM(COALESCE(fs.new_vocab, 0)) OVER (ORDER BY s.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) s
+  LEFT JOIN first_seen fs ON fs.fb = s.bucket
+  LEFT JOIN per_bucket pb ON pb.bucket = s.bucket
+),
+pts AS (
+  SELECT CAST(CAST(round(ln(CAST(n_ngrams AS DOUBLE)) * 1e9) AS BIGINT)
+           AS DOUBLE) / 1e9 AS x,
+         CAST(CAST(round(ln(CAST(vocab_size AS DOUBLE)) * 1e9) AS BIGINT)
+           AS DOUBLE) / 1e9 AS y
+  FROM curve WHERE n_ngrams > 0 AND vocab_size > 0
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+  FROM pts
+),
+beta AS (
+  SELECT round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta
+  FROM mom
+)
+SELECT bucket AS prefix_bucket, n_ngrams, vocab_size, beta.heaps_beta
+FROM curve CROSS JOIN beta
+WHERE n_ngrams > 0 AND vocab_size > 0
+ORDER BY prefix_bucket
+"""
+
+
+@_register("text_heaps_law_fit", HEAPS_ORACLE_SQL)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve + log-log slope (operators/
+    text_analysis.heaps_law_fit): distinct 3-word-shingle types V(N)
+    at 10 nested md5 doc prefixes with the fitted exponent β of
+    V = K·N^β — β→0 means new data re-treads old material (the
+    corpus-diversity number per-pair dedup metrics can't summarize).
+    NOT k distinct-counts over k sub-corpora: each type keeps its
+    MINIMUM bucket (one groupBy over the shingle explode), the whole
+    curve falls out of a ≤10-row first-seen histogram cumulated by a
+    bounded window; shingle types (not words) because the synthetic
+    31-word vocabulary saturates the word curve instantly."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        heaps_law_fit,
+    )
+
+    return heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
+LOCAL_BRIDGES_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+closed AS (
+  SELECT DISTINCT s1.u AS ua, s2.u AS ub
+  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
+),
+bridges AS (
+  SELECT e.ua, e.ub FROM edges e
+  WHERE NOT EXISTS (SELECT 1 FROM closed c
+                    WHERE c.ua = e.ua AND c.ub = e.ub)
+),
+counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bridges) AS n_bridges,
+         round(CAST((SELECT COUNT(*) FROM bridges) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM edges) AS DOUBLE), 6)
+           AS bridge_share
+)
+SELECT b.ua, b.ub, CAST(da.d + db.d AS BIGINT) AS degree_sum,
+       counts.n_bridges, counts.bridge_share
+FROM bridges b
+JOIN deg da ON da.u = b.ua
+JOIN deg db ON db.u = b.ub
+CROSS JOIN counts
+ORDER BY degree_sum DESC, ua ASC, ub ASC LIMIT 10
+"""
+
+
+@_register("graph_local_bridges", LOCAL_BRIDGES_ORACLE_SQL)
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges (operators/graph.local_bridges; Easley &
+    Kleinberg ch. 3) over the SHARED co-activity graph: edges whose
+    endpoints share ZERO common neighbors — the weak-tie /
+    cross-community conduits whose removal lengthens paths, ranked
+    highest-traffic (degree_sum) first, with the graph-level bridge
+    share. The structural complement to the triangle family: it reads
+    the same wedge structure for the edges triangles DON'T touch.
+    Wedge self-join → distinct closed pairs → LEFT ANTI against the
+    edge list; degrees attach via co-shuffled equi-joins (the
+    vertex-sized broadcast designed out, not gated)."""
+    from etl_developstoday_test_spark.operators.graph import local_bridges
+
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return local_bridges(edges)
+
+
+TWO_HOP_SAMPLED_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+sym AS (
+  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
+),
+src AS (
+  SELECT u, w FROM sym
+  WHERE (CAST(concat('0x', substr(md5('r2s#' || CAST(u AS VARCHAR)), 1, 15))
+         AS BIGINT) % 4) = 0
+),
+deg AS (SELECT u, COUNT(*) AS degree FROM src GROUP BY u),
+hop2 AS (
+  SELECT s1.u AS u, s2.w AS w FROM src s1 JOIN sym s2 ON s2.u = s1.w
+),
+reach AS (
+  SELECT u, COUNT(*) AS reach FROM (
+    SELECT DISTINCT u, w FROM (
+      SELECT u, w FROM src UNION ALL SELECT u, w FROM hop2
+    ) WHERE u <> w
+  ) GROUP BY u
+)
+SELECT deg.u AS node, CAST(degree AS BIGINT) AS degree,
+       CAST(reach AS BIGINT) AS reach_2hop
+FROM deg JOIN reach ON reach.u = deg.u
+ORDER BY reach_2hop DESC, node ASC LIMIT 10
+"""
+
+
+@_register("graph_two_hop_reach_sampled", TWO_HOP_SAMPLED_ORACLE_SQL)
+def graph_two_hop_reach_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seeded SOURCE-SAMPLED 2-hop reach (operators/graph.
+    two_hop_reach_sampled; Eppstein & Wang 2004 style sampled
+    sources) over the SHARED co-activity graph — the scale twin of
+    graph_two_hop_reach (r11 VERDICT item 5): a deterministic
+    md5-seeded 1/4 of source vertices, each with its EXACT reach, so
+    both the wedge fan-out and the exact-distinct shuffle (the exact
+    twin's first-to-fall-over stage at 100×) shrink by the sampling
+    factor while every reported value stays exact and hash-matchable.
+    At 100 TB this is the one to run (raise sample_mod with graph
+    size); the exact twin stays registered as the oracle mode."""
+    from etl_developstoday_test_spark.operators.graph import (
+        two_hop_reach_sampled,
+    )
+
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return two_hop_reach_sampled(edges, sample_mod=4)

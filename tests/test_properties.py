@@ -1527,6 +1527,63 @@ def test_two_hop_reach_matches_brute_force(spark, edges):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    sample_mod=st.integers(min_value=1, max_value=4),
+)
+def test_two_hop_reach_sampled_matches_filtered_exact(
+    spark, edges, sample_mod
+):
+    """The seeded source-sampled twin must equal the EXACT twin's
+    output restricted to md5-sampled sources on ANY graph and any
+    sampling factor — source sampling changes WHICH nodes are
+    profiled, never a profiled node's value — and sample_mod=1 must
+    reproduce the exact twin verbatim."""
+    import hashlib
+
+    from etl_developstoday_test_spark.operators.graph import (
+        two_hop_reach,
+        two_hop_reach_sampled,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    got = [
+        tuple(r)
+        for r in two_hop_reach_sampled(df, sample_mod, top_k=100).collect()
+    ]
+    exact = [tuple(r) for r in two_hop_reach(df, top_k=100).collect()]
+
+    def sampled(u: int) -> bool:
+        h = int(hashlib.md5(f"r2s#{u}".encode()).hexdigest()[:15], 16)
+        return h % sample_mod == 0
+
+    want = [r for r in exact if sampled(r[0])]
+    assert got == want
+    if sample_mod == 1:
+        assert got == exact
+
+
+def test_two_hop_reach_sampled_rejects_bad_mod(spark):
+    import pytest
+
+    from etl_developstoday_test_spark.operators.graph import (
+        two_hop_reach_sampled,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "ua long, ub long")
+    with pytest.raises(ValueError, match="sample_mod"):
+        two_hop_reach_sampled(df, 0)
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     a_vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),

@@ -1524,60 +1524,13 @@ def test_chi2_categorical_matches_oracle(spark, ev_con):
 # three wait for the r12 window — implemented + unit-tested now, twins
 # value-locked at sf0.001 AND sf0.01 here, registration next round.
 
-UNIQUENESS_ORACLE = r"""
-WITH rel AS (
-  SELECT 'documents.doc_id' AS candidate_key,
-         (SELECT COUNT(*) FROM documents) AS n_rows,
-         (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL)
-           AS n_null_keys,
-         (SELECT COUNT(*) FROM (SELECT doc_id FROM documents
-            WHERE doc_id IS NOT NULL GROUP BY doc_id)) AS n_distinct_keys,
-         (SELECT COUNT(*) FROM (SELECT doc_id FROM documents
-            WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING COUNT(*) > 1))
-           AS n_violating_keys,
-         (SELECT COALESCE(SUM(c - 1), 0) FROM (
-            SELECT COUNT(*) AS c FROM documents WHERE doc_id IS NOT NULL
-            GROUP BY doc_id HAVING COUNT(*) > 1)) AS n_excess_rows
-  UNION ALL
-  SELECT 'lineitem.(l_orderkey,l_linenumber)',
-         (SELECT COUNT(*) FROM lineitem),
-         (SELECT COUNT(*) FROM lineitem
-            WHERE l_orderkey IS NULL OR l_linenumber IS NULL),
-         (SELECT COUNT(*) FROM (SELECT 1 FROM lineitem
-            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
-            GROUP BY l_orderkey, l_linenumber)),
-         (SELECT COUNT(*) FROM (SELECT 1 FROM lineitem
-            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
-            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
-         (SELECT COALESCE(SUM(c - 1), 0) FROM (
-            SELECT COUNT(*) AS c FROM lineitem
-            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
-            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
-  UNION ALL
-  SELECT 'orders.o_custkey(non-key control)',
-         (SELECT COUNT(*) FROM orders),
-         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
-         (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
-            WHERE o_custkey IS NOT NULL GROUP BY o_custkey)),
-         (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders
-            WHERE o_custkey IS NOT NULL GROUP BY o_custkey
-            HAVING COUNT(*) > 1)),
-         (SELECT COALESCE(SUM(c - 1), 0) FROM (
-            SELECT COUNT(*) AS c FROM orders WHERE o_custkey IS NOT NULL
-            GROUP BY o_custkey HAVING COUNT(*) > 1))
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    UNIQUENESS_ORACLE_SQL as UNIQUENESS_ORACLE,
 )
-SELECT candidate_key, CAST(n_rows AS BIGINT) AS n_rows,
-       CAST(n_null_keys AS BIGINT) AS n_null_keys,
-       CAST(n_distinct_keys AS BIGINT) AS n_distinct_keys,
-       CAST(n_violating_keys AS BIGINT) AS n_violating_keys,
-       CAST(n_excess_rows AS BIGINT) AS n_excess_rows,
-       n_violating_keys = 0 AS is_unique
-FROM rel ORDER BY candidate_key
-"""
 
 
 def test_uniqueness_audit_matches_oracle(spark, star_con):
-    """STAGED r12: candidate-key uniqueness card over two real keys
+    """Registered r12: candidate-key uniqueness card over two real keys
     plus one deliberately non-unique control (orders.o_custkey) so the
     violation path is exercised at corpus scale — value-locked at both
     scales BEFORE registration."""
@@ -1627,40 +1580,13 @@ def docstar_con(request):
     c.close()
 
 
-AUTOCORR_ORACLE = r"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d,
-         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
-               AS BIGINT)) AS DOUBLE) / 1e6
-           / CAST(COUNT(*) AS DOUBLE) AS x
-  FROM events
-  WHERE value IS NOT NULL AND NOT isnan(value)
-  GROUP BY 1
-),
-pairs AS (
-  SELECT a.x AS x, b.x AS y FROM daily a JOIN daily b ON a.d + 1 = b.d
-),
-mom AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sa,
-         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sb,
-         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sab,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS saa,
-         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS sbb
-  FROM pairs
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    AUTOCORR_ORACLE_SQL as AUTOCORR_ORACLE,
 )
-SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
-       n AS n_pairs,
-       round((CAST(n AS DOUBLE) * sab - sa * sb)
-             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
-                    * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
-         AS autocorr_lag1
-FROM mom
-"""
 
 
 def test_daily_autocorr_matches_oracle(spark, ev_con):
-    """STAGED r12: lag-1 Pearson autocorrelation of the daily-mean
+    """Registered r12: lag-1 Pearson autocorrelation of the daily-mean
     value series — the drift kit's time-structure leg — value-locked
     at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.drift import (
@@ -1678,67 +1604,13 @@ def test_daily_autocorr_matches_oracle(spark, ev_con):
     assert srow[0][1] == srow[0][0] - 1  # consecutive calendar days
 
 
-HEAPS_ORACLE = r"""
-WITH base AS (
-  SELECT bucket, unnest(list_transform(
-           generate_series(1, len(arr) - 2),
-           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS tok
-  FROM (
-    SELECT CAST(concat('0x', substr(md5('heaps#' || CAST(doc_id AS VARCHAR)),
-             1, 15)) AS BIGINT) % 10 AS bucket,
-           regexp_split_to_array(trim(text), '\s+') AS arr
-    FROM documents
-  )
-),
-first_seen AS (
-  SELECT fb, CAST(COUNT(*) AS BIGINT) AS new_vocab
-  FROM (SELECT tok, MIN(bucket) AS fb FROM base GROUP BY tok)
-  GROUP BY fb
-),
-per_bucket AS (
-  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS toks FROM base GROUP BY bucket
-),
-curve AS (
-  SELECT s.bucket,
-         CAST(SUM(COALESCE(pb.toks, 0)) OVER (ORDER BY s.bucket
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS n_ngrams,
-         CAST(SUM(COALESCE(fs.new_vocab, 0)) OVER (ORDER BY s.bucket
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS vocab_size
-  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) s
-  LEFT JOIN first_seen fs ON fs.fb = s.bucket
-  LEFT JOIN per_bucket pb ON pb.bucket = s.bucket
-),
-pts AS (
-  SELECT CAST(CAST(round(ln(CAST(n_ngrams AS DOUBLE)) * 1e9) AS BIGINT)
-           AS DOUBLE) / 1e9 AS x,
-         CAST(CAST(round(ln(CAST(vocab_size AS DOUBLE)) * 1e9) AS BIGINT)
-           AS DOUBLE) / 1e9 AS y
-  FROM curve WHERE n_ngrams > 0 AND vocab_size > 0
-),
-mom AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx
-  FROM pts
-),
-beta AS (
-  SELECT round((CAST(n AS DOUBLE) * sxy - sx * sy)
-               / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta
-  FROM mom
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    HEAPS_ORACLE_SQL as HEAPS_ORACLE,
 )
-SELECT bucket AS prefix_bucket, n_ngrams, vocab_size, beta.heaps_beta
-FROM curve CROSS JOIN beta
-WHERE n_ngrams > 0 AND vocab_size > 0
-ORDER BY prefix_bucket
-"""
 
 
 def test_heaps_law_fit_matches_oracle(spark, docstar_con):
-    """STAGED r12: Heaps'-law vocabulary growth curve over 10 nested
+    """Registered r12: Heaps'-law vocabulary growth curve over 10 nested
     md5 doc prefixes with the log-log least-squares exponent —
     value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.text_analysis import (
@@ -1759,42 +1631,12 @@ def test_heaps_law_fit_matches_oracle(spark, docstar_con):
 
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _COACT_SQL as _COACT_SQL_LB,
+    LOCAL_BRIDGES_ORACLE_SQL as LOCAL_BRIDGES_ORACLE,
 )
-
-LOCAL_BRIDGES_ORACLE = f"""
-WITH {_COACT_SQL_LB},
-sym AS (
-  SELECT ua AS u, ub AS w FROM edges UNION ALL SELECT ub, ua FROM edges
-),
-deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
-closed AS (
-  SELECT DISTINCT s1.u AS ua, s2.u AS ub
-  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u
-),
-bridges AS (
-  SELECT e.ua, e.ub FROM edges e
-  WHERE NOT EXISTS (SELECT 1 FROM closed c
-                    WHERE c.ua = e.ua AND c.ub = e.ub)
-),
-counts AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bridges) AS n_bridges,
-         round(CAST((SELECT COUNT(*) FROM bridges) AS DOUBLE)
-               / CAST((SELECT COUNT(*) FROM edges) AS DOUBLE), 6)
-           AS bridge_share
-)
-SELECT b.ua, b.ub, CAST(da.d + db.d AS BIGINT) AS degree_sum,
-       counts.n_bridges, counts.bridge_share
-FROM bridges b
-JOIN deg da ON da.u = b.ua
-JOIN deg db ON db.u = b.ub
-CROSS JOIN counts
-ORDER BY degree_sum DESC, ua ASC, ub ASC LIMIT 10
-"""
 
 
 def test_local_bridges_matches_oracle(spark, ev_con):
-    """STAGED r12: local bridges (edges with zero common neighbors —
+    """Registered r12: local bridges (edges with zero common neighbors —
     the weak-tie/cross-community conduit audit) over the SHARED
     co-activity graph, highest-traffic first — value-locked at both
     scales BEFORE registration. The sf0.001 co-activity graph is
@@ -1811,3 +1653,47 @@ def test_local_bridges_matches_oracle(spark, ev_con):
     assert srows == drows
     assert srows
     assert all(0.0 < r[4] <= 1.0 for r in srows)
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    TWO_HOP_SAMPLED_ORACLE_SQL as TWO_HOP_SAMPLED_ORACLE,
+)
+
+
+def test_two_hop_reach_sampled_matches_oracle(spark, ev_con):
+    """Registered r12: seeded source-sampled twin of two_hop_reach —
+    deterministic md5 1/4 source subset, exact per-node reach, so the
+    output hash-matches the oracle at both scales (no estimator
+    tolerance needed). Every returned node must satisfy the sample
+    predicate, and its reach must equal the EXACT twin's reach for the
+    same node (source sampling never changes a sampled node's value)."""
+    from etl_developstoday_test_spark.operators.graph import (
+        two_hop_reach,
+        two_hop_reach_sampled,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [tuple(r) for r in two_hop_reach_sampled(edges, 4).collect()]
+    drows = con.execute(TWO_HOP_SAMPLED_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    import hashlib
+
+    for node, _deg, _reach in srows:
+        h = int(hashlib.md5(f"r2s#{node}".encode()).hexdigest()[:15], 16)
+        assert h % 4 == 0
+    n_nodes = (
+        edges.selectExpr("ua AS u")
+        .unionAll(edges.selectExpr("ub AS u"))
+        .distinct()
+        .count()
+    )
+    exact = {
+        r["node"]: r["reach_2hop"]
+        for r in two_hop_reach(edges, top_k=n_nodes).collect()
+    }
+    assert all(exact[n] == reach for n, _d, reach in srows)
