@@ -159,3 +159,82 @@ def uniqueness_audit(
     for c in cards[1:]:
         out = out.unionAll(c)
     return out.orderBy("candidate_key")
+
+
+def functional_dependency_audit(
+    relations: list[tuple[str, DataFrame, str, str]],
+) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY audit: for each (name, table,
+    determinant_col, dependent_col), does A → B hold — i.e. does every
+    determinant value map to exactly ONE dependent value? The dq card
+    that certifies the derivation/denormalization assumptions a
+    pipeline silently relies on (a violated "code → description"
+    means a stale dimension merge; a violated "entity → category"
+    means the column is NOT safe to group by as a proxy key), and the
+    schema-inference probe a 100-TB ingest runs before collapsing a
+    wide table. Completes the relational-dq trio: fk_orphan_audit
+    (cross-table reference), uniqueness_audit (key identity), this
+    (intra-table determination).
+
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
+
+    Rows with a NULL determinant OR dependent are counted separately
+    (``n_null_rows``) and excluded from the determination test — SQL
+    NULL is "unknown", and an unknown on either side can neither
+    prove nor violate a dependency.
+
+    Determinism: pure exact integer counts; ``fd_holds`` is a boolean
+    of those counts. Scale shape: per relation, ONE map-side-combined
+    groupBy on the determinant (count + count-distinct of the
+    dependent — the classic two-phase distinct aggregate) into a
+    1-row rollup; the card is a union of 1-row frames. Returns one
+    row per relation: (dependency, n_rows, n_null_rows,
+    n_determinants, n_violating_determinants, n_violating_rows,
+    fd_holds), ordered by dependency.
+    """
+    if not relations:
+        raise ValueError(
+            "functional_dependency_audit: at least one relation required"
+        )
+    cards = []
+    for name, df, det, dep in relations:
+        ok = F.col(det).isNotNull() & F.col(dep).isNotNull()
+        per_det = (
+            df.select(F.col(det).alias("_a"), F.col(dep).alias("_b"), ok.alias("_ok"))
+            .filter(F.col("_ok"))
+            .groupBy("_a")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_rows"),
+                F.countDistinct("_b").cast("long").alias("_nd"),
+            )
+        )
+        det_stats = per_det.agg(
+            F.coalesce(F.sum("_rows"), F.lit(0)).cast("long").alias("_nn"),
+            F.count(F.lit(1)).cast("long").alias("n_determinants"),
+            F.coalesce(F.sum((F.col("_nd") > 1).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_violating_determinants"),
+            F.coalesce(
+                F.sum(F.when(F.col("_nd") > 1, F.col("_rows"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_violating_rows"),
+        )
+        totals = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        card = totals.crossJoin(F.broadcast(det_stats)).select(
+            F.lit(name).alias("dependency"),
+            "n_rows",
+            (F.col("n_rows") - F.col("_nn")).cast("long").alias(
+                "n_null_rows"
+            ),
+            "n_determinants",
+            "n_violating_determinants",
+            "n_violating_rows",
+            (F.col("n_violating_determinants") == 0).alias("fd_holds"),
+        )
+        cards.append(card)
+    out = cards[0]
+    for c in cards[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("dependency")

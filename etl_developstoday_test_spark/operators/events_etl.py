@@ -558,3 +558,77 @@ def top_event_paths(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(k)
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly COHORT-RETENTION triangle: bucket every user by the ISO
+    week of their FIRST event (the cohort), then count how many of
+    each cohort's users are active in each subsequent week — the
+    canonical "are newer users stickier?" panel, and for a behavioral
+    training corpus the user-lifetime mix card (a corpus whose later
+    cohorts churn immediately over-represents one-session behavior).
+    The longitudinal leg the events kit lacked: sessionize/funnel are
+    within-stream, RFM is as-of-now, this is week-over-week.
+
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
+
+    Determinism contract: weeks are ``date_trunc('week', ts)``
+    Monday-start dates — identical semantics in Spark and DuckDB —
+    and every number is an exact integer count; retention is ONE
+    6-dp division by the cohort's own week-0 size. Week offsets are
+    exact day-difference div 7 (both endpoints are Mondays, so the
+    division is always exact).
+
+    Scale shape: ONE map-side-combined min-aggregate per user (first
+    event), ONE (user, week) distinct — both corpus-sized shuffles
+    co-keyed on user_id, so the cohort join is co-shuffled (AQE free
+    to pick the strategy); the final rollup lands on the
+    weeks×weeks-bounded cohort table, checkpointed before the
+    cohort-size self-join. Returns one row per (cohort_week,
+    week_offset) with activity: (cohort_week, week_offset, n_active,
+    cohort_size, retention), ordered by (cohort_week, week_offset).
+    """
+    firsts = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("_first"))
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", F.col("_first"))).alias(
+                "cohort_week"
+            ),
+        )
+    )
+    active = events.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("_w")
+    ).distinct()
+    cells = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("_w"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .localCheckpoint(eager=True)  # bounded: weeks x weeks
+    )
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        F.col("cohort_week").alias("_cw"),
+        F.col("n_active").alias("cohort_size"),
+    )
+    return (
+        cells.join(sizes, cells["cohort_week"] == sizes["_cw"])
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1241,3 +1241,96 @@ def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
         .limit(top_k)
         .select("ua", "ub", "degree_sum", "n_bridges", "bridge_share")
     )
+
+
+def degree_powerlaw_fit(
+    edges: DataFrame, dmin: int = 2
+) -> DataFrame:
+    """Degree-distribution HISTOGRAM + discrete power-law exponent MLE
+    (Clauset, Shalizi & Newman 2009, eq. 3.7: α ≈ 1 + n/Σ ln(dᵢ/(dmin−½)))
+    — the one-card answer to "is this graph scale-free and how heavy
+    is its hub tail", which decides every downstream graph-operator
+    strategy in this module: α near 2 means wedge volume (Σdeg²) is
+    hub-dominated and the triangle/2-hop family must run capped or
+    sampled (two_hop_reach_sampled, DOULION); α ≥ 3 means moments are
+    tame and the exact operators are safe. The graph-shaped sibling of
+    the relational skew kit's topk_key_share diagnosis card.
+
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
+
+    Determinism contract: the histogram is exact integer counts; the
+    one transcendental, ln(d/(dmin−0.5)), is NANO-QUANTIZED per
+    DISTINCT DEGREE (round(ln·1e9) as BIGINT — the PSI/PMI idiom) so
+    engines' libm differences cannot leak in; the tail sum
+    Σ n_d·lnq_d runs over the degree-DOMAIN histogram through a
+    decimal(38,0) accumulator (bounded table — the decimal-audit
+    class-1 case; n_d·lnq_d can exceed 2⁶³ at 1e11 vertices, so long
+    is NOT the right container here); α is one fixed-order double
+    expression, 6-dp rounded.
+
+    Scale shape: symmetrize (one projection union), ONE
+    map-side-combined degree groupBy (vertex-sized), ONE further
+    groupBy onto the degree DOMAIN — everything after runs on the
+    checkpointed histogram; nothing vertex-sized is windowed,
+    broadcast, or collected. The corpus-sized Σ ln(dᵢ) the naive MLE
+    would compute per vertex is designed out by the histogram
+    collapse (Σ_i ln dᵢ = Σ_d n_d·ln d). An empty tail (no degree ≥
+    dmin) raises. ``edges`` must be distinct undirected pairs
+    (ua < ub). Returns the full histogram, one row per distinct
+    degree: (degree, n_nodes, alpha, n_tail, dmin), ordered by
+    degree; alpha/n_tail/dmin are the audit-level numbers repeated
+    per row (the LPA-modularity convention).
+    """
+    if dmin < 1:
+        raise ValueError("degree_powerlaw_fit: dmin must be >= 1")
+    sym = edges.select(F.col("ua").alias("u")).unionAll(
+        edges.select(F.col("ub").alias("u"))
+    )
+    hist = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .groupBy(F.col("_d").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .localCheckpoint(eager=True)  # bounded: degree domain
+    )
+    lnq = F.round(
+        F.log(F.col("degree").cast("double") / F.lit(float(dmin) - 0.5))
+        * 1e9
+    ).cast("long")
+    tail = hist.filter(F.col("degree") >= dmin).select(
+        "n_nodes",
+        (F.col("n_nodes").cast("decimal(38,0)") * lnq.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_t"),
+    )
+    mom = tail.agg(
+        F.coalesce(F.sum("n_nodes"), F.lit(0)).cast("long").alias("n_tail"),
+        F.sum("_t").alias("_s"),
+    ).localCheckpoint(eager=True)  # 1 row; guard + result share it
+    g = mom.collect()[0]
+    if g["n_tail"] == 0:
+        raise ValueError(
+            f"degree_powerlaw_fit: no vertex has degree >= dmin={dmin} — "
+            "no tail to fit"
+        )
+    alpha = mom.select(
+        F.round(
+            F.lit(1.0)
+            + F.col("n_tail").cast("double")
+            / (F.col("_s").cast("double") / F.lit(1e9)),
+            6,
+        ).alias("alpha"),
+        F.col("n_tail"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(alpha))
+        .select(
+            "degree",
+            "n_nodes",
+            "alpha",
+            "n_tail",
+            F.lit(dmin).cast("int").alias("dmin"),
+        )
+        .orderBy("degree")
+    )

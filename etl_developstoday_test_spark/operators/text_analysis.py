@@ -1767,3 +1767,74 @@ def heaps_law_fit(
         )
         .orderBy("prefix_bucket")
     )
+
+
+def simpson_diversity(
+    docs: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group SIMPSON DIVERSITY of the token distribution — λ =
+    Σ cᵢ(cᵢ−1) / (C(C−1)), the probability two tokens drawn WITHOUT
+    replacement are the same type (Simpson 1949), with the
+    Gini–Simpson complement 1−λ and the inverse-Simpson effective
+    type count 1/λ (Hill number of order 2). The concentration-shaped
+    diversity card beside the entropy/Zipf/Heaps legs: λ is dominated
+    by the HEAD of the distribution (a boilerplate-flooded corpus
+    shows a collapsing 1/λ long before the tail-sensitive vocabulary
+    metrics move), and unlike entropy it is exactly computable in
+    pure integers until one final division.
+
+    Registered round 12 (oracle value-locked at two scales in
+    tests/test_staged_oracles.py BEFORE registration).
+
+    Determinism contract: per-(group, token) counts are exact longs;
+    Σ cᵢ(cᵢ−1) accumulates through decimal(38,0) over the
+    VOCABULARY-sized count table (the decimal-audit class-3 case: the
+    squared summand exceeds 2⁶³ at web-scale head-token counts, so
+    decimal is the only exact container; the table is an aggregate,
+    never the corpus stream); λ and 1/λ are fixed-order double
+    expressions of exact integers, 6-dp rounded. Groups with fewer
+    than 2 tokens are EXCLUDED (λ is undefined without a pair —
+    documented, not NULL-carded).
+
+    Scale shape: one tokenize explode, ONE map-side-combined
+    (group, token) groupBy, ONE group rollup — the same two-exchange
+    posture as the entropy card; nothing is windowed, broadcast, or
+    collected. Returns one row per group: (lang, n_tokens, n_types,
+    simpson_lambda, gini_simpson, inv_simpson), ordered by group.
+    """
+    from etl_developstoday_test_spark.functions import tokens
+
+    counts = (
+        docs.select(
+            F.col(group_col).alias("lang"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_group = (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(
+                (
+                    F.col("c").cast("decimal(38,0)")
+                    * (F.col("c") - 1).cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).alias("_pairs"),
+        )
+        .filter(F.col("n_tokens") >= 2)
+    )
+    lam = F.col("_pairs").cast("double") / (
+        F.col("n_tokens").cast("double")
+        * (F.col("n_tokens") - 1).cast("double")
+    )
+    return per_group.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.round(lam, 6).alias("simpson_lambda"),
+        F.round(F.lit(1.0) - lam, 6).alias("gini_simpson"),
+        F.round(F.lit(1.0) / lam, 6).alias("inv_simpson"),
+    ).orderBy("lang")

@@ -3081,3 +3081,122 @@ def test_local_bridges_fixture(spark):
     got = [tuple(r) for r in local_bridges(edges, top_k=10).collect()]
     # bridges: (3,4) deg 3+1=4; (10,11) deg 1+1=2; share 2/5
     assert got == [(3, 4, 4, 2, 0.4), (10, 11, 2, 2, 0.4)]
+
+
+def test_functional_dependency_audit_constructed(spark):
+    """A holds-FD, a violated FD with exact violating-row counts, NULL
+    rows counted separately and excluded from the test; an empty
+    relations list raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.dq import (
+        functional_dependency_audit,
+    )
+
+    rows = [
+        ("a", "x"), ("a", "x"), ("b", "y"),          # holds so far
+        ("c", "x"), ("c", "y"), ("c", "y"),          # c violates (3 rows)
+        (None, "z"), ("d", None),                    # 2 null rows
+    ]
+    df = spark.createDataFrame(rows, "det string, dep string")
+    got = [
+        tuple(r)
+        for r in functional_dependency_audit(
+            [("t.det->dep", df, "det", "dep")]
+        ).collect()
+    ]
+    assert got == [("t.det->dep", 8, 2, 3, 1, 3, False)]
+    clean = spark.createDataFrame(rows[:3], "det string, dep string")
+    got2 = [
+        tuple(r)
+        for r in functional_dependency_audit(
+            [("t2", clean, "det", "dep")]
+        ).collect()
+    ]
+    assert got2 == [("t2", 3, 0, 2, 0, 0, True)]
+    with pytest.raises(ValueError, match="at least one relation"):
+        functional_dependency_audit([])
+
+
+def test_degree_powerlaw_fit_constructed(spark):
+    """A 5-leaf star: hub degree 5, five degree-1 leaves — histogram
+    {1: 5, 5: 1}; the tail at dmin=2 is the hub alone, so alpha =
+    1 + 1/ln(5/1.5) exactly (nano-quantized); dmin=1 includes the
+    leaves; no-tail and bad dmin raise."""
+    import math
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_powerlaw_fit,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "ua long, ub long"
+    )
+    got = [tuple(r) for r in degree_powerlaw_fit(star, dmin=2).collect()]
+    lnq = round(math.log(5 / 1.5) * 1e9)
+    alpha = round(1.0 + 1.0 / (lnq / 1e9), 6)
+    assert got == [(1, 5, alpha, 1, 2), (5, 1, alpha, 1, 2)]
+    # dmin=1: ln(1/0.5) from the leaves joins the sum
+    got1 = [tuple(r) for r in degree_powerlaw_fit(star, dmin=1).collect()]
+    s = 5 * round(math.log(1 / 0.5) * 1e9) + round(math.log(5 / 0.5) * 1e9)
+    alpha1 = round(1.0 + 6.0 / (s / 1e9), 6)
+    assert [r[2] for r in got1] == [alpha1, alpha1]
+    with pytest.raises(ValueError, match="no vertex has degree"):
+        degree_powerlaw_fit(star, dmin=6)
+    with pytest.raises(ValueError, match="dmin"):
+        degree_powerlaw_fit(star, dmin=0)
+
+
+def test_retention_cohorts_constructed(spark):
+    """Two cohorts with hand-tracked weekly activity: week-0 rows pin
+    retention 1.0; a user active in a later week counts once no matter
+    how many events; gaps produce no row (no zero-fill — absence IS
+    the signal a triangle reader expects)."""
+    from datetime import datetime, timedelta
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        retention_cohorts,
+    )
+
+    mon = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    # cohort A (week 0): users 1, 2. user 1 active weeks 0,1,3 (twice
+    # in week 1); user 2 only week 0.
+    rows += [(1, mon), (1, mon + timedelta(days=7)),
+             (1, mon + timedelta(days=8)), (1, mon + timedelta(days=21))]
+    rows += [(2, mon + timedelta(days=2))]
+    # cohort B (week 1): user 3 active weeks 1 and 2
+    rows += [(3, mon + timedelta(days=9)), (3, mon + timedelta(days=15))]
+    ev = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts timestamp"
+    )
+    got = [tuple(r) for r in retention_cohorts(ev).collect()]
+    wk = mon.date()
+    wk1 = (mon + timedelta(days=7)).date()
+    assert got == [
+        (wk, 0, 2, 2, 1.0),
+        (wk, 1, 1, 2, 0.5),
+        (wk, 3, 1, 2, 0.5),
+        (wk1, 0, 1, 1, 1.0),
+        (wk1, 1, 1, 1, 1.0),
+    ]
+
+
+def test_simpson_diversity_constructed(spark):
+    """Hand values: 'a a b' gives lambda = 2/(3*2) = 1/3, inverse 3;
+    a single-type corpus pins lambda = 1; a 1-token group is excluded."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        simpson_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", "a a b"), ("fr", "x x x"), ("zh", "solo")],
+        "lang string, text string",
+    )
+    got = [tuple(r) for r in simpson_diversity(docs).collect()]
+    assert got == [
+        ("en", 3, 2, round(1 / 3, 6), round(2 / 3, 6), 3.0),
+        ("fr", 3, 1, 1.0, 0.0, 1.0),
+    ]

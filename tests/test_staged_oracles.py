@@ -1697,3 +1697,140 @@ def test_two_hop_reach_sampled_matches_oracle(spark, ev_con):
         for r in two_hop_reach(edges, top_k=n_nodes).collect()
     }
     assert all(exact[n] == reach for n, _d, reach in srows)
+
+
+# --- Round-12 net-new operators (locked at both scales, registered in
+# the same round once the window arithmetic cleared the r5 bucket) ----------
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    FD_AUDIT_ORACLE_SQL as FD_AUDIT_ORACLE,
+    POWERLAW_ORACLE_SQL as POWERLAW_ORACLE,
+    RETENTION_ORACLE_SQL as RETENTION_ORACLE,
+    SIMPSON_ORACLE_SQL as SIMPSON_ORACLE,
+)
+
+
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def fd_con(request):
+    c = duckdb.connect()
+    for t in ["documents", "nation", "orders"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{request.param}/{t}.parquet'"
+        )
+    yield request.param, c
+    c.close()
+
+
+def test_functional_dependency_matches_oracle(spark, fd_con):
+    """Registered r12: FD audit over one dependency that HOLDS
+    (nation.n_name -> n_regionkey) and two genuinely violated ones —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.dq import (
+        functional_dependency_audit,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = fd_con
+    out = functional_dependency_audit(
+        [
+            (
+                "documents.source->lang",
+                load_table(spark, sf_dir, "documents"),
+                "source",
+                "lang",
+            ),
+            (
+                "nation.n_name->n_regionkey",
+                load_table(spark, sf_dir, "nation"),
+                "n_name",
+                "n_regionkey",
+            ),
+            (
+                "orders.o_custkey->o_orderpriority",
+                load_table(spark, sf_dir, "orders"),
+                "o_custkey",
+                "o_orderpriority",
+            ),
+        ]
+    )
+    srows = [tuple(r) for r in out.collect()]
+    drows = con.execute(FD_AUDIT_ORACLE).fetchall()
+    assert srows == drows
+    by = {r[0]: r for r in srows}
+    assert by["nation.n_name->n_regionkey"][6] is True
+    assert by["documents.source->lang"][6] is False
+    assert by["documents.source->lang"][4] > 0
+    assert by["orders.o_custkey->o_orderpriority"][6] is False
+
+
+def test_degree_powerlaw_matches_oracle(spark, ev_con):
+    """Registered r12: degree histogram + CSN discrete MLE over the
+    SHARED co-activity graph — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_powerlaw_fit,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [tuple(r) for r in degree_powerlaw_fit(edges).collect()]
+    drows = con.execute(POWERLAW_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # histogram covers every vertex once: sum of n_nodes = vertex count
+    n_vertices = (
+        edges.selectExpr("ua AS u")
+        .unionAll(edges.selectExpr("ub AS u"))
+        .distinct()
+        .count()
+    )
+    assert sum(r[1] for r in srows) == n_vertices
+    assert all(r[2] > 1.0 for r in srows)  # MLE alpha is always > 1
+
+
+def test_retention_cohorts_matches_oracle(spark, ev_con):
+    """Registered r12: weekly cohort-retention triangle — value-locked
+    at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        retention_cohorts,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in retention_cohorts(ev).collect()]
+    drows = con.execute(RETENTION_ORACLE).fetchall()
+    assert srows == drows
+    # every cohort has a week-0 row with retention exactly 1.0, and no
+    # cell exceeds its cohort size
+    week0 = {r[0] for r in srows if r[1] == 0}
+    assert week0 == {r[0] for r in srows}
+    assert all(r[4] == 1.0 for r in srows if r[1] == 0)
+    assert all(r[2] <= r[3] for r in srows)
+
+
+def test_simpson_diversity_matches_oracle(spark, docstar_con):
+    """Registered r12: per-language Simpson diversity — value-locked
+    at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        simpson_diversity,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in simpson_diversity(docs).collect()]
+    drows = con.execute(SIMPSON_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    for _lang, n_tokens, n_types, lam, gini, inv in srows:
+        assert 0.0 < lam <= 1.0
+        assert abs((lam + gini) - 1.0) < 2e-6
+        # effective types can't exceed the actual type count (+rounding)
+        assert 1.0 <= inv <= n_types + 1e-6
