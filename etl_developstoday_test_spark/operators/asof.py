@@ -190,3 +190,89 @@ def asof_join_nearest(
         *[F.col(c) for c in left.columns if c != key],
         *[chosen[c].alias(f"{prefix}{c}") for c in carried],
     )
+
+
+def interval_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """INTERVAL (range) JOIN: every (points row, intervals row) pair
+    with the same ``key`` and ``start_ts <= point_ts <= end_ts`` — the
+    "which events fall inside which window" primitive (session
+    attribution, maintenance-window exclusion, promo-period tagging)
+    that Spark has no native operator for. The naive theta join
+    compiles to a per-key NESTED LOOP (BroadcastNestedLoop or a
+    key-equi join whose range residual runs as a post-join filter over
+    the full |points_k| × |intervals_k| pair stream per key — the
+    skewed-key blowup class).
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    This is the standard BUCKET-BLOCKING plan instead: explode each
+    interval onto the fixed-width time buckets it covers, bucket each
+    point once, and equi-join on (key, bucket) with the exact range
+    test as the join residual. Each point lives in exactly ONE bucket,
+    so every qualifying pair is emitted exactly once — no dedup pass.
+    Fan-out is Σ ceil(len/W) interval replicas instead of a per-key
+    cross product: W (``bucket_micros``, default 1 hour) trades
+    replication (long intervals) against candidate density (busy
+    buckets) and is the single knob to retune at 100 TB. All bucket
+    arithmetic is exact integer microseconds (``unix_micros`` +
+    floor-div — no double truncation); intervals with end < start are
+    dropped (empty range), NULL endpoints/timestamps fall out of the
+    bucket arithmetic like any SQL comparison.
+
+    Scale shape: one narrow map per side (the explode is
+    ``sequence()`` over bucket ids — JVM codegen, no Python), ONE
+    equi-join co-shuffled on (key, bucket); nothing is broadcast by
+    hint, windowed, or collected. Returns points columns + the
+    interval's columns (caller projects); one output row per
+    qualifying (point, interval) pair.
+    """
+    if bucket_micros < 1:
+        raise ValueError("interval_bucket_join: bucket_micros must be >= 1")
+    p_us = F.unix_micros(F.col(point_ts))
+    s_us = F.unix_micros(F.col(start_ts))
+    e_us = F.unix_micros(F.col(end_ts))
+    # EXACT integer bucket ids (`div`, not double division + floor: at
+    # 2^50-scale micros a correctly-rounded double quotient can cross
+    # an integer boundary and strand a point one bucket away from its
+    # covering interval). `div` truncates toward zero == floor on the
+    # non-negative post-1970 epoch domain this operator documents.
+    wlit = int(bucket_micros)
+    p = points.withColumn(
+        "_pb", F.expr(f"unix_micros({point_ts}) div {wlit}L")
+    )
+    # The interval side's key and bucket get PRIVATE names before the
+    # join: points and intervals are routinely derived from the SAME
+    # scan (events -> purchases / events -> sessions), where a
+    # two-sided df[key] == df[key] condition resolves ambiguously (the
+    # "trivially true equals predicate" trap — the key equality would
+    # silently vanish and cross-key pairs would survive the residual).
+    i = (
+        intervals.filter(e_us >= s_us)
+        .withColumn(
+            "_ib",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start_ts}) div {wlit}L"),
+                    F.expr(f"unix_micros({end_ts}) div {wlit}L"),
+                )
+            ),
+        )
+        .withColumnRenamed(key, "_ikey")
+    )
+    joined = p.join(
+        i,
+        (F.col(key) == F.col("_ikey"))
+        & (F.col("_pb") == F.col("_ib"))
+        & (p_us >= s_us)
+        & (p_us <= e_us),
+    )
+    return joined.drop("_ikey", "_pb", "_ib")

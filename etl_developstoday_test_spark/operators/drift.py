@@ -891,3 +891,132 @@ def daily_autocorr_lag1(
         F.col("n").cast("long").alias("n_pairs"),
         F.round(r, 6).alias("autocorr_lag1"),
     )
+
+
+def dow_seasonality_anova(
+    df: DataFrame, value_col: str, ts_col: str = "ts"
+) -> DataFrame:
+    """DAY-OF-WEEK seasonality audit of the daily-mean series: one-way
+    ANOVA of the daily means grouped by ISO weekday — F large means
+    the weekday explains the daily level (weekend dips, Monday
+    backfill spikes), the calendar-period structure the drift kit's
+    other time legs miss (CUSUM finds one level SHIFT,
+    daily_autocorr_lag1 finds momentum; this finds the weekly cycle).
+    A drift monitor that ignores a real weekly cycle false-alarms
+    every weekend; one that knows it can deseasonalize first.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: daily means are the MICRO-QUANTIZED long
+    sums over exact day counts shared with ``daily_autocorr_lag1``
+    (floor(v·1e6 + 0.5) — IEEE-exact, no corpus-sized decimal
+    accumulation); weekdays are ISO (1 = Monday … 7 = Sunday —
+    Spark ``weekday()+1`` ≡ DuckDB ``isodow``); the per-weekday
+    moments (n, Σx, Σx²) and the final cross-group reductions
+    accumulate through the decimal summator over the BOUNDED
+    days/weekday tables; F is a fixed-order double tree
+    (SSB/(k−1))/(SSW/(N−k)), 6-dp rounded. NULL/NaN excluded; fewer
+    than 2 distinct weekdays, N ≤ k (no within degrees of freedom),
+    or an exactly-zero SSW (constant within every weekday —
+    F undefined) raise loudly.
+
+    Scale shape: one narrow map + ONE map-side-combined daily groupBy
+    (the only corpus-sized stage); everything after runs on the
+    checkpointed ≤366-row days table. Returns one row per observed
+    weekday: (isodow, n_days, mean_daily, f_stat, df_between,
+    df_within) — f/dfs are the audit-level numbers repeated per row
+    (the LPA-modularity convention), weekday-ordered.
+    """
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("d"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(
+                F.floor(F.col("_v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("_s"),
+        )
+        .select(
+            (F.weekday("d") + F.lit(1)).cast("int").alias("isodow"),
+            (
+                F.col("_s").cast("double")
+                / F.lit(1e6)
+                / F.col("_n").cast("double")
+            ).alias("x"),
+        )
+        .localCheckpoint(eager=True)  # bounded: calendar days
+    )
+    groups = (
+        daily.groupBy("isodow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.col("x").cast(ACC_DECIMAL)).alias("_sx"),
+            F.sum((F.col("x") * F.col("x")).cast(ACC_DECIMAL)).alias("_sxx"),
+        )
+        .localCheckpoint(eager=True)  # bounded: <= 7 rows
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    terms = groups.select(
+        "n_days",
+        F.col("_sx"),
+        ((sxx - sx * sx / nd)).cast(ACC_DECIMAL).alias("_w"),
+        ((sx * sx / nd)).cast(ACC_DECIMAL).alias("_b"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("n_days"), F.lit(0)).cast("long").alias("n"),
+        F.sum(F.col("_sx")).alias("sx_all"),
+        F.sum("_w").alias("ssw"),
+        F.sum("_b").alias("ssb_raw"),
+    ).localCheckpoint(eager=True)  # 1 row; guard + result share it
+    g = tot.collect()[0]
+    k, n = int(g["k"]), int(g["n"])
+    if k < 2:
+        raise ValueError(
+            f"dow_seasonality_anova: need >= 2 observed weekdays, got {k}"
+        )
+    if n <= k:
+        raise ValueError(
+            f"dow_seasonality_anova: {n} days over {k} weekdays leaves no "
+            "within-group degrees of freedom"
+        )
+    ssw = float(g["ssw"])
+    if ssw <= 0.0:
+        raise ValueError(
+            "dow_seasonality_anova: zero within-weekday variance — every "
+            "weekday's daily means are constant, F is undefined"
+        )
+    kk = F.col("k").cast("double")
+    nn = F.col("n").cast("double")
+    ssb = F.col("ssb_raw").cast("double") - (
+        F.col("sx_all").cast("double") * F.col("sx_all").cast("double") / nn
+    )
+    fstat = tot.select(
+        F.round(
+            (ssb / (kk - F.lit(1.0)))
+            / (F.col("ssw").cast("double") / (nn - kk)),
+            6,
+        ).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+    )
+    return (
+        groups.crossJoin(F.broadcast(fstat))
+        .select(
+            "isodow",
+            "n_days",
+            F.round(
+                F.col("_sx").cast("double") / F.col("n_days").cast("double"),
+                6,
+            ).alias("mean_daily"),
+            "f_stat",
+            "df_between",
+            "df_within",
+        )
+        .orderBy("isodow")
+    )

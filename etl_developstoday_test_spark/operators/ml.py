@@ -794,3 +794,87 @@ def nb_margin_auc(
             6,
         ).alias("auc"),
     )
+
+
+def cohen_kappa_agreement(
+    labeled: DataFrame, truth_col: str, pred_col: str
+) -> DataFrame:
+    """Cohen's κ inter-rater agreement (Cohen 1960) between two label
+    columns — the chance-corrected number that certifies a cheap
+    heuristic labeler (language-ID wordlists, a distilled classifier,
+    a second annotator pass) against reference labels BEFORE its
+    output is trusted to route/filter a corpus: raw accuracy rewards
+    majority-class parroting, κ subtracts the agreement the marginals
+    would produce by chance (κ = (p_o − p_e)/(1 − p_e)).
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the confusion matrix and both marginals are exact
+    integer counts; the chance term Σ row_l·col_l accumulates through
+    decimal(38,0) over the label-DOMAIN-sized marginal table (the
+    product exceeds 2⁶³ at 1e12 rows — decimal-audit class 3); p_o,
+    p_e and κ are a fixed-order double tree, 6-dp rounded. NULL on
+    either side is excluded (an unlabeled row can neither agree nor
+    disagree); a degenerate p_e = 1 (both raters constant and equal —
+    κ undefined, 0/0) raises.
+
+    Scale shape: ONE map-side-combined (truth, pred) groupBy; the
+    confusion matrix is checkpointed (label-domain² rows) and every
+    downstream aggregate runs on it. Returns ONE row:
+    (n_rows, n_agree, po, pe, kappa).
+    """
+    pairs = labeled.select(
+        F.col(truth_col).alias("_t"), F.col(pred_col).alias("_p")
+    ).filter(F.col("_t").isNotNull() & F.col("_p").isNotNull())
+    conf = (
+        pairs.groupBy("_t", "_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # bounded: label domain squared
+    )
+    row_m = conf.groupBy("_t").agg(F.sum("c").cast("long").alias("rm"))
+    col_m = conf.groupBy("_p").agg(F.sum("c").cast("long").alias("cm"))
+    chance = (
+        row_m.join(col_m, row_m["_t"] == col_m["_p"])
+        .select(
+            (
+                F.col("rm").cast("decimal(38,0)")
+                * F.col("cm").cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("_x")
+        )
+        .agg(F.coalesce(F.sum("_x"), F.lit(0).cast("decimal(38,0)")).alias("pe_num"))
+    )
+    totals = conf.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_t") == F.col("_p"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    card = totals.crossJoin(F.broadcast(chance)).localCheckpoint(
+        eager=True
+    )  # 1 row; guard + result share it
+    g = card.collect()[0]
+    if g["n_rows"] == 0:
+        raise ValueError(
+            "cohen_kappa_agreement: no rows with both labels present"
+        )
+    n = float(g["n_rows"])
+    if float(g["pe_num"]) == n * n:
+        raise ValueError(
+            "cohen_kappa_agreement: both label columns are the same "
+            "constant — chance agreement is 1 and kappa is 0/0"
+        )
+    nn = F.col("n_rows").cast("double")
+    po = F.col("n_agree").cast("double") / nn
+    pe = F.col("pe_num").cast("double") / (nn * nn)
+    return card.select(
+        "n_rows",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

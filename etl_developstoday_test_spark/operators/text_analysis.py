@@ -1838,3 +1838,93 @@ def simpson_diversity(
         F.round(F.lit(1.0) - lam, 6).alias("gini_simpson"),
         F.round(F.lit(1.0) / lam, 6).alias("inv_simpson"),
     ).orderBy("lang")
+
+
+def bigram_entropy_rate(
+    docs: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group BIGRAM ENTROPY RATE — the plug-in estimate of
+    H(w₂|w₁) = H(bigrams) − H(unigrams) (chain rule), the
+    predictability-per-token number a corpus card reads next to raw
+    unigram entropy: low rate with high unigram entropy = rich
+    vocabulary but formulaic sequencing (templates, boilerplate,
+    degenerate generation loops), both high = genuinely diverse prose.
+    The SEQUENCE-structure complement to simpson_diversity (marginal
+    concentration) and heaps_law_fit (inventory growth), all three on
+    the same tokenization.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: both entropies use the count identity
+    H = ln C − (Σ c·ln c)/C with ln(c) NANO-QUANTIZED per distinct
+    count value (round(ln·1e9) as BIGINT — the PSI/PMI idiom) and the
+    Σ c·lnq(c) term accumulated through decimal(38,0) over the
+    vocabulary-sized count tables (c·lnq exceeds 2⁶³ at web-scale
+    head counts — decimal-audit class 3); the assembled entropies and
+    the rate are a fixed-order double tree, 6-dp rounded. Bigrams are
+    within-document adjacent word pairs (word_shingles n=2 — no
+    cross-document seams). Groups with < 2 tokens per doc contribute
+    no bigrams; groups with no bigrams at all are excluded
+    (documented — the rate needs a pair).
+
+    Scale shape: one tokenize/shingle explode per unit (two corpus
+    passes over the same narrow projection), TWO map-side-combined
+    (group, type) groupBys, two group rollups joined on the group key
+    — nothing windowed, broadcast by hint, or collected. Returns one
+    row per group: (lang, n_tokens, n_bigrams, h_unigram, h_bigram,
+    entropy_rate), ordered by group.
+    """
+    from etl_developstoday_test_spark.functions import (
+        let,
+        tokens,
+        word_shingles,
+    )
+
+    lnq = lambda c: F.round(  # noqa: E731 — shared nano-quantized ln
+        F.log(c.cast("double")) * 1e9
+    ).cast("long")
+
+    def side(unit_col, name: str) -> DataFrame:
+        counts = (
+            docs.select(
+                F.col(group_col).alias("lang"),
+                F.explode(unit_col).alias("u"),
+            )
+            .groupBy("lang", "u")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        return counts.groupBy("lang").agg(
+            F.sum("c").cast("long").alias(f"n_{name}"),
+            F.sum(
+                (
+                    F.col("c").cast("decimal(38,0)")
+                    * lnq(F.col("c")).cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).alias(f"_s_{name}"),
+        )
+    uni = side(tokens(F.col(text_col)), "uni")
+    bi = side(
+        let(tokens(F.col(text_col)), lambda t: word_shingles(t, 2)), "bi"
+    )
+
+    def h(name: str):
+        c = F.col(f"n_{name}").cast("double")
+        return (
+            lnq(F.col(f"n_{name}")).cast("double") / F.lit(1e9)
+            - (F.col(f"_s_{name}").cast("double") / F.lit(1e9)) / c
+        )
+
+    out = (
+        uni.join(bi, "lang")
+        .filter(F.col("n_bi") >= 1)
+        .select(
+            "lang",
+            F.col("n_uni").alias("n_tokens"),
+            F.col("n_bi").alias("n_bigrams"),
+            F.round(h("uni"), 6).alias("h_unigram"),
+            F.round(h("bi"), 6).alias("h_bigram"),
+            F.round(h("bi") - h("uni"), 6).alias("entropy_rate"),
+        )
+    )
+    return out.orderBy("lang")

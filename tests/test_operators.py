@@ -3200,3 +3200,107 @@ def test_simpson_diversity_constructed(spark):
         ("en", 3, 2, round(1 / 3, 6), round(2 / 3, 6), 3.0),
         ("fr", 3, 1, 1.0, 0.0, 1.0),
     ]
+
+
+def test_interval_bucket_join_rejects_bad_width(spark):
+    import pytest
+
+    from etl_developstoday_test_spark.operators.asof import (
+        interval_bucket_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    iv = df.selectExpr("k", "ts AS lo", "ts AS hi")
+    with pytest.raises(ValueError, match="bucket_micros"):
+        interval_bucket_join(df, iv, "k", "ts", "lo", "hi", bucket_micros=0)
+
+
+def test_cohen_kappa_constructed(spark):
+    """Textbook 2x2: conf = [[20, 5], [10, 15]] -> po = 0.7,
+    pe = (30*25 + 20*25)/2500 = 0.5, kappa = 0.4 exactly; NULLs
+    excluded; all-agree-constant raises; empty raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.ml import (
+        cohen_kappa_agreement,
+    )
+
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5
+        + [("b", "a")] * 10 + [("b", "b")] * 15
+        + [(None, "a"), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = [tuple(r) for r in cohen_kappa_agreement(df, "t", "p").collect()]
+    assert got == [(50, 35, 0.7, 0.5, 0.4)]
+    const = spark.createDataFrame([("x", "x")] * 3, "t string, p string")
+    with pytest.raises(ValueError, match="constant"):
+        cohen_kappa_agreement(const, "t", "p")
+    empty = spark.createDataFrame([(None, "x")], "t string, p string")
+    with pytest.raises(ValueError, match="no rows"):
+        cohen_kappa_agreement(empty, "t", "p")
+
+
+def test_dow_seasonality_anova_constructed(spark):
+    """Two weeks where Mondays run hot: hand-computable F; a
+    no-within-df series and a constant-within series raise."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import (
+        dow_seasonality_anova,
+    )
+
+    mon = datetime(2024, 1, 1)  # Monday
+
+    def series(vals_by_day):
+        return spark.createDataFrame(
+            [
+                (mon + timedelta(days=d), float(v))
+                for d, v in vals_by_day.items()
+            ],
+            "ts timestamp, value double",
+        )
+
+    # Mondays 10/12, Tuesdays 1/3 over two weeks: group means 11 and 2,
+    # grand 6.5; SSB = 2*(4.5^2)*2 = 81; SSW = 2+2 = 4; F = (81/1)/(4/2)
+    ev = series({0: 10, 1: 1, 7: 12, 8: 3})
+    got = [tuple(r) for r in dow_seasonality_anova(ev, "value").collect()]
+    assert [(r[0], r[1], r[2]) for r in got] == [(1, 2, 11.0), (2, 2, 2.0)]
+    assert got[0][3] == round((81.0 / 1.0) / (4.0 / 2.0), 6)  # F = 40.5
+    assert (got[0][4], got[0][5]) == (1, 2)
+    with pytest.raises(ValueError, match="degrees of freedom"):
+        dow_seasonality_anova(series({0: 1, 1: 2}), "value")
+    with pytest.raises(ValueError, match="zero within-weekday"):
+        dow_seasonality_anova(
+            series({0: 5, 7: 5, 1: 2, 8: 2}), "value"
+        )
+    with pytest.raises(ValueError, match=">= 2 observed weekdays"):
+        dow_seasonality_anova(series({0: 1, 7: 2, 14: 3}), "value")
+
+
+def test_bigram_entropy_rate_constructed(spark):
+    """'a b a b': unigrams {a:2, b:2} -> H1 = ln 2 (nano-quantized);
+    bigrams {a b:2, b a:1} -> H2 hand-assembled from the same
+    quantization; a deterministic text pins rate = H2 - H1; a
+    one-token group is excluded (no bigrams)."""
+    import math
+
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bigram_entropy_rate,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", "a b a b"), ("zh", "solo")], "lang string, text string"
+    )
+    got = [tuple(r) for r in bigram_entropy_rate(docs).collect()]
+
+    def lnq(c):
+        return round(math.log(c) * 1e9)
+
+    h1 = round(lnq(4) / 1e9 - (2 * lnq(2) + 2 * lnq(2)) / 1e9 / 4.0, 6)
+    h2 = round(lnq(3) / 1e9 - (2 * lnq(2) + 1 * lnq(1)) / 1e9 / 3.0, 6)
+    assert got == [("en", 4, 3, h1, h2, round(h2 - h1, 6))]

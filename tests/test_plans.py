@@ -1559,3 +1559,66 @@ def test_local_bridges_antijoin_no_degree_broadcast(spark):
     # degree table must not
     assert analyzed.count("ResolvedHint") <= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_bucket_join_is_equi_join_not_nested_loop(spark):
+    """interval_bucket_join (staged r13): the range condition must ride
+    as a RESIDUAL on a hash equi-join over (key, bucket) — never a
+    BroadcastNestedLoop/CartesianProduct (the naive theta-join plan
+    this operator exists to replace)."""
+    from datetime import datetime, timedelta
+
+    from etl_developstoday_test_spark.operators.asof import (
+        interval_bucket_join,
+    )
+
+    t0 = datetime(2024, 6, 1)
+    pdf = spark.createDataFrame(
+        [(i % 3, t0 + timedelta(seconds=i)) for i in range(50)],
+        "k long, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [
+            (j % 3, t0 + timedelta(seconds=j), t0 + timedelta(seconds=j + 20))
+            for j in range(20)
+        ],
+        "k long, lo timestamp, hi timestamp",
+    )
+    plan = _staged_plan(
+        interval_bucket_join(pdf, idf, "k", "ts", "lo", "hi")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" in plan  # a genuine equi-join node
+
+
+def test_dow_anova_bounded_tail(spark):
+    """dow_seasonality_anova (staged r13): the daily table is
+    checkpointed (calendar-bounded) — no parquet stage in the returned
+    plan."""
+    from etl_developstoday_test_spark.operators.drift import (
+        dow_seasonality_anova,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    out = dow_seasonality_anova(load_table(spark, SF_DIR, "events"), "value")
+    plan = _staged_plan(out)
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_cohen_kappa_bounded_tail(spark):
+    """cohen_kappa_agreement (staged r13): everything after the one
+    confusion-matrix groupBy runs on the checkpointed label-domain
+    table — no corpus stage in the returned plan."""
+    from etl_developstoday_test_spark.operators.ml import (
+        cohen_kappa_agreement,
+    )
+    from etl_developstoday_test_spark.operators.text_analysis import lang_id
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = cohen_kappa_agreement(lang_id(docs), "lang", "predicted_lang")
+    plan = _staged_plan(out)
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan

@@ -2504,3 +2504,57 @@ def test_heaps_fit_matches_sequential_reference(spark, docs):
     sxx = dsum10([x * x for x, _ in pts])
     beta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
     assert got == [(b, t, v, beta) for b, t, v in curve]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=40,
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(-20, 520)),
+        min_size=1, max_size=25,
+    ),
+    bucket_s=st.integers(min_value=1, max_value=600),
+)
+def test_interval_bucket_join_matches_brute_force(
+    spark, points, intervals, bucket_s
+):
+    """Bucket blocking must be LOSSLESS at ANY bucket width: the pair
+    multiset equals the brute-force theta join (same key, start <= ts
+    <= end), with empty intervals (end < start) contributing nothing
+    and each qualifying pair emitted exactly once."""
+    from datetime import datetime, timedelta
+
+    from etl_developstoday_test_spark.operators.asof import (
+        interval_bucket_join,
+    )
+
+    t0 = datetime(2024, 6, 1)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    pdf = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(points)],
+        "k long, ts timestamp, pid long",
+    )
+    idf = spark.createDataFrame(
+        [(k, ts(a), ts(b), j) for j, (k, a, b) in enumerate(intervals)],
+        "k long, lo timestamp, hi timestamp, iid long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_bucket_join(
+            pdf, idf, "k", "ts", "lo", "hi",
+            bucket_micros=bucket_s * 1_000_000,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (pk, s) in enumerate(points)
+        for j, (ik, a, b) in enumerate(intervals)
+        if pk == ik and a <= s <= b
+    )
+    assert got == want

@@ -1834,3 +1834,281 @@ def test_simpson_diversity_matches_oracle(spark, docstar_con):
         assert abs((lam + gini) - 1.0) < 2e-6
         # effective types can't exceed the actual type count (+rounding)
         assert 1.0 <= inv <= n_types + 1e-6
+
+
+# --- STAGED for round 13 (r12 window is full: 8 changed + 9 first-rows
+# + 24 r5-stale + 9 r6 rotation = 50) — implemented + unit-tested now,
+# twins value-locked at sf0.001 AND sf0.01 here, registration next
+# round (oracle strings move into plans/queries.py then; the lock
+# tests will import them — the single-source-of-truth discipline).
+
+from etl_developstoday_test_spark.operators.events_etl import (  # noqa: E402
+    SESSION_GAP_MICROS as _GAP_IVJ,
+)
+
+IVJ_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_IVJ}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start,
+         make_timestamp(epoch_us(MAX(ts)) + 1800000000) AS attr_end
+  FROM sess GROUP BY user_id, session_id
+),
+hits AS (
+  SELECT p.user_id, s.session_id,
+         CAST(floor(CAST(p.value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events p JOIN sessions s
+    ON p.user_id = s.user_id
+   AND p.ts >= s.session_start AND p.ts <= s.attr_end
+  WHERE p.event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions_hit,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM hits GROUP BY user_id
+ORDER BY attributed_cents DESC, user_id ASC LIMIT 20
+"""
+
+
+def _session_attribution(spark, sf_dir):
+    """The staged registration shape: purchases interval-joined into
+    view/click sessions padded by a 30-minute attribution window."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators import events_etl
+    from etl_developstoday_test_spark.operators.asof import (
+        interval_bucket_join,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = events_etl.sessionize(
+        ev.filter(F.col("event_type").isin("view", "click"))
+    ).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        F.timestamp_micros(
+            F.unix_micros("session_end") + F.lit(1_800_000_000)
+        ).alias("attr_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    hits = interval_bucket_join(
+        purchases, sessions, "user_id", "ts", "session_start", "attr_end"
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributed"),
+            F.countDistinct("session_id")
+            .cast("long")
+            .alias("n_sessions_hit"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+        .orderBy(F.desc("attributed_cents"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+def test_interval_bucket_join_matches_oracle(spark, ev_con):
+    """STAGED r13: bucket-blocked interval join (purchase → padded
+    view/click session attribution) — the oracle is the plain theta
+    join, result-identical because bucket blocking is lossless (every
+    point lives in exactly one bucket and every covering interval has
+    a replica there) — value-locked at both scales BEFORE
+    registration."""
+    sf_dir, con = ev_con
+    srows = [tuple(r) for r in _session_attribution(spark, sf_dir).collect()]
+    drows = con.execute(IVJ_ORACLE).fetchall()
+    assert srows == drows
+    assert srows  # non-degenerate at both lock scales (4 / 43 pairs)
+    assert all(r[1] >= r[2] for r in srows)  # pairs >= distinct sessions
+
+
+KAPPA_ORACLE_TMPL = """
+WITH pred AS ({langid}),
+conf AS (
+  SELECT lang AS t, predicted_lang AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pred WHERE lang IS NOT NULL AND predicted_lang IS NOT NULL
+  GROUP BY 1, 2
+),
+rm AS (SELECT t, CAST(SUM(c) AS BIGINT) AS rm FROM conf GROUP BY t),
+cm AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cm FROM conf GROUP BY p),
+chance AS (
+  SELECT COALESCE(SUM(CAST(rm AS DECIMAL(38,0)) * CAST(cm AS DECIMAL(38,0))), 0) AS pe_num
+  FROM rm JOIN cm ON rm.t = cm.p
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN t = p THEN c END), 0) AS BIGINT) AS n_agree
+  FROM conf
+)
+SELECT n_rows, n_agree,
+       round(CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS po,
+       round(CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS pe,
+       round((CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE)
+              - CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
+             / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))), 6) AS kappa
+FROM tot CROSS JOIN chance
+"""
+
+
+def test_cohen_kappa_matches_oracle(spark, docstar_con):
+    """STAGED r13: Cohen's kappa between the wordlist language-ID
+    heuristic and the reference labels — chance-corrected agreement,
+    reusing the registered lang-id oracle as the prediction CTE —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.ml import (
+        cohen_kappa_agreement,
+    )
+    from etl_developstoday_test_spark.operators.text_analysis import lang_id
+    from etl_developstoday_test_spark.plans.queries import _langid_sql
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cohen_kappa_agreement(lang_id(docs), "lang", "predicted_lang")
+    srow = [tuple(r) for r in out.collect()]
+    drow = con.execute(
+        KAPPA_ORACLE_TMPL.format(langid=_langid_sql())
+    ).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    n, agree, po, pe, kappa = srow[0]
+    assert 0 < agree <= n
+    assert kappa <= 1.0 and kappa > -1.0
+    assert abs((po - pe) / (1 - pe) - kappa) < 2e-6
+
+
+ANOVA_ORACLE = r"""
+WITH daily AS (
+  SELECT isodow(CAST(ts AS DATE)) AS isodow,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+           / CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY CAST(ts AS DATE)
+),
+groups AS (
+  SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS DECIMAL(30,10))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
+  FROM daily GROUP BY isodow
+),
+terms AS (
+  SELECT isodow, n_days, sx,
+         CAST(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS DECIMAL(30,10)) AS w,
+         CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS DECIMAL(30,10)) AS b
+  FROM groups
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_days) AS BIGINT) AS n,
+         SUM(sx) AS sx_all, SUM(w) AS ssw, SUM(b) AS ssb_raw
+  FROM terms
+),
+frow AS (
+  SELECT round(((CAST(ssb_raw AS DOUBLE) - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+               / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
+         CAST(k - 1 AS BIGINT) AS df_between, CAST(n - k AS BIGINT) AS df_within
+  FROM tot
+)
+SELECT g.isodow, g.n_days,
+       round(CAST(g.sx AS DOUBLE) / CAST(g.n_days AS DOUBLE), 6) AS mean_daily,
+       frow.f_stat, frow.df_between, frow.df_within
+FROM groups g CROSS JOIN frow ORDER BY g.isodow
+"""
+
+
+def test_dow_seasonality_anova_matches_oracle(spark, ev_con):
+    """STAGED r13: day-of-week one-way ANOVA of the daily-mean value
+    series (ISO weekdays, micro-quantized daily means shared with the
+    autocorrelation leg) — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        dow_seasonality_anova,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in dow_seasonality_anova(ev, "value").collect()]
+    drows = con.execute(ANOVA_ORACLE).fetchall()
+    assert srows == drows
+    assert [r[0] for r in srows] == sorted(r[0] for r in srows)
+    assert len(srows) == 7  # a month of events covers every weekday
+    assert all(r[3] >= 0.0 for r in srows)
+    assert srows[0][4] == len(srows) - 1  # df_between = k - 1
+
+
+ENTROPY_RATE_ORACLE = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS u FROM documents
+),
+uc AS (SELECT lang, u, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY lang, u),
+uni AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_uni,
+         SUM(CAST(c AS DECIMAL(38,0)) * CAST(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s_uni
+  FROM uc GROUP BY lang
+),
+bis AS (
+  SELECT lang, unnest(list_transform(
+           generate_series(1, len(arr) - 1), i -> arr[i] || ' ' || arr[i+1])) AS u
+  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents)
+),
+bc AS (SELECT lang, u, CAST(COUNT(*) AS BIGINT) AS c FROM bis GROUP BY lang, u),
+bi AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bi,
+         SUM(CAST(c AS DECIMAL(38,0)) * CAST(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s_bi
+  FROM bc GROUP BY lang
+)
+SELECT lang, n_uni AS n_tokens, n_bi AS n_bigrams,
+  round(CAST(CAST(round(ln(CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_uni AS DOUBLE) / 1e9) / CAST(n_uni AS DOUBLE), 6) AS h_unigram,
+  round(CAST(CAST(round(ln(CAST(n_bi AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_bi AS DOUBLE) / 1e9) / CAST(n_bi AS DOUBLE), 6) AS h_bigram,
+  round((CAST(CAST(round(ln(CAST(n_bi AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_bi AS DOUBLE) / 1e9) / CAST(n_bi AS DOUBLE))
+        - (CAST(CAST(round(ln(CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_uni AS DOUBLE) / 1e9) / CAST(n_uni AS DOUBLE)), 6) AS entropy_rate
+FROM uni JOIN bi USING (lang)
+WHERE n_bi >= 1
+ORDER BY lang
+"""
+
+
+def test_bigram_entropy_rate_matches_oracle(spark, docstar_con):
+    """STAGED r13: per-language bigram entropy rate H(w2|w1) = H2 - H1
+    (chain-rule plug-in, nano-quantized ln, decimal(38,0) vocab-table
+    sums) — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bigram_entropy_rate,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in bigram_entropy_rate(docs).collect()]
+    drows = con.execute(ENTROPY_RATE_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    for _lang, n_t, n_b, h1, h2, rate in srows:
+        assert n_b < n_t  # one bigram fewer than tokens per doc
+        assert h1 >= 0.0 and h2 >= 0.0
+        # conditioning can only reduce entropy per token: rate <= h1
+        # on a template corpus; allow rounding slack
+        assert rate <= h1 + 2e-6
