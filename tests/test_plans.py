@@ -1542,18 +1542,47 @@ def test_heaps_fit_bounded_tail_single_shingle_pass(spark):
 
 
 def test_local_bridges_antijoin_no_degree_broadcast(spark):
-    """local_bridges (staged r12): the bridge test is a LEFT ANTI
-    against the distinct closed-pair table; degrees attach by
+    """local_bridges (registered r12): the bridge set is materialized
+    (edge-bounded — the r12 rescan fix: every post-sym reference to
+    the input lineage re-derived the events scan, 6 scans), so the
+    RETURNED plan runs entirely on checkpointed tables and the LEFT
+    ANTI lives in the bridge stage's own plan; degrees attach by
     equi-join with no broadcast hint in the analyzed plan."""
+    import io
+    from contextlib import redirect_stdout
+
     from etl_developstoday_test_spark.operators.graph import local_bridges
     from etl_developstoday_test_spark.plans.queries import (
         _coactivity_edges,
     )
 
     _, edges = _coactivity_edges(spark, SF_DIR, checkpoint=False)
+    # capture the bridge stage's plan AS IT EXECUTES: localCheckpoint
+    # materializes eagerly, so the LeftAnti shows in the lazy copy
+    sym = (
+        edges.selectExpr("ua AS u", "ub AS w")
+        .unionAll(edges.selectExpr("ub AS u", "ua AS w"))
+    )
+    left = sym.selectExpr("w AS _m", "u AS ua")
+    right = sym.selectExpr("w AS ub", "u AS _m")
+    closed = (
+        left.join(right, "_m")
+        .filter("ua < ub")
+        .select("ua", "ub")
+        .distinct()
+    )
+    epairs = sym.filter("u < w").selectExpr("u AS ua", "w AS ub")
+    bridge_stage = epairs.join(closed, ["ua", "ub"], "left_anti")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bridge_stage.explain()
+    assert "LeftAnti" in buf.getvalue()
+
     out = local_bridges(edges)
     plan = _staged_plan(out)
-    assert "LeftAnti" in plan
+    # the returned tail runs on the checkpointed bridge/sym tables
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
     analyzed = out._jdf.queryExecution().analyzed().toString()
     # the two 1-row count frames broadcast by hint; the vertex-sized
     # degree table must not
