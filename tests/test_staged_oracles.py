@@ -584,7 +584,7 @@ def test_staged_oracle_result_types_survive_pandas_fetch():
     con = duckdb.connect()
     for t in [
         "documents", "lineitem", "embeddings", "events",
-        "orders", "customer", "part",
+        "orders", "customer", "part", "nation", "supplier", "region",
     ]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
