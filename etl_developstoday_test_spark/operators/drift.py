@@ -1020,3 +1020,72 @@ def dow_seasonality_anova(
         )
         .orderBy("isodow")
     )
+
+
+def daily_volume_mad_anomalies(
+    df: DataFrame, ts_col: str = "ts", threshold: float = 3.5
+) -> DataFrame:
+    """Daily INGEST-VOLUME anomaly card via the modified z-score
+    (Iglewicz & Hoaglin 1993: M = 0.6745·(x − median)/MAD) — the
+    robust are-we-missing-a-partition / did-a-producer-double-fire
+    tripwire an ops review reads FIRST, before any value-level drift
+    test: volume anomalies are upstream failures, and both the mean
+    and σ are exactly the statistics a lost day corrupts (the reason
+    the estimator is median/MAD, which one bad day cannot move).
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: daily counts are exact longs; median and MAD use the
+    SQL-standard interpolated quantile (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: lo + (hi − lo)·0.5 — exact .5/.25 steps on
+    integer counts, no libm); the modified z is a fixed-order double
+    tree, 6-dp rounded. The card returns EVERY day with its score and
+    an ``is_anomaly`` flag (|M| > threshold) rather than anomalies
+    only — an empty anomaly set and a missing day are different
+    facts, and the calendar-bounded card costs nothing. A zero MAD
+    (half the days share one exact count) raises — the modified
+    z-score is undefined and a constant-volume corpus needs the exact
+    uniqueness audit, not a robust outlier test.
+
+    Scale shape: one narrow map + ONE map-side-combined daily groupBy
+    (the only corpus-sized stage); the quantiles and the card run on
+    the checkpointed ≤366-row days table. Returns one row per day:
+    (d, n_events, med, mad, mod_z, is_anomaly), ordered by day.
+    """
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint(eager=True)  # bounded: calendar days
+    )
+    med_row = daily.agg(
+        F.expr("percentile(n_events, 0.5)").alias("med")
+    ).collect()[0]
+    if med_row["med"] is None:
+        raise ValueError("daily_volume_mad_anomalies: no days to audit")
+    med = float(med_row["med"])
+    mad = float(
+        daily.agg(
+            F.expr(f"percentile(abs(n_events - {med!r}D), 0.5)").alias("m")
+        ).collect()[0]["m"]
+    )
+    if mad == 0.0:
+        raise ValueError(
+            "daily_volume_mad_anomalies: MAD is zero (half the days share "
+            "one exact count) — the modified z-score is undefined"
+        )
+    mz = (
+        F.lit(0.6745)
+        * (F.col("n_events").cast("double") - F.lit(med))
+        / F.lit(mad)
+    )
+    return daily.select(
+        "d",
+        "n_events",
+        F.lit(med).alias("med"),
+        F.lit(mad).alias("mad"),
+        F.round(mz, 6).alias("mod_z"),
+        (F.abs(mz) > F.lit(threshold)).alias("is_anomaly"),
+    ).orderBy("d")

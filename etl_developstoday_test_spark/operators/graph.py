@@ -1334,3 +1334,103 @@ def degree_powerlaw_fit(
         )
         .orderBy("degree")
     )
+
+
+def rich_club_coefficient(
+    edges: DataFrame, k_values: list[int] | None = None
+) -> DataFrame:
+    """RICH-CLUB coefficient curve φ(k) (Zhou & Mondragón 2004;
+    Colizza et al. 2006): among the nodes of degree > k, what fraction
+    of the possible edges between them actually exist — φ(k) rising
+    toward 1 with k means the hubs form a tight oligarchy (one
+    contaminated hub reaches the others in one hop; a hub-targeting
+    dedup/ban policy cascades), φ(k) flat means hubs spread across the
+    graph. The hub-STRUCTURE card beside degree_powerlaw_fit (how
+    heavy is the tail) — this says how the tail is WIRED.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: pure exact integers until one 6-dp division per k.
+    The whole curve costs TWO bounded histograms, not a pass per k:
+    e_k (edges whose endpoints BOTH have degree > k) is the
+    above-k cumulative of the edge-level min-endpoint-degree
+    histogram, and n_k the above-k cumulative of the degree
+    histogram — both bounded by the degree DOMAIN; thresholds with
+    n_k < 2 are excluded (no possible edge — φ undefined).
+
+    Scale shape: one degree groupBy (vertex-sized), TWO co-shuffled
+    equi-joins attaching endpoint degrees to the edge list (the
+    vertex-sized degree table is never broadcast — the triangle
+    family's lesson), two map-side-combined histogram groupBys;
+    everything after runs on the checkpointed histograms. ``edges``
+    must be distinct undirected pairs (ua < ub). Returns one row per
+    requested k (default 1, 2, 4, 8, 16, 32): (k, n_rich_nodes,
+    n_rich_edges, phi), ordered by k.
+    """
+    ks = sorted(set(k_values)) if k_values else [1, 2, 4, 8, 16, 32]
+    if not ks or min(ks) < 0:
+        raise ValueError("rich_club_coefficient: k values must be >= 0")
+    sym = (
+        edges.select(F.col("ua").alias("u"))
+        .unionAll(edges.select(F.col("ub").alias("u")))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg_hist = (
+        deg.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .localCheckpoint(eager=True)  # bounded: degree domain
+    )
+    with_deg = (
+        edges.join(
+            deg.select(F.col("u").alias("ua"), F.col("d").alias("_da")),
+            "ua",
+        )
+        .join(
+            deg.select(F.col("u").alias("ub"), F.col("d").alias("_db")),
+            "ub",
+        )
+        .select(F.least(F.col("_da"), F.col("_db")).alias("md"))
+    )
+    md_hist = (
+        with_deg.groupBy("md")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .localCheckpoint(eager=True)  # bounded: degree domain
+    )
+    spine = edges.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long"
+    )
+    n_k = (
+        spine.join(deg_hist, deg_hist["d"] > spine["k"], "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("n_nodes"), F.lit(0))
+            .cast("long")
+            .alias("n_rich_nodes")
+        )
+    )
+    e_k = (
+        spine.join(md_hist, md_hist["md"] > spine["k"], "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("n_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_rich_edges")
+        )
+    )
+    n = F.col("n_rich_nodes").cast("double")
+    return (
+        n_k.join(e_k, "k")
+        .filter(F.col("n_rich_nodes") >= 2)
+        .select(
+            "k",
+            "n_rich_nodes",
+            "n_rich_edges",
+            F.round(
+                F.lit(2.0) * F.col("n_rich_edges").cast("double")
+                / (n * (n - F.lit(1.0))),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

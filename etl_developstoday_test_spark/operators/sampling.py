@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from etl_developstoday_test_spark.functions import md5_long
+from etl_developstoday_test_spark.functions import ACC_DECIMAL, md5_long
 
 N_BUCKETS = 100
 
@@ -985,4 +985,125 @@ def hash_split_balance_audit(
         F.lit(N_BUCKETS).cast("long").alias("n_buckets"),
         F.round(F.sum(chi_term).cast("double"), 6).alias("chi2"),
         F.round(F.max(dev), 6).alias("max_abs_dev_share"),
+    )
+
+
+def half_sample_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicas: int = 32,
+    seed: str = "hs",
+    z: float = 1.959964,
+) -> DataFrame:
+    """Half-sample REPLICATION confidence interval for a corpus mean
+    (McCarthy 1969 repeated half-sampling, the replication-variance
+    family survey statistics ships instead of closed-form σ/√n): B
+    deterministic half-samples each re-estimate the mean, and the
+    spread of the replica estimates IS the sampling variance — the
+    honest error bar for a quality-score / value average reported off
+    a pipeline, valid under weighting and post-filtering where the
+    textbook formula silently isn't.
+
+    STAGED for round-13 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    The B replicas cost ZERO fan-out: one salted md5 per row supplies
+    ``n_replicas`` independent inclusion BITS (bit b of the 60-bit
+    hash — replica b keeps the rows whose bit is 0, an expected half
+    each), and all B (sum, count) pairs accumulate in ONE
+    map-side-combined aggregate pass as conditional sums — no explode,
+    no corpus×B intermediate (the naive replication join). Replica
+    means then unpivot to a B-row bounded table for the variance.
+
+    Determinism: sums are MICRO-QUANTIZED longs (floor(v·1e6 + 0.5) —
+    the r12 integer-quantum contract; headroom |v| ≤ 1e6 at 9.2e12
+    rows); the hash is the repo's salted-md5 idiom, bit-identical in
+    DuckDB; the replica-variance moments accumulate through the
+    decimal summator over the B-row table; mean/se/CI are a
+    fixed-order double tree, 6-dp rounded. Var = (1/B)·Σ(θ_b − θ̂)²
+    with θ̂ the FULL-sample mean (the McCarthy estimator). NULL/NaN
+    excluded; an empty corpus or a replica with zero rows raises
+    (a degenerate half-sample means the corpus is too small for B
+    bits of replication — shrink n_replicas).
+
+    Returns ONE row: (n_rows, mean, se, ci_lo, ci_hi, n_replicas).
+    """
+    if not 1 <= n_replicas <= 60:
+        raise ValueError(
+            "half_sample_mean_ci: n_replicas must be in [1, 60] "
+            "(one md5 supplies 60 bits)"
+        )
+    from etl_developstoday_test_spark.functions import ACC_DECIMAL, md5_long
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.floor(v * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_q"),
+        md5_long(
+            F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string"))
+        ).alias("_h"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("_q").alias("s_all"),
+    ]
+    for b in range(n_replicas):
+        keep = F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 0
+        aggs.append(
+            F.coalesce(F.sum(F.when(keep, F.col("_q"))), F.lit(0))
+            .cast("long")
+            .alias(f"s_{b}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(keep.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"n_{b}")
+        )
+    tot = base.agg(*aggs).localCheckpoint(eager=True)  # 1 row
+    g = tot.collect()[0]
+    if g["n_rows"] == 0:
+        raise ValueError("half_sample_mean_ci: no usable rows")
+    empty = [b for b in range(n_replicas) if g[f"n_{b}"] == 0]
+    if empty:
+        raise ValueError(
+            f"half_sample_mean_ci: replicas {empty[:5]} kept zero rows — "
+            "the corpus is too small for this many replication bits"
+        )
+    # replica means as a bounded B-row table via stack (unpivot)
+    pairs = ", ".join(
+        f"{b}L, s_{b}, n_{b}" for b in range(n_replicas)
+    )
+    reps = tot.selectExpr(
+        "n_rows",
+        "s_all",
+        f"stack({n_replicas}, {pairs}) AS (b, s_b, n_b)",
+    ).select(
+        "n_rows",
+        "s_all",
+        (
+            (F.col("s_b").cast("double") / F.lit(1e6))
+            / F.col("n_b").cast("double")
+        ).alias("theta_b"),
+        (
+            (F.col("s_all").cast("double") / F.lit(1e6))
+            / F.col("n_rows").cast("double")
+        ).alias("theta"),
+    )
+    dev = (F.col("theta_b") - F.col("theta"))
+    mom = reps.agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("theta").alias("theta"),
+        F.sum((dev * dev).cast(ACC_DECIMAL)).alias("_ss"),
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+    )
+    se = F.sqrt(
+        F.col("_ss").cast("double") / F.col("n_replicas").cast("double")
+    )
+    return mom.select(
+        "n_rows",
+        F.round(F.col("theta"), 6).alias("mean"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("theta") - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(F.col("theta") + F.lit(z) * se, 6).alias("ci_hi"),
+        "n_replicas",
     )

@@ -3304,3 +3304,89 @@ def test_bigram_entropy_rate_constructed(spark):
     h1 = round(lnq(4) / 1e9 - (2 * lnq(2) + 2 * lnq(2)) / 1e9 / 4.0, 6)
     h2 = round(lnq(3) / 1e9 - (2 * lnq(2) + 1 * lnq(1)) / 1e9 / 3.0, 6)
     assert got == [("en", 4, 3, h1, h2, round(h2 - h1, 6))]
+
+
+def test_rich_club_coefficient_constructed(spark):
+    """K4 plus a pendant: degrees {4:1 node, 3:3 nodes, 1:1 node}.
+    k=1 keeps the 4 clique nodes with all 6 internal edges -> phi = 1;
+    k=2 identical; k=3 keeps only the hub -> excluded (n < 2); bad k
+    raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.graph import (
+        rich_club_coefficient,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(0, 9)], "ua long, ub long")
+    got = [
+        tuple(r)
+        for r in rich_club_coefficient(edges, k_values=[1, 2, 3]).collect()
+    ]
+    assert got == [(1, 4, 6, 1.0), (2, 4, 6, 1.0)]
+    with pytest.raises(ValueError, match="k values"):
+        rich_club_coefficient(edges, k_values=[-1])
+
+
+def test_half_sample_ci_constructed(spark):
+    """A constant column pins mean exactly with se = 0 (every replica
+    mean equals the grand mean); out-of-range replica counts raise;
+    a corpus too small for the bit split raises loudly."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        half_sample_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 7.5) for i in range(400)], "event_id long, value double"
+    )
+    got = tuple(half_sample_mean_ci(df, "value", "event_id").collect()[0])
+    assert got == (400, 7.5, 0.0, 7.5, 7.5, 32)
+    with pytest.raises(ValueError, match="n_replicas"):
+        half_sample_mean_ci(df, "value", "event_id", n_replicas=61)
+    tiny = spark.createDataFrame(
+        [(1, 1.0)], "event_id long, value double"
+    )
+    with pytest.raises(ValueError, match="zero rows"):
+        half_sample_mean_ci(tiny, "value", "event_id")
+
+
+def test_daily_volume_mad_constructed(spark):
+    """Hand counts [10, 10, 12, 12, 13] plus one 40-count spike day:
+    median/MAD are hand-checkable and ONLY the spike flags; an
+    all-equal-count series raises (MAD = 0)."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_volume_mad_anomalies,
+    )
+
+    t0 = datetime(2024, 5, 1)
+
+    def series(counts):
+        rows = [
+            (t0 + timedelta(days=d, seconds=i),)
+            for d, c in enumerate(counts)
+            for i in range(c)
+        ]
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    got = [
+        tuple(r)
+        for r in daily_volume_mad_anomalies(
+            series([10, 10, 12, 12, 13, 40])
+        ).collect()
+    ]
+    # sorted counts [10,10,12,12,13,40]: med = 12, |dev| sorted
+    # [0,0,1,2,2,28] -> mad = 1.5
+    assert [(r[1], r[2], r[3]) for r in got] == [
+        (c, 12.0, 1.5) for c in [10, 10, 12, 12, 13, 40]
+    ]
+    flags = [r[5] for r in got]
+    assert flags == [False] * 5 + [True]
+    assert got[5][4] == round(0.6745 * 28 / 1.5, 6)
+    with pytest.raises(ValueError, match="MAD is zero"):
+        daily_volume_mad_anomalies(series([5, 5, 5, 5]))

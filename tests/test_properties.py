@@ -2558,3 +2558,44 @@ def test_interval_bucket_join_matches_brute_force(
         if pk == ik and a <= s <= b
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_rich_club_matches_brute_force(spark, edges):
+    """phi(k) must equal the brute-force definition — edges among
+    degree->k nodes over n_k-choose-2 — on ANY graph, for every k with
+    at least two rich nodes."""
+    from etl_developstoday_test_spark.operators.graph import (
+        rich_club_coefficient,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    ks = [0, 1, 2, 3, 4]
+    got = [
+        tuple(r) for r in rich_club_coefficient(df, k_values=ks).collect()
+    ]
+
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    want = []
+    for k in ks:
+        rich = {u for u, d in deg.items() if d > k}
+        if len(rich) < 2:
+            continue
+        e_k = sum(1 for a, b in und if a in rich and b in rich)
+        phi = round(2.0 * e_k / (len(rich) * (len(rich) - 1)), 6)
+        want.append((k, len(rich), e_k, phi))
+    assert got == want

@@ -2112,3 +2112,164 @@ def test_bigram_entropy_rate_matches_oracle(spark, docstar_con):
         # conditioning can only reduce entropy per token: rate <= h1
         # on a template corpus; allow rounding slack
         assert rate <= h1 + 2e-6
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _COACT_SQL as _COACT_SQL_RC,
+)
+
+RICH_CLUB_ORACLE = f"""
+WITH {_COACT_SQL_RC},
+sym AS (SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+deg_hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+md AS (
+  SELECT least(da.d, db.d) AS md FROM edges e
+  JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub
+),
+md_hist AS (SELECT md, CAST(COUNT(*) AS BIGINT) AS n_edges FROM md GROUP BY md),
+spine AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+nk AS (
+  SELECT k, CAST(COALESCE(SUM(n_nodes), 0) AS BIGINT) AS n_rich_nodes
+  FROM spine LEFT JOIN deg_hist ON deg_hist.d > spine.k GROUP BY k
+),
+ek AS (
+  SELECT k, CAST(COALESCE(SUM(n_edges), 0) AS BIGINT) AS n_rich_edges
+  FROM spine LEFT JOIN md_hist ON md_hist.md > spine.k GROUP BY k
+)
+SELECT nk.k AS k, n_rich_nodes, n_rich_edges,
+       round(2.0 * CAST(n_rich_edges AS DOUBLE)
+             / (CAST(n_rich_nodes AS DOUBLE) * (CAST(n_rich_nodes AS DOUBLE) - 1.0)), 6) AS phi
+FROM nk JOIN ek ON nk.k = ek.k
+WHERE n_rich_nodes >= 2 ORDER BY k
+"""
+
+
+def test_rich_club_matches_oracle(spark, ev_con):
+    """STAGED r13: rich-club coefficient curve over the SHARED
+    co-activity graph (two bounded histograms, never a pass per k) —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.graph import (
+        rich_club_coefficient,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [tuple(r) for r in rich_club_coefficient(edges).collect()]
+    drows = con.execute(RICH_CLUB_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # rich nodes/edges shrink monotonically as k rises
+    nn = [r[1] for r in srows]
+    ne = [r[2] for r in srows]
+    assert nn == sorted(nn, reverse=True)
+    assert ne == sorted(ne, reverse=True)
+    assert all(0.0 <= r[3] <= 1.0 for r in srows)
+
+
+def _half_sample_oracle(B: int = 32) -> str:
+    cols_s = ",\n".join(
+        f"CAST(COALESCE(SUM(CASE WHEN (_h >> {b}) & 1 = 0 THEN _q END), 0) AS BIGINT) AS s_{b},\n"
+        f"CAST(COALESCE(SUM(CASE WHEN (_h >> {b}) & 1 = 0 THEN 1 END), 0) AS BIGINT) AS n_{b}"
+        for b in range(B)
+    )
+    reps = ", ".join(f"({b}, s_{b}, n_{b})" for b in range(B))
+    return f"""
+WITH base AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS _q,
+         CAST(concat('0x', substr(md5('hs#' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(_q) AS BIGINT) AS s_all,
+         {cols_s}
+  FROM base
+),
+reps AS (
+  SELECT n_rows, s_all, r.* FROM tot,
+    LATERAL (SELECT * FROM (VALUES {reps}) AS v(b, s_b, n_b)) r
+),
+m AS (
+  SELECT n_rows,
+         (CAST(s_all AS DOUBLE) / 1e6) / CAST(n_rows AS DOUBLE) AS theta,
+         (CAST(s_b AS DOUBLE) / 1e6) / CAST(n_b AS DOUBLE) AS theta_b
+  FROM reps
+),
+mom AS (
+  SELECT FIRST(n_rows) AS n_rows, FIRST(theta) AS theta,
+         SUM(CAST((theta_b - theta) * (theta_b - theta) AS DECIMAL(30,10))) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_replicas
+  FROM m
+)
+SELECT n_rows, round(theta, 6) AS mean,
+       round(sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS se,
+       round(theta - 1.959964 * sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS ci_lo,
+       round(theta + 1.959964 * sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS ci_hi,
+       n_replicas
+FROM mom
+"""
+
+
+def test_half_sample_ci_matches_oracle(spark, ev_con):
+    """STAGED r13: half-sample replication CI for the events value
+    mean — 32 replicas from one md5's bits, one aggregate pass, zero
+    fan-out — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        half_sample_mean_ci,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srow = [
+        tuple(r) for r in half_sample_mean_ci(ev, "value", "event_id").collect()
+    ]
+    drow = con.execute(_half_sample_oracle()).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    n, mean, se, lo, hi, B = srow[0]
+    assert lo < mean < hi and se > 0 and B == 32
+    # the replication se lands in the right decade: against the
+    # textbook sigma/sqrt(n) it may differ by small factors, never
+    # orders of magnitude on ~uniform data
+    assert se < (hi - lo)
+
+
+MAD_VOLUME_ORACLE = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+madt AS (
+  SELECT quantile_cont(abs(CAST(n_events AS DOUBLE) - med), 0.5) AS mad
+  FROM daily CROSS JOIN med
+)
+SELECT d, n_events, med, mad,
+       round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad, 6) AS mod_z,
+       abs(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad) > 3.5 AS is_anomaly
+FROM daily CROSS JOIN med CROSS JOIN madt
+ORDER BY d
+"""
+
+
+def test_daily_volume_mad_matches_oracle(spark, ev_con):
+    """STAGED r13: daily ingest-volume modified-z card (median/MAD,
+    every day scored, |M| > 3.5 flags) — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_volume_mad_anomalies,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in daily_volume_mad_anomalies(ev).collect()]
+    drows = con.execute(MAD_VOLUME_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 30  # the synthetic corpus spans 30 days
+    # exactly half the days sit at or below the median by construction
+    assert sum(1 for r in srows if r[1] <= r[2]) >= 15
