@@ -1169,13 +1169,16 @@ def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
 
     Scale shape: symmetrize once (materialized — wedge sides, degree
     table, AND the edge-pair recovery ``u < w``, so the input lineage
-    is read exactly once), ONE wedge self-join restricted to candidate
-    pairs that ARE edges (the distinct output is edge-bounded, not
-    wedge-bounded), one anti-join into a materialized edge-bounded
-    bridge set (two consumers: the count card and the degree join),
-    TakeOrderedAndProject. Wedge-volume cost class, bounded on the
-    registered co-activity graphs by the per-cell cap. ``edges`` must
-    be distinct undirected pairs (ua < ub). Returns top_k rows:
+    is read exactly once), ONE wedge self-join, a MAP-SIDE-COMBINED
+    distinct over the wedge pair stream (clique-ish co-activity cells
+    duplicate each pair once per shared neighbor, so the partial
+    aggregation cuts the shuffle volume by that factor — a direct
+    anti-join against the raw stream would ship every wedge; the
+    dedup state is distance-2-pair-sized, bounded here by the
+    per-cell cap), then the LEFT ANTI into a materialized
+    edge-bounded bridge set (two consumers: count card + degree
+    join), TakeOrderedAndProject. Wedge-volume cost class. ``edges``
+    must be distinct undirected pairs (ua < ub). Returns top_k rows:
     (ua, ub, degree_sum, n_bridges, bridge_share).
     """
     sym = (
@@ -1197,7 +1200,9 @@ def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
         left.join(right, "_m")
         .filter(F.col("ua") < F.col("ub"))
         .select("ua", "ub")
-        .distinct()  # pairs with >= 1 common neighbor
+        .distinct()  # map-side combine: shuffle distinct pairs, not
+        # every wedge (the anti-join only needs existence, but the
+        # partial aggregation is what cuts the network volume)
     )
     bridges = epairs.join(
         closed, ["ua", "ub"], "left_anti"

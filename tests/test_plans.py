@@ -1569,7 +1569,7 @@ def test_local_bridges_antijoin_no_degree_broadcast(spark):
         left.join(right, "_m")
         .filter("ua < ub")
         .select("ua", "ub")
-        .distinct()
+        .distinct()  # mirrors the operator's map-side-combined dedup
     )
     epairs = sym.filter("u < w").selectExpr("u AS ua", "w AS ub")
     bridge_stage = epairs.join(closed, ["ua", "ub"], "left_anti")
