@@ -1518,11 +1518,12 @@ def test_chi2_categorical_matches_oracle(spark, ev_con):
     assert all(r[3] >= 0.0 and r[5] == len(srows) - 1 for r in srows)
 
 
-# --- STAGED for round 12 (post-registration refill) ----------------------------
+# --- Registered in round 12 (staged here in round 11) ------------------------
 #
-# The r11 window is full (28 first-rows + 22 rotation slots), so these
-# three wait for the r12 window — implemented + unit-tested now, twins
-# value-locked at sf0.001 AND sf0.01 here, registration next round.
+# Staged while the r11 window was full (28 first-rows + 22 rotation
+# slots), registered in r12; the oracle strings now live in
+# plans/queries.py and these locks import them (single source of
+# truth).
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
     UNIQUENESS_ORACLE_SQL as UNIQUENESS_ORACLE,
