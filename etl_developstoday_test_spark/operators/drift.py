@@ -784,7 +784,7 @@ def chi2_categorical(
 
 
 def daily_autocorr_lag1(
-    df: DataFrame, value_col: str, ts_col: str = "ts"
+    df: DataFrame, value_col: str, ts_col: str = "ts", lag_days: int = 1
 ) -> DataFrame:
     """Lag-1 Pearson autocorrelation of the DAILY-MEAN series of one
     numeric column — the time-structure probe the drift kit's
@@ -824,7 +824,16 @@ def daily_autocorr_lag1(
     everything after runs on the checkpointed days table (the d+1
     self-join is days × days key-matched — calendar-bounded). Returns
     one row: (n_days, n_pairs, autocorr_lag1).
+
+    ``lag_days`` generalizes the lag (default 1 — the registered
+    drift_daily_autocorr contract, plan-identical to the r12 lock):
+    lag_days=7 measures WEEK-over-week persistence, the STRENGTH
+    companion to ``dow_seasonality_anova``'s existence test for the
+    weekly cycle (staged r13 as ``drift_weekly_autocorr``). Pairs are
+    calendar-exact at any lag: (d, d+lag_days) must both be observed.
     """
+    if lag_days < 1:
+        raise ValueError("daily_autocorr_lag1: lag_days must be >= 1")
     v = F.col(value_col).cast("double")
     daily = (
         df.select(F.to_date(F.col(ts_col)).alias("d"), v.alias("_v"))
@@ -851,7 +860,7 @@ def daily_autocorr_lag1(
         daily.select(F.col("d").alias("_da"), F.col("x").alias("x"))
         .join(
             daily.select(F.col("d").alias("_db"), F.col("x").alias("y")),
-            F.date_add(F.col("_da"), 1) == F.col("_db"),
+            F.date_add(F.col("_da"), lag_days) == F.col("_db"),
         )
         .select("x", "y")
     )
@@ -866,7 +875,8 @@ def daily_autocorr_lag1(
     g = mom.collect()[0]
     if g["n"] < 2:
         raise ValueError(
-            f"daily_autocorr_lag1: need >= 2 consecutive-calendar-day "
+            f"daily_autocorr_lag1: need >= 2 consecutive-calendar "
+            f"lag-{lag_days} "
             f"pairs, got {g['n']} (n_days={n_days}) — a single-pair "
             "correlation is ±1 by construction"
         )

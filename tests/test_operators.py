@@ -3390,3 +3390,34 @@ def test_daily_volume_mad_constructed(spark):
     assert got[5][4] == round(0.6745 * 28 / 1.5, 6)
     with pytest.raises(ValueError, match="MAD is zero"):
         daily_volume_mad_anomalies(series([5, 5, 5, 5]))
+
+
+def test_daily_autocorr_lag_days_constructed(spark):
+    """lag_days=2 on a period-2 alternator pins r = +1 (each day
+    correlates with its same-phase day), where lag 1 pins -1; lag
+    pairs are calendar-exact (gap days drop); lag_days < 1 raises."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def series(vals):
+        return spark.createDataFrame(
+            [(t0 + timedelta(days=i), float(v)) for i, v in enumerate(vals)],
+            "ts timestamp, value double",
+        )
+
+    alt = series([1, 9, 2, 8, 1, 9, 2, 8])
+    assert daily_autocorr_lag1(alt, "value").collect()[0][
+        "autocorr_lag1"
+    ] < 0
+    r2 = daily_autocorr_lag1(alt, "value", lag_days=2).collect()[0]
+    assert (r2["n_days"], r2["n_pairs"]) == (8, 6)
+    assert r2["autocorr_lag1"] > 0.9
+    with pytest.raises(ValueError, match="lag_days"):
+        daily_autocorr_lag1(alt, "value", lag_days=0)

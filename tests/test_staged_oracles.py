@@ -2274,3 +2274,60 @@ def test_daily_volume_mad_matches_oracle(spark, ev_con):
     assert len(srows) == 30  # the synthetic corpus spans 30 days
     # exactly half the days sit at or below the median by construction
     assert sum(1 for r in srows if r[1] <= r[2]) >= 15
+
+
+WEEKLY_AUTOCORR_ORACLE = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS DOUBLE) / 1e6
+           / CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.x AS x, b.x AS y FROM daily a JOIN daily b ON a.d + 7 = b.d
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sb,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS sbb
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sab - sa * sb)
+             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                    * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+         AS autocorr_lag1
+FROM mom
+"""
+
+
+def test_weekly_autocorr_matches_oracle(spark, ev_con):
+    """STAGED r13: lag-7 (week-over-week) daily-mean autocorrelation —
+    the STRENGTH companion to the day-of-week ANOVA's existence test,
+    via the lag-generalized daily_autocorr_lag1 (lag_days=7;
+    calendar-exact pairs at any lag) — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srow = [
+        tuple(r)
+        for r in daily_autocorr_lag1(ev, "value", lag_days=7).collect()
+    ]
+    drow = con.execute(WEEKLY_AUTOCORR_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    assert -1.0 <= srow[0][2] <= 1.0
+    # 30 observed days -> exactly 23 calendar lag-7 pairs
+    assert srow[0][1] == srow[0][0] - 7
