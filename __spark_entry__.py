@@ -57,39 +57,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # only live entries appear below, so the rotation's load-bearing
 # artifact never drowns in history.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    # (All TWENTY-EIGHT r11 registrations — six staged in r10,
-    # twelve staged-and-registered within r11, plus the ten
-    # originally r13-staged operators the window had room for — got
-    # green first rows in CORRECTNESS_r11.json; count corrected per
-    # r11 ADVICE. The r12 entries below are the round's ADVICE /
-    # VERDICT fixes to already-certified queries.)
-    # r11 ADVICE: scale-invariant first-significant-digit extraction
-    # (the cents heuristic mis-read 0.999->1 and dropped (0,0.005));
-    # oracle updated in lockstep, re-locked at both scales.
-    "drift_benford_first_digit": 12,
-    # r11 ADVICE: key kept in native type (string keys must not be
-    # numerically coerced); long cast moved to the call site, values
-    # and schema unchanged.
-    "skew_topk_key_share": 12,
-    # r11 ADVICE: n_null_keys coalesced to 0 on an empty child table
-    # (was NULL); registered values unchanged.
-    "dq_fk_orphans": 12,
-    # r11 VERDICT item 3 (decimal sweep): integer-second gaps now sum
-    # as longs (bit-identical — the summands are exact integers), so
-    # the corpus-sized decimal accumulation is gone; oracle untouched,
+    # (All eight r12 entries — the three r11-ADVICE fixes, the
+    # burstiness long-sum conversion, and the four NB-family rows
+    # after the shared-base cut — got green rows in
+    # CORRECTNESS_r12.json and have self-expired; pruned per the
+    # HYGIENE note above. The r13 entry below is this round's ADVICE
+    # fix to an already-certified query. The round's other three
+    # ADVICE items cost no slot: the Benford carry-window fix is
+    # documentation-only (engine and oracle agree bit-for-bit, values
+    # unchanged), and the Cohen-κ / DOW-ANOVA fixes landed BEFORE
+    # those operators' first registration, so they ride their r13
+    # first rows.)
+    # r12 ADVICE: Σg² squares and sums through decimal(38,0) again
+    # (one epoch-zero junk timestamp makes a gap whose square wraps a
+    # long silently under non-ANSI Spark); Σg stays a long sum.
+    # Values bit-identical on integer gaps, oracle untouched,
     # re-locked at both scales.
-    "events_interarrival_burstiness": 12,
-    # r11 VERDICT item 4 (NB shared-base constant): the scoring join
-    # now carries per-(doc, token) COUNTS (Σ m·llq == Σ llq exactly —
-    # integer arithmetic) and the vocabulary derives from the
-    # materialized model-sized counts table instead of a corpus-wide
-    # distinct per consumer. Scores bit-identical, oracles untouched,
-    # all four locks re-run green; calibration 3.8s warm at sf0.1
-    # (was ~5.1s warm under load, r11 target <= 4s).
-    "ml_naive_bayes_quality": 12,
-    "ml_nb_confusion_matrix": 12,
-    "ml_nb_margin_calibration": 12,
-    "ml_nb_margin_auc": 12,
+    "events_interarrival_burstiness": 13,
 }
 
 

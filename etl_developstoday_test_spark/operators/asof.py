@@ -211,8 +211,8 @@ def interval_bucket_join(
     the full |points_k| × |intervals_k| pair stream per key — the
     skewed-key blowup class).
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 13 (staged r12; oracle value-locked at both
+    scales in tests/test_staged_oracles.py BEFORE registration).
 
     This is the standard BUCKET-BLOCKING plan instead: explode each
     interval onto the fixed-width time buckets it covers, bucket each

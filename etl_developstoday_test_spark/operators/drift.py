@@ -600,10 +600,22 @@ def benford_first_digit(
     (first char of round(v·100)) mis-assigned every value whose cents
     rounding crossed a power of ten (0.999 → cents 100 → digit 1, true
     9) and silently dropped (0, 0.005) — this rendering has neither
-    failure mode. Domain: positive values in [1e-15, 1e20); smaller
-    values have no significant digit at scale 18 and larger ones no
-    DECIMAL(38,18) representation — both RAISE loudly with a count
-    (infinity included) instead of silently skewing the shares.
+    failure mode ABOVE the safe floor. Domain (r12 ADVICE, carry
+    audit): the digit contract holds for positive values in
+    [1e-14, 1e20). Below that floor the scale-18 rounding can itself
+    cross a power of ten: a double within half a scale-18 ulp under a
+    power of ten (e.g. 9.99951e-15) rounds UP and reads digit 1, true
+    9, and every value in [5e-19, 1e-18) rounds to exactly 1e-18 and
+    silently reads digit 1 — at or above 1e-14 no double sits inside
+    that carry window, so the first rendered [1-9] is always the true
+    first significant digit. Values < 5e-19 render as all zeros and
+    values ≥ 1e20 have no DECIMAL(38,18) representation — both RAISE
+    loudly with a count (infinity included) instead of silently
+    skewing the shares. Sub-floor values in [5e-19, 1e-14) are
+    accepted ENGINE-CONSISTENTLY (Spark and DuckDB round the same
+    exact binary value, so the twin plans agree even where the digit
+    is wrong) but sit outside the audit contract — rescale such
+    columns before auditing.
     Expected shares are
     nano-quantized log₁₀(1+1/d) literals BAKED into both plans as the
     same decimal text (mathematical constants, like π — baking them
@@ -623,9 +635,12 @@ def benford_first_digit(
     v = F.col(value_col).cast("double")
     # First significant digit, scale-invariantly: render the value as
     # DECIMAL(38,18) and take the first [1-9]. try_cast NULLs values
-    # >= 1e20 (and infinity); values < 1e-18 render as all zeros and
-    # nullif the empty match — both land in the NULL sentinel group,
-    # which is bounded-counted below and raises.
+    # >= 1e20 (and infinity); values < 5e-19 round to all zeros at
+    # scale 18 and nullif the empty match — both land in the NULL
+    # sentinel group, which is bounded-counted below and raises.
+    # Contract floor 1e-14 (see docstring): below it the scale-18
+    # rounding can carry across a power of ten and mis-read the digit
+    # (engine-consistently — both twins agree on the rendered text).
     sig = F.nullif(
         F.regexp_extract(
             F.expr("CAST(try_cast(_v AS DECIMAL(38,18)) AS STRING)"),
@@ -915,8 +930,8 @@ def dow_seasonality_anova(
     A drift monitor that ignores a real weekly cycle false-alarms
     every weekend; one that knows it can deseasonalize first.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 13 (staged r12; oracle value-locked at both
+    scales in tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: daily means are the MICRO-QUANTIZED long
     sums over exact day counts shared with ``daily_autocorr_lag1``
@@ -974,7 +989,15 @@ def dow_seasonality_anova(
     terms = groups.select(
         "n_days",
         F.col("_sx"),
-        ((sxx - sx * sx / nd)).cast(ACC_DECIMAL).alias("_w"),
+        # clamp the per-group within-term at zero (r12 ADVICE): the
+        # double-precision sxx − sx²/n can land a tiny NEGATIVE for a
+        # (near-)constant weekday group, spuriously pushing SSW ≤ 0
+        # (false "zero within-weekday variance" raise) or deflating F
+        # — the sqrt(max(var, 0)) −ulp clamp idiom, applied here; the
+        # oracle applies the identical greatest(·, 0)
+        F.greatest(sxx - sx * sx / nd, F.lit(0.0))
+        .cast(ACC_DECIMAL)
+        .alias("_w"),
         ((sx * sx / nd)).cast(ACC_DECIMAL).alias("_b"),
     )
     tot = terms.agg(
@@ -1043,8 +1066,8 @@ def daily_volume_mad_anomalies(
     and σ are exactly the statistics a lost day corrupts (the reason
     the estimator is median/MAD, which one bad day cannot move).
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 13 (staged r12; oracle value-locked at both
+    scales in tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: daily counts are exact longs; median and MAD use the
     SQL-standard interpolated quantile (Spark ``percentile`` ≡ DuckDB

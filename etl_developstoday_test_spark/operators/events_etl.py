@@ -327,17 +327,18 @@ def interarrival_burstiness(
 
     Determinism contract: gaps are exact integer SECONDS
     (``unix_micros div 1_000_000`` — floor division on integer
-    microseconds, never a double truncation); per-user Σg and Σg²
-    sum as exact LONGS on the codegen fast path (r12, the adamic-adar
-    lesson: decimal accumulation over a corpus-sized stream measured
-    2.3x slower than long sums; the values are integers, so the long
-    sums are bit-identical to the old decimal path and the oracle is
-    untouched). Overflow headroom: Σg² needs per-user gaps below
-    ~3e9 s (≈95 years); junk epoch-zero timestamps that could
-    approach that are an upstream timestamp-validity dq defect, not a
-    burstiness input. Mean/variance come out of identical doubles
-    in an identical expression tree; σ = sqrt(max(var, 0)) clamps the
-    −ulp case. Ties in the per-user ordering break on event_id.
+    microseconds, never a double truncation); per-user Σg sums as an
+    exact LONG on the codegen fast path (r12, the adamic-adar lesson:
+    decimal accumulation over a corpus-sized stream measured 2.3x
+    slower than long sums), while Σg² squares and sums IN
+    decimal(38,0) (r12 ADVICE: a single epoch-zero junk timestamp
+    puts one gap ≥ ~3.04e9 s whose square wraps a long silently under
+    non-ANSI Spark — the squared term's headroom is the binding one,
+    so only it pays the decimal toll; both paths are bit-identical on
+    integer inputs and the oracle is untouched). Mean/variance come
+    out of identical doubles in an identical expression tree;
+    σ = sqrt(max(var, 0)) clamps the −ulp case. Ties in the per-user
+    ordering break on event_id.
 
     Scale shape: ONE window partitioned by user_id (a user's own
     history — the same bounded-partition contract as sessionize),
@@ -357,10 +358,21 @@ def interarrival_burstiness(
         .filter(F.col("gap").isNotNull())
     )
     g = F.col("gap")
+    # Σg stays a long sum (gaps are bounded by the corpus time span —
+    # a per-user Σg overflow needs 10¹⁰ users' worth of seconds); Σg²
+    # goes back through decimal (r12 ADVICE): ONE epoch-zero junk
+    # timestamp makes a gap ≥ ~3.04e9 s whose square wraps a long
+    # silently under non-ANSI Spark, where decimal is exact — and the
+    # square is computed IN decimal ((19,0)·(19,0) → (38,0)) so the
+    # product itself can't wrap pre-cast. The 2.3× decimal-sum lesson
+    # applied to Σg (the common term) and paid only for the squared
+    # term whose headroom is genuinely tighter.
     agg = gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
         F.sum(g.cast("long")).alias("_s1"),
-        F.sum(g.cast("long") * g.cast("long")).alias("_s2"),
+        F.sum(g.cast("decimal(19,0)") * g.cast("decimal(19,0)")).alias(
+            "_s2"
+        ),
     )
     n = F.col("n_gaps").cast("double")
     s1 = F.col("_s1").cast("double")

@@ -1353,8 +1353,8 @@ def rich_club_coefficient(
     graph. The hub-STRUCTURE card beside degree_powerlaw_fit (how
     heavy is the tail) — this says how the tail is WIRED.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 13 (staged r12; oracle value-locked at both
+    scales in tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: pure exact integers until one 6-dp division per k.
     The whole curve costs TWO bounded histograms, not a pass per k:
@@ -1438,4 +1438,253 @@ def rich_club_coefficient(
             ).alias("phi"),
         )
         .orderBy("k")
+    )
+
+
+def local_bridges_sampled(
+    edges: DataFrame, sample_mod: int = 4, top_k: int = 10
+) -> DataFrame:
+    """SEEDED EDGE-SAMPLED twin of ``local_bridges`` — the r12 VERDICT
+    item-3 extension of ``two_hop_reach_sampled``'s contract to the
+    rest of the wedge family: audit bridge-ness for the deterministic
+    1/``sample_mod`` of edges whose LOWER endpoint is md5-sampled, so
+    both the wedge fan-out and the closed-pair distinct (the exact
+    twin's two wedge-volume stages) shrink by the sampling factor
+    while every reported value stays EXACT. The lower endpoint is the
+    right sampling root because the wedge join emits every closed
+    pair (a < b) exclusively through its lower-endpoint branch — so
+    filtering that ONE branch keeps ALL wedges of sampled pairs and
+    drops every other wedge before the join fans out (verified
+    against the exact twin in tests/test_properties.py; sample_mod=1
+    reproduces ``local_bridges`` bit-for-bit).
+
+    Contract: every reported bridge IS a local bridge of the FULL
+    graph (the closed-pair evidence for a sampled pair is complete —
+    no false bridges, unlike middle-vertex sampling which misses
+    closing wedges); ``n_bridges``/``bridge_share`` are over the
+    SAMPLED edge subset (an unbiased share estimate — the md5 is
+    independent of the graph structure). Degrees come from the full
+    symmetric table (exact). At 100 TB run THIS with sample_mod
+    raised to taste; the exact twin stays the oracle mode.
+    """
+    from etl_developstoday_test_spark.functions import md5_long
+
+    if sample_mod < 1:
+        raise ValueError("local_bridges_sampled: sample_mod must be >= 1")
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    sampled = (
+        md5_long(F.concat(F.lit("lbs#"), F.col("u").cast("string")))
+        % sample_mod
+        == 0
+    )
+    # sampled (ua < ub) edge pairs, recovered from the checkpointed sym
+    epairs = (
+        sym.filter(F.col("u") < F.col("w"))
+        .filter(sampled)
+        .select(F.col("u").alias("ua"), F.col("w").alias("ub"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    # ONLY the lower-endpoint wedge branch is filtered: closed pairs
+    # with a sampled lower endpoint keep every closing wedge
+    left = sym.filter(sampled).select(
+        F.col("w").alias("_m"), F.col("u").alias("ua")
+    )
+    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
+    closed = (
+        left.join(right, "_m")
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    bridges = epairs.join(
+        closed, ["ua", "ub"], "left_anti"
+    ).localCheckpoint(eager=True)  # sampled-edge-bounded
+    counts = (
+        epairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(
+                bridges.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_bridges")
+                )
+            )
+        )
+        .select(
+            "n_bridges",
+            F.round(
+                F.col("n_bridges").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("bridge_share"),
+        )
+    )
+    with_deg = (
+        bridges.join(
+            deg.select(F.col("u").alias("ua"), F.col("d").alias("_da")),
+            "ua",
+        )
+        .join(
+            deg.select(F.col("u").alias("ub"), F.col("d").alias("_db")),
+            "ub",
+        )
+        .select(
+            "ua",
+            "ub",
+            (F.col("_da") + F.col("_db")).cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        with_deg.crossJoin(F.broadcast(counts))
+        .orderBy(F.desc("degree_sum"), F.asc("ua"), F.asc("ub"))
+        .limit(top_k)
+        .select("ua", "ub", "degree_sum", "n_bridges", "bridge_share")
+    )
+
+
+def jaccard_link_prediction_sampled(
+    edges: DataFrame, sample_mod: int = 4, top_k: int = 10
+) -> DataFrame:
+    """SEEDED CANDIDATE-SAMPLED twin of ``jaccard_link_prediction``
+    (r12 VERDICT item 3): rank only the distance-2 candidate pairs
+    whose LOWER endpoint is md5-sampled — the wedge join emits every
+    candidate pair (a < b) exclusively through its lower-endpoint
+    branch, so filtering that one branch BEFORE the join cuts the
+    wedge fan-out by 1/``sample_mod`` while the common-neighbor count
+    (and therefore the Jaccard) of every surviving pair stays EXACT.
+    Degrees come from the full symmetric table; the anti-join against
+    existing edges is unchanged. sample_mod=1 reproduces the exact
+    twin bit-for-bit (tests/test_properties.py). At 100 TB the
+    candidate shortlist is a sampled-source profile of the same
+    ranking — the Eppstein–Wang posture ``two_hop_reach_sampled``
+    registered, applied to link prediction.
+    """
+    from etl_developstoday_test_spark.functions import md5_long
+
+    if sample_mod < 1:
+        raise ValueError(
+            "jaccard_link_prediction_sampled: sample_mod must be >= 1"
+        )
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    sampled = (
+        md5_long(F.concat(F.lit("jls#"), F.col("u").cast("string")))
+        % sample_mod
+        == 0
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    left = sym.filter(sampled).select(
+        F.col("w").alias("_m"), F.col("u").alias("ua")
+    )
+    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
+    common = (
+        left.join(right, "_m")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+    )
+    with_deg = (
+        common.join(
+            deg.select(F.col("u").alias("ua"), F.col("d").alias("_da")),
+            "ua",
+        ).join(
+            deg.select(F.col("u").alias("ub"), F.col("d").alias("_db")),
+            "ub",
+        )
+    )
+    jacc = F.round(
+        F.col("common_neighbors").cast("double")
+        / (F.col("_da") + F.col("_db") - F.col("common_neighbors")).cast(
+            "double"
+        ),
+        6,
+    )
+    return (
+        with_deg.select(
+            "ua",
+            "ub",
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            jacc.alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("ua"), F.asc("ub"))
+        .limit(top_k)
+    )
+
+
+def adamic_adar_link_prediction_sampled(
+    edges: DataFrame, sample_mod: int = 4, top_k: int = 10
+) -> DataFrame:
+    """SEEDED CANDIDATE-SAMPLED twin of ``adamic_adar_link_prediction``
+    (r12 VERDICT item 3) — the same lower-endpoint sampling as
+    ``jaccard_link_prediction_sampled`` (every candidate pair's
+    wedges arrive exclusively through the lower-endpoint branch, so
+    the surviving pairs' rarity-weighted sums are EXACT), composed
+    with the exact twin's middle-weight design: deg attaches to the
+    |E|-row edge list BEFORE the wedge join (never to the wedge
+    stream), each 1/ln(deg) weight nano-quantized then pico-quantized
+    to an exact long, pure integer sums per pair. sample_mod=1
+    reproduces the exact twin bit-for-bit (tests/test_properties.py).
+    """
+    from etl_developstoday_test_spark.functions import md5_long
+
+    if sample_mod < 1:
+        raise ValueError(
+            "adamic_adar_link_prediction_sampled: sample_mod must be >= 1"
+        )
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
+        .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    sampled = (
+        md5_long(F.concat(F.lit("aas#"), F.col("u").cast("string")))
+        % sample_mod
+        == 0
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    lnq_d = (
+        F.round(F.log(F.col("d").cast("double")) * 1e9)
+        .cast("long")
+        .cast("double")
+        / 1e9
+    )
+    mid_weight = deg.filter(F.col("d") >= 2).select(
+        F.col("u").alias("_m"),
+        F.round((F.lit(1.0) / lnq_d) * F.lit(1e12))
+        .cast("long")
+        .alias("_wq"),
+    )
+    left = sym.filter(sampled).select(
+        F.col("w").alias("_m"), F.col("u").alias("ua")
+    )
+    right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m")).join(
+        mid_weight, "_m"
+    )
+    pairs = (
+        left.join(right, "_m")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("_wq").cast("long").alias("_aa"),
+        )
+        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+    )
+    return (
+        pairs.select(
+            "ua",
+            "ub",
+            "common_neighbors",
+            F.round(F.col("_aa").cast("double") / F.lit(1e12), 6).alias(
+                "adamic_adar"
+            ),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("ua"), F.asc("ub"))
+        .limit(top_k)
     )

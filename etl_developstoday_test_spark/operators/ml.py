@@ -807,8 +807,8 @@ def cohen_kappa_agreement(
     majority-class parroting, κ subtracts the agreement the marginals
     would produce by chance (κ = (p_o − p_e)/(1 − p_e)).
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 13 (staged r12; oracle value-locked at both
+    scales in tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: the confusion matrix and both marginals are exact
     integer counts; the chance term Σ row_l·col_l accumulates through
@@ -862,8 +862,11 @@ def cohen_kappa_agreement(
         raise ValueError(
             "cohen_kappa_agreement: no rows with both labels present"
         )
-    n = float(g["n_rows"])
-    if float(g["pe_num"]) == n * n:
+    # exact integer comparison (r12 ADVICE): pe_num is an exact
+    # Decimal and n² exceeds 2⁵³ past ~9.4e7 rows, where the float
+    # round-trip could false-raise on pe_num = n²−1 or miss exact
+    # degeneracy and emit NaN instead of raising
+    if int(g["pe_num"]) == int(g["n_rows"]) ** 2:
         raise ValueError(
             "cohen_kappa_agreement: both label columns are the same "
             "constant — chance agreement is 1 and kappa is 0/0"

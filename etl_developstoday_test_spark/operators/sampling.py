@@ -1005,8 +1005,8 @@ def half_sample_mean_ci(
     a pipeline, valid under weighting and post-filtering where the
     textbook formula silently isn't.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 13 (staged r12; oracle value-locked at both
+    scales in tests/test_staged_oracles.py BEFORE registration).
 
     The B replicas cost ZERO fan-out: one salted md5 per row supplies
     ``n_replicas`` independent inclusion BITS (bit b of the 60-bit

@@ -1853,8 +1853,8 @@ def bigram_entropy_rate(
     concentration) and heaps_law_fit (inventory growth), all three on
     the same tokenization.
 
-    STAGED for round-13 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 13 (staged r12; oracle value-locked at both
+    scales in tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: both entropies use the count identity
     H = ln C − (Σ c·ln c)/C with ln(c) NANO-QUANTIZED per distinct

@@ -15387,3 +15387,549 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return simpson_diversity(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-13 registrations — the eight operators staged in r12 (implemented,
+# property-tested, and value-locked at sf0.001 AND sf0.01 in
+# tests/test_staged_oracles.py BEFORE this registration; the oracle strings
+# now live HERE and the lock tests import them — lock and registration are
+# one artifact), plus the interval join's zero-match negative path
+# (r12 VERDICT item 8).
+# ---------------------------------------------------------------------------
+
+IVJ_ATTRIBUTION_ORACLE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {events_etl.SESSION_GAP_MICROS}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS session_start,
+         make_timestamp(epoch_us(MAX(ts)) + 1800000000) AS attr_end
+  FROM sess GROUP BY user_id, session_id
+),
+hits AS (
+  SELECT p.user_id, s.session_id,
+         CAST(floor(CAST(p.value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events p JOIN sessions s
+    ON p.user_id = s.user_id
+   AND p.ts >= s.session_start AND p.ts <= s.attr_end
+  WHERE p.event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions_hit,
+       CAST(SUM(cents) AS BIGINT) AS attributed_cents
+FROM hits GROUP BY user_id
+ORDER BY attributed_cents DESC, user_id ASC LIMIT 20
+"""
+
+
+@_register("join_interval_attribution", IVJ_ATTRIBUTION_ORACLE_SQL)
+def join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-blocked INTERVAL JOIN (operators/asof.interval_bucket_join)
+    driving purchase → session attribution: purchases land in the
+    view/click session whose 30-minute-padded window covers them —
+    the which-events-fall-inside-which-window primitive Spark has no
+    native operator for. The ORACLE is the plain theta join;
+    result-identical because bucket blocking is LOSSLESS (every point
+    lives in exactly one fixed-width bucket and every covering
+    interval has a replica there — pinned at any bucket width in
+    tests/test_properties.py), so the equi-join plan replaces the
+    per-key nested-loop the theta join compiles to (plan-pinned: no
+    BroadcastNestedLoop, tests/test_plans.py). Exact integer
+    microsecond bucket arithmetic (`div`, never a double floor);
+    attributed revenue in exact cents; (cents DESC, user ASC) total
+    order."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = events_etl.sessionize(
+        ev.filter(F.col("event_type").isin("view", "click"))
+    ).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        F.timestamp_micros(
+            F.unix_micros("session_end") + F.lit(1_800_000_000)
+        ).alias("attr_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    hits = asof.interval_bucket_join(
+        purchases, sessions, "user_id", "ts", "session_start", "attr_end"
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_attributed"),
+            F.countDistinct("session_id")
+            .cast("long")
+            .alias("n_sessions_hit"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+        .orderBy(F.desc("attributed_cents"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# 31 days in microseconds — strictly longer than the 30-day synthetic
+# corpus span, so a window opening session_end + 31d can cover nothing
+IVJ_ZERO_SHIFT_MICROS = 31 * 86_400 * 1_000_000
+
+IVJ_ZERO_MATCH_ORACLE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {events_etl.SESSION_GAP_MICROS}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id,
+         make_timestamp(epoch_us(MAX(ts)) + {IVJ_ZERO_SHIFT_MICROS}) AS attr_start,
+         make_timestamp(epoch_us(MAX(ts)) + {IVJ_ZERO_SHIFT_MICROS} + 1800000000) AS attr_end
+  FROM sess GROUP BY user_id, session_id
+),
+purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+hits AS (
+  SELECT p.user_id FROM purchases p JOIN sessions s
+    ON p.user_id = s.user_id
+   AND p.ts >= s.attr_start AND p.ts <= s.attr_end
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM purchases) AS n_purchases,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_intervals,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits
+"""
+
+
+@_register("join_interval_zero_match", IVJ_ZERO_MATCH_ORACLE_SQL)
+def join_interval_zero_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE PATH of the bucket-blocked interval join (r12 VERDICT
+    item 8): the same sessionize → pad → interval_bucket_join pipeline
+    with every attribution window shifted 31 days PAST the session —
+    strictly beyond the 30-day corpus span, so the exact range
+    residual must reject every (key, bucket) candidate and the join
+    returns EMPTY. Certifies at driver level what the property lock
+    pins at any bucket width: the residual is enforced (a lossy plan
+    that dropped the range test would emit same-bucket pairs here),
+    and the empty-result path produces a well-formed 0-count card
+    instead of a crash or NULLs. The card is three 1-row aggregates
+    broadcast-crossed (never data-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    shift = IVJ_ZERO_SHIFT_MICROS
+    sessions = events_etl.sessionize(
+        ev.filter(F.col("event_type").isin("view", "click"))
+    ).select(
+        "user_id",
+        F.timestamp_micros(
+            F.unix_micros("session_end") + F.lit(shift)
+        ).alias("attr_start"),
+        F.timestamp_micros(
+            F.unix_micros("session_end") + F.lit(shift + 1_800_000_000)
+        ).alias("attr_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    hits = asof.interval_bucket_join(
+        purchases, sessions, "user_id", "ts", "attr_start", "attr_end"
+    )
+    n_p = purchases.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    n_i = sessions.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    n_h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return n_p.crossJoin(F.broadcast(n_i)).crossJoin(F.broadcast(n_h))
+
+
+_KAPPA_ORACLE_TMPL = """
+WITH pred AS ({langid}),
+conf AS (
+  SELECT lang AS t, predicted_lang AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pred WHERE lang IS NOT NULL AND predicted_lang IS NOT NULL
+  GROUP BY 1, 2
+),
+rm AS (SELECT t, CAST(SUM(c) AS BIGINT) AS rm FROM conf GROUP BY t),
+cm AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cm FROM conf GROUP BY p),
+chance AS (
+  SELECT COALESCE(SUM(CAST(rm AS DECIMAL(38,0)) * CAST(cm AS DECIMAL(38,0))), 0) AS pe_num
+  FROM rm JOIN cm ON rm.t = cm.p
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN t = p THEN c END), 0) AS BIGINT) AS n_agree
+  FROM conf
+)
+SELECT n_rows, n_agree,
+       round(CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS po,
+       round(CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS pe,
+       round((CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE)
+              - CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
+             / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))), 6) AS kappa
+FROM tot CROSS JOIN chance
+"""
+
+KAPPA_ORACLE_SQL = _KAPPA_ORACLE_TMPL.format(langid=_langid_sql())
+
+
+@_register("ml_cohen_kappa", KAPPA_ORACLE_SQL)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ (operators/ml.cohen_kappa_agreement; Cohen 1960)
+    between the wordlist language-ID heuristic and the corpus
+    reference labels — the chance-corrected agreement that certifies
+    a cheap labeler BEFORE its output routes/filters a corpus (raw
+    accuracy rewards majority-class parroting; κ subtracts what the
+    marginals produce by chance). Reuses the registered lang-id
+    oracle as the prediction CTE, so heuristic and audit share one
+    definition. Exact integer confusion matrix; the chance term
+    Σ row·col runs through decimal(38,0) over the label-DOMAIN-sized
+    marginals (class-3 decimal audit site); degenerate p_e = 1 raises
+    via the exact INTEGER comparison (r12 ADVICE — the float
+    round-trip false-raises past 2⁵³)."""
+    from etl_developstoday_test_spark.operators.ml import (
+        cohen_kappa_agreement,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cohen_kappa_agreement(
+        text_analysis.lang_id(docs), "lang", "predicted_lang"
+    )
+
+
+DOW_ANOVA_ORACLE_SQL = r"""
+WITH daily AS (
+  SELECT isodow(CAST(ts AS DATE)) AS isodow,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+           / CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY CAST(ts AS DATE)
+),
+groups AS (
+  SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(x AS DECIMAL(30,10))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
+  FROM daily GROUP BY isodow
+),
+terms AS (
+  SELECT isodow, n_days, sx,
+         CAST(greatest(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 0) AS DECIMAL(30,10)) AS w,
+         CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS DECIMAL(30,10)) AS b
+  FROM groups
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_days) AS BIGINT) AS n,
+         SUM(sx) AS sx_all, SUM(w) AS ssw, SUM(b) AS ssb_raw
+  FROM terms
+),
+frow AS (
+  SELECT round(((CAST(ssb_raw AS DOUBLE) - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+               / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
+         CAST(k - 1 AS BIGINT) AS df_between, CAST(n - k AS BIGINT) AS df_within
+  FROM tot
+)
+SELECT g.isodow, g.n_days,
+       round(CAST(g.sx AS DOUBLE) / CAST(g.n_days AS DOUBLE), 6) AS mean_daily,
+       frow.f_stat, frow.df_between, frow.df_within
+FROM groups g CROSS JOIN frow ORDER BY g.isodow
+"""
+
+
+@_register("drift_dow_anova", DOW_ANOVA_ORACLE_SQL)
+def drift_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week one-way ANOVA of the daily-mean value series
+    (operators/drift.dow_seasonality_anova) — the weekly-cycle
+    EXISTENCE test beside CUSUM (one level shift) and the
+    autocorrelation legs (momentum/strength): F large means the
+    weekday explains the daily level, the signal a drift monitor must
+    deseasonalize on or false-alarm every weekend. Daily means from
+    the micro-quantized long sums shared with drift_daily_autocorr;
+    ISO weekdays (Spark weekday()+1 ≡ DuckDB isodow); per-weekday
+    moments decimal-accumulated over the BOUNDED days table; the
+    per-group within-term is clamped at zero (r12 ADVICE — double
+    rounding on a near-constant weekday must not push SSW ≤ 0, in
+    engine and oracle alike); F is a fixed-order double tree."""
+    from etl_developstoday_test_spark.operators.drift import (
+        dow_seasonality_anova,
+    )
+
+    return dow_seasonality_anova(load_table(spark, sf_dir, "events"), "value")
+
+
+BIGRAM_ENTROPY_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS u FROM documents
+),
+uc AS (SELECT lang, u, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY lang, u),
+uni AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_uni,
+         SUM(CAST(c AS DECIMAL(38,0)) * CAST(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s_uni
+  FROM uc GROUP BY lang
+),
+bis AS (
+  SELECT lang, unnest(list_transform(
+           generate_series(1, len(arr) - 1), i -> arr[i] || ' ' || arr[i+1])) AS u
+  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents)
+),
+bc AS (SELECT lang, u, CAST(COUNT(*) AS BIGINT) AS c FROM bis GROUP BY lang, u),
+bi AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bi,
+         SUM(CAST(c AS DECIMAL(38,0)) * CAST(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s_bi
+  FROM bc GROUP BY lang
+)
+SELECT lang, n_uni AS n_tokens, n_bi AS n_bigrams,
+  round(CAST(CAST(round(ln(CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_uni AS DOUBLE) / 1e9) / CAST(n_uni AS DOUBLE), 6) AS h_unigram,
+  round(CAST(CAST(round(ln(CAST(n_bi AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_bi AS DOUBLE) / 1e9) / CAST(n_bi AS DOUBLE), 6) AS h_bigram,
+  round((CAST(CAST(round(ln(CAST(n_bi AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_bi AS DOUBLE) / 1e9) / CAST(n_bi AS DOUBLE))
+        - (CAST(CAST(round(ln(CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
+        - (CAST(s_uni AS DOUBLE) / 1e9) / CAST(n_uni AS DOUBLE)), 6) AS entropy_rate
+FROM uni JOIN bi USING (lang)
+WHERE n_bi >= 1
+ORDER BY lang
+"""
+
+
+@_register("text_bigram_entropy", BIGRAM_ENTROPY_ORACLE_SQL)
+def text_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram ENTROPY RATE H(w₂|w₁) = H₂ − H₁ (chain-rule
+    plug-in; operators/text_analysis.bigram_entropy_rate) — the
+    sequential-predictability card beside the bag-of-words diversity
+    metrics (Simpson/Zipf/Heaps see the marginal distribution; this
+    sees the transitions — template spam with a rich vocabulary but
+    frozen word ORDER collapses the rate first). H = ln N − (Σ c·ln c)/N
+    per n-gram order: one groupBy per order, nano-quantized ln per
+    DISTINCT count value, decimal(38,0) sums over the
+    vocabulary-bounded count tables, conditioning-reduces-entropy
+    pinned in the lock."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        bigram_entropy_rate,
+    )
+
+    return bigram_entropy_rate(load_table(spark, sf_dir, "documents"))
+
+
+RICH_CLUB_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+sym AS (SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+deg_hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+md AS (
+  SELECT least(da.d, db.d) AS md FROM edges e
+  JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub
+),
+md_hist AS (SELECT md, CAST(COUNT(*) AS BIGINT) AS n_edges FROM md GROUP BY md),
+spine AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+nk AS (
+  SELECT k, CAST(COALESCE(SUM(n_nodes), 0) AS BIGINT) AS n_rich_nodes
+  FROM spine LEFT JOIN deg_hist ON deg_hist.d > spine.k GROUP BY k
+),
+ek AS (
+  SELECT k, CAST(COALESCE(SUM(n_edges), 0) AS BIGINT) AS n_rich_edges
+  FROM spine LEFT JOIN md_hist ON md_hist.md > spine.k GROUP BY k
+)
+SELECT nk.k AS k, n_rich_nodes, n_rich_edges,
+       round(2.0 * CAST(n_rich_edges AS DOUBLE)
+             / (CAST(n_rich_nodes AS DOUBLE) * (CAST(n_rich_nodes AS DOUBLE) - 1.0)), 6) AS phi
+FROM nk JOIN ek ON nk.k = ek.k
+WHERE n_rich_nodes >= 2 ORDER BY k
+"""
+
+
+@_register("graph_rich_club", RICH_CLUB_ORACLE_SQL)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve φ(k) (operators/graph.
+    rich_club_coefficient; Zhou & Mondragón 2004, Colizza et al. 2006)
+    over the SHARED co-activity graph: among nodes of degree > k, the
+    fraction of possible edges present — the how-are-the-hubs-WIRED
+    card beside degree_powerlaw_fit's how-heavy-is-the-tail (φ→1 =
+    hub oligarchy: one contaminated hub reaches the rest in one hop).
+    The whole curve costs TWO bounded histograms (degree histogram +
+    min-endpoint-degree edge histogram) cumulated against the k
+    spine — never a pass per k, nothing vertex-sized broadcast; pure
+    exact integers until one 6-dp division per k."""
+    from etl_developstoday_test_spark.operators.graph import (
+        rich_club_coefficient,
+    )
+
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return rich_club_coefficient(edges)
+
+
+def _half_sample_oracle_sql(B: int = 32) -> str:
+    cols_s = ",\n".join(
+        f"CAST(COALESCE(SUM(CASE WHEN (_h >> {b}) & 1 = 0 THEN _q END), 0) AS BIGINT) AS s_{b},\n"
+        f"CAST(COALESCE(SUM(CASE WHEN (_h >> {b}) & 1 = 0 THEN 1 END), 0) AS BIGINT) AS n_{b}"
+        for b in range(B)
+    )
+    reps = ", ".join(f"({b}, s_{b}, n_{b})" for b in range(B))
+    return f"""
+WITH base AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS _q,
+         CAST(concat('0x', substr(md5('hs#' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(_q) AS BIGINT) AS s_all,
+         {cols_s}
+  FROM base
+),
+reps AS (
+  SELECT n_rows, s_all, r.* FROM tot,
+    LATERAL (SELECT * FROM (VALUES {reps}) AS v(b, s_b, n_b)) r
+),
+m AS (
+  SELECT n_rows,
+         (CAST(s_all AS DOUBLE) / 1e6) / CAST(n_rows AS DOUBLE) AS theta,
+         (CAST(s_b AS DOUBLE) / 1e6) / CAST(n_b AS DOUBLE) AS theta_b
+  FROM reps
+),
+mom AS (
+  SELECT FIRST(n_rows) AS n_rows, FIRST(theta) AS theta,
+         SUM(CAST((theta_b - theta) * (theta_b - theta) AS DECIMAL(30,10))) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_replicas
+  FROM m
+)
+SELECT n_rows, round(theta, 6) AS mean,
+       round(sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS se,
+       round(theta - 1.959964 * sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS ci_lo,
+       round(theta + 1.959964 * sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS ci_hi,
+       n_replicas
+FROM mom
+"""
+
+
+HALF_SAMPLE_ORACLE_SQL = _half_sample_oracle_sql()
+
+
+@_register("sample_half_sample_ci", HALF_SAMPLE_ORACLE_SQL)
+def sample_half_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-sample replication CI for the events value mean
+    (operators/sampling.half_sample_mean_ci; McCarthy 1969 balanced
+    half-samples, hash-randomized): 32 deterministic half-sample
+    replicas — replica b keeps rows whose md5 bit b is 0 — yield a
+    replication standard error and a 95% CI with NO second pass and
+    NO fan-out: all 64 conditional sums come out of ONE
+    map-side-combined aggregate over micro-quantized long sums (one
+    md5 per row supplies all 32 bits). The design-based uncertainty
+    card every sampled metric upstream should quote; se lands within
+    small factors of σ/√n on ~uniform data (lock-pinned)."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        half_sample_mean_ci,
+    )
+
+    return half_sample_mean_ci(
+        load_table(spark, sf_dir, "events"), "value", "event_id"
+    )
+
+
+MAD_VOLUME_ORACLE_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
+madt AS (
+  SELECT quantile_cont(abs(CAST(n_events AS DOUBLE) - med), 0.5) AS mad
+  FROM daily CROSS JOIN med
+)
+SELECT d, n_events, med, mad,
+       round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad, 6) AS mod_z,
+       abs(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad) > 3.5 AS is_anomaly
+FROM daily CROSS JOIN med CROSS JOIN madt
+ORDER BY d
+"""
+
+
+@_register("drift_volume_mad", MAD_VOLUME_ORACLE_SQL)
+def drift_volume_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume modified-z anomaly card (operators/drift.
+    daily_volume_mad_anomalies; Iglewicz & Hoaglin 1993: M =
+    0.6745·(x − median)/MAD) — the are-we-missing-a-partition /
+    did-a-producer-double-fire tripwire an ops review reads FIRST:
+    median/MAD because a lost day corrupts exactly the mean and σ a
+    z-score would use. Every day is scored (an empty anomaly set and
+    a missing day are different facts); quantiles are the SQL-standard
+    interpolated percentile (Spark percentile ≡ DuckDB quantile_cont)
+    over the checkpointed ≤366-row days table; zero MAD raises."""
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_volume_mad_anomalies,
+    )
+
+    return daily_volume_mad_anomalies(load_table(spark, sf_dir, "events"))
+
+
+WEEKLY_AUTOCORR_ORACLE_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS DOUBLE) / 1e6
+           / CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.x AS x, b.x AS y FROM daily a JOIN daily b ON a.d + 7 = b.d
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sb,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sab,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS sbb
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sab - sa * sb)
+             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                    * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
+         AS autocorr_lag1
+FROM mom
+"""
+
+
+@_register("drift_weekly_autocorr", WEEKLY_AUTOCORR_ORACLE_SQL)
+def drift_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 (week-over-week) autocorrelation of the daily-mean value
+    series — drift_dow_anova asks DOES a weekly cycle exist; this is
+    its STRENGTH companion (r = how much of today's level last week's
+    same weekday predicts), via the lag-generalized
+    operators/drift.daily_autocorr_lag1 (lag_days=7): identical
+    micro-quantized daily means, TRUE CALENDAR d+7 pairs from the
+    bounded days table (calendar gaps drop the spanning pair — the
+    r11 observed-sequence-pairs lesson held at every lag), Pearson
+    moments decimal-accumulated over the days table only."""
+    from etl_developstoday_test_spark.operators.drift import (
+        daily_autocorr_lag1,
+    )
+
+    return daily_autocorr_lag1(
+        load_table(spark, sf_dir, "events"), "value", lag_days=7
+    )

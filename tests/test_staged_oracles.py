@@ -1837,52 +1837,14 @@ def test_simpson_diversity_matches_oracle(spark, docstar_con):
         assert 1.0 <= inv <= n_types + 1e-6
 
 
-# --- STAGED for round 13 (r12 window is full: 8 changed + 9 first-rows
-# + 24 r5-stale + 9 r6 rotation = 50) — implemented + unit-tested now,
-# twins value-locked at sf0.001 AND sf0.01 here, registration next
-# round (oracle strings move into plans/queries.py then; the lock
-# tests will import them — the single-source-of-truth discipline).
+# --- Registered round 13 (staged in r12; the oracle strings now live
+# in plans/queries.py and these locks import them — lock and
+# registration are one artifact, the single-source-of-truth
+# discipline).
 
-from etl_developstoday_test_spark.operators.events_etl import (  # noqa: E402
-    SESSION_GAP_MICROS as _GAP_IVJ,
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    IVJ_ATTRIBUTION_ORACLE_SQL as IVJ_ORACLE,
 )
-
-IVJ_ORACLE = f"""
-WITH ordered AS (
-  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-  FROM events WHERE event_type IN ('view', 'click')
-),
-flagged AS (
-  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_IVJ}
-                 THEN 1 ELSE 0 END AS is_new
-  FROM ordered
-),
-sess AS (
-  SELECT *, CAST(SUM(is_new) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
-  FROM flagged
-),
-sessions AS (
-  SELECT user_id, session_id, MIN(ts) AS session_start,
-         make_timestamp(epoch_us(MAX(ts)) + 1800000000) AS attr_end
-  FROM sess GROUP BY user_id, session_id
-),
-hits AS (
-  SELECT p.user_id, s.session_id,
-         CAST(floor(CAST(p.value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS cents
-  FROM events p JOIN sessions s
-    ON p.user_id = s.user_id
-   AND p.ts >= s.session_start AND p.ts <= s.attr_end
-  WHERE p.event_type = 'purchase'
-)
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_attributed,
-       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions_hit,
-       CAST(SUM(cents) AS BIGINT) AS attributed_cents
-FROM hits GROUP BY user_id
-ORDER BY attributed_cents DESC, user_id ASC LIMIT 20
-"""
 
 
 def _session_attribution(spark, sf_dir):
@@ -1930,7 +1892,7 @@ def _session_attribution(spark, sf_dir):
 
 
 def test_interval_bucket_join_matches_oracle(spark, ev_con):
-    """STAGED r13: bucket-blocked interval join (purchase → padded
+    """Registered r13: bucket-blocked interval join (purchase → padded
     view/click session attribution) — the oracle is the plain theta
     join, result-identical because bucket blocking is lossless (every
     point lives in exactly one bucket and every covering interval has
@@ -1944,36 +1906,41 @@ def test_interval_bucket_join_matches_oracle(spark, ev_con):
     assert all(r[1] >= r[2] for r in srows)  # pairs >= distinct sessions
 
 
-KAPPA_ORACLE_TMPL = """
-WITH pred AS ({langid}),
-conf AS (
-  SELECT lang AS t, predicted_lang AS p, CAST(COUNT(*) AS BIGINT) AS c
-  FROM pred WHERE lang IS NOT NULL AND predicted_lang IS NOT NULL
-  GROUP BY 1, 2
-),
-rm AS (SELECT t, CAST(SUM(c) AS BIGINT) AS rm FROM conf GROUP BY t),
-cm AS (SELECT p, CAST(SUM(c) AS BIGINT) AS cm FROM conf GROUP BY p),
-chance AS (
-  SELECT COALESCE(SUM(CAST(rm AS DECIMAL(38,0)) * CAST(cm AS DECIMAL(38,0))), 0) AS pe_num
-  FROM rm JOIN cm ON rm.t = cm.p
-),
-tot AS (
-  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
-         CAST(COALESCE(SUM(CASE WHEN t = p THEN c END), 0) AS BIGINT) AS n_agree
-  FROM conf
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    IVJ_ZERO_MATCH_ORACLE_SQL,
 )
-SELECT n_rows, n_agree,
-       round(CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS po,
-       round(CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS pe,
-       round((CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE)
-              - CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
-             / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))), 6) AS kappa
-FROM tot CROSS JOIN chance
-"""
+
+
+def test_interval_zero_match_matches_oracle(spark, ev_con):
+    """Registered r13 (r12 VERDICT item 8): the interval join's
+    NEGATIVE path — every attribution window shifted 31 days past the
+    session, strictly beyond the 30-day corpus span, so the range
+    residual must reject every same-(key, bucket) candidate and the
+    empty-result path must still produce a well-formed 0-hit card —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+
+    sf_dir, con = ev_con
+    srow = [
+        tuple(r)
+        for r in QUERIES["join_interval_zero_match"](spark, sf_dir).collect()
+    ]
+    drow = con.execute(IVJ_ZERO_MATCH_ORACLE_SQL).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    n_purchases, n_intervals, n_hits = srow[0]
+    # non-degenerate negative test: both sides populated, zero matches
+    assert n_purchases > 0 and n_intervals > 0
+    assert n_hits == 0
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    KAPPA_ORACLE_SQL as KAPPA_ORACLE,
+)
 
 
 def test_cohen_kappa_matches_oracle(spark, docstar_con):
-    """STAGED r13: Cohen's kappa between the wordlist language-ID
+    """Registered r13: Cohen's kappa between the wordlist language-ID
     heuristic and the reference labels — chance-corrected agreement,
     reusing the registered lang-id oracle as the prediction CTE —
     value-locked at both scales BEFORE registration."""
@@ -1981,15 +1948,12 @@ def test_cohen_kappa_matches_oracle(spark, docstar_con):
         cohen_kappa_agreement,
     )
     from etl_developstoday_test_spark.operators.text_analysis import lang_id
-    from etl_developstoday_test_spark.plans.queries import _langid_sql
 
     sf_dir, con = docstar_con
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = cohen_kappa_agreement(lang_id(docs), "lang", "predicted_lang")
     srow = [tuple(r) for r in out.collect()]
-    drow = con.execute(
-        KAPPA_ORACLE_TMPL.format(langid=_langid_sql())
-    ).fetchall()
+    drow = con.execute(KAPPA_ORACLE).fetchall()
     assert srow == drow
     assert len(srow) == 1
     n, agree, po, pe, kappa = srow[0]
@@ -1998,46 +1962,13 @@ def test_cohen_kappa_matches_oracle(spark, docstar_con):
     assert abs((po - pe) / (1 - pe) - kappa) < 2e-6
 
 
-ANOVA_ORACLE = r"""
-WITH daily AS (
-  SELECT isodow(CAST(ts AS DATE)) AS isodow,
-         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
-           / CAST(COUNT(*) AS DOUBLE) AS x
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-  GROUP BY CAST(ts AS DATE)
-),
-groups AS (
-  SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_days,
-         SUM(CAST(x AS DECIMAL(30,10))) AS sx,
-         SUM(CAST(x * x AS DECIMAL(30,10))) AS sxx
-  FROM daily GROUP BY isodow
-),
-terms AS (
-  SELECT isodow, n_days, sx,
-         CAST(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS DECIMAL(30,10)) AS w,
-         CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS DECIMAL(30,10)) AS b
-  FROM groups
-),
-tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_days) AS BIGINT) AS n,
-         SUM(sx) AS sx_all, SUM(w) AS ssw, SUM(b) AS ssb_raw
-  FROM terms
-),
-frow AS (
-  SELECT round(((CAST(ssb_raw AS DOUBLE) - CAST(sx_all AS DOUBLE) * CAST(sx_all AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
-               / (CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
-         CAST(k - 1 AS BIGINT) AS df_between, CAST(n - k AS BIGINT) AS df_within
-  FROM tot
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    DOW_ANOVA_ORACLE_SQL as ANOVA_ORACLE,
 )
-SELECT g.isodow, g.n_days,
-       round(CAST(g.sx AS DOUBLE) / CAST(g.n_days AS DOUBLE), 6) AS mean_daily,
-       frow.f_stat, frow.df_between, frow.df_within
-FROM groups g CROSS JOIN frow ORDER BY g.isodow
-"""
 
 
 def test_dow_seasonality_anova_matches_oracle(spark, ev_con):
-    """STAGED r13: day-of-week one-way ANOVA of the daily-mean value
+    """Registered r13: day-of-week one-way ANOVA of the daily-mean value
     series (ISO weekdays, micro-quantized daily means shared with the
     autocorrelation leg) — value-locked at both scales BEFORE
     registration."""
@@ -2057,44 +1988,13 @@ def test_dow_seasonality_anova_matches_oracle(spark, ev_con):
     assert srows[0][4] == len(srows) - 1  # df_between = k - 1
 
 
-ENTROPY_RATE_ORACLE = r"""
-WITH toks AS (
-  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS u FROM documents
-),
-uc AS (SELECT lang, u, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY lang, u),
-uni AS (
-  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_uni,
-         SUM(CAST(c AS DECIMAL(38,0)) * CAST(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s_uni
-  FROM uc GROUP BY lang
-),
-bis AS (
-  SELECT lang, unnest(list_transform(
-           generate_series(1, len(arr) - 1), i -> arr[i] || ' ' || arr[i+1])) AS u
-  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents)
-),
-bc AS (SELECT lang, u, CAST(COUNT(*) AS BIGINT) AS c FROM bis GROUP BY lang, u),
-bi AS (
-  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bi,
-         SUM(CAST(c AS DECIMAL(38,0)) * CAST(CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS s_bi
-  FROM bc GROUP BY lang
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    BIGRAM_ENTROPY_ORACLE_SQL as ENTROPY_RATE_ORACLE,
 )
-SELECT lang, n_uni AS n_tokens, n_bi AS n_bigrams,
-  round(CAST(CAST(round(ln(CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
-        - (CAST(s_uni AS DOUBLE) / 1e9) / CAST(n_uni AS DOUBLE), 6) AS h_unigram,
-  round(CAST(CAST(round(ln(CAST(n_bi AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
-        - (CAST(s_bi AS DOUBLE) / 1e9) / CAST(n_bi AS DOUBLE), 6) AS h_bigram,
-  round((CAST(CAST(round(ln(CAST(n_bi AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
-        - (CAST(s_bi AS DOUBLE) / 1e9) / CAST(n_bi AS DOUBLE))
-        - (CAST(CAST(round(ln(CAST(n_uni AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9
-        - (CAST(s_uni AS DOUBLE) / 1e9) / CAST(n_uni AS DOUBLE)), 6) AS entropy_rate
-FROM uni JOIN bi USING (lang)
-WHERE n_bi >= 1
-ORDER BY lang
-"""
 
 
 def test_bigram_entropy_rate_matches_oracle(spark, docstar_con):
-    """STAGED r13: per-language bigram entropy rate H(w2|w1) = H2 - H1
+    """Registered r13: per-language bigram entropy rate H(w2|w1) = H2 - H1
     (chain-rule plug-in, nano-quantized ln, decimal(38,0) vocab-table
     sums) — value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.text_analysis import (
@@ -2116,38 +2016,12 @@ def test_bigram_entropy_rate_matches_oracle(spark, docstar_con):
 
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _COACT_SQL as _COACT_SQL_RC,
+    RICH_CLUB_ORACLE_SQL as RICH_CLUB_ORACLE,
 )
-
-RICH_CLUB_ORACLE = f"""
-WITH {_COACT_SQL_RC},
-sym AS (SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges),
-deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
-deg_hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
-md AS (
-  SELECT least(da.d, db.d) AS md FROM edges e
-  JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub
-),
-md_hist AS (SELECT md, CAST(COUNT(*) AS BIGINT) AS n_edges FROM md GROUP BY md),
-spine AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
-nk AS (
-  SELECT k, CAST(COALESCE(SUM(n_nodes), 0) AS BIGINT) AS n_rich_nodes
-  FROM spine LEFT JOIN deg_hist ON deg_hist.d > spine.k GROUP BY k
-),
-ek AS (
-  SELECT k, CAST(COALESCE(SUM(n_edges), 0) AS BIGINT) AS n_rich_edges
-  FROM spine LEFT JOIN md_hist ON md_hist.md > spine.k GROUP BY k
-)
-SELECT nk.k AS k, n_rich_nodes, n_rich_edges,
-       round(2.0 * CAST(n_rich_edges AS DOUBLE)
-             / (CAST(n_rich_nodes AS DOUBLE) * (CAST(n_rich_nodes AS DOUBLE) - 1.0)), 6) AS phi
-FROM nk JOIN ek ON nk.k = ek.k
-WHERE n_rich_nodes >= 2 ORDER BY k
-"""
 
 
 def test_rich_club_matches_oracle(spark, ev_con):
-    """STAGED r13: rich-club coefficient curve over the SHARED
+    """Registered r13: rich-club coefficient curve over the SHARED
     co-activity graph (two bounded histograms, never a pass per k) —
     value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.graph import (
@@ -2171,51 +2045,13 @@ def test_rich_club_matches_oracle(spark, ev_con):
     assert all(0.0 <= r[3] <= 1.0 for r in srows)
 
 
-def _half_sample_oracle(B: int = 32) -> str:
-    cols_s = ",\n".join(
-        f"CAST(COALESCE(SUM(CASE WHEN (_h >> {b}) & 1 = 0 THEN _q END), 0) AS BIGINT) AS s_{b},\n"
-        f"CAST(COALESCE(SUM(CASE WHEN (_h >> {b}) & 1 = 0 THEN 1 END), 0) AS BIGINT) AS n_{b}"
-        for b in range(B)
-    )
-    reps = ", ".join(f"({b}, s_{b}, n_{b})" for b in range(B))
-    return f"""
-WITH base AS (
-  SELECT CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS _q,
-         CAST(concat('0x', substr(md5('hs#' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-),
-tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(_q) AS BIGINT) AS s_all,
-         {cols_s}
-  FROM base
-),
-reps AS (
-  SELECT n_rows, s_all, r.* FROM tot,
-    LATERAL (SELECT * FROM (VALUES {reps}) AS v(b, s_b, n_b)) r
-),
-m AS (
-  SELECT n_rows,
-         (CAST(s_all AS DOUBLE) / 1e6) / CAST(n_rows AS DOUBLE) AS theta,
-         (CAST(s_b AS DOUBLE) / 1e6) / CAST(n_b AS DOUBLE) AS theta_b
-  FROM reps
-),
-mom AS (
-  SELECT FIRST(n_rows) AS n_rows, FIRST(theta) AS theta,
-         SUM(CAST((theta_b - theta) * (theta_b - theta) AS DECIMAL(30,10))) AS ss,
-         CAST(COUNT(*) AS BIGINT) AS n_replicas
-  FROM m
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    HALF_SAMPLE_ORACLE_SQL,
 )
-SELECT n_rows, round(theta, 6) AS mean,
-       round(sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS se,
-       round(theta - 1.959964 * sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS ci_lo,
-       round(theta + 1.959964 * sqrt(CAST(ss AS DOUBLE) / CAST(n_replicas AS DOUBLE)), 6) AS ci_hi,
-       n_replicas
-FROM mom
-"""
 
 
 def test_half_sample_ci_matches_oracle(spark, ev_con):
-    """STAGED r13: half-sample replication CI for the events value
+    """Registered r13: half-sample replication CI for the events value
     mean — 32 replicas from one md5's bits, one aggregate pass, zero
     fan-out — value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.sampling import (
@@ -2228,7 +2064,7 @@ def test_half_sample_ci_matches_oracle(spark, ev_con):
     srow = [
         tuple(r) for r in half_sample_mean_ci(ev, "value", "event_id").collect()
     ]
-    drow = con.execute(_half_sample_oracle()).fetchall()
+    drow = con.execute(HALF_SAMPLE_ORACLE_SQL).fetchall()
     assert srow == drow
     assert len(srow) == 1
     n, mean, se, lo, hi, B = srow[0]
@@ -2239,26 +2075,13 @@ def test_half_sample_ci_matches_oracle(spark, ev_con):
     assert se < (hi - lo)
 
 
-MAD_VOLUME_ORACLE = r"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events WHERE ts IS NOT NULL GROUP BY 1
-),
-med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM daily),
-madt AS (
-  SELECT quantile_cont(abs(CAST(n_events AS DOUBLE) - med), 0.5) AS mad
-  FROM daily CROSS JOIN med
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    MAD_VOLUME_ORACLE_SQL as MAD_VOLUME_ORACLE,
 )
-SELECT d, n_events, med, mad,
-       round(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad, 6) AS mod_z,
-       abs(0.6745 * (CAST(n_events AS DOUBLE) - med) / mad) > 3.5 AS is_anomaly
-FROM daily CROSS JOIN med CROSS JOIN madt
-ORDER BY d
-"""
 
 
 def test_daily_volume_mad_matches_oracle(spark, ev_con):
-    """STAGED r13: daily ingest-volume modified-z card (median/MAD,
+    """Registered r13: daily ingest-volume modified-z card (median/MAD,
     every day scored, |M| > 3.5 flags) — value-locked at both scales
     BEFORE registration."""
     from etl_developstoday_test_spark.operators.drift import (
@@ -2276,40 +2099,13 @@ def test_daily_volume_mad_matches_oracle(spark, ev_con):
     assert sum(1 for r in srows if r[1] <= r[2]) >= 15
 
 
-WEEKLY_AUTOCORR_ORACLE = r"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d,
-         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
-               AS BIGINT)) AS DOUBLE) / 1e6
-           / CAST(COUNT(*) AS DOUBLE) AS x
-  FROM events
-  WHERE value IS NOT NULL AND NOT isnan(value)
-  GROUP BY 1
-),
-pairs AS (
-  SELECT a.x AS x, b.x AS y FROM daily a JOIN daily b ON a.d + 7 = b.d
-),
-mom AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sa,
-         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sb,
-         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sab,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS saa,
-         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS sbb
-  FROM pairs
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    WEEKLY_AUTOCORR_ORACLE_SQL as WEEKLY_AUTOCORR_ORACLE,
 )
-SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
-       n AS n_pairs,
-       round((CAST(n AS DOUBLE) * sab - sa * sb)
-             / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
-                    * (CAST(n AS DOUBLE) * sbb - sb * sb)), 6)
-         AS autocorr_lag1
-FROM mom
-"""
 
 
 def test_weekly_autocorr_matches_oracle(spark, ev_con):
-    """STAGED r13: lag-7 (week-over-week) daily-mean autocorrelation —
+    """Registered r13: lag-7 (week-over-week) daily-mean autocorrelation —
     the STRENGTH companion to the day-of-week ANOVA's existence test,
     via the lag-generalized daily_autocorr_lag1 (lag_days=7;
     calendar-exact pairs at any lag) — value-locked at both scales
