@@ -2599,3 +2599,158 @@ def test_rich_club_matches_brute_force(spark, edges):
         phi = round(2.0 * e_k / (len(rich) * (len(rich) - 1)), 6)
         want.append((k, len(rich), e_k, phi))
     assert got == want
+
+
+def _md5_sampled(salt: str, u: int, mod: int) -> bool:
+    import hashlib
+
+    h = int(hashlib.md5(f"{salt}{u}".encode()).hexdigest()[:15], 16)
+    return h % mod == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    sample_mod=st.integers(min_value=1, max_value=4),
+)
+def test_local_bridges_sampled_matches_filtered_exact(
+    spark, edges, sample_mod
+):
+    """The lower-endpoint-sampled bridge audit must report EXACTLY the
+    full graph's local bridges restricted to md5-sampled lower
+    endpoints on ANY graph (no false bridges: the closed-pair evidence
+    for a sampled pair is complete), with n_bridges/bridge_share
+    recomputed over the sampled edge subset; sample_mod=1 reproduces
+    the exact twin verbatim."""
+    from etl_developstoday_test_spark.operators.graph import (
+        local_bridges,
+        local_bridges_sampled,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    got = [
+        tuple(r)
+        for r in local_bridges_sampled(df, sample_mod, top_k=1000).collect()
+    ]
+    exact = [tuple(r) for r in local_bridges(df, top_k=1000).collect()]
+    if sample_mod == 1:
+        assert got == exact
+        return
+    want_pairs = [
+        r[:3] for r in exact if _md5_sampled("lbs#", r[0], sample_mod)
+    ]
+    assert [r[:3] for r in got] == want_pairs
+    n_sampled_edges = sum(
+        1 for a, _b in und if _md5_sampled("lbs#", a, sample_mod)
+    )
+    for r in got:
+        assert r[3] == len(want_pairs)
+        assert r[4] == round(len(want_pairs) / n_sampled_edges, 6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    sample_mod=st.integers(min_value=1, max_value=4),
+)
+def test_jaccard_sampled_matches_filtered_exact(spark, edges, sample_mod):
+    """The candidate-sampled Jaccard ranking must equal the exact
+    twin's output restricted to md5-sampled lower endpoints on ANY
+    graph — sampling changes WHICH candidate pairs are ranked, never a
+    ranked pair's common count or Jaccard; sample_mod=1 reproduces the
+    exact twin verbatim."""
+    from etl_developstoday_test_spark.operators.graph import (
+        jaccard_link_prediction,
+        jaccard_link_prediction_sampled,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    got = [
+        tuple(r)
+        for r in jaccard_link_prediction_sampled(
+            df, sample_mod, top_k=1000
+        ).collect()
+    ]
+    exact = [
+        tuple(r) for r in jaccard_link_prediction(df, top_k=1000).collect()
+    ]
+    want = [r for r in exact if _md5_sampled("jls#", r[0], sample_mod)]
+    assert got == want
+    if sample_mod == 1:
+        assert got == exact
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    sample_mod=st.integers(min_value=1, max_value=4),
+)
+def test_adamic_adar_sampled_matches_filtered_exact(
+    spark, edges, sample_mod
+):
+    """The candidate-sampled Adamic-Adar ranking must equal the exact
+    twin's output restricted to md5-sampled lower endpoints on ANY
+    graph; sample_mod=1 reproduces the exact twin verbatim."""
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction,
+        adamic_adar_link_prediction_sampled,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    got = [
+        tuple(r)
+        for r in adamic_adar_link_prediction_sampled(
+            df, sample_mod, top_k=1000
+        ).collect()
+    ]
+    exact = [
+        tuple(r)
+        for r in adamic_adar_link_prediction(df, top_k=1000).collect()
+    ]
+    want = [r for r in exact if _md5_sampled("aas#", r[0], sample_mod)]
+    assert got == want
+    if sample_mod == 1:
+        assert got == exact
+
+
+def test_sampled_wedge_twins_reject_bad_mod(spark):
+    import pytest
+
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction_sampled,
+        jaccard_link_prediction_sampled,
+        local_bridges_sampled,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "ua long, ub long")
+    for fn in (
+        local_bridges_sampled,
+        jaccard_link_prediction_sampled,
+        adamic_adar_link_prediction_sampled,
+    ):
+        with pytest.raises(ValueError, match="sample_mod"):
+            fn(df, 0)

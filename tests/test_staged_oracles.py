@@ -2127,3 +2127,103 @@ def test_weekly_autocorr_matches_oracle(spark, ev_con):
     assert -1.0 <= srow[0][2] <= 1.0
     # 30 observed days -> exactly 23 calendar lag-7 pairs
     assert srow[0][1] == srow[0][0] - 7
+
+
+# --- Round-13 net-new: the sampled wedge-family twins (r12 VERDICT
+# item 3) — locked at both scales BEFORE registration; sample_mod=1 ==
+# exact is property-pinned in tests/test_properties.py.
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    ADAMIC_SAMPLED_ORACLE_SQL,
+    JACCARD_SAMPLED_ORACLE_SQL,
+    LOCAL_BRIDGES_SAMPLED_ORACLE_SQL,
+)
+
+
+def test_local_bridges_sampled_matches_oracle(spark, ev_con):
+    """Registered r13: lower-endpoint-sampled local bridges — every
+    reported bridge is a TRUE bridge of the full graph (the sampled
+    pair's closing evidence is complete), counts over the sampled
+    edge subset, hash-matchable at both scales (no estimator
+    tolerance)."""
+    import hashlib
+
+    from etl_developstoday_test_spark.operators.graph import (
+        local_bridges,
+        local_bridges_sampled,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [tuple(r) for r in local_bridges_sampled(edges, 4).collect()]
+    drows = con.execute(LOCAL_BRIDGES_SAMPLED_ORACLE_SQL).fetchall()
+    assert srows == drows
+    assert srows  # non-degenerate at both lock scales
+    for ua, _ub, _ds, _nb, _share in srows:
+        h = int(hashlib.md5(f"lbs#{ua}".encode()).hexdigest()[:15], 16)
+        assert h % 4 == 0
+    # every reported bridge is a bridge of the FULL graph: it appears
+    # in the exact twin's (unlimited) bridge audit
+    n_edges = edges.count()
+    exact_pairs = {
+        (r["ua"], r["ub"]) for r in local_bridges(edges, top_k=n_edges).collect()
+    }
+    assert all((r[0], r[1]) in exact_pairs for r in srows)
+
+
+def test_jaccard_sampled_matches_oracle(spark, ev_con):
+    """Registered r13: candidate-sampled Jaccard link prediction —
+    every ranked pair's common count and Jaccard equal the exact
+    twin's for the same pair; hash-matchable at both scales."""
+    import hashlib
+
+    from etl_developstoday_test_spark.operators.graph import (
+        jaccard_link_prediction_sampled,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [
+        tuple(r) for r in jaccard_link_prediction_sampled(edges, 4).collect()
+    ]
+    drows = con.execute(JACCARD_SAMPLED_ORACLE_SQL).fetchall()
+    assert srows == drows
+    assert srows
+    for ua, _ub, c, j in srows:
+        h = int(hashlib.md5(f"jls#{ua}".encode()).hexdigest()[:15], 16)
+        assert h % 4 == 0
+        assert c >= 1 and 0.0 < j <= 1.0
+
+
+def test_adamic_adar_sampled_matches_oracle(spark, ev_con):
+    """Registered r13: candidate-sampled Adamic-Adar link prediction —
+    exact rarity-weighted sums for every surviving pair;
+    hash-matchable at both scales."""
+    import hashlib
+
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction_sampled,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [
+        tuple(r)
+        for r in adamic_adar_link_prediction_sampled(edges, 2).collect()
+    ]
+    drows = con.execute(ADAMIC_SAMPLED_ORACLE_SQL).fetchall()
+    assert srows == drows
+    assert srows
+    for ua, _ub, c, aa in srows:
+        h = int(hashlib.md5(f"aas#{ua}".encode()).hexdigest()[:15], 16)
+        assert h % 2 == 0
+        assert c >= 1 and aa > 0.0
