@@ -1688,3 +1688,114 @@ def adamic_adar_link_prediction_sampled(
         .orderBy(F.desc("adamic_adar"), F.asc("ua"), F.asc("ub"))
         .limit(top_k)
     )
+
+
+def kcore_upper_bound_card(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    rounds: int = 8,
+) -> DataFrame:
+    """CAPPED-ROUND k-core card (r12 VERDICT item 4 — the registry's
+    most expensive query three rounds running finally gets its
+    early-exit knob): run EXACTLY ``rounds`` h-index sub-steps of the
+    Montresor et al. (2013) iteration and return the coreness-ESTIMATE
+    histogram plus a CONVERGENCE CERTIFICATE. The estimates after any
+    fixed number of sub-steps are exact UPPER BOUNDS on the true
+    coreness (they start at the degree and are monotone
+    non-increasing toward the fixpoint), so the capped card is the
+    honest cheap read of the core structure: if ``converged`` is true
+    the histogram IS the exact coreness histogram (the monotone
+    est==prev rule — a genuine fixpoint, never a missed update); if
+    false, ``n_changed_last_step`` says how far the tail still moves
+    and the exact ``kcore_decomposition`` is the escalation path.
+    Cost: ONE un-checkpointed chain of ``rounds`` sub-steps (the exact
+    operator's per-cycle unroll, without the 2–4 additional
+    convergence cycles the fixpoint needs), so wall time is ~1/cycles
+    of the exact twin at the same exactness-when-certified semantics.
+
+    Determinism: pure exact integers (degree init, h-index updates,
+    histogram counts) — the card hash-matches a fixed-``rounds``
+    recursive-CTE replay on any engine. Returns one row per distinct
+    estimate value (bounded by the degree domain):
+    (coreness_ub, n_nodes, n_changed_last_step, converged) — the last
+    two are audit-level, repeated per row (the LPA-modularity
+    convention), ordered by coreness_ub.
+    """
+    if rounds < 1:
+        raise ValueError("kcore_upper_bound_card: rounds must be >= 1")
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .repartition("d")
+        .persist()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("est"))
+    est0 = (
+        vertices.select(F.col(node).alias("n"))
+        .join(deg, F.col("n") == F.col("s"), "left")
+        .select("n", F.coalesce(F.col("est"), F.lit(0)).alias("est"))
+        .localCheckpoint(eager=True)
+    )
+
+    def h_step(cur: DataFrame) -> DataFrame:
+        return (
+            sym.join(cur, sym["d"] == cur["n"])
+            .select(F.col("s").alias("n"), F.col("est").alias("val"))
+            .groupBy("n")
+            .agg(F.sort_array(F.collect_list("val"), asc=False).alias("vals"))
+            .select(
+                "n",
+                F.array_max(
+                    F.zip_with(
+                        "vals",
+                        F.sequence(F.lit(1), F.size("vals")),
+                        lambda v, i: F.least(v, i),
+                    )
+                ).alias("est"),
+            )
+        )
+
+    cur = est0
+    for _i in range(rounds - 1):
+        cur = h_step(cur)
+    prev_full = (
+        est0.select("n")
+        .join(cur, "n", "left")
+        .select("n", F.coalesce(F.col("est"), F.lit(0)).alias("est"))
+        .localCheckpoint(eager=True)  # one lineage cut per card
+        if rounds > 1
+        else est0
+    )
+    nxt = h_step(prev_full)
+    final = (
+        prev_full.select("n", F.col("est").alias("prev"))
+        .join(nxt, "n", "left")
+        .select(
+            "n",
+            F.coalesce(F.col("est"), F.lit(0)).alias("est"),
+            "prev",
+        )
+        .localCheckpoint(eager=True)  # histogram + certificate share it
+    )
+    sym.unpersist()
+    cert = final.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("est") != F.col("prev"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_changed_last_step")
+    ).select(
+        "n_changed_last_step",
+        (F.col("n_changed_last_step") == 0).alias("converged"),
+    )
+    return (
+        final.groupBy(F.col("est").cast("bigint").alias("coreness_ub"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(cert))
+        .orderBy("coreness_ub")
+    )

@@ -16113,3 +16113,84 @@ def graph_adamic_adar_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
     return adamic_adar_link_prediction_sampled(edges, sample_mod=2)
+
+
+KCORE_CAPPED_ORACLE_SQL = f"""
+WITH RECURSIVE {_COACT_SQL},
+sym AS (
+  SELECT ua AS u, ub AS v FROM edges
+  UNION ALL SELECT ub, ua FROM edges
+),
+verts AS (SELECT DISTINCT user_id AS n FROM events),
+ints AS (SELECT CAST(t AS BIGINT) AS t FROM range(1, 4001) r(t)),
+est(iter, n, est) AS (
+  SELECT 0, verts.n,
+         (SELECT COUNT(*) FROM sym WHERE sym.u = verts.n)
+  FROM verts
+  UNION ALL
+  SELECT e.iter + 1, e.n, COALESCE(h.h, 0)
+  FROM est e
+  LEFT JOIN (
+    SELECT cnt.u, MAX(cnt.t) AS h
+    FROM (
+      SELECT s.u, i.t, COUNT(*) AS c
+      FROM sym s
+      JOIN est e2 ON e2.n = s.v
+      JOIN ints i ON e2.est >= i.t
+      GROUP BY s.u, i.t
+      HAVING COUNT(*) >= i.t
+    ) cnt
+    GROUP BY cnt.u
+  ) h ON h.u = e.n
+  WHERE e.iter < 8
+),
+last AS (SELECT n, est FROM est WHERE iter = 8),
+prev AS (SELECT n, est AS pest FROM est WHERE iter = 7),
+cert AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN l.est <> p.pest THEN 1 END), 0)
+           AS BIGINT) AS n_changed_last_step
+  FROM last l JOIN prev p ON p.n = l.n
+)
+SELECT CAST(l.est AS BIGINT) AS coreness_ub,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       cert.n_changed_last_step,
+       cert.n_changed_last_step = 0 AS converged
+FROM last l CROSS JOIN cert
+GROUP BY l.est, cert.n_changed_last_step
+ORDER BY coreness_ub
+"""
+
+
+@_register("graph_kcore_capped", KCORE_CAPPED_ORACLE_SQL)
+def graph_kcore_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPPED-ROUND k-core card (operators/graph.kcore_upper_bound_card;
+    r12 VERDICT item 4) over the SHARED co-activity graph: exactly 8
+    h-index sub-steps — ONE of the exact twin's unrolled cycles — plus
+    a convergence certificate. Estimates after any fixed round count
+    are exact UPPER BOUNDS on coreness (degree-initialized, monotone
+    non-increasing), so the card is the honest cheap read of the core
+    structure: converged=true certifies the histogram IS the exact
+    coreness histogram; false reports how many nodes still moved on
+    the last sub-step, with graph_kcore_decomposition (3 cycles to
+    fixpoint on this graph) as the escalation path. This is the
+    registry's most expensive query three rounds running getting its
+    early-exit knob — at 100 TB run THIS first and escalate only on a
+    failed certificate. The oracle replays the identical 8 sub-steps
+    as a fixed-depth recursive CTE and reads the same iter-7 vs
+    iter-8 certificate."""
+    from etl_developstoday_test_spark.operators.graph import (
+        kcore_upper_bound_card,
+    )
+
+    spark = _narrow_session_if_small(
+        spark, sf_dir, ["events"], width=4,
+        extra_conf={"spark.sql.codegen.wholeStage": "false"},
+    )
+    ev, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
+    return kcore_upper_bound_card(
+        edges,
+        ev.select(F.col("user_id").alias("node")).distinct(),
+        src="ua",
+        dst="ub",
+        rounds=8,
+    )

@@ -411,6 +411,10 @@ _EAGER_QUERIES = {
     "scan_partition_pruned",
     "etl_golden_pipeline_stats",
     "graph_kcore_decomposition",   # h-index fixpoint iteration
+    "graph_kcore_capped",          # capped h-index chain, checkpointed card
+    "graph_local_bridges_sampled",  # sym edge table checkpointed
+    "graph_jaccard_linkpred_sampled",  # sym edge table checkpointed
+    "graph_adamic_adar_sampled",   # sym edge table checkpointed
     "scan_binaryfile_manifest",    # lands fixture blobs, checkpointed read
     "text_bpe_merge_rounds",       # per-round top-pair driver actions
     "stream_left_outer_attribution",  # runs a streaming query

@@ -2754,3 +2754,81 @@ def test_sampled_wedge_twins_reject_bad_mod(spark):
     ):
         with pytest.raises(ValueError, match="sample_mod"):
             fn(df, 0)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    ),
+    rounds=st.integers(min_value=1, max_value=4),
+)
+def test_kcore_capped_card_upper_bounds_and_certifies(spark, edges, rounds):
+    """The capped-round card must (a) equal the EXACT coreness
+    histogram with converged=True when given enough rounds (40 —
+    far past any 12-vertex fixpoint), and (b) at ANY round budget
+    dominate the exact histogram in the upper-tail sense (estimates
+    are monotone non-increasing toward the coreness, so for every k
+    the capped count of nodes with est >= k can never undershoot the
+    exact count with coreness >= k) while partitioning all vertices."""
+    from collections import Counter
+
+    from etl_developstoday_test_spark.operators.graph import (
+        kcore_decomposition,
+        kcore_upper_bound_card,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    nodes = sorted({v for e in und for v in e})
+    vdf = spark.createDataFrame([(n,) for n in nodes], "node long")
+
+    exact = Counter(
+        r["coreness"]
+        for r in kcore_decomposition(
+            df, vdf, src="ua", dst="ub", node="node"
+        ).collect()
+    )
+
+    full = [
+        tuple(r)
+        for r in kcore_upper_bound_card(
+            df, vdf, src="ua", dst="ub", node="node", rounds=40
+        ).collect()
+    ]
+    assert all(r[3] is True and r[2] == 0 for r in full)
+    assert {(r[0], r[1]) for r in full} == set(exact.items())
+
+    capped = [
+        tuple(r)
+        for r in kcore_upper_bound_card(
+            df, vdf, src="ua", dst="ub", node="node", rounds=rounds
+        ).collect()
+    ]
+    got = Counter()
+    for ub, n_nodes, _chg, _conv in capped:
+        got[ub] = n_nodes
+    assert sum(got.values()) == len(nodes)
+    ks = set(got) | set(exact)
+    for k in ks:
+        cap_tail = sum(v for u, v in got.items() if u >= k)
+        exact_tail = sum(v for u, v in exact.items() if u >= k)
+        assert cap_tail >= exact_tail
+
+
+def test_kcore_capped_card_rejects_bad_rounds(spark):
+    import pytest
+
+    from etl_developstoday_test_spark.operators.graph import (
+        kcore_upper_bound_card,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "ua long, ub long")
+    vdf = spark.createDataFrame([(1,), (2,)], "node long")
+    with pytest.raises(ValueError, match="rounds"):
+        kcore_upper_bound_card(df, vdf, src="ua", dst="ub", rounds=0)

@@ -2227,3 +2227,39 @@ def test_adamic_adar_sampled_matches_oracle(spark, ev_con):
         h = int(hashlib.md5(f"aas#{ua}".encode()).hexdigest()[:15], 16)
         assert h % 2 == 0
         assert c >= 1 and aa > 0.0
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    KCORE_CAPPED_ORACLE_SQL,
+)
+
+
+def test_kcore_capped_matches_oracle(spark, ev_con):
+    """Registered r13 (r12 VERDICT item 4): the capped-round k-core
+    card — exactly 8 h-index sub-steps + the iter-7 vs iter-8
+    convergence certificate — hash-matches the fixed-depth
+    recursive-CTE replay at both scales, partitions every vertex, and
+    upper-bounds the exact decomposition's histogram tail-wise."""
+    from collections import Counter
+
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+
+    sf_dir, con = ev_con
+    srows = [
+        tuple(r) for r in QUERIES["graph_kcore_capped"](spark, sf_dir).collect()
+    ]
+    drows = con.execute(KCORE_CAPPED_ORACLE_SQL).fetchall()
+    assert srows == drows
+    assert srows
+    # audit-level columns constant across rows; histogram ordered
+    assert len({(r[2], r[3]) for r in srows}) == 1
+    assert [r[0] for r in srows] == sorted(r[0] for r in srows)
+    # the capped histogram tail-dominates the exact coreness histogram
+    exact_rows = QUERIES["graph_kcore_decomposition"](spark, sf_dir).collect()
+    exact = Counter(r["coreness"] for r in exact_rows)
+    got = {r[0]: r[1] for r in srows}
+    assert sum(got.values()) == sum(exact.values())
+    for k in set(got) | set(exact):
+        assert sum(v for u, v in got.items() if u >= k) >= sum(
+            v for u, v in exact.items() if u >= k
+        )
