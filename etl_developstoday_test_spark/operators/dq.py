@@ -238,3 +238,78 @@ def functional_dependency_audit(
     for c in cards[1:]:
         out = out.unionAll(c)
     return out.orderBy("dependency")
+
+
+def fk_fanout_profile(
+    parent: DataFrame,
+    child: DataFrame,
+    pk: str,
+    fk: str,
+) -> DataFrame:
+    """REFERENTIAL FAN-OUT profile: the distribution of children per
+    parent across a 1:N relationship — the dq card that sizes every
+    downstream join BEFORE it runs (a p99 fan-out of 10⁵ means the
+    equi-join on this key needs salting; a fat zero-children bucket
+    means the "inner join loses nothing" assumption is false). The
+    quantitative complement of the trio's yes/no audits: fk_orphan
+    (do children point at real parents), uniqueness (is the parent
+    key a key), THIS (how hard does the relationship fan).
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: pure exact integers (per-parent counts via ONE
+    map-side-combined child groupBy, LEFT-joined onto parents so
+    zero-child parents are COUNTED, then a fan-out-domain-bounded
+    histogram) until one 6-dp mean division. NULL-FK child rows are
+    excluded from counts (they reference nothing — the orphan audit's
+    jurisdiction) and NULL-PK parents raise nothing here (uniqueness
+    audit's jurisdiction); both conventions documented so the three
+    audits partition the defect space.
+
+    Scale shape: one child groupBy + one pk-co-shuffled LEFT join +
+    one bounded histogram groupBy; audit totals broadcast from the
+    histogram itself (no second pass over data). Returns one row per
+    occupied fan-out value: (fanout, n_parents, n_parents_total,
+    n_children_total, mean_fanout), fan-out-ordered.
+    """
+    counts = (
+        child.filter(F.col(fk).isNotNull())
+        .groupBy(F.col(fk).alias("_k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    per_parent = (
+        parent.select(F.col(pk).alias("_k"))
+        .join(counts, "_k", "left")
+        .select(F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c"))
+    )
+    hist = (
+        per_parent.groupBy(F.col("_c").alias("fanout"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parents"))
+        .localCheckpoint(eager=True)  # bounded: fan-out domain
+    )
+    audit = hist.agg(
+        F.sum("n_parents").cast("long").alias("n_parents_total"),
+        F.sum(F.col("fanout") * F.col("n_parents"))
+        .cast("long")
+        .alias("n_children_total"),
+    ).select(
+        "n_parents_total",
+        "n_children_total",
+        F.round(
+            F.col("n_children_total").cast("double")
+            / F.col("n_parents_total").cast("double"),
+            6,
+        ).alias("mean_fanout"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select(
+            "fanout",
+            "n_parents",
+            "n_parents_total",
+            "n_children_total",
+            "mean_fanout",
+        )
+        .orderBy("fanout")
+    )

@@ -1122,3 +1122,181 @@ def daily_volume_mad_anomalies(
         F.round(mz, 6).alias("mod_z"),
         (F.abs(mz) > F.lit(threshold)).alias("is_anomaly"),
     ).orderBy("d")
+
+
+def page_hinkley_daily(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    delta: float = 0.005,
+    lambda_: float = 0.05,
+) -> DataFrame:
+    """PAGE–HINKLEY level-shift detector over the daily-mean series
+    (Page 1954; Hinkley 1971; the streaming-drift formulation of
+    Gama et al. 2014): m_t = Σ_{i≤t} (x_i − x̄_{1..i} − δ) with alarm
+    when m_t − min_{s≤t} m_s > λ. The drift kit's SELF-REFERENCING
+    change detector: CUSUM tests against a PINNED target level (you
+    must know the in-control mean), PH tests each day against the
+    RUNNING mean of everything seen so far — the right tripwire when
+    no baseline period was ever blessed. Complements the existing
+    legs: CUSUM (known-target shift), autocorrelation (momentum),
+    DOW ANOVA (weekly cycle), MAD card (volume, not value).
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: daily means are the shared micro-quantized
+    long sums (floor(v·1e6 + 0.5) over exact day counts); each day's
+    deviation term x_i − x̄_i − δ is ONE fixed-order double tree over
+    exact integers, then NANO-QUANTIZED to a long
+    (round(term·1e9) — the drift-kit transcendental contract applied
+    to the one engine-sensitive double per row), so the running sum
+    m_t and running min are PURE LONG prefix arithmetic — exact,
+    order-free, bit-identical cross-engine. The report divides back
+    to 6-dp doubles. NULL/NaN values excluded; an empty day table
+    raises.
+
+    Scale shape: one narrow map + ONE map-side-combined daily groupBy
+    (the only corpus-sized stage); the sequential-looking recurrences
+    are two frame windows (running sum, running min) over the
+    checkpointed ≤366-row days table — the bounded-window class, same
+    as CUSUM's closed form. Returns one row per observed day:
+    (d, mean_daily, m_t, ph_stat, is_alarm), day-ordered.
+    """
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.select(F.to_date(F.col(ts_col)).alias("d"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(
+                F.floor(F.col("_v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            ).alias("_s"),
+        )
+        .localCheckpoint(eager=True)  # bounded: calendar days
+    )
+    if daily.isEmpty():
+        raise ValueError("page_hinkley_daily: no days to monitor")
+    w_seq = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    x = F.col("_s").cast("double") / F.lit(1e6) / F.col("_n").cast("double")
+    # running mean of the DAILY MEANS: prefix sums of exact longs
+    run_mean = (
+        F.sum("_s").over(w_seq).cast("double")
+        / F.lit(1e6)
+        / F.sum("_n").over(w_seq).cast("double")
+    )
+    term_q = F.round((x - run_mean - F.lit(float(delta))) * F.lit(1e9)).cast(
+        "long"
+    )
+    with_m = daily.select(
+        "d", x.alias("_x"), term_q.alias("_tq")
+    ).select(
+        "d",
+        "_x",
+        F.sum("_tq").over(w_seq).alias("_m"),
+    )
+    ph = F.col("_m") - F.least(F.min("_m").over(w_seq), F.lit(0).cast("long"))
+    # min over s <= t INCLUDES m_t itself (ph >= 0 always); the lit(0)
+    # floor matches the textbook m_0 = 0 empty-prefix restart
+    return with_m.select(
+        "d",
+        F.round(F.col("_x"), 6).alias("mean_daily"),
+        F.round(F.col("_m").cast("double") / F.lit(1e9), 6).alias("m_t"),
+        F.round(ph.cast("double") / F.lit(1e9), 6).alias("ph_stat"),
+        (ph.cast("double") / F.lit(1e9) > F.lit(float(lambda_))).alias(
+            "is_alarm"
+        ),
+    ).orderBy("d")
+
+
+def cusum_changepoints_twosided(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """TWO-SIDED CUSUM: the registered upward detector
+    (``cusum_changepoints``) catches level INCREASES only — a metric
+    that silently halves (a producer dying is the common failure) is
+    invisible to it. This runs the upward and downward one-sided
+    recurrences simultaneously: S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target −
+    slack)) and S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (target − xᵢ − slack)), each via
+    the same prefix-sum/running-min closed form (S = P − min(0,
+    min_{j≤i} P_j)), and reports alarms from EITHER side with a
+    ``side`` column.
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: identical to the one-sided operator — exact decimal
+    prefix accumulation for both deviation series (the downward series
+    is the exact decimal negation, so no new rounding surface), alarm
+    positions bit-identical cross-engine under the same quantized-
+    input caveat. BOTH sides come out of ONE shuffle/sort on
+    (group, order): the two prefix sums and two running mins are four
+    frame aggregates over the same window, and the per-row side
+    emission is a codegen array filter+explode — no union, no second
+    scan, no driver loop.
+
+    Returns alarm rows only: (group, order, value, side, cusum) where
+    the side's statistic exceeds ``threshold`` — a row can emit both
+    sides only in the degenerate threshold ≤ 0 case.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x_dec = F.col(value_col).cast(ACC_DECIMAL)
+    t_dec = F.lit(target).cast(ACC_DECIMAL)
+    s_dec = F.lit(slack).cast(ACC_DECIMAL)
+    dev_up = (x_dec - t_dec) - s_dec
+    dev_dn = (t_dec - x_dec) - s_dec
+    p_up = F.sum(dev_up).over(w)
+    p_dn = F.sum(dev_dn).over(w)
+    zero = F.lit(0).cast(ACC_DECIMAL)
+
+    with_s = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).alias("value"),
+        p_up.alias("_pu"),
+        p_dn.alias("_pd"),
+    ).select(
+        "grp",
+        "ord",
+        "value",
+        (F.col("_pu") - F.least(zero, F.min("_pu").over(
+            Window.partitionBy("grp").orderBy("ord").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ))).cast("double").alias("_su"),
+        (F.col("_pd") - F.least(zero, F.min("_pd").over(
+            Window.partitionBy("grp").orderBy("ord").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ))).cast("double").alias("_sd"),
+    )
+    sides = F.array(
+        F.struct(F.lit("up").alias("side"), F.col("_su").alias("cusum")),
+        F.struct(F.lit("down").alias("side"), F.col("_sd").alias("cusum")),
+    )
+    hits = F.filter(sides, lambda s: s["cusum"] > F.lit(float(threshold)))
+    return (
+        with_s.select(
+            "grp", "ord", "value", F.explode(hits).alias("_h")
+        )
+        .select(
+            "grp",
+            "ord",
+            "value",
+            F.col("_h.side").alias("side"),
+            F.col("_h.cusum").alias("cusum"),
+        )
+    )

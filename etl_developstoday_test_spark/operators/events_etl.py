@@ -644,3 +644,101 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def conversion_lag_card(
+    events: DataFrame,
+    from_types: tuple[str, ...] = ("view", "click"),
+    to_type: str = "purchase",
+    bucket_hours: int = 6,
+) -> DataFrame:
+    """TIME-TO-CONVERT distribution card: per user, the lag from the
+    FIRST qualifying exposure (any of ``from_types``) to the FIRST
+    ``to_type`` event AT OR AFTER it, bucketed into fixed
+    ``bucket_hours`` bins — the longitudinal companion to the ordered
+    funnel (which counts WHO converts; this says HOW LONG conversion
+    takes, the number a training-data freshness window or an
+    attribution-window choice must be calibrated against: a 30-minute
+    attribution pad is indefensible if the median lag is 2 days).
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism contract: first-exposure and first-conversion
+    timestamps are exact MIN/microsecond longs; the lag is integer
+    seconds by floor division; bucket ids are exact integer `div`
+    (never a double floor); the card's one double is the 6-dp
+    conversion rate. Users whose first ``to_type`` precedes any
+    exposure never convert BY THIS DEFINITION (the event can't be
+    attributed to an exposure that hadn't happened) — they count in
+    n_started only if exposed at all, the standard funnel convention.
+
+    Scale shape: two map-side-combined groupBys and one equi-join,
+    ALL co-keyed on user_id (one shuffle partitioning reused
+    end-to-end); the histogram is bounded by the corpus time span
+    over ``bucket_hours``; the audit totals are a 1-row broadcast.
+    Returns one row per occupied lag bucket:
+    (lag_bucket, lag_lo_hours, n_users, n_started, n_converted,
+    conversion_rate), bucket-ordered.
+    """
+    if bucket_hours < 1:
+        raise ValueError("conversion_lag_card: bucket_hours must be >= 1")
+    us = F.unix_micros(F.col("ts"))
+    starts = (
+        events.filter(F.col("event_type").isin(*from_types))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("_t0"))
+        .localCheckpoint(eager=True)  # join + audit share it
+    )
+    conv = (
+        events.filter(F.col("event_type") == to_type)
+        .select("user_id", us.alias("_tp"))
+        .join(starts, "user_id")
+        .filter(F.col("_tp") >= F.col("_t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("_tp") - F.col("_t0")).alias("_lag_us"))
+        .localCheckpoint(eager=True)  # histogram + audit share it
+    )
+    bucket_s = int(bucket_hours) * 3600
+    hist = (
+        conv.select(
+            F.expr(f"(_lag_us div 1000000) div {bucket_s}L").alias(
+                "lag_bucket"
+            )
+        )
+        .groupBy("lag_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    audit = (
+        starts.agg(F.count(F.lit(1)).cast("long").alias("n_started"))
+        .crossJoin(
+            F.broadcast(
+                conv.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_converted")
+                )
+            )
+        )
+        .select(
+            "n_started",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_started").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select(
+            "lag_bucket",
+            (F.col("lag_bucket") * F.lit(int(bucket_hours)))
+            .cast("long")
+            .alias("lag_lo_hours"),
+            "n_users",
+            "n_started",
+            "n_converted",
+            "conversion_rate",
+        )
+        .orderBy("lag_bucket")
+    )

@@ -22,7 +22,7 @@ operator is verifiable against a DuckDB ``WITH RECURSIVE`` oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def connected_components(
@@ -1798,4 +1798,78 @@ def kcore_upper_bound_card(
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .crossJoin(F.broadcast(cert))
         .orderBy("coreness_ub")
+    )
+
+
+def degree_gini_centralization(edges: DataFrame) -> DataFrame:
+    """Degree-inequality card: the EXACT Gini coefficient of the
+    degree distribution plus Freeman's degree centralization
+    (Freeman 1979: Σ(d_max − d_i) normalized by the star graph's
+    (n−1)(n−2)) — the two standard one-number reads of hub dominance,
+    BESIDE degree_powerlaw_fit's tail exponent (α says how the tail
+    DECAYS; Gini/centralization say how much of the wiring the head
+    OWNS — a graph can be heavy-tailed yet decentralized and vice
+    versa). The strategy-selector companion for the wedge family:
+    high centralization means the capped/sampled twins are mandatory.
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism & scale shape: degrees are exact counts over the
+    symmetrized edge list; the Gini uses the repo's rank-block closed
+    form — per-degree multiplicities first (ONE vertex-sized groupBy
+    collapses to the degree-DOMAIN-bounded histogram), each
+    equal-value block of m nodes spanning ranks (s, s+m] contributes
+    d·(m·s + m(m+1)/2) in closed form, so the only window runs over
+    the bounded histogram (the events_user_gini construction; block
+    terms decimal-accumulated); centralization is pure exact integers
+    (n·d_max − Σd) over the same histogram until one 6-dp division.
+    Isolated vertices are absent from an edge list by construction —
+    the card is over EDGE-BEARING nodes (documented; callers with a
+    vertex table can union zero-degree rows first). ``edges`` must be
+    distinct undirected pairs (ua < ub). Returns one row:
+    (n_nodes, n_edges, max_degree, degree_gini, centralization).
+    """
+    sym = edges.select(F.col("ua").alias("u")).unionAll(
+        edges.select(F.col("ub").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    mult = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    ).localCheckpoint(eager=True)  # bounded: degree domain
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = mult.withColumn(
+        "s", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+    )
+    term = (
+        F.col("d").cast("double")
+        * (F.col("m") * F.col("s") + F.expr("m * (m + 1) div 2")).cast(
+            "double"
+        )
+    ).cast("decimal(38,6)")
+    agg = blocks.agg(
+        F.sum("m").cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * F.col("m")).cast("long").alias("_sum_d"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum(term).alias("_srank"),
+    )
+    n = F.col("n_nodes").cast("double")
+    t = F.col("_sum_d").cast("double")
+    srank = F.col("_srank").cast("double")
+    centr_num = (
+        F.col("n_nodes") * F.col("max_degree") - F.col("_sum_d")
+    ).cast("double")
+    centr_den = (n - F.lit(1.0)) * (n - F.lit(2.0))
+    return agg.select(
+        "n_nodes",
+        F.expr("_sum_d div 2").cast("long").alias("n_edges"),
+        "max_degree",
+        F.round(
+            F.lit(2.0) * srank / (n * t) - (n + F.lit(1.0)) / n, 6
+        ).alias("degree_gini"),
+        # Freeman's denominator needs n >= 3 (the 1-edge graph has no
+        # star to normalize against) — NULL, not a non-ANSI ±inf leak
+        F.when(
+            F.col("n_nodes") >= 3, F.round(centr_num / centr_den, 6)
+        ).alias("centralization"),
     )

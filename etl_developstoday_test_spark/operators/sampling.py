@@ -1107,3 +1107,59 @@ def half_sample_mean_ci(
         F.round(F.col("theta") + F.lit(z) * se, 6).alias("ci_hi"),
         "n_replicas",
     )
+
+
+def proportion_wilson_ci(
+    df: DataFrame, flag_col: str, z: float = 1.959964
+) -> DataFrame:
+    """Wilson score interval for a corpus proportion (Wilson 1927;
+    Brown–Cai–DasGupta 2001 recommend it over the Wald interval,
+    whose coverage collapses near 0/1 — exactly where data-quality
+    shares live): estimate the share of rows satisfying a boolean
+    column with a CI that is valid at extreme p̂ and never leaves
+    [0, 1]. The categorical companion to half_sample_mean_ci's
+    continuous-mean CI — together they put honest error bars on both
+    card types a corpus review quotes.
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: n and k are exact counts (NULL flags excluded — an
+    unknown can neither satisfy nor fail the predicate); p̂, the
+    Wilson center (p̂ + z²/2n)/(1 + z²/n) and half-width
+    z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n) are one fixed-order double
+    tree over the two integers with the z literal baked into both
+    plans (the BENFORD constant convention), 6-dp rounded. n = 0
+    raises.
+
+    Scale shape: ONE map-side-combined aggregate — nothing else.
+    Returns one row: (n_rows, n_true, p_hat, ci_lo, ci_hi).
+    """
+    card = df.filter(F.col(flag_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col(flag_col), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_true"),
+    ).localCheckpoint(eager=True)  # 1 row; guard + result share it
+    if card.collect()[0]["n_rows"] == 0:
+        raise ValueError("proportion_wilson_ci: no non-NULL flag rows")
+    n = F.col("n_rows").cast("double")
+    p = F.col("n_true").cast("double") / n
+    zz = F.lit(float(z)) * F.lit(float(z))
+    denom = F.lit(1.0) + zz / n
+    center = (p + zz / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + zz / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return card.select(
+        "n_rows",
+        "n_true",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )

@@ -232,3 +232,100 @@ def pareto_revenue_curve(
         )
         .orderBy("tile")
     )
+
+
+def partition_balance_profile(
+    df: DataFrame, key_col: str, n_buckets: int = 32
+) -> DataFrame:
+    """SHUFFLE-BALANCE forecast for a prospective partitioning key:
+    hash every row's key into ``n_buckets`` deterministic buckets and
+    report the per-bucket row counts with the two balance numbers a
+    capacity review reads — max/mean (the straggler factor: the
+    slowest reducer's load relative to ideal) and the coefficient of
+    variation. The PHYSICAL-layout complement of topk_key_share
+    (logical key concentration): a key column can look tame by top-k
+    share yet hash badly (few distinct keys), and this card is the
+    direct answer to "can I repartition/bucket BY this column".
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the bucket is salted-md5 % n_buckets (the repo's
+    engine-portable hash — Spark's own `hash()` is
+    implementation-specific and would make the oracle unportable,
+    which is also why this is a FORECAST of balance, not a replay of
+    Spark's exact partitioner: md5 and Murmur3 are both uniform, so
+    the balance statistics transfer); counts are exact longs; NULL
+    keys get their own bucket id −1 (Spark shuffles NULLs to one
+    partition — hiding them would hide exactly the classic skew
+    cause); max/mean and CoV are fixed-order double trees over the
+    bounded bucket table, variance through the decimal summator,
+    6-dp rounded.
+
+    Scale shape: one narrow map + ONE map-side-combined groupBy into
+    an ``n_buckets``-bounded table, joined onto the full 0..n−1 bucket
+    spine so EMPTY buckets count as zero-load reducers (the straggler
+    factor is meaningless over occupied buckets only — a 5-key column
+    hashed into 32 buckets leaves 27 idle reducers, which IS the
+    finding); the audit moments ride the same spine table. Returns one
+    row per spine bucket plus the NULL bucket if occupied:
+    (bucket, n_rows, max_over_mean, cov), bucket-ordered.
+    """
+    from etl_developstoday_test_spark.functions import md5_long
+
+    if n_buckets < 2:
+        raise ValueError("partition_balance_profile: n_buckets must be >= 2")
+    b = F.when(F.col(key_col).isNull(), F.lit(-1).cast("long")).otherwise(
+        md5_long(F.concat(F.lit("pb#"), F.col(key_col).cast("string")))
+        % n_buckets
+    )
+    occupied = (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    spine = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_buckets) - 1))
+            ).alias("_b")
+        )
+        .select(F.col("_b").cast("long").alias("bucket"))
+    )
+    # the NULL bucket joins the spine only when occupied (no phantom
+    # -1 row on NULL-free columns); spine buckets zero-fill
+    hist = (
+        spine.join(occupied, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_rows"),
+        )
+        .localCheckpoint(eager=True)  # bounded: n_buckets (+1) rows
+    )
+    mom = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("_k"),
+        F.sum("n_rows").cast("long").alias("_t"),
+        F.max("n_rows").cast("long").alias("_mx"),
+        F.sum(
+            (F.col("n_rows").cast("double") * F.col("n_rows").cast("double"))
+            .cast(ACC_DECIMAL)
+        ).alias("_s2"),
+    )
+    kk = F.col("_k").cast("double")
+    tt = F.col("_t").cast("double")
+    mean = tt / kk
+    var = F.greatest(
+        F.col("_s2").cast("double") / kk - mean * mean, F.lit(0.0)
+    )
+    audit = mom.select(
+        F.round(F.col("_mx").cast("double") / mean, 6).alias(
+            "max_over_mean"
+        ),
+        F.round(F.sqrt(var) / mean, 6).alias("cov"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select("bucket", "n_rows", "max_over_mean", "cov")
+        .orderBy("bucket")
+    )

@@ -1928,3 +1928,66 @@ def bigram_entropy_rate(
         )
     )
     return out.orderBy("lang")
+
+
+def term_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """TERM BURSTINESS card (Church & Gale 1995, "Poisson mixtures";
+    Katz 1996): per token, the ratio of collection frequency to
+    document frequency — cf/df = mean occurrences PER DOCUMENT THAT
+    CONTAINS IT. Under an independence (Poisson) model cf/df stays
+    near 1; content-bearing and boilerplate terms alike REPEAT within
+    the documents they touch, so high cf/df flags template floods and
+    keyword-stuffed spam at the TERM level (the token-level complement
+    of the doc-level repetition ratio: that says WHICH DOCS repeat,
+    this says WHICH TERMS drive it — the dedup shingle salt and
+    stopword lists are tuned off exactly this table).
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: cf is an exact count, df an exact COUNT(DISTINCT
+    doc) (two-phase partial aggregation — never a global window);
+    burstiness is ONE 6-dp division of exact longs, so
+    (burstiness DESC, cf DESC, token ASC) is a cross-engine total
+    order. ``min_df`` floors out hapax noise (a df=1 token's ratio is
+    its raw in-doc count — high variance, no corpus signal).
+
+    Scale shape: one explode + ONE map-side-combined (token, doc)
+    groupBy collapses the corpus stream to the bounded (token, doc)
+    incidence table, then a vocabulary-sized groupBy and
+    TakeOrderedAndProject. Returns top-k rows:
+    (token, cf, df, burstiness).
+    """
+    if min_df < 1:
+        raise ValueError("term_burstiness: min_df must be >= 1")
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    per_tok = per_doc.groupBy("token").agg(
+        F.sum("_c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    return (
+        per_tok.filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            "cf",
+            "df",
+            F.round(
+                F.col("cf").cast("double") / F.col("df").cast("double"), 6
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), F.desc("cf"), F.asc("token"))
+        .limit(k)
+    )

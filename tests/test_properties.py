@@ -2832,3 +2832,269 @@ def test_kcore_capped_card_rejects_bad_rounds(spark):
     vdf = spark.createDataFrame([(1,), (2,)], "node long")
     with pytest.raises(ValueError, match="rounds"):
         kcore_upper_bound_card(df, vdf, src="ua", dst="ub", rounds=0)
+
+
+# --- STAGED r14 operator properties -----------------------------------------
+
+
+def test_conversion_lag_card_fixture(spark):
+    """Hand fixture: a clean converter lands in its lag bucket; a user
+    whose only purchase PRECEDES first exposure starts but never
+    converts; a purchase-only user is in neither count."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        conversion_lag_card,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", "view", t0),
+        ("u1", "purchase", t0 + dt.timedelta(hours=7)),
+        ("u2", "purchase", t0),
+        ("u2", "view", t0 + dt.timedelta(hours=1)),
+        ("u3", "click", t0),
+        ("u4", "purchase", t0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    out = [tuple(r) for r in conversion_lag_card(ev).collect()]
+    assert out == [(1, 6, 1, 3, 1, round(1 / 3, 6))]
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_hours"):
+        conversion_lag_card(ev, bucket_hours=0)
+
+
+def test_page_hinkley_constant_and_jump(spark):
+    """A constant daily series never alarms (every deviation term is
+    exactly -delta, so m_t is its own running min and ph = 0); a clean
+    level jump alarms after the jump and never before it."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.drift import (
+        page_hinkley_daily,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    const = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), 10.0) for i in range(12)],
+        "ts timestamp, value double",
+    )
+    rows = [tuple(r) for r in page_hinkley_daily(const, "value").collect()]
+    assert all(r[3] == 0.0 and r[4] is False for r in rows)
+    jump = spark.createDataFrame(
+        [
+            (t0 + dt.timedelta(days=i), 10.0 if i < 10 else 20.0)
+            for i in range(20)
+        ],
+        "ts timestamp, value double",
+    )
+    rows = [tuple(r) for r in page_hinkley_daily(jump, "value").collect()]
+    assert not any(r[4] for r in rows[:10])
+    assert any(r[4] for r in rows[10:])
+    import pytest
+
+    empty = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(ValueError, match="no days"):
+        page_hinkley_daily(empty, "value")
+
+
+def test_cusum_twosided_directions_and_mirror(spark):
+    """A series strictly below target alarms only DOWN; negating both
+    the series and the target mirrors every alarm to the other side
+    with the identical statistic (the two recurrences are exact
+    decimal negations of each other)."""
+    from etl_developstoday_test_spark.operators.drift import (
+        cusum_changepoints_twosided,
+    )
+
+    vals = [1.0, 2.0, 1.5, 2.5, 1.0, 2.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "grp string, ord long, value double",
+    )
+    down = sorted(
+        tuple(r)
+        for r in cusum_changepoints_twosided(
+            df, "value", "ord", "grp", target=10.0, slack=0.5, threshold=20.0
+        ).collect()
+    )
+    assert down and all(r[3] == "down" for r in down)
+    mirrored_df = spark.createDataFrame(
+        [("g", i, -v) for i, v in enumerate(vals)],
+        "grp string, ord long, value double",
+    )
+    up = sorted(
+        tuple(r)
+        for r in cusum_changepoints_twosided(
+            mirrored_df, "value", "ord", "grp",
+            target=-10.0, slack=0.5, threshold=20.0,
+        ).collect()
+    )
+    assert [(r[0], r[1], r[4]) for r in up] == [
+        (r[0], r[1], r[4]) for r in down
+    ]
+    assert all(r[3] == "up" for r in up)
+
+
+def test_term_burstiness_fixture(spark):
+    """Hand fixture: cf/df exact; hapax-heavy tokens fall to min_df;
+    ordering (burstiness DESC, cf DESC, token ASC)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        term_burstiness,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "b c"), (3, "b c c")],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in term_burstiness(docs, min_df=2).collect()]
+    assert out == [("c", 3, 2, 1.5), ("b", 3, 3, 1.0)]
+    import pytest
+
+    with pytest.raises(ValueError, match="min_df"):
+        term_burstiness(docs, min_df=0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_degree_gini_matches_brute_force(spark, edges):
+    """The rank-block Gini and Freeman centralization must equal the
+    textbook sorted-degree formulas on ANY graph."""
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_gini_centralization,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(und), "ua long, ub long")
+    row = degree_gini_centralization(df).collect()[0]
+
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = sorted(deg.values())
+    n, t = len(xs), sum(xs)
+    srank = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = round(2.0 * srank / (n * t) - (n + 1.0) / n, 6)
+    assert row["n_nodes"] == n
+    assert row["n_edges"] == len(und)
+    assert row["max_degree"] == max(xs)
+    assert row["degree_gini"] == gini
+    if n >= 3:
+        centr = round(
+            (n * max(xs) - t) / ((n - 1.0) * (n - 2.0)), 6
+        )
+        assert row["centralization"] == centr
+    else:
+        assert row["centralization"] is None
+
+
+def test_degree_gini_star_is_maximally_centralized(spark):
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_gini_centralization,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "ua long, ub long"
+    )
+    row = degree_gini_centralization(star).collect()[0]
+    assert row["centralization"] == 1.0
+    assert row["degree_gini"] == 0.3
+
+
+def test_fk_fanout_profile_fixture(spark):
+    """Zero-child parents counted; NULL-FK children excluded; orphan
+    children (no parent row) never create a parent bucket."""
+    from etl_developstoday_test_spark.operators.dq import fk_fanout_profile
+
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    children = spark.createDataFrame(
+        [(1,), (1,), (3,), (None,), (9,)], "fk long"
+    )
+    out = [
+        tuple(r)
+        for r in fk_fanout_profile(parents, children, "pk", "fk").collect()
+    ]
+    # p1 -> 2 children, p2 -> 0, p3 -> 1; NULL and orphan fk=9 excluded
+    assert out == [
+        (0, 1, 3, 3, 1.0),
+        (1, 1, 3, 3, 1.0),
+        (2, 1, 3, 3, 1.0),
+    ]
+
+
+def test_wilson_ci_matches_reference_and_raises_empty(spark):
+    import math
+
+    import pytest
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        proportion_wilson_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(True,), (False,), (False,), (False,)], "f boolean"
+    )
+    row = proportion_wilson_ci(df, "f").collect()[0]
+    z, n, k = 1.959964, 4.0, 1.0
+    p = k / n
+    zz = z * z
+    denom = 1.0 + zz / n
+    center = (p + zz / (2.0 * n)) / denom
+    half = z * math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n)) / denom
+    assert (row["n_rows"], row["n_true"]) == (4, 1)
+    assert row["p_hat"] == 0.25
+    assert row["ci_lo"] == round(center - half, 6)
+    assert row["ci_hi"] == round(center + half, 6)
+    assert 0.0 < row["ci_lo"] < 0.25 < row["ci_hi"] < 1.0
+    nulls = spark.createDataFrame([(None,)], "f boolean")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        proportion_wilson_ci(nulls, "f")
+
+
+def test_partition_balance_profile_spine_and_null_bucket(spark):
+    """The full bucket spine appears (empty reducers count), NULL keys
+    land in bucket -1, counts partition the input, and the balance
+    stats match a python recomputation over the same buckets."""
+    import hashlib
+
+    from etl_developstoday_test_spark.operators.skew import (
+        partition_balance_profile,
+    )
+
+    keys = ["a", "b", "c", None, "a", "a", None]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    out = [tuple(r) for r in partition_balance_profile(df, "k", 8).collect()]
+    assert [r[0] for r in out] == sorted(r[0] for r in out)
+    assert sum(r[1] for r in out) == len(keys)
+    assert out[0][0] == -1 and out[0][1] == 2  # the two NULL keys
+    assert len(out) == 9  # 8-bucket spine + the NULL bucket
+
+    counts: dict[int, int] = {b: 0 for b in range(8)}
+    counts[-1] = 0
+    for k in keys:
+        if k is None:
+            counts[-1] += 1
+        else:
+            h = int(hashlib.md5(f"pb#{k}".encode()).hexdigest()[:15], 16)
+            counts[h % 8] += 1
+    assert {r[0]: r[1] for r in out} == counts
+    vals = list(counts.values())
+    mean = sum(vals) / len(vals)
+    assert out[0][2] == round(max(vals) / mean, 6)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        partition_balance_profile(df, "k", 1)

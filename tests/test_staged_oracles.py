@@ -2263,3 +2263,477 @@ def test_kcore_capped_matches_oracle(spark, ev_con):
         assert sum(v for u, v in got.items() if u >= k) >= sum(
             v for u, v in exact.items() if u >= k
         )
+
+
+# --- STAGED for round 14 (the r13 window is exactly full: 1 changed +
+# 13 first-rows + 19 r6 + 17 oldest-r7 = 50) — implemented,
+# unit/property-tested, and value-locked at sf0.001 AND sf0.01 here;
+# registration next round (the oracle strings move into
+# plans/queries.py then and these locks import them — the
+# single-source-of-truth discipline).
+
+CONVERSION_LAG_ORACLE = """
+WITH starts AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts) - s.t0) AS lag_us
+  FROM events e JOIN starts s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+  GROUP BY e.user_id
+),
+hist AS (
+  SELECT CAST((lag_us // 1000000) // 21600 AS BIGINT) AS lag_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM conv GROUP BY 1
+),
+audit AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM starts) AS n_started,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted
+)
+SELECT lag_bucket, CAST(lag_bucket * 6 AS BIGINT) AS lag_lo_hours,
+       n_users, n_started, n_converted,
+       round(CAST(n_converted AS DOUBLE) / CAST(n_started AS DOUBLE), 6)
+         AS conversion_rate
+FROM hist CROSS JOIN audit ORDER BY lag_bucket
+"""
+
+
+def test_conversion_lag_matches_oracle(spark, ev_con):
+    """STAGED r14: first-exposure → first-purchase lag distribution
+    (6-hour buckets) with the conversion-rate audit — value-locked at
+    both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        conversion_lag_card,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in conversion_lag_card(ev).collect()]
+    drows = con.execute(CONVERSION_LAG_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # histogram partitions the converted users; lag buckets ascend
+    assert sum(r[2] for r in srows) == srows[0][4]
+    assert [r[0] for r in srows] == sorted(r[0] for r in srows)
+    assert all(r[4] <= r[3] for r in srows)  # converted <= started
+
+
+PAGE_HINKLEY_ORACLE = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+seq AS (
+  SELECT d,
+         CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS x,
+         CAST(SUM(s) OVER w AS DOUBLE) / 1e6
+           / CAST(SUM(n) OVER w AS DOUBLE) AS rm
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tq AS (
+  SELECT d, x, CAST(round((x - rm - 0.005) * 1e9) AS BIGINT) AS tq FROM seq
+),
+m AS (
+  SELECT d, x, CAST(SUM(tq) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mt
+  FROM tq
+),
+ph AS (
+  SELECT d, x, mt,
+         mt - LEAST(MIN(mt) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           CAST(0 AS BIGINT)) AS phq
+  FROM m
+)
+SELECT d, round(x, 6) AS mean_daily,
+       round(CAST(mt AS DOUBLE) / 1e9, 6) AS m_t,
+       round(CAST(phq AS DOUBLE) / 1e9, 6) AS ph_stat,
+       CAST(phq AS DOUBLE) / 1e9 > 0.05 AS is_alarm
+FROM ph ORDER BY d
+"""
+
+
+def test_page_hinkley_matches_oracle(spark, ev_con):
+    """STAGED r14: Page-Hinkley running-mean level-shift detector over
+    the daily-mean series (delta 0.005, lambda 0.05; nano-quantized
+    deviation terms -> pure long prefix arithmetic) — value-locked at
+    both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        page_hinkley_daily,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in page_hinkley_daily(ev, "value").collect()]
+    drows = con.execute(PAGE_HINKLEY_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 30  # the synthetic corpus spans 30 days
+    assert all(r[3] >= 0.0 for r in srows)  # ph = m - min(m) >= 0
+    # day 1's deviation term is x1 - x1 - delta = -delta exactly
+    assert srows[0][2] == -0.005
+
+
+CUSUM2_ORACLE = """
+WITH daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS ord,
+         round({davg}, 6) AS value
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT grp, ord, value,
+         SUM(CAST(value AS DECIMAL(30,10))
+             - CAST(50.0 AS DECIMAL(30,10))
+             - CAST(1.0 AS DECIMAL(30,10)))
+           OVER (PARTITION BY grp ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+         SUM(CAST(50.0 AS DECIMAL(30,10))
+             - CAST(value AS DECIMAL(30,10))
+             - CAST(1.0 AS DECIMAL(30,10)))
+           OVER (PARTITION BY grp ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+  FROM daily
+),
+mins AS (
+  SELECT grp, ord, value, pu, pd,
+         MIN(pu) OVER (PARTITION BY grp ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu,
+         MIN(pd) OVER (PARTITION BY grp ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS md
+  FROM pre
+),
+s AS (
+  SELECT grp, ord, value,
+         CAST(CAST(CASE WHEN mu < CAST(0 AS DECIMAL(38,10))
+                        THEN pu - mu ELSE pu END AS VARCHAR) AS DOUBLE)
+           AS su,
+         CAST(CAST(CASE WHEN md < CAST(0 AS DECIMAL(38,10))
+                        THEN pd - md ELSE pd END AS VARCHAR) AS DOUBLE)
+           AS sd
+  FROM mins
+)
+SELECT grp, ord, value, side, cusum FROM (
+  SELECT grp, ord, value, 'up' AS side, su AS cusum FROM s
+  UNION ALL
+  SELECT grp, ord, value, 'down' AS side, sd AS cusum FROM s
+) WHERE cusum > 15.0
+ORDER BY grp, ord, side
+"""
+
+
+def test_cusum_twosided_matches_oracle(spark, ev_con):
+    """STAGED r14: two-sided CUSUM (up + down recurrences from ONE
+    shuffle/sort, side-labeled alarms) on the daily mean per
+    event_type, target 50 / slack 1 / threshold 15 — value-locked at
+    both scales BEFORE registration. The up side must equal the
+    registered one-sided detector exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import davg
+    from etl_developstoday_test_spark.operators.drift import (
+        cusum_changepoints,
+        cusum_changepoints_twosided,
+    )
+    from etl_developstoday_test_spark.plans.queries import _davg
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.round(davg("value"), 6).alias("daily_mean"))
+    out = cusum_changepoints_twosided(
+        daily, "daily_mean", "day", "event_type",
+        target=50.0, slack=1.0, threshold=15.0,
+    )
+    srows = sorted(tuple(r) for r in out.collect())
+    drows = sorted(
+        tuple(r)
+        for r in con.execute(CUSUM2_ORACLE.format(davg=_davg("value"))).fetchall()
+    )
+    assert srows == drows
+    assert srows
+    sides = {r[3] for r in srows}
+    assert sides == {"up", "down"}  # both directions alarm on this data
+    up_only = sorted(
+        (r[0], r[1], r[2], r[4]) for r in srows if r[3] == "up"
+    )
+    one_sided = sorted(
+        tuple(r)
+        for r in cusum_changepoints(
+            daily, "daily_mean", "day", "event_type",
+            target=50.0, slack=1.0, threshold=15.0,
+        ).collect()
+    )
+    assert up_only == one_sided
+
+
+TERM_BURSTINESS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+pd AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+pt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cf,
+              CAST(COUNT(*) AS BIGINT) AS df
+       FROM pd GROUP BY token)
+SELECT token, cf, df,
+       round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+FROM pt WHERE df >= 5
+ORDER BY burstiness DESC, cf DESC, token ASC LIMIT 20
+"""
+
+
+def test_term_burstiness_matches_oracle(spark, docstar_con):
+    """STAGED r14: Church-Gale term burstiness cf/df (mean occurrences
+    per containing document) — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        term_burstiness,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in term_burstiness(docs).collect()]
+    drows = con.execute(TERM_BURSTINESS_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    for _tok, cf, df, b in srows:
+        assert cf >= df >= 5
+        assert b >= 1.0  # cf/df >= 1 by definition
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _COACT_SQL as _COACT_SQL_DG,
+)
+
+DEGREE_GINI_ORACLE = f"""
+WITH {_COACT_SQL_DG},
+sym AS (SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+mult AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS m FROM deg GROUP BY d),
+blocks AS (
+  SELECT d, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM mult
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * m) AS BIGINT) AS sum_d,
+         CAST(MAX(d) AS BIGINT) AS max_degree,
+         SUM(CAST(CAST(d AS DOUBLE)
+             * CAST(m * s + m * (m + 1) // 2 AS DOUBLE)
+             AS DECIMAL(38,6))) AS srank
+  FROM blocks
+)
+SELECT n_nodes, CAST(sum_d // 2 AS BIGINT) AS n_edges, max_degree,
+       round(2.0 * CAST(srank AS DOUBLE)
+               / (CAST(n_nodes AS DOUBLE) * CAST(sum_d AS DOUBLE))
+             - (CAST(n_nodes AS DOUBLE) + 1.0) / CAST(n_nodes AS DOUBLE),
+             6) AS degree_gini,
+       CASE WHEN n_nodes >= 3 THEN
+         round(CAST(n_nodes * max_degree - sum_d AS DOUBLE)
+               / ((CAST(n_nodes AS DOUBLE) - 1.0)
+                  * (CAST(n_nodes AS DOUBLE) - 2.0)), 6)
+       END AS centralization
+FROM agg
+"""
+
+
+def test_degree_gini_matches_oracle(spark, ev_con):
+    """STAGED r14: exact degree Gini (rank-block closed form over the
+    degree-domain histogram) + Freeman centralization over the SHARED
+    co-activity graph — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_gini_centralization,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+    )
+
+    sf_dir, con = ev_con
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srow = [tuple(r) for r in degree_gini_centralization(edges).collect()]
+    drow = con.execute(DEGREE_GINI_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    n_nodes, n_edges, dmax, gini, centr = srow[0]
+    assert 0.0 <= gini < 1.0
+    assert 0.0 <= centr <= 1.0
+    assert dmax <= n_nodes - 1
+
+
+FANOUT_ORACLE = """
+WITH counts AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+pp AS (
+  SELECT CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM orders o LEFT JOIN counts c ON c.k = o.o_orderkey
+),
+hist AS (
+  SELECT c AS fanout, CAST(COUNT(*) AS BIGINT) AS n_parents
+  FROM pp GROUP BY c
+),
+audit AS (
+  SELECT CAST(SUM(n_parents) AS BIGINT) AS n_parents_total,
+         CAST(SUM(fanout * n_parents) AS BIGINT) AS n_children_total
+  FROM hist
+)
+SELECT fanout, n_parents, n_parents_total, n_children_total,
+       round(CAST(n_children_total AS DOUBLE)
+             / CAST(n_parents_total AS DOUBLE), 6) AS mean_fanout
+FROM hist CROSS JOIN audit ORDER BY fanout
+"""
+
+
+def test_fanout_profile_matches_oracle(spark, star_con):
+    """STAGED r14: orders -> lineitem referential fan-out profile
+    (children-per-parent histogram including zero-child parents) —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.dq import fk_fanout_profile
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = star_con
+    srows = [
+        tuple(r)
+        for r in fk_fanout_profile(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            "o_orderkey",
+            "l_orderkey",
+        ).collect()
+    ]
+    drows = con.execute(FANOUT_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    assert sum(r[1] for r in srows) == srows[0][2]  # partitions parents
+    assert sum(r[0] * r[1] for r in srows) == srows[0][3]  # sums children
+    assert srows[0][0] == 0  # the zero-child bucket exists in TPC-H-ish data
+
+
+WILSON_ORACLE = """
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+           AS BIGINT) AS k
+  FROM events WHERE event_type IS NOT NULL
+)
+SELECT n AS n_rows, k AS n_true,
+  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))
+        - (1.959964 * sqrt(
+            (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)
+            + (1.959964 * 1.959964)
+              / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))))
+          / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))
+        + (1.959964 * sqrt(
+            (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)
+            + (1.959964 * 1.959964)
+              / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))))
+          / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM c
+"""
+
+
+def test_wilson_ci_matches_oracle(spark, ev_con):
+    """STAGED r14: Wilson score interval for the purchase share —
+    value-locked at both scales BEFORE registration."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        proportion_wilson_ci,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srow = [
+        tuple(r)
+        for r in proportion_wilson_ci(
+            ev.select((F.col("event_type") == "purchase").alias("f")), "f"
+        ).collect()
+    ]
+    drow = con.execute(WILSON_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    n, k, p, lo, hi = srow[0]
+    assert 0.0 <= lo < p < hi <= 1.0
+    assert 0 < k < n
+
+
+PARTITION_BALANCE_ORACLE = """
+WITH occupied AS (
+  SELECT CASE WHEN source IS NULL THEN CAST(-1 AS BIGINT)
+              ELSE CAST(concat('0x', substr(md5('pb#' || CAST(source AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+         END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS bucket),
+hist AS (
+  SELECT COALESCE(spine.bucket, occupied.bucket) AS bucket,
+         CAST(COALESCE(n, 0) AS BIGINT) AS n_rows
+  FROM spine FULL OUTER JOIN occupied ON occupied.bucket = spine.bucket
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_rows) AS BIGINT) AS t,
+         CAST(MAX(n_rows) AS BIGINT) AS mx,
+         SUM(CAST(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+             AS DECIMAL(30,10))) AS s2
+  FROM hist
+),
+audit AS (
+  SELECT round(CAST(mx AS DOUBLE)
+               / (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 6)
+           AS max_over_mean,
+         round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                 - (CAST(t AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 0))
+               / (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS cov
+  FROM mom
+)
+SELECT bucket, n_rows, max_over_mean, cov
+FROM hist CROSS JOIN audit ORDER BY bucket
+"""
+
+
+def test_partition_balance_matches_oracle(spark, docstar_con):
+    """STAGED r14: 32-bucket hash-balance forecast for documents.source
+    (a low-cardinality key — most reducers idle, which IS the finding)
+    — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.skew import (
+        partition_balance_profile,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [
+        tuple(r) for r in partition_balance_profile(docs, "source", 32).collect()
+    ]
+    drows = con.execute(PARTITION_BALANCE_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 32  # full spine, no NULL sources in testdata
+    assert sum(r[1] for r in srows) == docs.count()
+    assert srows[0][2] > 1.0  # a low-cardinality key cannot be balanced
