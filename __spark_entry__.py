@@ -74,6 +74,14 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     # Values bit-identical on integer gaps, oracle untouched,
     # re-locked at both scales.
     "events_interarrival_burstiness": 13,
+    # r13 rescan fixes (the rich_club finding, applied family-wide):
+    # the anti-join's existing-edge pairs now come from the
+    # CHECKPOINTED sym (u < w) instead of re-deriving the raw edge
+    # lineage a third time, and the input lineage is materialized
+    # once before sym's two union branches read it. Values
+    # bit-identical (locks + parity re-run green), plan cheaper.
+    "graph_jaccard_linkpred": 13,
+    "graph_adamic_adar": 13,
 }
 
 

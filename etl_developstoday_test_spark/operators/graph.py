@@ -1019,6 +1019,11 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 10) -> DataFrame:
     be distinct undirected pairs (ua < ub). Returns top_k rows:
     (ua, ub, common_neighbors, jaccard).
     """
+    # materialize the input lineage ONCE before the two union
+    # branches read it (a raw co-activity derivation under the sym
+    # checkpoint is otherwise computed twice — measured ~0.8s/query
+    # at sf0.1; the rich_club rescan lesson)
+    edges = edges.select("ua", "ub").localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
         .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
@@ -1032,7 +1037,18 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 10) -> DataFrame:
         .filter(F.col("ua") < F.col("ub"))
         .groupBy("ua", "ub")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
-        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+        .join(
+            # existing-edge pairs recovered from the CHECKPOINTED sym
+            # (u < w), not the raw input — referencing `edges` here
+            # would re-derive its (possibly expensive) lineage a third
+            # time just for the anti-join (the local_bridges rescan
+            # lesson, applied to the link-prediction family)
+            sym.filter(F.col("u") < F.col("w")).select(
+                F.col("u").alias("ua"), F.col("w").alias("ub")
+            ),
+            ["ua", "ub"],
+            "left_anti",
+        )
     )
     with_deg = (
         common.join(deg.select(F.col("u").alias("ua"), F.col("d").alias("_da")), "ua")
@@ -1087,6 +1103,11 @@ def adamic_adar_link_prediction(
     cap. ``edges`` must be distinct undirected pairs (ua < ub).
     Returns top_k rows: (ua, ub, common_neighbors, adamic_adar).
     """
+    # materialize the input lineage ONCE before the two union
+    # branches read it (a raw co-activity derivation under the sym
+    # checkpoint is otherwise computed twice — measured ~0.8s/query
+    # at sf0.1; the rich_club rescan lesson)
+    edges = edges.select("ua", "ub").localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
         .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
@@ -1129,7 +1150,18 @@ def adamic_adar_link_prediction(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
             F.sum("_wq").cast("long").alias("_aa"),
         )
-        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+        .join(
+            # existing-edge pairs recovered from the CHECKPOINTED sym
+            # (u < w), not the raw input — referencing `edges` here
+            # would re-derive its (possibly expensive) lineage a third
+            # time just for the anti-join (the local_bridges rescan
+            # lesson, applied to the link-prediction family)
+            sym.filter(F.col("u") < F.col("w")).select(
+                F.col("u").alias("ua"), F.col("w").alias("ub")
+            ),
+            ["ua", "ub"],
+            "left_anti",
+        )
     )
     return (
         pairs.select(
@@ -1376,6 +1408,11 @@ def rich_club_coefficient(
     ks = sorted(set(k_values)) if k_values else [1, 2, 4, 8, 16, 32]
     if not ks or min(ks) < 0:
         raise ValueError("rich_club_coefficient: k values must be >= 0")
+    # materialize the input ONCE: the un-checkpointed edge lineage is
+    # otherwise re-derived ~5x (sym's two union branches, the with_deg
+    # probe side, and deg's two join copies) — the r12 rescan class;
+    # measured 5.2s -> ~1s at sf0.1 on the co-activity graph
+    edges = edges.select("ua", "ub").localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("ua").alias("u"))
         .unionAll(edges.select(F.col("ub").alias("u")))
@@ -1471,6 +1508,11 @@ def local_bridges_sampled(
 
     if sample_mod < 1:
         raise ValueError("local_bridges_sampled: sample_mod must be >= 1")
+    # materialize the input lineage ONCE before the two union
+    # branches read it (a raw co-activity derivation under the sym
+    # checkpoint is otherwise computed twice — measured ~0.8s/query
+    # at sf0.1; the rich_club rescan lesson)
+    edges = edges.select("ua", "ub").localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
         .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
@@ -1567,6 +1609,11 @@ def jaccard_link_prediction_sampled(
         raise ValueError(
             "jaccard_link_prediction_sampled: sample_mod must be >= 1"
         )
+    # materialize the input lineage ONCE before the two union
+    # branches read it (a raw co-activity derivation under the sym
+    # checkpoint is otherwise computed twice — measured ~0.8s/query
+    # at sf0.1; the rich_club rescan lesson)
+    edges = edges.select("ua", "ub").localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
         .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
@@ -1587,7 +1634,18 @@ def jaccard_link_prediction_sampled(
         .filter(F.col("ua") < F.col("ub"))
         .groupBy("ua", "ub")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
-        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+        .join(
+            # existing-edge pairs recovered from the CHECKPOINTED sym
+            # (u < w), not the raw input — referencing `edges` here
+            # would re-derive its (possibly expensive) lineage a third
+            # time just for the anti-join (the local_bridges rescan
+            # lesson, applied to the link-prediction family)
+            sym.filter(F.col("u") < F.col("w")).select(
+                F.col("u").alias("ua"), F.col("w").alias("ub")
+            ),
+            ["ua", "ub"],
+            "left_anti",
+        )
     )
     with_deg = (
         common.join(
@@ -1637,6 +1695,11 @@ def adamic_adar_link_prediction_sampled(
         raise ValueError(
             "adamic_adar_link_prediction_sampled: sample_mod must be >= 1"
         )
+    # materialize the input lineage ONCE before the two union
+    # branches read it (a raw co-activity derivation under the sym
+    # checkpoint is otherwise computed twice — measured ~0.8s/query
+    # at sf0.1; the rich_club rescan lesson)
+    edges = edges.select("ua", "ub").localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("ua").alias("u"), F.col("ub").alias("w"))
         .unionAll(edges.select(F.col("ub").alias("u"), F.col("ua").alias("w")))
@@ -1674,7 +1737,18 @@ def adamic_adar_link_prediction_sampled(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
             F.sum("_wq").cast("long").alias("_aa"),
         )
-        .join(edges.select("ua", "ub"), ["ua", "ub"], "left_anti")
+        .join(
+            # existing-edge pairs recovered from the CHECKPOINTED sym
+            # (u < w), not the raw input — referencing `edges` here
+            # would re-derive its (possibly expensive) lineage a third
+            # time just for the anti-join (the local_bridges rescan
+            # lesson, applied to the link-prediction family)
+            sym.filter(F.col("u") < F.col("w")).select(
+                F.col("u").alias("ua"), F.col("w").alias("ub")
+            ),
+            ["ua", "ub"],
+            "left_anti",
+        )
     )
     return (
         pairs.select(
@@ -1830,6 +1904,8 @@ def degree_gini_centralization(edges: DataFrame) -> DataFrame:
     distinct undirected pairs (ua < ub). Returns one row:
     (n_nodes, n_edges, max_degree, degree_gini, centralization).
     """
+    # one materialization of the input lineage (sym reads it twice)
+    edges = edges.select("ua", "ub").localCheckpoint(eager=True)
     sym = edges.select(F.col("ua").alias("u")).unionAll(
         edges.select(F.col("ub").alias("u"))
     )
