@@ -1655,3 +1655,111 @@ def test_cohen_kappa_bounded_tail(spark):
     plan = _staged_plan(out)
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_interval_zero_match_no_nested_loop(spark):
+    """join_interval_zero_match (registered r13): the negative path
+    must run the SAME equi-join plan as the positive one — a lossy
+    rewrite that dropped the bucket equality (falling back to a
+    nested-loop theta join) would still return the right answer here,
+    so the plan shape is the thing to pin."""
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+
+    plan = _staged_plan(QUERIES["join_interval_zero_match"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the INTERVAL join itself is a hash equi-join on (key, bucket)
+    # with the range residual riding it
+    assert any(
+        "Join" in ln and "_ib" in ln and "NestedLoop" not in ln
+        for ln in plan.splitlines()
+    )
+    # the only nested-loop nodes are the 1-row audit crossJoins
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert ", Cross" in ln
+
+
+def test_rich_club_returned_plan_is_histogram_bound(spark):
+    """graph_rich_club (registered r13): the returned plan runs
+    entirely on the two checkpointed degree-domain histograms joined
+    to the constant k spine — the corpus-sized co-activity derivation
+    must be materialized behind the checkpoints, never re-derived by
+    the card (the r13 rescan finding: 5.2s -> 2.9s)."""
+    from etl_developstoday_test_spark.operators.graph import (
+        rich_club_coefficient,
+    )
+    from etl_developstoday_test_spark.plans.queries import _coactivity_edges
+
+    _, edges = _coactivity_edges(spark, SF_DIR, checkpoint=False)
+    plan = _staged_plan(rich_club_coefficient(edges))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_kcore_capped_card_is_checkpoint_bound(spark):
+    """graph_kcore_capped (registered r13): the returned card reads the
+    checkpointed (n, est, prev) table only — the 8-sub-step h-index
+    chain is materialized behind it, so the histogram + certificate
+    never replay the iteration."""
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+
+    plan = _staged_plan(QUERIES["graph_kcore_capped"](spark, SF_DIR))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_page_hinkley_bounded_tail(spark):
+    """page_hinkley_daily (staged r14): the sequential-looking
+    recurrences are frame windows over the CHECKPOINTED ≤366-row days
+    table — no parquet stage, no corpus-sized window input in the
+    returned plan."""
+    from etl_developstoday_test_spark.operators.drift import (
+        page_hinkley_daily,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        page_hinkley_daily(load_table(spark, SF_DIR, "events"), "value")
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_conversion_lag_co_keyed_no_broadcast_of_users(spark):
+    """conversion_lag_card (staged r14): the starts table joins the
+    purchase stream by a user_id equi-join (co-shuffled, no hint); the
+    only broadcasts are the two 1-row audit aggregates."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        conversion_lag_card,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        conversion_lag_card(load_table(spark, SF_DIR, "events"))
+    )
+    assert "CartesianProduct" not in plan
+    # the only nested-loop nodes are the 1-row audit crossJoins; the
+    # purchases -> starts attach stays an equi-join
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert ", Cross" in ln
+
+
+def test_partition_balance_bounded_spine(spark):
+    """partition_balance_profile (staged r14): the returned card runs
+    on the checkpointed n_buckets-bounded histogram (audit moments
+    broadcast from it) — one corpus-sized groupBy happens behind the
+    checkpoint, never in the card's plan."""
+    from etl_developstoday_test_spark.operators.skew import (
+        partition_balance_profile,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        partition_balance_profile(
+            load_table(spark, SF_DIR, "documents"), "source", 32
+        )
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
