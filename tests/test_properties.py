@@ -1857,8 +1857,22 @@ def test_user_gini_matches_sequential_reference(spark, counts):
         ).quantize(Decimal("1.000000"))
         s += m
     n, t = len(counts), sum(counts)
-    want = round(2.0 * float(total) / (float(n) * float(t))
-                 - (float(n) + 1.0) / float(n), 6)
+    raw = (2.0 * float(total) / (float(n) * float(t))
+           - (float(n) + 1.0) / float(n))
+    # HALF_UP on the double's shortest decimal repr — Spark's F.round
+    # semantics (BigDecimal.valueOf + setScale HALF_UP). Python's
+    # round() is HALF_EVEN and diverges on exact half-ulp ties
+    # (hypothesis found counts=[1,1,26,36]: gini = 0.5078125 exactly,
+    # where the engine and its DuckDB oracle both say 0.507813 and
+    # banker's rounding says 0.507812 — the reference was wrong, not
+    # the engine).
+    from decimal import ROUND_HALF_UP
+
+    want = float(
+        Decimal(repr(raw)).quantize(
+            Decimal("1.000000"), rounding=ROUND_HALF_UP
+        )
+    )
     assert got == (n, t, want)
     assert 0.0 <= got[2] < 1.0
 

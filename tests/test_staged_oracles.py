@@ -2265,8 +2265,8 @@ def test_kcore_capped_matches_oracle(spark, ev_con):
         )
 
 
-# --- STAGED for round 14 (the r13 window is exactly full: 1 changed +
-# 13 first-rows + 19 r6 + 17 oldest-r7 = 50) — implemented,
+# --- STAGED for round 14 (the r13 window is exactly full: 3 changed +
+# 13 first-rows + 19 r6 + 15 oldest-r7 = 50) — implemented,
 # unit/property-tested, and value-locked at sf0.001 AND sf0.01 here;
 # registration next round (the oracle strings move into
 # plans/queries.py then and these locks import them — the
@@ -2381,7 +2381,7 @@ def test_page_hinkley_matches_oracle(spark, ev_con):
     assert srows[0][2] == -0.005
 
 
-CUSUM2_ORACLE = """
+_CUSUM2_ORACLE_TMPL = """
 WITH daily AS (
   SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS ord,
          round({davg}, 6) AS value
@@ -2427,6 +2427,15 @@ SELECT grp, ord, value, side, cusum FROM (
 ORDER BY grp, ord, side
 """
 
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _davg as _davg_sql,
+)
+
+# formatted at module scope so the module-wide oracle-type gate
+# (test_staged_oracle_result_types_survive_pandas_fetch) can execute
+# it like every other *_ORACLE global
+CUSUM2_ORACLE = _CUSUM2_ORACLE_TMPL.format(davg=_davg_sql("value"))
+
 
 def test_cusum_twosided_matches_oracle(spark, ev_con):
     """STAGED r14: two-sided CUSUM (up + down recurrences from ONE
@@ -2441,7 +2450,6 @@ def test_cusum_twosided_matches_oracle(spark, ev_con):
         cusum_changepoints,
         cusum_changepoints_twosided,
     )
-    from etl_developstoday_test_spark.plans.queries import _davg
     from etl_developstoday_test_spark.sources.tables import load_table
 
     sf_dir, con = ev_con
@@ -2455,8 +2463,7 @@ def test_cusum_twosided_matches_oracle(spark, ev_con):
     )
     srows = sorted(tuple(r) for r in out.collect())
     drows = sorted(
-        tuple(r)
-        for r in con.execute(CUSUM2_ORACLE.format(davg=_davg("value"))).fetchall()
+        tuple(r) for r in con.execute(CUSUM2_ORACLE).fetchall()
     )
     assert srows == drows
     assert srows
