@@ -233,30 +233,39 @@ def main() -> None:
     # (whatever load it saw); bench_best merges each run in, so the
     # rotating hypervisor-stall signature (a different random query
     # subset spiking per run) cannot pollute cross-round per-query
-    # deltas: compare best-vs-best. Keyed by git HEAD (+ -dirty) — a
-    # code change resets the ratchet, so a true regression can never
-    # hide behind a stale pre-change minimum.
-    import subprocess
+    # deltas: compare best-vs-best. Keyed by a hash of the RUNTIME
+    # SURFACE (package sources + this file + the entry contract), NOT
+    # git HEAD: committing docs/tests/artifacts — including this
+    # artifact itself — must not reset the ratchet (a HEAD key would
+    # reset on every closing commit and on the driver's post-close
+    # run), while any engine change still does, so a true regression
+    # can never hide behind a stale pre-change minimum.
+    import hashlib
 
-    try:
-        sig = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True,
-            text=True,
-            timeout=10,
-        ).stdout.strip()
-        dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True,
-            text=True,
-            timeout=10,
-        ).stdout.strip()
-        if dirty:
-            sig += "-dirty"
-    except (OSError, subprocess.SubprocessError):
-        sig = "unknown"
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    src_files = sorted(
+        [
+            os.path.join(dp, fn)
+            for dp, _dns, fns in os.walk(
+                os.path.join(here, "etl_developstoday_test_spark")
+            )
+            for fn in fns
+            if fn.endswith(".py")
+        ]
+        + [
+            os.path.join(here, "__spark_entry__.py"),
+            os.path.abspath(__file__),
+        ]
+    )
+    for fp in src_files:
+        h.update(os.path.relpath(fp, here).encode())
+        try:
+            with open(fp, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            pass
+    sig = h.hexdigest()
     best_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_best.json"
     )
