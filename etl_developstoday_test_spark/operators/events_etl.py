@@ -742,3 +742,61 @@ def conversion_lag_card(
         )
         .orderBy("lag_bucket")
     )
+
+
+def dau_wau_stickiness(events: DataFrame) -> DataFrame:
+    """DAU / trailing-7-day-WAU STICKINESS series — the standard
+    engagement-depth card (how much of the weekly audience shows up
+    on a given day; 1/7 ≈ once-a-week visitors, →1 daily habit):
+    the rolling-audience companion to the cohort-retention triangle
+    (cohorts say who COMES BACK; stickiness says how DENSE the habit
+    is) and the series a volume-anomaly reviewer reads next (a volume
+    spike with flat stickiness = new users or a double-fire; rising
+    stickiness = genuine habit shift).
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: pure exact integers (distinct (user, day) activity
+    pairs; WAU(d) = distinct users active in [d−6, d]) until one 6-dp
+    division per day. Only OBSERVED days report (the trailing window
+    covers calendar gaps correctly — a user active on d supports WAU
+    for d..d+6 whether or not the corpus has rows there, but a day
+    with no activity at all has no DAU row to report).
+
+    Scale shape: ONE corpus-sized distinct collapses the stream to
+    (user, day) pairs; each pair explodes onto the ≤7 future days it
+    supports (bounded ×7 fan-out — the standard rolling-distinct
+    rewrite, because count(DISTINCT) over a RANGE frame is not
+    partial-aggregable); one distinct + map-side-combined count per
+    day; the DAU/WAU join is day-keyed and days-bounded. Returns one
+    row per observed day: (d, dau, wau, stickiness), day-ordered.
+    """
+    pairs = (
+        events.select("user_id", F.to_date("ts").alias("d"))
+        .filter(F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # dau + wau cover share it
+    )
+    dau = pairs.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    cover = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("d"),
+    ).distinct()
+    wau = cover.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")  # inner: only observed days report
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("d")
+    )

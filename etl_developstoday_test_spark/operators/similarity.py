@@ -1696,3 +1696,110 @@ def norm_profile(emb: DataFrame, z: float = 3.0) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def pair_cosine_profile(
+    embeddings: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RANDOM-PAIR cosine profile of an embedding space: pair vectors
+    deterministically (salted-md5 bucket, md5-ranked within bucket,
+    consecutive ranks pair up — every vector used at most once, no
+    all-pairs anything) and report the exact cosine histogram in 0.1
+    bins plus the mean. This is the direct EVIDENCE card for the
+    anisotropy the RankMe/Gram metrics summarize spectrally
+    (Ethayarajh 2019: contextual embedding spaces are anisotropic —
+    random-pair cosine far above 0): a mean-cosine near 0 says the
+    space is usable as-is for cosine thresholds; a high floor says
+    every similarity threshold downstream (SemDeDup, near-dup cosine)
+    is sitting on a biased scale and needs centering first.
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the pairing is pure salted md5 (bucket AND in-bucket
+    rank order), so both engines form the IDENTICAL pair set; each
+    pair's cosine is the deterministic fold (functions.cosine ≡ the
+    oracle's list_reduce twin — the dedup_embedding_cosine contract);
+    bins are floor(cos·10) clamped to [−10, 9] on bit-identical
+    doubles; the mean accumulates micro-quantized longs. Odd vectors
+    out (the last rank in an odd-sized bucket) simply don't pair.
+
+    Scale shape: ONE hash-partitioned window (partitioned by the
+    md5 bucket — ``n_buckets`` is the explicit partition-size knob:
+    raise it with corpus size so a bucket stays executor-sized, the
+    documented contract), one co-keyed self-join on (bucket, pair),
+    one map-side-combined 21-bin histogram. Nothing all-pairs,
+    nothing broadcast, nothing collected. Returns one row per
+    occupied bin: (bin, bin_lo, n_pairs, n_pairs_total, mean_cosine),
+    bin-ordered.
+    """
+    from etl_developstoday_test_spark.functions import cosine, md5_long
+
+    if n_buckets < 1:
+        raise ValueError("pair_cosine_profile: n_buckets must be >= 1")
+    h = md5_long(F.concat(F.lit("pc#"), F.col(id_col).cast("string")))
+    ranked = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        (h % n_buckets).alias("_b"),
+        h.alias("_h"),
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_b").orderBy("_h", "_id")
+        ),
+    ).select(
+        "_b",
+        F.expr("(_rn - 1) div 2").alias("_pid"),
+        (F.col("_rn") % 2).alias("_side"),
+        "_v",
+    )
+    left = ranked.filter(F.col("_side") == 1).select(
+        "_b", "_pid", F.col("_v").alias("_va")
+    )
+    right = ranked.filter(F.col("_side") == 0).select(
+        "_b", "_pid", F.col("_v").alias("_vb")
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    scored = (
+        left.join(right, ["_b", "_pid"])
+        .select(
+            F.least(
+                F.lit(9), F.greatest(F.lit(-10), F.floor(cos * 10))
+            )
+            .cast("long")
+            .alias("bin"),
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_cq"),
+        )
+    )
+    hist = (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_cq").alias("_s"),
+        )
+        .localCheckpoint(eager=True)  # bounded: 21 bins
+    )
+    audit = hist.agg(
+        F.sum("n_pairs").cast("long").alias("n_pairs_total"),
+        F.round(
+            F.sum("_s").cast("double")
+            / F.lit(1e6)
+            / F.sum("n_pairs").cast("double"),
+            6,
+        ).alias("mean_cosine"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select(
+            "bin",
+            F.round(F.col("bin").cast("double") / 10.0, 6).alias("bin_lo"),
+            "n_pairs",
+            "n_pairs_total",
+            "mean_cosine",
+        )
+        .orderBy("bin")
+    )

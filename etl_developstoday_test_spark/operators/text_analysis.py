@@ -1991,3 +1991,43 @@ def term_burstiness(
         .orderBy(F.desc("burstiness"), F.desc("cf"), F.asc("token"))
         .limit(k)
     )
+
+
+def length_percentiles_by_source(
+    docs: DataFrame, len_col: str = "n_chars", group_col: str = "source"
+) -> DataFrame:
+    """Per-source document-LENGTH tail card: p50 / p90 / p99 / max of
+    the length column — the number every context-window, packing, and
+    chunking decision is budgeted against (mean length is useless for
+    that: one 1 MB page in a tweet feed moves the mean and not the
+    p50, and it is exactly the p99/max that OOMs a fixed-size batch).
+    The per-SOURCE split matters because length regimes differ by
+    origin — a global percentile hides the one feed that ships books.
+
+    STAGED for round-14 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the SQL-standard interpolated percentile over exact
+    integers (Spark ``percentile`` ≡ DuckDB ``quantile_cont``:
+    lo + (hi − lo)·q — the MAD-card precedent), 6-dp rounded; counts
+    and max are exact longs; NULL/NaN lengths excluded.
+
+    Scale shape: ONE map-side-combined groupBy per source — Spark's
+    percentile aggregate buffers per (group, distinct value), bounded
+    by the length DOMAIN per source, not the row count. Returns one
+    row per source: (source, n_docs, p50, p90, p99, max_len),
+    source-ordered.
+    """
+    v = F.col(len_col).cast("double")
+    return (
+        docs.filter(v.isNotNull() & ~F.isnan(v))
+        .groupBy(F.col(group_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.expr(f"percentile({len_col}, 0.5)"), 6).alias("p50"),
+            F.round(F.expr(f"percentile({len_col}, 0.9)"), 6).alias("p90"),
+            F.round(F.expr(f"percentile({len_col}, 0.99)"), 6).alias("p99"),
+            F.max(F.col(len_col)).cast("long").alias("max_len"),
+        )
+        .orderBy("source")
+    )

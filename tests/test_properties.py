@@ -3112,3 +3112,67 @@ def test_partition_balance_profile_spine_and_null_bucket(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         partition_balance_profile(df, "k", 1)
+
+
+def test_dau_wau_window_semantics(spark):
+    """Hand fixture: a user active only on day 0 supports WAU for days
+    0..6 and nothing after; only observed days report."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        dau_wau_stickiness,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0),
+        ("u2", t0),
+        ("u2", t0 + dt.timedelta(days=8)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = [tuple(r) for r in dau_wau_stickiness(ev).collect()]
+    d0, d8 = t0.date(), (t0 + dt.timedelta(days=8)).date()
+    # day 0: both active; day 8: only u2, and u1's day-0 activity has
+    # aged out of the trailing window (covers days 0..6 only)
+    assert out == [(d0, 2, 2, 1.0), (d8, 1, 1, 1.0)]
+
+
+def test_length_percentiles_interpolation(spark):
+    """Hand fixture: SQL-standard interpolated percentiles on 1..5
+    (p50 = 3 exactly, p90 = 4.6, p99 = 4.96); NULL lengths excluded."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        length_percentiles_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [("s", 1), ("s", 2), ("s", 3), ("s", 4), ("s", 5), ("s", None)],
+        "source string, n_chars long",
+    )
+    out = [tuple(r) for r in length_percentiles_by_source(docs).collect()]
+    assert out == [("s", 5, 3.0, 4.6, 4.96, 5)]
+
+
+def test_pair_cosine_profile_identical_vectors(spark):
+    """On a corpus where every vector is identical, every formed pair
+    has cosine exactly 1.0 regardless of the md5 pairing: one bin (9),
+    mean 1.0, and the pair count is n//2 minus at most one
+    odd-one-out per occupied bucket."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.similarity import (
+        pair_cosine_profile,
+    )
+
+    n = 40
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = [tuple(r) for r in pair_cosine_profile(emb, n_buckets=4).collect()]
+    assert len(out) == 1
+    bin_, bin_lo, n_pairs, tot, mean = out[0]
+    assert (bin_, bin_lo, mean) == (9, 0.9, 1.0)
+    assert n_pairs == tot
+    assert n // 2 - 4 <= tot <= n // 2
+    with pytest.raises(ValueError, match="n_buckets"):
+        pair_cosine_profile(emb, n_buckets=0)

@@ -2744,3 +2744,158 @@ def test_partition_balance_matches_oracle(spark, docstar_con):
     assert len(srows) == 32  # full spine, no NULL sources in testdata
     assert sum(r[1] for r in srows) == docs.count()
     assert srows[0][2] > 1.0  # a low-cardinality key cannot be balanced
+
+
+DAU_WAU_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY d),
+cover AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+              CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+           AS DATE) AS d
+  FROM pairs
+),
+wau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS wau FROM cover GROUP BY d)
+SELECT dau.d, dau, wau,
+       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+ORDER BY dau.d
+"""
+
+
+def test_dau_wau_stickiness_matches_oracle(spark, ev_con):
+    """STAGED r14: DAU / trailing-7-day-WAU stickiness series —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        dau_wau_stickiness,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in dau_wau_stickiness(ev).collect()]
+    drows = con.execute(DAU_WAU_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 30  # one row per observed day
+    assert all(0.0 < r[3] <= 1.0 and r[1] <= r[2] for r in srows)
+
+
+LENGTH_PCT_ORACLE = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       CAST(MAX(n_chars) AS BIGINT) AS max_len
+FROM documents
+WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+GROUP BY source ORDER BY source
+"""
+
+
+def test_length_percentiles_matches_oracle(spark, docstar_con):
+    """STAGED r14: per-source document-length tail card (interpolated
+    p50/p90/p99 + max) — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        length_percentiles_by_source,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [
+        tuple(r) for r in length_percentiles_by_source(docs).collect()
+    ]
+    drows = con.execute(LENGTH_PCT_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    for _s, n, p50, p90, p99, mx in srows:
+        assert n > 0 and p50 <= p90 <= p99 <= mx
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _cosine as _cosine_sql,
+)
+
+
+@pytest.fixture(
+    scope="module",
+    params=[SF_DIR, SF_DIR_ORACLE],
+    ids=["sf0.001", "sf0.01"],
+)
+def emb_con(request):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{request.param}/embeddings.parquet'"
+    )
+    yield request.param, c
+    c.close()
+
+
+PAIR_COSINE_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(concat('0x', substr(md5('pc#' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM embeddings
+),
+ranked AS (
+  SELECT (h % 64) AS b,
+         ((ROW_NUMBER() OVER (PARTITION BY (h % 64) ORDER BY h, vec_id)) - 1) // 2 AS pid,
+         (ROW_NUMBER() OVER (PARTITION BY (h % 64) ORDER BY h, vec_id)) % 2 AS side,
+         v
+  FROM base
+),
+pairs AS (
+  SELECT l.v AS va, r.v AS vb
+  FROM ranked l JOIN ranked r
+    ON l.b = r.b AND l.pid = r.pid AND l.side = 1 AND r.side = 0
+),
+scored AS (
+  SELECT LEAST(9, GREATEST(-10,
+           CAST(floor({_cosine_sql('va', 'vb')} * 10) AS BIGINT))) AS bin,
+         CAST(floor({_cosine_sql('va', 'vb')} * 1e6 + 0.5) AS BIGINT) AS cq
+  FROM pairs
+),
+hist AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(cq) AS BIGINT) AS s
+  FROM scored GROUP BY bin
+),
+audit AS (
+  SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot,
+         round(CAST(SUM(s) AS DOUBLE) / 1e6 / CAST(SUM(n_pairs) AS DOUBLE), 6) AS mc
+  FROM hist
+)
+SELECT bin, round(CAST(bin AS DOUBLE) / 10.0, 6) AS bin_lo, n_pairs,
+       audit.tot AS n_pairs_total, audit.mc AS mean_cosine
+FROM hist CROSS JOIN audit ORDER BY bin
+"""
+
+
+def test_pair_cosine_profile_matches_oracle(spark, emb_con):
+    """STAGED r14: deterministic random-pair cosine histogram + mean
+    (the anisotropy EVIDENCE card) — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        pair_cosine_profile,
+    )
+
+    sf_dir, con = emb_con
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srows = [
+        tuple(r) for r in pair_cosine_profile(emb, n_buckets=64).collect()
+    ]
+    drows = con.execute(PAIR_COSINE_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    n = emb.count()
+    tot = srows[0][3]
+    # every vector pairs at most once; at most one odd-one-out per bucket
+    assert n // 2 - 64 <= tot <= n // 2
+    assert all(-10 <= r[0] <= 9 for r in srows)
+    # the synthetic embeddings are ~isotropic: the mean sits near 0
+    assert abs(srows[0][4]) < 0.2
