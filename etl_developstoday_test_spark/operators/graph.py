@@ -1917,12 +1917,20 @@ def degree_gini_centralization(edges: DataFrame) -> DataFrame:
     blocks = mult.withColumn(
         "s", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
     )
-    term = (
-        F.col("d").cast("double")
-        * (F.col("m") * F.col("s") + F.expr("m * (m + 1) div 2")).cast(
-            "double"
-        )
-    ).cast("decimal(38,6)")
+    # r13 ADVICE: the block term must NOT round-trip through double —
+    # d·(m·s + m(m+1)/2) exceeds 2^53 at the advertised 100-TB posture
+    # (n ~ 1e9 ⇒ m·s ~ 1e18, d·block ~ 1e27) and would silently lose
+    # exactness. m, s, d are exact longs; multiply in decimal so every
+    # intermediate stays exact (scale-0 decimals cap at precision 38 ≈
+    # 1e38 ≫ the n³ worst case), and only the FINAL Gini division
+    # drops to double.
+    m_dec = F.col("m").cast("decimal(19,0)")
+    s_dec = F.col("s").cast("decimal(19,0)")
+    block = m_dec * s_dec + (
+        m_dec * (m_dec + F.lit(1).cast("decimal(19,0)"))
+        / F.lit(2).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    term = (F.col("d").cast("decimal(19,0)") * block).cast("decimal(38,0)")
     agg = blocks.agg(
         F.sum("m").cast("long").alias("n_nodes"),
         F.sum(F.col("d") * F.col("m")).cast("long").alias("_sum_d"),

@@ -1731,7 +1731,9 @@ def pair_cosine_profile(
     md5 bucket — ``n_buckets`` is the explicit partition-size knob:
     raise it with corpus size so a bucket stays executor-sized, the
     documented contract), one co-keyed self-join on (bucket, pair),
-    one map-side-combined 21-bin histogram. Nothing all-pairs,
+    one map-side-combined 20-bin histogram (bins floor(cos·10)
+    clamped to [−10, 9]: cos = 1.0 folds into the top bin 9 — r13
+    ADVICE, the docstring previously said 21). Nothing all-pairs,
     nothing broadcast, nothing collected. Returns one row per
     occupied bin: (bin, bin_lo, n_pairs, n_pairs_total, mean_cosine),
     bin-ordered.

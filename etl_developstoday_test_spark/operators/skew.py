@@ -262,6 +262,18 @@ def partition_balance_profile(
     bounded bucket table, variance through the decimal summator,
     6-dp rounded.
 
+    CONTRACT NOTE (r13 ADVICE): when NULL keys exist, the −1 row
+    participates in the balance moments as an EXTRA reducer — the
+    statistics then describe ``n_buckets``+1 loads, a deliberately
+    conservative forecast. Real Spark folds NULLs into one of the
+    ``n_buckets`` hash partitions, so the true straggler factor on a
+    NULL-bearing key is ≥ the figure reported here only when the
+    NULL mass would have landed on the already-max bucket; the −1
+    row's own n_rows quantifies the NULL mass so a capacity review
+    can re-add it to any bucket by hand. On NULL-free keys (the
+    registered documents.source card) the statistics are exactly the
+    ``n_buckets``-reducer forecast.
+
     Scale shape: one narrow map + ONE map-side-combined groupBy into
     an ``n_buckets``-bounded table, joined onto the full 0..n−1 bucket
     spine so EMPTY buckets count as zero-load reducers (the straggler

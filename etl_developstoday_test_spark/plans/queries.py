@@ -10434,6 +10434,9 @@ def _coactivity_edges(
     return ev, edges
 
 
+# ORACLE CONTRACT NOTE (r13 ADVICE): the `ints` h-index search space
+# below is capped at t <= 4000 — see the full note above
+# KCORE_CAPPED_ORACLE_SQL, which shares this replay convention.
 @_register(
     "graph_kcore_decomposition",
     f"""
@@ -16115,6 +16118,16 @@ def graph_adamic_adar_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_link_prediction_sampled(edges, sample_mod=2)
 
 
+# ORACLE CONTRACT NOTE (r13 ADVICE, applies to THIS oracle and the
+# graph_kcore_decomposition oracle above, which share the convention):
+# the h-index search space `ints` is capped at t <= 4000, i.e. the
+# replay assumes max vertex degree <= 4000 in the lock-scale
+# co-activity graph (actual sf0.01 max degree is ~2 orders of
+# magnitude below; tests/test_staged_oracles.py asserts real values).
+# A lock fixture whose degree exceeded 4000 would make the ORACLE
+# under-report h-indices while the engine stays exact — if a future
+# lock scale approaches the cap, raise the range bound (it is a
+# DuckDB-replay artifact only; the engine has no such cap).
 KCORE_CAPPED_ORACLE_SQL = f"""
 WITH RECURSIVE {_COACT_SQL},
 sym AS (

@@ -2538,9 +2538,10 @@ agg AS (
   SELECT CAST(SUM(m) AS BIGINT) AS n_nodes,
          CAST(SUM(d * m) AS BIGINT) AS sum_d,
          CAST(MAX(d) AS BIGINT) AS max_degree,
-         SUM(CAST(CAST(d AS DOUBLE)
-             * CAST(m * s + m * (m + 1) // 2 AS DOUBLE)
-             AS DECIMAL(38,6))) AS srank
+         SUM(CAST(d AS HUGEINT)
+             * (CAST(m AS HUGEINT) * CAST(s AS HUGEINT)
+                + CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1) // 2))
+           AS srank
   FROM blocks
 )
 SELECT n_nodes, CAST(sum_d // 2 AS BIGINT) AS n_edges, max_degree,
