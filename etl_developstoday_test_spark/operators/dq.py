@@ -255,8 +255,8 @@ def fk_fanout_profile(
     (do children point at real parents), uniqueness (is the parent
     key a key), THIS (how hard does the relationship fan).
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: pure exact integers (per-parent counts via ONE
     map-side-combined child groupBy, LEFT-joined onto parents so

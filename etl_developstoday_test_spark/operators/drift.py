@@ -1142,8 +1142,8 @@ def page_hinkley_daily(
     legs: CUSUM (known-target shift), autocorrelation (momentum),
     DOW ANOVA (weekly cycle), MAD card (volume, not value).
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: daily means are the shared micro-quantized
     long sums (floor(v·1e6 + 0.5) over exact day counts); each day's
@@ -1231,8 +1231,8 @@ def cusum_changepoints_twosided(
     min_{j≤i} P_j)), and reports alarms from EITHER side with a
     ``side`` column.
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: identical to the one-sided operator — exact decimal
     prefix accumulation for both deviation series (the downward series

@@ -661,8 +661,8 @@ def conversion_lag_card(
     attribution-window choice must be calibrated against: a 30-minute
     attribution pad is indefensible if the median lag is 2 days).
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism contract: first-exposure and first-conversion
     timestamps are exact MIN/microsecond longs; the lag is integer
@@ -754,8 +754,8 @@ def dau_wau_stickiness(events: DataFrame) -> DataFrame:
     spike with flat stickiness = new users or a double-fire; rising
     stickiness = genuine habit shift).
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: pure exact integers (distinct (user, day) activity
     pairs; WAU(d) = distinct users active in [d−6, d]) until one 6-dp

@@ -1886,8 +1886,8 @@ def degree_gini_centralization(edges: DataFrame) -> DataFrame:
     versa). The strategy-selector companion for the wedge family:
     high centralization means the capped/sampled twins are mandatory.
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism & scale shape: degrees are exact counts over the
     symmetrized edge list; the Gini uses the repo's rank-block closed

@@ -1121,8 +1121,8 @@ def proportion_wilson_ci(
     continuous-mean CI — together they put honest error bars on both
     card types a corpus review quotes.
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: n and k are exact counts (NULL flags excluded — an
     unknown can neither satisfy nor fail the predicate); p̂, the

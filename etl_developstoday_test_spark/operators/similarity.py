@@ -1716,8 +1716,8 @@ def pair_cosine_profile(
     every similarity threshold downstream (SemDeDup, near-dup cosine)
     is sitting on a biased scale and needs centering first.
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: the pairing is pure salted md5 (bucket AND in-bucket
     rank order), so both engines form the IDENTICAL pair set; each

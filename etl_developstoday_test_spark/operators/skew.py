@@ -247,8 +247,8 @@ def partition_balance_profile(
     share yet hash badly (few distinct keys), and this card is the
     direct answer to "can I repartition/bucket BY this column".
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: the bucket is salted-md5 % n_buckets (the repo's
     engine-portable hash — Spark's own `hash()` is

@@ -1948,8 +1948,8 @@ def term_burstiness(
     this says WHICH TERMS drive it — the dedup shingle salt and
     stopword lists are tuned off exactly this table).
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: cf is an exact count, df an exact COUNT(DISTINCT
     doc) (two-phase partial aggregation — never a global window);
@@ -2004,8 +2004,8 @@ def length_percentiles_by_source(
     The per-SOURCE split matters because length regimes differ by
     origin — a global percentile hides the one feed that ships books.
 
-    STAGED for round-14 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered round 14 (staged r13; oracle two-scale-locked in
+    tests/test_staged_oracles.py BEFORE registration).
 
     Determinism: the SQL-standard interpolated percentile over exact
     integers (Spark ``percentile`` ≡ DuckDB ``quantile_cont``:

@@ -16207,3 +16207,619 @@ def graph_kcore_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst="ub",
         rounds=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 registrations (staged + two-scale value-locked in round 13;
+# the locks in tests/test_staged_oracles.py import these oracle strings
+# — lock and registration are one artifact).
+
+CONVERSION_LAG_ORACLE_SQL = """
+WITH starts AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts) - s.t0) AS lag_us
+  FROM events e JOIN starts s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+  GROUP BY e.user_id
+),
+hist AS (
+  SELECT CAST((lag_us // 1000000) // 21600 AS BIGINT) AS lag_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM conv GROUP BY 1
+),
+audit AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM starts) AS n_started,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted
+)
+SELECT lag_bucket, CAST(lag_bucket * 6 AS BIGINT) AS lag_lo_hours,
+       n_users, n_started, n_converted,
+       round(CAST(n_converted AS DOUBLE) / CAST(n_started AS DOUBLE), 6)
+         AS conversion_rate
+FROM hist CROSS JOIN audit ORDER BY lag_bucket
+"""
+
+
+@_register("events_conversion_lag", CONVERSION_LAG_ORACLE_SQL)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-exposure → first-purchase conversion-lag histogram
+    (operators/events_etl.conversion_lag_card): 6-hour lag buckets
+    over each user's min(view/click) → min(subsequent purchase) gap,
+    with the started/converted conversion-rate audit riding every
+    row. The HOW-LONG companion to the ordered funnel's WHO, and the
+    number an attribution-window choice (join_interval_attribution's
+    30-minute pad) must be calibrated against. Every stage is
+    co-keyed on user_id (two map-side-combined min-aggregations and
+    one equi-join), lags are exact integer micros and bucket ids are
+    integer division — the only double is the final 6-dp rate.
+    Purchase-before-any-exposure users start but never convert
+    (property-pinned)."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        conversion_lag_card,
+    )
+
+    return conversion_lag_card(load_table(spark, sf_dir, "events"))
+
+
+PAGE_HINKLEY_ORACLE_SQL = r"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+seq AS (
+  SELECT d,
+         CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS x,
+         CAST(SUM(s) OVER w AS DOUBLE) / 1e6
+           / CAST(SUM(n) OVER w AS DOUBLE) AS rm
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tq AS (
+  SELECT d, x, CAST(round((x - rm - 0.005) * 1e9) AS BIGINT) AS tq FROM seq
+),
+m AS (
+  SELECT d, x, CAST(SUM(tq) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mt
+  FROM tq
+),
+ph AS (
+  SELECT d, x, mt,
+         mt - LEAST(MIN(mt) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           CAST(0 AS BIGINT)) AS phq
+  FROM m
+)
+SELECT d, round(x, 6) AS mean_daily,
+       round(CAST(mt AS DOUBLE) / 1e9, 6) AS m_t,
+       round(CAST(phq AS DOUBLE) / 1e9, 6) AS ph_stat,
+       CAST(phq AS DOUBLE) / 1e9 > 0.05 AS is_alarm
+FROM ph ORDER BY d
+"""
+
+
+@_register("drift_page_hinkley", PAGE_HINKLEY_ORACLE_SQL)
+def drift_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley running-mean level-shift detector over the daily
+    mean value series (operators/drift.page_hinkley_daily; Page 1954,
+    the Gama et al. streaming-drift formulation; delta 0.005, lambda
+    0.05): the SELF-REFERENCING change leg of the drift kit — CUSUM
+    needs a blessed target level, PH tests each day against the
+    running mean of everything seen so far, so it needs no baseline
+    config at all. The corpus collapses to the bounded days table in
+    ONE map-side-combined aggregation (micro-quantized long sums);
+    the running mean, the deviation prefix M_t, and the PH statistic
+    M_t − min(0, min M) are nano-quantized LONG prefix arithmetic
+    over that bounded table — one sort, three frame windows, zero
+    double accumulation until the final 6-dp rendering. Constant
+    series pins ph = 0 exactly; a level jump alarms only post-jump
+    (property-pinned)."""
+    from etl_developstoday_test_spark.operators.drift import (
+        page_hinkley_daily,
+    )
+
+    return page_hinkley_daily(load_table(spark, sf_dir, "events"), "value")
+
+
+CUSUM_TWOSIDED_ORACLE_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS ord,
+         round({_davg("value")}, 6) AS value
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT grp, ord, value,
+         SUM(CAST(value AS DECIMAL(30,10))
+             - CAST(50.0 AS DECIMAL(30,10))
+             - CAST(1.0 AS DECIMAL(30,10)))
+           OVER (PARTITION BY grp ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+         SUM(CAST(50.0 AS DECIMAL(30,10))
+             - CAST(value AS DECIMAL(30,10))
+             - CAST(1.0 AS DECIMAL(30,10)))
+           OVER (PARTITION BY grp ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+  FROM daily
+),
+mins AS (
+  SELECT grp, ord, value, pu, pd,
+         MIN(pu) OVER (PARTITION BY grp ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu,
+         MIN(pd) OVER (PARTITION BY grp ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS md
+  FROM pre
+),
+s AS (
+  SELECT grp, ord, value,
+         CAST(CAST(CASE WHEN mu < CAST(0 AS DECIMAL(38,10))
+                        THEN pu - mu ELSE pu END AS VARCHAR) AS DOUBLE)
+           AS su,
+         CAST(CAST(CASE WHEN md < CAST(0 AS DECIMAL(38,10))
+                        THEN pd - md ELSE pd END AS VARCHAR) AS DOUBLE)
+           AS sd
+  FROM mins
+)
+SELECT grp, ord, value, side, cusum FROM (
+  SELECT grp, ord, value, 'up' AS side, su AS cusum FROM s
+  UNION ALL
+  SELECT grp, ord, value, 'down' AS side, sd AS cusum FROM s
+) WHERE cusum > 15.0
+ORDER BY grp, ord, side
+"""
+
+
+@_register("drift_cusum_twosided", CUSUM_TWOSIDED_ORACLE_SQL)
+def drift_cusum_twosided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection on the daily mean value
+    per event_type (operators/drift.cusum_changepoints_twosided;
+    target 50, slack 1, threshold 15): the registered up-only
+    detector (drift_cusum_daily_level) is blind to a metric that
+    silently HALVES — the commonest producer failure — so this runs
+    the up AND down recurrences via their closed forms
+    S = P − min(0, min P) from ONE shuffle/sort (four frame
+    aggregates over the same window; side emission is a codegen
+    array filter+explode, no union, no second scan of the series).
+    Same exact-decimal prefix discipline as the one-sided detector
+    (6-dp-quantized daily means, DECIMAL(30,10) prefixes, VARCHAR-hop
+    rendering); the up side is property-pinned IDENTICAL to the
+    registered one-sided operator, and negating values+target swaps
+    the sides with identical statistics (mirror property). Output is
+    the side-labeled alarm set only."""
+    from etl_developstoday_test_spark.operators.drift import (
+        cusum_changepoints_twosided,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.round(davg("value"), 6).alias("daily_mean"))
+    return cusum_changepoints_twosided(
+        daily,
+        "daily_mean",
+        "day",
+        "event_type",
+        target=50.0,
+        slack=1.0,
+        threshold=15.0,
+    )
+
+
+TERM_BURSTINESS_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+),
+pd AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+pt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cf,
+              CAST(COUNT(*) AS BIGINT) AS df
+       FROM pd GROUP BY token)
+SELECT token, cf, df,
+       round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
+FROM pt WHERE df >= 5
+ORDER BY burstiness DESC, cf DESC, token ASC LIMIT 20
+"""
+
+
+@_register("text_term_burstiness", TERM_BURSTINESS_ORACLE_SQL)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church & Gale (1995) term burstiness cf/df — mean occurrences
+    per CONTAINING document (operators/text_analysis.term_burstiness;
+    df >= 5, top 20 by burstiness with total tiebreak): the
+    TERM-level read of template floods. Doc-level repetition
+    (text_repetition_profile) says which DOCS repeat; this says which
+    TERMS drive it — a burstiness far above the corpus mean marks
+    boilerplate n-gram sources a dedup pass should shingle on. ONE
+    explode collapses immediately to the (token, doc) incidence table
+    via a map-side-combined count, then a vocabulary-bounded rollup;
+    cf and df are exact longs, the ratio is the only double.
+    Every returned row satisfies cf >= df >= 5 and burstiness >= 1
+    (property-pinned)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        term_burstiness,
+    )
+
+    return term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+DEGREE_GINI_ORACLE_SQL = f"""
+WITH {_COACT_SQL},
+sym AS (SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+mult AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS m FROM deg GROUP BY d),
+blocks AS (
+  SELECT d, m,
+         CAST(COALESCE(SUM(m) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM mult
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * m) AS BIGINT) AS sum_d,
+         CAST(MAX(d) AS BIGINT) AS max_degree,
+         SUM(CAST(d AS HUGEINT)
+             * (CAST(m AS HUGEINT) * CAST(s AS HUGEINT)
+                + CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1) // 2))
+           AS srank
+  FROM blocks
+)
+SELECT n_nodes, CAST(sum_d // 2 AS BIGINT) AS n_edges, max_degree,
+       round(2.0 * CAST(srank AS DOUBLE)
+               / (CAST(n_nodes AS DOUBLE) * CAST(sum_d AS DOUBLE))
+             - (CAST(n_nodes AS DOUBLE) + 1.0) / CAST(n_nodes AS DOUBLE),
+             6) AS degree_gini,
+       CASE WHEN n_nodes >= 3 THEN
+         round(CAST(n_nodes * max_degree - sum_d AS DOUBLE)
+               / ((CAST(n_nodes AS DOUBLE) - 1.0)
+                  * (CAST(n_nodes AS DOUBLE) - 2.0)), 6)
+       END AS centralization
+FROM agg
+"""
+
+
+@_register("graph_degree_gini", DEGREE_GINI_ORACLE_SQL)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact degree Gini + Freeman (1979) degree centralization over
+    the SHARED co-activity graph (operators/graph.
+    degree_gini_centralization): how much of the wiring the head
+    OWNS, beside graph_degree_powerlaw's how-the-tail-DECAYS — the
+    wedge-family strategy selector's second axis (a high-Gini graph
+    is exactly where the exact wedge operators need their sampled
+    twins). The Gini uses the rank-block closed form over the
+    degree-DOMAIN-bounded histogram — ONE vertex-sized groupBy
+    collapses to degree multiplicities, each equal-degree block of m
+    nodes spanning ranks (s, s+m] contributes d·(m·s + m(m+1)/2) in
+    EXACT decimal arithmetic (r13 ADVICE: the block term exceeds 2^53
+    at the 100-TB posture, so no double round-trip; the oracle runs
+    the same product in HUGEINT), so the only window runs over the
+    bounded histogram. Centralization is pure exact integers
+    (n·d_max − Σd) until one 6-dp division, NULL below n = 3 (Freeman
+    has no star to normalize against). Star pins centralization = 1;
+    property-locked against the textbook sorted-degree formulas."""
+    from etl_developstoday_test_spark.operators.graph import (
+        degree_gini_centralization,
+    )
+
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    return degree_gini_centralization(edges)
+
+
+FK_FANOUT_ORACLE_SQL = """
+WITH counts AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+pp AS (
+  SELECT CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM orders o LEFT JOIN counts c ON c.k = o.o_orderkey
+),
+hist AS (
+  SELECT c AS fanout, CAST(COUNT(*) AS BIGINT) AS n_parents
+  FROM pp GROUP BY c
+),
+audit AS (
+  SELECT CAST(SUM(n_parents) AS BIGINT) AS n_parents_total,
+         CAST(SUM(fanout * n_parents) AS BIGINT) AS n_children_total
+  FROM hist
+)
+SELECT fanout, n_parents, n_parents_total, n_children_total,
+       round(CAST(n_children_total AS DOUBLE)
+             / CAST(n_parents_total AS DOUBLE), 6) AS mean_fanout
+FROM hist CROSS JOIN audit ORDER BY fanout
+"""
+
+
+@_register("dq_fk_fanout", FK_FANOUT_ORACLE_SQL)
+def dq_fk_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential fan-out profile orders → lineitem (operators/dq.
+    fk_fanout_profile): the children-per-parent histogram with
+    zero-child parents COUNTED (a left join from the parent spine, so
+    childless orders land in the fanout=0 bucket — TPC-H-ish data has
+    them, property-pinned). The quantitative fourth leg of the
+    relational-dq kit: orphans = cross-table reference, uniqueness =
+    key identity, FD = determination, THIS = join sizing — the
+    histogram's tail decides whether the equi-join needs salting at
+    100 TB. Children collapse map-side to per-key counts BEFORE the
+    parent join (the join moves one row per key, never per child);
+    the histogram rollup is fanout-domain-bounded; everything is
+    exact longs until the final 6-dp mean. NULL-FK children are
+    excluded — the orphan audit's jurisdiction (property-pinned)."""
+    from etl_developstoday_test_spark.operators.dq import fk_fanout_profile
+
+    return fk_fanout_profile(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
+WILSON_CI_ORACLE_SQL = """
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+           AS BIGINT) AS k
+  FROM events WHERE event_type IS NOT NULL
+)
+SELECT n AS n_rows, k AS n_true,
+  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))
+        - (1.959964 * sqrt(
+            (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)
+            + (1.959964 * 1.959964)
+              / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))))
+          / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+         + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE)))
+        / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))
+        + (1.959964 * sqrt(
+            (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE)
+            + (1.959964 * 1.959964)
+              / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))))
+          / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM c
+"""
+
+
+@_register("sample_wilson_ci", WILSON_CI_ORACLE_SQL)
+def sample_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the purchase share of events
+    (operators/sampling.proportion_wilson_ci; Wilson 1927, the
+    Brown–Cai–DasGupta 2001 recommendation over Wald, whose coverage
+    collapses near 0/1 — exactly where dq shares live): the
+    categorical companion to sample_half_sample_ci's mean interval.
+    The corpus collapses in ONE map-side-combined aggregate to the
+    exact (n, k) pair; the interval is a fixed-order double tree over
+    those two longs with z = 1.959964 baked as the same literal in
+    both plans — nothing resampled, nothing broadcast, nothing
+    collected except the 1-row card. 0 <= ci_lo < p_hat < ci_hi <= 1
+    on non-degenerate shares (property-pinned, degenerate k = 0 and
+    k = n covered)."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        proportion_wilson_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return proportion_wilson_ci(
+        ev.select((F.col("event_type") == "purchase").alias("f")), "f"
+    )
+
+
+PARTITION_BALANCE_ORACLE_SQL = """
+WITH occupied AS (
+  SELECT CASE WHEN source IS NULL THEN CAST(-1 AS BIGINT)
+              ELSE CAST(concat('0x', substr(md5('pb#' || CAST(source AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+         END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS bucket),
+hist AS (
+  SELECT COALESCE(spine.bucket, occupied.bucket) AS bucket,
+         CAST(COALESCE(n, 0) AS BIGINT) AS n_rows
+  FROM spine FULL OUTER JOIN occupied ON occupied.bucket = spine.bucket
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_rows) AS BIGINT) AS t,
+         CAST(MAX(n_rows) AS BIGINT) AS mx,
+         SUM(CAST(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+             AS DECIMAL(30,10))) AS s2
+  FROM hist
+),
+audit AS (
+  SELECT round(CAST(mx AS DOUBLE)
+               / (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 6)
+           AS max_over_mean,
+         round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                 - (CAST(t AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 0))
+               / (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS cov
+  FROM mom
+)
+SELECT bucket, n_rows, max_over_mean, cov
+FROM hist CROSS JOIN audit ORDER BY bucket
+"""
+
+
+@_register("skew_partition_balance", PARTITION_BALANCE_ORACLE_SQL)
+def skew_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bucket hash-balance FORECAST for documents.source
+    (operators/skew.partition_balance_profile): salted-md5 bucket
+    every row's key and report per-bucket loads over the FULL reducer
+    spine — empty buckets count as zero-load reducers (documents.
+    source has ~5 distinct values, so most of the 32 reducers idle,
+    which IS the finding: max/mean straggler factor > 1 is
+    property-pinned) — plus the max/mean straggler factor and CoV a
+    capacity review reads before "can I repartition/bucket BY this
+    column". The PHYSICAL-layout complement of skew_topk_key_share's
+    logical concentration. md5 (not Spark's Murmur3) keeps the oracle
+    replay exact — both hashes are uniform, so the balance statistics
+    transfer to the real partitioner (a documented forecast, not a
+    replay); NULL keys would get the reporting bucket −1 and count as
+    an extra conservative reducer in the moments (docstring
+    contract). ONE map-side-combined groupBy into the bucket-bounded
+    histogram; moments ride the same bounded table."""
+    from etl_developstoday_test_spark.operators.skew import (
+        partition_balance_profile,
+    )
+
+    return partition_balance_profile(
+        load_table(spark, sf_dir, "documents"), "source", 32
+    )
+
+
+DAU_WAU_ORACLE_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY d),
+cover AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+              CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+           AS DATE) AS d
+  FROM pairs
+),
+wau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS wau FROM cover GROUP BY d)
+SELECT dau.d, dau, wau,
+       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
+ORDER BY dau.d
+"""
+
+
+@_register("events_dau_wau_stickiness", DAU_WAU_ORACLE_SQL)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness series (operators/
+    events_etl.dau_wau_stickiness): the engagement-DENSITY card
+    beside the retention triangle (WHO returns) and the MAD volume
+    card (HOW MUCH arrives) — stickiness near 1 means the weekly
+    actives are all daily regulars; near 1/7 means seven disjoint
+    daily audiences. COUNT(DISTINCT) over a trailing RANGE frame is
+    not partial-aggregable, so the rolling distinct is REWRITTEN as a
+    bounded ×7 explode of the deduplicated (user, day) pair table —
+    each pair supports WAU for exactly days d..d+6 — followed by two
+    map-side-combined counts and one day-keyed join over the bounded
+    days table. Window-aging is property-pinned (a day-0 user
+    supports WAU for days 0–6 and nothing after); DAU <= WAU and
+    0 < stickiness <= 1 on every row. Output is truncated to observed
+    days only (the series a dashboard plots)."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        dau_wau_stickiness,
+    )
+
+    return dau_wau_stickiness(load_table(spark, sf_dir, "events"))
+
+
+LENGTH_PCT_ORACLE_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       CAST(MAX(n_chars) AS BIGINT) AS max_len
+FROM documents
+WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
+GROUP BY source ORDER BY source
+"""
+
+
+@_register("text_length_percentiles", LENGTH_PCT_ORACLE_SQL)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length tail card (operators/text_analysis.
+    length_percentiles_by_source): interpolated p50/p90/p99 plus max
+    n_chars per source — the context-window and packing-budget
+    numbers a mean hides (the packing_efficiency card consumes the
+    same tails). Interpolated percentile ≡ DuckDB quantile_cont (the
+    MAD-card precedent: rank arithmetic over the per-source sorted
+    column, linear interpolation between the two bracketing exact
+    values — p50=3 / p90=4.6 / p99=4.96 pinned on 1..5); one
+    shuffle/sort per source group, everything else map-side; exact
+    longs for n_docs/max, doubles only at the interpolation."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        length_percentiles_by_source,
+    )
+
+    return length_percentiles_by_source(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+PAIR_COSINE_ORACLE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(concat('0x', substr(md5('pc#' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM embeddings
+),
+ranked AS (
+  SELECT (h % 64) AS b,
+         ((ROW_NUMBER() OVER (PARTITION BY (h % 64) ORDER BY h, vec_id)) - 1) // 2 AS pid,
+         (ROW_NUMBER() OVER (PARTITION BY (h % 64) ORDER BY h, vec_id)) % 2 AS side,
+         v
+  FROM base
+),
+pairs AS (
+  SELECT l.v AS va, r.v AS vb
+  FROM ranked l JOIN ranked r
+    ON l.b = r.b AND l.pid = r.pid AND l.side = 1 AND r.side = 0
+),
+scored AS (
+  SELECT LEAST(9, GREATEST(-10,
+           CAST(floor({_cosine('va', 'vb')} * 10) AS BIGINT))) AS bin,
+         CAST(floor({_cosine('va', 'vb')} * 1e6 + 0.5) AS BIGINT) AS cq
+  FROM pairs
+),
+hist AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(cq) AS BIGINT) AS s
+  FROM scored GROUP BY bin
+),
+audit AS (
+  SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot,
+         round(CAST(SUM(s) AS DOUBLE) / 1e6 / CAST(SUM(n_pairs) AS DOUBLE), 6) AS mc
+  FROM hist
+)
+SELECT bin, round(CAST(bin AS DOUBLE) / 10.0, 6) AS bin_lo, n_pairs,
+       audit.tot AS n_pairs_total, audit.mc AS mean_cosine
+FROM hist CROSS JOIN audit ORDER BY bin
+"""
+
+
+@_register("embed_pair_cosine", PAIR_COSINE_ORACLE_SQL)
+def embed_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANDOM-PAIR cosine histogram + mean over the
+    embedding corpus (operators/similarity.pair_cosine_profile;
+    Ethayarajh 2019): the direct anisotropy EVIDENCE card beside the
+    spectral RankMe/Gram summary (embed_anisotropy_rankme) — a
+    random-pair mean-cosine far above 0 says every downstream cosine
+    threshold (SemDeDup, near-dup pruning, hard-negative mining) sits
+    on a biased scale and needs centering first. Pairing is pure
+    salted md5 (bucket AND in-bucket rank), so both engines form the
+    IDENTICAL pair set — each vector used at most once, NOTHING
+    all-pairs; 64 buckets is the explicit partition-size knob (raise
+    with corpus size so a bucket stays executor-sized). One
+    hash-partitioned window, one co-keyed self-join on (bucket, pair
+    id), one map-side-combined 20-bin histogram (bins floor(cos·10)
+    clamped to [−10, 9]; cos = 1.0 folds into bin 9 — r13 ADVICE);
+    exact fold cosine ≡ the oracle's list_reduce twin; the mean
+    accumulates micro-quantized longs. The synthetic corpus reads
+    mean ≈ 0 (isotropic) — itself the finding the card surfaces;
+    identical-vector fixtures pin one bin at cosine exactly 1
+    (property-pinned)."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        pair_cosine_profile,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pair_cosine_profile(emb, n_buckets=64)

@@ -532,6 +532,13 @@ _GLOBAL_WINDOW_OK = {
     # bounded by the count DOMAIN (max events per user), not the
     # user count — the closed-form rank-block construction
     "events_user_gini",
+    # same rank-block construction over the DEGREE-domain histogram
+    # (checkpointed, degree-domain-bounded — never vertex-sized)
+    "graph_degree_gini",
+    # Page–Hinkley's running-mean/prefix/min windows run over the
+    # calendar-days table (bounded by the time span, not the corpus;
+    # the corpus collapses map-side before any window)
+    "drift_page_hinkley",
 }
 
 

@@ -739,7 +739,7 @@ def test_ks_two_sample_matches_oracle(spark, ev_con):
     """Registered r11 (drift_ks_two_sample): exact two-sample KS between the first- and
     second-half-of-month value distributions (the psi_value_shift
     split), centi-quantized — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from pyspark.sql import functions as F
 
     from etl_developstoday_test_spark.operators.drift import ks_two_sample
@@ -785,7 +785,7 @@ def test_zipf_slope_matches_oracle(spark, sf_con):
 def test_chi2_token_label_matches_oracle(spark, sf_con):
     """Registered r11 (ml_chi2_token_label): chi-squared token-label association over the top-20
     df tokens (feature-selection / label-leak probe) — value-locked at
-    both scales BEFORE registration."""
+    both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.ml import (
         chi2_token_label,
     )
@@ -831,7 +831,7 @@ def test_two_hop_reach_matches_brute_force(spark):
 def test_two_hop_reach_coactivity_matches_oracle(spark, ev_con):
     """Registered r11 (graph_two_hop_reach): 2-hop reach over the SHARED co-activity graph — the
     exact construction the registration will use — value-locked at
-    both scales BEFORE registration."""
+    both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.graph import two_hop_reach
     from etl_developstoday_test_spark.plans.queries import (
         _coactivity_edges,
@@ -849,7 +849,7 @@ def test_ngram_novelty_matches_oracle(spark, sf_con):
     """Registered r11 (dedup_ngram_novelty): per-source 3-gram novelty of snapshot B against
     snapshot A (the dedup_snapshot_delta derivation, so the two cards
     read together) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from pyspark.sql import functions as F
 
     from etl_developstoday_test_spark.operators.text_dedup import (
@@ -999,7 +999,7 @@ def test_js_divergence_matches_oracle(spark, ev_con):
 def test_jaccard_link_prediction_matches_oracle(spark, ev_con):
     """Registered r11 (second wave): neighborhood-Jaccard link prediction over the
     SHARED co-activity graph — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.graph import (
         jaccard_link_prediction,
     )
@@ -1045,7 +1045,7 @@ def test_neyman_allocation_matches_oracle(spark, sf_con):
 def test_funnel_conversion_matches_oracle(spark, ev_con):
     """Registered r11 (second wave): ordered view→click→purchase funnel (strictly-after
     first-anchor semantics) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.events_etl import (
         funnel_conversion,
     )
@@ -1074,7 +1074,7 @@ def test_funnel_conversion_matches_oracle(spark, ev_con):
 def test_interarrival_burstiness_matches_oracle(spark, ev_con):
     """Registered r11 (third wave): per-user Goh-Barabási burstiness of
     inter-arrival gaps, worst-20 — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.events_etl import (
         interarrival_burstiness,
     )
@@ -1204,7 +1204,7 @@ def test_quality_decile_thresholds_matches_oracle(spark, sf_con):
 def test_topk_key_share_matches_oracle(spark, sf_con):
     """Registered r11 (third wave): hot-key skew profile of l_suppkey (top-20
     keys, share + cumulative head share; TakeOrderedAndProject then a
-    k-row window) — value-locked at both scales BEFORE registration."""
+    k-row window) — value-locked at both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.skew import topk_key_share
 
     sf_dir, con = sf_con
@@ -1345,7 +1345,7 @@ def test_adamic_adar_matches_oracle(spark, ev_con):
 def test_source_vocab_js_matches_oracle(spark, sf_con):
     """Registered r11 (fourth wave): pairwise Jensen-Shannon divergence between
     per-source unigram distributions (the corpus-mixture distance
-    matrix) — value-locked at both scales BEFORE registration."""
+    matrix) — value-locked at both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.text_analysis import (
         source_vocab_js,
     )
@@ -1366,7 +1366,7 @@ def test_nb_margin_auc_matches_oracle(spark, sf_con):
     margin as a confidence signal, computed scale-safe over the
     centi-quantized margin multiplicity table (shares the registered
     NB model CTEs verbatim) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.ml import nb_margin_auc
 
     sf_dir, con = sf_con
@@ -1388,7 +1388,7 @@ def test_nb_margin_auc_matches_oracle(spark, sf_con):
 def test_norm_profile_matches_oracle(spark, emb_con):
     """Registered r11 (fourth wave): per-label embedding norm profile on the exact
     integer pico scale (RMS norm, std of the squared norm, z-tail
-    counts) — value-locked at both scales BEFORE registration. The
+    counts) — value-locked at both scales BEFORE registration (r13). The
     pico construction is the point: a unit-normalized corpus has
     std(norm) ~1e-6, below any 10-dp decimal waypoint."""
     from etl_developstoday_test_spark.operators.similarity import (
@@ -1442,7 +1442,7 @@ def test_cluster_size_histogram_matches_oracle(spark, sf_con):
     over a CONSTRUCTED duplicated corpus (docs ∪ every-7th doc — the
     synthetic corpus alone has no exact dupes, and a histogram of all
     1s locks nothing) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from pyspark.sql import functions as F
 
     from etl_developstoday_test_spark.operators.text_dedup import (
@@ -1495,7 +1495,7 @@ def test_chi2_categorical_matches_oracle(spark, ev_con):
     """Registered r11 (fifth wave): chi-square homogeneity of the event-type
     mix between the first- and second-half-of-month (the drift kit's
     categorical leg) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from pyspark.sql import functions as F
 
     from etl_developstoday_test_spark.operators.drift import (
@@ -1771,7 +1771,7 @@ def test_functional_dependency_matches_oracle(spark, fd_con):
 def test_degree_powerlaw_matches_oracle(spark, ev_con):
     """Registered r12: degree histogram + CSN discrete MLE over the
     SHARED co-activity graph — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.graph import (
         degree_powerlaw_fit,
     )
@@ -1897,7 +1897,7 @@ def test_interval_bucket_join_matches_oracle(spark, ev_con):
     join, result-identical because bucket blocking is lossless (every
     point lives in exactly one bucket and every covering interval has
     a replica there) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     sf_dir, con = ev_con
     srows = [tuple(r) for r in _session_attribution(spark, sf_dir).collect()]
     drows = con.execute(IVJ_ORACLE).fetchall()
@@ -1971,7 +1971,7 @@ def test_dow_seasonality_anova_matches_oracle(spark, ev_con):
     """Registered r13: day-of-week one-way ANOVA of the daily-mean value
     series (ISO weekdays, micro-quantized daily means shared with the
     autocorrelation leg) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.drift import (
         dow_seasonality_anova,
     )
@@ -1996,7 +1996,7 @@ from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
 def test_bigram_entropy_rate_matches_oracle(spark, docstar_con):
     """Registered r13: per-language bigram entropy rate H(w2|w1) = H2 - H1
     (chain-rule plug-in, nano-quantized ln, decimal(38,0) vocab-table
-    sums) — value-locked at both scales BEFORE registration."""
+    sums) — value-locked at both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.text_analysis import (
         bigram_entropy_rate,
     )
@@ -2053,7 +2053,7 @@ from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
 def test_half_sample_ci_matches_oracle(spark, ev_con):
     """Registered r13: half-sample replication CI for the events value
     mean — 32 replicas from one md5's bits, one aggregate pass, zero
-    fan-out — value-locked at both scales BEFORE registration."""
+    fan-out — value-locked at both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.sampling import (
         half_sample_mean_ci,
     )
@@ -2265,45 +2265,21 @@ def test_kcore_capped_matches_oracle(spark, ev_con):
         )
 
 
-# --- STAGED for round 14 (the r13 window is exactly full: 3 changed +
-# 13 first-rows + 19 r6 + 15 oldest-r7 = 50) — implemented,
-# unit/property-tested, and value-locked at sf0.001 AND sf0.01 here;
-# registration next round (the oracle strings move into
-# plans/queries.py then and these locks import them — the
-# single-source-of-truth discipline).
+# --- Registered round 14 (staged + two-scale value-locked in round 13
+# while the r13 window was exactly full: 3 changed + 13 first-rows +
+# 19 r6 + 15 oldest-r7 = 50). The oracle strings now live in
+# plans/queries.py and these locks import them — lock and registration
+# are one artifact, the single-source-of-truth discipline.
 
-CONVERSION_LAG_ORACLE = """
-WITH starts AS (
-  SELECT user_id, MIN(epoch_us(ts)) AS t0
-  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id
-),
-conv AS (
-  SELECT e.user_id, MIN(epoch_us(e.ts) - s.t0) AS lag_us
-  FROM events e JOIN starts s ON s.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
-  GROUP BY e.user_id
-),
-hist AS (
-  SELECT CAST((lag_us // 1000000) // 21600 AS BIGINT) AS lag_bucket,
-         CAST(COUNT(*) AS BIGINT) AS n_users
-  FROM conv GROUP BY 1
-),
-audit AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM starts) AS n_started,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM conv) AS n_converted
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    CONVERSION_LAG_ORACLE_SQL as CONVERSION_LAG_ORACLE,
 )
-SELECT lag_bucket, CAST(lag_bucket * 6 AS BIGINT) AS lag_lo_hours,
-       n_users, n_started, n_converted,
-       round(CAST(n_converted AS DOUBLE) / CAST(n_started AS DOUBLE), 6)
-         AS conversion_rate
-FROM hist CROSS JOIN audit ORDER BY lag_bucket
-"""
 
 
 def test_conversion_lag_matches_oracle(spark, ev_con):
-    """STAGED r14: first-exposure → first-purchase lag distribution
+    """Registered r14: first-exposure → first-purchase lag distribution
     (6-hour buckets) with the conversion-rate audit — value-locked at
-    both scales BEFORE registration."""
+    both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.events_etl import (
         conversion_lag_card,
     )
@@ -2321,50 +2297,16 @@ def test_conversion_lag_matches_oracle(spark, ev_con):
     assert all(r[4] <= r[3] for r in srows)  # converted <= started
 
 
-PAGE_HINKLEY_ORACLE = r"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
-               AS BIGINT)) AS BIGINT) AS s
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-  GROUP BY 1
-),
-seq AS (
-  SELECT d,
-         CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS x,
-         CAST(SUM(s) OVER w AS DOUBLE) / 1e6
-           / CAST(SUM(n) OVER w AS DOUBLE) AS rm
-  FROM daily
-  WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-tq AS (
-  SELECT d, x, CAST(round((x - rm - 0.005) * 1e9) AS BIGINT) AS tq FROM seq
-),
-m AS (
-  SELECT d, x, CAST(SUM(tq) OVER (ORDER BY d
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mt
-  FROM tq
-),
-ph AS (
-  SELECT d, x, mt,
-         mt - LEAST(MIN(mt) OVER (ORDER BY d
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-           CAST(0 AS BIGINT)) AS phq
-  FROM m
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    PAGE_HINKLEY_ORACLE_SQL as PAGE_HINKLEY_ORACLE,
 )
-SELECT d, round(x, 6) AS mean_daily,
-       round(CAST(mt AS DOUBLE) / 1e9, 6) AS m_t,
-       round(CAST(phq AS DOUBLE) / 1e9, 6) AS ph_stat,
-       CAST(phq AS DOUBLE) / 1e9 > 0.05 AS is_alarm
-FROM ph ORDER BY d
-"""
 
 
 def test_page_hinkley_matches_oracle(spark, ev_con):
-    """STAGED r14: Page-Hinkley running-mean level-shift detector over
+    """Registered r14: Page-Hinkley running-mean level-shift detector over
     the daily-mean series (delta 0.005, lambda 0.05; nano-quantized
     deviation terms -> pure long prefix arithmetic) — value-locked at
-    both scales BEFORE registration."""
+    both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.drift import (
         page_hinkley_daily,
     )
@@ -2381,67 +2323,16 @@ def test_page_hinkley_matches_oracle(spark, ev_con):
     assert srows[0][2] == -0.005
 
 
-_CUSUM2_ORACLE_TMPL = """
-WITH daily AS (
-  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS ord,
-         round({davg}, 6) AS value
-  FROM events GROUP BY 1, 2
-),
-pre AS (
-  SELECT grp, ord, value,
-         SUM(CAST(value AS DECIMAL(30,10))
-             - CAST(50.0 AS DECIMAL(30,10))
-             - CAST(1.0 AS DECIMAL(30,10)))
-           OVER (PARTITION BY grp ORDER BY ord
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
-         SUM(CAST(50.0 AS DECIMAL(30,10))
-             - CAST(value AS DECIMAL(30,10))
-             - CAST(1.0 AS DECIMAL(30,10)))
-           OVER (PARTITION BY grp ORDER BY ord
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
-  FROM daily
-),
-mins AS (
-  SELECT grp, ord, value, pu, pd,
-         MIN(pu) OVER (PARTITION BY grp ORDER BY ord
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mu,
-         MIN(pd) OVER (PARTITION BY grp ORDER BY ord
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS md
-  FROM pre
-),
-s AS (
-  SELECT grp, ord, value,
-         CAST(CAST(CASE WHEN mu < CAST(0 AS DECIMAL(38,10))
-                        THEN pu - mu ELSE pu END AS VARCHAR) AS DOUBLE)
-           AS su,
-         CAST(CAST(CASE WHEN md < CAST(0 AS DECIMAL(38,10))
-                        THEN pd - md ELSE pd END AS VARCHAR) AS DOUBLE)
-           AS sd
-  FROM mins
-)
-SELECT grp, ord, value, side, cusum FROM (
-  SELECT grp, ord, value, 'up' AS side, su AS cusum FROM s
-  UNION ALL
-  SELECT grp, ord, value, 'down' AS side, sd AS cusum FROM s
-) WHERE cusum > 15.0
-ORDER BY grp, ord, side
-"""
-
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _davg as _davg_sql,
+    CUSUM_TWOSIDED_ORACLE_SQL as CUSUM2_ORACLE,
 )
-
-# formatted at module scope so the module-wide oracle-type gate
-# (test_staged_oracle_result_types_survive_pandas_fetch) can execute
-# it like every other *_ORACLE global
-CUSUM2_ORACLE = _CUSUM2_ORACLE_TMPL.format(davg=_davg_sql("value"))
 
 
 def test_cusum_twosided_matches_oracle(spark, ev_con):
-    """STAGED r14: two-sided CUSUM (up + down recurrences from ONE
+    """Registered r14: two-sided CUSUM (up + down recurrences from ONE
     shuffle/sort, side-labeled alarms) on the daily mean per
     event_type, target 50 / slack 1 / threshold 15 — value-locked at
-    both scales BEFORE registration. The up side must equal the
+    both scales BEFORE registration (r13). The up side must equal the
     registered one-sided detector exactly."""
     from pyspark.sql import functions as F
 
@@ -2482,27 +2373,15 @@ def test_cusum_twosided_matches_oracle(spark, ev_con):
     assert up_only == one_sided
 
 
-TERM_BURSTINESS_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-  FROM documents
-),
-pd AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
-       FROM toks GROUP BY 1, 2),
-pt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cf,
-              CAST(COUNT(*) AS BIGINT) AS df
-       FROM pd GROUP BY token)
-SELECT token, cf, df,
-       round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness
-FROM pt WHERE df >= 5
-ORDER BY burstiness DESC, cf DESC, token ASC LIMIT 20
-"""
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    TERM_BURSTINESS_ORACLE_SQL as TERM_BURSTINESS_ORACLE,
+)
 
 
 def test_term_burstiness_matches_oracle(spark, docstar_con):
-    """STAGED r14: Church-Gale term burstiness cf/df (mean occurrences
+    """Registered r14: Church-Gale term burstiness cf/df (mean occurrences
     per containing document) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.text_analysis import (
         term_burstiness,
     )
@@ -2519,50 +2398,15 @@ def test_term_burstiness_matches_oracle(spark, docstar_con):
 
 
 from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _COACT_SQL as _COACT_SQL_DG,
+    DEGREE_GINI_ORACLE_SQL as DEGREE_GINI_ORACLE,
 )
-
-DEGREE_GINI_ORACLE = f"""
-WITH {_COACT_SQL_DG},
-sym AS (SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges),
-deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
-mult AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS m FROM deg GROUP BY d),
-blocks AS (
-  SELECT d, m,
-         CAST(COALESCE(SUM(m) OVER (ORDER BY d
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS BIGINT) AS s
-  FROM mult
-),
-agg AS (
-  SELECT CAST(SUM(m) AS BIGINT) AS n_nodes,
-         CAST(SUM(d * m) AS BIGINT) AS sum_d,
-         CAST(MAX(d) AS BIGINT) AS max_degree,
-         SUM(CAST(d AS HUGEINT)
-             * (CAST(m AS HUGEINT) * CAST(s AS HUGEINT)
-                + CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1) // 2))
-           AS srank
-  FROM blocks
-)
-SELECT n_nodes, CAST(sum_d // 2 AS BIGINT) AS n_edges, max_degree,
-       round(2.0 * CAST(srank AS DOUBLE)
-               / (CAST(n_nodes AS DOUBLE) * CAST(sum_d AS DOUBLE))
-             - (CAST(n_nodes AS DOUBLE) + 1.0) / CAST(n_nodes AS DOUBLE),
-             6) AS degree_gini,
-       CASE WHEN n_nodes >= 3 THEN
-         round(CAST(n_nodes * max_degree - sum_d AS DOUBLE)
-               / ((CAST(n_nodes AS DOUBLE) - 1.0)
-                  * (CAST(n_nodes AS DOUBLE) - 2.0)), 6)
-       END AS centralization
-FROM agg
-"""
 
 
 def test_degree_gini_matches_oracle(spark, ev_con):
-    """STAGED r14: exact degree Gini (rank-block closed form over the
+    """Registered r14: exact degree Gini (rank-block closed form over the
     degree-domain histogram) + Freeman centralization over the SHARED
     co-activity graph — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.graph import (
         degree_gini_centralization,
     )
@@ -2582,33 +2426,13 @@ def test_degree_gini_matches_oracle(spark, ev_con):
     assert dmax <= n_nodes - 1
 
 
-FANOUT_ORACLE = """
-WITH counts AS (
-  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
-  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
-),
-pp AS (
-  SELECT CAST(COALESCE(c.c, 0) AS BIGINT) AS c
-  FROM orders o LEFT JOIN counts c ON c.k = o.o_orderkey
-),
-hist AS (
-  SELECT c AS fanout, CAST(COUNT(*) AS BIGINT) AS n_parents
-  FROM pp GROUP BY c
-),
-audit AS (
-  SELECT CAST(SUM(n_parents) AS BIGINT) AS n_parents_total,
-         CAST(SUM(fanout * n_parents) AS BIGINT) AS n_children_total
-  FROM hist
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    FK_FANOUT_ORACLE_SQL as FANOUT_ORACLE,
 )
-SELECT fanout, n_parents, n_parents_total, n_children_total,
-       round(CAST(n_children_total AS DOUBLE)
-             / CAST(n_parents_total AS DOUBLE), 6) AS mean_fanout
-FROM hist CROSS JOIN audit ORDER BY fanout
-"""
 
 
 def test_fanout_profile_matches_oracle(spark, star_con):
-    """STAGED r14: orders -> lineitem referential fan-out profile
+    """Registered r14: orders -> lineitem referential fan-out profile
     (children-per-parent histogram including zero-child parents) —
     value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.dq import fk_fanout_profile
@@ -2632,41 +2456,13 @@ def test_fanout_profile_matches_oracle(spark, star_con):
     assert srows[0][0] == 0  # the zero-child bucket exists in TPC-H-ish data
 
 
-WILSON_ORACLE = """
-WITH c AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
-           AS BIGINT) AS k
-  FROM events WHERE event_type IS NOT NULL
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    WILSON_CI_ORACLE_SQL as WILSON_ORACLE,
 )
-SELECT n AS n_rows, k AS n_true,
-  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
-  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
-         + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE)))
-        / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))
-        - (1.959964 * sqrt(
-            (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-              / CAST(n AS DOUBLE)
-            + (1.959964 * 1.959964)
-              / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))))
-          / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)), 6) AS ci_lo,
-  round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
-         + (1.959964 * 1.959964) / (2.0 * CAST(n AS DOUBLE)))
-        / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE))
-        + (1.959964 * sqrt(
-            (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
-              / CAST(n AS DOUBLE)
-            + (1.959964 * 1.959964)
-              / ((4.0 * CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))))
-          / (1.0 + (1.959964 * 1.959964) / CAST(n AS DOUBLE)), 6) AS ci_hi
-FROM c
-"""
 
 
 def test_wilson_ci_matches_oracle(spark, ev_con):
-    """STAGED r14: Wilson score interval for the purchase share —
+    """Registered r14: Wilson score interval for the purchase share —
     value-locked at both scales BEFORE registration."""
     from pyspark.sql import functions as F
 
@@ -2691,46 +2487,15 @@ def test_wilson_ci_matches_oracle(spark, ev_con):
     assert 0 < k < n
 
 
-PARTITION_BALANCE_ORACLE = """
-WITH occupied AS (
-  SELECT CASE WHEN source IS NULL THEN CAST(-1 AS BIGINT)
-              ELSE CAST(concat('0x', substr(md5('pb#' || CAST(source AS VARCHAR)), 1, 15)) AS BIGINT) % 32
-         END AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM documents GROUP BY 1
-),
-spine AS (SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS bucket),
-hist AS (
-  SELECT COALESCE(spine.bucket, occupied.bucket) AS bucket,
-         CAST(COALESCE(n, 0) AS BIGINT) AS n_rows
-  FROM spine FULL OUTER JOIN occupied ON occupied.bucket = spine.bucket
-),
-mom AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_rows) AS BIGINT) AS t,
-         CAST(MAX(n_rows) AS BIGINT) AS mx,
-         SUM(CAST(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
-             AS DECIMAL(30,10))) AS s2
-  FROM hist
-),
-audit AS (
-  SELECT round(CAST(mx AS DOUBLE)
-               / (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 6)
-           AS max_over_mean,
-         round(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
-                 - (CAST(t AS DOUBLE) / CAST(k AS DOUBLE))
-                   * (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 0))
-               / (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS cov
-  FROM mom
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    PARTITION_BALANCE_ORACLE_SQL as PARTITION_BALANCE_ORACLE,
 )
-SELECT bucket, n_rows, max_over_mean, cov
-FROM hist CROSS JOIN audit ORDER BY bucket
-"""
 
 
 def test_partition_balance_matches_oracle(spark, docstar_con):
-    """STAGED r14: 32-bucket hash-balance forecast for documents.source
+    """Registered r14: 32-bucket hash-balance forecast for documents.source
     (a low-cardinality key — most reducers idle, which IS the finding)
-    — value-locked at both scales BEFORE registration."""
+    — value-locked at both scales BEFORE registration (r13)."""
     from etl_developstoday_test_spark.operators.skew import (
         partition_balance_profile,
     )
@@ -2747,29 +2512,13 @@ def test_partition_balance_matches_oracle(spark, docstar_con):
     assert srows[0][2] > 1.0  # a low-cardinality key cannot be balanced
 
 
-DAU_WAU_ORACLE = """
-WITH pairs AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-  FROM events WHERE ts IS NOT NULL
-),
-dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY d),
-cover AS (
-  SELECT DISTINCT user_id,
-         CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
-              CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
-           AS DATE) AS d
-  FROM pairs
-),
-wau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS wau FROM cover GROUP BY d)
-SELECT dau.d, dau, wau,
-       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
-FROM dau JOIN wau ON wau.d = dau.d
-ORDER BY dau.d
-"""
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    DAU_WAU_ORACLE_SQL as DAU_WAU_ORACLE,
+)
 
 
 def test_dau_wau_stickiness_matches_oracle(spark, ev_con):
-    """STAGED r14: DAU / trailing-7-day-WAU stickiness series —
+    """Registered r14: DAU / trailing-7-day-WAU stickiness series —
     value-locked at both scales BEFORE registration."""
     from etl_developstoday_test_spark.operators.events_etl import (
         dau_wau_stickiness,
@@ -2785,22 +2534,15 @@ def test_dau_wau_stickiness_matches_oracle(spark, ev_con):
     assert all(0.0 < r[3] <= 1.0 and r[1] <= r[2] for r in srows)
 
 
-LENGTH_PCT_ORACLE = """
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       round(quantile_cont(n_chars, 0.5), 6) AS p50,
-       round(quantile_cont(n_chars, 0.9), 6) AS p90,
-       round(quantile_cont(n_chars, 0.99), 6) AS p99,
-       CAST(MAX(n_chars) AS BIGINT) AS max_len
-FROM documents
-WHERE n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))
-GROUP BY source ORDER BY source
-"""
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    LENGTH_PCT_ORACLE_SQL as LENGTH_PCT_ORACLE,
+)
 
 
 def test_length_percentiles_matches_oracle(spark, docstar_con):
-    """STAGED r14: per-source document-length tail card (interpolated
+    """Registered r14: per-source document-length tail card (interpolated
     p50/p90/p99 + max) — value-locked at both scales BEFORE
-    registration."""
+    registration (r13)."""
     from etl_developstoday_test_spark.operators.text_analysis import (
         length_percentiles_by_source,
     )
@@ -2817,9 +2559,6 @@ def test_length_percentiles_matches_oracle(spark, docstar_con):
         assert n > 0 and p50 <= p90 <= p99 <= mx
 
 
-from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
-    _cosine as _cosine_sql,
-)
 
 
 @pytest.fixture(
@@ -2837,48 +2576,13 @@ def emb_con(request):
     c.close()
 
 
-PAIR_COSINE_ORACLE = f"""
-WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         CAST(concat('0x', substr(md5('pc#' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-  FROM embeddings
-),
-ranked AS (
-  SELECT (h % 64) AS b,
-         ((ROW_NUMBER() OVER (PARTITION BY (h % 64) ORDER BY h, vec_id)) - 1) // 2 AS pid,
-         (ROW_NUMBER() OVER (PARTITION BY (h % 64) ORDER BY h, vec_id)) % 2 AS side,
-         v
-  FROM base
-),
-pairs AS (
-  SELECT l.v AS va, r.v AS vb
-  FROM ranked l JOIN ranked r
-    ON l.b = r.b AND l.pid = r.pid AND l.side = 1 AND r.side = 0
-),
-scored AS (
-  SELECT LEAST(9, GREATEST(-10,
-           CAST(floor({_cosine_sql('va', 'vb')} * 10) AS BIGINT))) AS bin,
-         CAST(floor({_cosine_sql('va', 'vb')} * 1e6 + 0.5) AS BIGINT) AS cq
-  FROM pairs
-),
-hist AS (
-  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         CAST(SUM(cq) AS BIGINT) AS s
-  FROM scored GROUP BY bin
-),
-audit AS (
-  SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot,
-         round(CAST(SUM(s) AS DOUBLE) / 1e6 / CAST(SUM(n_pairs) AS DOUBLE), 6) AS mc
-  FROM hist
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    PAIR_COSINE_ORACLE_SQL as PAIR_COSINE_ORACLE,
 )
-SELECT bin, round(CAST(bin AS DOUBLE) / 10.0, 6) AS bin_lo, n_pairs,
-       audit.tot AS n_pairs_total, audit.mc AS mean_cosine
-FROM hist CROSS JOIN audit ORDER BY bin
-"""
 
 
 def test_pair_cosine_profile_matches_oracle(spark, emb_con):
-    """STAGED r14: deterministic random-pair cosine histogram + mean
+    """Registered r14: deterministic random-pair cosine histogram + mean
     (the anisotropy EVIDENCE card) — value-locked at both scales
     BEFORE registration."""
     from etl_developstoday_test_spark.operators.similarity import (
