@@ -2604,3 +2604,46 @@ def test_pair_cosine_profile_matches_oracle(spark, emb_con):
     assert all(-10 <= r[0] <= 9 for r in srows)
     # the synthetic embeddings are ~isotropic: the mean sits near 0
     assert abs(srows[0][4]) < 0.2
+
+
+def test_adamic_adar_sampled_mod4_at_sf001(spark):
+    """r13 VERDICT item 5 (knob-schedule demonstration): at sf0.01 —
+    where the candidate pool is deep enough — sample_mod=4 is
+    NON-DEGENERATE and hash-matches the mod-4 DuckDB replay, so the
+    registered mod-2 row is a lock-scale floor of a documented
+    per-scale dial, not the operator's ceiling."""
+    from etl_developstoday_test_spark.operators.graph import (
+        adamic_adar_link_prediction_sampled,
+    )
+    from etl_developstoday_test_spark.plans.queries import (
+        _adamic_sampled_oracle_sql,
+        _coactivity_edges,
+    )
+
+    sf_dir = SF_DIR_ORACLE  # sf0.01 only: mod 4 empties the sf0.001 pool
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    srows = [
+        tuple(r)
+        for r in adamic_adar_link_prediction_sampled(
+            edges, sample_mod=4
+        ).collect()
+    ]
+    drows = con.execute(_adamic_sampled_oracle_sql(4)).fetchall()
+    con.close()
+    assert srows == drows
+    assert len(srows) == 10  # non-degenerate: a full top-k survives mod 4
+    # mod-4 candidates are a subset of the mod-2 pool by construction
+    # (md5 % 4 == 0 implies md5 % 2 == 0), so every returned pair's
+    # lower endpoint passes the registered row's filter too
+    from etl_developstoday_test_spark.plans.queries import QUERIES
+
+    mod2_pairs = {
+        (r["ua"], r["ub"])
+        for r in QUERIES["graph_adamic_adar_sampled"](spark, sf_dir)
+        .collect()
+    }
+    assert mod2_pairs  # the registered row is non-degenerate here too
