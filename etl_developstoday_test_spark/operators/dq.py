@@ -313,3 +313,67 @@ def fk_fanout_profile(
         )
         .orderBy("fanout")
     )
+
+
+def key_candidate_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """KEY-CANDIDATE / completeness profile of a table: for each named
+    column, the exact null count, exact distinct count, distinct
+    ratio, and whether the column is a lossless single-column key
+    (distinct == non-null == rows). The table-level entrance exam the
+    relational-dq kit runs BEFORE its targeted legs (uniqueness audit
+    = verify a CHOSEN key; this SURVEYS all candidates), and the card
+    a partitioning/bucketing review reads first — a 0.99-distinct
+    column is a key with dirt, a 5-distinct column is a broadcast
+    dimension in disguise.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: every column is cast to STRING and unpivoted via
+    stack() into (column, value) pairs, so ONE pass + one
+    (column, value)-keyed distinct aggregation serves every column;
+    string casts of distinct native values are distinct in both
+    engines (shortest-repr doubles, ISO timestamps), so the counts
+    equal the native COUNT(DISTINCT col) the oracle runs. CONTRACT:
+    IEEE −0.0 and +0.0 render as distinct strings while native
+    equality merges them — a column carrying BOTH would read one
+    higher here (none of the profiled tables can produce −0.0;
+    documented rather than special-cased). Counts are exact longs;
+    the ratio is the only double, 6-dp.
+
+    Scale shape: the stack() multiplies rows by |cols| but stays a
+    narrow map; the distinct aggregation is ONE map-side-combined
+    two-level groupBy on (column, value) — Spark plans a single
+    distinct column without an Expand — into the |cols|-bounded
+    profile. Nothing windowed, nothing collected. Returns one row per
+    profiled column: (column, n_rows, n_null, n_distinct,
+    distinct_ratio, is_unique_key), column-ordered.
+    """
+    if not cols:
+        raise ValueError("key_candidate_profile: cols must be non-empty")
+    pairs = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in cols
+    )
+    stacked = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (col_name, v)"
+    )
+    prof = stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_null"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+    )
+    return prof.select(
+        F.col("col_name").alias("column"),
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+        (
+            (F.col("n_null") == 0)
+            & (F.col("n_distinct") == F.col("n_rows"))
+        ).alias("is_unique_key"),
+    ).orderBy("column")

@@ -1300,3 +1300,188 @@ def cusum_changepoints_twosided(
             F.col("_h.cusum").alias("cusum"),
         )
     )
+
+
+def hourly_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """HOUR-OF-DAY seasonality card: the 24-bucket event-count
+    histogram over the full hour spine (empty hours count — a feed
+    that goes dark for 6 hours a day should say so) with the χ²
+    uniformity statistic, the peak hour, and the peak share riding
+    every row. The DAILY-cycle companion to drift_dow_anova's weekly
+    cycle: a drift monitor that alerts on raw hourly volume without
+    this card false-alarms every midnight, and a χ² far above the
+    df=23 scale says hourly baselines are mandatory.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: hour extraction is calendar arithmetic on the UTC
+    session timezone (both engines agree on parquet TIMESTAMP_NTZ);
+    counts are exact longs; χ² = Σ_h (24·O_h − C)² / (24·C) keeps the
+    numerator in EXACT decimal(38,0) over the 24-row table ((24·O−C)²
+    reaches ~5.8e28 at a 10^13-row corpus — far past 2⁶³) and divides
+    once in double; peak share is a single double division; the peak
+    hour breaks count ties on the SMALLEST hour (md5-free: the domain
+    is already totally ordered). 6-dp rounding on the doubles.
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus
+    to ≤24 occupied hours, outer-joined onto the literal 0..23 spine
+    (localCheckpointed — bounded); χ², peak, and total ride that
+    bounded table as a 1-row broadcast audit. Returns 24 rows:
+    (hour, n_events, share, chi2_uniform, df, peak_hour, peak_share),
+    hour-ordered.
+    """
+    occupied = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(F.hour(ts_col).cast("long").alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    spine = (
+        events.sparkSession.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(23))).alias("_h"))
+        .select(F.col("_h").cast("long").alias("hour"))
+    )
+    hist = (
+        spine.join(occupied, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .localCheckpoint(eager=True)  # bounded: 24 rows
+    )
+    dev = (
+        F.lit(24).cast("decimal(38,0)")
+        * F.col("n_events").cast("decimal(38,0)")
+        - F.col("_c").cast("decimal(38,0)")
+    )
+    tot = hist.agg(F.sum("n_events").cast("long").alias("_c"))
+    # peak hour straight off the bounded table: count DESC, hour ASC
+    peak = (
+        hist.orderBy(F.desc("n_events"), F.asc("hour"))
+        .limit(1)
+        .select(
+            F.col("hour").alias("peak_hour"),
+            F.col("n_events").alias("_peak_n"),
+        )
+    )
+    chi = (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("_c").cast("long").alias("_c"),
+            F.sum((dev * dev).cast("decimal(38,0)")).alias("_ssq"),
+        )
+        .crossJoin(F.broadcast(peak))
+        .select(
+            "_c",
+            F.round(
+                F.col("_ssq").cast("double")
+                / (F.lit(24.0) * F.col("_c").cast("double")),
+                6,
+            ).alias("chi2_uniform"),
+            F.lit(23).cast("long").alias("df"),
+            "peak_hour",
+            F.round(
+                F.col("_peak_n").cast("double") / F.col("_c").cast("double"),
+                6,
+            ).alias("peak_share"),
+        )
+    )
+    return (
+        hist.crossJoin(F.broadcast(chi))
+        .select(
+            "hour",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("_c").cast("double"),
+                6,
+            ).alias("share"),
+            "chi2_uniform",
+            "df",
+            "peak_hour",
+            "peak_share",
+        )
+        .orderBy("hour")
+    )
+
+
+def value_moments(
+    df: DataFrame, value_col: str, quantum: float = 100.0
+) -> DataFrame:
+    """Exact MOMENT card for a numeric column: n, mean, standard
+    deviation, skewness g₁ = m₃/m₂^1.5, and excess kurtosis
+    g₂ = m₄/m₂² − 3, computed from exact integer power sums of the
+    QUANTIZED values (round(v·quantum) as long). The distribution-
+    SHAPE leg of the drift kit: PSI/KS say the distribution MOVED,
+    the Benford/χ² legs test specific laws — this says what the shape
+    IS (heavy right tail ⇒ mean-based alarms lag; kurtosis spikes ⇒
+    a fat-finger subpopulation arrived), and shape deltas across
+    snapshots are the cheapest drift fingerprint to store.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism & the quantization CONTRACT: moments are computed ON
+    the centi-quantized values (quantum=100: exactly the KS/Benford
+    centi-precision convention) — Σx, Σx², Σx³, Σx⁴ are EXACT
+    decimal(38,0) sums of long powers, so the card is bit-identical
+    cross-engine and rerun-stable at any partitioning. Σx⁴ bounds the
+    contract: |v| ≤ 10⁴ at quantum 100 keeps the fourth power ≤ 10²⁴
+    per row and the sum inside decimal(38) to 10¹³ rows; wider-ranged
+    columns LOWER the quantum (the documented dial — same audit class
+    as the Gini rank-block term). Central moments assemble from the
+    raw sums in ONE fixed-order double tree (mᵢ from Σxʲ/n and mean
+    powers), 6-dp rounded; the skew/kurtosis of the quantized series
+    differs from the unquantized one by O(1/(quantum·σ)) — negligible
+    at σ ≫ 0.01 and documented, never silent.
+
+    Scale shape: ONE map-side-combined aggregate over a narrow
+    projection; the output is a 1-row card. Returns (n_rows, mean,
+    std, skewness, kurtosis_excess).
+    """
+    v = F.col(value_col).cast("double")
+    # floor(v·q + 0.5), not round(): the repo's quantization idiom —
+    # floor is exact on every engine, round() half-cases differ for
+    # negatives between HALF_UP and away-from-zero implementations
+    xq = F.floor(v * F.lit(float(quantum)) + F.lit(0.5)).cast("long")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = df.filter(v.isNotNull() & ~F.isnan(v)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d(xq)).alias("s1"),
+        F.sum(d(xq * xq)).alias("s2"),
+        F.sum((d(xq * xq) * d(xq)).cast("decimal(38,0)")).alias("s3"),
+        F.sum((d(xq * xq) * d(xq * xq)).cast("decimal(38,0)")).alias("s4"),
+    )
+    q = F.lit(float(quantum))
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double") / q
+    s2 = F.col("s2").cast("double") / (q * q)
+    s3 = F.col("s3").cast("double") / (q * q * q)
+    s4 = F.col("s4").cast("double") / (q * q * q * q)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - F.lit(3.0) * m * (s2 / n) + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * m * (s3 / n)
+        + F.lit(6.0) * m * m * (s2 / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    m2p = F.greatest(m2, F.lit(0.0))
+    # degenerate (constant) columns have m2 = 0: emit NULL for the
+    # shape moments rather than an engine-dependent 0/0 (Spark double
+    # division yields NaN, DuckDB yields NULL — NULL is the portable
+    # "undefined", the Freeman-centralization precedent)
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        F.round(m, 6).alias("mean"),
+        F.round(F.sqrt(m2p), 6).alias("std"),
+        # m₂^1.5 spelled m₂·√m₂: sqrt is IEEE correctly-rounded on
+        # every engine, pow(x, 1.5) is not (libm-dependent)
+        F.when(
+            m2p > 0, F.round(m3 / (m2p * F.sqrt(m2p)), 6)
+        ).alias("skewness"),
+        F.when(
+            m2p > 0, F.round(m4 / (m2p * m2p) - F.lit(3.0), 6)
+        ).alias("kurtosis_excess"),
+    )

@@ -800,3 +800,90 @@ def dau_wau_stickiness(events: DataFrame) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+def markov_transition_entropy(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order MARKOV TRANSITION card over per-user event-type
+    sequences: the full transition matrix (from_type, to_type,
+    n_transitions, conditional probability) plus the chain's
+    plug-in ENTROPY RATE H(X_t | X_{t-1}) = Σ_a π(a)·H(row_a) — the
+    sequence-predictability number a funnel/paths review reads next
+    to events_top_paths (WHICH paths dominate; this says how
+    DETERMINISTIC the type process is overall: rate near 0 = users
+    follow one script, near ln(k) = types fire independently).
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: sequences are ordered by (ts, id) WITHIN user — a
+    total order, so both engines form the identical adjacency pairs;
+    transition counts are exact longs; the entropy rate uses the
+    count identity Σ_ab c_ab·(lnq(c_a·) − lnq(c_ab)) / C with ln
+    NANO-QUANTIZED per count (the PSI/PMI/bigram-entropy idiom) and
+    the sum accumulated through decimal(38,0) over the
+    type-domain-bounded matrix (c·lnq exceeds 2⁶³ at web-scale
+    counts); conditional probabilities and the assembled rate are
+    single double divisions, 6-dp rounded.
+
+    Scale shape: ONE user-co-keyed window (partitioned by user — the
+    sessionize shuffle shape, never a global sort) feeds lead(); the
+    corpus then collapses map-side to the ≤ k² transition matrix;
+    marginals, the entropy accumulation, and the 1-row audit all ride
+    that bounded table (localCheckpointed); the audit joins back by
+    broadcast. Returns one row per observed transition: (from_type,
+    to_type, n_transitions, p_cond, n_total, entropy_rate), ordered.
+    """
+    lnq = lambda c: F.round(  # noqa: E731 — nano-quantized ln
+        F.log(c.cast("double")) * 1e9
+    ).cast("long")
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    seq = events.select(
+        F.col(type_col).alias("a"),
+        F.lead(type_col).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    tc = (
+        seq.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # bounded: |type domain|²
+    )
+    fm = tc.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    joined = tc.join(fm, "a")
+    ent = joined.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(
+            (
+                F.col("c").cast("decimal(38,0)")
+                * (lnq(F.col("ca")) - lnq(F.col("c"))).cast("decimal(38,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_s"),
+    )
+    audit = ent.select(
+        "n_total",
+        F.round(
+            F.col("_s").cast("double")
+            / F.lit(1e9)
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("entropy_rate"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(audit))
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("to_type"),
+            F.col("c").alias("n_transitions"),
+            F.round(
+                F.col("c").cast("double") / F.col("ca").cast("double"), 6
+            ).alias("p_cond"),
+            "n_total",
+            "entropy_rate",
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -1163,3 +1163,113 @@ def proportion_wilson_ci(
         F.round(center - half, 6).alias("ci_lo"),
         F.round(center + half, 6).alias("ci_hi"),
     )
+
+
+def split_psi_audit(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """SPLIT-EXCHANGEABILITY audit: PSI of a numeric column between
+    the two halves of the repo's deterministic md5 hash split — the
+    certificate that a train/validation split is distributionally
+    exchangeable BEFORE anyone trusts validation metrics (hash splits
+    are unbiased by construction, but a split keyed on a
+    value-correlated id — sequential ids under value drift, the
+    classic silent failure — is not, and this card is the direct
+    test). PSI ≈ 0 certifies the split; PSI above the 0.1 convention
+    says the id carries signal and the split key must change. The
+    same 1e-4-floored, nano-quantized-log PSI arithmetic as
+    drift_psi_daily, so thresholds transfer.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the split is salted md5 parity of the id (the
+    hash_split operator's contract — engine-portable, seed-stable);
+    bin edges are caller-pinned [lo, hi] (the psi_drift rule: derived
+    edges would make audits incomparable across runs); counts are
+    exact longs; each bin's (p−q)·lnq(p/q) term quantizes the one
+    transcendental to integer nanos and accumulates through the
+    decimal summator (order-independent).
+
+    Scale shape: ONE corpus scan — split bit and bin computed in the
+    same narrow projection, ONE map-side-combined groupBy(bin) with
+    conditional partial sums for the two sides (never two scans, never
+    a self-join), then bounded-table term assembly. Returns one row:
+    (psi, n_base, n_current, split_balance).
+    """
+    if lo is None or hi is None:
+        raise ValueError("split_psi_audit: pin lo/hi explicitly")
+    if hi <= lo:
+        raise ValueError("split_psi_audit: hi must be > lo")
+    if n_bins < 1:
+        raise ValueError("split_psi_audit: n_bins must be >= 1")
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col).cast("double") - lo) / width).cast(
+                "int"
+            ),
+        ),
+    )
+    side = (
+        md5_long(F.concat(F.lit("sp#"), F.col(id_col).cast("string"))) % 2
+    )
+    vv = F.col(value_col).cast("double")
+    binned = (
+        df.filter(vv.isNotNull() & ~F.isnan(vv))
+        .select(b.alias("bin"), side.alias("_s"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_s") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("_s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_current"),
+        )
+        .localCheckpoint(eager=True)  # bounded: <= n_bins rows
+    )
+    tot = binned.agg(
+        F.sum("n_base").cast("long").alias("_tb"),
+        F.sum("n_current").cast("long").alias("_tc"),
+    )
+    j = binned.crossJoin(F.broadcast(tot))
+    p = F.greatest(
+        F.col("n_base").cast("double") / F.col("_tb").cast("double"),
+        F.lit(1e-4),
+    )
+    q = F.greatest(
+        F.col("n_current").cast("double") / F.col("_tc").cast("double"),
+        F.lit(1e-4),
+    )
+    lq = F.round(F.log(p / q) * 1e9).cast("long")
+    term = (p - q) * (lq.cast("double") / 1e9)
+    return (
+        j.select(
+            term.cast(ACC_DECIMAL).alias("_term"),
+            "n_base",
+            "n_current",
+        )
+        .agg(
+            F.round(F.sum("_term").cast("double"), 6).alias("psi"),
+            F.sum("n_base").cast("long").alias("n_base"),
+            F.sum("n_current").cast("long").alias("n_current"),
+        )
+        .select(
+            "psi",
+            "n_base",
+            "n_current",
+            F.round(
+                F.col("n_base").cast("double")
+                / (F.col("n_base") + F.col("n_current")).cast("double"),
+                6,
+            ).alias("split_balance"),
+        )
+    )

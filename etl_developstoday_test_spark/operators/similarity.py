@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from etl_developstoday_test_spark.functions import (
+    ACC_DECIMAL,
     as_double_array,
     cosine,
     dot_fold,
@@ -1805,3 +1806,85 @@ def pair_cosine_profile(
         )
         .orderBy("bin")
     )
+
+
+def centroid_shift_profile(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group CENTROID SHIFT card: each group's mean vector
+    compared to the global mean vector — L2 distance and cosine — the
+    embedding-space analogue of PSI: "did THIS source/label/day drift
+    away from the corpus center", the between-group companion to
+    embed_dimension_drift (per-dimension two-sample z) and the
+    cluster-level complement of the anisotropy cards. A group whose
+    centroid walks off-center is exactly the one whose cosine
+    thresholds (SemDeDup, ANN recall) silently degrade first.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: components are NANO-QUANTIZED (round(v·1e9) as long —
+    unit-normalized embeddings make 1e9 the natural scale) and summed
+    through decimal(38,0), so per-(group, dim) sums are exact and
+    partitioning-independent; the GLOBAL centroid derives from the
+    per-group sums table (one corpus pass total — never a second
+    scan); centroid components are then fixed-expression doubles, and
+    the cross-dimension reductions (dot, norms, squared distance)
+    accumulate each per-dim double term through the decimal summator
+    (order-independent); sqrt is IEEE-correctly-rounded; 6-dp
+    rounding. NaN components are excluded row-wise (documented).
+
+    Scale shape: ONE posexplode collapsed map-side to the
+    (groups × dims)-bounded sums table (localCheckpointed — it feeds
+    the global rollup AND the per-group reductions); everything after
+    is bounded-table arithmetic with 1-row/byte-sized broadcasts.
+    Returns one row per group: (group, n_vecs, l2_shift,
+    cosine_to_global), group-ordered.
+    """
+    # floor(v·1e9 + 0.5): components are signed — floor is exact on
+    # every engine where round() half-cases are not
+    vq = F.floor(F.col("_v") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    exploded = embeddings.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "_v"),
+    ).filter(~F.isnan(F.col("_v")))
+    per = (
+        exploded.groupBy("g", "dim")
+        .agg(
+            F.sum(vq.cast("decimal(38,0)")).alias("_sq"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        .localCheckpoint(eager=True)  # bounded: groups × dims
+    )
+    glob = per.groupBy("dim").agg(
+        F.sum("_sq").cast("decimal(38,0)").alias("_gsq"),
+        F.sum("_n").cast("long").alias("_gn"),
+    )
+    j = per.join(glob, "dim")
+    cg = F.col("_sq").cast("double") / F.lit(1e9) / F.col("_n").cast("double")
+    cd = (
+        F.col("_gsq").cast("double") / F.lit(1e9) / F.col("_gn").cast("double")
+    )
+    acc = lambda e: F.sum(e.cast(ACC_DECIMAL))  # noqa: E731
+    red = j.groupBy("g").agg(
+        F.max("_n").cast("long").alias("n_vecs"),
+        acc(cg * cd).alias("_dot"),
+        acc(cg * cg).alias("_na"),
+        acc(cd * cd).alias("_nb"),
+        acc((cg - cd) * (cg - cd)).alias("_l2"),
+    )
+    return red.select(
+        F.col("g").alias("group"),
+        "n_vecs",
+        F.round(F.sqrt(F.col("_l2").cast("double")), 6).alias("l2_shift"),
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double"))
+            ),
+            6,
+        ).alias("cosine_to_global"),
+    ).orderBy("group")

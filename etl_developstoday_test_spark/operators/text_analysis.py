@@ -2031,3 +2031,78 @@ def length_percentiles_by_source(
         )
         .orderBy("source")
     )
+
+
+def ngram_coverage(
+    docs: DataFrame, n: int = 3, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Top-k N-GRAM COVERAGE curve: the k most frequent word n-grams
+    with each one's occurrence share and the cumulative head share,
+    plus the corpus-level type/occurrence audit on every row — the
+    TEMPLATEDNESS card: "the top 100 trigrams cover X% of all trigram
+    occurrences" is the single number that says whether a corpus is
+    boilerplate-dominated (dedup/shingle pass mandatory) or diverse,
+    and WHICH n-grams to blocklist. The corpus-level complement to
+    term_burstiness (per-term cf/df) and repetition_profile (per-doc),
+    on the same shingling as the MinHash/novelty family.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: counts are exact longs; ranking breaks count ties on
+    the n-gram string ASC (total order); shares are single double
+    divisions of exact longs, the cumulative share from the exact
+    integer running sum — the topk_key_share contract on the shingle
+    table.
+
+    Scale shape: ONE tokenize/shingle explode collapsed immediately by
+    a map-side-combined groupBy to the type table; the type/occurrence
+    audit is one more rollup of that table; the top-k is
+    orderBy+limit — TakeOrderedAndProject (per-partition top-k +
+    driver merge of k·P rows, never a global sort); the cumulative
+    window runs AFTER the limit over exactly k checkpointed rows
+    (bounded-window allowlist class). Returns k rows: (rank, ngram,
+    n_occurrences, share, cum_share, n_types_total,
+    n_occurrences_total), rank-ordered.
+    """
+    shingled = docs.select(
+        F.explode(
+            let(tokens(F.col(text_col)), lambda t: word_shingles(t, n))
+        ).alias("ngram")
+    )
+    counts = shingled.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    audit = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types_total"),
+        F.sum("n_occurrences").cast("long").alias("n_occurrences_total"),
+    )
+    top = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(k)
+        .localCheckpoint(eager=True)  # bounded: exactly k rows
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    t = F.col("n_occurrences_total").cast("double")
+    return (
+        top.crossJoin(F.broadcast(audit))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "_cum",
+            F.sum("n_occurrences")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select(
+            "rank",
+            "ngram",
+            "n_occurrences",
+            F.round(F.col("n_occurrences").cast("double") / t, 6).alias(
+                "share"
+            ),
+            F.round(F.col("_cum").cast("double") / t, 6).alias("cum_share"),
+            "n_types_total",
+            "n_occurrences_total",
+        )
+        .orderBy("rank")
+    )

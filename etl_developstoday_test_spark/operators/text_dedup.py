@@ -1174,3 +1174,78 @@ def cluster_size_histogram(docs: DataFrame) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """TRAIN/EVAL CONTAMINATION card: the share of the eval set's word
+    n-grams that also occur anywhere in the training corpus — by
+    distinct TYPE and by OCCURRENCE mass. The decontamination number
+    an LLM-data pipeline must publish before any benchmark claim
+    (n-gram overlap is the standard contamination screen — the
+    GPT-3/PaLM 8-gram methodology, here on the repo's shared
+    word-shingle tokenization): type_rate says how much of the eval
+    SURFACE is compromised, occurrence_rate weights it by how often
+    eval actually exercises those n-grams.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: both sides shingle identically; the intersection is
+    an exact distinct-key semi-join; all five counts are exact longs,
+    the two rates the only doubles (6-dp).
+
+    Scale shape: one shingle explode per side, collapsed map-side —
+    the train side straight to its DISTINCT type set (never carrying
+    occurrence counts it doesn't need), the eval side to (type,
+    occurrences); ONE shingle-keyed left-semi join marks contaminated
+    eval types; two bounded rollups assemble the 1-row card. Nothing
+    broadcast (both type sets are corpus-scaled), nothing collected.
+    Returns (n_eval_types, n_contaminated_types, type_rate,
+    n_eval_occurrences, n_contaminated_occurrences, occurrence_rate).
+    """
+    def shingles(df: DataFrame):
+        return df.select(
+            F.explode(
+                let(tokens(F.col(text_col)), lambda t: word_shingles(t, n))
+            ).alias("s")
+        )
+
+    train_types = shingles(train).distinct()
+    eval_counts = (
+        shingles(eval_docs)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)  # read by both rollups below
+    )
+    hit = eval_counts.join(train_types, "s", "left_semi")
+    tot = eval_counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_types"),
+        F.sum("c").cast("long").alias("n_eval_occurrences"),
+    )
+    con = hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated_types"),
+        F.coalesce(F.sum("c"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated_occurrences"),
+    )
+    return tot.crossJoin(F.broadcast(con)).select(
+        "n_eval_types",
+        "n_contaminated_types",
+        F.round(
+            F.col("n_contaminated_types").cast("double")
+            / F.col("n_eval_types").cast("double"),
+            6,
+        ).alias("type_rate"),
+        "n_eval_occurrences",
+        "n_contaminated_occurrences",
+        F.round(
+            F.col("n_contaminated_occurrences").cast("double")
+            / F.col("n_eval_occurrences").cast("double"),
+            6,
+        ).alias("occurrence_rate"),
+    )

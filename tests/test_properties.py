@@ -3176,3 +3176,191 @@ def test_pair_cosine_profile_identical_vectors(spark):
     assert n // 2 - 4 <= tot <= n // 2
     with pytest.raises(ValueError, match="n_buckets"):
         pair_cosine_profile(emb, n_buckets=0)
+
+
+# --- STAGED r15 operator pins ------------------------------------------------
+
+
+def test_markov_transition_entropy_deterministic_script(spark):
+    """Users all following one script (view→click→purchase) pin every
+    conditional probability at 1 and the entropy rate at exactly 0;
+    ties in ts order by event_id (total order)."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        markov_transition_entropy,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(4):
+        for i, et in enumerate(["view", "click", "purchase"]):
+            # identical ts everywhere: ORDER is carried by event_id
+            rows.append((u * 10 + i, u, et, t0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = [tuple(r) for r in markov_transition_entropy(ev).collect()]
+    assert out == [
+        ("click", "purchase", 4, 1.0, 8, 0.0),
+        ("view", "click", 4, 1.0, 8, 0.0),
+    ]
+
+
+def test_key_candidate_profile_fixture_and_validation(spark):
+    """Null/dup/unique columns report exact counts and the unique-key
+    flag only when distinct == non-null == rows."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.dq import (
+        key_candidate_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", None), (3, "b", "x"), (4, "b", None)],
+        "id long, dup string, holey string",
+    )
+    out = [
+        tuple(r)
+        for r in key_candidate_profile(df, ["id", "dup", "holey"]).collect()
+    ]
+    assert out == [
+        ("dup", 4, 0, 2, 0.5, False),
+        ("holey", 4, 2, 1, 0.25, False),
+        ("id", 4, 0, 4, 1.0, True),
+    ]
+    with pytest.raises(ValueError, match="cols"):
+        key_candidate_profile(df, [])
+
+
+def test_hourly_seasonality_single_hour_pins_chi2(spark):
+    """All mass in one hour: 24 spine rows always, peak share exactly
+    1, and χ² = Σ(24·O−C)²/(24C) = 23·C in closed form."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.drift import (
+        hourly_seasonality,
+    )
+
+    rows = [(dt.datetime(2024, 1, 1 + i, 5, 30),) for i in range(8)]
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = [tuple(r) for r in hourly_seasonality(ev).collect()]
+    assert len(out) == 24
+    assert [r[0] for r in out] == list(range(24))
+    assert all(r[3] == float(23 * 8) and r[4] == 23 for r in out)
+    assert out[5][1] == 8 and out[5][2] == 1.0
+    assert all(r[5] == 5 and r[6] == 1.0 for r in out)
+    assert sum(r[1] for r in out) == 8
+
+
+def test_ngram_coverage_tiny_fixture(spark):
+    """'a b c a b c' has trigram counts {a b c: 2, b c a: 1, c a b: 1}
+    — ranks, shares, cumulative shares, and the audit pin exactly."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        ngram_coverage,
+    )
+
+    docs = spark.createDataFrame([("a b c a b c",)], "text string")
+    out = [tuple(r) for r in ngram_coverage(docs, n=3, k=100).collect()]
+    assert out == [
+        (1, "a b c", 2, 0.5, 0.5, 3, 4),
+        (2, "b c a", 1, 0.25, 0.75, 3, 4),
+        (3, "c a b", 1, 0.25, 1.0, 3, 4),
+    ]
+
+
+def test_centroid_shift_orthogonal_labels(spark):
+    """Two orthogonal single-vector labels around a 45° global
+    centroid pin l2 = cos = 1/√2; identical labels pin l2 = 0,
+    cos = 1."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        centroid_shift_profile,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [1.0, 0.0]), (1, [0.0, 1.0]), (1, [0.0, 1.0])],
+        "label int, embedding array<double>",
+    )
+    out = [tuple(r) for r in centroid_shift_profile(emb).collect()]
+    assert out == [
+        (0, 2, 0.707107, 0.707107),
+        (1, 2, 0.707107, 0.707107),
+    ]
+    same = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.5, 0.5])],
+        "label int, embedding array<double>",
+    )
+    out = [tuple(r) for r in centroid_shift_profile(same).collect()]
+    assert out == [(0, 1, 0.0, 1.0), (1, 1, 0.0, 1.0)]
+
+
+def test_contamination_overlap_fixture(spark):
+    """One eval doc copies a train trigram, one is disjoint: exactly
+    1 of 3 eval types (and 1 of 3 occurrences) is contaminated."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        contamination_overlap,
+    )
+
+    train = spark.createDataFrame([("a b c d",)], "text string")
+    eva = spark.createDataFrame(
+        [("a b c",), ("x y z w",)], "text string"
+    )
+    out = [tuple(r) for r in contamination_overlap(train, eva).collect()]
+    assert out == [(3, 1, 0.333333, 3, 1, 0.333333)]
+
+
+def test_value_moments_symmetric_and_constant(spark):
+    """{1,2,3} pins skew = 0 and excess kurtosis = −1.5 exactly; a
+    constant column pins std = 0 with NULL shape moments (the
+    portable degenerate contract — never an engine-dependent 0/0)."""
+    from etl_developstoday_test_spark.operators.drift import value_moments
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    out = [tuple(r) for r in value_moments(df, "v").collect()]
+    assert out == [(3, 2.0, 0.816497, 0.0, -1.5)]
+    const = spark.createDataFrame([(7.0,)] * 5, "v double")
+    out = [tuple(r) for r in value_moments(const, "v").collect()]
+    assert out == [(5, 7.0, 0.0, None, None)]
+
+
+def test_split_psi_flags_value_correlated_split(spark):
+    """A value that encodes the split side itself blows PSI far past
+    the 0.25 'major shift' convention — the exact failure mode the
+    audit exists to catch; an exchangeable constant column reads 0."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.sampling import (
+        split_psi_audit,
+    )
+
+    base = spark.range(2000).select(F.col("id").alias("event_id"))
+    side = (
+        md5_long(F.concat(F.lit("sp#"), F.col("event_id").cast("string")))
+        % 2
+    )
+    rigged = base.select(
+        "event_id",
+        F.when(side == 0, F.lit(10.0)).otherwise(F.lit(400.0)).alias("v"),
+    )
+    out = [
+        tuple(r)
+        for r in split_psi_audit(
+            rigged, "v", "event_id", n_bins=10, lo=0.0, hi=500.0
+        ).collect()
+    ]
+    assert len(out) == 1 and out[0][0] > 0.25
+    fair = base.select("event_id", F.lit(50.0).alias("v"))
+    out = [
+        tuple(r)
+        for r in split_psi_audit(
+            fair, "v", "event_id", n_bins=10, lo=0.0, hi=500.0
+        ).collect()
+    ]
+    assert out[0][0] == 0.0
+    assert out[0][1] + out[0][2] == 2000
+    with pytest.raises(ValueError, match="lo/hi"):
+        split_psi_audit(rigged, "v", "event_id")
+    with pytest.raises(ValueError, match="hi must be"):
+        split_psi_audit(rigged, "v", "event_id", lo=1.0, hi=1.0)

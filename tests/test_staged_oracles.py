@@ -2647,3 +2647,516 @@ def test_adamic_adar_sampled_mod4_at_sf001(spark):
         .collect()
     }
     assert mod2_pairs  # the registered row is non-degenerate here too
+
+
+# --- STAGED for round 15 (the r14 window is exactly full: 11
+# first-rows + 28 r7-stale + 11 oldest-r8 = 50, zero changed entries —
+# clearing the r7 bucket per the r13 VERDICT outranks same-round
+# registration here) — implemented, unit/property-tested, and
+# value-locked at sf0.001 AND sf0.01 below; registration next round
+# (the oracle strings move into plans/queries.py then and these locks
+# import them — the single-source-of-truth discipline).
+
+MARKOV_ENTROPY_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+),
+tc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+),
+fm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM tc GROUP BY a),
+ent AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         SUM(CAST(c AS HUGEINT)
+             * (CAST(round(ln(CAST(fm.ca AS DOUBLE)) * 1e9) AS BIGINT)
+                - CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))) AS s
+  FROM tc JOIN fm ON fm.a = tc.a
+)
+SELECT tc.a AS from_type, tc.b AS to_type, tc.c AS n_transitions,
+       round(CAST(tc.c AS DOUBLE) / CAST(fm.ca AS DOUBLE), 6) AS p_cond,
+       ent.n_total AS n_total,
+       round(CAST(ent.s AS DOUBLE) / 1e9 / CAST(ent.n_total AS DOUBLE), 6)
+         AS entropy_rate
+FROM tc JOIN fm ON fm.a = tc.a CROSS JOIN ent
+ORDER BY from_type, to_type
+"""
+
+
+def test_markov_transition_entropy_matches_oracle(spark, ev_con):
+    """STAGED r15: first-order Markov transition matrix + plug-in
+    entropy rate over per-user event-type sequences — value-locked at
+    both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        markov_transition_entropy,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in markov_transition_entropy(ev).collect()]
+    drows = con.execute(MARKOV_ENTROPY_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # conditional rows per from_type sum to ~1; matrix covers all
+    # observed transitions; entropy rate is bounded by ln(k)
+    import math
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in srows:
+        by_from[r[0]] += r[3]
+    assert all(abs(v - 1.0) < 1e-4 for v in by_from.values())
+    k = len({r[0] for r in srows} | {r[1] for r in srows})
+    assert 0.0 <= srows[0][5] <= math.log(k) + 1e-9
+    assert sum(r[2] for r in srows) == srows[0][4]
+
+
+KEY_CANDIDATE_ORACLE = """
+WITH prof AS (
+  SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'props', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(props) AS BIGINT),
+         CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+         CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(value) AS BIGINT),
+         CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+)
+SELECT col_name AS "column", n_rows, n_null, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS distinct_ratio,
+       (n_null = 0 AND n_distinct = n_rows) AS is_unique_key
+FROM prof ORDER BY col_name
+"""
+
+
+def test_key_candidate_profile_matches_oracle(spark, ev_con):
+    """STAGED r15: per-column null/distinct key-candidate survey of
+    the events table — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.dq import (
+        key_candidate_profile,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+    srows = [tuple(r) for r in key_candidate_profile(ev, cols).collect()]
+    drows = con.execute(KEY_CANDIDATE_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 6
+    prof = {r[0]: r for r in srows}
+    assert prof["event_id"][5] is True  # the synthetic PK really is one
+    assert prof["event_type"][3] == 5  # five event types
+    assert all(r[3] <= r[1] - r[2] for r in srows)  # distinct <= non-null
+
+
+HOURLY_SEASONALITY_ORACLE = """
+WITH occupied AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT) AS hour),
+hist AS (
+  SELECT spine.hour, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+  FROM spine LEFT JOIN occupied ON occupied.hour = spine.hour
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS c FROM hist),
+chi AS (
+  SELECT SUM(CAST(24 * n_events - c AS HUGEINT)
+             * CAST(24 * n_events - c AS HUGEINT)) AS ssq
+  FROM hist CROSS JOIN tot
+),
+peak AS (
+  SELECT hour AS peak_hour, n_events AS pn
+  FROM hist ORDER BY n_events DESC, hour ASC LIMIT 1
+)
+SELECT hist.hour, hist.n_events,
+       round(CAST(n_events AS DOUBLE) / CAST(c AS DOUBLE), 6) AS share,
+       round(CAST(ssq AS DOUBLE) / (24.0 * CAST(c AS DOUBLE)), 6)
+         AS chi2_uniform,
+       CAST(23 AS BIGINT) AS df,
+       peak_hour,
+       round(CAST(pn AS DOUBLE) / CAST(c AS DOUBLE), 6) AS peak_share
+FROM hist CROSS JOIN tot CROSS JOIN chi CROSS JOIN peak
+ORDER BY hour
+"""
+
+
+def test_hourly_seasonality_matches_oracle(spark, ev_con):
+    """STAGED r15: hour-of-day histogram over the full 24-hour spine
+    with χ² uniformity + peak share — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        hourly_seasonality,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in hourly_seasonality(ev).collect()]
+    drows = con.execute(HOURLY_SEASONALITY_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 24  # the full spine, always
+    assert sum(r[1] for r in srows) == ev.count()
+    assert all(r[3] >= 0.0 and r[4] == 23 for r in srows)
+    peak_hour, peak_share = srows[0][5], srows[0][6]
+    assert peak_share == max(r[2] for r in srows)
+    assert any(r[0] == peak_hour and r[2] == peak_share for r in srows)
+
+
+NGRAM_COVERAGE_ORACLE = r"""
+WITH grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS ngram
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents)
+),
+counts AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM grams GROUP BY ngram
+),
+audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types_total,
+         CAST(SUM(n_occurrences) AS BIGINT) AS n_occurrences_total
+  FROM counts
+),
+top AS (
+  SELECT ngram, n_occurrences,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC)
+           AS INT) AS rank,
+         CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, ngram ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM counts ORDER BY n_occurrences DESC, ngram ASC LIMIT 100
+)
+SELECT rank, ngram, n_occurrences,
+       round(CAST(n_occurrences AS DOUBLE)
+             / CAST(n_occurrences_total AS DOUBLE), 6) AS share,
+       round(CAST(cum AS DOUBLE)
+             / CAST(n_occurrences_total AS DOUBLE), 6) AS cum_share,
+       n_types_total, n_occurrences_total
+FROM top CROSS JOIN audit ORDER BY rank
+"""
+
+
+def test_ngram_coverage_matches_oracle(spark, docstar_con):
+    """STAGED r15: top-100 trigram coverage curve (templatedness card)
+    — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        ngram_coverage,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in ngram_coverage(docs).collect()]
+    drows = con.execute(NGRAM_COVERAGE_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    assert [r[0] for r in srows] == list(range(1, len(srows) + 1))
+    # cum_share is nondecreasing and ends at the head coverage figure
+    cums = [r[4] for r in srows]
+    assert cums == sorted(cums)
+    assert 0.0 < cums[-1] <= 1.0
+    # counts are rank-ordered (ties broken by ngram string)
+    ns = [r[2] for r in srows]
+    assert ns == sorted(ns, reverse=True)
+
+
+CENTROID_SHIFT_ORACLE = """
+WITH e AS (
+  SELECT label AS g,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+f AS (
+  SELECT g, dim, CAST(floor(v * 1e9 + 0.5) AS BIGINT) AS vq
+  FROM e WHERE NOT isnan(v)
+),
+per AS (
+  SELECT g, dim, SUM(CAST(vq AS HUGEINT)) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM f GROUP BY 1, 2
+),
+gtot AS (
+  SELECT dim, SUM(sq) AS gsq, CAST(SUM(n) AS BIGINT) AS gn
+  FROM per GROUP BY dim
+),
+terms AS (
+  SELECT per.g, per.n,
+         CAST(per.sq AS DOUBLE) / 1e9 / CAST(per.n AS DOUBLE) AS cg,
+         CAST(gtot.gsq AS DOUBLE) / 1e9 / CAST(gtot.gn AS DOUBLE) AS cd
+  FROM per JOIN gtot ON gtot.dim = per.dim
+),
+red AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n_vecs,
+         SUM(CAST(cg * cd AS DECIMAL(30,10))) AS dot,
+         SUM(CAST(cg * cg AS DECIMAL(30,10))) AS na,
+         SUM(CAST(cd * cd AS DECIMAL(30,10))) AS nb,
+         SUM(CAST((cg - cd) * (cg - cd) AS DECIMAL(30,10))) AS l2
+  FROM terms GROUP BY g
+)
+SELECT g AS "group", n_vecs,
+       round(sqrt(CAST(CAST(l2 AS VARCHAR) AS DOUBLE)), 6) AS l2_shift,
+       round(CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(na AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(CAST(nb AS VARCHAR) AS DOUBLE))), 6)
+         AS cosine_to_global
+FROM red ORDER BY "group"
+"""
+
+
+def test_centroid_shift_matches_oracle(spark, emb_con):
+    """STAGED r15: per-label centroid L2 shift + cosine vs the global
+    centroid — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        centroid_shift_profile,
+    )
+
+    sf_dir, con = emb_con
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srows = [tuple(r) for r in centroid_shift_profile(emb).collect()]
+    drows = con.execute(CENTROID_SHIFT_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 10  # ten synthetic labels
+    for _g, n, l2, cos in srows:
+        assert n > 0 and l2 >= 0.0
+        assert -1.0 - 1e-9 <= cos <= 1.0 + 1e-9
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _md5long as _md5long_sql,
+)
+
+CONTAMINATION_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents)
+),
+tagged AS (
+  SELECT s, {_md5long_sql("'ct#' || CAST(doc_id AS VARCHAR)")} % 13 = 0
+           AS is_eval
+  FROM grams
+),
+train_types AS (SELECT DISTINCT s FROM tagged WHERE NOT is_eval),
+eval_counts AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tagged WHERE is_eval GROUP BY s
+),
+hit AS (
+  SELECT ec.* FROM eval_counts ec
+  WHERE EXISTS (SELECT 1 FROM train_types t WHERE t.s = ec.s)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_types,
+         CAST(SUM(c) AS BIGINT) AS n_eval_occurrences
+  FROM eval_counts
+),
+con AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated_types,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_contaminated_occurrences
+  FROM hit
+)
+SELECT n_eval_types, n_contaminated_types,
+       round(CAST(n_contaminated_types AS DOUBLE)
+             / CAST(n_eval_types AS DOUBLE), 6) AS type_rate,
+       n_eval_occurrences, n_contaminated_occurrences,
+       round(CAST(n_contaminated_occurrences AS DOUBLE)
+             / CAST(n_eval_occurrences AS DOUBLE), 6) AS occurrence_rate
+FROM tot CROSS JOIN con
+"""
+
+
+def test_contamination_overlap_matches_oracle(spark, docstar_con):
+    """STAGED r15: train/eval n-gram contamination card over the
+    deterministic 1-in-13 eval split — value-locked at both scales
+    BEFORE registration."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        contamination_overlap,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = (
+        md5_long(F.concat(F.lit("ct#"), F.col("doc_id").cast("string")))
+        % 13
+        == 0
+    )
+    srow = [
+        tuple(r)
+        for r in contamination_overlap(
+            docs.filter(~is_eval), docs.filter(is_eval)
+        ).collect()
+    ]
+    drow = con.execute(CONTAMINATION_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    net, nct, tr, neo, nco, orate = srow[0]
+    assert 0 < nct <= net and 0 < nco <= neo
+    assert 0.0 < tr <= 1.0 and 0.0 < orate <= 1.0
+    # the 31-word template vocabulary makes heavy overlap certain —
+    # the card exists to MEASURE it, and occurrence rate must be at
+    # least the type rate only when hits skew common (not asserted);
+    # assert instead the exact audit identities
+    assert round(nct / net, 6) == tr
+    assert round(nco / neo, 6) == orate
+
+
+VALUE_MOMENTS_ORACLE = """
+WITH q AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s1,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             * CAST(x AS HUGEINT)) AS s3,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s4
+  FROM q
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(n AS BIGINT) AS n_rows,
+         CAST(s1 AS DOUBLE) / 100.0 AS s1,
+         CAST(s2 AS DOUBLE) / (100.0 * 100.0) AS s2,
+         CAST(s3 AS DOUBLE) / (100.0 * 100.0 * 100.0) AS s3,
+         CAST(s4 AS DOUBLE) / (100.0 * 100.0 * 100.0 * 100.0) AS s4
+  FROM s
+),
+m AS (
+  SELECT n_rows, n, s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM d
+)
+SELECT n_rows, round(m1, 6) AS mean,
+       round(sqrt(greatest(m2, 0)), 6) AS std,
+       CASE WHEN greatest(m2, 0) > 0 THEN
+         round(m3 / (greatest(m2, 0) * sqrt(greatest(m2, 0))), 6)
+       END AS skewness,
+       CASE WHEN greatest(m2, 0) > 0 THEN
+         round(m4 / (greatest(m2, 0) * greatest(m2, 0)) - 3.0, 6)
+       END AS kurtosis_excess
+FROM m
+"""
+
+
+def test_value_moments_matches_oracle(spark, ev_con):
+    """STAGED r15: exact centi-quantized moment card (mean/std/skew/
+    kurtosis from decimal power sums) — value-locked at both scales
+    BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import value_moments
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srow = [tuple(r) for r in value_moments(ev, "value").collect()]
+    drow = con.execute(VALUE_MOMENTS_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    n, mean, std, skew, kurt = srow[0]
+    assert n > 0 and std > 0.0
+    # the synthetic value column is right-skewed fare-like data
+    assert skew > 0.0
+    assert kurt > -2.0  # bounded below for any distribution
+
+
+SPLIT_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 50.0) AS INT)))
+           AS bin,
+         {_md5long_sql("'sp#' || CAST(event_id AS VARCHAR)")} % 2 AS s
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+hist AS (
+  SELECT bin,
+         CAST(COALESCE(SUM(CASE WHEN s = 0 THEN 1 END), 0) AS BIGINT)
+           AS n_base,
+         CAST(COALESCE(SUM(CASE WHEN s = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_current
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_current) AS BIGINT) AS tc
+  FROM hist
+),
+terms AS (
+  SELECT n_base, n_current,
+         GREATEST(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 1e-4) AS p,
+         GREATEST(CAST(n_current AS DOUBLE) / CAST(tc AS DOUBLE), 1e-4) AS q
+  FROM hist CROSS JOIN tot
+)
+SELECT round(CAST(CAST(SUM(CAST((p - q)
+         * (CAST(CAST(round(ln(p / q) * 1e9) AS BIGINT) AS DOUBLE) / 1e9)
+         AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS psi,
+       CAST(SUM(n_base) AS BIGINT) AS n_base,
+       CAST(SUM(n_current) AS BIGINT) AS n_current,
+       round(CAST(SUM(n_base) AS DOUBLE)
+             / CAST(SUM(n_base) + SUM(n_current) AS DOUBLE), 6)
+         AS split_balance
+FROM terms
+"""
+
+
+def test_split_psi_matches_oracle(spark, ev_con):
+    """STAGED r15: split-exchangeability PSI between the md5 hash-split
+    halves of events.value — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        split_psi_audit,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srow = [
+        tuple(r)
+        for r in split_psi_audit(
+            ev, "value", "event_id", n_bins=10, lo=0.0, hi=500.0
+        ).collect()
+    ]
+    drow = con.execute(SPLIT_PSI_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    psi, nb, nc, bal = srow[0]
+    # a hash split of exchangeable rows certifies stable
+    assert 0.0 <= psi < 0.1
+    assert abs(bal - 0.5) < 0.1
+    assert nb + nc == ev.filter("value IS NOT NULL AND NOT isnan(value)").count()
