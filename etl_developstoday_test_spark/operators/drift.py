@@ -1485,3 +1485,92 @@ def value_moments(
             m2p > 0, F.round(m4 / (m2p * m2p) - F.lit(3.0), 6)
         ).alias("kurtosis_excess"),
     )
+
+
+def rolling_zscore_daily(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """TRAILING-WINDOW z-score anomaly card for the daily-mean series:
+    each day scored against the mean/std of the PRECEDING
+    ``window_days`` days (current day excluded — a same-day baseline
+    would dilute the very anomaly being tested). The LOCAL-anomaly
+    leg of the drift kit: CUSUM/Page-Hinkley accumulate persistent
+    level shifts, the MAD card flags volume outliers globally — this
+    flags single anomalous days against their own recent regime, the
+    on-call "is today weird" number.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: daily means come from the micro-quantized long sums
+    (the shared Page-Hinkley/autocorr daily CTE) and are re-quantized
+    to exact micro longs mq = floor(s/n + 0.5) so the window moments
+    are INTEGER window sums (Σmq, Σmq² through decimal(38,0) — mq²
+    overflows 2⁶³ once daily means pass ~10³ at micro scale);
+    baseline mean/var/z assemble in one fixed-order double tree
+    (sqrt IEEE-rounded), 6-dp. Days with fewer than ``window_days``
+    preceding days report NULL z (warm-up, documented); a
+    zero-variance baseline also reports NULL z (degenerate contract,
+    the value_moments precedent).
+
+    Scale shape: corpus → bounded days table in ONE map-side-combined
+    aggregate; every window runs over that bounded table (ordered by
+    day — calendar-sized, the Page-Hinkley allowlist class). Returns
+    one row per day: (d, mean_daily, baseline_mean, baseline_std, z,
+    is_anomaly), day-ordered.
+    """
+    if window_days < 2:
+        raise ValueError("rolling_zscore_daily: window_days must be >= 2")
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .groupBy(F.to_date(ts_col).alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(v * 1e6 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("s"),
+        )
+        .localCheckpoint(eager=True)  # bounded: calendar days
+    )
+    mq = F.floor(
+        F.col("s").cast("double") / F.col("n").cast("double") + F.lit(0.5)
+    ).cast("long")
+    seq = daily.select("d", mq.alias("mq"))
+    w = Window.orderBy("d").rowsBetween(-window_days, -1)
+    seq = seq.select(
+        "d",
+        "mq",
+        F.count(F.lit(1)).over(w).cast("long").alias("_k"),
+        F.sum(F.col("mq").cast("decimal(38,0)")).over(w).alias("_s1"),
+        F.sum(
+            (F.col("mq").cast("decimal(38,0)") * F.col("mq").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        )
+        .over(w)
+        .alias("_s2"),
+    )
+    kk = F.col("_k").cast("double")
+    bm = F.col("_s1").cast("double") / F.lit(1e6) / kk
+    var = F.greatest(
+        F.col("_s2").cast("double") / F.lit(1e12) / kk - bm * bm,
+        F.lit(0.0),
+    )
+    x = F.col("mq").cast("double") / F.lit(1e6)
+    std = F.sqrt(var)
+    full = F.col("_k") == window_days
+    z = F.when(full & (std > 0), F.round((x - bm) / std, 6))
+    return seq.select(
+        "d",
+        F.round(x, 6).alias("mean_daily"),
+        F.when(full, F.round(bm, 6)).alias("baseline_mean"),
+        F.when(full, F.round(std, 6)).alias("baseline_std"),
+        z.alias("z"),
+        F.when(full & (std > 0), F.abs(z) > F.lit(float(z_thresh))).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("d")

@@ -887,3 +887,67 @@ def markov_transition_entropy(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def user_lifespan_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """USER-LIFESPAN histogram: days between each user's first and
+    last event, bucketed by whole days, with the population audit
+    (user count, mean lifespan) on every row. The tenure card beside
+    the retention triangle (cohort decay over calendar time) and
+    DAU/WAU (instantaneous density): a corpus whose lifespans pile at
+    0 days is drive-by traffic no retention matrix will save, and the
+    lifespan tail is the denominator for any LTV-style cut.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: spans are exact integer microseconds (max − min per
+    user) floor-divided into whole days; the mean is an exact
+    decimal(38,0) sum of day counts over the user table divided once
+    (6-dp). Same-timestamp-only users land in bucket 0.
+
+    Scale shape: ONE user-co-keyed map-side-combined min/max
+    aggregation, collapsed to the day-domain-bounded histogram by a
+    second map-side-combined groupBy; the 1-row audit rides the
+    bounded table and broadcasts back. Returns one row per occupied
+    span bucket: (span_days, n_users, n_users_total, mean_span_days),
+    span-ordered.
+    """
+    per = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("_a"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("_b"),
+        )
+        .select(
+            F.expr("(_b - _a) div 86400000000")
+            .cast("long")
+            .alias("span_days")
+        )
+    )
+    hist = per.groupBy("span_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).localCheckpoint(eager=True)  # bounded: day domain
+    audit = hist.agg(
+        F.sum("n_users").cast("long").alias("n_users_total"),
+        F.round(
+            F.sum(
+                (
+                    F.col("span_days").cast("decimal(38,0)")
+                    * F.col("n_users").cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / F.sum("n_users").cast("double"),
+            6,
+        ).alias("mean_span_days"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select("span_days", "n_users", "n_users_total", "mean_span_days")
+        .orderBy("span_days")
+    )

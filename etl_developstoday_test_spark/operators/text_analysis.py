@@ -2106,3 +2106,87 @@ def ngram_coverage(
         )
         .orderBy("rank")
     )
+
+
+def char_class_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group CHARACTER-CLASS mix: exact counts of alphabetic,
+    digit, space, and other characters with their shares — the
+    cheapest corpus-quality fingerprint there is (a source whose
+    digit+other share jumps is shipping tables/markup/minified junk;
+    a space share far off ~1/6 breaks every whitespace tokenizer
+    downstream, including this repo's). The CHARACTER-level leg under
+    text_quality_score's document-level heuristics, and the drift
+    fingerprint to store per ingest batch.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: class counts are string lengths after regex class
+    deletion — pure exact integers on both engines (the character
+    classes are spelled as explicit ASCII ranges, no locale-dependent
+    \\w/\\s); shares are single double divisions, 6-dp. NULL texts
+    count as zero-length (documented).
+
+    Scale shape: one narrow map (four regexp_replace + lengths per
+    row) collapsed by ONE map-side-combined groupBy to the
+    group-bounded table. Returns one row per group: (group, n_docs,
+    n_chars, alpha_share, digit_share, space_share, other_share),
+    group-ordered.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(t).cast("long")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long")
+    space = F.length(
+        F.regexp_replace(t, "[^ \\t\\n\\r]", "")
+    ).cast("long")
+    agg = (
+        docs.select(
+            F.col(group_col).alias("group"),
+            ln.alias("_l"),
+            alpha.alias("_a"),
+            digit.alias("_d"),
+            space.alias("_s"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_l").cast("long").alias("n_chars"),
+            F.sum("_a").cast("long").alias("_alpha"),
+            F.sum("_d").cast("long").alias("_digit"),
+            F.sum("_s").cast("long").alias("_space"),
+        )
+    )
+    c = F.col("n_chars").cast("double")
+    # a zero-character group has no class mix: NULL shares (portable —
+    # 0/0 is ANSI-fatal on Spark and NaN on DuckDB; NULL on both)
+    nz = F.col("n_chars") > 0
+    share = lambda col: F.when(  # noqa: E731
+        nz, F.round(F.col(col).cast("double") / c, 6)
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        "n_chars",
+        share("_alpha").alias("alpha_share"),
+        share("_digit").alias("digit_share"),
+        share("_space").alias("space_share"),
+        F.when(
+            nz,
+            F.round(
+                (
+                    F.col("n_chars")
+                    - F.col("_alpha")
+                    - F.col("_digit")
+                    - F.col("_space")
+                )
+                .cast("double")
+                / c,
+                6,
+            ),
+        ).alias("other_share"),
+    ).orderBy("group")

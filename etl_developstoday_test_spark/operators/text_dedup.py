@@ -1249,3 +1249,76 @@ def contamination_overlap(
             6,
         ).alias("occurrence_rate"),
     )
+
+
+def ngram_containment_topk(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 25,
+    df_max: int | None = None,
+) -> DataFrame:
+    """Top-k document pairs by n-gram CONTAINMENT (overlap
+    coefficient |A∩B| / min(|A|,|B|)) — the SUBSET-duplicate detector
+    Jaccard structurally misses: a doc pasted whole into a 10× longer
+    one scores Jaccard ≈ 0.1 (union-dominated) but containment 1.0.
+    The expansion/quote/boilerplate-wrapper dedup leg beside
+    ngram_jaccard (symmetric near-dup) and FastSS (edit-distance),
+    on the same shingle space.
+
+    STAGED for round-15 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: candidate pairs from the shared-shingle equi-join
+    (doc_a < doc_b); intersection and both set sizes are exact longs
+    in the SAME (optionally df_max-filtered) shingle space — the
+    ngram_jaccard_pairs contract; containment is one correctly-
+    rounded double division; the top-k order is (containment DESC,
+    doc_a ASC, doc_b ASC) — a total order.
+
+    Scale shape: identical to ngram_jaccard_pairs (set sizes ride the
+    self-join as a doc-partitioned window column, the b side is a
+    ReusedExchange of the a side, one pair-keyed map-side-combined
+    groupBy); ``df_max`` is the fan-out knob at 100 TB (drop
+    ubiquitous shingles before pairing — mandatory on boilerplate-
+    heavy corpora, where exactly this operator fires most). The
+    top-k is orderBy+limit = TakeOrderedAndProject. Returns k rows:
+    (doc_a, doc_b, intersection_size, n_a, n_b, containment).
+    """
+    sh = _doc_shingles(docs, n)
+    if df_max is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_max)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sh = sh.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("_n").alias("_na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("_n").alias("_nb")
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("intersection_size"),
+            F.min("_na").cast("long").alias("n_a"),
+            F.min("_nb").cast("long").alias("n_b"),
+        )
+    )
+    cont = F.col("intersection_size").cast("double") / F.least(
+        "n_a", "n_b"
+    ).cast("double")
+    return (
+        inter.withColumn("containment", F.round(cont, 6))
+        .orderBy(
+            F.desc("containment"), F.asc("doc_a"), F.asc("doc_b")
+        )
+        .limit(k)
+    )

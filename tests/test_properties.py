@@ -3364,3 +3364,93 @@ def test_split_psi_flags_value_correlated_split(spark):
         split_psi_audit(rigged, "v", "event_id")
     with pytest.raises(ValueError, match="hi must be"):
         split_psi_audit(rigged, "v", "event_id", lo=1.0, hi=1.0)
+
+
+def test_ngram_containment_subset_doc_pins_one(spark):
+    """A doc fully contained in a longer doc scores containment
+    exactly 1.0 while its Jaccard stays well below 1 — the case the
+    operator exists for."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_containment_topk,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in ngram_containment_topk(docs).collect()]
+    assert out == [(1, 2, 3, 3, 8, 1.0)]
+    jac = [tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()]
+    assert jac[0][3] == 0.375  # 3 / (3 + 8 - 3): jaccard misses it
+
+
+def test_rolling_zscore_spike_and_warmup(spark):
+    """A spike day against a varying baseline alarms; warm-up days and
+    zero-variance baselines report NULL z (documented contract)."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.drift import (
+        rolling_zscore_daily,
+    )
+    import pytest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 8 alternating-baseline days, then a spike on day 8 (index 0-based)
+    for i, v in enumerate([10.0, 11.0, 10.0, 11.0, 10.0, 11.0, 10.0, 11.0]):
+        rows.append((t0 + dt.timedelta(days=i), v))
+    rows.append((t0 + dt.timedelta(days=8), 100.0))
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = [tuple(r) for r in rolling_zscore_daily(ev, "value").collect()]
+    assert len(out) == 9
+    assert all(r[4] is None for r in out[:7])  # warm-up
+    assert out[7][4] is not None and out[7][5] is False  # normal day
+    assert out[8][4] > 3.0 and out[8][5] is True  # the spike alarms
+    # zero-variance baseline: NULL z even when the day moves
+    const = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), 5.0) for i in range(8)]
+        + [(t0 + dt.timedelta(days=8), 50.0)],
+        "ts timestamp, value double",
+    )
+    out = [tuple(r) for r in rolling_zscore_daily(const, "value").collect()]
+    assert out[8][2] == 5.0 and out[8][3] == 0.0 and out[8][4] is None
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_zscore_daily(ev, "value", window_days=1)
+
+
+def test_user_lifespan_fixture(spark):
+    """Single-moment users land in bucket 0; spans floor into whole
+    days; the audit mean is exact."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_lifespan_histogram,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0),                                # span 0
+        (2, t0), (2, t0 + dt.timedelta(days=3)),         # span 3
+        (3, t0), (3, t0 + dt.timedelta(days=3, hours=23)),  # floors to 3
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = [tuple(r) for r in user_lifespan_histogram(ev).collect()]
+    assert out == [(0, 1, 3, 2.0), (3, 2, 3, 2.0)]
+
+
+def test_char_class_profile_fixture(spark):
+    """'ab 12 !' partitions into 2 alpha + 2 digit + 2 space + 1 other
+    of 7 chars; NULL text counts as empty."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        char_class_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [("s1", "ab 12 !"), ("s2", None)], "source string, text string"
+    )
+    out = [tuple(r) for r in char_class_profile(docs).collect()]
+    assert out[0] == (
+        "s1", 1, 7, 0.285714, 0.285714, 0.285714, 0.142857,
+    )
+    assert out[1] == ("s2", 1, 0, None, None, None, None)  # NULL text

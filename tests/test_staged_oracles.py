@@ -3160,3 +3160,209 @@ def test_split_psi_matches_oracle(spark, ev_con):
     assert 0.0 <= psi < 0.1
     assert abs(bal - 0.5) < 0.1
     assert nb + nc == ev.filter("value IS NOT NULL AND NOT isnan(value)").count()
+
+
+NGRAM_CONTAINMENT_ORACLE = r"""
+WITH shingle_sets AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents)
+),
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingle_sets),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS intersection_size
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, intersection_size, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(intersection_size AS DOUBLE)
+             / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.doc_a
+JOIN sz sb ON sb.doc_id = inter.doc_b
+ORDER BY containment DESC, doc_a ASC, doc_b ASC LIMIT 25
+"""
+
+
+def test_ngram_containment_matches_oracle(spark, docstar_con):
+    """STAGED r15: top-25 pairs by n-gram overlap coefficient (the
+    subset-duplicate detector) — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_containment_topk,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in ngram_containment_topk(docs).collect()]
+    drows = con.execute(NGRAM_CONTAINMENT_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    for da, db, i, na, nb, c in srows:
+        assert da < db
+        assert 0 < i <= min(na, nb)
+        assert 0.0 < c <= 1.0
+    # containment >= jaccard on every pair, by definition
+    for da, db, i, na, nb, c in srows:
+        assert c >= round(i / (na + nb - i), 6) - 1e-12
+
+
+ROLLING_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+seq AS (
+  SELECT d, CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+             AS BIGINT) AS mq
+  FROM daily
+),
+win AS (
+  SELECT d, mq,
+         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+         SUM(CAST(mq AS HUGEINT)) OVER w AS s1,
+         SUM(CAST(mq AS HUGEINT) * CAST(mq AS HUGEINT)) OVER w AS s2
+  FROM seq
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+calc AS (
+  SELECT d, CAST(mq AS DOUBLE) / 1e6 AS x, k,
+         CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE) AS bm,
+         greatest(CAST(s2 AS DOUBLE) / 1e12 / CAST(k AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE)),
+                  0) AS var
+  FROM win
+)
+SELECT d, round(x, 6) AS mean_daily,
+       CASE WHEN k = 7 THEN round(bm, 6) END AS baseline_mean,
+       CASE WHEN k = 7 THEN round(sqrt(var), 6) END AS baseline_std,
+       CASE WHEN k = 7 AND sqrt(var) > 0
+            THEN round((x - bm) / sqrt(var), 6) END AS z,
+       CASE WHEN k = 7 AND sqrt(var) > 0
+            THEN abs(round((x - bm) / sqrt(var), 6)) > 3.0
+       END AS is_anomaly
+FROM calc ORDER BY d
+"""
+
+
+def test_rolling_zscore_matches_oracle(spark, ev_con):
+    """STAGED r15: trailing-7-day z-score anomaly card over the daily
+    mean — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        rolling_zscore_daily,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in rolling_zscore_daily(ev, "value").collect()]
+    drows = con.execute(ROLLING_ZSCORE_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 30  # the corpus spans 30 days
+    # exactly the first 7 days are warm-up (no full trailing window)
+    assert all(r[2] is None for r in srows[:7])
+    assert all(r[2] is not None for r in srows[7:])
+
+
+USER_LIFESPAN_ORACLE = """
+WITH per AS (
+  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+           AS span_days
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+),
+hist AS (
+  SELECT CAST(span_days AS BIGINT) AS span_days,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per GROUP BY 1
+),
+audit AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n_users_total,
+         round(CAST(SUM(CAST(span_days AS HUGEINT)
+                         * CAST(n_users AS HUGEINT)) AS DOUBLE)
+               / CAST(SUM(n_users) AS DOUBLE), 6) AS mean_span_days
+  FROM hist
+)
+SELECT span_days, n_users, n_users_total, mean_span_days
+FROM hist CROSS JOIN audit ORDER BY span_days
+"""
+
+
+def test_user_lifespan_matches_oracle(spark, ev_con):
+    """STAGED r15: first-to-last-event lifespan histogram with the
+    population audit — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_lifespan_histogram,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in user_lifespan_histogram(ev).collect()]
+    drows = con.execute(USER_LIFESPAN_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    assert sum(r[1] for r in srows) == srows[0][2]  # partitions users
+    assert [r[0] for r in srows] == sorted(r[0] for r in srows)
+    assert all(0 <= r[0] <= 30 for r in srows)  # 30-day corpus bound
+
+
+CHAR_CLASS_ORACLE = r"""
+WITH rows_ AS (
+  SELECT source AS grp, COALESCE(text, '') AS t FROM documents
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+         CAST(SUM(length(regexp_replace(t, '[^A-Za-z]', '', 'g')))
+           AS BIGINT) AS a,
+         CAST(SUM(length(regexp_replace(t, '[^0-9]', '', 'g')))
+           AS BIGINT) AS dg,
+         CAST(SUM(length(regexp_replace(t, '[^ \t\n\r]', '', 'g')))
+           AS BIGINT) AS sp
+  FROM rows_ GROUP BY 1
+)
+SELECT grp AS "group", n_docs, n_chars,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(a AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       END AS alpha_share,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(dg AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       END AS digit_share,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(sp AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       END AS space_share,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(n_chars - a - dg - sp AS DOUBLE)
+               / CAST(n_chars AS DOUBLE), 6)
+       END AS other_share
+FROM agg ORDER BY "group"
+"""
+
+
+def test_char_class_profile_matches_oracle(spark, docstar_con):
+    """STAGED r15: per-source character-class mix — value-locked at
+    both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        char_class_profile,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in char_class_profile(docs).collect()]
+    drows = con.execute(CHAR_CLASS_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    for _g, nd, nc, a, d, s, o in srows:
+        assert nd > 0 and nc > 0
+        # shares partition the character mass (up to 6-dp rounding)
+        assert abs(a + d + s + o - 1.0) < 5e-6
+        assert d == 0.0  # the synthetic vocabulary is letters+spaces
