@@ -1770,3 +1770,325 @@ def test_partition_balance_bounded_spine(spark):
     )
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+# --- Round-14 registrations: per-query plan pins ------------------------------
+
+
+def test_cusum_twosided_one_sort_no_union(spark):
+    """drift_cusum_twosided: up+down recurrences ride the SAME
+    (grp)-partitioned sort (frame windows, no second shuffle of the
+    series) and the side emission is an array explode — never a Union
+    re-reading the series."""
+    plan = plan_of(spark, "drift_cusum_twosided")
+    assert "Generate explode" in plan
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan  # windows keyed by grp
+
+
+def test_term_burstiness_takeordered_single_explode(spark):
+    """text_term_burstiness: ONE tokenize explode, map-side-combined
+    incidence counts, and the top-20 compiles to
+    TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(spark, "text_term_burstiness")
+    assert plan.count("Generate explode") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [burstiness" not in plan
+
+
+def test_degree_gini_returned_plan_is_histogram_bound(spark):
+    """graph_degree_gini: the returned plan runs entirely on the
+    CHECKPOINTED degree-domain histogram — no parquet stage; the one
+    partitionless window is the rank-block cumulation over that
+    bounded table (allowlisted class)."""
+    plan = plan_of(spark, "graph_degree_gini")
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fk_fanout_card_reads_checkpointed_histogram(spark):
+    """dq_fk_fanout: the children-per-parent groupBys (corpus-sized)
+    happen behind the eager checkpoint; the returned card reads the
+    fanout-domain-bounded histogram, and its only nested-loop node is
+    the 1-row audit cross."""
+    plan = plan_of(spark, "dq_fk_fanout")
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert ", Cross" in ln
+
+
+def test_wilson_ci_card_is_one_row(spark):
+    """sample_wilson_ci: the corpus collapses behind the checkpoint to
+    the exact (n, k) pair; the returned plan is the 1-row interval
+    arithmetic — no join, no window, no shuffle."""
+    plan = plan_of(spark, "sample_wilson_ci")
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_dau_wau_explode_rewrite_no_window(spark):
+    """events_dau_wau_stickiness: the trailing COUNT(DISTINCT) is
+    rewritten as the bounded ×7 pair explode — NO window anywhere
+    (a range-frame distinct would be partial-aggregation-hostile),
+    and the day join is an equi-join."""
+    plan = plan_of(spark, "events_dau_wau_stickiness")
+    assert "Generate explode" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_length_percentiles_single_scan_no_global_window(spark):
+    """text_length_percentiles: one parquet scan of the projected
+    length column, per-source interpolation — never a partitionless
+    window over the corpus."""
+    plan = plan_of(spark, "text_length_percentiles")
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "ReadSchema: struct<n_chars:bigint,source:string>" in plan or (
+        "n_chars" in plan and "text" not in plan.split("ReadSchema")[-1]
+    )
+
+
+def test_pair_cosine_registered_plan_is_bucket_bound(spark):
+    """embed_pair_cosine: the md5-bucket window and pair join run
+    behind the checkpoint (bucket-partitioned — the registered plan
+    shows no corpus-sized single-partition window); the returned
+    histogram assembly reads the bounded table with a 1-row audit
+    cross."""
+    plan = plan_of(spark, "embed_pair_cosine")
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert ", Cross" in ln
+
+
+# --- Round-15 staged operators: plan pins (these run BEFORE registration,
+# so the global sweep does not yet cover them — pin the scale shapes now)
+
+
+def test_markov_entropy_matrix_bound_card(spark):
+    """markov_transition_entropy (staged r15): the user-partitioned
+    lead() window runs behind the checkpoint; the returned plan reads
+    the ≤k² transition matrix with a 1-row audit cross."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        markov_transition_entropy,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        markov_transition_entropy(load_table(spark, SF_DIR, "events"))
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan  # the lead() window is checkpointed away
+
+
+def test_key_candidate_profile_no_expand_single_scan(spark):
+    """key_candidate_profile (staged r15): ONE scan through the
+    stacked unpivot and a single-distinct aggregation — Spark must
+    NOT plan an Expand (the multi-distinct row multiplier)."""
+    from etl_developstoday_test_spark.operators.dq import (
+        key_candidate_profile,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        key_candidate_profile(
+            load_table(spark, SF_DIR, "events"),
+            ["event_id", "event_type", "props", "ts", "user_id", "value"],
+        )
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+
+def test_hourly_seasonality_bounded_card(spark):
+    """hourly_seasonality (staged r15): the corpus groupBy happens
+    behind the checkpoint; the returned plan is 24-row spine
+    arithmetic (audit crosses + the 1-row peak TakeOrdered)."""
+    from etl_developstoday_test_spark.operators.drift import (
+        hourly_seasonality,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        hourly_seasonality(load_table(spark, SF_DIR, "events"))
+    )
+    assert "FileScan parquet" not in plan
+    assert "TakeOrderedAndProject" in plan  # the peak pick, 1 row
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert ", Cross" in ln
+
+
+def test_value_moments_single_aggregate(spark):
+    """value_moments (staged r15): ONE map-side-combined aggregate —
+    a single scan, a single SinglePartition exchange for the 1-row
+    card, no join, no window."""
+    from etl_developstoday_test_spark.operators.drift import value_moments
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        value_moments(load_table(spark, SF_DIR, "events"), "value")
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_rolling_zscore_windows_over_checkpointed_days(spark):
+    """rolling_zscore_daily (staged r15): the frame windows run over
+    the CHECKPOINTED calendar-days table — no parquet stage feeds a
+    window."""
+    from etl_developstoday_test_spark.operators.drift import (
+        rolling_zscore_daily,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        rolling_zscore_daily(load_table(spark, SF_DIR, "events"), "value")
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_ngram_coverage_window_after_checkpointed_topk(spark):
+    """ngram_coverage (staged r15): the cumulative window's input is
+    the CHECKPOINTED k-row top table (the one FileScan in the plan is
+    the audit rollup branch, never the window's input)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        ngram_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(ngram_coverage(docs))
+    assert plan.count("Window") == 1
+    lines = plan.splitlines()
+    widx = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    # everything beneath the Window node until the next join branch
+    # must be bounded (ExistingRDD), not a parquet scan
+    below = "\n".join(lines[widx:widx + 6])
+    assert "FileScan parquet" not in below
+    assert "CartesianProduct" not in plan
+
+
+def test_char_class_profile_single_pass(spark):
+    """char_class_profile (staged r15): one narrow scan, one
+    map-side-combined groupBy — no join, no window, no explode."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        char_class_profile,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(char_class_profile(docs))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "Generate" not in plan
+
+
+def test_ngram_containment_takeordered_partitioned_window(spark):
+    """ngram_containment_topk (staged r15): the top-k compiles to
+    TakeOrderedAndProject; the set-size windows are PARTITIONED by
+    doc_id (never a single-partition corpus window); candidates come
+    from the shingle equi-join (no cartesian)."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_containment_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(ngram_containment_topk(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_semi_join_single_scan_per_side(spark):
+    """contamination_overlap (staged r15): the eval side is
+    checkpointed once and read by both rollups; the train side scans
+    parquet exactly once, straight into the distinct-type LeftSemi
+    join."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    is_eval = (
+        md5_long(F.concat(F.lit("ct#"), F.col("doc_id").cast("string")))
+        % 13
+        == 0
+    )
+    plan = _staged_plan(
+        contamination_overlap(docs.filter(~is_eval), docs.filter(is_eval))
+    )
+    assert plan.count("FileScan parquet") == 1  # train side only
+    assert "LeftSemi" in plan
+    assert plan.count("Scan ExistingRDD") >= 2  # eval checkpoint, both rollups
+
+
+def test_user_lifespan_card_is_histogram_bound(spark):
+    """user_lifespan_histogram (staged r15): the per-user min/max
+    aggregation runs behind the checkpoint; the returned plan is
+    day-domain histogram arithmetic with the 1-row audit cross."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_lifespan_histogram,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        user_lifespan_histogram(load_table(spark, SF_DIR, "events"))
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert ", Cross" in ln
+
+
+def test_centroid_shift_bounded_dim_join_no_window(spark):
+    """centroid_shift_profile (staged r15): the posexplode collapses
+    behind the checkpoint to the (groups × dims) sums table; the
+    returned plan joins that bounded table to its own rollup by dim —
+    no parquet stage, no window, no second corpus scan."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        centroid_shift_profile,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _staged_plan(centroid_shift_profile(emb))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+
+
+def test_split_psi_single_scan_behind_checkpoint(spark):
+    """split_psi_audit (staged r15): ONE corpus scan (split bit and
+    bin in the same projection, conditional partial sums) behind the
+    checkpoint; the returned plan is bin-bounded term assembly."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        split_psi_audit,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        split_psi_audit(
+            load_table(spark, SF_DIR, "events"),
+            "value",
+            "event_id",
+            lo=0.0,
+            hi=500.0,
+        )
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
