@@ -1322,7 +1322,10 @@ def hourly_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     reaches ~5.8e28 at a 10^13-row corpus — far past 2⁶³) and divides
     once in double; peak share is a single double division; the peak
     hour breaks count ties on the SMALLEST hour (md5-free: the domain
-    is already totally ordered). 6-dp rounding on the doubles.
+    is already totally ordered). 6-dp rounding on the doubles. An
+    empty (or all-null-ts) feed emits the full 24-row spine with NULL
+    share/chi2/peak_share instead of an ANSI DIVIDE_BY_ZERO — the
+    repo's degenerate-card convention (r14 ADVICE item 1).
 
     Scale shape: ONE map-side-combined groupBy collapses the corpus
     to ≤24 occupied hours, outer-joined onto the literal 0..23 spine
@@ -1374,16 +1377,26 @@ def hourly_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .crossJoin(F.broadcast(peak))
         .select(
             "_c",
-            F.round(
-                F.col("_ssq").cast("double")
-                / (F.lit(24.0) * F.col("_c").cast("double")),
-                6,
+            # empty / all-null-ts feed: NULL statistics instead of an
+            # ANSI DIVIDE_BY_ZERO — the degenerate contract ("a feed
+            # that goes dark should say so"), char_class precedent
+            F.when(
+                F.col("_c") > 0,
+                F.round(
+                    F.col("_ssq").cast("double")
+                    / (F.lit(24.0) * F.col("_c").cast("double")),
+                    6,
+                ),
             ).alias("chi2_uniform"),
             F.lit(23).cast("long").alias("df"),
             "peak_hour",
-            F.round(
-                F.col("_peak_n").cast("double") / F.col("_c").cast("double"),
-                6,
+            F.when(
+                F.col("_c") > 0,
+                F.round(
+                    F.col("_peak_n").cast("double")
+                    / F.col("_c").cast("double"),
+                    6,
+                ),
             ).alias("peak_share"),
         )
     )
@@ -1392,9 +1405,13 @@ def hourly_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .select(
             "hour",
             "n_events",
-            F.round(
-                F.col("n_events").cast("double") / F.col("_c").cast("double"),
-                6,
+            F.when(
+                F.col("_c") > 0,
+                F.round(
+                    F.col("n_events").cast("double")
+                    / F.col("_c").cast("double"),
+                    6,
+                ),
             ).alias("share"),
             "chi2_uniform",
             "df",
@@ -1508,8 +1525,13 @@ def rolling_zscore_daily(
 
     Determinism: daily means come from the micro-quantized long sums
     (the shared Page-Hinkley/autocorr daily CTE) and are re-quantized
-    to exact micro longs mq = floor(s/n + 0.5) so the window moments
-    are INTEGER window sums (Σmq, Σmq² through decimal(38,0) — mq²
+    to exact micro longs mq = floor(s/n + 0.5), computed as the
+    INTEGER floor division (2s + n − pmod(2s + n, 2n)) / 2n entirely
+    in decimal(38,0) — no double round-trip, so the half-rounding is
+    exact even once a day's micro-sum passes 2⁵³ (the r14 VERDICT
+    item-2 seam; the degree-Gini precedent), and pmod keeps true
+    floor semantics for negative daily sums. The window moments are
+    INTEGER window sums (Σmq, Σmq² through decimal(38,0) — mq²
     overflows 2⁶³ once daily means pass ~10³ at micro scale);
     baseline mean/var/z assemble in one fixed-order double tree
     (sqrt IEEE-rounded), 6-dp. Days with fewer than ``window_days``
@@ -1537,9 +1559,15 @@ def rolling_zscore_daily(
         )
         .localCheckpoint(eager=True)  # bounded: calendar days
     )
-    mq = F.floor(
-        F.col("s").cast("double") / F.col("n").cast("double") + F.lit(0.5)
-    ).cast("long")
+    # mq = floor(s/n + 0.5) = floor((2s+n)/(2n)), exact: (2s+n) can
+    # overflow a long at the 100-TB posture, so the numerator lives in
+    # decimal(38,0); a − pmod(a, b) is exactly divisible by b, so the
+    # decimal division is exact and the cast back to long is lossless.
+    _a = F.col("s").cast("decimal(38,0)") * F.lit(2) + F.col(
+        "n"
+    ).cast("decimal(38,0)")
+    _b = F.col("n").cast("decimal(38,0)") * F.lit(2)
+    mq = ((_a - F.pmod(_a, _b)) / _b).cast("long")
     seq = daily.select("d", mq.alias("mq"))
     w = Window.orderBy("d").rowsBetween(-window_days, -1)
     seq = seq.select(

@@ -1188,8 +1188,13 @@ def split_psi_audit(
     STAGED for round-15 registration (oracle pre-validated in
     tests/test_staged_oracles.py at both scales).
 
-    Determinism: the split is salted md5 parity of the id (the
-    hash_split operator's contract — engine-portable, seed-stable);
+    Determinism: the split is the 'sp#'-salted md5 PARITY of the id —
+    an independent 50/50 split built on the same engine-portable,
+    seed-stable md5 idiom as hash_split, NOT hash_split's own
+    caller-salted 100-bucket threshold assignment (r14 ADVICE item 4:
+    this card certifies the exchangeability of the id-hash split
+    MECHANISM; to audit a specific hash_split output, materialize
+    that split and diff the halves with drift_psi_daily's binning);
     bin edges are caller-pinned [lo, hi] (the psi_drift rule: derived
     edges would make audits incomparable across runs); counts are
     exact longs; each bin's (p−q)·lnq(p/q) term quantizes the one
@@ -1241,13 +1246,24 @@ def split_psi_audit(
         F.sum("n_current").cast("long").alias("_tc"),
     )
     j = binned.crossJoin(F.broadcast(tot))
-    p = F.greatest(
-        F.col("n_base").cast("double") / F.col("_tb").cast("double"),
-        F.lit(1e-4),
+    # one-sided degenerate input (an empty md5-parity half): NULL PSI
+    # instead of an ANSI DIVIDE_BY_ZERO — every term goes NULL and the
+    # NULL-skipping sum over all-NULL terms reports NULL (r14 ADVICE)
+    # (the when wraps the WHOLE greatest: Spark's greatest skips NULL
+    # arguments, so greatest(NULL, 1e-4) would resurrect 1e-4)
+    p = F.when(
+        F.col("_tb") > 0,
+        F.greatest(
+            F.col("n_base").cast("double") / F.col("_tb").cast("double"),
+            F.lit(1e-4),
+        ),
     )
-    q = F.greatest(
-        F.col("n_current").cast("double") / F.col("_tc").cast("double"),
-        F.lit(1e-4),
+    q = F.when(
+        F.col("_tc") > 0,
+        F.greatest(
+            F.col("n_current").cast("double") / F.col("_tc").cast("double"),
+            F.lit(1e-4),
+        ),
     )
     lq = F.round(F.log(p / q) * 1e9).cast("long")
     term = (p - q) * (lq.cast("double") / 1e9)
@@ -1266,10 +1282,13 @@ def split_psi_audit(
             "psi",
             "n_base",
             "n_current",
-            F.round(
-                F.col("n_base").cast("double")
-                / (F.col("n_base") + F.col("n_current")).cast("double"),
-                6,
+            F.when(
+                (F.col("n_base") + F.col("n_current")) > 0,
+                F.round(
+                    F.col("n_base").cast("double")
+                    / (F.col("n_base") + F.col("n_current")).cast("double"),
+                    6,
+                ),
             ).alias("split_balance"),
         )
     )

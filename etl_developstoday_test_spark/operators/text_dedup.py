@@ -1197,7 +1197,9 @@ def contamination_overlap(
 
     Determinism: both sides shingle identically; the intersection is
     an exact distinct-key semi-join; all five counts are exact longs,
-    the two rates the only doubles (6-dp).
+    the two rates the only doubles (6-dp). An empty eval side (or all
+    eval docs shorter than ``n`` tokens) reports NULL rates instead
+    of an ANSI DIVIDE_BY_ZERO (degenerate contract, r14 ADVICE).
 
     Scale shape: one shingle explode per side, collapsed map-side —
     the train side straight to its DISTINCT type set (never carrying
@@ -1233,20 +1235,29 @@ def contamination_overlap(
         .cast("long")
         .alias("n_contaminated_occurrences"),
     )
+    # empty eval side (or all eval docs shorter than n tokens): NULL
+    # rates instead of an ANSI DIVIDE_BY_ZERO — the repo's degenerate
+    # contract (r14 ADVICE item 2)
     return tot.crossJoin(F.broadcast(con)).select(
         "n_eval_types",
         "n_contaminated_types",
-        F.round(
-            F.col("n_contaminated_types").cast("double")
-            / F.col("n_eval_types").cast("double"),
-            6,
+        F.when(
+            F.col("n_eval_types") > 0,
+            F.round(
+                F.col("n_contaminated_types").cast("double")
+                / F.col("n_eval_types").cast("double"),
+                6,
+            ),
         ).alias("type_rate"),
         "n_eval_occurrences",
         "n_contaminated_occurrences",
-        F.round(
-            F.col("n_contaminated_occurrences").cast("double")
-            / F.col("n_eval_occurrences").cast("double"),
-            6,
+        F.when(
+            F.col("n_eval_occurrences") > 0,
+            F.round(
+                F.col("n_contaminated_occurrences").cast("double")
+                / F.col("n_eval_occurrences").cast("double"),
+                6,
+            ),
         ).alias("occurrence_rate"),
     )
 

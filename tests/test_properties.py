@@ -3454,3 +3454,78 @@ def test_char_class_profile_fixture(spark):
         "s1", 1, 7, 0.285714, 0.285714, 0.285714, 0.142857,
     )
     assert out[1] == ("s2", 1, 0, None, None, None, None)  # NULL text
+
+
+def test_hourly_seasonality_empty_feed_nulls(spark):
+    """r14 ADVICE item 1: an empty (or all-null-ts) feed emits the
+    full 24-row spine with NULL share/chi2/peak_share instead of an
+    ANSI DIVIDE_BY_ZERO — the degenerate 'feed went dark' card."""
+    from etl_developstoday_test_spark.operators.drift import (
+        hourly_seasonality,
+    )
+
+    ev = spark.createDataFrame([], "ts timestamp")
+    out = [tuple(r) for r in hourly_seasonality(ev).collect()]
+    assert len(out) == 24
+    assert [r[0] for r in out] == list(range(24))
+    assert all(r[1] == 0 for r in out)  # n_events
+    assert all(r[2] is None for r in out)  # share
+    assert all(r[3] is None for r in out)  # chi2_uniform
+    assert all(r[6] is None for r in out)  # peak_share
+    allnull = spark.createDataFrame([(None,)], "ts timestamp")
+    out2 = [tuple(r) for r in hourly_seasonality(allnull).collect()]
+    assert out2 == out
+
+
+def test_contamination_overlap_empty_eval_nulls(spark):
+    """r14 ADVICE item 2: an eval side with no n-grams (all docs
+    shorter than n tokens) reports NULL rates, not DIVIDE_BY_ZERO."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        contamination_overlap,
+    )
+
+    train = spark.createDataFrame([("a b c d",)], "text string")
+    eva = spark.createDataFrame([("a b",)], "text string")  # < 3 tokens
+    out = [tuple(r) for r in contamination_overlap(train, eva).collect()]
+    assert out == [(0, 0, None, None, 0, None)]
+
+
+def test_split_psi_one_sided_input_null_psi(spark):
+    """r14 ADVICE item 3: an input whose md5-parity halves are
+    one-sided (every row hashes to side 0) reports NULL psi — every
+    q-term goes NULL and the NULL-skipping sum follows — with the
+    exact counts and split_balance 1.0 still published."""
+    from pyspark.sql import functions as F
+
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.sampling import (
+        split_psi_audit,
+    )
+
+    base = spark.range(400).select(F.col("id").alias("event_id"))
+    side = (
+        md5_long(F.concat(F.lit("sp#"), F.col("event_id").cast("string")))
+        % 2
+    )
+    one_sided = base.filter(side == 0).select(
+        "event_id", F.lit(50.0).alias("v")
+    )
+    out = [
+        tuple(r)
+        for r in split_psi_audit(
+            one_sided, "v", "event_id", n_bins=10, lo=0.0, hi=500.0
+        ).collect()
+    ]
+    assert len(out) == 1
+    psi, n_base, n_current, balance = out[0]
+    assert psi is None and n_current == 0 and n_base > 0
+    assert balance == 1.0
+    # fully empty input: the card itself goes all-NULL, no error
+    empty = spark.createDataFrame([], "event_id long, v double")
+    out = [
+        tuple(r)
+        for r in split_psi_audit(
+            empty, "v", "event_id", n_bins=10, lo=0.0, hi=500.0
+        ).collect()
+    ]
+    assert out == [(None, None, None, None)]

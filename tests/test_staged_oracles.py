@@ -2793,12 +2793,17 @@ peak AS (
   FROM hist ORDER BY n_events DESC, hour ASC LIMIT 1
 )
 SELECT hist.hour, hist.n_events,
-       round(CAST(n_events AS DOUBLE) / CAST(c AS DOUBLE), 6) AS share,
-       round(CAST(ssq AS DOUBLE) / (24.0 * CAST(c AS DOUBLE)), 6)
-         AS chi2_uniform,
+       CASE WHEN c > 0
+            THEN round(CAST(n_events AS DOUBLE) / CAST(c AS DOUBLE), 6)
+       END AS share,
+       CASE WHEN c > 0
+            THEN round(CAST(ssq AS DOUBLE) / (24.0 * CAST(c AS DOUBLE)), 6)
+       END AS chi2_uniform,
        CAST(23 AS BIGINT) AS df,
        peak_hour,
-       round(CAST(pn AS DOUBLE) / CAST(c AS DOUBLE), 6) AS peak_share
+       CASE WHEN c > 0
+            THEN round(CAST(pn AS DOUBLE) / CAST(c AS DOUBLE), 6)
+       END AS peak_share
 FROM hist CROSS JOIN tot CROSS JOIN chi CROSS JOIN peak
 ORDER BY hour
 """
@@ -2984,11 +2989,15 @@ con AS (
   FROM hit
 )
 SELECT n_eval_types, n_contaminated_types,
-       round(CAST(n_contaminated_types AS DOUBLE)
-             / CAST(n_eval_types AS DOUBLE), 6) AS type_rate,
+       CASE WHEN n_eval_types > 0
+            THEN round(CAST(n_contaminated_types AS DOUBLE)
+                       / CAST(n_eval_types AS DOUBLE), 6)
+       END AS type_rate,
        n_eval_occurrences, n_contaminated_occurrences,
-       round(CAST(n_contaminated_occurrences AS DOUBLE)
-             / CAST(n_eval_occurrences AS DOUBLE), 6) AS occurrence_rate
+       CASE WHEN n_eval_occurrences > 0
+            THEN round(CAST(n_contaminated_occurrences AS DOUBLE)
+                       / CAST(n_eval_occurrences AS DOUBLE), 6)
+       END AS occurrence_rate
 FROM tot CROSS JOIN con
 """
 
@@ -3119,8 +3128,12 @@ tot AS (
 ),
 terms AS (
   SELECT n_base, n_current,
-         GREATEST(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 1e-4) AS p,
-         GREATEST(CAST(n_current AS DOUBLE) / CAST(tc AS DOUBLE), 1e-4) AS q
+         CASE WHEN tb > 0 THEN
+           GREATEST(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 1e-4)
+         END AS p,
+         CASE WHEN tc > 0 THEN
+           GREATEST(CAST(n_current AS DOUBLE) / CAST(tc AS DOUBLE), 1e-4)
+         END AS q
   FROM hist CROSS JOIN tot
 )
 SELECT round(CAST(CAST(SUM(CAST((p - q)
@@ -3128,9 +3141,10 @@ SELECT round(CAST(CAST(SUM(CAST((p - q)
          AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS psi,
        CAST(SUM(n_base) AS BIGINT) AS n_base,
        CAST(SUM(n_current) AS BIGINT) AS n_current,
-       round(CAST(SUM(n_base) AS DOUBLE)
-             / CAST(SUM(n_base) + SUM(n_current) AS DOUBLE), 6)
-         AS split_balance
+       CASE WHEN SUM(n_base) + SUM(n_current) > 0 THEN
+         round(CAST(SUM(n_base) AS DOUBLE)
+               / CAST(SUM(n_base) + SUM(n_current) AS DOUBLE), 6)
+       END AS split_balance
 FROM terms
 """
 
@@ -3220,8 +3234,13 @@ WITH daily AS (
   GROUP BY 1
 ),
 seq AS (
-  SELECT d, CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
-             AS BIGINT) AS mq
+  -- exact integer floor(s/n + 0.5) = floor((2s+n)/(2n)): pmod keeps
+  -- floor semantics for negative sums; a - pmod(a,b) divides exactly
+  SELECT d,
+         CAST(((2 * CAST(s AS HUGEINT) + n)
+               - ((((2 * CAST(s AS HUGEINT) + n) % (2 * n)) + 2 * n)
+                  % (2 * n)))
+              // (2 * n) AS BIGINT) AS mq
   FROM daily
 ),
 win AS (
