@@ -57,31 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # only live entries appear below, so the rotation's load-bearing
 # artifact never drowns in history.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    # (All eight r12 entries — the three r11-ADVICE fixes, the
-    # burstiness long-sum conversion, and the four NB-family rows
-    # after the shared-base cut — got green rows in
-    # CORRECTNESS_r12.json and have self-expired; pruned per the
-    # HYGIENE note above. The r13 entry below is this round's ADVICE
-    # fix to an already-certified query. The round's other three
-    # ADVICE items cost no slot: the Benford carry-window fix is
-    # documentation-only (engine and oracle agree bit-for-bit, values
-    # unchanged), and the Cohen-κ / DOW-ANOVA fixes landed BEFORE
-    # those operators' first registration, so they ride their r13
-    # first rows.)
-    # r12 ADVICE: Σg² squares and sums through decimal(38,0) again
-    # (one epoch-zero junk timestamp makes a gap whose square wraps a
-    # long silently under non-ANSI Spark); Σg stays a long sum.
-    # Values bit-identical on integer gaps, oracle untouched,
-    # re-locked at both scales.
-    "events_interarrival_burstiness": 13,
-    # r13 rescan fixes (the rich_club finding, applied family-wide):
-    # the anti-join's existing-edge pairs now come from the
-    # CHECKPOINTED sym (u < w) instead of re-deriving the raw edge
-    # lineage a third time, and the input lineage is materialized
-    # once before sym's two union branches read it. Values
-    # bit-identical (locks + parity re-run green), plan cheaper.
-    "graph_jaccard_linkpred": 13,
-    "graph_adamic_adar": 13,
+    # (All three r13 entries — the burstiness Σg² decimal conversion
+    # and the two link-prediction rescan fixes — got green rows in
+    # CORRECTNESS_r13/r14.json and have self-expired; pruned per the
+    # HYGIENE note above. Round 15 adds NO changed entries: every r14
+    # VERDICT/ADVICE fix this round (rolling-zscore exact integer
+    # re-quantization, the three divide-by-zero guards, the split-PSI
+    # docstring) landed in STAGED operators BEFORE their first
+    # registration, so each rides its r15 first row — the Cohen-κ
+    # precedent.)
 }
 
 

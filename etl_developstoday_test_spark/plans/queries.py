@@ -16843,3 +16843,709 @@ def embed_pair_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pair_cosine_profile(emb, n_buckets=64)
+
+
+# ---------------------------------------------------------------------------
+# Round-15 registrations: the twelve r14-staged operators, registered
+# from their pre-locked oracles (two-scale locks in
+# tests/test_staged_oracles.py import these strings — the
+# single-source-of-truth discipline). The four r14 ADVICE items and
+# the rolling-zscore mq re-quantization seam were fixed BEFORE first
+# registration (zero certification slots — the Cohen-kappa precedent).
+MARKOV_ENTROPY_ORACLE_SQL = """
+WITH seq AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+),
+tc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+),
+fm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM tc GROUP BY a),
+ent AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+         SUM(CAST(c AS HUGEINT)
+             * (CAST(round(ln(CAST(fm.ca AS DOUBLE)) * 1e9) AS BIGINT)
+                - CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))) AS s
+  FROM tc JOIN fm ON fm.a = tc.a
+)
+SELECT tc.a AS from_type, tc.b AS to_type, tc.c AS n_transitions,
+       round(CAST(tc.c AS DOUBLE) / CAST(fm.ca AS DOUBLE), 6) AS p_cond,
+       ent.n_total AS n_total,
+       round(CAST(ent.s AS DOUBLE) / 1e9 / CAST(ent.n_total AS DOUBLE), 6)
+         AS entropy_rate
+FROM tc JOIN fm ON fm.a = tc.a CROSS JOIN ent
+ORDER BY from_type, to_type
+"""
+
+@_register("events_markov_entropy", MARKOV_ENTROPY_ORACLE_SQL)
+def events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix + plug-in entropy rate
+    over per-user event-type sequences (operators/events_etl.
+    markov_transition_entropy): the sequence-PREDICTABILITY card
+    beside events_top_paths — WHICH paths dominate vs how
+    DETERMINISTIC the type process is overall (rate near 0 = one
+    script, near ln(k) = independent firing). One user-co-keyed
+    window (the sessionize shuffle shape, never a global sort) feeds
+    lead(); the corpus collapses map-side to the <= k-squared
+    transition matrix; the entropy rate is the count identity
+    Sigma c_ab (lnq c_a. - lnq c_ab) / C with nano-quantized logs
+    accumulated through decimal(38,0) over that bounded table, so
+    both engines agree bit-for-bit. Conditional rows per from_type
+    sum to 1 and the rate is bounded by ln(k) (property-pinned)."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        markov_transition_entropy,
+    )
+
+    return markov_transition_entropy(load_table(spark, sf_dir, "events"))
+
+KEY_CANDIDATE_ORACLE_SQL = """
+WITH prof AS (
+  SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+  FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'props', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(props) AS BIGINT),
+         CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+         CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'value', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(value) AS BIGINT),
+         CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+)
+SELECT col_name AS "column", n_rows, n_null, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS distinct_ratio,
+       (n_null = 0 AND n_distinct = n_rows) AS is_unique_key
+FROM prof ORDER BY col_name
+"""
+
+@_register("dq_key_candidates", KEY_CANDIDATE_ORACLE_SQL)
+def dq_key_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct key-candidate survey of the events
+    table (operators/dq.key_candidate_profile): the table-level
+    entrance exam the relational-dq kit runs before its targeted legs
+    (uniqueness audit, FD audit, fan-out profile) — a 0.99-distinct
+    column is a key with dirt, a 5-distinct column is a broadcast
+    dimension in disguise. Every column casts to string and unpivots
+    via stack() so ONE narrow pass + one (column, value)-keyed
+    map-side-combined distinct aggregation serves all six columns —
+    Spark plans the single distinct without an Expand; counts are
+    exact longs, the ratio the only double. The -0.0/+0.0 string-
+    render seam is documented at the operator (none of the profiled
+    tables can produce -0.0)."""
+    from etl_developstoday_test_spark.operators.dq import (
+        key_candidate_profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "event_type", "props", "ts", "user_id", "value"]
+    return key_candidate_profile(ev, cols)
+
+HOURLY_SEASONALITY_ORACLE_SQL = """
+WITH occupied AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT) AS hour),
+hist AS (
+  SELECT spine.hour, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+  FROM spine LEFT JOIN occupied ON occupied.hour = spine.hour
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS c FROM hist),
+chi AS (
+  SELECT SUM(CAST(24 * n_events - c AS HUGEINT)
+             * CAST(24 * n_events - c AS HUGEINT)) AS ssq
+  FROM hist CROSS JOIN tot
+),
+peak AS (
+  SELECT hour AS peak_hour, n_events AS pn
+  FROM hist ORDER BY n_events DESC, hour ASC LIMIT 1
+)
+SELECT hist.hour, hist.n_events,
+       CASE WHEN c > 0
+            THEN round(CAST(n_events AS DOUBLE) / CAST(c AS DOUBLE), 6)
+       END AS share,
+       CASE WHEN c > 0
+            THEN round(CAST(ssq AS DOUBLE) / (24.0 * CAST(c AS DOUBLE)), 6)
+       END AS chi2_uniform,
+       CAST(23 AS BIGINT) AS df,
+       peak_hour,
+       CASE WHEN c > 0
+            THEN round(CAST(pn AS DOUBLE) / CAST(c AS DOUBLE), 6)
+       END AS peak_share
+FROM hist CROSS JOIN tot CROSS JOIN chi CROSS JOIN peak
+ORDER BY hour
+"""
+
+@_register("drift_hourly_seasonality", HOURLY_SEASONALITY_ORACLE_SQL)
+def drift_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality card over the full 24-hour spine
+    (operators/drift.hourly_seasonality): the DAILY-cycle companion
+    to drift_dow_anova — a volume monitor without this card
+    false-alarms every midnight, and a chi-squared far above the
+    df=23 scale says hourly baselines are mandatory. ONE
+    map-side-combined groupBy collapses the corpus to <= 24 occupied
+    hours, outer-joined onto the literal 0..23 spine
+    (localCheckpointed — empty hours count: a feed that goes dark 6
+    hours a day should say so); the chi-squared numerator
+    (24 O_h - C)^2 stays in exact decimal(38,0) past 2^63; peak/total
+    ride as 1-row broadcasts. An empty feed emits the 24-row NULL
+    degenerate card, never a DIVIDE_BY_ZERO (r14 ADVICE,
+    property-pinned)."""
+    from etl_developstoday_test_spark.operators.drift import (
+        hourly_seasonality,
+    )
+
+    return hourly_seasonality(load_table(spark, sf_dir, "events"))
+
+VALUE_MOMENTS_ORACLE_SQL = """
+WITH q AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s1,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             * CAST(x AS HUGEINT)) AS s3,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+             * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s4
+  FROM q
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(n AS BIGINT) AS n_rows,
+         CAST(s1 AS DOUBLE) / 100.0 AS s1,
+         CAST(s2 AS DOUBLE) / (100.0 * 100.0) AS s2,
+         CAST(s3 AS DOUBLE) / (100.0 * 100.0 * 100.0) AS s3,
+         CAST(s4 AS DOUBLE) / (100.0 * 100.0 * 100.0 * 100.0) AS s4
+  FROM s
+),
+m AS (
+  SELECT n_rows, n, s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM d
+)
+SELECT n_rows, round(m1, 6) AS mean,
+       round(sqrt(greatest(m2, 0)), 6) AS std,
+       CASE WHEN greatest(m2, 0) > 0 THEN
+         round(m3 / (greatest(m2, 0) * sqrt(greatest(m2, 0))), 6)
+       END AS skewness,
+       CASE WHEN greatest(m2, 0) > 0 THEN
+         round(m4 / (greatest(m2, 0) * greatest(m2, 0)) - 3.0, 6)
+       END AS kurtosis_excess
+FROM m
+"""
+
+@_register("drift_value_moments", VALUE_MOMENTS_ORACLE_SQL)
+def drift_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moment card (n, mean, std, skewness, excess kurtosis)
+    for events.value from integer power sums of the centi-quantized
+    values (operators/drift.value_moments): the distribution-SHAPE
+    leg of the drift kit — PSI/KS say the distribution MOVED, this
+    says what the shape IS, and shape deltas are the cheapest drift
+    fingerprint to store. Sigma x..Sigma x^4 are EXACT decimal(38,0)
+    sums of long powers of round(100 v) — bit-identical cross-engine
+    at any partitioning, good to 10^13 rows at this quantum (the
+    documented dial); central moments assemble in ONE fixed-order
+    double tree, m2^1.5 spelled m2*sqrt(m2) (sqrt is IEEE-rounded,
+    pow is libm-dependent). ONE map-side-combined aggregate, 1-row
+    card; a constant column pins NULL shape moments — the portable
+    degenerate, never an engine-dependent 0/0 (property-pinned)."""
+    from etl_developstoday_test_spark.operators.drift import value_moments
+
+    return value_moments(load_table(spark, sf_dir, "events"), "value")
+
+ROLLING_ZSCORE_ORACLE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1
+),
+seq AS (
+  -- exact integer floor(s/n + 0.5) = floor((2s+n)/(2n)): pmod keeps
+  -- floor semantics for negative sums; a - pmod(a,b) divides exactly
+  SELECT d,
+         CAST(((2 * CAST(s AS HUGEINT) + n)
+               - ((((2 * CAST(s AS HUGEINT) + n) % (2 * n)) + 2 * n)
+                  % (2 * n)))
+              // (2 * n) AS BIGINT) AS mq
+  FROM daily
+),
+win AS (
+  SELECT d, mq,
+         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+         SUM(CAST(mq AS HUGEINT)) OVER w AS s1,
+         SUM(CAST(mq AS HUGEINT) * CAST(mq AS HUGEINT)) OVER w AS s2
+  FROM seq
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+calc AS (
+  SELECT d, CAST(mq AS DOUBLE) / 1e6 AS x, k,
+         CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE) AS bm,
+         greatest(CAST(s2 AS DOUBLE) / 1e12 / CAST(k AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE)),
+                  0) AS var
+  FROM win
+)
+SELECT d, round(x, 6) AS mean_daily,
+       CASE WHEN k = 7 THEN round(bm, 6) END AS baseline_mean,
+       CASE WHEN k = 7 THEN round(sqrt(var), 6) END AS baseline_std,
+       CASE WHEN k = 7 AND sqrt(var) > 0
+            THEN round((x - bm) / sqrt(var), 6) END AS z,
+       CASE WHEN k = 7 AND sqrt(var) > 0
+            THEN abs(round((x - bm) / sqrt(var), 6)) > 3.0
+       END AS is_anomaly
+FROM calc ORDER BY d
+"""
+
+@_register("drift_rolling_zscore", ROLLING_ZSCORE_ORACLE_SQL)
+def drift_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day z-score anomaly card over the daily mean value
+    series (operators/drift.rolling_zscore_daily): the LOCAL-anomaly
+    leg of the drift kit — CUSUM/Page-Hinkley accumulate persistent
+    level shifts, the MAD card flags volume globally; this scores
+    each day against its own recent regime, the on-call "is today
+    weird" number (current day excluded from its baseline). The
+    corpus collapses to the bounded days table in ONE
+    map-side-combined aggregation; daily means re-quantize to exact
+    micro longs via INTEGER floor((2s+n)/(2n)) in decimal(38,0) —
+    no double round-trip, exact past 2^53 micro-sums (r14 VERDICT
+    item 2, fixed before this first registration); window moments are
+    integer sums over the calendar-bounded table. Warm-up days and
+    zero-variance baselines report NULL z (property-pinned)."""
+    from etl_developstoday_test_spark.operators.drift import (
+        rolling_zscore_daily,
+    )
+
+    return rolling_zscore_daily(load_table(spark, sf_dir, "events"), "value")
+
+NGRAM_COVERAGE_ORACLE_SQL = r"""
+WITH grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS ngram
+  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents)
+),
+counts AS (
+  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM grams GROUP BY ngram
+),
+audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types_total,
+         CAST(SUM(n_occurrences) AS BIGINT) AS n_occurrences_total
+  FROM counts
+),
+top AS (
+  SELECT ngram, n_occurrences,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC)
+           AS INT) AS rank,
+         CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, ngram ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM counts ORDER BY n_occurrences DESC, ngram ASC LIMIT 100
+)
+SELECT rank, ngram, n_occurrences,
+       round(CAST(n_occurrences AS DOUBLE)
+             / CAST(n_occurrences_total AS DOUBLE), 6) AS share,
+       round(CAST(cum AS DOUBLE)
+             / CAST(n_occurrences_total AS DOUBLE), 6) AS cum_share,
+       n_types_total, n_occurrences_total
+FROM top CROSS JOIN audit ORDER BY rank
+"""
+
+@_register("text_ngram_coverage", NGRAM_COVERAGE_ORACLE_SQL)
+def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 trigram coverage curve with the corpus type/occurrence
+    audit riding every row (operators/text_analysis.ngram_coverage):
+    the TEMPLATEDNESS card — "the top 100 trigrams cover X% of all
+    trigram occurrences" is the one number that says whether a corpus
+    is boilerplate-dominated (dedup pass mandatory) and WHICH n-grams
+    to blocklist; corpus-level complement to text_term_burstiness
+    (per-term) and text_repetition_ratio (per-doc), on the shared
+    shingle space. ONE tokenize/shingle explode collapsed immediately
+    map-side to the type table; top-k compiles to
+    TakeOrderedAndProject (count DESC, ngram ASC — total order); the
+    cumulative window runs AFTER the limit over exactly k
+    checkpointed rows (bounded-window class). Exact long counts,
+    shares divide once; cum_share is nondecreasing (property-pinned)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        ngram_coverage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_coverage(docs)
+
+CHAR_CLASS_ORACLE_SQL = r"""
+WITH rows_ AS (
+  SELECT source AS grp, COALESCE(text, '') AS t FROM documents
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+         CAST(SUM(length(regexp_replace(t, '[^A-Za-z]', '', 'g')))
+           AS BIGINT) AS a,
+         CAST(SUM(length(regexp_replace(t, '[^0-9]', '', 'g')))
+           AS BIGINT) AS dg,
+         CAST(SUM(length(regexp_replace(t, '[^ \t\n\r]', '', 'g')))
+           AS BIGINT) AS sp
+  FROM rows_ GROUP BY 1
+)
+SELECT grp AS "group", n_docs, n_chars,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(a AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       END AS alpha_share,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(dg AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       END AS digit_share,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(sp AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+       END AS space_share,
+       CASE WHEN n_chars > 0 THEN
+         round(CAST(n_chars - a - dg - sp AS DOUBLE)
+               / CAST(n_chars AS DOUBLE), 6)
+       END AS other_share
+FROM agg ORDER BY "group"
+"""
+
+@_register("text_char_class_profile", CHAR_CLASS_ORACLE_SQL)
+def text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class mix — alpha/digit/space/other
+    counts and shares (operators/text_analysis.char_class_profile):
+    the cheapest corpus-quality fingerprint there is (digit+other
+    share jumping = tables/markup/minified junk arriving; space share
+    far off ~1/6 breaks whitespace tokenizers, including this
+    repo's); the CHARACTER-level leg under text_quality_score and a
+    per-ingest-batch drift fingerprint. One narrow map (four
+    explicit-ASCII-range regexp_replace + lengths — no
+    locale-dependent classes) collapsed by ONE map-side-combined
+    groupBy to the source-bounded table; counts exact longs, shares
+    single 6-dp divisions; NULL text counts as empty and a zero-char
+    group reads NULL shares (degenerate contract, property-pinned)."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        char_class_profile,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return char_class_profile(docs)
+
+NGRAM_CONTAINMENT_ORACLE_SQL = r"""
+WITH shingle_sets AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents)
+),
+ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingle_sets),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS intersection_size
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, intersection_size, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(intersection_size AS DOUBLE)
+             / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.doc_a
+JOIN sz sb ON sb.doc_id = inter.doc_b
+ORDER BY containment DESC, doc_a ASC, doc_b ASC LIMIT 25
+"""
+
+@_register("dedup_ngram_containment", NGRAM_CONTAINMENT_ORACLE_SQL)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 document pairs by n-gram CONTAINMENT |A n B|/min(|A|,|B|)
+    (operators/text_dedup.ngram_containment_topk; Broder's overlap
+    coefficient): the SUBSET-duplicate detector Jaccard structurally
+    misses — a doc pasted whole into a 10x longer one scores Jaccard
+    ~0.1 but containment 1.0 (property-pinned on exactly that
+    fixture). Reuses the certified ngram_jaccard_pairs join shape:
+    set sizes ride the shared-shingle self-join as a doc-partitioned
+    window column, the b side is a ReusedExchange of the a side, one
+    pair-keyed map-side-combined groupBy, top-k via
+    TakeOrderedAndProject on the total order (containment DESC,
+    doc_a, doc_b); ``df_max`` is the documented fan-out knob at
+    100 TB (drop ubiquitous shingles before pairing — mandatory on
+    boilerplate-heavy corpora, where this operator fires most)."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        ngram_containment_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_containment_topk(docs)
+
+CONTAMINATION_ORACLE_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(arr) - 2),
+           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+        FROM documents)
+),
+tagged AS (
+  SELECT s, {_md5long("'ct#' || CAST(doc_id AS VARCHAR)")} % 13 = 0
+           AS is_eval
+  FROM grams
+),
+train_types AS (SELECT DISTINCT s FROM tagged WHERE NOT is_eval),
+eval_counts AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tagged WHERE is_eval GROUP BY s
+),
+hit AS (
+  SELECT ec.* FROM eval_counts ec
+  WHERE EXISTS (SELECT 1 FROM train_types t WHERE t.s = ec.s)
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_types,
+         CAST(SUM(c) AS BIGINT) AS n_eval_occurrences
+  FROM eval_counts
+),
+con AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated_types,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_contaminated_occurrences
+  FROM hit
+)
+SELECT n_eval_types, n_contaminated_types,
+       CASE WHEN n_eval_types > 0
+            THEN round(CAST(n_contaminated_types AS DOUBLE)
+                       / CAST(n_eval_types AS DOUBLE), 6)
+       END AS type_rate,
+       n_eval_occurrences, n_contaminated_occurrences,
+       CASE WHEN n_eval_occurrences > 0
+            THEN round(CAST(n_contaminated_occurrences AS DOUBLE)
+                       / CAST(n_eval_occurrences AS DOUBLE), 6)
+       END AS occurrence_rate
+FROM tot CROSS JOIN con
+"""
+
+@_register("dedup_contamination_overlap", CONTAMINATION_ORACLE_SQL)
+def dedup_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination card over the deterministic
+    1-in-13 md5 eval split (operators/text_dedup.contamination_overlap;
+    the GPT-3/PaLM n-gram decontamination methodology on the repo's
+    shared word-shingle tokenization): the number an LLM-data
+    pipeline must publish before any benchmark claim — type_rate says
+    how much of the eval SURFACE is compromised, occurrence_rate
+    weights by how often eval exercises those n-grams. One shingle
+    explode per side collapsed map-side (train straight to its
+    DISTINCT type set, eval to (type, occurrences)); ONE
+    shingle-keyed left-semi join marks contaminated types; two
+    bounded rollups assemble the 1-row card — nothing broadcast (both
+    type sets are corpus-scaled), nothing collected. An empty eval
+    side reports NULL rates (r14 ADVICE, property-pinned)."""
+    from etl_developstoday_test_spark.functions import md5_long
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = (
+        md5_long(F.concat(F.lit("ct#"), F.col("doc_id").cast("string")))
+        % 13
+        == 0
+    )
+    return contamination_overlap(docs.filter(~is_eval), docs.filter(is_eval))
+
+USER_LIFESPAN_ORACLE_SQL = """
+WITH per AS (
+  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+           AS span_days
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+),
+hist AS (
+  SELECT CAST(span_days AS BIGINT) AS span_days,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per GROUP BY 1
+),
+audit AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n_users_total,
+         round(CAST(SUM(CAST(span_days AS HUGEINT)
+                         * CAST(n_users AS HUGEINT)) AS DOUBLE)
+               / CAST(SUM(n_users) AS DOUBLE), 6) AS mean_span_days
+  FROM hist
+)
+SELECT span_days, n_users, n_users_total, mean_span_days
+FROM hist CROSS JOIN audit ORDER BY span_days
+"""
+
+@_register("events_user_lifespan", USER_LIFESPAN_ORACLE_SQL)
+def events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifespan histogram — whole days between each user's first
+    and last event, with the population audit on every row
+    (operators/events_etl.user_lifespan_histogram): the tenure card
+    beside the retention triangle (cohort decay) and DAU/WAU
+    (instantaneous density) — lifespans piling at 0 days are drive-by
+    traffic no retention matrix will save, and the tail is the
+    denominator for any LTV-style cut. ONE user-co-keyed
+    map-side-combined min/max aggregation (exact integer micros,
+    floor-divided to days), collapsed to the day-domain-bounded
+    histogram by a second map-side groupBy; the 1-row audit (exact
+    decimal day-sum, divided once) broadcasts back. Buckets partition
+    the user population exactly (property-pinned)."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        user_lifespan_histogram,
+    )
+
+    return user_lifespan_histogram(load_table(spark, sf_dir, "events"))
+
+CENTROID_SHIFT_ORACLE_SQL = """
+WITH e AS (
+  SELECT label AS g,
+         unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+f AS (
+  SELECT g, dim, CAST(floor(v * 1e9 + 0.5) AS BIGINT) AS vq
+  FROM e WHERE NOT isnan(v)
+),
+per AS (
+  SELECT g, dim, SUM(CAST(vq AS HUGEINT)) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM f GROUP BY 1, 2
+),
+gtot AS (
+  SELECT dim, SUM(sq) AS gsq, CAST(SUM(n) AS BIGINT) AS gn
+  FROM per GROUP BY dim
+),
+terms AS (
+  SELECT per.g, per.n,
+         CAST(per.sq AS DOUBLE) / 1e9 / CAST(per.n AS DOUBLE) AS cg,
+         CAST(gtot.gsq AS DOUBLE) / 1e9 / CAST(gtot.gn AS DOUBLE) AS cd
+  FROM per JOIN gtot ON gtot.dim = per.dim
+),
+red AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n_vecs,
+         SUM(CAST(cg * cd AS DECIMAL(30,10))) AS dot,
+         SUM(CAST(cg * cg AS DECIMAL(30,10))) AS na,
+         SUM(CAST(cd * cd AS DECIMAL(30,10))) AS nb,
+         SUM(CAST((cg - cd) * (cg - cd) AS DECIMAL(30,10))) AS l2
+  FROM terms GROUP BY g
+)
+SELECT g AS "group", n_vecs,
+       round(sqrt(CAST(CAST(l2 AS VARCHAR) AS DOUBLE)), 6) AS l2_shift,
+       round(CAST(CAST(dot AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(na AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(CAST(nb AS VARCHAR) AS DOUBLE))), 6)
+         AS cosine_to_global
+FROM red ORDER BY "group"
+"""
+
+@_register("embed_centroid_shift", CENTROID_SHIFT_ORACLE_SQL)
+def embed_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 shift + cosine vs the global centroid
+    (operators/similarity.centroid_shift_profile): the
+    embedding-space analogue of PSI — "did THIS source/label/day
+    drift off the corpus center" — the between-group companion to
+    embed_dimension_drift (per-dim two-sample z); a group whose
+    centroid walks off-center is the one whose cosine thresholds
+    (SemDeDup, ANN recall) silently degrade first. ONE posexplode
+    collapsed map-side to the (groups x dims)-bounded sums table
+    (nano-quantized longs through decimal(38,0) — exact and
+    partitioning-independent; localCheckpointed); the GLOBAL centroid
+    derives from those per-group sums (one corpus pass total);
+    cross-dimension reductions accumulate per-dim double terms
+    through the decimal summator. Identical-to-global groups pin
+    l2=0, cosine=1 exactly (property-pinned)."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        centroid_shift_profile,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return centroid_shift_profile(emb)
+
+SPLIT_PSI_ORACLE_SQL = f"""
+WITH binned AS (
+  SELECT LEAST(9, GREATEST(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 50.0) AS INT)))
+           AS bin,
+         {_md5long("'sp#' || CAST(event_id AS VARCHAR)")} % 2 AS s
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+hist AS (
+  SELECT bin,
+         CAST(COALESCE(SUM(CASE WHEN s = 0 THEN 1 END), 0) AS BIGINT)
+           AS n_base,
+         CAST(COALESCE(SUM(CASE WHEN s = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_current
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_current) AS BIGINT) AS tc
+  FROM hist
+),
+terms AS (
+  SELECT n_base, n_current,
+         CASE WHEN tb > 0 THEN
+           GREATEST(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 1e-4)
+         END AS p,
+         CASE WHEN tc > 0 THEN
+           GREATEST(CAST(n_current AS DOUBLE) / CAST(tc AS DOUBLE), 1e-4)
+         END AS q
+  FROM hist CROSS JOIN tot
+)
+SELECT round(CAST(CAST(SUM(CAST((p - q)
+         * (CAST(CAST(round(ln(p / q) * 1e9) AS BIGINT) AS DOUBLE) / 1e9)
+         AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS psi,
+       CAST(SUM(n_base) AS BIGINT) AS n_base,
+       CAST(SUM(n_current) AS BIGINT) AS n_current,
+       CASE WHEN SUM(n_base) + SUM(n_current) > 0 THEN
+         round(CAST(SUM(n_base) AS DOUBLE)
+               / CAST(SUM(n_base) + SUM(n_current) AS DOUBLE), 6)
+       END AS split_balance
+FROM terms
+"""
+
+@_register("sample_split_psi", SPLIT_PSI_ORACLE_SQL)
+def sample_split_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-exchangeability PSI between the two halves of a
+    deterministic salted-md5-parity split of events.value
+    (operators/sampling.split_psi_audit): the certificate that a
+    train/validation hash split is distributionally exchangeable
+    BEFORE anyone trusts validation metrics — a split keyed on a
+    value-correlated id (sequential ids under drift, the classic
+    silent failure) blows PSI past the 0.1 convention
+    (property-pinned on a rigged fixture). Same 1e-4-floored
+    nano-quantized-log PSI arithmetic as drift_psi_daily, so
+    thresholds transfer; audits the md5 split MECHANISM, not a
+    specific hash_split output (r14 ADVICE item 4, documented). ONE
+    corpus scan — split bit and bin in the same narrow projection,
+    ONE map-side-combined groupBy(bin) with conditional partials,
+    bounded-table term assembly; a one-sided or empty input reports
+    NULL PSI, never DIVIDE_BY_ZERO (property-pinned)."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        split_psi_audit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return split_psi_audit(ev, "value", "event_id", n_bins=10, lo=0.0, hi=500.0)
+

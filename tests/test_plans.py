@@ -539,6 +539,14 @@ _GLOBAL_WINDOW_OK = {
     # calendar-days table (bounded by the time span, not the corpus;
     # the corpus collapses map-side before any window)
     "drift_page_hinkley",
+    # same calendar-days class: the trailing-7-day moment window runs
+    # over the checkpointed daily-means table (the corpus collapses
+    # map-side in ONE aggregation before the window ever runs)
+    "drift_rolling_zscore",
+    # the cumulative-share window runs AFTER TakeOrdered+limit over
+    # exactly k=100 checkpointed rows (constant-sized, the
+    # text_zipf_slope class)
+    "text_ngram_coverage",
 }
 
 
@@ -1869,8 +1877,11 @@ def test_pair_cosine_registered_plan_is_bucket_bound(spark):
             assert ", Cross" in ln
 
 
-# --- Round-15 staged operators: plan pins (these run BEFORE registration,
-# so the global sweep does not yet cover them — pin the scale shapes now)
+# --- Round-15 registrations (staged r14): per-operator plan pins.
+# These were written BEFORE registration; now that the twelve are in
+# QUERIES the global sweep covers the registered rows too, and these
+# keep pinning each operator's scale shape directly at the module
+# boundary (the pins survive registration-name changes).
 
 
 def test_markov_entropy_matrix_bound_card(spark):

@@ -2657,33 +2657,9 @@ def test_adamic_adar_sampled_mod4_at_sf001(spark):
 # (the oracle strings move into plans/queries.py then and these locks
 # import them — the single-source-of-truth discipline).
 
-MARKOV_ENTROPY_ORACLE = """
-WITH seq AS (
-  SELECT event_type AS a,
-         LEAD(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS b
-  FROM events
-),
-tc AS (
-  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
-  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
-),
-fm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM tc GROUP BY a),
-ent AS (
-  SELECT CAST(SUM(c) AS BIGINT) AS n_total,
-         SUM(CAST(c AS HUGEINT)
-             * (CAST(round(ln(CAST(fm.ca AS DOUBLE)) * 1e9) AS BIGINT)
-                - CAST(round(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))) AS s
-  FROM tc JOIN fm ON fm.a = tc.a
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    MARKOV_ENTROPY_ORACLE_SQL as MARKOV_ENTROPY_ORACLE,
 )
-SELECT tc.a AS from_type, tc.b AS to_type, tc.c AS n_transitions,
-       round(CAST(tc.c AS DOUBLE) / CAST(fm.ca AS DOUBLE), 6) AS p_cond,
-       ent.n_total AS n_total,
-       round(CAST(ent.s AS DOUBLE) / 1e9 / CAST(ent.n_total AS DOUBLE), 6)
-         AS entropy_rate
-FROM tc JOIN fm ON fm.a = tc.a CROSS JOIN ent
-ORDER BY from_type, to_type
-"""
 
 
 def test_markov_transition_entropy_matches_oracle(spark, ev_con):
@@ -2715,39 +2691,9 @@ def test_markov_transition_entropy_matches_oracle(spark, ev_con):
     assert sum(r[2] for r in srows) == srows[0][4]
 
 
-KEY_CANDIDATE_ORACLE = """
-WITH prof AS (
-  SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
-         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
-  FROM events
-  UNION ALL
-  SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
-         CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
-         CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
-  UNION ALL
-  SELECT 'props', CAST(COUNT(*) AS BIGINT),
-         CAST(COUNT(*) - COUNT(props) AS BIGINT),
-         CAST(COUNT(DISTINCT props) AS BIGINT) FROM events
-  UNION ALL
-  SELECT 'ts', CAST(COUNT(*) AS BIGINT),
-         CAST(COUNT(*) - COUNT(ts) AS BIGINT),
-         CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
-  UNION ALL
-  SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
-         CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
-  UNION ALL
-  SELECT 'value', CAST(COUNT(*) AS BIGINT),
-         CAST(COUNT(*) - COUNT(value) AS BIGINT),
-         CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    KEY_CANDIDATE_ORACLE_SQL as KEY_CANDIDATE_ORACLE,
 )
-SELECT col_name AS "column", n_rows, n_null, n_distinct,
-       round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
-         AS distinct_ratio,
-       (n_null = 0 AND n_distinct = n_rows) AS is_unique_key
-FROM prof ORDER BY col_name
-"""
 
 
 def test_key_candidate_profile_matches_oracle(spark, ev_con):
@@ -2772,41 +2718,9 @@ def test_key_candidate_profile_matches_oracle(spark, ev_con):
     assert all(r[3] <= r[1] - r[2] for r in srows)  # distinct <= non-null
 
 
-HOURLY_SEASONALITY_ORACLE = """
-WITH occupied AS (
-  SELECT CAST(hour(ts) AS BIGINT) AS hour, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events WHERE ts IS NOT NULL GROUP BY 1
-),
-spine AS (SELECT CAST(unnest(generate_series(0, 23)) AS BIGINT) AS hour),
-hist AS (
-  SELECT spine.hour, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
-  FROM spine LEFT JOIN occupied ON occupied.hour = spine.hour
-),
-tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS c FROM hist),
-chi AS (
-  SELECT SUM(CAST(24 * n_events - c AS HUGEINT)
-             * CAST(24 * n_events - c AS HUGEINT)) AS ssq
-  FROM hist CROSS JOIN tot
-),
-peak AS (
-  SELECT hour AS peak_hour, n_events AS pn
-  FROM hist ORDER BY n_events DESC, hour ASC LIMIT 1
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    HOURLY_SEASONALITY_ORACLE_SQL as HOURLY_SEASONALITY_ORACLE,
 )
-SELECT hist.hour, hist.n_events,
-       CASE WHEN c > 0
-            THEN round(CAST(n_events AS DOUBLE) / CAST(c AS DOUBLE), 6)
-       END AS share,
-       CASE WHEN c > 0
-            THEN round(CAST(ssq AS DOUBLE) / (24.0 * CAST(c AS DOUBLE)), 6)
-       END AS chi2_uniform,
-       CAST(23 AS BIGINT) AS df,
-       peak_hour,
-       CASE WHEN c > 0
-            THEN round(CAST(pn AS DOUBLE) / CAST(c AS DOUBLE), 6)
-       END AS peak_share
-FROM hist CROSS JOIN tot CROSS JOIN chi CROSS JOIN peak
-ORDER BY hour
-"""
 
 
 def test_hourly_seasonality_matches_oracle(spark, ev_con):
@@ -2831,40 +2745,9 @@ def test_hourly_seasonality_matches_oracle(spark, ev_con):
     assert any(r[0] == peak_hour and r[2] == peak_share for r in srows)
 
 
-NGRAM_COVERAGE_ORACLE = r"""
-WITH grams AS (
-  SELECT unnest(list_transform(
-           generate_series(1, len(arr) - 2),
-           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS ngram
-  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS arr
-        FROM documents)
-),
-counts AS (
-  SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-  FROM grams GROUP BY ngram
-),
-audit AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_types_total,
-         CAST(SUM(n_occurrences) AS BIGINT) AS n_occurrences_total
-  FROM counts
-),
-top AS (
-  SELECT ngram, n_occurrences,
-         CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC)
-           AS INT) AS rank,
-         CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, ngram ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cum
-  FROM counts ORDER BY n_occurrences DESC, ngram ASC LIMIT 100
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    NGRAM_COVERAGE_ORACLE_SQL as NGRAM_COVERAGE_ORACLE,
 )
-SELECT rank, ngram, n_occurrences,
-       round(CAST(n_occurrences AS DOUBLE)
-             / CAST(n_occurrences_total AS DOUBLE), 6) AS share,
-       round(CAST(cum AS DOUBLE)
-             / CAST(n_occurrences_total AS DOUBLE), 6) AS cum_share,
-       n_types_total, n_occurrences_total
-FROM top CROSS JOIN audit ORDER BY rank
-"""
 
 
 def test_ngram_coverage_matches_oracle(spark, docstar_con):
@@ -2890,48 +2773,9 @@ def test_ngram_coverage_matches_oracle(spark, docstar_con):
     assert ns == sorted(ns, reverse=True)
 
 
-CENTROID_SHIFT_ORACLE = """
-WITH e AS (
-  SELECT label AS g,
-         unnest(generate_series(1, len(embedding))) - 1 AS dim,
-         unnest(CAST(embedding AS DOUBLE[])) AS v
-  FROM embeddings
-),
-f AS (
-  SELECT g, dim, CAST(floor(v * 1e9 + 0.5) AS BIGINT) AS vq
-  FROM e WHERE NOT isnan(v)
-),
-per AS (
-  SELECT g, dim, SUM(CAST(vq AS HUGEINT)) AS sq,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM f GROUP BY 1, 2
-),
-gtot AS (
-  SELECT dim, SUM(sq) AS gsq, CAST(SUM(n) AS BIGINT) AS gn
-  FROM per GROUP BY dim
-),
-terms AS (
-  SELECT per.g, per.n,
-         CAST(per.sq AS DOUBLE) / 1e9 / CAST(per.n AS DOUBLE) AS cg,
-         CAST(gtot.gsq AS DOUBLE) / 1e9 / CAST(gtot.gn AS DOUBLE) AS cd
-  FROM per JOIN gtot ON gtot.dim = per.dim
-),
-red AS (
-  SELECT g, CAST(MAX(n) AS BIGINT) AS n_vecs,
-         SUM(CAST(cg * cd AS DECIMAL(30,10))) AS dot,
-         SUM(CAST(cg * cg AS DECIMAL(30,10))) AS na,
-         SUM(CAST(cd * cd AS DECIMAL(30,10))) AS nb,
-         SUM(CAST((cg - cd) * (cg - cd) AS DECIMAL(30,10))) AS l2
-  FROM terms GROUP BY g
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    CENTROID_SHIFT_ORACLE_SQL as CENTROID_SHIFT_ORACLE,
 )
-SELECT g AS "group", n_vecs,
-       round(sqrt(CAST(CAST(l2 AS VARCHAR) AS DOUBLE)), 6) AS l2_shift,
-       round(CAST(CAST(dot AS VARCHAR) AS DOUBLE)
-             / (sqrt(CAST(CAST(na AS VARCHAR) AS DOUBLE))
-                * sqrt(CAST(CAST(nb AS VARCHAR) AS DOUBLE))), 6)
-         AS cosine_to_global
-FROM red ORDER BY "group"
-"""
 
 
 def test_centroid_shift_matches_oracle(spark, emb_con):
@@ -2956,50 +2800,9 @@ from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
     _md5long as _md5long_sql,
 )
 
-CONTAMINATION_ORACLE = f"""
-WITH grams AS (
-  SELECT doc_id, unnest(list_transform(
-           generate_series(1, len(arr) - 2),
-           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
-        FROM documents)
-),
-tagged AS (
-  SELECT s, {_md5long_sql("'ct#' || CAST(doc_id AS VARCHAR)")} % 13 = 0
-           AS is_eval
-  FROM grams
-),
-train_types AS (SELECT DISTINCT s FROM tagged WHERE NOT is_eval),
-eval_counts AS (
-  SELECT s, CAST(COUNT(*) AS BIGINT) AS c
-  FROM tagged WHERE is_eval GROUP BY s
-),
-hit AS (
-  SELECT ec.* FROM eval_counts ec
-  WHERE EXISTS (SELECT 1 FROM train_types t WHERE t.s = ec.s)
-),
-tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_types,
-         CAST(SUM(c) AS BIGINT) AS n_eval_occurrences
-  FROM eval_counts
-),
-con AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated_types,
-         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_contaminated_occurrences
-  FROM hit
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    CONTAMINATION_ORACLE_SQL as CONTAMINATION_ORACLE,
 )
-SELECT n_eval_types, n_contaminated_types,
-       CASE WHEN n_eval_types > 0
-            THEN round(CAST(n_contaminated_types AS DOUBLE)
-                       / CAST(n_eval_types AS DOUBLE), 6)
-       END AS type_rate,
-       n_eval_occurrences, n_contaminated_occurrences,
-       CASE WHEN n_eval_occurrences > 0
-            THEN round(CAST(n_contaminated_occurrences AS DOUBLE)
-                       / CAST(n_eval_occurrences AS DOUBLE), 6)
-       END AS occurrence_rate
-FROM tot CROSS JOIN con
-"""
 
 
 def test_contamination_overlap_matches_oracle(spark, docstar_con):
@@ -3040,49 +2843,9 @@ def test_contamination_overlap_matches_oracle(spark, docstar_con):
     assert round(nco / neo, 6) == orate
 
 
-VALUE_MOMENTS_ORACLE = """
-WITH q AS (
-  SELECT CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(CAST(x AS HUGEINT)) AS s1,
-         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2,
-         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
-             * CAST(x AS HUGEINT)) AS s3,
-         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
-             * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s4
-  FROM q
-),
-d AS (
-  SELECT CAST(n AS DOUBLE) AS n, CAST(n AS BIGINT) AS n_rows,
-         CAST(s1 AS DOUBLE) / 100.0 AS s1,
-         CAST(s2 AS DOUBLE) / (100.0 * 100.0) AS s2,
-         CAST(s3 AS DOUBLE) / (100.0 * 100.0 * 100.0) AS s3,
-         CAST(s4 AS DOUBLE) / (100.0 * 100.0 * 100.0 * 100.0) AS s4
-  FROM s
-),
-m AS (
-  SELECT n_rows, n, s1 / n AS m1,
-         s2 / n - (s1 / n) * (s1 / n) AS m2,
-         s3 / n - 3.0 * (s1 / n) * (s2 / n)
-           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
-         s4 / n - 4.0 * (s1 / n) * (s3 / n)
-           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
-           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
-  FROM d
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    VALUE_MOMENTS_ORACLE_SQL as VALUE_MOMENTS_ORACLE,
 )
-SELECT n_rows, round(m1, 6) AS mean,
-       round(sqrt(greatest(m2, 0)), 6) AS std,
-       CASE WHEN greatest(m2, 0) > 0 THEN
-         round(m3 / (greatest(m2, 0) * sqrt(greatest(m2, 0))), 6)
-       END AS skewness,
-       CASE WHEN greatest(m2, 0) > 0 THEN
-         round(m4 / (greatest(m2, 0) * greatest(m2, 0)) - 3.0, 6)
-       END AS kurtosis_excess
-FROM m
-"""
 
 
 def test_value_moments_matches_oracle(spark, ev_con):
@@ -3105,48 +2868,9 @@ def test_value_moments_matches_oracle(spark, ev_con):
     assert kurt > -2.0  # bounded below for any distribution
 
 
-SPLIT_PSI_ORACLE = f"""
-WITH binned AS (
-  SELECT LEAST(9, GREATEST(0,
-           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 50.0) AS INT)))
-           AS bin,
-         {_md5long_sql("'sp#' || CAST(event_id AS VARCHAR)")} % 2 AS s
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-),
-hist AS (
-  SELECT bin,
-         CAST(COALESCE(SUM(CASE WHEN s = 0 THEN 1 END), 0) AS BIGINT)
-           AS n_base,
-         CAST(COALESCE(SUM(CASE WHEN s = 1 THEN 1 END), 0) AS BIGINT)
-           AS n_current
-  FROM binned GROUP BY bin
-),
-tot AS (
-  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
-         CAST(SUM(n_current) AS BIGINT) AS tc
-  FROM hist
-),
-terms AS (
-  SELECT n_base, n_current,
-         CASE WHEN tb > 0 THEN
-           GREATEST(CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE), 1e-4)
-         END AS p,
-         CASE WHEN tc > 0 THEN
-           GREATEST(CAST(n_current AS DOUBLE) / CAST(tc AS DOUBLE), 1e-4)
-         END AS q
-  FROM hist CROSS JOIN tot
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    SPLIT_PSI_ORACLE_SQL as SPLIT_PSI_ORACLE,
 )
-SELECT round(CAST(CAST(SUM(CAST((p - q)
-         * (CAST(CAST(round(ln(p / q) * 1e9) AS BIGINT) AS DOUBLE) / 1e9)
-         AS DECIMAL(30,10))) AS VARCHAR) AS DOUBLE), 6) AS psi,
-       CAST(SUM(n_base) AS BIGINT) AS n_base,
-       CAST(SUM(n_current) AS BIGINT) AS n_current,
-       CASE WHEN SUM(n_base) + SUM(n_current) > 0 THEN
-         round(CAST(SUM(n_base) AS DOUBLE)
-               / CAST(SUM(n_base) + SUM(n_current) AS DOUBLE), 6)
-       END AS split_balance
-FROM terms
-"""
 
 
 def test_split_psi_matches_oracle(spark, ev_con):
@@ -3176,30 +2900,9 @@ def test_split_psi_matches_oracle(spark, ev_con):
     assert nb + nc == ev.filter("value IS NOT NULL AND NOT isnan(value)").count()
 
 
-NGRAM_CONTAINMENT_ORACLE = r"""
-WITH shingle_sets AS (
-  SELECT doc_id, list_distinct(list_transform(
-           generate_series(1, len(arr) - 2),
-           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
-        FROM documents)
-),
-ds AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingle_sets),
-sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(COUNT(*) AS BIGINT) AS intersection_size
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    NGRAM_CONTAINMENT_ORACLE_SQL as NGRAM_CONTAINMENT_ORACLE,
 )
-SELECT doc_a, doc_b, intersection_size, sa.n AS n_a, sb.n AS n_b,
-       round(CAST(intersection_size AS DOUBLE)
-             / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS containment
-FROM inter
-JOIN sz sa ON sa.doc_id = inter.doc_a
-JOIN sz sb ON sb.doc_id = inter.doc_b
-ORDER BY containment DESC, doc_a ASC, doc_b ASC LIMIT 25
-"""
 
 
 def test_ngram_containment_matches_oracle(spark, docstar_con):
@@ -3225,51 +2928,9 @@ def test_ngram_containment_matches_oracle(spark, docstar_con):
         assert c >= round(i / (na + nb - i), 6) - 1e-12
 
 
-ROLLING_ZSCORE_ORACLE = """
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5)
-               AS BIGINT)) AS BIGINT) AS s
-  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
-  GROUP BY 1
-),
-seq AS (
-  -- exact integer floor(s/n + 0.5) = floor((2s+n)/(2n)): pmod keeps
-  -- floor semantics for negative sums; a - pmod(a,b) divides exactly
-  SELECT d,
-         CAST(((2 * CAST(s AS HUGEINT) + n)
-               - ((((2 * CAST(s AS HUGEINT) + n) % (2 * n)) + 2 * n)
-                  % (2 * n)))
-              // (2 * n) AS BIGINT) AS mq
-  FROM daily
-),
-win AS (
-  SELECT d, mq,
-         CAST(COUNT(*) OVER w AS BIGINT) AS k,
-         SUM(CAST(mq AS HUGEINT)) OVER w AS s1,
-         SUM(CAST(mq AS HUGEINT) * CAST(mq AS HUGEINT)) OVER w AS s2
-  FROM seq
-  WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-),
-calc AS (
-  SELECT d, CAST(mq AS DOUBLE) / 1e6 AS x, k,
-         CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE) AS bm,
-         greatest(CAST(s2 AS DOUBLE) / 1e12 / CAST(k AS DOUBLE)
-                  - (CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE))
-                    * (CAST(s1 AS DOUBLE) / 1e6 / CAST(k AS DOUBLE)),
-                  0) AS var
-  FROM win
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    ROLLING_ZSCORE_ORACLE_SQL as ROLLING_ZSCORE_ORACLE,
 )
-SELECT d, round(x, 6) AS mean_daily,
-       CASE WHEN k = 7 THEN round(bm, 6) END AS baseline_mean,
-       CASE WHEN k = 7 THEN round(sqrt(var), 6) END AS baseline_std,
-       CASE WHEN k = 7 AND sqrt(var) > 0
-            THEN round((x - bm) / sqrt(var), 6) END AS z,
-       CASE WHEN k = 7 AND sqrt(var) > 0
-            THEN abs(round((x - bm) / sqrt(var), 6)) > 3.0
-       END AS is_anomaly
-FROM calc ORDER BY d
-"""
 
 
 def test_rolling_zscore_matches_oracle(spark, ev_con):
@@ -3291,27 +2952,9 @@ def test_rolling_zscore_matches_oracle(spark, ev_con):
     assert all(r[2] is not None for r in srows[7:])
 
 
-USER_LIFESPAN_ORACLE = """
-WITH per AS (
-  SELECT (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
-           AS span_days
-  FROM events WHERE ts IS NOT NULL GROUP BY user_id
-),
-hist AS (
-  SELECT CAST(span_days AS BIGINT) AS span_days,
-         CAST(COUNT(*) AS BIGINT) AS n_users
-  FROM per GROUP BY 1
-),
-audit AS (
-  SELECT CAST(SUM(n_users) AS BIGINT) AS n_users_total,
-         round(CAST(SUM(CAST(span_days AS HUGEINT)
-                         * CAST(n_users AS HUGEINT)) AS DOUBLE)
-               / CAST(SUM(n_users) AS DOUBLE), 6) AS mean_span_days
-  FROM hist
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    USER_LIFESPAN_ORACLE_SQL as USER_LIFESPAN_ORACLE,
 )
-SELECT span_days, n_users, n_users_total, mean_span_days
-FROM hist CROSS JOIN audit ORDER BY span_days
-"""
 
 
 def test_user_lifespan_matches_oracle(spark, ev_con):
@@ -3334,37 +2977,9 @@ def test_user_lifespan_matches_oracle(spark, ev_con):
     assert all(0 <= r[0] <= 30 for r in srows)  # 30-day corpus bound
 
 
-CHAR_CLASS_ORACLE = r"""
-WITH rows_ AS (
-  SELECT source AS grp, COALESCE(text, '') AS t FROM documents
-),
-agg AS (
-  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(length(t)) AS BIGINT) AS n_chars,
-         CAST(SUM(length(regexp_replace(t, '[^A-Za-z]', '', 'g')))
-           AS BIGINT) AS a,
-         CAST(SUM(length(regexp_replace(t, '[^0-9]', '', 'g')))
-           AS BIGINT) AS dg,
-         CAST(SUM(length(regexp_replace(t, '[^ \t\n\r]', '', 'g')))
-           AS BIGINT) AS sp
-  FROM rows_ GROUP BY 1
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    CHAR_CLASS_ORACLE_SQL as CHAR_CLASS_ORACLE,
 )
-SELECT grp AS "group", n_docs, n_chars,
-       CASE WHEN n_chars > 0 THEN
-         round(CAST(a AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
-       END AS alpha_share,
-       CASE WHEN n_chars > 0 THEN
-         round(CAST(dg AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
-       END AS digit_share,
-       CASE WHEN n_chars > 0 THEN
-         round(CAST(sp AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
-       END AS space_share,
-       CASE WHEN n_chars > 0 THEN
-         round(CAST(n_chars - a - dg - sp AS DOUBLE)
-               / CAST(n_chars AS DOUBLE), 6)
-       END AS other_share
-FROM agg ORDER BY "group"
-"""
 
 
 def test_char_class_profile_matches_oracle(spark, docstar_con):
