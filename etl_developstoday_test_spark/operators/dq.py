@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from etl_developstoday_test_spark.functions import dsum
+
 
 def fk_orphan_audit(
     relations: list[tuple[str, DataFrame, str, DataFrame, str]],
@@ -326,8 +328,9 @@ def key_candidate_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     column is a key with dirt, a 5-distinct column is a broadcast
     dimension in disguise.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: every column is cast to STRING and unpivoted via
     stack() into (column, value) pairs, so ONE pass + one
@@ -377,3 +380,194 @@ def key_candidate_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             & (F.col("n_distinct") == F.col("n_rows"))
         ).alias("is_unique_key"),
     ).orderBy("column")
+
+
+def dup_multiplicity_profile(
+    df: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """DUPLICATE-MULTIPLICITY profile of a declared key: the
+    histogram of how many key values occur exactly m times, with the
+    affected-row share riding every row. The SHAPE companion to
+    uniqueness_audit — that card says a key IS violated and by how
+    many rows in total; this says HOW (ten thousand keys doubled is
+    an idempotency bug in a replayed loader, one key times ten
+    thousand is a sentinel/default value) — the difference decides
+    whether the fix is dedup-first-wins or a quarantine rule.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: both aggregations are exact long counts; the three
+    audit numbers (total rows, duplicated keys, rows carrying a
+    duplicated key value) are exact integer rollups of the bounded
+    histogram; the share is the only double, 6-dp. NULL key
+    components group as NULL (Spark groupBy == SQL GROUP BY null
+    handling — documented, matches the oracle).
+
+    Scale shape: ONE map-side-combined groupBy on the key collapses
+    the corpus to per-key counts, a second map-side groupBy to the
+    multiplicity-domain-bounded histogram (localCheckpointed); the
+    1-row audit rides the bounded table and broadcasts back. Returns
+    one row per occupied multiplicity: (multiplicity, n_keys,
+    n_rows_total, n_dup_keys, dup_row_share), multiplicity-ordered.
+    """
+    per_key = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    hist = (
+        per_key.groupBy(F.col("_m").alias("multiplicity"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .localCheckpoint(eager=True)  # bounded: multiplicity domain
+    )
+    audit = hist.agg(
+        F.sum(
+            (
+                F.col("multiplicity").cast("decimal(38,0)")
+                * F.col("n_keys").cast("decimal(38,0)")
+            ).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("n_rows_total"),
+        F.sum(F.when(F.col("multiplicity") > 1, F.col("n_keys")))
+        .cast("long")
+        .alias("_dk"),
+        F.sum(
+            F.when(
+                F.col("multiplicity") > 1,
+                (
+                    F.col("multiplicity").cast("decimal(38,0)")
+                    * F.col("n_keys").cast("decimal(38,0)")
+                ).cast("decimal(38,0)"),
+            )
+        )
+        .cast("long")
+        .alias("_dr"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select(
+            "multiplicity",
+            "n_keys",
+            "n_rows_total",
+            F.coalesce(F.col("_dk"), F.lit(0)).cast("long").alias(
+                "n_dup_keys"
+            ),
+            F.round(
+                F.coalesce(F.col("_dr"), F.lit(0)).cast("double")
+                / F.col("n_rows_total").cast("double"),
+                6,
+            ).alias("dup_row_share"),
+        )
+        .orderBy("multiplicity")
+    )
+
+
+def order_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    tolerance: float = 0.01,
+) -> DataFrame:
+    """ORDER-header vs LINE-sum reconciliation: per order, the delta
+    between ``o_totalprice`` and the recomputed
+    Σ extendedprice·(1−discount)·(1+tax), bucketed by signed relative
+    size, with the match-rate audit riding every row. THE
+    cross-table consistency number for any money pipeline — FK
+    audits say the rows line up, this says the AMOUNTS do, and the
+    signed buckets separate a fee/rounding convention (small,
+    one-sided) from data corruption (large, both-sided).
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: each line's term extendedprice·(1−discount)·(1+tax)
+    is a fixed-order IEEE double product (the parquet money columns
+    are doubles); per-order sums accumulate through the
+    decimal(30,10) summator (order-independent — the dsum/_dsum twin
+    idiom), the delta subtracts in double, and the relative delta
+    divides once against the header total; bucket edges are fixed
+    literals (|rel| <= 1e-4 matched, then small/over-tolerance each
+    side — an identical CASE chain in the oracle); counts exact
+    longs, shares 6-dp. Headers with no lines reconcile against 0
+    (full-delta bucket) — the LEFT join keeps them (documented);
+    NULL/zero header totals route to the ``invalid_header`` bucket
+    instead of an ANSI DIVIDE_BY_ZERO (the repo's guard convention).
+
+    Scale shape: lineitem collapses map-side to per-order sums
+    BEFORE the join (never row-level join fan-out); ONE
+    order-co-keyed equi-join, one narrow bucket projection, one
+    map-side groupBy to the <= 9-row bucket histogram
+    (localCheckpointed); the 1-row audit broadcasts back. Returns
+    one row per occupied bucket: (bucket, bucket_label, n_orders,
+    share, n_orders_total, match_rate), bucket-ordered.
+    """
+    line_sums = lineitem.groupBy(
+        F.col("l_orderkey").alias("_ok")
+    ).agg(
+        dsum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("_ls")
+    )
+    j = orders.select(
+        F.col("o_orderkey").alias("_ok2"), "o_totalprice"
+    ).join(line_sums, F.col("_ok2") == F.col("_ok"), "left")
+    # a NULL/zero header total cannot anchor a relative delta: routed
+    # to its own triage bucket instead of an ANSI DIVIDE_BY_ZERO (the
+    # repo's guard convention — the seam IS the finding on such rows)
+    _bad = F.col("o_totalprice").isNull() | (F.col("o_totalprice") == 0)
+    rel = F.when(
+        ~_bad,
+        (F.col("o_totalprice") - F.coalesce(F.col("_ls"), F.lit(0.0)))
+        / F.col("o_totalprice"),
+    )
+    tol = float(tolerance)
+    bucket = (
+        F.when(_bad, F.lit(-5))
+        .when(F.abs(rel) <= F.lit(1e-4), F.lit(0))
+        .when(rel > F.lit(tol), F.lit(4))
+        .when(rel > F.lit(0.0), F.lit(3))
+        .when(rel < -F.lit(tol), F.lit(-4))
+        .otherwise(F.lit(-3))
+    )
+    labels = F.create_map(
+        F.lit(-5), F.lit("invalid_header"),
+        F.lit(-4), F.lit("under_gt_tol"),
+        F.lit(-3), F.lit("under_small"),
+        F.lit(0), F.lit("matched"),
+        F.lit(3), F.lit("over_small"),
+        F.lit(4), F.lit("over_gt_tol"),
+    )
+    hist = (
+        j.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .localCheckpoint(eager=True)  # bounded: 5 buckets
+    )
+    audit = hist.agg(
+        F.sum("n_orders").cast("long").alias("n_orders_total"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == 0, F.col("n_orders"))),
+                F.lit(0),
+            ).cast("double")
+            / F.sum("n_orders").cast("double"),
+            6,
+        ).alias("match_rate"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select(
+            "bucket",
+            F.element_at(labels, F.col("bucket")).alias("bucket_label"),
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.col("n_orders_total").cast("double"),
+                6,
+            ).alias("share"),
+            "n_orders_total",
+            "match_rate",
+        )
+        .orderBy("bucket")
+    )

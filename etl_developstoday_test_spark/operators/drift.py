@@ -1312,8 +1312,9 @@ def hourly_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     this card false-alarms every midnight, and a χ² far above the
     df=23 scale says hourly baselines are mandatory.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: hour extraction is calendar arithmetic on the UTC
     session timezone (both engines agree on parquet TIMESTAMP_NTZ);
@@ -1435,8 +1436,9 @@ def value_moments(
     a fat-finger subpopulation arrived), and shape deltas across
     snapshots are the cheapest drift fingerprint to store.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism & the quantization CONTRACT: moments are computed ON
     the centi-quantized values (quantum=100: exactly the KS/Benford
@@ -1520,8 +1522,9 @@ def rolling_zscore_daily(
     flags single anomalous days against their own recent regime, the
     on-call "is today weird" number.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: daily means come from the micro-quantized long sums
     (the shared Page-Hinkley/autocorr daily CTE) and are re-quantized
@@ -1602,3 +1605,132 @@ def rolling_zscore_daily(
             "is_anomaly"
         ),
     ).orderBy("d")
+
+
+def weekday_hour_heatmap(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """WEEKDAY x HOUR traffic heatmap over the full 7x24 = 168-cell
+    spine, with each cell's share, the peak cell, and the Herfindahl
+    concentration (x168 the uniform level) riding every row. The
+    JOINT-cycle card completing the drift kit's seasonality pair —
+    drift_dow_anova tests the weekly cycle, hourly_seasonality the
+    daily one; this card is where "Monday 9am" phenomena live that
+    neither marginal can see, and the concentration ratio is the one
+    number saying how far from flat the week really is (the baseline
+    table any volume alert should normalize against).
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: weekday is ISO (1 = Monday ... 7 = Sunday — Spark
+    ``weekday()+1`` == DuckDB ``isodow``, the dow_anova convention);
+    counts are exact longs; the Herfindahl numerator Σ n_c² stays in
+    exact decimal(38,0) over the 168-row table and divides once by
+    C² in double; the peak cell breaks count ties on smallest
+    (isodow, hour) — the domain's total order. Shares are single
+    6-dp divisions; an empty feed emits the full 168-row spine with
+    NULL share/peak_share/hhi_x_uniform (the hourly_seasonality
+    degenerate contract).
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus
+    to <= 168 occupied cells, outer-joined onto the literal spine
+    (localCheckpointed — bounded); concentration, peak, and total
+    ride as 1-row broadcast audits. Returns 168 rows: (isodow, hour,
+    n_events, share, peak_isodow, peak_hour, peak_share,
+    hhi_x_uniform), (isodow, hour)-ordered.
+    """
+    occupied = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            (F.weekday(ts_col) + F.lit(1)).cast("long").alias("isodow"),
+            F.hour(ts_col).cast("long").alias("hour"),
+        )
+        .groupBy("isodow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    spine = (
+        events.sparkSession.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("isodow")
+        )
+        .select(
+            F.col("isodow").cast("long").alias("isodow"),
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("_h"),
+        )
+        .select("isodow", F.col("_h").cast("long").alias("hour"))
+    )
+    hist = (
+        spine.join(occupied, ["isodow", "hour"], "left")
+        .select(
+            "isodow",
+            "hour",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .localCheckpoint(eager=True)  # bounded: 168 rows
+    )
+    peak = (
+        hist.orderBy(F.desc("n_events"), F.asc("isodow"), F.asc("hour"))
+        .limit(1)
+        .select(
+            F.col("isodow").alias("peak_isodow"),
+            F.col("hour").alias("peak_hour"),
+            F.col("n_events").alias("_peak_n"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("n_events").cast("long").alias("_c"),
+        F.sum(
+            (
+                F.col("n_events").cast("decimal(38,0)")
+                * F.col("n_events").cast("decimal(38,0)")
+            ).cast("decimal(38,0)")
+        ).alias("_ssq"),
+    )
+    audit = (
+        tot.crossJoin(F.broadcast(peak)).select(
+            "_c",
+            "peak_isodow",
+            "peak_hour",
+            F.when(
+                F.col("_c") > 0,
+                F.round(
+                    F.col("_peak_n").cast("double")
+                    / F.col("_c").cast("double"),
+                    6,
+                ),
+            ).alias("peak_share"),
+            # HHI = Σ share² = Σn² / C²; ×168 so uniform reads 1.0
+            F.when(
+                F.col("_c") > 0,
+                F.round(
+                    F.col("_ssq").cast("double")
+                    * F.lit(168.0)
+                    / (
+                        F.col("_c").cast("double")
+                        * F.col("_c").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("hhi_x_uniform"),
+        )
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select(
+            "isodow",
+            "hour",
+            "n_events",
+            F.when(
+                F.col("_c") > 0,
+                F.round(
+                    F.col("n_events").cast("double")
+                    / F.col("_c").cast("double"),
+                    6,
+                ),
+            ).alias("share"),
+            "peak_isodow",
+            "peak_hour",
+            "peak_share",
+            "hhi_x_uniform",
+        )
+        .orderBy("isodow", "hour")
+    )

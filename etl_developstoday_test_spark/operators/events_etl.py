@@ -818,8 +818,9 @@ def markov_transition_entropy(
     DETERMINISTIC the type process is overall: rate near 0 = users
     follow one script, near ln(k) = types fire independently).
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: sequences are ordered by (ts, id) WITHIN user — a
     total order, so both engines form the identical adjacency pairs;
@@ -902,8 +903,9 @@ def user_lifespan_histogram(
     0 days is drive-by traffic no retention matrix will save, and the
     lifespan tail is the denominator for any LTV-style cut.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: spans are exact integer microseconds (max − min per
     user) floor-divided into whole days; the mean is an exact
@@ -950,4 +952,243 @@ def user_lifespan_histogram(
         hist.crossJoin(F.broadcast(audit))
         .select("span_days", "n_users", "n_users_total", "mean_span_days")
         .orderBy("span_days")
+    )
+
+
+def new_vs_returning_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """NEW-vs-RETURNING daily mix: for each calendar day, the count
+    of active users seen for the FIRST time that day vs returning
+    users, plus the exact cumulative distinct-user curve. The
+    acquisition/engagement decomposition under every growth chart —
+    a flat DAU built from churn-and-replace (high new share) and a
+    flat DAU built from a loyal base (low new share) are opposite
+    businesses, and the cumulative curve is the exact audience-size
+    denominator cohort analyses divide by.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: activity collapses to DISTINCT (user, day) pairs; a
+    user's first day is a min over that exact pair set, so "new" is
+    well-defined even with multiple same-day events; counts are
+    exact longs; the cumulative distinct-user curve is the exact
+    integer prefix sum of n_new over days (no second distinct pass —
+    each user is new exactly once); the share is the only double,
+    6-dp.
+
+    Scale shape: ONE map-side-combined groupBy to the (user, day)
+    pair table; the first-day min is a user-co-keyed window over
+    those pairs (same hash partitioning — no extra shuffle class);
+    ONE more map-side groupBy collapses to the calendar-days table
+    (localCheckpointed — bounded), and the prefix sum runs over that
+    bounded table (the Page-Hinkley allowlist class). Returns one
+    row per active day: (d, n_active, n_new, n_returning, new_share,
+    cum_users), day-ordered.
+    """
+    pairs = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(user_col).alias("u"),
+            F.to_date(ts_col).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("u", "d")
+    )
+    w = Window.partitionBy("u")
+    marked = pairs.select(
+        "d",
+        (F.col("d") == F.min("d").over(w)).alias("_is_new"),
+    )
+    daily = (
+        marked.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("_is_new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .localCheckpoint(eager=True)  # bounded: calendar days
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias(
+            "n_returning"
+        ),
+        F.round(
+            F.col("n_new").cast("double") / F.col("n_active").cast("double"),
+            6,
+        ).alias("new_share"),
+        F.sum("n_new").over(wd).cast("long").alias("cum_users"),
+    ).orderBy("d")
+
+
+def session_gap_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_micros: int = SESSION_GAP_MICROS,
+) -> DataFrame:
+    """BETWEEN-SESSION gap histogram: the distribution of idle time
+    between a user's consecutive sessions (gaps above the sessionize
+    timeout), bucketed by whole hours, with the gap-count and exact
+    mean-gap audit on every row. The return-rhythm card the session
+    kit needs beside sessionize itself: WITHIN-session behavior says
+    what users do, the between-session gap distribution says when
+    they come back — and its mass near the timeout is the direct
+    evidence for whether the 30-minute convention splits real visits
+    (calibrating exactly the knob sessionize exposes).
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: per-user deltas order by (ts, id) — a total order,
+    so both engines form identical gaps; a gap is between-session
+    iff strictly greater than ``gap_micros`` (the sessionize
+    boundary predicate, reused verbatim); bucket ids are integer
+    division of exact micro gaps; the mean is an exact long micro
+    sum divided once (6-dp hours).
+
+    Scale shape: ONE user-co-keyed lag window (the sessionize
+    shuffle shape) collapsed map-side to the hour-domain-bounded
+    histogram; the 1-row audit rides the bounded table and
+    broadcasts back. Returns one row per occupied hour bucket:
+    (gap_hours, n_gaps, n_gaps_total, mean_gap_hours),
+    bucket-ordered.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gaps = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            user_col,
+            ts_col,
+            id_col,
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            ).alias("_gap"),
+        )
+        .filter(F.col("_gap") > F.lit(gap_micros))
+    )
+    hist = (
+        gaps.select(
+            F.expr("_gap div 3600000000").cast("long").alias("gap_hours"),
+            "_gap",
+        )
+        .groupBy("gap_hours")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("_gap").cast("long").alias("_s"),
+        )
+        .localCheckpoint(eager=True)  # bounded: hour domain
+    )
+    audit = hist.agg(
+        F.sum("n_gaps").cast("long").alias("n_gaps_total"),
+        F.round(
+            F.sum("_s").cast("double")
+            / F.lit(3.6e9)
+            / F.sum("n_gaps").cast("double"),
+            6,
+        ).alias("mean_gap_hours"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select("gap_hours", "n_gaps", "n_gaps_total", "mean_gap_hours")
+        .orderBy("gap_hours")
+    )
+
+
+# fixed left edges (seconds) for the inter-arrival survival buckets:
+# sub-second, second, 10s, minute, 5min, the 30-min session timeout,
+# hour, 6h, day — the decades operational latency/return questions ask
+SURVIVAL_EDGES_SECONDS = (0, 1, 10, 60, 300, 1800, 3600, 21600, 86400)
+
+
+def interarrival_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """INTER-ARRIVAL survival curve: per-user consecutive-event gaps
+    binned at fixed operational edges (1s, 10s, 1min, 5min, 30min,
+    1h, 6h, 1d) with each bucket's mass and the exact survival share
+    S(edge) = P(gap >= edge). The distributional companion to
+    events_interarrival_burstiness (one CV number): burstiness says
+    the process is not Poisson, the survival curve says WHERE the
+    mass sits — S(1800s) is precisely the probability a random gap
+    crosses the sessionize timeout, read directly off the card.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: gaps order by (ts, id) within user (total order);
+    bucket assignment is a fixed literal edge chain on exact micro
+    gaps (identical CASE chain in the oracle); counts and the
+    cumulative tail sums are exact longs; survival and share divide
+    once each, 6-dp.
+
+    Scale shape: ONE user-co-keyed lag window collapsed map-side to
+    the <= 9-row edge-bounded histogram (localCheckpointed); the
+    survival column is an exact integer suffix sum over that bounded
+    table, the audit a 1-row broadcast. Returns one row per edge
+    bucket with any mass: (bucket, gap_lo_seconds, n_gaps, share,
+    survival, n_gaps_total), bucket-ordered.
+    """
+    edges = SURVIVAL_EDGES_SECONDS
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = (
+        F.unix_micros(F.col(ts_col))
+        - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    )
+    bucket = F.lit(0)
+    for i, e in enumerate(edges):
+        bucket = F.when(F.col("_gap") >= F.lit(e * 1_000_000), F.lit(i)).otherwise(
+            bucket
+        )
+    hist = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(user_col, ts_col, id_col, gap.alias("_gap"))
+        .filter(F.col("_gap").isNotNull())
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .localCheckpoint(eager=True)  # bounded: <= len(edges) rows
+    )
+    wt = Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    edge_map = F.array(*[F.lit(e) for e in edges])
+    cum = hist.select(
+        "bucket",
+        "n_gaps",
+        F.sum("n_gaps").over(wt).cast("long").alias("_tail"),
+    )
+    audit = hist.agg(F.sum("n_gaps").cast("long").alias("n_gaps_total"))
+    return (
+        cum.crossJoin(F.broadcast(audit))
+        .select(
+            "bucket",
+            F.get(edge_map, F.col("bucket")).cast("long").alias(
+                "gap_lo_seconds"
+            ),
+            "n_gaps",
+            F.round(
+                F.col("n_gaps").cast("double")
+                / F.col("n_gaps_total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("_tail").cast("double")
+                / F.col("n_gaps_total").cast("double"),
+                6,
+            ).alias("survival"),
+            "n_gaps_total",
+        )
+        .orderBy("bucket")
     )

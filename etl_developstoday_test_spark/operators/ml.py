@@ -881,3 +881,73 @@ def cohen_kappa_agreement(
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def regressogram(
+    df: DataFrame,
+    x_col: str,
+    y_cols: list[str],
+) -> DataFrame:
+    """REGRESSOGRAM (Tukey's binned conditional-mean curve) over an
+    integer-valued regressor: for each distinct value of ``x_col``,
+    the exact row count, its population share, and the
+    order-independent mean of every ``y_cols`` measure. The
+    feature-engineering X-ray under every model in the ml kit — the
+    stump picks ONE threshold, the closed-form linreg ONE slope;
+    this shows the whole conditional-mean SHAPE first (monotone?
+    saturating? a step?), which is the evidence for choosing between
+    them, and per-bin means are the direct lookup table a
+    feature-binning transform ships.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the regressor must be integer-valued (cast to long
+    — the caller picks a column with a bounded discrete domain, the
+    documented contract; continuous regressors go through a
+    quantized bucket first); counts exact longs; each mean is the
+    decimal(30,10)-accumulated sum of the raw doubles divided by the
+    bin count (the dsum/davg twin idiom — order-independent), 6-dp;
+    the share divides the exact longs once. Rows with a NULL/NaN
+    regressor are excluded (documented); NULL measures skip their
+    bin's sum exactly as SQL AVG would (both engines agree) — means
+    still divide by the BIN count, keeping the columns co-audited.
+
+    Scale shape: ONE narrow projection + ONE map-side-combined
+    groupBy to the x-domain-bounded table; the 1-row total audit
+    rides the bounded table and broadcasts back. Returns one row per
+    occupied x value: (x, n_rows, row_share, mean_<y> per measure,
+    n_rows_total), x-ordered.
+    """
+    if not y_cols:
+        raise ValueError("regressogram: y_cols must be non-empty")
+    xv = F.col(x_col).cast("double")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for y in y_cols:
+        aggs.append(dsum(F.col(y)).alias(f"_s_{y}"))
+    binned = (
+        df.filter(xv.isNotNull() & ~F.isnan(xv))
+        .groupBy(xv.cast("long").alias("x"))
+        .agg(*aggs)
+        .localCheckpoint(eager=True)  # bounded: x domain
+    )
+    audit = binned.agg(F.sum("n_rows").cast("long").alias("n_rows_total"))
+    cols = [
+        F.col("x"),
+        F.col("n_rows"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / F.col("n_rows_total").cast("double"),
+            6,
+        ).alias("row_share"),
+    ]
+    for y in y_cols:
+        cols.append(
+            F.round(
+                F.col(f"_s_{y}") / F.col("n_rows").cast("double"), 6
+            ).alias(f"mean_{y}")
+        )
+    cols.append(F.col("n_rows_total"))
+    return (
+        binned.crossJoin(F.broadcast(audit)).select(*cols).orderBy("x")
+    )

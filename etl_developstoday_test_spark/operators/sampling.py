@@ -1185,8 +1185,9 @@ def split_psi_audit(
     same 1e-4-floored, nano-quantized-log PSI arithmetic as
     drift_psi_daily, so thresholds transfer.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: the split is the 'sp#'-salted md5 PARITY of the id —
     an independent 50/50 split built on the same engine-portable,
@@ -1291,4 +1292,146 @@ def split_psi_audit(
                 ),
             ).alias("split_balance"),
         )
+    )
+
+
+# Poisson(1) CDF thresholds scaled to the md5_long 60-bit range
+# [0, 2^60): T[k] = floor(P(X <= k) * 2^60). A 60-bit uniform hash u
+# maps to weight w = #{k : u >= T[k]} — the inverse-CDF draw both
+# engines compute with INTEGER comparisons only (no float thresholds
+# to round differently). Mass beyond w = 9 is < 1.1e-7 and truncates.
+POISSON1_THRESHOLDS = (
+    424136118829305344,     # P(X<=0) = e^-1
+    848272237658610688,     # P(X<=1)
+    1060340297073263360,    # P(X<=2)
+    1131029650211480960,    # P(X<=3)
+    1148701988496035328,    # P(X<=4)
+    1152236456152946176,    # P(X<=5)
+    1152825534095764608,    # P(X<=6)
+    1152909688087595776,    # P(X<=7)
+    1152920207336574720,    # P(X<=8)
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 48,
+    salt: str = "bs",
+) -> DataFrame:
+    """Deterministic POISSON-BOOTSTRAP confidence interval for the
+    mean of a column: ``n_reps`` resampled replicate means built from
+    per-row Poisson(1) weights drawn by inverse-CDF on a salted md5
+    hash, summarized to the 2.5%/97.5% nearest-rank interval. THE
+    missing uncertainty number under every 1-row metric card this
+    engine publishes — a mean that moved 2% means nothing without
+    the resampling width, and the Poisson(1) approximation to the
+    multinomial bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012) is the ONLY bootstrap
+    that streams: each row draws its weight independently, so no
+    replicate ever needs the corpus in one place.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the weight draw is pure integer comparison of the
+    60-bit md5 hash against precomputed integer CDF thresholds
+    (``POISSON1_THRESHOLDS`` — byte-identical literals in the
+    oracle; no float thresholds to round differently); replicate
+    sums are exact longs of micro-quantized values and exact weight
+    counts; each replicate mean divides once; the interval is exact
+    nearest-rank (ceil(q·R)) order statistics over the R-row
+    replicate table, tie-broken by construction (row_number over
+    (mean, rep)); the headline mean is the exact unweighted micro
+    mean. A replicate whose total weight is 0 reports a NULL mean
+    and is excluded from the rank (documented — vanishing
+    probability beyond toy inputs).
+
+    Scale shape: ONE scan with a bounded ``n_reps``-way explode (the
+    DAU/WAU bounded-explode class — n_reps is the documented
+    cost/precision knob), collapsed map-side to the R-row replicate
+    table (partial aggregation leaves <= R rows per task); the rank
+    and interval run over that bounded table; the headline mean
+    rides the same scan's unweighted partials. Returns one row:
+    (n_rows, mean_value, n_replicates, ci_lo, ci_hi), the 95%
+    interval.
+    """
+    from etl_developstoday_test_spark.functions import md5_long
+
+    if n_reps < 2:
+        raise ValueError("poisson_bootstrap_mean_ci: n_reps must be >= 2")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.floor(v * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_x"),
+    )
+    exploded = base.select(
+        "_id",
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("_r"),
+    )
+    h = md5_long(
+        F.concat(
+            F.lit(salt + "#"),
+            F.col("_r").cast("string"),
+            F.lit("#"),
+            F.col("_id"),
+        )
+    )
+    w = F.lit(0)
+    for t in POISSON1_THRESHOLDS:
+        w = w + F.when(h >= F.lit(t), 1).otherwise(0)
+    reps = (
+        exploded.select(
+            "_r",
+            (w.cast("long") * F.col("_x")).alias("_wx"),
+            w.cast("long").alias("_w"),
+        )
+        .groupBy("_r")
+        .agg(
+            F.sum("_wx").cast("long").alias("_swx"),
+            F.sum("_w").cast("long").alias("_sw"),
+        )
+        .localCheckpoint(eager=True)  # bounded: n_reps rows
+    )
+    rep_mean = F.when(
+        F.col("_sw") > 0,
+        F.col("_swx").cast("double")
+        / F.lit(1e6)
+        / F.col("_sw").cast("double"),
+    )
+    ranked = reps.select(
+        "_r", rep_mean.alias("_m")
+    ).filter(F.col("_m").isNotNull())
+    wr = Window.orderBy("_m", "_r")
+    ranked = ranked.select(
+        "_m", F.row_number().over(wr).cast("long").alias("_rk")
+    ).localCheckpoint(eager=True)  # bounded: n_reps rows
+    nr = ranked.agg(F.count(F.lit(1)).cast("long").alias("_nr"))
+    lo_rk = F.ceil(F.lit(0.025) * F.col("_nr").cast("double")).cast("long")
+    hi_rk = F.ceil(F.lit(0.975) * F.col("_nr").cast("double")).cast("long")
+    iv = (
+        ranked.crossJoin(F.broadcast(nr))
+        .agg(
+            F.round(
+                F.min(F.when(F.col("_rk") == lo_rk, F.col("_m"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.min(F.when(F.col("_rk") == hi_rk, F.col("_m"))), 6
+            ).alias("ci_hi"),
+            F.first(F.col("_nr")).cast("long").alias("n_replicates"),
+        )
+    )
+    head = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum("_x").cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_value"),
+    )
+    return head.crossJoin(F.broadcast(iv)).select(
+        "n_rows", "mean_value", "n_replicates", "ci_lo", "ci_hi"
     )

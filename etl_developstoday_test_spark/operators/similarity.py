@@ -1822,8 +1822,9 @@ def centroid_shift_profile(
     centroid walks off-center is exactly the one whose cosine
     thresholds (SemDeDup, ANN recall) silently degrade first.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: components are NANO-QUANTIZED (round(v·1e9) as long —
     unit-normalized embeddings make 1e9 the natural scale) and summed
@@ -1887,4 +1888,231 @@ def centroid_shift_profile(
             ),
             6,
         ).alias("cosine_to_global"),
+    ).orderBy("group")
+
+
+def dim_variance_profile(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dead_eps: float = 1e-6,
+) -> DataFrame:
+    """Per-DIMENSION variance card: each embedding dimension's exact
+    mean and variance, its share of the total variance, its variance
+    rank, and the corpus-wide dead-dimension count riding every row.
+    The DIMENSION-COLLAPSE detector beside the spectral summary —
+    embed_anisotropy_rankme compresses the Gram spectrum to one
+    effective-rank number, this names WHICH dimensions carry the
+    mass and which are dead (variance below ``dead_eps``): an
+    encoder whose variance piles into a few dims wastes index bytes
+    and breaks the isotropy assumption every cosine threshold in the
+    ANN/SemDeDup stack sits on.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: components are nano-quantized (floor(v·1e9 + 0.5)
+    as long — the centroid_shift idiom) with Σq and Σq² in exact
+    decimal(38,0), so per-dim moments are partitioning-independent;
+    variance assembles in a fixed-order double expression
+    (greatest(0) clamp); the total-variance denominator accumulates
+    the per-dim variance doubles through the decimal summator
+    (order-independent); the rank breaks variance ties on the
+    SMALLEST dim (total order). NaN components are excluded row-wise
+    (documented). var_share reports NULL when total variance is 0
+    (all-constant corpus — the ANSI degenerate contract).
+
+    Scale shape: ONE posexplode collapsed map-side to the
+    dim-bounded moments table (localCheckpointed — it feeds the
+    rank window, the total rollup, and the output); the rank window
+    and 1-row audit run over that bounded table. Returns one row per
+    dimension: (dim, n, mean, variance, var_share, var_rank,
+    n_dead_dims, total_variance), dim-ordered.
+    """
+    from etl_developstoday_test_spark.functions import as_double_array
+
+    vq = F.floor(F.col("_v") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per = (
+        embeddings.select(
+            F.posexplode(as_double_array(F.col(vec_col))).alias(
+                "dim", "_v"
+            )
+        )
+        .filter(~F.isnan(F.col("_v")))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(vq.cast("decimal(38,0)")).alias("_s1"),
+            F.sum(
+                (vq.cast("decimal(38,0)") * vq.cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+            ).alias("_s2"),
+        )
+    )
+    mean = F.col("_s1").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+    var = F.greatest(
+        F.col("_s2").cast("double")
+        / F.lit(1e18)
+        / F.col("n").cast("double")
+        - mean * mean,
+        F.lit(0.0),
+    )
+    moments = per.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round(mean, 6).alias("mean"),
+        var.alias("_var"),
+    ).localCheckpoint(eager=True)  # bounded: dim domain
+    wr = Window.orderBy(F.desc("_var"), F.asc("dim"))
+    ranked = moments.select(
+        "dim",
+        "n",
+        "mean",
+        "_var",
+        F.row_number().over(wr).cast("long").alias("var_rank"),
+    )
+    audit = moments.agg(
+        F.sum(F.col("_var").cast(ACC_DECIMAL)).cast("double").alias("_tv"),
+        F.sum(F.when(F.col("_var") < F.lit(float(dead_eps)), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dead_dims"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(audit))
+        .select(
+            "dim",
+            "n",
+            "mean",
+            F.round(F.col("_var"), 6).alias("variance"),
+            F.when(
+                F.col("_tv") > 0,
+                F.round(F.col("_var") / F.col("_tv"), 6),
+            ).alias("var_share"),
+            "var_rank",
+            "n_dead_dims",
+            F.round(F.col("_tv"), 6).alias("total_variance"),
+        )
+        .orderBy("dim")
+    )
+
+
+def intra_cluster_tightness(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    loose_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-group INTRA-CLUSTER tightness: each vector's cosine to its
+    OWN group centroid, rolled up per group to the exact mean cosine,
+    the minimum, and the share of members below ``loose_threshold``.
+    The WITHIN-group companion to centroid_shift_profile's
+    between-group drift: a label can sit perfectly centered (shift
+    ~0) while its members scatter so loosely the label carries no
+    geometric meaning — this card is the direct evidence for whether
+    label-conditioned operations (label centroids as ANN routing
+    points, per-label hard-negative mining) have a cluster to stand
+    on at all.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: centroids derive from the same nano-quantized
+    per-(group, dim) decimal sums as centroid_shift_profile (exact,
+    partitioning-independent), assembled into a dim-ordered double
+    array; per-vector cosine is the deterministic fold form (the
+    shared ``cosine`` helper — identical operation order to the
+    oracle's list_reduce); the mean accumulates micro-quantized
+    cosine longs; min takes the exact micro minimum. Zero-norm
+    vectors or zero-norm centroids yield NULL cosine and are
+    excluded from the rollup (documented — the fold's 0/0 guard).
+
+    Scale shape: ONE posexplode pass builds the (groups x dims)
+    bounded sums table; centroid arrays assemble group-locally
+    (sort_array over the bounded dim list) and BROADCAST onto the
+    corpus for the second pass (group-bounded — never a shuffle of
+    the vector side beyond its scan); the rollup is ONE
+    map-side-combined groupBy(group). Returns one row per group:
+    (group, n_vecs, mean_cosine, min_cosine, n_loose, loose_share),
+    group-ordered.
+    """
+    from etl_developstoday_test_spark.functions import as_double_array, cosine
+
+    vq = F.floor(F.col("_v") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per = (
+        embeddings.select(
+            F.col(group_col).alias("_g"),
+            F.posexplode(as_double_array(F.col(vec_col))).alias(
+                "dim", "_v"
+            ),
+        )
+        .filter(~F.isnan(F.col("_v")))
+        .groupBy("_g", "dim")
+        .agg(
+            F.sum(vq.cast("decimal(38,0)")).alias("_sq"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+    )
+    cent = per.groupBy("_g").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim").alias("d"),
+                        (
+                            F.col("_sq").cast("double")
+                            / F.lit(1e9)
+                            / F.col("_n").cast("double")
+                        ).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s.getField("c"),
+        ).alias("_cent")
+    )
+    cos = cosine(
+        as_double_array(F.col(vec_col)), F.col("_cent")
+    )
+    scored = (
+        embeddings.join(
+            F.broadcast(cent),
+            embeddings[group_col] == cent["_g"],
+        )
+        .select(
+            F.col("_g"),
+            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_cq"),
+        )
+        .filter(F.col("_cq").isNotNull())
+    )
+    card = scored.groupBy(F.col("_g").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("_cq").cast("long").alias("_s"),
+        F.min("_cq").cast("long").alias("_m"),
+        F.sum(
+            F.when(
+                F.col("_cq")
+                < F.floor(
+                    F.lit(float(loose_threshold)) * F.lit(1e6) + F.lit(0.5)
+                ).cast("long"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_loose"),
+    )
+    return card.select(
+        "group",
+        "n_vecs",
+        F.round(
+            F.col("_s").cast("double")
+            / F.lit(1e6)
+            / F.col("n_vecs").cast("double"),
+            6,
+        ).alias("mean_cosine"),
+        F.round(F.col("_m").cast("double") / F.lit(1e6), 6).alias(
+            "min_cosine"
+        ),
+        "n_loose",
+        F.round(
+            F.col("n_loose").cast("double") / F.col("n_vecs").cast("double"),
+            6,
+        ).alias("loose_share"),
     ).orderBy("group")

@@ -2046,8 +2046,9 @@ def ngram_coverage(
     term_burstiness (per-term cf/df) and repetition_profile (per-doc),
     on the same shingling as the MinHash/novelty family.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: counts are exact longs; ranking breaks count ties on
     the n-gram string ASC (total order); shares are single double
@@ -2122,8 +2123,9 @@ def char_class_profile(
     text_quality_score's document-level heuristics, and the drift
     fingerprint to store per ingest batch.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: class counts are string lengths after regex class
     deletion — pure exact integers on both engines (the character
@@ -2190,3 +2192,90 @@ def char_class_profile(
             ),
         ).alias("other_share"),
     ).orderBy("group")
+
+
+def ttr_hapax_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source LEXICAL-RICHNESS card: token count, distinct type
+    count, type-token ratio, and the hapax-legomena count and share
+    (types occurring exactly once WITHIN the source). The
+    per-source twin the corpus-level vocabulary cards need:
+    text_heaps_law_fit says how the GLOBAL vocabulary grows,
+    text_simpson_diversity how concentrated it is — this says which
+    SOURCE is template spam (TTR collapsing, hapax share near zero)
+    vs open text, per ingest feed, the cheapest routing signal a
+    curation pass gets before any model runs.
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: tokenization is the repo's shared whitespace split;
+    all four counts are exact longs off ONE (source, token) rollup;
+    the two ratios divide once each, 6-dp. Sources whose docs are
+    all empty/NULL still appear — with zero counts and NULL ratios
+    (the ANSI degenerate-card convention), via the source spine.
+
+    Scale shape: one tokenize explode collapsed immediately by a
+    map-side-combined groupBy(source, token) to per-type counts
+    (vocabulary-bounded per source), then ONE more map-side groupBy
+    to the source-bounded card — never a distinct pass separate from
+    the counting pass; the source spine is a second, SOURCE-column-
+    pruned scan collapsed map-side (bounded — the explicit scan
+    allowance), outer-joining the card so dark sources still report.
+    Returns one row per source: (source, n_tokens, n_types, ttr,
+    n_hapax, hapax_share), source-ordered.
+    """
+    toks = (
+        docs.select(
+            F.col(source_col).alias("_s"),
+            F.explode(tokens(F.col(text_col))).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+        .groupBy("_s", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    card = toks.groupBy(F.col("_s").alias("source")).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    spine = docs.select(F.col(source_col).alias("source")).distinct()
+    card = spine.join(card, "source", "left").select(
+        "source",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias(
+            "n_types"
+        ),
+        F.coalesce(F.col("n_hapax"), F.lit(0)).cast("long").alias(
+            "n_hapax"
+        ),
+    )
+    return card.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).alias("ttr"),
+        "n_hapax",
+        F.when(
+            F.col("n_types") > 0,
+            F.round(
+                F.col("n_hapax").cast("double")
+                / F.col("n_types").cast("double"),
+                6,
+            ),
+        ).alias("hapax_share"),
+    ).orderBy("source")

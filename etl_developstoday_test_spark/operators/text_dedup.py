@@ -1192,8 +1192,9 @@ def contamination_overlap(
     SURFACE is compromised, occurrence_rate weights it by how often
     eval actually exercises those n-grams.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: both sides shingle identically; the intersection is
     an exact distinct-key semi-join; all five counts are exact longs,
@@ -1276,8 +1277,9 @@ def ngram_containment_topk(
     ngram_jaccard (symmetric near-dup) and FastSS (edit-distance),
     on the same shingle space.
 
-    STAGED for round-15 registration (oracle pre-validated in
-    tests/test_staged_oracles.py at both scales).
+    Registered in round 15 (two-scale value locks pre-dated
+    registration; the oracle twin lives in plans/queries.py and the
+    locks import it).
 
     Determinism: candidate pairs from the shared-shingle equi-join
     (doc_a < doc_b); intersection and both set sizes are exact longs
@@ -1332,4 +1334,92 @@ def ngram_containment_topk(
             F.desc("containment"), F.asc("doc_a"), F.asc("doc_b")
         )
         .limit(k)
+    )
+
+
+def cluster_source_purity(
+    docs: DataFrame,
+    prefix_tokens: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DUPLICATE-CLUSTER source purity: cluster documents by their
+    first-``prefix_tokens``-words fingerprint, keep clusters of two
+    or more, and report the size histogram split into PURE (one
+    source) vs MIXED (several sources) with the doc-mass audit. The
+    provenance question under every dedup decision: pure clusters
+    are a re-crawled/mirrored source (fix the ingest), mixed
+    clusters are genuine cross-source syndication (first-wins dedup
+    silently picks a winner SOURCE — this card says how often, the
+    number a licensing/attribution review needs BEFORE the dedup
+    pass deletes the evidence).
+
+    STAGED for round-16 registration (oracle pre-validated in
+    tests/test_staged_oracles.py at both scales).
+
+    Determinism: the fingerprint is the literal first-k-token join
+    (both engines slice the same whitespace token array — exact
+    string equality, no hashing); all counts are exact longs; the
+    mixed-doc share divides once, 6-dp. Docs shorter than
+    ``prefix_tokens`` cluster on their full text prefix (documented
+    — a short boilerplate line is exactly what should cluster).
+
+    Scale shape: ONE tokenize + slice projection, ONE
+    map-side-combined groupBy(fingerprint) carrying (count, distinct
+    sources) — never an all-pairs join; the >= 2 filter drops the
+    singleton mass BEFORE the histogram rollup; the size histogram
+    and 1-row audit are bounded-table arithmetic. Returns one row
+    per (cluster_size, is_mixed) cell: (cluster_size, is_mixed,
+    n_clusters, n_docs, n_clustered_docs_total, mixed_doc_share),
+    ordered.
+    """
+    fp = F.array_join(
+        F.slice(tokens(F.col(text_col)), 1, prefix_tokens), " "
+    )
+    clusters = (
+        docs.select(fp.alias("_fp"), F.col(source_col).alias("_s"))
+        .groupBy("_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.countDistinct("_s").cast("long").alias("_ns"),
+        )
+        .filter(F.col("_c") >= 2)
+    )
+    hist = (
+        clusters.groupBy(
+            F.col("_c").alias("cluster_size"),
+            (F.col("_ns") > 1).alias("is_mixed"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("_c").cast("long").alias("n_docs"),
+        )
+        .localCheckpoint(eager=True)  # bounded: size domain x 2
+    )
+    audit = hist.agg(
+        F.sum("n_docs").cast("long").alias("n_clustered_docs_total"),
+        F.when(
+            F.sum("n_docs") > 0,
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_mixed"), F.col("n_docs"))),
+                    F.lit(0),
+                ).cast("double")
+                / F.sum("n_docs").cast("double"),
+                6,
+            ),
+        ).alias("mixed_doc_share"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(audit))
+        .select(
+            "cluster_size",
+            "is_mixed",
+            "n_clusters",
+            "n_docs",
+            "n_clustered_docs_total",
+            "mixed_doc_share",
+        )
+        .orderBy("cluster_size", "is_mixed")
     )

@@ -3529,3 +3529,276 @@ def test_split_psi_one_sided_input_null_psi(spark):
         ).collect()
     ]
     assert out == [(None, None, None, None)]
+
+
+# --- Round-16 staged operators: fixtures / properties
+
+
+def test_new_vs_returning_fixture(spark):
+    """u1 active day1+day2, u2 only day2: day1 = 1 new, day2 = 1 new +
+    1 returning; the cumulative curve counts each user once."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        new_vs_returning_daily,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(hours=1)),
+        (1, t0 + dt.timedelta(days=1)), (2, t0 + dt.timedelta(days=1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = [tuple(r) for r in new_vs_returning_daily(ev).collect()]
+    assert out == [
+        (dt.date(2024, 1, 1), 1, 1, 0, 1.0, 1),
+        (dt.date(2024, 1, 2), 2, 1, 1, 0.5, 2),
+    ]
+
+
+def test_session_gap_histogram_fixture(spark):
+    """Only the 110-minute gap crosses the 30-minute session timeout:
+    one between-session gap in the 1-hour bucket, mean 110/60 h."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        session_gap_histogram,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0),
+        (1, 11, t0 + dt.timedelta(minutes=10)),
+        (1, 12, t0 + dt.timedelta(minutes=120)),
+        (1, 13, t0 + dt.timedelta(minutes=121)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    out = [tuple(r) for r in session_gap_histogram(ev).collect()]
+    assert out == [(1, 1, 1, 1.833333)]
+
+
+def test_interarrival_survival_fixture(spark):
+    """Gaps 0.5s / 29.5s / 70s land in buckets 0 / 2 / 3; survival is
+    the exact tail share at each occupied edge."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_survival,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = [0.0, 0.5, 30.0, 100.0]
+    rows = [(1, i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(ts)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    out = [tuple(r) for r in interarrival_survival(ev).collect()]
+    assert out == [
+        (0, 0, 1, 0.333333, 1.0, 3),
+        (2, 10, 1, 0.333333, 0.666667, 3),
+        (3, 60, 1, 0.333333, 0.333333, 3),
+    ]
+
+
+def test_weekday_hour_heatmap_fixture_and_empty(spark):
+    """3 events Monday 9h + 1 Sunday 23h: peak cell (1, 9) at share
+    0.75, HHI x uniform = (10/16)*168 = 105; an empty feed emits the
+    full 168-row NULL degenerate spine."""
+    import datetime as dt
+
+    from etl_developstoday_test_spark.operators.drift import (
+        weekday_hour_heatmap,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 9, 0),),  # Monday
+        (dt.datetime(2024, 1, 1, 9, 30),),
+        (dt.datetime(2024, 1, 1, 9, 59),),
+        (dt.datetime(2024, 1, 7, 23, 5),),  # Sunday
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = [tuple(r) for r in weekday_hour_heatmap(ev).collect()]
+    assert len(out) == 168
+    cells = {(r[0], r[1]): r for r in out}
+    assert cells[(1, 9)][2] == 3 and cells[(1, 9)][3] == 0.75
+    assert cells[(7, 23)][2] == 1
+    assert out[0][4] == 1 and out[0][5] == 9  # peak cell
+    assert out[0][6] == 0.75 and out[0][7] == 105.0
+    empty = spark.createDataFrame([], "ts timestamp")
+    oute = [tuple(r) for r in weekday_hour_heatmap(empty).collect()]
+    assert len(oute) == 168
+    assert all(
+        r[2] == 0 and r[3] is None and r[6] is None and r[7] is None
+        for r in oute
+    )
+
+
+def test_dup_multiplicity_fixture(spark):
+    """Keys {a, a, b}: one key at multiplicity 2, one at 1; the dup
+    row share is 2/3."""
+    from etl_developstoday_test_spark.operators.dq import (
+        dup_multiplicity_profile,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = [tuple(r) for r in dup_multiplicity_profile(df, ["k"]).collect()]
+    assert out == [(1, 1, 3, 1, 0.666667), (2, 1, 3, 1, 0.666667)]
+
+
+def test_order_reconciliation_fixture(spark):
+    """Exact match / +10% / headerless-lines / -0.5% / zero-total all
+    land in their named buckets; match rate counts only the exact
+    bucket."""
+    from etl_developstoday_test_spark.operators.dq import (
+        order_reconciliation,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 100.0), (4, 100.0), (5, 0.0)],
+        "o_orderkey long, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, 0.0),
+            (2, 90.0, 0.0, 0.0),
+            (4, 100.5, 0.0, 0.0),
+            (5, 10.0, 0.0, 0.0),
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    out = [
+        tuple(r) for r in order_reconciliation(orders, lineitem).collect()
+    ]
+    assert out == [
+        (-5, "invalid_header", 1, 0.2, 5, 0.2),
+        (-3, "under_small", 1, 0.2, 5, 0.2),
+        (0, "matched", 1, 0.2, 5, 0.2),
+        (4, "over_gt_tol", 2, 0.4, 5, 0.2),
+    ]
+
+
+def test_cluster_source_purity_fixture(spark):
+    """Two same-source copies = a pure cluster, two cross-source
+    copies = a mixed one, singletons drop; mixed doc share is 0.5."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        cluster_source_purity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u v w tail-one", "A"),
+            (2, "p q r s t u v w tail-two", "A"),
+            (3, "x y z a b c d e foo", "A"),
+            (4, "x y z a b c d e bar", "B"),
+            (5, "totally unique text here now ok yes no", "A"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = [tuple(r) for r in cluster_source_purity(docs).collect()]
+    assert out == [
+        (2, False, 1, 2, 4, 0.5),
+        (2, True, 1, 2, 4, 0.5),
+    ]
+
+
+def test_ttr_hapax_fixture(spark):
+    """'a b a' reads 3 tokens / 2 types / 1 hapax; an all-empty
+    source still appears with zero counts and NULL ratios."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        ttr_hapax_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [("A", "a b a"), ("B", ""), ("B", None)],
+        "source string, text string",
+    )
+    out = [tuple(r) for r in ttr_hapax_by_source(docs).collect()]
+    assert out == [
+        ("A", 3, 2, 0.666667, 1, 0.5),
+        ("B", 0, 0, None, 0, None),
+    ]
+
+
+def test_dim_variance_fixture(spark):
+    """Vectors [1,0] and [0,0]: dim 0 carries all the variance
+    (share 1.0, rank 1), dim 1 is dead; the dead count rides every
+    row."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        dim_variance_profile,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = [tuple(r) for r in dim_variance_profile(emb).collect()]
+    assert out == [
+        (0, 2, 0.5, 0.25, 1.0, 1, 1, 0.25),
+        (1, 2, 0.0, 0.0, 0.0, 2, 1, 0.25),
+    ]
+
+
+def test_intra_cluster_tightness_fixture(spark):
+    """Identical members pin cosine exactly 1; an orthogonal pair
+    reads cos 45 degrees = 0.707107 to its own centroid."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        intra_cluster_tightness,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.0]),
+            (3, 1, [1.0, 0.0]),
+            (4, 1, [0.0, 1.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = [tuple(r) for r in intra_cluster_tightness(emb).collect()]
+    assert out == [
+        (0, 2, 1.0, 1.0, 0, 0.0),
+        (1, 2, 0.707107, 0.707107, 0, 0.0),
+    ]
+
+
+def test_regressogram_fixture(spark):
+    """x=1 -> mean 2.0 over two rows, x=2 -> mean 5.0; shares are
+    exact; empty y_cols raises."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.ml import regressogram
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 3.0), (2.0, 5.0)], "x double, y double"
+    )
+    out = [tuple(r) for r in regressogram(df, "x", ["y"]).collect()]
+    assert out == [(1, 2, 0.666667, 2.0, 3), (2, 1, 0.333333, 5.0, 3)]
+    with pytest.raises(ValueError, match="y_cols"):
+        regressogram(df, "x", [])
+
+
+def test_poisson_bootstrap_constant_column(spark):
+    """A constant column pins every replicate mean (and so the whole
+    interval) to the constant; the headline mean is exact."""
+    import pytest
+
+    from etl_developstoday_test_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.col("id").alias("event_id"), F.lit(7.25).alias("v")
+    )
+    out = [
+        tuple(r)
+        for r in poisson_bootstrap_mean_ci(
+            df, "v", "event_id", n_reps=16
+        ).collect()
+    ]
+    assert out == [(500, 7.25, 16, 7.25, 7.25)]
+    with pytest.raises(ValueError, match="n_reps"):
+        poisson_bootstrap_mean_ci(df, "v", "event_id", n_reps=1)
