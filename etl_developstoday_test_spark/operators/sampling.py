@@ -1382,15 +1382,20 @@ def poisson_bootstrap_mean_ci(
     w = F.lit(0)
     for t in POISSON1_THRESHOLDS:
         w = w + F.when(h >= F.lit(t), 1).otherwise(0)
+    # each replicate sums the WHOLE corpus, so Σw·x goes through
+    # decimal(38,0) (a long micro-sum wraps past ~10^12 rows at the
+    # 100-TB posture); Σw stays a long count-like sum
     reps = (
         exploded.select(
             "_r",
-            (w.cast("long") * F.col("_x")).alias("_wx"),
+            (w.cast("long") * F.col("_x"))
+            .cast("decimal(38,0)")
+            .alias("_wx"),
             w.cast("long").alias("_w"),
         )
         .groupBy("_r")
         .agg(
-            F.sum("_wx").cast("long").alias("_swx"),
+            F.sum("_wx").alias("_swx"),
             F.sum("_w").cast("long").alias("_sw"),
         )
         .localCheckpoint(eager=True)  # bounded: n_reps rows

@@ -2071,6 +2071,9 @@ def intra_cluster_tightness(
     cos = cosine(
         as_double_array(F.col(vec_col)), F.col("_cent")
     )
+    # NaN components / zero-norm vectors make the fold cosine NaN —
+    # guard BEFORE the long cast (ANSI would raise on NaN->long) so
+    # such vectors drop from the rollup, per the documented contract
     scored = (
         embeddings.join(
             F.broadcast(cent),
@@ -2078,7 +2081,10 @@ def intra_cluster_tightness(
         )
         .select(
             F.col("_g"),
-            F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_cq"),
+            F.when(
+                ~F.isnan(cos),
+                F.floor(cos * F.lit(1e6) + F.lit(0.5)).cast("long"),
+            ).alias("_cq"),
         )
         .filter(F.col("_cq").isNotNull())
     )

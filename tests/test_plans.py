@@ -2103,3 +2103,206 @@ def test_split_psi_single_scan_behind_checkpoint(spark):
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
     assert "Window" not in plan
+
+
+# --- Round-16 staged operators: plan pins (written BEFORE
+# registration — the global sweep covers them once they join QUERIES;
+# these pin each operator's scale shape at the module boundary)
+
+
+def test_new_vs_returning_checkpointed_days_window(spark):
+    """new_vs_returning_daily (staged r16): the user-partitioned
+    first-day window collapses BEFORE the checkpoint; the returned
+    plan's only window (the cumulative sum) runs over the bounded
+    days table."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        new_vs_returning_daily,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        new_vs_returning_daily(load_table(spark, SF_DIR, "events"))
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan  # days table checkpointed
+    assert plan.count("Window") <= 2  # cum-sum window only (+ sort)
+
+
+def test_session_gaps_user_partitioned_window(spark):
+    """session_gap_histogram (staged r16): the lag window is
+    PARTITIONED by user_id (the sessionize shuffle shape); the
+    returned plan reads the checkpointed hour histogram."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        session_gap_histogram,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        session_gap_histogram(load_table(spark, SF_DIR, "events"))
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan  # the lag window is checkpointed away
+    assert "BroadcastExchange" in plan  # the 1-row audit
+
+
+def test_interarrival_survival_bounded_suffix_window(spark):
+    """interarrival_survival (staged r16): the corpus collapses to
+    the <= 9-row edge histogram behind the checkpoint; the suffix-sum
+    window runs over that bounded table only."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_survival,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        interarrival_survival(load_table(spark, SF_DIR, "events"))
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weekday_hour_heatmap_bounded_card(spark):
+    """weekday_hour_heatmap (staged r16): the corpus groupBy happens
+    BEFORE the checkpoint; the returned plan reads the 168-row spine
+    with 1-row broadcast audits, no window at all."""
+    from etl_developstoday_test_spark.operators.drift import (
+        weekday_hour_heatmap,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    plan = _staged_plan(
+        weekday_hour_heatmap(load_table(spark, SF_DIR, "events"))
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_dup_multiplicity_two_level_groupby(spark):
+    """dup_multiplicity_profile (staged r16): per-key counts collapse
+    map-side, then the bounded histogram is checkpointed — the
+    returned plan never rescans the corpus."""
+    from etl_developstoday_test_spark.operators.dq import (
+        dup_multiplicity_profile,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _staged_plan(
+        dup_multiplicity_profile(li, ["l_orderkey", "l_linenumber"])
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+
+
+def test_order_reconciliation_presum_before_join(spark):
+    """order_reconciliation (staged r16): lineitem collapses to
+    per-order sums BEFORE the join (the join reads two aggregates,
+    never a row-level fan-out), and the bucket card is bounded."""
+    from etl_developstoday_test_spark.operators.dq import (
+        order_reconciliation,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _staged_plan(order_reconciliation(orders, li))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_purity_no_self_join(spark):
+    """cluster_source_purity (staged r16): clustering is ONE
+    fingerprint groupBy — no pair join anywhere in the lineage (the
+    operator exists to AVOID the all-pairs shape)."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        cluster_source_purity,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(cluster_source_purity(docs))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_ttr_hapax_two_scans_pruned(spark):
+    """ttr_hapax_by_source (staged r16): the token rollup and the
+    source spine are the only two corpus reads, and the spine scan
+    prunes to the source column."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        ttr_hapax_by_source,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _staged_plan(ttr_hapax_by_source(docs))
+    assert plan.count("FileScan parquet") <= 2
+    assert "Window" not in plan
+
+
+def test_dim_variance_bounded_rank_window(spark):
+    """dim_variance_profile (staged r16): the corpus collapses to the
+    dim-bounded moments table behind the checkpoint; the rank window
+    runs over that bounded table only."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        dim_variance_profile,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _staged_plan(dim_variance_profile(emb))
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_intra_cluster_tightness_broadcast_centroids(spark):
+    """intra_cluster_tightness (staged r16): the centroid table joins
+    by BROADCAST (label-bounded) — the vector side is never shuffled
+    beyond its scan — and the rollup is one hash aggregate."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        intra_cluster_tightness,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _staged_plan(intra_cluster_tightness(emb))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_regressogram_single_aggregate(spark):
+    """regressogram (staged r16): ONE map-side-combined groupBy to
+    the x-domain table behind the checkpoint, 1-row audit broadcast
+    back."""
+    from etl_developstoday_test_spark.operators.ml import regressogram
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = _staged_plan(
+        regressogram(li, "l_quantity", ["l_discount", "l_extendedprice"])
+    )
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_poisson_bootstrap_bounded_explode_shape(spark):
+    """poisson_bootstrap_mean_ci (staged r16): the n_reps explode
+    collapses map-side to the R-row replicate table (checkpointed);
+    the returned plan reads bounded tables with 1-row broadcasts and
+    no corpus-sized window (the rank window ran over R rows behind
+    the checkpoint)."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    plan = _staged_plan(poisson_bootstrap_mean_ci(ev, "value", "event_id"))
+    assert "Scan ExistingRDD" in plan  # replicate tables checkpointed
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

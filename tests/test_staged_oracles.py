@@ -3000,3 +3000,726 @@ def test_char_class_profile_matches_oracle(spark, docstar_con):
         # shares partition the character mass (up to 6-dp rounding)
         assert abs(a + d + s + o - 1.0) < 5e-6
         assert d == 0.0  # the synthetic vocabulary is letters+spaces
+
+
+# --- STAGED for round 16 (the r15 window is exactly full: 12
+# first-rows + 26 r8-stale + 12 oldest-r9 = 50, zero changed entries;
+# clearing the r8 bucket per the r14 VERDICT outranks same-round
+# registration) — implemented, unit/property-tested, and value-locked
+# at sf0.001 AND sf0.01 below; registration next round (the oracle
+# strings move into plans/queries.py then and these locks import
+# them — the single-source-of-truth discipline).
+
+NEW_VS_RETURNING_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+),
+marked AS (
+  SELECT d, d = MIN(d) OVER (PARTITION BY u) AS is_new FROM pairs
+),
+daily AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(COALESCE(SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_new
+  FROM marked GROUP BY d
+)
+SELECT d, n_active, n_new,
+       CAST(n_active - n_new AS BIGINT) AS n_returning,
+       round(CAST(n_new AS DOUBLE) / CAST(n_active AS DOUBLE), 6)
+         AS new_share,
+       CAST(SUM(n_new) OVER (ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily ORDER BY d
+"""
+
+
+def test_new_vs_returning_matches_oracle(spark, ev_con):
+    """STAGED r16: daily new/returning user mix + exact cumulative
+    distinct-user curve — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        new_vs_returning_daily,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in new_vs_returning_daily(ev).collect()]
+    drows = con.execute(NEW_VS_RETURNING_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # every active user is new exactly once: the final cum equals the
+    # distinct-user count, and new+returning partitions each day
+    assert srows[-1][5] == ev.select("user_id").distinct().count()
+    assert all(r[1] == r[2] + r[3] for r in srows)
+    assert srows[0][1] == srows[0][2]  # day one: all new
+
+
+SESSION_GAPS_ORACLE = """
+WITH gaps AS (
+  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events WHERE ts IS NOT NULL
+),
+big AS (SELECT g FROM gaps WHERE g > 1800000000),
+hist AS (
+  SELECT CAST(g // 3600000000 AS BIGINT) AS gap_hours,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS s
+  FROM big GROUP BY 1
+),
+audit AS (
+  SELECT CAST(SUM(n_gaps) AS BIGINT) AS n_gaps_total,
+         round(CAST(SUM(s) AS DOUBLE) / 3.6e9
+               / CAST(SUM(n_gaps) AS DOUBLE), 6) AS mean_gap_hours
+  FROM hist
+)
+SELECT gap_hours, n_gaps, n_gaps_total, mean_gap_hours
+FROM hist CROSS JOIN audit ORDER BY gap_hours
+"""
+
+
+def test_session_gaps_matches_oracle(spark, ev_con):
+    """STAGED r16: between-session gap histogram above the 30-minute
+    sessionize timeout — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        session_gap_histogram,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in session_gap_histogram(ev).collect()]
+    drows = con.execute(SESSION_GAPS_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    assert all(r[0] >= 0 for r in srows)
+    assert sum(r[1] for r in srows) == srows[0][2]
+
+
+SURVIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events WHERE ts IS NOT NULL
+),
+nn AS (SELECT g FROM gaps WHERE g IS NOT NULL),
+b AS (
+  SELECT CASE WHEN g >= 86400000000 THEN 8
+              WHEN g >= 21600000000 THEN 7
+              WHEN g >= 3600000000 THEN 6
+              WHEN g >= 1800000000 THEN 5
+              WHEN g >= 300000000 THEN 4
+              WHEN g >= 60000000 THEN 3
+              WHEN g >= 10000000 THEN 2
+              WHEN g >= 1000000 THEN 1
+              ELSE 0 END AS bucket
+  FROM nn
+),
+hist AS (
+  SELECT CAST(bucket AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM b GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n_gaps,
+         CAST(SUM(n_gaps) OVER (ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS tail
+  FROM hist
+),
+audit AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS tot FROM hist)
+SELECT bucket,
+       CAST(CASE bucket WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 10
+            WHEN 3 THEN 60 WHEN 4 THEN 300 WHEN 5 THEN 1800
+            WHEN 6 THEN 3600 WHEN 7 THEN 21600 WHEN 8 THEN 86400 END
+         AS BIGINT) AS gap_lo_seconds,
+       n_gaps,
+       round(CAST(n_gaps AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+       round(CAST(tail AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS survival,
+       tot AS n_gaps_total
+FROM cum CROSS JOIN audit ORDER BY bucket
+"""
+
+
+def test_interarrival_survival_matches_oracle(spark, ev_con):
+    """STAGED r16: inter-arrival survival curve at the fixed
+    operational edges — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.events_etl import (
+        interarrival_survival,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in interarrival_survival(ev).collect()]
+    drows = con.execute(SURVIVAL_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # survival is nonincreasing in the bucket order and starts at 1
+    # only if bucket 0 is occupied; shares sum to ~1
+    survs = [r[4] for r in srows]
+    assert survs == sorted(survs, reverse=True)
+    assert abs(sum(r[3] for r in srows) - 1.0) < 5e-6
+    assert sum(r[2] for r in srows) == srows[0][5]
+
+
+HEATMAP_ORACLE = """
+WITH occupied AS (
+  SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+         CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+spine AS (
+  SELECT CAST(d AS BIGINT) AS isodow, CAST(h AS BIGINT) AS hour
+  FROM (SELECT unnest(generate_series(1, 7)) AS d)
+  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h)
+),
+hist AS (
+  SELECT spine.isodow, spine.hour,
+         CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+  FROM spine LEFT JOIN occupied
+    ON occupied.isodow = spine.isodow AND occupied.hour = spine.hour
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS c,
+         SUM(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT))
+           AS ssq
+  FROM hist
+),
+peak AS (
+  SELECT isodow AS peak_isodow, hour AS peak_hour, n_events AS pn
+  FROM hist ORDER BY n_events DESC, isodow ASC, hour ASC LIMIT 1
+)
+SELECT hist.isodow, hist.hour, hist.n_events,
+       CASE WHEN c > 0 THEN
+         round(CAST(n_events AS DOUBLE) / CAST(c AS DOUBLE), 6)
+       END AS share,
+       peak_isodow, peak_hour,
+       CASE WHEN c > 0 THEN
+         round(CAST(pn AS DOUBLE) / CAST(c AS DOUBLE), 6)
+       END AS peak_share,
+       CASE WHEN c > 0 THEN
+         round(CAST(ssq AS DOUBLE) * 168.0
+               / (CAST(c AS DOUBLE) * CAST(c AS DOUBLE)), 6)
+       END AS hhi_x_uniform
+FROM hist CROSS JOIN tot CROSS JOIN peak
+ORDER BY isodow, hour
+"""
+
+
+def test_weekday_hour_heatmap_matches_oracle(spark, ev_con):
+    """STAGED r16: 7x24 weekday-hour heatmap with Herfindahl
+    concentration — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.drift import (
+        weekday_hour_heatmap,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srows = [tuple(r) for r in weekday_hour_heatmap(ev).collect()]
+    drows = con.execute(HEATMAP_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 168
+    assert sum(r[2] for r in srows) == ev.filter("ts IS NOT NULL").count()
+    assert srows[0][7] >= 1.0 - 1e-9  # HHI x uniform is >= 1 always
+
+
+DUP_MULTIPLICITY_ORACLE = """
+WITH per_key AS (
+  SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY 1, 2
+),
+hist AS (
+  SELECT m AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM per_key GROUP BY 1
+),
+audit AS (
+  SELECT CAST(SUM(CAST(multiplicity AS HUGEINT)
+                  * CAST(n_keys AS HUGEINT)) AS BIGINT) AS n_rows_total,
+         CAST(COALESCE(SUM(CASE WHEN multiplicity > 1 THEN n_keys END),
+                       0) AS BIGINT) AS dk,
+         CAST(COALESCE(SUM(CASE WHEN multiplicity > 1 THEN
+                CAST(multiplicity AS HUGEINT) * CAST(n_keys AS HUGEINT)
+              END), 0) AS BIGINT) AS dr
+  FROM hist
+)
+SELECT multiplicity, n_keys, n_rows_total,
+       dk AS n_dup_keys,
+       round(CAST(dr AS DOUBLE) / CAST(n_rows_total AS DOUBLE), 6)
+         AS dup_row_share
+FROM hist CROSS JOIN audit ORDER BY multiplicity
+"""
+
+
+def test_dup_multiplicity_matches_oracle(spark, star_con):
+    """STAGED r16: duplicate-multiplicity profile of the (planted)
+    lineitem PK violation — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.dq import (
+        dup_multiplicity_profile,
+    )
+
+    sf_dir, con = star_con
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    srows = [
+        tuple(r)
+        for r in dup_multiplicity_profile(
+            li, ["l_orderkey", "l_linenumber"]
+        ).collect()
+    ]
+    drows = con.execute(DUP_MULTIPLICITY_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # the planted lineitem PK violation is visible: some multiplicity
+    # above 1 exists and the audit identities hold
+    assert any(r[0] > 1 for r in srows)
+    assert srows[0][2] == li.count()
+    mult_rows = sum(r[0] * r[1] for r in srows)
+    assert mult_rows == srows[0][2]
+
+
+from etl_developstoday_test_spark.plans.queries import (  # noqa: E402
+    _dsum as _dsum_sql,
+)
+
+RECONCILIATION_ORACLE = f"""
+WITH ls AS (
+  SELECT l_orderkey AS ok,
+         {_dsum_sql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+           AS lsum
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o_totalprice AS tp, COALESCE(lsum, 0.0) AS lsum
+  FROM orders LEFT JOIN ls ON ls.ok = orders.o_orderkey
+),
+b AS (
+  SELECT CASE
+           WHEN tp IS NULL OR tp = 0 THEN -5
+           WHEN abs((tp - lsum) / tp) <= 1e-4 THEN 0
+           WHEN (tp - lsum) / tp > 0.01 THEN 4
+           WHEN (tp - lsum) / tp > 0.0 THEN 3
+           WHEN (tp - lsum) / tp < -0.01 THEN -4
+           ELSE -3
+         END AS bucket
+  FROM j
+),
+hist AS (
+  SELECT CAST(bucket AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM b GROUP BY 1
+),
+audit AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS n_orders_total,
+         round(CAST(COALESCE(SUM(CASE WHEN bucket = 0 THEN n_orders END),
+                             0) AS DOUBLE)
+               / CAST(SUM(n_orders) AS DOUBLE), 6) AS match_rate
+  FROM hist
+)
+SELECT bucket,
+       CASE bucket WHEN -5 THEN 'invalid_header'
+            WHEN -4 THEN 'under_gt_tol' WHEN -3 THEN 'under_small'
+            WHEN 0 THEN 'matched' WHEN 3 THEN 'over_small'
+            WHEN 4 THEN 'over_gt_tol' END AS bucket_label,
+       n_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(n_orders_total AS DOUBLE), 6)
+         AS share,
+       n_orders_total, match_rate
+FROM hist CROSS JOIN audit ORDER BY bucket
+"""
+
+
+def test_order_reconciliation_matches_oracle(spark, star_con):
+    """STAGED r16: order-header vs line-sum reconciliation card —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.dq import (
+        order_reconciliation,
+    )
+
+    sf_dir, con = star_con
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    srows = [tuple(r) for r in order_reconciliation(orders, li).collect()]
+    drows = con.execute(RECONCILIATION_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    # the synthetic o_totalprice is unrelated to the lines: the card's
+    # whole point here is that it SAYS so (match rate ~ 0)
+    assert srows[0][4] == orders.count()
+    assert sum(r[2] for r in srows) == srows[0][4]
+
+
+PURITY_ORACLE = r"""
+WITH p AS (
+  SELECT array_to_string(
+           regexp_split_to_array(trim(text), '\s+')[1:8], ' ') AS fp,
+         source AS s
+  FROM documents
+),
+clusters AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS ns
+  FROM p GROUP BY fp HAVING COUNT(*) >= 2
+),
+hist AS (
+  SELECT c AS cluster_size, ns > 1 AS is_mixed,
+         CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(c) AS BIGINT) AS n_docs
+  FROM clusters GROUP BY 1, 2
+),
+audit AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_clustered_docs_total,
+         CASE WHEN SUM(n_docs) > 0 THEN
+           round(CAST(COALESCE(SUM(CASE WHEN is_mixed THEN n_docs END),
+                               0) AS DOUBLE)
+                 / CAST(SUM(n_docs) AS DOUBLE), 6)
+         END AS mixed_doc_share
+  FROM hist
+)
+SELECT cluster_size, is_mixed, n_clusters, n_docs,
+       n_clustered_docs_total, mixed_doc_share
+FROM hist CROSS JOIN audit ORDER BY cluster_size, is_mixed
+"""
+
+
+def test_cluster_source_purity_matches_oracle(spark, docstar_con):
+    """STAGED r16: prefix-fingerprint duplicate-cluster source purity
+    — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_dedup import (
+        cluster_source_purity,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in cluster_source_purity(docs).collect()]
+    drows = con.execute(PURITY_ORACLE).fetchall()
+    assert srows == drows
+    assert srows  # the 31-word template vocabulary guarantees clusters
+    assert all(r[0] >= 2 for r in srows)
+    assert sum(r[3] for r in srows) == srows[0][4]
+
+
+TTR_HAPAX_ORACLE = r"""
+WITH toks AS (
+  SELECT source AS s,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+),
+per AS (
+  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE t <> '' GROUP BY s, t
+),
+card AS (
+  SELECT s, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_hapax
+  FROM per GROUP BY s
+),
+spine AS (SELECT DISTINCT source AS s FROM documents)
+SELECT spine.s AS source,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
+       CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+         round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       END AS ttr,
+       CAST(COALESCE(n_hapax, 0) AS BIGINT) AS n_hapax,
+       CASE WHEN COALESCE(n_types, 0) > 0 THEN
+         round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+       END AS hapax_share
+FROM spine LEFT JOIN card ON card.s = spine.s
+ORDER BY source
+"""
+
+
+def test_ttr_hapax_matches_oracle(spark, docstar_con):
+    """STAGED r16: per-source TTR / hapax lexical-richness card —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.text_analysis import (
+        ttr_hapax_by_source,
+    )
+
+    sf_dir, con = docstar_con
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srows = [tuple(r) for r in ttr_hapax_by_source(docs).collect()]
+    drows = con.execute(TTR_HAPAX_ORACLE).fetchall()
+    assert srows == drows
+    assert srows
+    for _s, ntok, ntyp, ttr, nhap, hs in srows:
+        assert 0 < ntyp <= ntok
+        assert nhap <= ntyp
+        assert ttr is not None and 0.0 < ttr <= 1.0
+
+
+DIM_VARIANCE_ORACLE = """
+WITH e AS (
+  SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+f AS (
+  SELECT dim, CAST(floor(v * 1e9 + 0.5) AS BIGINT) AS vq
+  FROM e WHERE NOT isnan(v)
+),
+per AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(vq AS HUGEINT)) AS s1,
+         SUM(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS s2
+  FROM f GROUP BY dim
+),
+m AS (
+  SELECT CAST(dim AS BIGINT) AS dim, n,
+         CAST(s1 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) AS mean,
+         greatest(CAST(s2 AS DOUBLE) / 1e18 / CAST(n AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)),
+                  0.0) AS var
+  FROM per
+),
+ranked AS (
+  SELECT dim, n, mean, var,
+         CAST(ROW_NUMBER() OVER (ORDER BY var DESC, dim ASC) AS BIGINT)
+           AS var_rank
+  FROM m
+),
+audit AS (
+  SELECT CAST(CAST(SUM(CAST(var AS DECIMAL(30,10))) AS VARCHAR)
+           AS DOUBLE) AS tv,
+         CAST(COALESCE(SUM(CASE WHEN var < 1e-6 THEN 1 END), 0)
+           AS BIGINT) AS n_dead_dims
+  FROM m
+)
+SELECT dim, n, round(mean, 6) AS mean, round(var, 6) AS variance,
+       CASE WHEN tv > 0 THEN round(var / tv, 6) END AS var_share,
+       var_rank, n_dead_dims, round(tv, 6) AS total_variance
+FROM ranked CROSS JOIN audit ORDER BY dim
+"""
+
+
+def test_dim_variance_matches_oracle(spark, emb_con):
+    """STAGED r16: per-dimension variance / dimension-collapse card —
+    value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.similarity import (
+        dim_variance_profile,
+    )
+
+    sf_dir, con = emb_con
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srows = [tuple(r) for r in dim_variance_profile(emb).collect()]
+    drows = con.execute(DIM_VARIANCE_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 64  # the synthetic embedding width
+    shares = sorted(r[4] for r in srows)
+    assert abs(sum(shares) - 1.0) < 5e-5
+    assert sorted(r[5] for r in srows) == list(range(1, 65))
+
+
+TIGHTNESS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label AS g, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+x AS (
+  SELECT g, unnest(generate_series(1, len(v))) - 1 AS dim,
+         unnest(v) AS c
+  FROM e
+),
+per AS (
+  SELECT g, dim,
+         SUM(CAST(CAST(floor(c * 1e9 + 0.5) AS BIGINT) AS HUGEINT))
+           AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x WHERE NOT isnan(c) GROUP BY g, dim
+),
+cent AS (
+  SELECT g,
+         list(CAST(sq AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+              ORDER BY dim) AS cent
+  FROM per GROUP BY g
+),
+scored AS (
+  SELECT e.g AS g,
+         CASE WHEN NOT isnan({COS}) THEN
+           CAST(floor({COS} * 1e6 + 0.5) AS BIGINT)
+         END AS cq
+  FROM e JOIN cent ON cent.g = e.g
+),
+card AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(cq) AS BIGINT) AS s,
+         CAST(MIN(cq) AS BIGINT) AS mn,
+         CAST(COALESCE(SUM(CASE WHEN cq < 500000 THEN 1 END), 0)
+           AS BIGINT) AS n_loose
+  FROM scored WHERE cq IS NOT NULL GROUP BY g
+)
+SELECT g AS "group", n_vecs,
+       round(CAST(s AS DOUBLE) / 1e6 / CAST(n_vecs AS DOUBLE), 6)
+         AS mean_cosine,
+       round(CAST(mn AS DOUBLE) / 1e6, 6) AS min_cosine,
+       n_loose,
+       round(CAST(n_loose AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
+         AS loose_share
+FROM card ORDER BY "group"
+"""
+
+
+def test_intra_cluster_tightness_matches_oracle(spark, emb_con):
+    """STAGED r16: per-label intra-cluster tightness (cosine to own
+    centroid) — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.plans.queries import _cosine
+    from etl_developstoday_test_spark.operators.similarity import (
+        intra_cluster_tightness,
+    )
+
+    sf_dir, con = emb_con
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    srows = [tuple(r) for r in intra_cluster_tightness(emb).collect()]
+    drows = con.execute(
+        TIGHTNESS_ORACLE.replace("{COS}", _cosine("v", "cent"))
+    ).fetchall()
+    assert srows == drows
+    assert len(srows) == 10  # ten synthetic labels
+    for _g, n, mc, mn, nl, ls in srows:
+        assert n > 0 and -1.0 - 1e-9 <= mn <= mc <= 1.0 + 1e-9
+
+
+REGRESSOGRAM_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(CAST(l_quantity AS DOUBLE) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {_dsum_sql("l_discount")} AS s_disc,
+         {_dsum_sql("l_extendedprice")} AS s_price
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND NOT isnan(CAST(l_quantity AS DOUBLE))
+  GROUP BY 1
+),
+audit AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM binned)
+SELECT x, n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS row_share,
+       round(s_disc / CAST(n_rows AS DOUBLE), 6) AS mean_l_discount,
+       round(s_price / CAST(n_rows AS DOUBLE), 6)
+         AS mean_l_extendedprice,
+       tot AS n_rows_total
+FROM binned CROSS JOIN audit ORDER BY x
+"""
+
+
+def test_regressogram_matches_oracle(spark, star_con):
+    """STAGED r16: regressogram of discount/extendedprice over the
+    integer quantity domain — value-locked at both scales BEFORE
+    registration."""
+    from etl_developstoday_test_spark.operators.ml import regressogram
+
+    sf_dir, con = star_con
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    srows = [
+        tuple(r)
+        for r in regressogram(
+            li, "l_quantity", ["l_discount", "l_extendedprice"]
+        ).collect()
+    ]
+    drows = con.execute(REGRESSOGRAM_ORACLE).fetchall()
+    assert srows == drows
+    assert len(srows) == 50  # TPC-H quantity domain 1..50
+    assert sum(r[1] for r in srows) == srows[0][5]
+    assert abs(sum(r[2] for r in srows) - 1.0) < 5e-5  # shares partition
+    assert all(r[4] > 0 for r in srows)  # prices are positive per bin
+
+
+BOOTSTRAP_ORACLE = """
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+ex AS (
+  SELECT id, x, unnest(generate_series(0, 47)) AS r FROM base
+),
+h AS (
+  SELECT r, x,
+         CAST(concat('0x', substr(md5('bs#' || CAST(r AS VARCHAR)
+           || '#' || id), 1, 15)) AS BIGINT) AS hv
+  FROM ex
+),
+w AS (
+  SELECT r, x,
+         (CASE WHEN hv >= 424136118829305344 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 848272237658610688 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 1060340297073263360 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 1131029650211480960 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 1148701988496035328 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 1152236456152946176 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 1152825534095764608 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 1152909688087595776 THEN 1 ELSE 0 END
+          + CASE WHEN hv >= 1152920207336574720 THEN 1 ELSE 0 END)
+           AS wt
+  FROM h
+),
+reps AS (
+  SELECT r, SUM(CAST(wt AS HUGEINT) * x) AS swx,
+         CAST(SUM(wt) AS BIGINT) AS sw
+  FROM w GROUP BY r
+),
+mm AS (
+  SELECT r, CASE WHEN sw > 0 THEN
+    CAST(swx AS DOUBLE) / 1e6 / CAST(sw AS DOUBLE) END AS m
+  FROM reps
+),
+rk AS (
+  SELECT m, CAST(ROW_NUMBER() OVER (ORDER BY m, r) AS BIGINT) AS rk
+  FROM mm WHERE m IS NOT NULL
+),
+nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nrep FROM rk),
+iv AS (
+  SELECT round(MIN(CASE WHEN rk =
+           CAST(ceil(0.025 * CAST(nrep AS DOUBLE)) AS BIGINT)
+           THEN m END), 6) AS ci_lo,
+         round(MIN(CASE WHEN rk =
+           CAST(ceil(0.975 * CAST(nrep AS DOUBLE)) AS BIGINT)
+           THEN m END), 6) AS ci_hi,
+         CAST(MIN(nrep) AS BIGINT) AS n_replicates
+  FROM rk CROSS JOIN nr
+),
+head AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         round(CAST(SUM(x) AS DOUBLE) / 1e6
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value
+  FROM base
+)
+SELECT n_rows, mean_value, n_replicates, ci_lo, ci_hi
+FROM head CROSS JOIN iv
+"""
+
+
+def test_poisson_bootstrap_matches_oracle(spark, ev_con):
+    """STAGED r16: deterministic Poisson(1) bootstrap mean CI for
+    events.value — value-locked at both scales BEFORE registration."""
+    from etl_developstoday_test_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+    from etl_developstoday_test_spark.sources.tables import load_table
+
+    sf_dir, con = ev_con
+    ev = load_table(spark, sf_dir, "events")
+    srow = [
+        tuple(r)
+        for r in poisson_bootstrap_mean_ci(
+            ev, "value", "event_id"
+        ).collect()
+    ]
+    drow = con.execute(BOOTSTRAP_ORACLE).fetchall()
+    assert srow == drow
+    assert len(srow) == 1
+    n, mean, nrep, lo, hi = srow[0]
+    assert nrep == 48
+    assert lo <= mean <= hi  # the interval brackets the point mean
+    assert hi - lo < 0.2 * mean + 1.0  # sane width at lock scales
