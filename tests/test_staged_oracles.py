@@ -21,6 +21,7 @@ import duckdb
 import pytest
 
 from etl_developstoday_test_spark.plans.queries import (
+    _cosine as _cosine_sql,
     BIGRAM_ORACLE_SQL as BIGRAM_ORACLE,
     BPE_FERTILITY_ORACLE_SQL as FERTILITY_ORACLE,
     KN_BIGRAM_ORACLE_SQL as KN_BIGRAM_ORACLE,
@@ -3568,13 +3569,15 @@ SELECT g AS "group", n_vecs,
        round(CAST(n_loose AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
          AS loose_share
 FROM card ORDER BY "group"
-"""
+""".replace("{COS}", _cosine_sql("v", "cent"))
+# rendered at module scope: the *_ORACLE hygiene sweep below runs every
+# oracle global raw, so none may carry unrendered placeholders (the
+# interrupted r15 build left {COS} in — caught by that sweep)
 
 
 def test_intra_cluster_tightness_matches_oracle(spark, emb_con):
     """STAGED r16: per-label intra-cluster tightness (cosine to own
     centroid) — value-locked at both scales BEFORE registration."""
-    from etl_developstoday_test_spark.plans.queries import _cosine
     from etl_developstoday_test_spark.operators.similarity import (
         intra_cluster_tightness,
     )
@@ -3582,9 +3585,7 @@ def test_intra_cluster_tightness_matches_oracle(spark, emb_con):
     sf_dir, con = emb_con
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     srows = [tuple(r) for r in intra_cluster_tightness(emb).collect()]
-    drows = con.execute(
-        TIGHTNESS_ORACLE.replace("{COS}", _cosine("v", "cent"))
-    ).fetchall()
+    drows = con.execute(TIGHTNESS_ORACLE).fetchall()
     assert srows == drows
     assert len(srows) == 10  # ten synthetic labels
     for _g, n, mc, mn, nl, ls in srows:
