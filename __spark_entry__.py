@@ -57,15 +57,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # only live entries appear below, so the rotation's load-bearing
 # artifact never drowns in history.
 _CHANGED_THIS_ROUND: dict[str, int] = {
-    # (All three r13 entries — the burstiness Σg² decimal conversion
-    # and the two link-prediction rescan fixes — got green rows in
-    # CORRECTNESS_r13/r14.json and have self-expired; pruned per the
-    # HYGIENE note above. Round 15 adds NO changed entries: every r14
-    # VERDICT/ADVICE fix this round (rolling-zscore exact integer
-    # re-quantization, the three divide-by-zero guards, the split-PSI
-    # docstring) landed in STAGED operators BEFORE their first
-    # registration, so each rides its r15 first row — the Cohen-κ
-    # precedent.)
+    # (All three r13 entries self-expired on green r13/r14 rows and are
+    # pruned per the HYGIENE note above. The r14 VERDICT/ADVICE fixes
+    # landed in STAGED operators BEFORE their first registration, so
+    # each rides its r15 first row — the Cohen-κ precedent.)
+    #
+    # Round 15 OPTIMIZATION pass: every registered query whose
+    # implementation/plan changed this round (materialization points,
+    # scale-gated narrow shuffle/state width). Values are oracle-parity
+    # re-verified in-round (scripts/check_parity.py + the full parity
+    # suite), but changed code re-certifies first per the discipline.
+    "stream_events_hourly": 15,
+    "stream_events_sessionized": 15,
+    "stream_watermark_close_out": 15,
+    "dedup_cc_alternating_star": 15,
+    "sample_leakage_safe_split": 15,
+    "embed_kmeans_clusters": 15,
+    "graph_pagerank_authority": 15,
+    "text_bpe_merge_rounds": 15,
+    "text_bpe_encode_stats": 15,
+    "text_bpe_fertility_by_lang": 15,
+    "graph_triangle_count": 15,
+    "graph_clustering_sampled": 15,
+    "graph_clustering_coefficient": 15,
+    "graph_degree_assortativity": 15,
+    "graph_two_hop_reach": 15,
+    "graph_two_hop_reach_sampled": 15,
+    "graph_jaccard_linkpred": 15,
+    "graph_jaccard_linkpred_sampled": 15,
+    "graph_adamic_adar": 15,
+    "graph_adamic_adar_sampled": 15,
+    "graph_local_bridges": 15,
+    "graph_local_bridges_sampled": 15,
+    "graph_degree_powerlaw": 15,
+    "graph_rich_club": 15,
+    "graph_degree_gini": 15,
 }
 
 

@@ -1751,9 +1751,13 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, availableNow trigger) — hash-identical to the batch twin
     events_tumbling_hourly and to the same DuckDB oracle, because exact
     decimal accumulation makes the result independent of micro-batch
-    boundaries."""
+    boundaries. Input-size-gated narrow state width (_stream_session —
+    r15: the windowed aggregation carries O(100) live windows, where 8
+    state stores beat 32 per micro-batch; a corpus-scale source keeps
+    cluster width)."""
     import uuid
 
+    spark = _stream_session(spark, sf_dir)
     stream = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -1942,9 +1946,12 @@ def stream_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: a session extends to last-event + gap, and an event at
     exactly prev + gap starts a NEW session — hence the oracle's ``>=``
     (the batch twin events_sessionize uses ``>``, the reference-style
-    idle-gap rule; both are exposed)."""
+    idle-gap rule; both are exposed). Input-size-gated narrow state
+    width (_stream_session — r15: O(100) live sessions per micro-batch;
+    a corpus-scale source keeps cluster width)."""
     import uuid
 
+    spark = _stream_session(spark, sf_dir)
     stream = (
         events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -2423,11 +2430,16 @@ def dedup_cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter). Oracle-identical to the propagation path (same
     recursive-CTE oracle) — the regime rule lives in the operator
     docstring: propagation for dense low-diameter dedup clusters,
-    alternating stars for chain/mesh-shaped graphs."""
+    alternating stars for chain/mesh-shaped graphs. Scale-gated narrow
+    shuffles (_narrow_session_if_small — r15: the star iteration
+    schedules many stages over few-thousand-row frames, the same
+    regime dedup_connected_components already gates; at cluster scale
+    the documents leaf keeps default width)."""
     from etl_developstoday_test_spark.operators.graph import (
         connected_components_star,
     )
 
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = load_table(spark, sf_dir, "documents")
     pairs = text_dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return connected_components_star(
@@ -3990,12 +4002,18 @@ def stream_watermark_close_out(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale this is the streaming-consistency contract that matters:
     emitted windows are FINAL (no retraction), state is bounded by the
-    watermark horizon, and the close-out rule is engine-checkable."""
+    watermark horizon, and the close-out rule is engine-checkable.
+    Input-size-gated narrow state width (_stream_session — r15: the
+    windowed aggregation holds O(100) live windows across two
+    micro-batches, where 8 state stores beat 32; a corpus-scale source
+    keeps cluster width; the two file-split prep writes ride the same
+    narrowed clone)."""
     import os
     import shutil
     import tempfile
     import uuid
 
+    spark = _stream_session(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
     tmp = tempfile.mkdtemp(prefix="stream_wm_")
     try:
@@ -5797,7 +5815,12 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated (cluster, dim) mean. The oracle unrolls the same
     two iterations; exact integer-quantized accumulation makes every
     centroid component — and therefore every downstream assignment —
-    bit-identical across engines."""
+    bit-identical across engines. Scale-gated narrow shuffles
+    (_narrow_session_if_small — r15: past the corpus-wide assignment
+    projection the per-iteration shuffles move (k × dim) partials,
+    where 32-way task scheduling is pure overhead; at cluster scale
+    the embeddings leaf keeps default width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["embeddings"])
     return similarity.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -7383,11 +7406,18 @@ def _sampled_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_developstoday_test_spark.functions import md5_long
 
     ev = load_table(spark, sf_dir, "events")
-    cell = ev.select(
-        "user_id",
-        F.date_trunc("hour", "ts").alias("h"),
-        F.col("event_type").alias("et"),
-    ).distinct()
+    cell = (
+        ev.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("event_type").alias("et"),
+        )
+        .distinct()
+        # r15: both pair-join branches read `cell` — materialize it once
+        # or the events scan + distinct runs twice inside the consumer's
+        # edge materialization (the _coactivity_edges checkpoint lesson)
+        .localCheckpoint(eager=True)
+    )
     a = cell.select(F.col("user_id").alias("ua"), "h", "et")
     b = cell.select(F.col("user_id").alias("ub"), "h", "et")
     return (
@@ -7441,9 +7471,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph saturates toward a clique as the corpus grows — sampling is
     itself the standard approximate-triangle trick, DOULION-style,
     Tsourakakis et al. 2009). The oracle replays the identical edge
-    derivation, orientation, and wedge-close joins."""
+    derivation, orientation, and wedge-close joins. Scale-gated narrow
+    shuffles (_narrow_session_if_small — r15: the sampled graph's wedge
+    stages move KB frames at bench scale; at cluster scale the events
+    leaf keeps default width)."""
     from etl_developstoday_test_spark.operators.graph import triangle_count
 
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
     return triangle_count(_sampled_coactivity_edges(spark, sf_dir))
 
 
@@ -8865,10 +8899,15 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the existing pieces — n-gram Jaccard pair graph → connected
     components → salted-md5 assignment — and carries the leak counter
     (#near-dup pairs with endpoints in different splits) in the output:
-    structurally ZERO by construction, and the oracle proves it."""
+    structurally ZERO by construction, and the oracle proves it.
+    Scale-gated narrow shuffles (_narrow_session_if_small — r15: the CC
+    iteration and leak-count rollups run over few-thousand-row frames,
+    the same regime curation_corpus_card gates with a measured 4.8s ->
+    3.5s; at cluster scale the documents leaf keeps default width)."""
     from etl_developstoday_test_spark.functions import md5_long
     from etl_developstoday_test_spark.operators.graph import connected_components
 
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = load_table(spark, sf_dir, "documents")
     # pairs feed BOTH the component build and the leak counter —
     # checkpoint once or the whole shingle self-join replays for the
@@ -9884,9 +9923,13 @@ def graph_pagerank_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions are pico-quantized BIGINTs, so the only float
     accumulation is replaced by exact integer SUM and the ranks are
     bit-identical to the unrolled DuckDB oracle. Top-10 with total
-    tiebreak."""
+    tiebreak. Scale-gated narrow shuffles (_narrow_session_if_small —
+    r15: past the orders⋈lineitem leaf join the iteration's stages move
+    a few-thousand-node rank frame per round, the kcore/LPA regime; at
+    cluster scale both leaves keep default width)."""
     from etl_developstoday_test_spark.operators import graph
 
+    spark = _narrow_session_if_small(spark, sf_dir, ["orders", "lineitem"])
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     # integer node ids (customers even, suppliers odd): every shuffle in
@@ -10395,7 +10438,13 @@ def _coactivity_edges(
 
     ``checkpoint=True`` materializes the cell and edge tables for
     iterative consumers (every round would otherwise replay the pair
-    join); ``False`` keeps the plan lazy for single-pass metrics.
+    join); ``False`` keeps the plan lazy. r15: every registered
+    consumer now passes True — each one symmetrizes (sym = union of
+    two reads of ``edges``) or otherwise multi-reads the edge table,
+    so an unmaterialized derivation executes TWICE inside the
+    consumer's own first materialization (and the cell pair-join
+    doubles the events-scan+distinct again within it) — the jaccard
+    "rescan lesson" applied at the source.
     """
     from etl_developstoday_test_spark.functions import md5_long
 
@@ -10843,7 +10892,13 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     one vocabulary-sized pair-count shuffle, a driver-bounded top-1,
     and a zero-shuffle codegen array fold applying the merge. The
     oracle replays all 5 rounds unrolled, with the greedy leftmost
-    merge expressed as the run-parity window rule."""
+    merge expressed as the run-parity window rule. Scale-gated narrow
+    shuffles (_narrow_session_if_small — r15: after the corpus
+    collapses to the word vocabulary, each round's pair-count shuffle
+    moves a vocabulary-sized frame where 32-way scheduling is pure
+    overhead; fan_out keeps the explode at defaultParallelism; at
+    cluster scale the documents leaf keeps default width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_analysis.bpe_merge_rounds(
         fan_out(load_table(spark, sf_dir, "documents")), rounds=5
     )
@@ -12308,7 +12363,7 @@ def graph_degree_assortativity(
     )
 
     spark = _narrow_session_if_small(spark, sf_dir, ["events"])
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return degree_assortativity(edges, src="ua", dst="ub")
 
 
@@ -12322,7 +12377,11 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table IS the encoder, so application is one broadcast join of the
     exploded token stream against the vocabulary-sized segmentation
     table; the oracle replays the same 5 unrolled merge rounds and the
-    same join."""
+    same join. Scale-gated narrow shuffles (_narrow_session_if_small —
+    r15: the trainer's per-round shuffles are vocabulary-sized, the
+    text_bpe_merge_rounds regime; at cluster scale the documents leaf
+    keeps default width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_analysis.bpe_encode_stats(
         fan_out(load_table(spark, sf_dir, "documents")), rounds=5
     )
@@ -12743,7 +12802,11 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation text_bpe_encode_stats applies: the trainer's final
     (word, syms) table joins the exploded token stream once, then one
     language rollup; the oracle replays the same 5 unrolled merge
-    rounds."""
+    rounds. Scale-gated narrow shuffles (_narrow_session_if_small —
+    r15: the trainer's per-round shuffles are vocabulary-sized, the
+    text_bpe_merge_rounds regime; at cluster scale the documents leaf
+    keeps default width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_analysis.bpe_fertility_by_lang(
         fan_out(load_table(spark, sf_dir, "documents")), rounds=5
     )
@@ -12935,7 +12998,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark = _narrow_session_if_small(spark, sf_dir, ["events"])
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return local_clustering_coefficient(edges)
 
 
@@ -13488,7 +13551,7 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_developstoday_test_spark.operators.graph import two_hop_reach
 
     spark = _narrow_session_if_small(spark, sf_dir, ["events"])
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return two_hop_reach(edges)
 
 
@@ -14109,7 +14172,10 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_link_prediction,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return jaccard_link_prediction(edges)
 
 
@@ -14715,7 +14781,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         adamic_adar_link_prediction,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return adamic_adar_link_prediction(edges)
 
 
@@ -15119,7 +15188,10 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex-sized broadcast designed out, not gated)."""
     from etl_developstoday_test_spark.operators.graph import local_bridges
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return local_bridges(edges)
 
 
@@ -15169,7 +15241,10 @@ def graph_two_hop_reach_sampled(
         two_hop_reach_sampled,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return two_hop_reach_sampled(edges, sample_mod=4)
 
 
@@ -15308,7 +15383,10 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         degree_powerlaw_fit,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return degree_powerlaw_fit(edges, dmin=2)
 
 
@@ -15779,7 +15857,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         rich_club_coefficient,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return rich_club_coefficient(edges)
 
 
@@ -16006,7 +16087,10 @@ def graph_local_bridges_sampled(
         local_bridges_sampled,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return local_bridges_sampled(edges, sample_mod=4)
 
 
@@ -16056,7 +16140,10 @@ def graph_jaccard_linkpred_sampled(
         jaccard_link_prediction_sampled,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return jaccard_link_prediction_sampled(edges, sample_mod=4)
 
 
@@ -16134,7 +16221,10 @@ def graph_adamic_adar_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         adamic_adar_link_prediction_sampled,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return adamic_adar_link_prediction_sampled(edges, sample_mod=2)
 
 
@@ -16525,7 +16615,10 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         degree_gini_centralization,
     )
 
-    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=False)
+    # r15: scale-gated narrow shuffles (graph stages move KB frames at
+    # bench scale; at cluster scale the events leaf keeps default width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["events"])
+    _, edges = _coactivity_edges(spark, sf_dir, checkpoint=True)
     return degree_gini_centralization(edges)
 
 
