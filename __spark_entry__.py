@@ -92,6 +92,12 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "graph_degree_powerlaw": 15,
     "graph_rich_club": 15,
     "graph_degree_gini": 15,
+    "ml_naive_bayes_quality": 15,
+    "ml_nb_confusion_matrix": 15,
+    "ml_nb_margin_auc": 15,
+    "ml_nb_margin_calibration": 15,
+    "dedup_containment_pairs": 15,
+    "sample_waterfill_execute": 15,
 }
 
 

@@ -8725,7 +8725,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's 3-word shingles appear in the outer doc. Catches
     quote/boilerplate/subset duplication that symmetric Jaccard
     structurally misses. Candidates from the shared-shingle equi-join;
-    one intersection aggregate serves BOTH directions."""
+    one intersection aggregate serves BOTH directions. r15: scale-gated
+    narrow shuffles (_narrow_session_if_small — the shingle/candidate
+    stages move KB frames at bench scale; over the gate the documents
+    leaf keeps cluster width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = load_table(spark, sf_dir, "documents")
     pairs = text_dedup.containment_pairs(docs, n=3, threshold=0.8,
                                          min_shingles=5)
@@ -12188,7 +12192,11 @@ def ml_naive_bayes_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # fan_out: a single-file scan arrives as ONE partition and the
-    # token explode would run on one core
+    # token explode would run on one core. r15: scale-gated narrow
+    # shuffles (post-explode stages move model/label-sized frames;
+    # measured med 5.1s -> 3.7s at sf0.1; over the gate the documents
+    # leaf keeps cluster width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return naive_bayes_quality(fan_out(load_table(spark, sf_dir, "documents")))
 
 
@@ -12694,6 +12702,9 @@ def ml_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_margin_calibration,
     )
 
+    # r15: scale-gated narrow shuffles (measured med 4.9s -> 3.6s at
+    # sf0.1 — the naive_bayes_quality regime)
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return nb_margin_calibration(
         fan_out(load_table(spark, sf_dir, "documents"))
     )
@@ -12882,6 +12893,10 @@ def sample_waterfill_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         waterfill_execute,
     )
 
+    # r15: scale-gated narrow shuffles (the allocation/execution stages
+    # move source-bounded frames; fan_out keeps the token-size scan at
+    # defaultParallelism; over the gate the leaf keeps cluster width)
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     src = (
         docs.groupBy("source")
@@ -12937,6 +12952,8 @@ def ml_nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_confusion_matrix,
     )
 
+    # r15: scale-gated narrow shuffles (the naive_bayes_quality regime)
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return nb_confusion_matrix(fan_out(load_table(spark, sf_dir, "documents")))
 
 
@@ -14820,6 +14837,8 @@ def ml_nb_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Either class empty raises."""
     from etl_developstoday_test_spark.operators.ml import nb_margin_auc
 
+    # r15: scale-gated narrow shuffles (the naive_bayes_quality regime)
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return nb_margin_auc(load_table(spark, sf_dir, "documents"))
 
 
