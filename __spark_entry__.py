@@ -98,6 +98,20 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "ml_nb_margin_calibration": 15,
     "dedup_containment_pairs": 15,
     "sample_waterfill_execute": 15,
+    # r15 optimization, second batch: the _coactivity_edges /
+    # _sampled_coactivity_edges per-phase width split (one explicit
+    # wide exchange for the CPU-bound build) changes the plan of every
+    # consumer — the three not already listed above:
+    "graph_kcore_decomposition": 15,
+    "graph_kcore_capped": 15,
+    "graph_lpa_communities": 15,
+    # r15 optimization, second batch: scale-gated narrow shuffles for
+    # the vocabulary-bounded text-LM rankers (measured interleaved
+    # wins recorded in each docstring):
+    "text_kneser_ney_bottomk": 15,
+    "text_hybrid_rrf_topk": 15,
+    "text_bigram_lm_bottomk": 15,
+    "text_bm25_topk": 15,
 }
 
 

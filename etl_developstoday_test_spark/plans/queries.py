@@ -197,6 +197,12 @@ def _narrow_session_if_small(
         return spark
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", str(width))
+    # Marker for the narrow clone (r15 opt): shared derivations (the
+    # coactivity builders) read it to re-widen their bounded, CPU-bound
+    # build stages to defaultParallelism — a per-phase width split that
+    # can never fire outside the measured-small gate, so cluster-scale
+    # plans carry no extra exchange.
+    s2.conf.set("spark.graft.narrowClone", "true")
     for k, v in (extra_conf or {}).items():
         s2.conf.set(k, v)
     return s2
@@ -7406,18 +7412,30 @@ def _sampled_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_developstoday_test_spark.functions import md5_long
 
     ev = load_table(spark, sf_dir, "events")
-    cell = (
-        ev.select(
-            "user_id",
-            F.date_trunc("hour", "ts").alias("h"),
-            F.col("event_type").alias("et"),
+    cell = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    # r15 (opt): per-phase width split, the _coactivity_edges recipe —
+    # inside a scale-gated narrow clone (marker conf set by
+    # _narrow_session_if_small) the checkpointed cell would
+    # materialize at the narrow width, and the broadcast pair join's
+    # probe side inherits its partition count, so the CPU-bound
+    # fan-out would run 4-8 wide; one explicit wide exchange before
+    # the checkpoint restores defaultParallelism (interleaved
+    # same-session mins at sf0.1: triangle 5.90 -> 4.10s,
+    # clustering_sampled 3.12 -> 1.99s). Outside a narrow clone the
+    # marker is absent and the plan is unchanged — zero extra
+    # exchange at cluster scale.
+    if spark.conf.get("spark.graft.narrowClone", "false") == "true":
+        cell = cell.repartition(
+            spark.sparkContext.defaultParallelism, "h", "et"
         )
-        .distinct()
-        # r15: both pair-join branches read `cell` — materialize it once
-        # or the events scan + distinct runs twice inside the consumer's
-        # edge materialization (the _coactivity_edges checkpoint lesson)
-        .localCheckpoint(eager=True)
-    )
+    # r15: both pair-join branches read `cell` — materialize it once
+    # or the events scan + distinct runs twice inside the consumer's
+    # edge materialization (the _coactivity_edges checkpoint lesson).
+    cell = cell.localCheckpoint(eager=True)
     a = cell.select(F.col("user_id").alias("ua"), "h", "et")
     b = cell.select(F.col("user_id").alias("ub"), "h", "et")
     return (
@@ -9015,7 +9033,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score is summation-order-independent, ranked with a doc_id
     tiebreak. The term filter prunes the postings BEFORE any shuffle —
     at 100 TB the wide work is |query terms| postings, not the
-    corpus."""
+    corpus. Scale-gated narrow shuffles (_narrow_session_if_small —
+    r15 opt: the pruned postings and the df/avgdl rollups are
+    |query-terms|-bounded, where 32-way scheduling is pure overhead;
+    measured min 2.44 -> 1.37s, med 2.58 -> 1.63s interleaved at
+    sf0.1; over the gate the documents leaf keeps cluster width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_analysis.bm25_topk(
         fan_out(load_table(spark, sf_dir, "documents")),
         terms=["table", "hash", "merge"],
@@ -9353,7 +9376,15 @@ def text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration between modalities — exactly why it's the standard
     first fusion in retrieval/curation stacks. Both input rankings are
     this repo's existing deterministic operators; the fused top-10 is
-    again a TakeOrderedAndProject, never a corpus-wide window."""
+    again a TakeOrderedAndProject, never a corpus-wide window.
+    Scale-gated narrow shuffles (_narrow_session_if_small — r15 opt:
+    past the postings prune and the probe filter every stage moves
+    |query-terms| postings / top-20 lists; measured min 3.06 -> 2.38s,
+    med 3.73 -> 2.56s interleaved at sf0.1; over the gate both leaves
+    keep cluster width)."""
+    spark = _narrow_session_if_small(
+        spark, sf_dir, ["documents", "embeddings"]
+    )
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     lex = text_analysis.bm25_topk(
         docs, terms=["table", "hash", "merge"], k=20
@@ -10471,6 +10502,25 @@ def _coactivity_edges(
         .filter(F.col("rn") <= 24)
         .drop("rn")
     )
+    # r15 (opt): per-phase width split. Inside a scale-gated NARROW
+    # session (the marker conf _narrow_session_if_small sets on its
+    # clones) the CPU-bound pair fan-out below would run at the
+    # narrow width — a checkpointed frame's task count is its
+    # materialized partition count, and the pair join broadcasts its
+    # build side, so the probe inherits it. One explicit wide exchange
+    # of the CAPPED cell (bounded: <= 24 rows per (h, et) cell, i.e.
+    # linear in cell count) restores defaultParallelism for the
+    # fan-out while the window above keeps its planner-inserted
+    # exchange AND its map-side partial WindowGroupLimit (the
+    # shuffle-bytes bound that matters at 100 TB). Outside a narrow
+    # clone the marker is absent and the plan is byte-identical to
+    # r14 — zero cost at cluster scale. Interleaved same-session mins
+    # at sf0.1: adamic 3.86 -> 3.25s, lpa 4.12 -> 3.55s, kcore_capped
+    # 2.66 -> 2.42s (pre-window variant; re-measured post-cap below).
+    if spark.conf.get("spark.graft.narrowClone", "false") == "true":
+        cell = cell.repartition(
+            spark.sparkContext.defaultParallelism, "h", "et"
+        )
     if checkpoint:
         cell = cell.localCheckpoint(eager=True)  # both join branches
     a = cell.select(F.col("user_id").alias("ua"), "h", "et")
@@ -12209,7 +12259,13 @@ def text_bigram_lm_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order up from the unigram filter (it catches scrambled word soup
     the unigram model cannot). The bigram model deliberately
     shuffle-joins on the bigram string rather than broadcasting:
-    bigram vocabularies outgrow driver memory at web scale."""
+    bigram vocabularies outgrow driver memory at web scale.
+    Scale-gated narrow shuffles (_narrow_session_if_small — r15 opt:
+    after the persisted bigram explode collapses to the vocabulary,
+    the model join and per-doc rollup move vocabulary-sized frames;
+    measured min 2.28 -> 1.76s, med 2.90 -> 2.37s interleaved at
+    sf0.1; over the gate the documents leaf keeps cluster width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_analysis.bigram_lm_bottomk(
         fan_out(load_table(spark, sf_dir, "documents")), k=20
     )
@@ -12768,7 +12824,12 @@ def text_kneser_ney_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     as text_bigram_lm_bottomk: three count tables derived from ONE
     persisted bigram explode, model shuffle-joined on the bigram
     string (bigram vocabularies outgrow broadcast at web scale),
-    TakeOrderedAndProject output."""
+    TakeOrderedAndProject output. Scale-gated narrow shuffles
+    (_narrow_session_if_small — r15 opt: the three count tables and
+    the model join are vocabulary-sized after the explode collapses;
+    measured min 3.64 -> 2.24s, med 6.89 -> 4.00s interleaved at
+    sf0.1; over the gate the documents leaf keeps cluster width)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_analysis.kneser_ney_bigram_bottomk(
         fan_out(load_table(spark, sf_dir, "documents")), k=20
     )

@@ -717,6 +717,36 @@ def test_stream_session_gate_behavior(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_narrow_clone_marker_width_split(spark):
+    """r15 opt: the narrow clone carries the spark.graft.narrowClone
+    marker (the original session never does), and the coactivity
+    builders re-widen their bounded build stage to defaultParallelism
+    ONLY under the marker — one REPARTITION_BY_NUM exchange on
+    (h, et) inside a narrow clone, byte-identical pre-change plan
+    (no such exchange) in the original session, so cluster-scale
+    plans carry no extra exchange and the window keeps its map-side
+    partial WindowGroupLimit in both modes."""
+    from etl_developstoday_test_spark.plans.queries import (
+        _coactivity_edges,
+        _narrow_session_if_small,
+    )
+
+    s2 = _narrow_session_if_small(spark, SF_DIR, ["events"], width=6)
+    assert s2.conf.get("spark.graft.narrowClone", "false") == "true"
+    assert spark.conf.get("spark.graft.narrowClone", "false") == "false"
+    _, e_narrow = _coactivity_edges(s2, SF_DIR, checkpoint=False)
+    plan_n = _staged_plan(e_narrow)
+    _, e_wide = _coactivity_edges(spark, SF_DIR, checkpoint=False)
+    plan_w = _staged_plan(e_wide)
+    assert "REPARTITION_BY_NUM" in plan_n
+    assert "REPARTITION_BY_NUM" not in plan_w
+    # the map-side partial window-group-limit (the 100-TB shuffle-bytes
+    # bound) survives in BOTH modes: the explicit exchange sits above
+    # the capped window, not below it
+    assert plan_n.count("WindowGroupLimit") >= 2
+    assert plan_w.count("WindowGroupLimit") >= 2
+
+
 def test_top_tokens_partial_agg_topk(spark):
     """Heavy hitters must collapse map-side (partial count before the
     vocabulary shuffle) and take the top-50 without a global sort."""
