@@ -112,6 +112,18 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "text_hybrid_rrf_topk": 15,
     "text_bigram_lm_bottomk": 15,
     "text_bm25_topk": 15,
+    #
+    # Round 16 OPTIMIZATION pass (all r15 entries above expired on
+    # green r15 rows; kept for the round's history, pruned next round).
+    # Batch 1: materialize-once in the MinHash family (signature/set
+    # tables checkpointed — plan scans 6->2 / 4->2), the containment
+    # pair join materialized before its two-direction union (2 pair
+    # SMJs -> 1), and the estimate query narrow-gated. Oracle parity
+    # re-proven in-round (scripts/check_parity.py); changed code
+    # re-certifies first per the discipline.
+    "dedup_minhash_lsh": 16,
+    "dedup_minhash_estimate_error": 16,
+    "dedup_containment_pairs": 16,
 }
 
 

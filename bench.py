@@ -220,6 +220,14 @@ def main() -> None:
             # shared-host context: 1-min load BEFORE Spark started —
             # external contention; totals inflate 2-3x when this is high
             "load_1m_baseline": round(load_baseline, 2),
+            # scaling runs are self-describing (r15 VERDICT #3): the
+            # driver's lower-core re-run can verify $SPARK_GRAFT_CPUS
+            # reached the session instead of inferring it from per-query
+            # ratios (which ~equal 1 here by construction: the slowest
+            # queries run scale-gated narrow stages at this SF)
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
             "queries": slowest,
         }
     )
@@ -237,6 +245,9 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "load_1m_baseline": round(load_baseline, 2),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "queries": timings,
                 "retried": retried,
             },

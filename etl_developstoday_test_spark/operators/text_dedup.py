@@ -335,7 +335,18 @@ def minhash_estimate_vs_exact(docs: DataFrame, n: int = 3) -> DataFrame:
     list. Returns (doc_a, doc_b, est_jaccard, exact_jaccard,
     abs_error).
     """
-    sig = minhash_signatures(docs, n)
+    # materialize the signature table ONCE (doc_count x 17 longs): it
+    # feeds THREE consumers — both band self-join sides inside
+    # _band_candidates and the sa/sb estimate re-joins — so an
+    # unmaterialized signature re-runs the corpus shingle explode +
+    # 16-way salted-md5 min aggregation three times (the
+    # _coactivity_edges rescan lesson; the r16 plan sweep counted 6
+    # source scans for this operator, 4 of them signature
+    # re-derivations, and the executed plan shows NO runtime exchange
+    # reuse across the branches). Interleaved A/B at sf0.1 is flat
+    # (min 2.15s vs 2.31s — the corpus passes are sub-100ms there);
+    # the win is the scan count at scale, not the bench second.
+    sig = minhash_signatures(docs, n).localCheckpoint(eager=True)
     candidates = _band_candidates(sig)
 
     sa = sig.select(
@@ -360,9 +371,13 @@ def minhash_estimate_vs_exact(docs: DataFrame, n: int = 3) -> DataFrame:
         )
     )
 
+    # same materialize-once for the exact shingle-set side: xa and xb
+    # both read it (two more source scans otherwise)
     sets = fan_out(docs).select(
         "doc_id", _shingle_set(n).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+    ).withColumn("n_shingles", F.size("shingles")).localCheckpoint(
+        eager=True
+    )
     xa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("_sh_a"),
@@ -410,15 +425,28 @@ def minhash_lsh_pairs(
     guard (see ``_band_candidates``); default None preserves exact
     recall on bounded corpora.
     """
-    sig = minhash_signatures(docs, n)
+    # materialize the signature ONCE (r16): without bucket_max the band
+    # self-join inside _band_candidates reads the _bands explode twice,
+    # re-running the corpus shingle explode + 16-way salted-md5 min
+    # aggregation on both sides (the _coactivity_edges rescan lesson;
+    # with bucket_max the window exchange already materializes the
+    # lineage, and re-deriving a checkpointed frame's explode is a
+    # per-doc projection). Interleaved A/B at sf0.1 is flat (the corpus
+    # passes are sub-100ms there); the win is one corpus pass instead
+    # of two at scale.
+    sig = minhash_signatures(docs, n).localCheckpoint(eager=True)
     candidates = _band_candidates(sig, bucket_max=bucket_max)
 
     # Verify ONLY the candidate pairs (this is the whole point of LSH):
     # join the per-doc shingle sets back and intersect arrays in-place —
     # O(|candidates| × shingles-per-doc), never the all-pairs join.
+    # The set side is materialized once too: sa and sb both read it
+    # (two source scans + two in-row shingling passes otherwise).
     sets = fan_out(docs).select(
         "doc_id", _shingle_set(n).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+    ).withColumn("n_shingles", F.size("shingles")).localCheckpoint(
+        eager=True
+    )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("_sh_a"),
@@ -595,6 +623,13 @@ def prefix_filter_jaccard_pairs(
     ranked = sh.join(dfreq, "shingle").select(
         "doc_id", "shingle", F.row_number().over(w).alias("_pos")
     )
+    # NOT materialized (r16 measured negative result): `ranked` feeds
+    # the size aggregate and both prefix self-join sides, but its
+    # re-runs read the CHECKPOINTED sh — no source rescan — and an
+    # eager checkpoint here serializes the window into its own job,
+    # measured 2x slower interleaved at sf0.1 (min 2.45s -> 4.72s);
+    # the parallel subtrees overlap instead, and at cluster scale the
+    # replay cost is bounded by the already-materialized index.
     sizes = ranked.groupBy("doc_id").agg(F.max("_pos").alias("_n"))
     prefix = (
         ranked.join(sizes, "doc_id")
@@ -770,7 +805,20 @@ def containment_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("_na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("_nb"))
-    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    # materialize the per-pair intersection table ONCE before the
+    # two-direction union reads it twice (r16): without this the
+    # shared-shingle pair join + intersection aggregate (the operator's
+    # whole cost) executes once PER UNION BRANCH — the r16 plan sweep
+    # shows the full SortMergeJoin+HashAggregate subtree duplicated
+    # under Union, and the EXECUTED plan confirms no runtime exchange
+    # reuse across the branches. Candidate-pair-sized (bounded by the
+    # equi-join fan-out, orders of magnitude below the shingle stream),
+    # so the checkpoint is cheap at any scale. Interleaved A/B at sf0.1
+    # is flat (the pair join is ~100ms there); the win is running the
+    # join once instead of twice at scale.
+    both = (
+        inter.join(sa, "doc_a").join(sb, "doc_b").localCheckpoint(eager=True)
+    )
     directed = both.select(
         F.col("doc_a").alias("doc_inner"),
         F.col("doc_b").alias("doc_outer"),

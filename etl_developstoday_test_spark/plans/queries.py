@@ -169,6 +169,7 @@ def _narrow_session_if_small(
     width: int = 8,
     extra_conf: dict[str, str] | None = None,
     max_bytes: int = _NARROW_MAX_BYTES,
+    marker: bool = True,
 ) -> SparkSession:
     """Clone ``spark`` with ``spark.sql.shuffle.partitions = width``
     (plus ``extra_conf``, e.g. interpreted eval for tiny iterative
@@ -178,7 +179,12 @@ def _narrow_session_if_small(
     cluster deployment) or over the bound returns the ORIGINAL session
     with no conf touched, so corpus-sized leaf shuffles always run at
     cluster width. The caller must treat a returned original as
-    read-only (clone before setting any other session state)."""
+    read-only (clone before setting any other session state).
+
+    ``marker=False`` (r15 ADVICE #1) suppresses the narrow-clone marker
+    conf: streaming clones (``_stream_session``) narrow only their
+    state-store count and must not opt shared BATCH derivations into
+    the width split, so they pass False."""
     import os
 
     total = 0
@@ -201,8 +207,10 @@ def _narrow_session_if_small(
     # coactivity builders) read it to re-widen their bounded, CPU-bound
     # build stages to defaultParallelism — a per-phase width split that
     # can never fire outside the measured-small gate, so cluster-scale
-    # plans carry no extra exchange.
-    s2.conf.set("spark.graft.narrowClone", "true")
+    # plans carry no extra exchange. Batch clones only (marker=True);
+    # streaming clones suppress it (r15 ADVICE #1).
+    if marker:
+        s2.conf.set("spark.graft.narrowClone", "true")
     for k, v in (extra_conf or {}).items():
         s2.conf.set(k, v)
     return s2
@@ -227,7 +235,13 @@ def _stream_session(
     unconditional cap. Over the bound or unmeasurable inputs the clone
     carries NO width override."""
     narrowed = _narrow_session_if_small(
-        spark, sf_dir, tables if tables is not None else ["events"], width
+        spark,
+        sf_dir,
+        tables if tables is not None else ["events"],
+        width,
+        # streaming clones narrow only the state-store count; they must
+        # not carry the batch width-split marker (r15 ADVICE #1)
+        marker=False,
     )
     if narrowed is not spark:
         return narrowed  # gated narrow clone (small measured input)
@@ -923,6 +937,11 @@ def _minhash_lsh_sql() -> str:
 
 @_register("dedup_minhash_lsh", _minhash_lsh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16: the shared minhash_lsh_pairs operator now materializes its
+    # signature/set tables once (see operators/text_dedup.py) — plan
+    # goes from 4 source scans to 2. A narrow-gate variant was ALSO
+    # measured here and came out flat (interleaved mins 2.13s vs
+    # 2.03s), so the gate was not added.
     return text_dedup.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
@@ -5568,7 +5587,13 @@ def dedup_minhash_estimate_error(
     shingle Jaccard with absolute error — the measurement that
     justifies a sketch configuration before trusting it corpus-wide
     (operators/text_dedup.py:minhash_estimate_vs_exact). Same
-    never-all-pairs cost shape as dedup_minhash_lsh."""
+    never-all-pairs cost shape as dedup_minhash_lsh. r16: scale-gated
+    narrow shuffles (interleaved A/B med 2.29s -> 1.99s at sf0.1; same
+    regime as the sibling dedup queries — at cluster scale the
+    documents leaf keeps default width and the gate is a no-op), and
+    the shared operator materializes its signature/set tables once
+    (plan: 6 source scans -> 2; see operators/text_dedup.py)."""
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     return text_dedup.minhash_estimate_vs_exact(
         load_table(spark, sf_dir, "documents"), n=3
     )

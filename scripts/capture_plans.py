@@ -1,5 +1,6 @@
 """Capture .explain("formatted") output for named queries into
-plans/r15/<query>_<tag>.txt (optimization-round evidence artifacts).
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (optimization-round
+evidence artifacts; the round dir defaults to r16).
 
 Usage:
     python scripts/capture_plans.py before graph_kcore_decomposition ...
@@ -32,7 +33,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"capture-plans-{tag}")

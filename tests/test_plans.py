@@ -711,6 +711,11 @@ def test_stream_session_gate_behavior(spark):
     small = _stream_session(spark, SF_DIR, ["events"], width=8)
     assert small is not spark
     assert small.conf.get("spark.sql.shuffle.partitions") == "8"
+    # r16 (r15 ADVICE #1): a STREAMING clone narrows only its
+    # state-store count — it must NOT carry the batch narrow-clone
+    # marker, or a shared batch derivation invoked on it would insert
+    # the width-split repartition meant for batch coactivity builds
+    assert small.conf.get("spark.graft.narrowClone", "false") == "false"
     big = _stream_session(spark, "s3://bucket/prefix", ["events"])
     assert big is not spark
     assert big.conf.get("spark.sql.shuffle.partitions") == before
