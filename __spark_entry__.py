@@ -96,7 +96,8 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "ml_nb_confusion_matrix": 15,
     "ml_nb_margin_auc": 15,
     "ml_nb_margin_calibration": 15,
-    "dedup_containment_pairs": 15,
+    # (dedup_containment_pairs moved to the r16 block below — its r15
+    # entry expired on the green r15 row and the query changed again)
     "sample_waterfill_execute": 15,
     # r15 optimization, second batch: the _coactivity_edges /
     # _sampled_coactivity_edges per-phase width split (one explicit
@@ -124,6 +125,13 @@ _CHANGED_THIS_ROUND: dict[str, int] = {
     "dedup_minhash_lsh": 16,
     "dedup_minhash_estimate_error": 16,
     "dedup_containment_pairs": 16,
+    # Batch 2: the deferred tfidf narrow gate (r15 measured win), the
+    # HLL-over-deduped-level rewrite (413-col exchange -> 3-col), and
+    # the cube-over-leaf-aggregate rewrite (Expand above the partial
+    # agg instead of below):
+    "text_tfidf_top_terms": 16,
+    "agg_approx_distinct": 16,
+    "agg_cube_lineitem": 16,
 }
 
 

@@ -1096,12 +1096,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ≤ 5·rsd, and the oracle emits TRUE — a hash match certifies
     the estimate is inside its advertised tolerance. (At 100 TB you drop
     the exact aggregate and keep only the sketch; it exists here to make
-    the bound checkable.)"""
+    the bound checkable.)
+
+    r16 (guide §2.3 — shuffle fewer bytes): mixing exact
+    COUNT(DISTINCT) with approx_count_distinct in ONE aggregate made
+    Catalyst's multi-distinct rewrite carry the 410-word HLL partial
+    buffer through the per-(status, custkey) dedup level — a 413-column
+    exchange of |distinct pairs| rows (~3.3 KB/row) for a 3-row answer.
+    The HLL sketch is DUPLICATE-INSENSITIVE (each value sets buckets by
+    its own hash, so sketch(multiset) == sketch(support set)), so the
+    approx now computes over the deduped level-1 output explicitly:
+    level 1 groups by (status, custkey) with a plain count (narrow
+    3-column exchange, partial-combined), level 2 derives
+    exact_customers = COUNT(*), n_orders = SUM(level-1 counts), and the
+    approx over the distinct custkeys — a bit-identical estimate
+    (verified hash-exact vs the pre-change form and the oracle)."""
     o = load_table(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=APPROX_DISTINCT_RSD).alias("_approx"),
-        F.count_distinct(F.col("o_custkey")).alias("exact_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    per_cust = o.groupBy("o_orderstatus", "o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    agg = per_cust.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct(
+            "o_custkey", rsd=APPROX_DISTINCT_RSD
+        ).alias("_approx"),
+        F.count(F.lit(1)).alias("exact_customers"),
+        F.sum("_n").alias("n_orders"),
     )
     rel_err = F.abs(F.col("_approx") - F.col("exact_customers")) / F.col(
         "exact_customers"
@@ -1592,14 +1611,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets with grouping ids: all four subtotal
-    combinations in one pass (Expand + single shuffle)."""
+    combinations from ONE corpus pass.
+
+    r16 (guide §2.3 — aggregate before you expand): cube() directly on
+    the fact table put Expand(x4) BELOW the partial aggregate, so the
+    map side aggregated 4x the corpus rows. The cube now runs over the
+    (l_returnflag, l_linestatus) LEAF aggregate — count and the exact
+    decimal(30,10) sum are associative, so re-aggregating leaf cells
+    is bit-identical (verified hash-exact vs the oracle) — and the
+    Expand multiplies ~|rf x ls| cells instead of every corpus row.
+    The fact-table pass is a plain partial-combined groupBy; grouping()
+    ids come from the outer cube over the leaf, unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast(ACC_DECIMAL)).alias("_sq"),
+    )
+    return leaf.cube("l_returnflag", "l_linestatus").agg(
         (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
         .cast("bigint")
         .alias("grp_id"),
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_quantity").alias("sum_qty"),
+        F.sum("_n").alias("n_rows"),
+        F.sum("_sq").cast("double").alias("sum_qty"),
     )
 
 
@@ -3011,10 +3044,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, the same normalization embed_cosine_topk uses) with a term
     tiebreak. Three shuffles — (doc,term), term, doc — each on a
     well-distributed key; document frequency is the classic
-    map-side-combine-friendly aggregate."""
+    map-side-combine-friendly aggregate.
+
+    r16: scale-gated narrow shuffles (_narrow_session_if_small — the
+    r15 deferred item: past the (doc, term) collapse every stage moves
+    vocabulary-sized frames; measured 1.51 -> 1.23s min interleaved in
+    r15, re-confirmed this round. At cluster scale the tokenize leaf
+    keeps default width and the gate is a no-op)."""
     from etl_developstoday_test_spark.functions import fan_out, tokens
     from pyspark.sql import Window
 
+    spark = _narrow_session_if_small(spark, sf_dir, ["documents"])
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
