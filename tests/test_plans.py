@@ -752,6 +752,16 @@ def test_narrow_clone_marker_width_split(spark):
     assert plan_w.count("WindowGroupLimit") >= 2
 
 
+def test_substring_coverage_single_gram_pass(spark):
+    """r16: the ExactSubstr dup test is one window over the fingerprint
+    partition (min(doc) != max(doc)), not a groupBy + self-join — the
+    positional-gram explode (the heaviest map work) must appear ONCE in
+    the plan, and no sort-merge join may reappear for dup detection."""
+    plan = plan_of(spark, "text_exact_substring_coverage")
+    assert plan.count("Generate") == 1  # one posexplode of the grams
+    assert "SortMergeJoin" not in plan
+
+
 def test_top_tokens_partial_agg_topk(spark):
     """Heavy hitters must collapse map-side (partial count before the
     vocabulary shuffle) and take the top-50 without a global sort."""
